@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Session bootstrap + fixture-table loading shared by Verify / Bench /
+  * tests.
+  *
+  * Scale notes (designed for a real cluster, tested on local[N]):
+  *   - `spark.sql.shuffle.partitions` is set by the caller to match the
+  *     local core count; on a cluster AQE coalesces post-shuffle
+  *     partitions anyway (`spark.sql.adaptive.enabled=true`).
+  *   - All fixture reads are plain parquet scans so Catalyst's column
+  *     pruning / predicate pushdown apply (verify via
+  *     `.explain("formatted")` → `PushedFilters`, `ReadSchema`).
+  */
+object GraftSession {
+
+  /** Apply engine-required runtime confs + register graft SQL functions.
+    * Idempotent; safe to call on a driver-provided session.
+    */
+  def prepare(spark: SparkSession): SparkSession = {
+    // The driver's `events` fixture is parquet TIMESTAMP(NANOS,false),
+    // which Spark refuses by default (PARQUET_TYPE_ILLEGAL). Read the
+    // raw int64 nanos and convert explicitly (see Tables.events).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    functions.VectorFunctions.registerAll(spark)
+    spark
+  }
+
+  def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    prepare(spark)
+  }
+}
+
+/** Typed access to the driver-generated fixture tables
+  * (`/root/testdata/sf*`; schemas in FIXTURES.md).
+  */
+object Tables {
+  def read(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame   = read(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame   = read(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = read(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = read(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame     = read(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame   = read(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = read(s, d, "lineitem")
+  def documents(s: SparkSession, d: String): DataFrame  = read(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")
+
+  /** `events` with `ts` as a microsecond TIMESTAMP (UTC session TZ).
+    *
+    * The fixture stores nanosecond INT64 timestamps, which Spark's
+    * vectorized parquet reader cannot represent; with
+    * `legacy.parquet.nanosAsLong` we read raw nanos and floor-truncate
+    * to micros. Oracle parity: DuckDB's `ts::TIMESTAMP` performs the
+    * same ns→us truncation.
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    read(spark, sfDir, "events")
+      .withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+  }
+
+  /** `events` with raw nanosecond `ts` (long) for exact-ns arithmetic. */
+  def eventsRawNanos(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    read(spark, sfDir, "events")
+  }
+}

@@ -1,0 +1,76 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.graftshim.{ColumnShim => ExpressionUtils}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, FloatType}
+
+/** Column-API surface for the vector expressions, plus the wire-format
+  * helpers the reference uses (`TO_VECTOR` / bracketed-string
+  * serialization — `ingest_hotels.py:23,29`, `streamlit_app.py:53,64-67`).
+  *
+  * `registerAll` exposes everything to SQL so `spark.sql("SELECT
+  * cosine_distance(a, b) ...")` works identically to the Column API.
+  */
+object VectorFunctions {
+
+  def dotProduct(a: Column, b: Column): Column =
+    ExpressionUtils.column(DotProduct(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def cosineDistance(a: Column, b: Column): Column =
+    ExpressionUtils.column(CosineDistance(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def cosineSimilarity(a: Column, b: Column): Column =
+    lit(1.0) - cosineDistance(a, b)
+
+  def l2Distance(a: Column, b: Column): Column =
+    ExpressionUtils.column(L2Distance(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def l2Norm(a: Column): Column =
+    ExpressionUtils.column(L2Norm(ExpressionUtils.expression(a)))
+
+  def l2Normalize(a: Column): Column =
+    ExpressionUtils.column(L2Normalize(ExpressionUtils.expression(a)))
+
+  /** Parse the reference's wire format `"[v1,v2,…]"` into array<float>
+    * (Oracle `TO_VECTOR(:v)` — `ingest_hotels.py:29`). Malformed input →
+    * NULL (from_json semantics), mirroring the reference's null-on-error
+    * LOB handling (`streamlit_app.py:95-96`).
+    */
+  def toVector(s: Column): Column =
+    from_json(s, ArrayType(FloatType, containsNull = false))
+
+  /** Serialize array<float> to the reference wire format `"[v1,v2,…]"`
+    * (`streamlit_app.py:53`).
+    */
+  def vectorToString(v: Column): Column =
+    concat(lit("["), array_join(v, ","), lit("]"))
+
+  def vectorDim(v: Column): Column = size(v)
+
+  /** Ingest-boundary dimension guard: the reference pins dim only at query
+    * time (`streamlit_app.py:66`); we enforce it at write time. Returns the
+    * column unchanged or raises at execution.
+    */
+  def assertDim(v: Column, dim: Int): Column =
+    when(size(v) === dim, v).otherwise(raise_error(concat(
+      lit(s"vector dimension mismatch: expected $dim, got "), size(v).cast("string"))))
+
+  /** First 15 hex chars of md5 as a non-negative BIGINT — a portable,
+    * SQL-reproducible 60-bit hash (DuckDB: `('0x' ||
+    * substring(md5(x),1,15))::BIGINT`). Used for minhash/fingerprints so
+    * the DuckDB oracle can recompute identical signatures; Spark's own
+    * `hash()`/`xxhash64` are not portable across engines.
+    */
+  def md5Long(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  def registerAll(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("dot_product", es => DotProduct(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("cosine_distance", es => CosineDistance(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("l2_distance", es => L2Distance(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("l2_norm", es => L2Norm(es.head), "built-in")
+    reg.createOrReplaceTempFunction("l2_normalize", es => L2Normalize(es.head), "built-in")
+  }
+}

@@ -1,0 +1,176 @@
+package graft.queries
+
+import graft.{GraftSession, Tables}
+import graft.functions.HashingEmbedder
+import graft.operators.Knn
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** One registered engine query: the Spark implementation plus (when the
+  * semantics are ANSI-SQL-expressible) an equivalent DuckDB oracle query
+  * over the same parquet fixtures — the driver's t2 correctness gate.
+  *
+  * Oracle-parity rules (SURVEY §5/§7.3):
+  *   - every ordered output sorts by (metric, unique key);
+  *   - double aggregation goes through DECIMAL(38,6) per-row casts (exact,
+  *     order-independent summation in both engines) then back to DOUBLE;
+  *   - distances are computed in Double with sequential accumulation and
+  *     rounded to 6 decimals before ordering;
+  *   - temporal outputs are serialized to ISO strings (parquet µs-UTC vs
+  *     DuckDB naive timestamps would otherwise diverge in the compare);
+  *   - column names match exactly between the Spark result and the SQL.
+  */
+final case class QueryDef(
+    name: String,
+    doc: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object Queries {
+
+  /** SUM over doubles with exact decimal accumulation (order-independent —
+    * safe to hash-compare against DuckDB), surfaced back as DOUBLE.
+    */
+  private def dsum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sum(c.cast(DecimalType(38, 6))).cast("double")
+
+  /** Exact decimal literal of a float32 value — parses to the identical
+    * double in DuckDB (shortest-float repr would NOT: its nearest double
+    * differs from the widened float).
+    */
+  private def floatLit(f: Float): String =
+    new java.math.BigDecimal(f.toDouble).toPlainString
+
+  private def vecLit(v: Array[Float]): String =
+    v.map(floatLit).mkString("[", ", ", "]::DOUBLE[]")
+
+  /** The flagship deterministic query vector (64-d to match the
+    * `embeddings` fixture), from the engine's offline encoder.
+    */
+  val queryVec64: Array[Float] = HashingEmbedder(dim = 64, seed = 7)
+    .encode("graft flagship knn query vector")
+
+  /** DuckDB cosine-distance SQL fragment matching [[graft.functions.CosineDistance]]
+    * bit-for-bit: sequential double dot products, 1 − dot/(√na·√nb).
+    */
+  private def duckCosine(vecExpr: String, qLit: String): String =
+    s"(1.0 - (list_dot_product($vecExpr::DOUBLE[], $qLit) / " +
+      s"(sqrt(list_dot_product($vecExpr::DOUBLE[], $vecExpr::DOUBLE[])) * " +
+      s"sqrt(list_dot_product($qLit, $qLit)))))"
+
+  // ---------------------------------------------------------------------
+  // Relational coverage (TPC-H-ish fixtures)
+  // ---------------------------------------------------------------------
+
+  private val q1 = QueryDef(
+    "q1_pricing_summary",
+    "TPC-H Q1-style aggregation: scan+filter pushdown, hash aggregate with " +
+      "map-side partial aggregation (SURVEY §2.5).",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+    Some("""
+      |SELECT l_returnflag, l_linestatus,
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base_price,
+      |       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
+      |       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(38,6))) AS DOUBLE) AS sum_charge,
+      |       COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus
+      """.stripMargin.trim))
+
+  private val q6 = QueryDef(
+    "q6_forecast_revenue",
+    "TPC-H Q6-style selective filter + single aggregate; all predicates " +
+      "push into the parquet scan (PushedFilters).",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      li.filter(
+          col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+             count(lit(1)).as("n_rows"))
+    },
+    Some("""
+      |SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+      |       COUNT(*) AS n_rows
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |  AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24
+      """.stripMargin.trim))
+
+  // ---------------------------------------------------------------------
+  // Vector search (reference flagship — streamlit_app.py:55-73)
+  // ---------------------------------------------------------------------
+
+  private val knnExact = QueryDef(
+    "knn_exact_cosine",
+    "Reference flagship: exact brute-force top-k cosine KNN " +
+      "(streamlit_app.py:55-73). Plans as TakeOrderedAndProject — " +
+      "per-partition heap, no corpus shuffle.",
+    (s, dir) => {
+      val d = Knn.search(Tables.embeddings(s, dir), "embedding", "vec_id", queryVec64, k = 10)
+        .select(col("vec_id"), round(col("distance_score"), 6).as("distance"))
+      // re-sort on the rounded value for deterministic cross-engine order
+      d.orderBy(col("distance"), col("vec_id"))
+    },
+    Some(s"""
+      |WITH d AS (
+      |  SELECT vec_id,
+      |         round(${duckCosine("embedding", vecLit(queryVec64))}, 6) AS distance
+      |  FROM embeddings
+      |)
+      |SELECT vec_id, distance FROM d ORDER BY distance, vec_id LIMIT 10
+      """.stripMargin.trim))
+
+  private val knnScored = QueryDef(
+    "knn_match_score",
+    "Reference result shaping: match_score = round((1 − distance) × 100, 2) " +
+      "+ display string, score-descending (streamlit_app.py:221-234).",
+    (s, dir) => {
+      val hits = Knn.search(Tables.embeddings(s, dir), "embedding", "vec_id", queryVec64, k = 5)
+      Knn.withMatchScore(hits, "vec_id")
+        .select(col("vec_id"), col("match_score"), col("display_score"))
+    },
+    Some(s"""
+      |WITH d AS (
+      |  SELECT vec_id, ${duckCosine("embedding", vecLit(queryVec64))} AS distance_score
+      |  FROM embeddings
+      |  ORDER BY distance_score, vec_id LIMIT 5
+      |), m AS (
+      |  SELECT vec_id, round((1.0 - distance_score) * 100.0, 2) AS match_score
+      |  FROM d
+      |)
+      |SELECT vec_id, match_score, CAST(match_score AS VARCHAR) || '%' AS display_score
+      |FROM m ORDER BY match_score DESC, vec_id
+      """.stripMargin.trim))
+
+  // ---------------------------------------------------------------------
+
+  val all: Seq[QueryDef] = Seq(q1, q6, knnExact, knnScored)
+
+  def queriesMap: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> { (s: SparkSession, dir: String) =>
+      GraftSession.prepare(s); q.run(s, dir)
+    }).toMap
+
+  def oracleMap: Map[String, String] =
+    all.flatMap(q => q.oracle.map(q.name -> _)).toMap
+}

@@ -1,0 +1,101 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's t2 correctness gate.
+
+Runs each SparkEntry oracle SQL in DuckDB over the same parquet fixtures
+and diffs against the Verify parquet dumps. Usage:
+
+    tools/run_main.sh graft.Verify /root/testdata/sf0.01 /tmp/vout
+    python3 tools/local_check.py /root/testdata/sf0.01 /tmp/vout
+"""
+import json
+import math
+import os
+import sys
+
+import duckdb
+import pyarrow.parquet as pq
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if isinstance(v, (list, tuple)):
+        return tuple(canon(x) for x in v)
+    return v
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    with open(os.path.join(out_dir, "oracle_sql.json")) as f:
+        oracles = json.load(f)
+
+    n_pass = n_fail = 0
+    for name in sorted(oracles):
+        sql = oracles[name]
+        spark_dir = os.path.join(out_dir, name)
+        if not os.path.isdir(spark_dir):
+            print(f"FAIL {name}: no spark output dir")
+            n_fail += 1
+            continue
+        try:
+            spark_tbl = pq.read_table(spark_dir)
+        except Exception as e:
+            print(f"FAIL {name}: cannot read spark parquet: {e}")
+            n_fail += 1
+            continue
+        try:
+            duck = con.sql(sql)
+            duck_cols = list(duck.columns)
+            duck_rows = duck.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {e}")
+            n_fail += 1
+            continue
+
+        s_cols = sorted(spark_tbl.column_names)
+        d_cols = sorted(duck_cols)
+        if s_cols != d_cols:
+            print(f"FAIL {name}: columns differ spark={s_cols} duck={d_cols}")
+            n_fail += 1
+            continue
+
+        s_rows = [tuple(canon(spark_tbl.column(c)[i].as_py()) for c in s_cols)
+                  for i in range(spark_tbl.num_rows)]
+        didx = [duck_cols.index(c) for c in d_cols]
+        d_rows = [tuple(canon(r[j]) for j in didx) for r in duck_rows]
+
+        if len(s_rows) != len(d_rows):
+            print(f"FAIL {name}: row count spark={len(s_rows)} duck={len(d_rows)}")
+            n_fail += 1
+            continue
+
+        # order-sensitive compare (queries are required to ORDER BY);
+        # also report whether a sorted compare would pass.
+        mismatches = [(i, a, b) for i, (a, b) in enumerate(zip(s_rows, d_rows)) if a != b]
+        if not mismatches:
+            print(f"PASS {name} ({len(s_rows)} rows)")
+            n_pass += 1
+        else:
+            sorted_ok = sorted(map(repr, s_rows)) == sorted(map(repr, d_rows))
+            print(f"FAIL {name}: {len(mismatches)}/{len(s_rows)} rows differ "
+                  f"(sorted-compare {'PASSES' if sorted_ok else 'fails'})")
+            for i, a, b in mismatches[:5]:
+                print(f"  row {i}:\n    spark={a}\n    duck ={b}")
+            n_fail += 1
+
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
