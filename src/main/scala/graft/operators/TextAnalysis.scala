@@ -1,0 +1,173 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{ShiftLeft, ShiftRight}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.ColumnShim
+
+/** Text-analysis operators for the training-data pipeline surface
+  * (driver mandate; the reference's only text processing is the
+  * embed-text concat, `ingest_hotels.py:22`): token statistics, quality
+  * scoring, language-ID heuristic, and document fingerprinting.
+  *
+  * Every function here is built from codegen'd builtin expressions
+  * (no UDFs) and has an exact DuckDB-SQL mirror, so each can be
+  * differentially tested by the driver's oracle gate. Portability rules:
+  *   - tokenization is `lower` + split on `[^a-z0-9]+` (ASCII-stable in
+  *     both regex engines; Java and RE2 agree on this class);
+  *   - hashes go through md5 (bit-identical in Spark / DuckDB); never
+  *     Spark's `hash`/`xxhash64` (engine-private seeds);
+  *   - ratios are single double divisions rounded late (deterministic,
+  *     no accumulation-order dependence).
+  *
+  * Scale: all per-document work — a narrow projection over a parquet
+  * scan, fully parallel, no shuffle. The only shuffles in this module's
+  * query surface are the final small aggregations (top-k tokens etc.).
+  */
+object TextAnalysis {
+
+  /** Whitespace-collapsed, trimmed, lower-cased text.
+    * DuckDB mirror: `lower(trim(regexp_replace(text, '\s+', ' ', 'g')))`.
+    */
+  def normalize(text: Column): Column =
+    lower(trim(regexp_replace(text, "\\s+", " ")))
+
+  /** Non-empty alphanumeric tokens of the normalized text.
+    * DuckDB: `list_filter(string_split_regex(norm, '[^a-z0-9]+'), t -> t <> '')`.
+    */
+  def tokens(text: Column): Column =
+    filter(split(normalize(text), "[^a-z0-9]+"), t => t =!= "")
+
+  /** Token count as BIGINT (DuckDB `len()` is BIGINT; keep schemas equal). */
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  def distinctTokenCount(text: Column): Column =
+    size(array_distinct(tokens(text))).cast("long")
+
+  /** Mean token length = total token chars / token count (one division). */
+  def avgTokenLen(text: Column): Column = {
+    val toks = tokens(text)
+    val totalChars = aggregate(toks, lit(0L), (acc, t) => acc + length(t).cast("long"))
+    totalChars.cast("double") / size(toks).cast("double")
+  }
+
+  /** Language-scoring stopword lists. ASCII-only on purpose: the fixture
+    * corpus is ASCII and the heuristic must behave identically in both
+    * engines.
+    */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "es" -> Seq("el", "la", "los", "y", "es", "un"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un"),
+    "zh" -> Seq("de", "shi", "le", "bu", "wo", "zai"))
+
+  /** Number of tokens of `text` that appear in `words`. */
+  def stopwordHits(text: Column, words: Seq[String]): Column = {
+    val wordArr = array(words.map(lit): _*)
+    size(filter(tokens(text), t => array_contains(wordArr, t))).cast("long")
+  }
+
+  /** Heuristic language-ID: arg-max of per-language stopword hits,
+    * ties broken by language code ascending, no hits at all → "und"
+    * (undetermined — BCP-47's code for it).
+    */
+  def langId(text: Column): Column = {
+    val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(stopwordHits(text, words).as("hits"), lit(lang).as("lang"))
+    }
+    // array_max on (hits, lang) structs: lexicographic → max hits, then
+    // max lang — so invert the tie order by comparing on (hits, -ord) is
+    // messier than just sorting; use sort_array desc on (hits, lang desc)
+    // via negated ordinal.
+    val withOrd = stopwords.keys.toSeq.sorted.zipWithIndex.map { case (lang, i) =>
+      struct(stopwordHits(text, stopwords(lang)).as("hits"),
+        lit(-i).as("negOrd"), lit(lang).as("lang"))
+    }
+    val best = array_max(array(withOrd: _*))
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Punctuation character count (ASCII punctuation class, identical
+    * in Java regex and RE2). DuckDB:
+    * `length(l) - length(regexp_replace(l, '[!-/:-@\[-`{-~]', '', 'g'))`.
+    */
+  def punctCount(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[!-/:-@\\[-`{-~]", ""))).cast("long")
+
+  /** Composite quality score in [0,1]:
+    * 0.4·stopword-ratio-capped + 0.3·length-saturation + 0.3·(1 − punct-ratio).
+    * Deterministic: three divisions, fixed weights, rounded by caller.
+    */
+  def qualityScore(text: Column): Column = {
+    val n = tokenCount(text)
+    val enHits = stopwordHits(text, stopwords("en"))
+    val stopRatio = least(lit(1.0), enHits.cast("double") * 8.0 / n.cast("double"))
+    val lenSat = least(lit(1.0), n.cast("double") / 50.0)
+    val punctRatio = punctCount(text).cast("double") / length(text).cast("double")
+    when(n === 0, 0.0).otherwise(
+      lit(0.4) * stopRatio + lit(0.3) * lenSat + lit(0.3) * (lit(1.0) - punctRatio))
+  }
+
+  /** Exact-dedup fingerprint: md5 of the normalized text (bit-identical
+    * in DuckDB: `md5(lower(trim(regexp_replace(...))))`).
+    */
+  def fingerprint(text: Column): Column = md5(normalize(text))
+
+  /** Word k-shingles of the normalized text, distinct, space-joined.
+    * DuckDB mirror uses the same token list + list slicing.
+    */
+  def shingles(text: Column, k: Int): Column = {
+    val toks = tokens(text)
+    val n = size(toks)
+    array_distinct(
+      when(n < k, array(array_join(toks, " ")))
+        .otherwise(transform(sequence(lit(0), n - k), i =>
+          array_join(slice(toks, i + 1, lit(k)), " "))))
+  }
+
+  /** First 12 md5 hex chars as a non-negative 48-bit BIGINT — the
+    * portable token hash shared with the DuckDB oracle
+    * (`('0x' || substring(md5(t), 1, 12))::BIGINT`).
+    */
+  def md5Long48(c: Column): Column =
+    conv(substring(md5(c), 1, 12), 16, 10).cast("long")
+
+  val SimHashBits = 48
+
+  /** Column-valued shift amounts (the Scala API only exposes Int shifts;
+    * the Catalyst expressions take any expression — needed inside HOF
+    * lambdas where the bit index is a lambda variable).
+    */
+  private def shr(v: Column, bits: Column): Column =
+    ColumnShim.column(ShiftRight(ColumnShim.expression(v), ColumnShim.expression(bits)))
+  private def shl(v: Column, bits: Column): Column =
+    ColumnShim.column(ShiftLeft(ColumnShim.expression(v), ColumnShim.expression(bits)))
+
+  /** 48-bit SimHash over the distinct tokens: per bit, sum ±1 votes from
+    * each token's md5-derived hash; bit set iff the vote sum is
+    * positive. Computed as a single-pass higher-order-function pipeline
+    * (no explode, no shuffle — each row independent):
+    * vote-vector accumulate via `aggregate` + `zip_with`, then pack.
+    */
+  def simhash48(text: Column): Column = {
+    val toks = array_distinct(tokens(text))
+    val bitIdx = sequence(lit(0), lit(SimHashBits - 1))
+    val votes = aggregate(
+      toks,
+      transform(bitIdx, _ => lit(0L)),
+      (acc, t) => {
+        val h = md5Long48(t)
+        zip_with(acc, bitIdx, (a, b) =>
+          a + when(shr(h, b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+      })
+    aggregate(
+      zip_with(votes, bitIdx, (v, b) =>
+        when(v > 0, shl(lit(1L), b)).otherwise(0L)),
+      lit(0L), (acc, x) => acc + x)
+  }
+
+  /** Hamming distance between two packed SimHash values. */
+  def hammingDistance(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b)).cast("long")
+}

@@ -164,7 +164,8 @@ object Queries {
 
   // ---------------------------------------------------------------------
 
-  val all: Seq[QueryDef] = Seq(q1, q6, knnExact, knnScored)
+  val all: Seq[QueryDef] =
+    Seq(q1, q6, knnExact, knnScored) ++ TextQueries.defs
 
   def queriesMap: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> { (s: SparkSession, dir: String) =>

@@ -1,0 +1,158 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.TextAnalysis._
+import org.apache.spark.sql.functions._
+
+/** Text-analysis query surface over the `documents` fixture (driver
+  * mandate: language-ID, quality scoring, token counting, document
+  * fingerprinting). All per-document work is a shuffle-free projection;
+  * only the final top-k token aggregation shuffles (32 → tiny).
+  */
+object TextQueries {
+
+  private val stats = QueryDef(
+    "txt_stats",
+    "Per-document token statistics: counts, distinct counts, mean token " +
+      "length, punctuation count. Pure projection — no shuffle, scales " +
+      "linearly with document count.",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      val normCol = normalize(col("text"))
+      d.select(
+        col("doc_id"),
+        tokenCount(col("text")).as("n_tokens"),
+        distinctTokenCount(col("text")).as("n_distinct_tokens"),
+        round(avgTokenLen(col("text")), 6).as("avg_token_len"),
+        punctCount(normCol).as("n_punct"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      |${Duck.docToks}
+      |SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+      |       len(list_distinct(toks))::BIGINT AS n_distinct_tokens,
+      |       round(list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks), 6) AS avg_token_len,
+      |       ${Duck.punct} AS n_punct
+      |FROM tt ORDER BY doc_id
+      """.stripMargin.trim))
+
+  private val langQ = QueryDef(
+    "txt_lang_id",
+    "Heuristic language-ID: per-language stopword hit counts, argmax with " +
+      "deterministic tie-break (hits desc, lang asc), no hits → 'und'.",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      val hitCols = stopwords.keys.toSeq.sorted.map(l =>
+        stopwordHits(col("text"), stopwords(l)).as(s"hits_$l"))
+      d.select(Seq(col("doc_id"), col("lang"), langId(col("text")).as("detected_lang")) ++ hitCols: _*)
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val langs = stopwords.keys.toSeq.sorted
+      val hitSel = langs.map(l => s"${Duck.hits(stopwords(l))} AS hits_$l").mkString(",\n       ")
+      val m = langs.map(l => s"hits_$l").mkString("greatest(", ", ", ")")
+      val caseChain = langs.map(l => s"WHEN hits_$l = $m THEN '$l'").mkString("\n         ")
+      s"""
+      |${Duck.docToks}, h AS (
+      |  SELECT doc_id, lang, $hitSel
+      |  FROM tt
+      |)
+      |SELECT doc_id, lang,
+      |       CASE WHEN $m = 0 THEN 'und'
+      |         $caseChain
+      |       END AS detected_lang,
+      |       ${langs.map(l => s"hits_$l").mkString(", ")}
+      |FROM h ORDER BY doc_id
+      """.stripMargin.trim
+    })
+
+  private val quality = QueryDef(
+    "txt_quality",
+    "Composite quality score: 0.4·stopword-density + 0.3·length-saturation " +
+      "+ 0.3·(1 − punctuation-ratio), deterministic double math.",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      d.select(col("doc_id"), round(qualityScore(col("text")), 6).as("quality_score"))
+        .orderBy(col("quality_score").desc, col("doc_id"))
+    },
+    Some(s"""
+      |${Duck.docToks}, q AS (
+      |  SELECT doc_id,
+      |         len(toks)::BIGINT AS n,
+      |         ${Duck.hits(stopwords("en"))} AS en_hits,
+      |         ${Duck.punct} AS np,
+      |         length(norm) AS nc
+      |  FROM tt
+      |)
+      |SELECT doc_id,
+      |       round(CASE WHEN n = 0 THEN 0.0 ELSE
+      |         0.4 * least(1.0, en_hits::DOUBLE * 8.0 / n::DOUBLE)
+      |         + 0.3 * least(1.0, n::DOUBLE / 50.0)
+      |         + 0.3 * (1.0 - np::DOUBLE / nc::DOUBLE) END, 6) AS quality_score
+      |FROM q ORDER BY quality_score DESC, doc_id
+      """.stripMargin.trim))
+
+  private val fp = QueryDef(
+    "txt_fingerprint",
+    "Document fingerprints: md5 of normalized text (exact-dup key) and " +
+      "min-shingle-hash (content-similarity key, winnowing-style).",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      d.select(
+        col("doc_id"),
+        fingerprint(col("text")).as("fp_md5"),
+        array_min(transform(shingles(col("text"), 3), sh => md5(sh))).as("fp_shingle_min"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      |${Duck.docToks}
+      |SELECT doc_id, md5(norm) AS fp_md5,
+      |       list_min(list_transform(${Duck.shingles(3)}, s -> md5(s))) AS fp_shingle_min
+      |FROM tt ORDER BY doc_id
+      """.stripMargin.trim))
+
+  private val topTokens = QueryDef(
+    "txt_top_tokens",
+    "Corpus vocabulary head: explode tokens → count → top 25. The only " +
+      "shuffle in the text surface; partial aggregation makes the " +
+      "shuffled data |vocab|, not |tokens|.",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      d.select(explode(tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(25)
+    },
+    Some(s"""
+      |${Duck.docToks}
+      |SELECT t AS token, count(*) AS n
+      |FROM (SELECT unnest(toks) AS t FROM tt)
+      |GROUP BY t ORDER BY n DESC, token LIMIT 25
+      """.stripMargin.trim))
+
+  private val simhashQ = QueryDef(
+    "txt_simhash",
+    "48-bit SimHash per document, computed in one pass with higher-order " +
+      "functions (no explode, no shuffle); oracle recomputes it the " +
+      "explicit way (token × bit explode + vote sums).",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      d.select(col("doc_id"), simhash48(col("text")).as("simhash"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      |${Duck.docToks}, tok AS (
+      |  SELECT doc_id, unnest(list_distinct(toks)) AS t FROM tt
+      |), h AS (
+      |  SELECT doc_id, ${Duck.md5Long48("t")} AS hv FROM tok
+      |), bits AS (
+      |  SELECT doc_id, b, sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+      |  FROM h CROSS JOIN (SELECT generate_series AS b FROM generate_series(0, 47))
+      |  GROUP BY doc_id, b
+      |)
+      |SELECT doc_id, sum(CASE WHEN vote > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+      |FROM bits GROUP BY doc_id ORDER BY doc_id
+      """.stripMargin.trim))
+
+  val defs: Seq[QueryDef] = Seq(stats, langQ, quality, fp, topTokens, simhashQ)
+}
