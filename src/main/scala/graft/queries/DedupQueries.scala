@@ -1,0 +1,164 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+/** Deduplication query surface over `documents` / `embeddings` (driver
+  * mandate). Thresholds are calibrated against the fixtures: the corpus
+  * contains genuine near-duplicates (max 3-gram Jaccard ≈ 0.99) but no
+  * exact duplicates; embeddings are well-separated (min cosine distance
+  * ≈ 0.53), so the embedding query reports closest pairs rather than
+  * thresholding into an empty set.
+  */
+object DedupQueries {
+
+  /** Shared DuckDB CTE: doc shingles (k=3) from the token pipeline. */
+  private val duckShingles =
+    s"""${Duck.docToks}, sh AS (
+       |  SELECT doc_id, ${Duck.shingles(3)} AS shingles FROM tt
+       |)""".stripMargin
+
+  private val exact = QueryDef(
+    "dedup_exact",
+    "Exact dedup histogram: group documents by normalized-text md5, " +
+      "report group-size distribution. Shuffles only (fp, id) pairs — " +
+      "text never leaves the map side.",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      Dedup.exactGroups(d, "text", "doc_id")
+        .groupBy(col("group_size"))
+        .agg(count(lit(1)).as("n_groups"), min(col("canonical_id")).as("min_canonical_id"))
+        .orderBy(col("group_size"))
+    },
+    Some(s"""
+      |${Duck.docToks}, g AS (
+      |  SELECT md5(norm) AS fp, min(doc_id) AS canonical_id, count(*) AS group_size
+      |  FROM tt GROUP BY fp
+      |)
+      |SELECT group_size, count(*) AS n_groups, min(canonical_id) AS min_canonical_id
+      |FROM g GROUP BY group_size ORDER BY group_size
+      """.stripMargin.trim))
+
+  private val ngram = QueryDef(
+    "dedup_ngram_jaccard",
+    "N-gram (3-shingle) Jaccard near-dup pairs ≥ 0.1. Blocked by shared " +
+      "shingles: a pair is only materialized if it shares ≥1 shingle, so " +
+      "cost is Σ df(shingle)² over the inverted index, not n².",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      Dedup.ngramJaccardPairs(d, "text", "doc_id", shingleK = 3, threshold = 0.1)
+        .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
+    },
+    Some(s"""
+      |$duckShingles, ex AS (
+      |  SELECT doc_id, len(shingles)::BIGINT AS n_sh, unnest(shingles) AS s FROM sh
+      |), pairs AS (
+      |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, x.n_sh AS na, y.n_sh AS nb, count(*) AS common
+      |  FROM ex x JOIN ex y ON x.s = y.s AND x.doc_id < y.doc_id
+      |  GROUP BY 1, 2, 3, 4
+      |)
+      |SELECT id_a, id_b, round(common::DOUBLE / (na + nb - common)::DOUBLE, 6) AS jaccard
+      |FROM pairs WHERE round(common::DOUBLE / (na + nb - common)::DOUBLE, 6) >= 0.1
+      |ORDER BY jaccard DESC, id_a, id_b
+      """.stripMargin.trim))
+
+  private val minhash = QueryDef(
+    "dedup_minhash_lsh",
+    "MinHash(12) + LSH(4 bands × 3 rows) candidate pairs, verified with " +
+      "exact shingle Jaccard. Signatures are one shuffle-free HOF pass; " +
+      "only (band_key, id) shuffles for the candidate join.",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      val cands = Dedup.minhashCandidatePairs(d, "text", "doc_id",
+        shingleK = 3, numHashes = 12, numBands = 4)
+      Dedup.jaccardOnPairs(d, cands, "text", "doc_id", shingleK = 3)
+        .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
+    },
+    Some(s"""
+      |$duckShingles, sig AS (
+      |  SELECT doc_id, list_transform(range(12),
+      |    s -> list_min(list_transform(shingles, x -> md5(s::VARCHAR || '|' || x)))) AS sg
+      |  FROM sh
+      |), bands AS (
+      |  SELECT doc_id, unnest(list_transform(range(4),
+      |    b -> b::VARCHAR || ':' || md5(array_to_string(list_slice(sg, b*3+1, b*3+3), ',')))) AS band
+      |  FROM sig
+      |), cand AS (
+      |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      |  FROM bands x JOIN bands y ON x.band = y.band AND x.doc_id < y.doc_id
+      |), ex AS (
+      |  SELECT doc_id, len(shingles)::BIGINT AS n_sh, unnest(shingles) AS s FROM sh
+      |), common AS (
+      |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, x.n_sh AS na, y.n_sh AS nb, count(*) AS n_common
+      |  FROM ex x JOIN ex y ON x.s = y.s AND x.doc_id < y.doc_id
+      |  JOIN cand c ON c.id_a = x.doc_id AND c.id_b = y.doc_id
+      |  GROUP BY 1, 2, 3, 4
+      |)
+      |SELECT id_a, id_b, round(n_common::DOUBLE / (na + nb - n_common)::DOUBLE, 6) AS jaccard
+      |FROM common ORDER BY jaccard DESC, id_a, id_b
+      """.stripMargin.trim))
+
+  private val simhash = QueryDef(
+    "dedup_simhash",
+    "SimHash near-dup: 48-bit signatures banded into 4×12-bit chunks for " +
+      "blocking, exact hamming verify, 30 closest pairs. Signature pass " +
+      "is shuffle-free; the band join shuffles only (band, id, sig).",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      Dedup.simhashPairs(d, "text", "doc_id", maxHamming = 48)
+        .orderBy(col("hamming"), col("id_a"), col("id_b"))
+        .limit(30)
+    },
+    Some(s"""
+      |${Duck.docToks}, tok AS (
+      |  SELECT doc_id, unnest(list_distinct(toks)) AS t FROM tt
+      |), h AS (
+      |  SELECT doc_id, ${Duck.md5Long48("t")} AS hv FROM tok
+      |), bits AS (
+      |  SELECT doc_id, b, sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+      |  FROM h CROSS JOIN (SELECT generate_series AS b FROM generate_series(0, 47))
+      |  GROUP BY doc_id, b
+      |), sim AS (
+      |  SELECT doc_id, sum(CASE WHEN vote > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS sig
+      |  FROM bits GROUP BY doc_id
+      |), bands AS (
+      |  SELECT doc_id, sig, unnest(list_transform(range(4),
+      |    b -> b::VARCHAR || ':' || ((sig >> (b*12)) & 4095)::VARCHAR)) AS band
+      |  FROM sim
+      |), cand AS (
+      |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+      |         bit_count(xor(x.sig, y.sig))::BIGINT AS hamming
+      |  FROM bands x JOIN bands y ON x.band = y.band AND x.doc_id < y.doc_id
+      |)
+      |SELECT id_a, id_b, hamming FROM cand
+      |ORDER BY hamming, id_a, id_b LIMIT 30
+      """.stripMargin.trim))
+
+  private val embCos = QueryDef(
+    "dedup_embedding_cosine",
+    "Embedding near-dup scan: 20 closest same-label pairs by cosine " +
+      "distance. Label is the blocking key (stand-in for an ANN cluster " +
+      "id at scale — see operators.Ann); pairwise work stays within " +
+      "blocks.",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Dedup.embeddingNearDupPairs(e, "embedding", "vec_id", "label", maxDistance = 2.0)
+        .orderBy(col("cos_dist"), col("id_a"), col("id_b"))
+        .limit(20)
+    },
+    Some(s"""
+      |WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+      |p AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |         round(1.0 - list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+      |           (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+      |            sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS cos_dist
+      |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+      |)
+      |SELECT id_a, id_b, cos_dist FROM p
+      |ORDER BY cos_dist, id_a, id_b LIMIT 20
+      """.stripMargin.trim))
+
+  val defs: Seq[QueryDef] = Seq(exact, ngram, minhash, simhash, embCos)
+}
