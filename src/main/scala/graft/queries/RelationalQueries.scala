@@ -1,0 +1,214 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Relational operator coverage over the TPC-H-ish fixtures: multi-way
+  * joins (broadcast for dims, shuffle for facts), window ranking,
+  * rollup, set operations, semi/anti joins (SURVEY §2.4/§2.7).
+  *
+  * Scale notes: dimension tables (`region`, `nation`, `supplier`,
+  * `customer` at these SFs) are explicitly `broadcast()`; the
+  * fact-to-fact `orders ⋈ lineitem` join shuffles on the order key —
+  * the partitioning a 100 TB layout would bucket both tables on. AQE
+  * handles skew/coalescing at runtime.
+  */
+object RelationalQueries {
+
+  private def dsum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sum(c.cast(DecimalType(38, 6))).cast("double")
+
+  private val q3 = QueryDef(
+    "q3_shipping_priority",
+    "TPC-H Q3-style: 3-way join (broadcast customer dim → shuffle " +
+      "orders⋈lineitem), group, top-10 by revenue.",
+    (s, dir) => {
+      val cust = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      val ord = Tables.orders(s, dir)
+        .filter(col("o_orderdate") < lit("1996-06-30").cast("timestamp"))
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") > lit("1996-06-30").cast("timestamp"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .select(col("l_orderkey"), col("revenue"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+          col("o_orderpriority"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+    Some("""
+      |SELECT l_orderkey,
+      |       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+      |       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+      |       o_orderpriority
+      |FROM customer, orders, lineitem
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND o_orderdate < TIMESTAMP '1996-06-30 00:00:00'
+      |  AND l_shipdate  > TIMESTAMP '1996-06-30 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10
+      """.stripMargin.trim))
+
+  private val q5 = QueryDef(
+    "q5_local_supplier_volume",
+    "TPC-H Q5-style 6-way join: region→nation→customer→orders→lineitem→" +
+      "supplier with the local-supplier condition (s_nationkey = " +
+      "c_nationkey). All dims broadcast; one fact shuffle.",
+    (s, dir) => {
+      val region = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+      val nation = Tables.nation(s, dir)
+      val cust = Tables.customer(s, dir)
+      val ord = Tables.orders(s, dir).filter(
+        col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      val li = Tables.lineitem(s, dir)
+      val supp = Tables.supplier(s, dir)
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust.select("c_custkey", "c_nationkey")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supp.select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey") && col("s_nationkey") === col("c_nationkey"))
+        .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_lineitems"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+    Some("""
+      |SELECT n_name,
+      |       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+      |       COUNT(*) AS n_lineitems
+      |FROM region, nation, customer, orders, lineitem, supplier
+      |WHERE r_name = 'ASIA' AND n_regionkey = r_regionkey
+      |  AND s_nationkey = n_nationkey AND c_nationkey = s_nationkey
+      |  AND c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY n_name ORDER BY revenue DESC, n_name
+      """.stripMargin.trim))
+
+  private val windowTop = QueryDef(
+    "window_top_orders_per_segment",
+    "Window ranking: top-3 orders by total price within each market " +
+      "segment (row_number over partitioned sort — the grouped-top-k " +
+      "pattern; at scale this is a single shuffle on the partition key).",
+    (s, dir) => {
+      val cust = Tables.customer(s, dir)
+      val ord = Tables.orders(s, dir)
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      ord.join(broadcast(cust.select("c_custkey", "c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+        .withColumn("rank_in_segment", row_number().over(w))
+        .filter(col("rank_in_segment") <= 3)
+        .select(col("c_mktsegment"), col("rank_in_segment"),
+          col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("c_mktsegment"), col("rank_in_segment"))
+    },
+    Some("""
+      |SELECT c_mktsegment, rank_in_segment, o_orderkey, o_totalprice
+      |FROM (
+      |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+      |         row_number() OVER (PARTITION BY c_mktsegment
+      |                            ORDER BY o_totalprice DESC, o_orderkey) AS rank_in_segment
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |)
+      |WHERE rank_in_segment <= 3
+      |ORDER BY c_mktsegment, rank_in_segment
+      """.stripMargin.trim))
+
+  private val rollupQ = QueryDef(
+    "rollup_returnflag_status",
+    "ROLLUP aggregation: quantity/price totals at (flag, status), " +
+      "(flag), and grand-total levels; null grouping keys surfaced as " +
+      "'ALL' (map-side partial aggregation covers every level in one " +
+      "shuffle).",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      li.rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+          col("sum_qty"), col("n"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+    Some("""
+      |SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+      |       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+      |       COUNT(*) AS n
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag, l_linestatus
+      """.stripMargin.trim))
+
+  private val setOps = QueryDef(
+    "setops_customer_years",
+    "Set operations on yearly active-customer sets: 1996 ∩ 1997, " +
+      "1996 ∖ 1997, 1996 ∪ 1997 cardinalities in one row (intersect / " +
+      "except / union distinct).",
+    (s, dir) => {
+      val ord = Tables.orders(s, dir)
+      def active(year: Int) = ord.filter(
+        col("o_orderdate") >= lit(s"$year-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit(s"${year + 1}-01-01").cast("timestamp"))
+        .select(col("o_custkey")).distinct()
+      val a = active(1996); val b = active(1997)
+      val both = a.intersect(b).agg(count(lit(1)).as("n_both"))
+      val only96 = a.except(b).agg(count(lit(1)).as("n_only_1996"))
+      val either = a.union(b).distinct().agg(count(lit(1)).as("n_either"))
+      both.crossJoin(only96).crossJoin(either)
+    },
+    Some("""
+      |WITH a AS (SELECT DISTINCT o_custkey FROM orders
+      |           WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |             AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'),
+      |     b AS (SELECT DISTINCT o_custkey FROM orders
+      |           WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |             AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00')
+      |SELECT (SELECT count(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b)) AS n_both,
+      |       (SELECT count(*) FROM (SELECT * FROM a EXCEPT SELECT * FROM b)) AS n_only_1996,
+      |       (SELECT count(*) FROM (SELECT * FROM a UNION SELECT * FROM b)) AS n_either
+      """.stripMargin.trim))
+
+  private val semiAnti = QueryDef(
+    "semi_anti_customer_orders",
+    "Semi/anti joins: per market segment, customers with ≥1 order vs " +
+      "customers with none (left_semi / left_anti against orders).",
+    (s, dir) => {
+      val cust = Tables.customer(s, dir)
+      val ordKeys = Tables.orders(s, dir).select(col("o_custkey"))
+      val withOrders = cust.join(ordKeys, col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_with_orders"))
+      val withoutOrders = cust.join(ordKeys, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_without_orders"))
+      withOrders.join(withoutOrders, Seq("c_mktsegment"), "full_outer")
+        .select(col("c_mktsegment"),
+          coalesce(col("n_with_orders"), lit(0L)).as("n_with_orders"),
+          coalesce(col("n_without_orders"), lit(0L)).as("n_without_orders"))
+        .orderBy(col("c_mktsegment"))
+    },
+    Some("""
+      |WITH w AS (
+      |  SELECT c_mktsegment, count(*) AS n_with_orders FROM customer
+      |  WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |  GROUP BY c_mktsegment
+      |), wo AS (
+      |  SELECT c_mktsegment, count(*) AS n_without_orders FROM customer
+      |  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |  GROUP BY c_mktsegment
+      |)
+      |SELECT coalesce(w.c_mktsegment, wo.c_mktsegment) AS c_mktsegment,
+      |       coalesce(n_with_orders, 0) AS n_with_orders,
+      |       coalesce(n_without_orders, 0) AS n_without_orders
+      |FROM w FULL OUTER JOIN wo ON w.c_mktsegment = wo.c_mktsegment
+      |ORDER BY c_mktsegment
+      """.stripMargin.trim))
+
+  val defs: Seq[QueryDef] = Seq(q3, q5, windowTop, rollupQ, setOps, semiAnti)
+}
