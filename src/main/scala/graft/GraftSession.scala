@@ -72,7 +72,9 @@ object Tables {
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     read(spark, sfDir, "events")
-      .withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+      // integer `div`, NOT `/`: ns values ~1.7e18 exceed double's exact
+      // integer range, so a double division here silently loses microseconds
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   /** `events` with raw nanosecond `ts` (long) for exact-ns arithmetic. */

@@ -1,0 +1,139 @@
+package graft.queries
+
+import graft.Tables
+import graft.streaming.EventPipeline
+import org.apache.spark.sql.functions._
+
+/** Batch query surface over the `events` fixture, running the SAME
+  * transforms as the Structured Streaming path
+  * ([[graft.streaming.EventPipeline]]) — the oracle checks the
+  * window/session semantics; StreamingSpec checks the incremental
+  * execution of the identical code.
+  *
+  * Timestamp parity: the fixture stores TIMESTAMP(NANOS); Spark reads
+  * raw nanos and floor-truncates to µs (Tables.events), DuckDB's
+  * `::TIMESTAMP` cast truncates the same way. Window starts serialize
+  * to ISO strings for the cross-engine hash. DuckDB `time_bucket`'s
+  * default origin (2000-01-01) is epoch-aligned for the widths used
+  * here (5 m / 30 m / 2 h), matching Spark's epoch-aligned `window()`.
+  */
+object EventQueries {
+
+  private val iso = "yyyy-MM-dd HH:mm:ss"
+
+  private val tumbling = QueryDef(
+    "ev_tumbling_5min",
+    "Tumbling 5-minute windows × event type: count + exact-decimal value " +
+      "sum; the streaming-identical aggregation (EventPipeline" +
+      ".tumblingStats).",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      EventPipeline.tumblingStats(ev, "5 minutes")
+        .select(date_format(col("window_start"), iso).as("window_start"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy(col("window_start"), col("event_type"))
+    },
+    Some("""
+      |SELECT strftime(time_bucket(INTERVAL '5 minutes', ts::TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS window_start,
+      |       event_type, count(*) AS n,
+      |       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY 1, 2 ORDER BY 1, 2
+      """.stripMargin.trim))
+
+  private val sliding = QueryDef(
+    "ev_sliding_10x5",
+    "Sliding windows (10-minute width, 5-minute slide) × event type: " +
+      "every event lands in exactly two windows.",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      EventPipeline.slidingCounts(ev, "10 minutes", "5 minutes")
+        .select(date_format(col("window_start"), iso).as("window_start"),
+          col("event_type"), col("n"))
+        .orderBy(col("window_start"), col("event_type"))
+    },
+    Some("""
+      |WITH e AS (
+      |  SELECT event_type,
+      |         unnest([time_bucket(INTERVAL '5 minutes', ts::TIMESTAMP),
+      |                 time_bucket(INTERVAL '5 minutes', ts::TIMESTAMP) - INTERVAL '5 minutes']) AS wstart
+      |  FROM events
+      |)
+      |SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start, event_type, count(*) AS n
+      |FROM e GROUP BY 1, 2 ORDER BY 1, 2
+      """.stripMargin.trim))
+
+  private val sessionsQ = QueryDef(
+    "ev_session_stats",
+    "Per-user session statistics under a 2-hour inactivity gap " +
+      "(session_window; oracle = gaps-and-islands). New session iff " +
+      "ts − prev_ts ≥ gap (session end is exclusive at last + gap).",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      EventPipeline.sessionStats(ev, "2 hours")
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      |WITH x AS (
+      |  SELECT user_id, ts,
+      |         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |                   >= INTERVAL '2 hours' OR
+      |                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |              THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |), y AS (
+      |  SELECT user_id, ts,
+      |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      |                                ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM x
+      |), sess AS (
+      |  SELECT user_id, session_id, count(*) AS n_events FROM y GROUP BY 1, 2
+      |)
+      |SELECT user_id, count(*) AS n_sessions,
+      |       sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS n_singleton_sessions,
+      |       max(n_events) AS max_session_events,
+      |       sum(n_events) AS total_events
+      |FROM sess GROUP BY user_id ORDER BY user_id
+      """.stripMargin.trim))
+
+  private val propsQ = QueryDef(
+    "ev_props_json",
+    "JSON payload extraction (from_json / get_json_object on the props " +
+      "column) + bucketed aggregation over the extracted key.",
+    (s, dir) => {
+      val ev = EventPipeline.parsedProps(Tables.events(s, dir))
+      ev.withColumn("k_bucket", (col("k") / 10L).cast("long"))
+        .groupBy(col("k_bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(38, 6))).cast("double").as("sum_value"))
+        .orderBy(col("k_bucket"))
+    },
+    Some("""
+      |SELECT (json_extract_string(props, '$.k')::BIGINT // 10) AS k_bucket,
+      |       count(*) AS n,
+      |       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY 1 ORDER BY 1
+      """.stripMargin.trim))
+
+  private val firstQ = QueryDef(
+    "ev_first_per_user_type",
+    "Earliest event per (user, type) — the batch analog of streaming " +
+      "dropDuplicatesWithinWatermark keyed on (user_id, event_type).",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      EventPipeline.firstEventPerUserType(ev)
+        .select(col("user_id"), col("event_type"), col("first_event_id"),
+          date_format(col("first_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("first_ts"))
+        .orderBy(col("user_id"), col("event_type"))
+    },
+    Some("""
+      |SELECT user_id, event_type, event_id AS first_event_id,
+      |       strftime(ts::TIMESTAMP, '%Y-%m-%d %H:%M:%S.%f') AS first_ts
+      |FROM events
+      |QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) = 1
+      |ORDER BY user_id, event_type
+      """.stripMargin.trim))
+
+  val defs: Seq[QueryDef] = Seq(tumbling, sliding, sessionsQ, propsQ, firstQ)
+}
