@@ -1,0 +1,104 @@
+package graft.operators
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate nearest-neighbor search via an IVF (inverted-file) index
+  * — the scale path the reference never built (its corpus is 40 rows;
+  * every search is a full scan, `streamlit_app.py:55-73`). At 100 TB a
+  * full scan per query is untenable; IVF cuts the scanned fraction to
+  * ~nprobe/nlist.
+  *
+  * Layout contract: `assignClusters` adds a `cluster_id` column; a
+  * production deployment WRITES the corpus partitioned by it
+  * (`df.write.partitionBy("cluster_id")`), so `search`'s
+  * `cluster_id IN (probes)` filter becomes static partition pruning —
+  * only the probed directories are read at all. Centroids are a tiny
+  * sidecar (nlist × dim floats) broadcast to executors / kept on the
+  * driver.
+  *
+  * Two centroid sources:
+  *   - [[seededCentroids]]: the vectors of the `nlist` smallest ids —
+  *     deterministic, SQL-reproducible (the DuckDB oracle recomputes the
+  *     identical index), good enough for uniform corpora;
+  *   - [[kmeansCentroids]]: Spark ML KMeans (k-means‖ init, fixed seed)
+  *     — the quality path; not oracle-checkable (iterative float math),
+  *     covered by the recall spec instead.
+  */
+object Ann {
+
+  /** Centroids = vectors of the `nlist` smallest ids (deterministic). */
+  def seededCentroids(corpus: DataFrame, vecCol: String, idCol: String,
+                      nlist: Int): Array[Array[Float]] =
+    corpus.select(col(idCol), col(vecCol))
+      .orderBy(col(idCol))
+      .limit(nlist)
+      .collect()
+      .map(_.getSeq[Float](1).toArray)
+
+  /** Spark ML KMeans centroids (fixed seed). */
+  def kmeansCentroids(corpus: DataFrame, vecCol: String, nlist: Int,
+                      seed: Long = 42L, maxIter: Int = 10): Array[Array[Float]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val vecs = corpus.select(array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(maxIter).fit(vecs)
+    model.clusterCenters.map(_.toArray.map(_.toFloat))
+  }
+
+  /** Index of the nearest centroid (L2), ties → lower index. Evaluated
+    * as one codegen'd expression per row: zip the centroid literal array
+    * with its indices, take the lexicographic min of (distance, index)
+    * structs. No shuffle — a projection.
+    */
+  def nearestCentroid(vec: Column, centroids: Array[Array[Float]]): Column = {
+    val cents = typedLit(centroids.map(_.toSeq).toSeq)
+    val idxs = sequence(lit(0), lit(centroids.length - 1))
+    array_min(zip_with(cents, idxs, (c, i) =>
+      struct(l2Distance(vec, c).as("d"), i.as("i")))).getField("i")
+  }
+
+  /** Corpus + `cluster_id` (write-time step of the index build). */
+  def assignClusters(corpus: DataFrame, vecCol: String,
+                     centroids: Array[Array[Float]]): DataFrame =
+    corpus.withColumn("cluster_id", nearestCentroid(col(vecCol), centroids))
+
+  /** The `nprobe` centroid indices closest to the query (driver-side —
+    * centroids are tiny).
+    */
+  def probeIds(queryVec: Array[Float], centroids: Array[Array[Float]],
+               nprobe: Int): Seq[Int] = {
+    def l2(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { val d = a(i).toDouble - b(i); acc += d * d; i += 1 }
+      math.sqrt(acc)
+    }
+    centroids.zipWithIndex
+      .map { case (c, i) => (l2(queryVec, c), i) }
+      .sorted.take(nprobe).map(_._2).toSeq
+  }
+
+  /** IVF search: restrict to the probed clusters, exact top-k within.
+    * With cluster-partitioned storage the IN-filter prunes partitions;
+    * the inner search is the same TakeOrderedAndProject as exact KNN,
+    * over ~nprobe/nlist of the data.
+    */
+  def search(indexed: DataFrame, vecCol: String, idCol: String,
+             queryVec: Array[Float], k: Int,
+             centroids: Array[Array[Float]], nprobe: Int,
+             metric: Knn.Metric = Knn.Cosine): DataFrame = {
+    val probes = probeIds(queryVec, centroids, nprobe)
+    Knn.search(indexed.filter(col("cluster_id").isin(probes: _*)),
+      vecCol, idCol, queryVec, k, metric)
+  }
+
+  /** recall@k of an ANN result against the exact top-k (both must carry
+    * `idCol`). Driver-side on two k-row frames.
+    */
+  def recallAtK(annHits: DataFrame, exactHits: DataFrame, idCol: String): Double = {
+    val ann = annHits.select(idCol).collect().map(_.get(0)).toSet
+    val exact = exactHits.select(idCol).collect().map(_.get(0)).toSet
+    if (exact.isEmpty) 1.0 else ann.intersect(exact).size.toDouble / exact.size
+  }
+}

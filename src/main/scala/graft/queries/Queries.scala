@@ -166,7 +166,7 @@ object Queries {
 
   val all: Seq[QueryDef] =
     Seq(q1, q6, knnExact, knnScored) ++ TextQueries.defs ++ DedupQueries.defs ++
-      RelationalQueries.defs ++ EventQueries.defs
+      RelationalQueries.defs ++ EventQueries.defs ++ VectorQueries.defs
 
   def queriesMap: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> { (s: SparkSession, dir: String) =>

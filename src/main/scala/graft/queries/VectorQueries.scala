@@ -1,0 +1,192 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.HashingEmbedder
+import graft.operators.{Ann, Knn}
+import org.apache.spark.sql.functions._
+
+/** Vector-search surface beyond the flagship exact-KNN pair in
+  * [[Queries]]: filtered (hybrid) search, L2 metric, batch multi-query
+  * search, RAG context assembly, and IVF approximate search (SURVEY
+  * §2.6, §7.2).
+  */
+object VectorQueries {
+
+  /** Exact decimal literal of a float32 (see Queries.floatLit). */
+  private def floatLit(f: Float): String =
+    new java.math.BigDecimal(f.toDouble).toPlainString
+
+  private def vecLit(v: Array[Float]): String =
+    v.map(floatLit).mkString("[", ", ", "]::DOUBLE[]")
+
+  private val embedder = HashingEmbedder(dim = 64, seed = 7)
+
+  /** DuckDB sequential-order L2 distance between DOUBLE[] expressions. */
+  private def duckL2(a: String, b: String): String =
+    s"sqrt(list_sum(list_transform(range(len($a)), i -> (($a)[i+1] - ($b)[i+1]) * (($a)[i+1] - ($b)[i+1]))))"
+
+  private def duckCosine(vecExpr: String, qLit: String): String =
+    s"(1.0 - (list_dot_product($vecExpr::DOUBLE[], $qLit) / " +
+      s"(sqrt(list_dot_product($vecExpr::DOUBLE[], $vecExpr::DOUBLE[])) * " +
+      s"sqrt(list_dot_product($qLit, $qLit)))))"
+
+  private val filtered = QueryDef(
+    "knn_filtered_hybrid",
+    "Hybrid search: relational predicate (label IN …) + exact cosine " +
+      "top-k. The filter applies BEFORE the distance, so it reaches the " +
+      "parquet scan (PushedFilters) — with label-partitioned storage it " +
+      "prunes files entirely.",
+    (s, dir) => {
+      val q = Queries.queryVec64
+      Knn.filteredSearch(Tables.embeddings(s, dir),
+          col("label").isin(2, 5, 8), "embedding", "vec_id", q, k = 10)
+        .select(col("vec_id"), col("label"),
+          round(col("distance_score"), 6).as("distance"))
+        .orderBy(col("distance"), col("vec_id"))
+    },
+    Some(s"""
+      |WITH d AS (
+      |  SELECT vec_id, label,
+      |         ${duckCosine("embedding", vecLit(Queries.queryVec64))} AS dist
+      |  FROM embeddings WHERE label IN (2, 5, 8)
+      |)
+      |SELECT vec_id, label, round(dist, 6) AS distance
+      |FROM d ORDER BY dist, vec_id LIMIT 10
+      """.stripMargin.trim))
+
+  private val l2Search = QueryDef(
+    "knn_exact_l2",
+    "Exact top-k under Euclidean (L2) distance — same " +
+      "TakeOrderedAndProject plan as the cosine flagship, different " +
+      "metric expression.",
+    (s, dir) => {
+      val q = Queries.queryVec64
+      Knn.search(Tables.embeddings(s, dir), "embedding", "vec_id", q,
+          k = 10, metric = Knn.L2)
+        .select(col("vec_id"), round(col("distance_score"), 6).as("distance"))
+        .orderBy(col("distance"), col("vec_id"))
+    },
+    Some(s"""
+      |WITH d AS (
+      |  SELECT vec_id,
+      |         ${duckL2("embedding::DOUBLE[]", vecLit(Queries.queryVec64))} AS dist
+      |  FROM embeddings
+      |)
+      |SELECT vec_id, round(dist, 6) AS distance
+      |FROM d ORDER BY dist, vec_id LIMIT 10
+      """.stripMargin.trim))
+
+  /** Five deterministic query vectors for the batch search. */
+  val batchQueryVecs: Seq[(Int, Array[Float])] =
+    (0 until 5).map(i => i -> embedder.encode(s"batch query $i"))
+
+  private val batch = QueryDef(
+    "knn_batch",
+    "Batch KNN: top-3 per query for a broadcast table of 5 query " +
+      "vectors (BroadcastNestedLoopJoin — the corpus never shuffles; " +
+      "only |queries|×k rows survive the per-query rank).",
+    (s, dir) => {
+      import s.implicits._
+      val queries = s.createDataFrame(
+        batchQueryVecs.map { case (i, v) => (i, v.toSeq) })
+        .toDF("query_id", "query_vec")
+      Knn.batchSearch(Tables.embeddings(s, dir), queries,
+          "embedding", "vec_id", "query_vec", "query_id", k = 3)
+        .select(col("query_id"), col("knn_rank").cast("long").as("knn_rank"), col("vec_id"),
+          round(col("distance_score"), 6).as("distance"))
+        .orderBy(col("query_id"), col("knn_rank"))
+    },
+    Some {
+      val values = batchQueryVecs
+        .map { case (i, v) => s"($i, ${vecLit(v)})" }.mkString(",\n         ")
+      s"""
+      |WITH queries(query_id, qv) AS (
+      |  VALUES $values
+      |), d AS (
+      |  SELECT q.query_id, e.vec_id,
+      |         ${duckCosine("e.embedding", "q.qv")} AS dist,
+      |         row_number() OVER (PARTITION BY q.query_id
+      |                            ORDER BY ${duckCosine("e.embedding", "q.qv")}, e.vec_id) AS knn_rank
+      |  FROM embeddings e CROSS JOIN queries q
+      |)
+      |SELECT query_id, knn_rank, vec_id, round(dist, 6) AS distance
+      |FROM d WHERE knn_rank <= 3 ORDER BY query_id, knn_rank
+      """.stripMargin.trim
+    })
+
+  private val ragContext = QueryDef(
+    "rag_context",
+    "RAG context assembly (streamlit_app.py:234-238): top-5 hits → " +
+      "match-score lines, score-descending, collapsed to one context " +
+      "string (collect_list + array_join pushed into the engine).",
+    (s, dir) => {
+      val q = Queries.queryVec64
+      val hits = Knn.search(Tables.embeddings(s, dir), "embedding", "vec_id", q, k = 5)
+        .select(col("vec_id"), col("distance_score"),
+          round((lit(1.0) - round(col("distance_score"), 6)) * 100.0, 2).as("match_score"))
+      hits
+        .select(struct(round(col("distance_score"), 6).as("d"), col("vec_id"),
+          concat(col("vec_id").cast("string"), lit(": "),
+            col("match_score").cast("string"), lit("%")).as("line")).as("h"))
+        .agg(count(lit(1)).as("n_results"),
+          array_join(transform(sort_array(collect_list(col("h"))), h => h.getField("line")), "\n")
+            .as("context_md"))
+    },
+    Some(s"""
+      |WITH d AS (
+      |  SELECT vec_id, ${duckCosine("embedding", vecLit(Queries.queryVec64))} AS dist
+      |  FROM embeddings ORDER BY dist, vec_id LIMIT 5
+      |), m AS (
+      |  SELECT vec_id, dist,
+      |         round((1.0 - round(dist, 6)) * 100.0, 2) AS match_score
+      |  FROM d
+      |)
+      |SELECT count(*) AS n_results,
+      |       string_agg(vec_id::VARCHAR || ': ' || match_score::VARCHAR || '%', chr(10)
+      |                  ORDER BY round(dist, 6), vec_id) AS context_md
+      |FROM m
+      """.stripMargin.trim))
+
+  private val ivf = QueryDef(
+    "ann_ivf_probe",
+    "IVF approximate search: 8 deterministic centroids (vectors of ids " +
+      "0–7), corpus assigned to nearest centroid, query probes the 3 " +
+      "nearest lists, exact cosine top-10 within them. With cluster-" +
+      "partitioned storage the probe filter is partition pruning — " +
+      "~nprobe/nlist of the corpus is read.",
+    (s, dir) => {
+      val q = Queries.queryVec64
+      val corpus = Tables.embeddings(s, dir)
+      val cents = Ann.seededCentroids(corpus, "embedding", "vec_id", nlist = 8)
+      val indexed = Ann.assignClusters(corpus, "embedding", cents)
+      Ann.search(indexed, "embedding", "vec_id", q, k = 10, cents, nprobe = 3)
+        .select(col("vec_id"), col("cluster_id").cast("long").as("cluster_id"),
+          round(col("distance_score"), 6).as("distance"))
+        .orderBy(col("distance"), col("vec_id"))
+    },
+    Some {
+      val qLit = vecLit(Queries.queryVec64)
+      s"""
+      |WITH cents AS (
+      |  SELECT vec_id AS cid, embedding::DOUBLE[] AS c FROM embeddings WHERE vec_id < 8
+      |), assigned AS (
+      |  SELECT vec_id, embedding, cid AS cluster_id FROM (
+      |    SELECT e.vec_id, e.embedding, c.cid,
+      |           row_number() OVER (PARTITION BY e.vec_id
+      |                              ORDER BY ${duckL2("e.embedding::DOUBLE[]", "c.c")}, c.cid) AS rn
+      |    FROM embeddings e CROSS JOIN cents c
+      |  ) WHERE rn = 1
+      |), probes AS (
+      |  SELECT cid FROM cents ORDER BY ${duckL2(qLit, "c")}, cid LIMIT 3
+      |), d AS (
+      |  SELECT vec_id, cluster_id,
+      |         ${duckCosine("embedding", qLit)} AS dist
+      |  FROM assigned WHERE cluster_id IN (SELECT cid FROM probes)
+      |)
+      |SELECT vec_id, cluster_id, round(dist, 6) AS distance
+      |FROM d ORDER BY dist, vec_id LIMIT 10
+      """.stripMargin.trim
+    })
+
+  val defs: Seq[QueryDef] = Seq(filtered, l2Search, batch, ragContext, ivf)
+}
