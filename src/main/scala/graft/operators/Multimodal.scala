@@ -1,0 +1,127 @@
+package graft.operators
+
+import graft.functions.{EmbeddingModel, HashingEmbedder}
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing for the training-data pipeline (driver
+  * mandate): images/audio/video ride through the engine as opaque
+  * `BinaryType` columns plus a typed metadata struct; decode /
+  * feature-extract / frame-sample run as partition-local batched
+  * functions over those bytes.
+  *
+  * The ACTUAL media decoders are STUBBED (this container has no
+  * image/audio libraries): [[StubDecoder]] derives deterministic fake
+  * metadata/features from the bytes. Everything Spark-side — schemas,
+  * the binary column, partition-local batching, the mapPartitions
+  * signature a real decoder would plug into — is real and tested
+  * (MultimodalSpec). Swapping in a real decoder = replacing one
+  * function, exactly like [[graft.functions.EmbeddingModel]].
+  *
+  * Scale notes: bytes stay columnar (parquet BINARY) end-to-end;
+  * decode is a projection (no shuffle); batches amortize per-batch
+  * decoder init the way a GPU/codec session would be amortized. Wide
+  * binary columns should be stored with
+  * `parquet.enable.dictionary=false` and read with a larger
+  * `spark.sql.files.maxPartitionBytes` only if media are small; big
+  * blobs belong in sidecar object storage with path columns — this
+  * module covers the inline-bytes regime (thumbnails, audio snippets,
+  * frame crops).
+  */
+object Multimodal {
+
+  /** Media metadata carried alongside the bytes. */
+  val mediaMetaType: StructType = StructType(Seq(
+    StructField("media_type", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("n_channels", IntegerType, nullable = false),
+    StructField("duration_ms", LongType, nullable = false)))
+
+  /** A decoded-media feature batch contract: bytes → metadata +
+    * feature vector. Real implementations wrap an image/audio codec;
+    * the stub is deterministic on the byte content.
+    */
+  trait MediaDecoder extends Serializable {
+    def featureDim: Int
+    def decode(bytes: Array[Byte]): (Row, Array[Float])
+  }
+
+  /** Deterministic fake decoder: "dimensions" and "duration" are
+    * derived from a rolling hash of the bytes; features are the hashing
+    * embedder over the hex of a byte prefix. Fixed contract, no I/O —
+    * the Spark plumbing around it is what's under test.
+    */
+  final case class StubDecoder(featureDim: Int = 16) extends MediaDecoder {
+    private val embedder: EmbeddingModel = HashingEmbedder(dim = featureDim, seed = 1337)
+
+    def decode(bytes: Array[Byte]): (Row, Array[Float]) = {
+      var h = 1125899906842597L // deterministic rolling hash (FNV-ish)
+      var i = 0
+      while (i < bytes.length) { h = 31 * h + (bytes(i) & 0xff); i += 1 }
+      val w = 64 + java.lang.Math.floorMod(h, 1024L).toInt
+      val ht = 64 + java.lang.Math.floorMod(h >> 10, 1024L).toInt
+      val ch = 1 + java.lang.Math.floorMod(h >> 20, 4L).toInt
+      val dur = java.lang.Math.floorMod(h >> 22, 600000L)
+      val meta = Row("stub", w, ht, ch, dur)
+      val prefix = bytes.take(32).map(b => f"${b & 0xff}%02x").mkString
+      (meta, embedder.encode(prefix))
+    }
+  }
+
+  /** Attach a fake binary media column derived from a string column —
+    * the fixture tables carry no real media; UTF-8 bytes stand in so
+    * the binary-column path (parquet BINARY, batching, decode) is
+    * exercised end to end.
+    */
+  def withFakeMedia(df: DataFrame, textCol: String, mediaCol: String = "media"): DataFrame =
+    df.withColumn(mediaCol, encode(col(textCol), "UTF-8"))
+
+  /** Decode + feature-extract over the binary column: partition-local,
+    * batched `mapPartitions` — the exact seam a real codec plugs into.
+    * Appends `media_meta` (struct) and `media_features`
+    * (array<float>).
+    */
+  def decodeAndExtract(df: DataFrame, mediaCol: String,
+                       decoder: MediaDecoder = StubDecoder(),
+                       batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    val bc = spark.sparkContext.broadcast(decoder)
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("media_meta", mediaMetaType, nullable = true),
+      StructField("media_features", ArrayType(FloatType, containsNull = false), nullable = true)))
+    val mediaIdx = df.schema.fieldNames.indexOf(mediaCol)
+    require(mediaIdx >= 0, s"no column $mediaCol")
+    df.mapPartitions { rows =>
+      val dec = bc.value // one decoder per partition (codec init amortized)
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          Option(r.getAs[Array[Byte]](mediaIdx)) match {
+            case None => Row.fromSeq(r.toSeq ++ Seq(null, null))
+            case Some(bytes) =>
+              val (meta, feats) = dec.decode(bytes)
+              Row.fromSeq(r.toSeq ++ Seq(meta, feats.toSeq))
+          }
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Frame sampling for "video" media: every `stride`-th fixed-size
+    * slice of the byte payload becomes one frame row
+    * (posexplode-style). Real video uses codec keyframes; the slicing,
+    * schema, and row explosion are the engine-side contract.
+    */
+  def sampleFrames(df: DataFrame, mediaCol: String, idCol: String,
+                   frameBytes: Int = 16, stride: Int = 4): DataFrame = {
+    val slices = transform(
+      sequence(lit(0), greatest(lit(0),
+        ((length(col(mediaCol)) - 1) / lit(frameBytes * stride)).cast("int"))),
+      i => struct(
+        (i * stride).as("frame_no"),
+        col(mediaCol).substr(i * lit(frameBytes * stride) + 1, lit(frameBytes)).as("frame")))
+    df.select(col(idCol), posexplode(slices).as(Seq("pos", "f")))
+      .select(col(idCol), col("f.frame_no").as("frame_no"), col("f.frame").as("frame"))
+  }
+}
