@@ -1,0 +1,84 @@
+package graft
+
+import graft.operators.{Ann, Knn}
+import graft.queries.Queries
+import org.apache.spark.sql.functions._
+
+/** IVF ANN tests: assignment invariants, probe monotonicity, and the
+  * recall-vs-exact contract (SURVEY §5.3: exact-KNN ⊇ check — recall
+  * measured, = 1.0 when probing everything).
+  */
+class AnnSpec extends SparkSpec {
+
+  private lazy val emb = Tables.embeddings(spark, sf("sf0.001")).cache()
+  private val q = Queries.queryVec64
+
+  test("seeded centroids are the vectors of the smallest ids") {
+    val cents = Ann.seededCentroids(emb, "embedding", "vec_id", nlist = 4)
+    assert(cents.length == 4 && cents.forall(_.length == 64))
+    val first = emb.orderBy("vec_id").select("embedding").collect()(0).getSeq[Float](0)
+    assert(cents(0).toSeq == first)
+  }
+
+  test("every row is assigned a cluster id in [0, nlist)") {
+    val cents = Ann.seededCentroids(emb, "embedding", "vec_id", nlist = 8)
+    val ids = Ann.assignClusters(emb, "embedding", cents)
+      .select("cluster_id").distinct().collect().map(_.getInt(0)).toSet
+    assert(ids.subsetOf((0 until 8).toSet) && ids.nonEmpty)
+  }
+
+  test("assignment is the true argmin (spot-check against driver compute)") {
+    val cents = Ann.seededCentroids(emb, "embedding", "vec_id", nlist = 8)
+    def l2(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { val d = a(i).toDouble - b(i); acc += d * d; i += 1 }
+      math.sqrt(acc)
+    }
+    val sample = Ann.assignClusters(emb, "embedding", cents)
+      .select("embedding", "cluster_id").limit(25).collect()
+    sample.foreach { r =>
+      val v = r.getSeq[Float](0).toArray
+      val want = cents.zipWithIndex.map { case (c, i) => (l2(v, c), i) }.min._2
+      assert(r.getInt(1) == want)
+    }
+  }
+
+  test("probing all lists reproduces exact KNN (recall = 1.0)") {
+    val cents = Ann.seededCentroids(emb, "embedding", "vec_id", nlist = 8)
+    val indexed = Ann.assignClusters(emb, "embedding", cents)
+    val ann = Ann.search(indexed, "embedding", "vec_id", q, k = 10, cents, nprobe = 8)
+    val exact = Knn.search(emb, "embedding", "vec_id", q, k = 10)
+    assert(Ann.recallAtK(ann, exact, "vec_id") == 1.0)
+  }
+
+  test("recall is monotone in nprobe and reported honestly") {
+    val cents = Ann.seededCentroids(emb, "embedding", "vec_id", nlist = 8)
+    val indexed = Ann.assignClusters(emb, "embedding", cents).cache()
+    val exact = Knn.search(emb, "embedding", "vec_id", q, k = 10)
+    val recalls = Seq(1, 3, 8).map { np =>
+      Ann.recallAtK(
+        Ann.search(indexed, "embedding", "vec_id", q, k = 10, cents, np),
+        exact, "vec_id")
+    }
+    assert(recalls == recalls.sorted, s"recall not monotone: $recalls")
+    assert(recalls.last == 1.0)
+    indexed.unpersist()
+  }
+
+  test("kmeans centroids: correct shape, deterministic seed, working assignment") {
+    val c1 = Ann.kmeansCentroids(emb, "embedding", nlist = 4, seed = 42L)
+    val c2 = Ann.kmeansCentroids(emb, "embedding", nlist = 4, seed = 42L)
+    assert(c1.length == 4 && c1.forall(_.length == 64))
+    assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq, "kmeans not deterministic under fixed seed")
+    val assigned = Ann.assignClusters(emb, "embedding", c1)
+    assert(assigned.select("cluster_id").distinct().count() > 1)
+  }
+
+  test("ivf search reads only the probed fraction (filter above the scan)") {
+    val cents = Ann.seededCentroids(emb, "embedding", "vec_id", nlist = 8)
+    val indexed = Ann.assignClusters(emb, "embedding", cents)
+    val probes = Ann.probeIds(q, cents, nprobe = 3)
+    val scanned = indexed.filter(col("cluster_id").isin(probes: _*)).count()
+    assert(scanned < emb.count(), "probe filter should restrict the scanned set")
+  }
+}

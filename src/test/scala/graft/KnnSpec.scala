@@ -1,0 +1,81 @@
+package graft
+
+import graft.operators.Knn
+import graft.queries.Queries
+import org.apache.spark.sql.functions._
+
+/** Operator tests for exact KNN (the reference flagship,
+  * streamlit_app.py:55-73) and its batch/filtered/scored variants.
+  */
+class KnnSpec extends SparkSpec {
+
+  private lazy val emb = Tables.embeddings(spark, sf("sf0.001"))
+  private val q = Queries.queryVec64
+
+  test("search returns exactly k rows, ascending by distance with id tiebreak") {
+    val hits = Knn.search(emb, "embedding", "vec_id", q, k = 7).collect()
+    assert(hits.length == 7)
+    val ds = hits.map(_.getAs[Double]("distance_score")).toSeq
+    assert(ds == ds.sorted)
+  }
+
+  test("k larger than corpus returns whole corpus; k=0 rejected") {
+    val n = emb.count()
+    assert(Knn.search(emb, "embedding", "vec_id", q, k = 100000).count() == n)
+    intercept[IllegalArgumentException] { Knn.search(emb, "embedding", "vec_id", q, k = 0) }
+  }
+
+  test("search result matches a brute-force driver-side computation") {
+    val rows = emb.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+      1.0 - dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expect = rows.map { case (id, v) => (cos(v, q), id) }.sorted.take(5).map(_._2).toSeq
+    val got = Knn.search(emb, "embedding", "vec_id", q, k = 5)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(got == expect)
+  }
+
+  test("filtered search honors the predicate and pushes it below the sort") {
+    val hits = Knn.filteredSearch(emb, col("label") === 3, "embedding", "vec_id", q, k = 5)
+    assert(hits.select("label").collect().forall(_.getInt(0) == 3))
+    val plan = hits.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k plan, got:\n$plan")
+  }
+
+  test("exact KNN plans as TakeOrderedAndProject (no global sort, no shuffle)") {
+    val plan = Knn.search(emb, "embedding", "vec_id", q, k = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"))
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in KNN plan:\n$plan")
+  }
+
+  test("batch search: k rows per query, ranks 1..k, broadcast side is queries") {
+    import spark.implicits._
+    val queries = Seq(
+      (0, q.toSeq), (1, q.map(x => -x).toSeq))
+      .toDF("query_id", "query_vec")
+    val out = Knn.batchSearch(emb, queries, "embedding", "vec_id", "query_vec", "query_id", k = 4)
+    val byQuery = out.groupBy("query_id").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(byQuery == Map(0 -> 4L, 1 -> 4L))
+    val ranks = out.filter(col("query_id") === 0).select("knn_rank")
+      .collect().map(_.getInt(0)).toSeq.sorted
+    assert(ranks == Seq(1, 2, 3, 4))
+  }
+
+  test("match score derivation matches the reference formula (streamlit_app.py:221-222)") {
+    val scored = Knn.withMatchScore(
+      Knn.search(emb, "embedding", "vec_id", q, k = 3), "vec_id").collect()
+    scored.foreach { r =>
+      val d = r.getAs[Double]("distance_score")
+      val ms = r.getAs[Double]("match_score")
+      assert(math.abs(ms - math.rint((1.0 - d) * 100.0 * 100.0) / 100.0) < 1e-9)
+      assert(r.getAs[String]("display_score") == s"$ms%")
+    }
+    val scores = scored.map(_.getAs[Double]("match_score")).toSeq
+    assert(scores == scores.sorted.reverse)
+  }
+}

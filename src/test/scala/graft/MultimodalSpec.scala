@@ -1,0 +1,75 @@
+package graft
+
+import graft.operators.Multimodal
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal plumbing tests: binary column round-trip, decode seam
+  * schema/batching/determinism, frame sampling shape.
+  */
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "hello multimodal world"),
+    (2L, "a" * 200),
+    (3L, "short")).toDF("doc_id", "text")
+
+  test("withFakeMedia produces the UTF-8 bytes as BinaryType") {
+    val d = Multimodal.withFakeMedia(docs, "text")
+    assert(d.schema("media").dataType == BinaryType)
+    val r = d.filter(col("doc_id") === 1L).select("media").collect()(0)
+    assert(new String(r.getAs[Array[Byte]](0), "UTF-8") == "hello multimodal world")
+  }
+
+  test("decodeAndExtract appends the typed metadata struct and feature vector") {
+    val out = Multimodal.decodeAndExtract(Multimodal.withFakeMedia(docs, "text"), "media")
+    assert(out.schema("media_meta").dataType == Multimodal.mediaMetaType)
+    assert(out.schema("media_features").dataType ==
+      ArrayType(FloatType, containsNull = false))
+    val r = out.filter(col("doc_id") === 1L)
+      .select("media_meta.media_type", "media_meta.width", "media_meta.height",
+        "media_meta.n_channels", "media_meta.duration_ms", "media_features")
+      .collect()(0)
+    assert(r.getString(0) == "stub")
+    assert(r.getInt(1) >= 64 && r.getInt(1) < 64 + 1024)
+    assert(r.getInt(3) >= 1 && r.getInt(3) <= 4)
+    assert(r.getSeq[Float](5).length == 16)
+  }
+
+  test("decode is deterministic and null-safe") {
+    val withNull = Multimodal.withFakeMedia(docs, "text")
+      .withColumn("media", when(col("doc_id") === 3L, lit(null)).otherwise(col("media")))
+    // compare everything except the raw bytes column (whose Row.toString
+    // is an array identity hash)
+    val proj = (df: org.apache.spark.sql.DataFrame) =>
+      df.select("doc_id", "media_meta", "media_features").orderBy("doc_id").collect().toSeq
+    val out1 = proj(Multimodal.decodeAndExtract(withNull, "media"))
+    val out2 = proj(Multimodal.decodeAndExtract(withNull, "media"))
+    assert(out1 == out2)
+    val nullRow = out1.find(_.getLong(0) == 3L).get
+    assert(nullRow.isNullAt(nullRow.fieldIndex("media_meta")))
+    assert(nullRow.isNullAt(nullRow.fieldIndex("media_features")))
+  }
+
+  test("decode preserves partitioning (no shuffle through the seam)") {
+    val d = Multimodal.withFakeMedia(docs.repartition(3), "text")
+    val out = Multimodal.decodeAndExtract(d, "media")
+    assert(out.rdd.getNumPartitions == 3)
+    // the only Exchange in the plan is the input repartition itself —
+    // the decode seam adds none
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.split("Exchange").length <= 2, s"decode should not shuffle:\n$plan")
+  }
+
+  test("sampleFrames slices every stride-th fixed-size window of the bytes") {
+    val d = Multimodal.withFakeMedia(docs.filter(col("doc_id") === 2L), "text")
+    val frames = Multimodal.sampleFrames(d, "media", "doc_id", frameBytes = 16, stride = 4)
+      .collect()
+    // 200 bytes → ceil over 64-byte strides → 4 sampled frames (0,4,8,12)
+    assert(frames.map(_.getAs[Int]("frame_no")).toSeq == Seq(0, 4, 8, 12))
+    frames.dropRight(1).foreach(f => assert(f.getAs[Array[Byte]]("frame").length == 16))
+    val all = new String(frames(0).getAs[Array[Byte]]("frame"), "UTF-8")
+    assert(all == "a" * 16)
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import java.sql.Timestamp
+import graft.streaming.EventPipeline
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Structured Streaming tests: the SAME EventPipeline transforms the
+  * batch oracle queries use, executed incrementally over MemoryStream
+  * micro-batches (SURVEY §2.8).
+  */
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+              event_type: String, value: Double, props: String)
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(id: Long, minute: Int, user: Long = 1L, typ: String = "click",
+                 value: Double = 1.0): Ev =
+    Ev(id, Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00"), user, typ, value, """{"k": 1}""")
+
+  private def runQuery(df: org.apache.spark.sql.DataFrame, name: String,
+                       mode: OutputMode)(feeds: (() => Unit)*): org.apache.spark.sql.DataFrame = {
+    val query = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    try {
+      feeds.foreach { f => f(); query.processAllAvailable() }
+    } finally query.stop()
+    spark.table(name)
+  }
+
+  test("tumbling stats over a stream equal the batch computation on the same data") {
+    val input = MemoryStream[Ev](spark)
+    val events = Seq(ev(1, 0), ev(2, 2, typ = "view"), ev(3, 7), ev(4, 8), ev(5, 13))
+    val streamed = runQuery(
+      EventPipeline.tumblingStats(input.toDF(), "5 minutes"),
+      "t_tumbling", OutputMode.Complete())(() => input.addData(events))
+    val batch = EventPipeline.tumblingStats(events.toDF(), "5 minutes")
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3))
+    assert(streamed.collect().map(key).toSet == batch.collect().map(key).toSet)
+    assert(batch.collect().map(key).toSet.nonEmpty)
+  }
+
+  test("watermarked session windows emit once the watermark passes the gap") {
+    val input = MemoryStream[Ev](spark)
+    val sessions = EventPipeline.sessions(
+      EventPipeline.withEventTimeWatermark(input.toDF(), "1 minute"), "10 minutes")
+    val result = runQuery(sessions, "t_sessions", OutputMode.Append())(
+      () => input.addData(Seq(ev(1, 0), ev(2, 5), ev(3, 30))), // session A: 0–5; B starts 30
+      () => input.addData(Seq(ev(4, 55))))                     // watermark past A and B → both final
+    val rows = result.collect().map(r =>
+      (r.getAs[Timestamp]("session_start").toString, r.getAs[Long]("n_events")))
+    assert(rows.contains(("2024-01-01 10:00:00.0", 2L)), s"got: ${rows.toSeq}")
+    assert(rows.contains(("2024-01-01 10:30:00.0", 1L)), s"got: ${rows.toSeq}")
+  }
+
+  test("dropDuplicatesWithinWatermark dedups keys across micro-batches") {
+    val input = MemoryStream[Ev](spark)
+    val deduped = EventPipeline.dedupWithinWatermark(
+      EventPipeline.withEventTimeWatermark(input.toDF(), "30 minutes"),
+      Seq("user_id", "event_type"))
+    val result = runQuery(deduped, "t_dedup", OutputMode.Append())(
+      () => input.addData(Seq(ev(1, 0), ev(2, 1), ev(3, 2, typ = "view"))),
+      () => input.addData(Seq(ev(4, 3), ev(5, 4, user = 2L))))
+    val ids = result.collect().map(_.getAs[Long]("event_id")).toSet
+    assert(ids == Set(1L, 3L, 5L), s"got: $ids") // 2 and 4 are dup (user 1, click)
+  }
+
+  test("batch fallback of dedupWithinWatermark uses dropDuplicates") {
+    val df = Seq(ev(1, 0), ev(2, 1)).toDF()
+    assert(EventPipeline.dedupWithinWatermark(df, Seq("user_id", "event_type")).count() == 1)
+  }
+
+  test("parsedProps extracts typed JSON keys on streams") {
+    val input = MemoryStream[Ev](spark)
+    val parsed = runQuery(EventPipeline.parsedProps(input.toDF()),
+      "t_props", OutputMode.Append())(() => input.addData(Seq(ev(1, 0))))
+    assert(parsed.select("k").collect()(0).getLong(0) == 1L)
+  }
+}

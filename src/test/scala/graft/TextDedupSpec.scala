@@ -1,0 +1,129 @@
+package graft
+
+import graft.operators.{Dedup, TextAnalysis}
+import graft.operators.TextAnalysis._
+import org.apache.spark.sql.functions._
+
+/** Operator tests for the text-analysis and dedup surface. */
+class TextDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column, text: String) =
+    Seq(Tuple1(text)).toDF("text").select(c).collect()(0)
+
+  test("normalize collapses whitespace and lowercases") {
+    assert(one(normalize(col("text")), "  Hello\t\tWORLD  x ").getString(0) == "hello world x")
+  }
+
+  test("tokens drop empties; counts; avg length") {
+    val r = Seq(Tuple1("a bb, ccc!")).toDF("text")
+      .select(tokens(col("text")).as("t"), tokenCount(col("text")).as("n"),
+        avgTokenLen(col("text")).as("l")).collect()(0)
+    assert(r.getSeq[String](0) == Seq("a", "bb", "ccc"))
+    assert(r.getLong(1) == 3L && math.abs(r.getDouble(2) - 2.0) < 1e-12)
+  }
+
+  test("punct count and quality score bounds") {
+    assert(one(punctCount(col("text")), "a,b.c!").getLong(0) == 3L)
+    val scores = Seq(
+      "the quick brown fox is a fine animal and it jumps over the lazy dog",
+      "zzz", "").map(t => one(qualityScore(col("text")), t).getDouble(0))
+    scores.foreach(s => assert(s >= 0.0 && s <= 1.0))
+    assert(scores(0) > scores(1))
+    assert(scores(2) == 0.0)
+  }
+
+  test("langId picks the stopword-dominant language; und on no hits") {
+    assert(one(langId(col("text")), "der hund und die katze ist da").getString(0) == "de")
+    assert(one(langId(col("text")), "the cat and the dog is a pet").getString(0) == "en")
+    assert(one(langId(col("text")), "xyzzy qwerty").getString(0) == "und")
+  }
+
+  test("fingerprint is whitespace/case-insensitive but content-sensitive") {
+    val f1 = one(fingerprint(col("text")), "Hello   World").getString(0)
+    val f2 = one(fingerprint(col("text")), "hello world").getString(0)
+    val f3 = one(fingerprint(col("text")), "hello worlds").getString(0)
+    assert(f1 == f2 && f1 != f3)
+  }
+
+  test("shingles: sliding k-grams, distinct; short text → single shingle") {
+    assert(one(shingles(col("text"), 3), "a b c d").getSeq[String](0).toSet ==
+      Set("a b c", "b c d"))
+    assert(one(shingles(col("text"), 3), "a b").getSeq[String](0) == Seq("a b"))
+    assert(one(shingles(col("text"), 2), "x y x y").getSeq[String](0).toSet ==
+      Set("x y", "y x"))
+  }
+
+  test("simhash48 HOF implementation equals the explicit explode computation") {
+    val docs = Tables.documents(spark, sf("sf0.001")).limit(50)
+    val hof = docs.select(col("doc_id"), simhash48(col("text")).as("s"))
+    val votes = docs
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("t"))
+      .select(col("doc_id"), TextAnalysis.md5Long48(col("t")).as("h"))
+      .crossJoin(spark.range(48).select(col("id").cast("int").as("b")))
+      .groupBy("doc_id", "b")
+      .agg(sum(when(expr("shiftright(h, b) & 1") === 1, 1L).otherwise(-1L)).as("vote"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("vote") > 0, expr("shiftleft(1L, b)")).otherwise(0L)).as("s"))
+    val a = hof.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = votes.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
+
+  test("hamming distance on packed signatures") {
+    val r = Seq((5L, 6L)).toDF("a", "b")
+      .select(hammingDistance(col("a"), col("b"))).collect()(0)
+    assert(r.getLong(0) == 2L) // 101 vs 110
+  }
+
+  private val dupDocs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "The  quick BROWN fox jumps over the lazy dog"), // exact dup after normalize
+    (3L, "the quick brown fox jumps over the lazy cat"),  // near dup
+    (4L, "completely different content about spark engines and parquet files"),
+    (5L, "completely different content about spark engines and parquet files today"))
+    .toDF("doc_id", "text")
+
+  test("exact dedup groups normalize-equal texts; drop ids keep the min id") {
+    val groups = Dedup.exactGroups(dupDocs, "text", "doc_id").collect()
+    assert(groups.map(_.getAs[Long]("group_size")).sorted.toSeq == Seq(1L, 1L, 1L, 2L))
+    val drops = Dedup.exactDropIds(dupDocs, "text", "doc_id").collect().map(_.getLong(0)).toSet
+    assert(drops == Set(2L))
+  }
+
+  test("ngram jaccard finds near-dup pairs with correct similarity") {
+    val pairs = Dedup.ngramJaccardPairs(dupDocs, "text", "doc_id", shingleK = 3, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val m = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(m((1L, 2L)) == 1.0) // identical after normalize
+    assert(m.contains((1L, 3L)) && m((1L, 3L)) > 0.5 && m((1L, 3L)) < 1.0)
+    assert(m.contains((4L, 5L)))
+    assert(!m.contains((1L, 4L)))
+  }
+
+  test("minhash LSH candidates include true near-dups (recall on this corpus)") {
+    val cands = Dedup.minhashCandidatePairs(dupDocs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((1L, 2L))) // identical signatures always collide
+    val verified = Dedup.jaccardOnPairs(dupDocs,
+      Dedup.minhashCandidatePairs(dupDocs, "text", "doc_id"), "text", "doc_id", 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(verified((1L, 2L)) == 1.0)
+  }
+
+  test("simhash pairs: normalize-equal docs at hamming 0") {
+    val pairs = Dedup.simhashPairs(dupDocs, "text", "doc_id", maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.contains((1L, 2L, 0L)))
+  }
+
+  test("embedding near-dup pairs respect blocking and threshold") {
+    val embs = Seq(
+      (1L, 0, Seq(1f, 0f)), (2L, 0, Seq(0.99f, 0.14f)),
+      (3L, 0, Seq(0f, 1f)), (4L, 1, Seq(1f, 0f)))
+      .toDF("vec_id", "label", "embedding")
+    val pairs = Dedup.embeddingNearDupPairs(embs, "embedding", "vec_id", "label", maxDistance = 0.05)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L))) // 3 too far; 4 other block
+  }
+}
