@@ -59,6 +59,16 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame   = read(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = read(s, d, "lineitem")
   def documents(s: SparkSession, d: String): DataFrame  = read(s, d, "documents")
+
+  /** `documents` spread across the default parallelism. The fixture is a
+    * single small parquet file (one row-group → one input partition); the
+    * text pipelines do heavy per-row expression work, so a round-robin
+    * repartition of a few MB buys full-core parallelism. On a real
+    * many-file 100 TB corpus the scan already yields thousands of
+    * partitions and this is unnecessary — it guards the small-file case.
+    */
+  def documentsSpread(s: SparkSession, d: String): DataFrame =
+    documents(s, d).repartition(s.sparkContext.defaultParallelism)
   def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")
 
   /** `events` with `ts` as a microsecond TIMESTAMP (UTC session TZ).

@@ -45,15 +45,41 @@ object Dedup {
       .select(col(idCol))
   }
 
-  /** MinHash signature: for each of `numHashes` seeds, the minimum of
-    * md5(seed || '|' || shingle) over the document's shingles — string
-    * minima, portable across engines. One pass, no shuffle.
+  /** MinHash permutation family parameters. The hash domain is 32-bit
+    * (first 8 md5 hex chars) and the modulus is the Mersenne prime
+    * 2³¹−1, so a·h genuinely wraps (a monotone, non-wrapping map would
+    * make every seed's minimum pick the same shingle and degenerate the
+    * whole signature to one hash). Multipliers stay < 2³⁰, keeping
+    * a·h < 2⁶² — no BIGINT overflow in either engine (DuckDB checks).
     */
-  def minhashSignature(text: Column, shingleK: Int, numHashes: Int): Column = {
-    val sh = shingles(text, shingleK)
-    transform(sequence(lit(0), lit(numHashes - 1)), seed =>
-      array_min(transform(sh, s => md5(concat(seed.cast("string"), lit("|"), s)))))
-  }
+  val MinhashPrime = 2147483647L        // 2³¹ − 1
+  private val MultMod = 1073741789L     // prime < 2³⁰ bounding the multiplier
+
+  /** MinHash signature from PRE-HASHED shingles: each shingle is
+    * digested once (md5 → 32-bit int, [[md5Long32]]); the `numHashes`
+    * permutations are cheap affine maps h ↦ (aₛ·h + bₛ) mod (2³¹−1) —
+    * the standard hash-once/permute-many MinHash. Digesting per
+    * (seed, shingle) instead would multiply the md5 work by
+    * `numHashes`.
+    *
+    * Takes the hash-array COLUMN, not the text: the caller must
+    * materialize it (see [[minhashCandidatePairs]] — Catalyst inlines
+    * singly-referenced aliases into HOF lambdas, re-evaluating them per
+    * element).
+    */
+  def minhashSignature(shingleHashesCol: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)), s => {
+      val a = ((s + 1) * lit(2654435761L)) % lit(MultMod)
+      val b = ((s + 1) * lit(97531L)) % lit(MultMod)
+      array_min(transform(shingleHashesCol, h =>
+        (h * a + b) % lit(MinhashPrime)))
+    })
+
+  /** First 8 md5 hex chars as a 32-bit BIGINT (DuckDB:
+    * `('0x' || substring(md5(x), 1, 8))::BIGINT`).
+    */
+  def md5Long32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
   /** LSH band keys from a minhash signature: `numBands` groups of
     * `rowsPerBand` consecutive signature entries, each band hashed to one
@@ -62,7 +88,9 @@ object Dedup {
   def lshBandKeys(signature: Column, numBands: Int, rowsPerBand: Int): Column =
     transform(sequence(lit(0), lit(numBands - 1)), b =>
       concat(b.cast("string"), lit(":"),
-        md5(array_join(slice(signature, b * rowsPerBand + 1, lit(rowsPerBand)), ","))))
+        md5(array_join(
+          transform(slice(signature, b * rowsPerBand + 1, lit(rowsPerBand)),
+            v => v.cast("string")), ","))))
 
   /** Candidate near-dup pairs via MinHash LSH: band keys → explode →
     * self-join on band → distinct pairs. The self-join is on tiny
@@ -73,10 +101,26 @@ object Dedup {
                             shingleK: Int = 3, numHashes: Int = 12,
                             numBands: Int = 4): DataFrame = {
     val rowsPerBand = numHashes / numBands
-    val sig = minhashSignature(col(textCol), shingleK, numHashes)
-    val banded = docs.select(
-        col(idCol).as("id"),
-        explode(lshBandKeys(sig, numBands, rowsPerBand)).as("band"))
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    // The repartition is a MATERIALIZATION BARRIER as much as
+    // parallelism: CollapseProject counts syntactic references, so
+    // without it the shingle-hash pipeline would be inlined into the
+    // signature lambda and re-evaluated once per seed per row. The
+    // exchange ships only (id, hash-array) rows and forces single
+    // evaluation on its map side.
+    // toks is a named column: the shingle lambda slices it per element,
+    // and an inlined tokenizer would re-split per shingle
+    val banded = docs
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .select(col("id"), shinglesFromTokens(col("toks"), shingleK).as("sh"))
+      .select(col("id"), transform(col("sh"), s => md5Long32(s)).as("hs"))
+      .repartition(par, col("id"))
+      .select(col("id"), minhashSignature(col("hs"), numHashes).as("sig"))
+      .select(col("id"),
+        explode(lshBandKeys(col("sig"), numBands, rowsPerBand)).as("band"))
+      // the band relation is tiny (numBands rows per doc) and both
+      // self-join sides consume it — materialize once
+      .cache()
     val a = banded.as("a"); val b = banded.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -89,10 +133,22 @@ object Dedup {
     */
   def jaccardOnPairs(docs: DataFrame, pairs: DataFrame, textCol: String,
                      idCol: String, shingleK: Int): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"),
-      shingles(col(textCol), shingleK).as("sh"))
+    // Restrict the shingle index to documents that occur in a candidate
+    // pair BEFORE the shingle self-join: candidates are sparse (LSH
+    // band collisions), so this turns an |corpus|-inverted-index join
+    // into one over only the candidate docs.
+    val candIds = pairs.select(col("id_a").as("id"))
+      .union(pairs.select(col("id_b").as("id"))).distinct()
+    // joins run on 48-bit shingle hashes, not shingle strings: integer
+    // keys shuffle/compare far cheaper, and at corpus scale the
+    // collision probability (n²/2⁴⁹) is negligible — the oracle mirrors
+    // the same hashing so the check stays exact
+    val sh = docs
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .select(col("id"), shinglesFromTokens(col("toks"), shingleK).as("sh"))
+      .join(candIds, Seq("id"), "left_semi")
       .select(col("id"), size(col("sh")).cast("long").as("n_sh"),
-        explode(col("sh")).as("s"))
+        explode(transform(col("sh"), s => TextAnalysis.md5Long48(s))).as("s"))
     val common = sh.as("x").join(sh.as("y"), col("x.s") === col("y.s"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
         col("x.n_sh").as("na"), col("y.n_sh").as("nb"))
@@ -113,10 +169,12 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
                         shingleK: Int = 3, threshold: Double = 0.1,
                         maxShingleDf: Option[Int] = None): DataFrame = {
-    val sh0 = docs.select(col(idCol).as("id"),
-      shingles(col(textCol), shingleK).as("sh"))
+    // integer-keyed inverted index — see jaccardOnPairs
+    val sh0 = docs
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .select(col("id"), shinglesFromTokens(col("toks"), shingleK).as("sh"))
       .select(col("id"), size(col("sh")).cast("long").as("n_sh"),
-        explode(col("sh")).as("s"))
+        explode(transform(col("sh"), s => TextAnalysis.md5Long48(s))).as("s"))
     val sh = maxShingleDf match {
       case Some(cap) =>
         val keep = sh0.groupBy("s").agg(count(lit(1)).as("df"))
@@ -140,7 +198,9 @@ object Dedup {
     */
   def simhashPairs(docs: DataFrame, textCol: String, idCol: String,
                    maxHamming: Int = 16): DataFrame = {
-    val sigs = docs.select(col(idCol).as("id"), simhash48(col(textCol)).as("sig"))
+    val sigs = docs
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .select(col("id"), simhash48FromTokens(col("toks")).as("sig"))
     val withBands = sigs.select(col("id"), col("sig"),
       explode(array((0 until 4).map(b =>
         concat(lit(s"$b:"), shiftright(col("sig"), b * 12).bitwiseAND(lit(0xFFFL)).cast("string"))): _*)).as("band"))

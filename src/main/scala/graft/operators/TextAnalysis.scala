@@ -34,9 +34,18 @@ object TextAnalysis {
 
   /** Non-empty alphanumeric tokens of the normalized text.
     * DuckDB: `list_filter(string_split_regex(norm, '[^a-z0-9]+'), t -> t <> '')`.
+    *
+    * Queries that derive several statistics from the same document
+    * should project this ONCE as a named column and use the
+    * `…FromTokens` variants below — the regex split is the expensive
+    * part, and Catalyst's CollapseProject keeps a non-cheap alias
+    * referenced more than once materialized instead of inlining it.
     */
-  def tokens(text: Column): Column =
-    filter(split(normalize(text), "[^a-z0-9]+"), t => t =!= "")
+  def tokens(text: Column): Column = tokensFromNorm(normalize(text))
+
+  /** Tokens from an already-normalized column. */
+  def tokensFromNorm(norm: Column): Column =
+    filter(split(norm, "[^a-z0-9]+"), t => t =!= "")
 
   /** Token count as BIGINT (DuckDB `len()` is BIGINT; keep schemas equal). */
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
@@ -45,8 +54,9 @@ object TextAnalysis {
     size(array_distinct(tokens(text))).cast("long")
 
   /** Mean token length = total token chars / token count (one division). */
-  def avgTokenLen(text: Column): Column = {
-    val toks = tokens(text)
+  def avgTokenLen(text: Column): Column = avgTokenLenFromTokens(tokens(text))
+
+  def avgTokenLenFromTokens(toks: Column): Column = {
     val totalChars = aggregate(toks, lit(0L), (acc, t) => acc + length(t).cast("long"))
     totalChars.cast("double") / size(toks).cast("double")
   }
@@ -63,25 +73,27 @@ object TextAnalysis {
     "zh" -> Seq("de", "shi", "le", "bu", "wo", "zai"))
 
   /** Number of tokens of `text` that appear in `words`. */
-  def stopwordHits(text: Column, words: Seq[String]): Column = {
+  def stopwordHits(text: Column, words: Seq[String]): Column =
+    stopwordHitsFromTokens(tokens(text), words)
+
+  def stopwordHitsFromTokens(toks: Column, words: Seq[String]): Column = {
     val wordArr = array(words.map(lit): _*)
-    size(filter(tokens(text), t => array_contains(wordArr, t))).cast("long")
+    size(filter(toks, t => array_contains(wordArr, t))).cast("long")
   }
 
   /** Heuristic language-ID: arg-max of per-language stopword hits,
     * ties broken by language code ascending, no hits at all → "und"
     * (undetermined — BCP-47's code for it).
     */
-  def langId(text: Column): Column = {
-    val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
-      struct(stopwordHits(text, words).as("hits"), lit(lang).as("lang"))
-    }
-    // array_max on (hits, lang) structs: lexicographic → max hits, then
-    // max lang — so invert the tie order by comparing on (hits, -ord) is
-    // messier than just sorting; use sort_array desc on (hits, lang desc)
-    // via negated ordinal.
+  def langId(text: Column): Column = langIdFromTokens(tokens(text))
+
+  /** Arg-max over (hits, -ordinal, lang) structs: `array_max` is
+    * lexicographic, so max hits first, then the SMALLEST ordinal (ties
+    * → alphabetically first language).
+    */
+  def langIdFromTokens(toks: Column): Column = {
     val withOrd = stopwords.keys.toSeq.sorted.zipWithIndex.map { case (lang, i) =>
-      struct(stopwordHits(text, stopwords(lang)).as("hits"),
+      struct(stopwordHitsFromTokens(toks, stopwords(lang)).as("hits"),
         lit(-i).as("negOrd"), lit(lang).as("lang"))
     }
     val best = array_max(array(withOrd: _*))
@@ -99,9 +111,12 @@ object TextAnalysis {
     * 0.4·stopword-ratio-capped + 0.3·length-saturation + 0.3·(1 − punct-ratio).
     * Deterministic: three divisions, fixed weights, rounded by caller.
     */
-  def qualityScore(text: Column): Column = {
-    val n = tokenCount(text)
-    val enHits = stopwordHits(text, stopwords("en"))
+  def qualityScore(text: Column): Column =
+    qualityScoreFromParts(tokens(text), text)
+
+  def qualityScoreFromParts(toks: Column, text: Column): Column = {
+    val n = size(toks).cast("long")
+    val enHits = stopwordHitsFromTokens(toks, stopwords("en"))
     val stopRatio = least(lit(1.0), enHits.cast("double") * 8.0 / n.cast("double"))
     val lenSat = least(lit(1.0), n.cast("double") / 50.0)
     val punctRatio = punctCount(text).cast("double") / length(text).cast("double")
@@ -117,8 +132,9 @@ object TextAnalysis {
   /** Word k-shingles of the normalized text, distinct, space-joined.
     * DuckDB mirror uses the same token list + list slicing.
     */
-  def shingles(text: Column, k: Int): Column = {
-    val toks = tokens(text)
+  def shingles(text: Column, k: Int): Column = shinglesFromTokens(tokens(text), k)
+
+  def shinglesFromTokens(toks: Column, k: Int): Column = {
     val n = size(toks)
     array_distinct(
       when(n < k, array(array_join(toks, " ")))
@@ -150,17 +166,22 @@ object TextAnalysis {
     * (no explode, no shuffle — each row independent):
     * vote-vector accumulate via `aggregate` + `zip_with`, then pack.
     */
-  def simhash48(text: Column): Column = {
-    val toks = array_distinct(tokens(text))
+  def simhash48(text: Column): Column = simhash48FromTokens(tokens(text))
+
+  /** SimHash from an already-computed token array column. The md5 is
+    * hoisted OUT of the per-bit loop (one hash per distinct token, then
+    * 48 shift-and-test votes on the long) — inlining it into the
+    * zip_with lambda would recompute the digest 48× per token.
+    */
+  def simhash48FromTokens(toks: Column): Column = {
     val bitIdx = sequence(lit(0), lit(SimHashBits - 1))
+    val hashes = transform(array_distinct(toks), t => md5Long48(t))
     val votes = aggregate(
-      toks,
+      hashes,
       transform(bitIdx, _ => lit(0L)),
-      (acc, t) => {
-        val h = md5Long48(t)
+      (acc, h) =>
         zip_with(acc, bitIdx, (a, b) =>
-          a + when(shr(h, b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
-      })
+          a + when(shr(h, b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)))
     aggregate(
       zip_with(votes, bitIdx, (v, b) =>
         when(v > 0, shl(lit(1L), b)).otherwise(0L)),

@@ -25,7 +25,7 @@ object DedupQueries {
       "report group-size distribution. Shuffles only (fp, id) pairs — " +
       "text never leaves the map side.",
     (s, dir) => {
-      val d = Tables.documents(s, dir)
+      val d = Tables.documentsSpread(s, dir)
       Dedup.exactGroups(d, "text", "doc_id")
         .groupBy(col("group_size"))
         .agg(count(lit(1)).as("n_groups"), min(col("canonical_id")).as("min_canonical_id"))
@@ -46,13 +46,14 @@ object DedupQueries {
       "shingles: a pair is only materialized if it shares ≥1 shingle, so " +
       "cost is Σ df(shingle)² over the inverted index, not n².",
     (s, dir) => {
-      val d = Tables.documents(s, dir)
+      val d = Tables.documentsSpread(s, dir)
       Dedup.ngramJaccardPairs(d, "text", "doc_id", shingleK = 3, threshold = 0.1)
         .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
     },
     Some(s"""
       |$duckShingles, ex AS (
-      |  SELECT doc_id, len(shingles)::BIGINT AS n_sh, unnest(shingles) AS s FROM sh
+      |  SELECT doc_id, len(shingles)::BIGINT AS n_sh,
+      |         unnest(list_transform(shingles, x -> ('0x' || substring(md5(x), 1, 12))::BIGINT)) AS s FROM sh
       |), pairs AS (
       |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, x.n_sh AS na, y.n_sh AS nb, count(*) AS common
       |  FROM ex x JOIN ex y ON x.s = y.s AND x.doc_id < y.doc_id
@@ -69,17 +70,26 @@ object DedupQueries {
       "exact shingle Jaccard. Signatures are one shuffle-free HOF pass; " +
       "only (band_key, id) shuffles for the candidate join.",
     (s, dir) => {
-      val d = Tables.documents(s, dir)
+      val d = Tables.documentsSpread(s, dir)
+      // candidates are referenced 3× downstream (both semi-join sides +
+      // the id restriction); cache the tiny pair set so the signature
+      // pipeline runs once, not three times
       val cands = Dedup.minhashCandidatePairs(d, "text", "doc_id",
-        shingleK = 3, numHashes = 12, numBands = 4)
+        shingleK = 3, numHashes = 12, numBands = 4).cache()
       Dedup.jaccardOnPairs(d, cands, "text", "doc_id", shingleK = 3)
         .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
     },
     Some(s"""
-      |$duckShingles, sig AS (
-      |  SELECT doc_id, list_transform(range(12),
-      |    s -> list_min(list_transform(shingles, x -> md5(s::VARCHAR || '|' || x)))) AS sg
+      |$duckShingles, hs AS (
+      |  SELECT doc_id, list_transform(shingles,
+      |    x -> ('0x' || substring(md5(x), 1, 8))::BIGINT) AS h
       |  FROM sh
+      |), sig AS (
+      |  SELECT doc_id, list_transform(range(12),
+      |    s -> list_min(list_transform(h,
+      |      v -> (v * (((s + 1) * 2654435761) % 1073741789)
+      |            + (((s + 1) * 97531) % 1073741789)) % 2147483647))) AS sg
+      |  FROM hs
       |), bands AS (
       |  SELECT doc_id, unnest(list_transform(range(4),
       |    b -> b::VARCHAR || ':' || md5(array_to_string(list_slice(sg, b*3+1, b*3+3), ',')))) AS band
@@ -88,7 +98,8 @@ object DedupQueries {
       |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
       |  FROM bands x JOIN bands y ON x.band = y.band AND x.doc_id < y.doc_id
       |), ex AS (
-      |  SELECT doc_id, len(shingles)::BIGINT AS n_sh, unnest(shingles) AS s FROM sh
+      |  SELECT doc_id, len(shingles)::BIGINT AS n_sh,
+      |         unnest(list_transform(shingles, x -> ('0x' || substring(md5(x), 1, 12))::BIGINT)) AS s FROM sh
       |), common AS (
       |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, x.n_sh AS na, y.n_sh AS nb, count(*) AS n_common
       |  FROM ex x JOIN ex y ON x.s = y.s AND x.doc_id < y.doc_id
@@ -105,7 +116,7 @@ object DedupQueries {
       "blocking, exact hamming verify, 30 closest pairs. Signature pass " +
       "is shuffle-free; the band join shuffles only (band, id, sig).",
     (s, dir) => {
-      val d = Tables.documents(s, dir)
+      val d = Tables.documentsSpread(s, dir)
       Dedup.simhashPairs(d, "text", "doc_id", maxHamming = 48)
         .orderBy(col("hamming"), col("id_a"), col("id_b"))
         .limit(30)

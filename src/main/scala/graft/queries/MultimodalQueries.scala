@@ -16,7 +16,7 @@ object MultimodalQueries {
       "count under the 64-byte-stride sampler — all computed on the " +
       "BINARY column (parity: DuckDB encode() → BLOB).",
     (s, dir) => {
-      val d = Multimodal.withFakeMedia(Tables.documents(s, dir), "text")
+      val d = Multimodal.withFakeMedia(Tables.documentsSpread(s, dir), "text")
       d.select(
         col("doc_id"),
         length(col("media")).cast("long").as("n_bytes"),
@@ -39,7 +39,7 @@ object MultimodalQueries {
       "(murmur features) — driver records the rows-only check; exact " +
       "values are covered by MultimodalSpec.",
     (s, dir) => {
-      val d = Multimodal.withFakeMedia(Tables.documents(s, dir), "text")
+      val d = Multimodal.withFakeMedia(Tables.documentsSpread(s, dir), "text")
       Multimodal.decodeAndExtract(d, "media")
         .select(col("doc_id"),
           col("media_meta.width").as("width"),

@@ -2,14 +2,27 @@ package graft.queries
 
 import graft.Tables
 import graft.operators.TextAnalysis._
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis query surface over the `documents` fixture (driver
   * mandate: language-ID, quality scoring, token counting, document
   * fingerprinting). All per-document work is a shuffle-free projection;
   * only the final top-k token aggregation shuffles (32 → tiny).
+  *
+  * Each query projects `norm` and `toks` ONCE and derives every
+  * statistic from those named columns — the regex tokenization is the
+  * dominant per-row cost and must not be re-evaluated per statistic
+  * (CollapseProject keeps multiply-referenced non-cheap aliases
+  * materialized).
   */
 object TextQueries {
+
+  /** (doc_id, lang, …, norm, toks) over the spread documents read. */
+  private def docToks(s: SparkSession, dir: String): DataFrame =
+    Tables.documentsSpread(s, dir)
+      .withColumn("norm", normalize(col("text")))
+      .withColumn("toks", tokensFromNorm(col("norm")))
 
   private val stats = QueryDef(
     "txt_stats",
@@ -17,14 +30,12 @@ object TextQueries {
       "length, punctuation count. Pure projection — no shuffle, scales " +
       "linearly with document count.",
     (s, dir) => {
-      val d = Tables.documents(s, dir)
-      val normCol = normalize(col("text"))
-      d.select(
+      docToks(s, dir).select(
         col("doc_id"),
-        tokenCount(col("text")).as("n_tokens"),
-        distinctTokenCount(col("text")).as("n_distinct_tokens"),
-        round(avgTokenLen(col("text")), 6).as("avg_token_len"),
-        punctCount(normCol).as("n_punct"))
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct_tokens"),
+        round(avgTokenLenFromTokens(col("toks")), 6).as("avg_token_len"),
+        punctCount(col("norm")).as("n_punct"))
         .orderBy(col("doc_id"))
     },
     Some(s"""
@@ -41,10 +52,11 @@ object TextQueries {
     "Heuristic language-ID: per-language stopword hit counts, argmax with " +
       "deterministic tie-break (hits desc, lang asc), no hits → 'und'.",
     (s, dir) => {
-      val d = Tables.documents(s, dir)
       val hitCols = stopwords.keys.toSeq.sorted.map(l =>
-        stopwordHits(col("text"), stopwords(l)).as(s"hits_$l"))
-      d.select(Seq(col("doc_id"), col("lang"), langId(col("text")).as("detected_lang")) ++ hitCols: _*)
+        stopwordHitsFromTokens(col("toks"), stopwords(l)).as(s"hits_$l"))
+      docToks(s, dir)
+        .select(Seq(col("doc_id"), col("lang"),
+          langIdFromTokens(col("toks")).as("detected_lang")) ++ hitCols: _*)
         .orderBy(col("doc_id"))
     },
     Some {
@@ -71,8 +83,9 @@ object TextQueries {
     "Composite quality score: 0.4·stopword-density + 0.3·length-saturation " +
       "+ 0.3·(1 − punctuation-ratio), deterministic double math.",
     (s, dir) => {
-      val d = Tables.documents(s, dir)
-      d.select(col("doc_id"), round(qualityScore(col("text")), 6).as("quality_score"))
+      docToks(s, dir)
+        .select(col("doc_id"),
+          round(qualityScoreFromParts(col("toks"), col("norm")), 6).as("quality_score"))
         .orderBy(col("quality_score").desc, col("doc_id"))
     },
     Some(s"""
@@ -97,11 +110,10 @@ object TextQueries {
     "Document fingerprints: md5 of normalized text (exact-dup key) and " +
       "min-shingle-hash (content-similarity key, winnowing-style).",
     (s, dir) => {
-      val d = Tables.documents(s, dir)
-      d.select(
+      docToks(s, dir).select(
         col("doc_id"),
-        fingerprint(col("text")).as("fp_md5"),
-        array_min(transform(shingles(col("text"), 3), sh => md5(sh))).as("fp_shingle_min"))
+        md5(col("norm")).as("fp_md5"),
+        array_min(transform(shinglesFromTokens(col("toks"), 3), sh => md5(sh))).as("fp_shingle_min"))
         .orderBy(col("doc_id"))
     },
     Some(s"""
@@ -117,8 +129,8 @@ object TextQueries {
       "shuffle in the text surface; partial aggregation makes the " +
       "shuffled data |vocab|, not |tokens|.",
     (s, dir) => {
-      val d = Tables.documents(s, dir)
-      d.select(explode(tokens(col("text"))).as("token"))
+      docToks(s, dir)
+        .select(explode(col("toks")).as("token"))
         .groupBy("token").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("token"))
         .limit(25)
@@ -136,8 +148,8 @@ object TextQueries {
       "functions (no explode, no shuffle); oracle recomputes it the " +
       "explicit way (token × bit explode + vote sums).",
     (s, dir) => {
-      val d = Tables.documents(s, dir)
-      d.select(col("doc_id"), simhash48(col("text")).as("simhash"))
+      docToks(s, dir)
+        .select(col("doc_id"), simhash48FromTokens(col("toks")).as("simhash"))
         .orderBy(col("doc_id"))
     },
     Some(s"""
