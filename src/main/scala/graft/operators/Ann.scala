@@ -93,6 +93,72 @@ object Ann {
       vecCol, idCol, queryVec, k, metric)
   }
 
+  // -------------------------------------------------------------------
+  // Random-hyperplane LSH (sign-bucket) — the cosine-specific ANN
+  // alternative to IVF: bucket = sign bits of projections onto nBits
+  // seeded hyperplanes; near-cosine vectors agree on most signs.
+  // -------------------------------------------------------------------
+
+  /** Deterministic seeded hyperplanes (unit not required — only signs
+    * matter).
+    */
+  def hyperplanes(dim: Int, nBits: Int, seed: Long = 42L): Array[Array[Float]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(nBits)(Array.fill(dim)((rnd.nextGaussian()).toFloat))
+  }
+
+  /** Packed sign-bucket id (LongType) of a vector under the planes. */
+  def lshBucket(vec: Column, planes: Array[Array[Float]]): Column = {
+    val planeLit = typedLit(planes.map(_.toSeq).toSeq)
+    val idxs = sequence(lit(0), lit(planes.length - 1))
+    aggregate(
+      zip_with(planeLit, idxs, (p, i) =>
+        when(dotProduct(vec, p) >= 0d, TextAnalysis.shl(lit(1L), i)).otherwise(0L)),
+      lit(0L), (acc, x) => acc + x)
+  }
+
+  /** Corpus + `lsh_bucket` column (write-time step; partition or
+    * bucket the stored corpus by it).
+    */
+  def assignLshBuckets(corpus: DataFrame, vecCol: String,
+                       planes: Array[Array[Float]]): DataFrame =
+    corpus.withColumn("lsh_bucket", lshBucket(col(vecCol), planes))
+
+  /** Driver-side bucket of a single query vector. */
+  def queryBucket(queryVec: Array[Float], planes: Array[Array[Float]]): Long = {
+    var b = 0L
+    planes.zipWithIndex.foreach { case (p, i) =>
+      var dot = 0.0; var j = 0
+      while (j < p.length) { dot += queryVec(j).toDouble * p(j); j += 1 }
+      if (dot >= 0) b |= (1L << i)
+    }
+    b
+  }
+
+  /** All bucket ids within hamming distance ≤ radius of `bucket`
+    * (multi-probe set; |set| = Σ C(nBits, r)).
+    */
+  def probeBuckets(bucket: Long, nBits: Int, radius: Int): Seq[Long] = {
+    def flips(start: Int, left: Int, cur: Long): Seq[Long] =
+      if (left == 0) Seq(cur)
+      else (start until nBits).flatMap(i => flips(i + 1, left - 1, cur ^ (1L << i)))
+    (0 to radius).flatMap(r => flips(0, r, bucket)).distinct
+  }
+
+  /** LSH search: restrict to buckets within `radius` sign flips of the
+    * query bucket, exact top-k within. Same pruning contract as IVF:
+    * bucket-partitioned storage turns the IN-filter into partition
+    * pruning.
+    */
+  def lshSearch(bucketed: DataFrame, vecCol: String, idCol: String,
+                queryVec: Array[Float], k: Int,
+                planes: Array[Array[Float]], radius: Int = 1,
+                metric: Knn.Metric = Knn.Cosine): DataFrame = {
+    val probes = probeBuckets(queryBucket(queryVec, planes), planes.length, radius)
+    Knn.search(bucketed.filter(col("lsh_bucket").isin(probes: _*)),
+      vecCol, idCol, queryVec, k, metric)
+  }
+
   /** recall@k of an ANN result against the exact top-k (both must carry
     * `idCol`). Driver-side on two k-row frames.
     */

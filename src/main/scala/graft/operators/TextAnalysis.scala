@@ -155,9 +155,9 @@ object TextAnalysis {
     * the Catalyst expressions take any expression — needed inside HOF
     * lambdas where the bit index is a lambda variable).
     */
-  private def shr(v: Column, bits: Column): Column =
+  private[graft] def shr(v: Column, bits: Column): Column =
     ColumnShim.column(ShiftRight(ColumnShim.expression(v), ColumnShim.expression(bits)))
-  private def shl(v: Column, bits: Column): Column =
+  private[graft] def shl(v: Column, bits: Column): Column =
     ColumnShim.column(ShiftLeft(ColumnShim.expression(v), ColumnShim.expression(bits)))
 
   /** 48-bit SimHash over the distinct tokens: per bit, sum ±1 votes from

@@ -74,6 +74,31 @@ class AnnSpec extends SparkSpec {
     assert(assigned.select("cluster_id").distinct().count() > 1)
   }
 
+  test("lsh buckets: deterministic, query bucket matches column computation") {
+    val planes = Ann.hyperplanes(dim = 64, nBits = 12, seed = 42L)
+    val bucketed = Ann.assignLshBuckets(emb, "embedding", planes)
+    val row = bucketed.orderBy("vec_id").select("embedding", "lsh_bucket").collect()(0)
+    val driverBucket = Ann.queryBucket(row.getSeq[Float](0).toArray, planes)
+    assert(row.getLong(1) == driverBucket)
+    assert(bucketed.select("lsh_bucket").distinct().count() > 1)
+  }
+
+  test("lsh multi-probe: radius grows the probe set; recall monotone in radius") {
+    val planes = Ann.hyperplanes(dim = 64, nBits = 10, seed = 7L)
+    assert(Ann.probeBuckets(0L, 10, 0) == Seq(0L))
+    assert(Ann.probeBuckets(0L, 10, 1).length == 11)
+    assert(Ann.probeBuckets(0L, 10, 2).length == 1 + 10 + 45)
+    val bucketed = Ann.assignLshBuckets(emb, "embedding", planes).cache()
+    val exact = Knn.search(emb, "embedding", "vec_id", q, k = 10)
+    val recalls = Seq(0, 2, 4).map { r =>
+      Ann.recallAtK(
+        Ann.lshSearch(bucketed, "embedding", "vec_id", q, k = 10, planes, radius = r),
+        exact, "vec_id")
+    }
+    assert(recalls == recalls.sorted, s"recall not monotone: $recalls")
+    bucketed.unpersist()
+  }
+
   test("ivf search reads only the probed fraction (filter above the scan)") {
     val cents = Ann.seededCentroids(emb, "embedding", "vec_id", nlist = 8)
     val indexed = Ann.assignClusters(emb, "embedding", cents)
