@@ -159,6 +159,20 @@ object Ann {
       vecCol, idCol, queryVec, k, metric)
   }
 
+  /** Persist the cluster-assigned corpus partitioned by `cluster_id` —
+    * the write-time half of the IVF index. Reads through
+    * [[readIndexed]] + [[search]] then hit only the probed partition
+    * directories (static partition pruning: the `cluster_id IN (…)`
+    * filter never touches the other files).
+    */
+  def writeIndexed(corpus: DataFrame, vecCol: String,
+                   centroids: Array[Array[Float]], path: String): Unit =
+    assignClusters(corpus, vecCol, centroids)
+      .write.mode("overwrite").partitionBy("cluster_id").parquet(path)
+
+  def readIndexed(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
   /** recall@k of an ANN result against the exact top-k (both must carry
     * `idCol`). Driver-side on two k-row frames.
     */

@@ -166,5 +166,27 @@ object TextQueries {
       |FROM bits GROUP BY doc_id ORDER BY doc_id
       """.stripMargin.trim))
 
-  val defs: Seq[QueryDef] = Seq(stats, langQ, quality, fp, topTokens, simhashQ)
+  private val embedQ = QueryDef(
+    "txt_embed_pipeline",
+    "Batch embedding pipeline (reference ingest shape, ingest_hotels" +
+      ".py:21-34, set-oriented): documents → batched partition-local " +
+      "encode → unit-norm 64-d vectors; verifies norm and dimension " +
+      "per row. Rows-only check (feature hashing is not " +
+      "ANSI-SQL-expressible); exact semantics covered by specs.",
+    (s, dir) => {
+      import graft.functions.{Embeddings, HashingEmbedder}
+      import graft.functions.VectorFunctions._
+      val d = Tables.documentsSpread(s, dir)
+      val embedded = Embeddings.embedDataFrame(
+        d.select("doc_id", "text"), "text", "vec", HashingEmbedder(dim = 64, seed = 7))
+      embedded.select(
+        col("doc_id"),
+        vectorDim(col("vec")).as("dim"),
+        round(l2Norm(col("vec")), 4).as("norm"))
+        .orderBy(col("doc_id"))
+    },
+    None)
+
+  val defs: Seq[QueryDef] =
+    Seq(stats, langQ, quality, fp, topTokens, simhashQ, embedQ)
 }

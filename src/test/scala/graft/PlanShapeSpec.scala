@@ -1,0 +1,91 @@
+package graft
+
+import graft.operators.{Ann, Knn}
+import graft.queries.Queries
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.SparkPlan
+
+/** Physical-plan shape assertions — the 100 TB contract (SURVEY §4):
+  * filters reach the parquet scan, small dimensions broadcast, top-k
+  * never globally sorts, partitioned IVF storage prunes partitions.
+  * These are the properties that decide whether a plan survives a
+  * 1000-executor scale-up, asserted against the real optimizer output.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    // other suites may have cached fixture tables; a cached relation
+    // plans as InMemoryTableScan and hides the file-scan properties
+    // asserted here
+    spark.catalog.clearCache()
+  }
+
+  private def planOf(name: String): String = {
+    GraftSession.prepare(spark)
+    Queries.queriesMap(name)(spark, sf("sf0.001")).queryExecution.executedPlan.toString
+  }
+
+  test("q6: every predicate pushes into the parquet scan") {
+    val p = planOf("q6_forecast_revenue")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") || p.contains("IsNotNull(l_shipdate"), p)
+    // partial aggregation before the exchange (map-side combine)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("q1: partial hash aggregation below the shuffle") {
+    val p = planOf("q1_pricing_summary")
+    val aggIdx = p.indexOf("HashAggregate")
+    assert(aggIdx >= 0 && p.indexOf("HashAggregate", aggIdx + 1) > aggIdx,
+      s"expected partial+final HashAggregate pair:\n$p")
+  }
+
+  test("q3/q5: dimension sides broadcast, no shuffle of the dims") {
+    assert(planOf("q3_shipping_priority").contains("BroadcastHashJoin"))
+    assert(planOf("q5_local_supplier_volume").contains("BroadcastHashJoin"))
+  }
+
+  test("flagship KNN: TakeOrderedAndProject directly over the scan, zero exchanges") {
+    val p = planOf("knn_exact_cosine")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange"), s"KNN must not shuffle the corpus:\n$p")
+    // the distance expression participates in codegen (not a black-box UDF)
+    assert(p.contains("cosine_distance") || p.contains("CosineDistance"), p)
+  }
+
+  test("hybrid KNN: label predicate reaches the scan as a pushed filter") {
+    val p = planOf("knn_filtered_hybrid")
+    assert(p.contains("PushedFilters: [In(label") || p.contains("PushedFilters: [IsNotNull(label), In(label"),
+      s"label IN filter should push into parquet:\n$p")
+  }
+
+  test("persisted IVF index: probe filter becomes partition pruning") {
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val cents = Ann.seededCentroids(emb, "embedding", "vec_id", nlist = 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    try {
+      Ann.writeIndexed(emb, "embedding", cents, dir)
+      val indexed = Ann.readIndexed(spark, dir)
+      val hits = Ann.search(indexed, "embedding", "vec_id", Queries.queryVec64,
+        k = 10, cents, nprobe = 3)
+      val plan = hits.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters: [") && plan.contains("cluster_id"),
+        s"probe filter should prune cluster partitions:\n$plan")
+      // pruned scan must read fewer than all 8 partition dirs
+      val scan = hits.queryExecution.executedPlan.collectLeaves()
+        .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      assert(scan.nonEmpty)
+      assert(scan.get.selectedPartitions.partitionCount == 3,
+        s"expected 3 probed partitions, scanned ${scan.get.selectedPartitions.partitionCount}")
+      // and the result matches searching the unpartitioned frame
+      val expect = Ann.search(Ann.assignClusters(emb, "embedding", cents),
+        "embedding", "vec_id", Queries.queryVec64, k = 10, cents, nprobe = 3)
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+      assert(hits.select("vec_id").collect().map(_.getLong(0)).toSeq == expect)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+}
