@@ -26,6 +26,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // transparent exact-KNN → IVF-probe rewrite for tables registered
+    // in graft.plans.IvfCatalog (explicit opt-in per table)
+    ext.injectOptimizerRule(_ => graft.plans.IvfProbeRule)
     ext.injectFunction((FunctionIdentifier("dot_product"),
       info("dot_product", "_FUNC_(a, b) - double dot product of two float/double arrays"),
       (es: Seq[Expression]) => DotProduct(es(0), es(1))))

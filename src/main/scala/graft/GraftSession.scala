@@ -26,6 +26,13 @@ object GraftSession {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     functions.VectorFunctions.registerAll(spark)
+    // KNN→IVF-probe rewrite for IvfCatalog-registered tables (no-op on
+    // everything else); extraOptimizations covers driver-provided
+    // sessions that weren't built withExtensions(GraftExtensions)
+    if (!spark.experimental.extraOptimizations.contains(plans.IvfProbeRule)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ plans.IvfProbeRule
+    }
     spark
   }
 

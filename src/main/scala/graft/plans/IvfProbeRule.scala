@@ -1,0 +1,137 @@
+package graft.plans
+
+import graft.functions.{CosineDistance, L2Distance}
+import graft.operators.Ann
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+import scala.collection.concurrent.TrieMap
+
+/** Registry of IVF-indexed tables: storage path → (centroids, nprobe).
+  * Registration is the EXPLICIT opt-in that allows [[IvfProbeRule]] to
+  * trade exactness for probe pruning on that table (the rewrite is an
+  * approximation — like choosing an ANN index in a vector DB, it never
+  * happens implicitly).
+  */
+object IvfCatalog {
+  final case class IvfIndex(centroids: Array[Array[Float]], nprobe: Int)
+
+  private val indexes = TrieMap.empty[String, IvfIndex]
+
+  private def normalize(path: String): String =
+    path.stripSuffix("/").replaceFirst("^file:", "")
+
+  def register(path: String, centroids: Array[Array[Float]], nprobe: Int): Unit =
+    indexes.put(normalize(path), IvfIndex(centroids, nprobe))
+
+  def unregister(path: String): Unit = indexes.remove(normalize(path))
+  def clear(): Unit = indexes.clear()
+
+  def lookup(rootPaths: Seq[String]): Option[IvfIndex] =
+    rootPaths.map(normalize).flatMap(indexes.get).headOption
+}
+
+/** Transparent exact-KNN → IVF-probe rewrite (SURVEY §4's optional
+  * optimizer extension): a logical plan of the shape
+  *
+  * {{{ Limit k ← Sort [cosine_distance(vec, LITERAL) ASC, …] ← … ← scan(T) }}}
+  *
+  * where `T`'s storage path is registered in [[IvfCatalog]] and carries
+  * the index's `cluster_id` column, gains a
+  * `cluster_id IN (nearest nprobe centroids of LITERAL)` filter above
+  * the scan — which cluster-partitioned storage turns into partition
+  * pruning. The top-k semantics stay `TakeOrderedAndProject`; only the
+  * scanned fraction changes (~nprobe/nlist). Applies once
+  * (idempotent by construction: the injected filter is recognized on
+  * re-entry).
+  *
+  * Enabled via `GraftExtensions` (injectOptimizerRule) or
+  * `spark.experimental.extraOptimizations` (GraftSession.prepare).
+  */
+object IvfProbeRule extends Rule[LogicalPlan] {
+
+  /** Extract the float array of a typed array literal (query vector). */
+  private def literalVector(e: Expression): Option[Array[Float]] = e match {
+    case Literal(data: ArrayData, ArrayType(FloatType, _)) => Some(data.toFloatArray())
+    case Literal(data: ArrayData, ArrayType(DoubleType, _)) =>
+      Some(data.toDoubleArray().map(_.toFloat))
+    case _ => None
+  }
+
+  /** The query vector of a distance-ASC sort head, resolved through an
+    * intervening Project if the distance is a projected alias.
+    */
+  private def sortQueryVector(order: Seq[SortOrder], child: LogicalPlan): Option[Array[Float]] = {
+    def fromExpr(e: Expression): Option[Array[Float]] = e match {
+      case CosineDistance(_, r) => literalVector(r)
+      case CosineDistance(l, _) => literalVector(l)
+      case L2Distance(_, r)     => literalVector(r)
+      case L2Distance(l, _)     => literalVector(l)
+      case _                    => None
+    }
+    order.headOption.filter(_.direction == Ascending).flatMap { so =>
+      so.child match {
+        case a: Attribute =>
+          child.collectFirst {
+            case Project(projList, _) if projList.exists(p =>
+              p.exprId == a.exprId && fromExpr(p match {
+                case Alias(ae, _) => ae
+                case other        => other
+              }).isDefined) =>
+              projList.collectFirst {
+                case al @ Alias(ae, _) if al.exprId == a.exprId => fromExpr(ae)
+              }.flatten
+          }.flatten
+        case e => fromExpr(e)
+      }
+    }
+  }
+
+  private def indexOf(rel: LogicalRelation): Option[IvfCatalog.IvfIndex] =
+    rel.relation match {
+      case fs: HadoopFsRelation =>
+        IvfCatalog.lookup(fs.location.rootPaths.map(_.toString))
+      case _ => None
+    }
+
+  /** True if a probe filter on cluster_id already guards a registered
+    * relation anywhere below (idempotence across optimizer re-runs).
+    */
+  private def alreadyProbed(plan: LogicalPlan): Boolean = plan.exists {
+    case Filter(cond, rel: LogicalRelation) if indexOf(rel).isDefined =>
+      cond.exists {
+        case In(a: Attribute, _) => a.name == "cluster_id"
+        case _                   => false
+      }
+    case _ => false
+  }
+
+  /** The global Sort directly under the limit, looking through the
+    * column-pruning Projects the optimizer interposes.
+    */
+  private def findSort(p: LogicalPlan): Option[Sort] = p match {
+    case s: Sort if s.global => Some(s)
+    case pr: Project         => findSort(pr.child)
+    case _                   => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case limit @ GlobalLimit(_, ll @ LocalLimit(_, inner)) if !alreadyProbed(inner) =>
+      (for {
+        sort <- findSort(inner)
+        qv <- sortQueryVector(sort.order, sort.child)
+      } yield {
+        limit.transformUp {
+          case rel: LogicalRelation
+              if indexOf(rel).isDefined && rel.output.exists(_.name == "cluster_id") =>
+            val idx = indexOf(rel).get
+            val clusterAttr = rel.output.find(_.name == "cluster_id").get
+            val probes = Ann.probeIds(qv, idx.centroids, idx.nprobe)
+            Filter(In(clusterAttr, probes.map(p => Literal(p))), rel)
+        }
+      }).getOrElse(limit)
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import graft.operators.{Ann, Knn}
+import graft.plans.IvfCatalog
+import graft.queries.Queries
+import org.apache.spark.sql.execution.FileSourceScanExec
+
+/** The transparent exact-KNN → IVF-probe optimizer rule: a plain
+  * `Knn.search` over a REGISTERED cluster-partitioned table gets probe
+  * pruning injected by the optimizer; unregistered tables are
+  * untouched.
+  */
+class IvfProbeRuleSpec extends SparkSpec {
+
+  private lazy val emb = Tables.embeddings(spark, sf("sf0.001"))
+  private val q = Queries.queryVec64
+
+  private def withIndexDir(f: (String, Array[Array[Float]]) => Unit): Unit = {
+    val cents = Ann.seededCentroids(emb, "embedding", "vec_id", nlist = 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_rule").toString
+    try {
+      Ann.writeIndexed(emb, "embedding", cents, dir)
+      f(dir, cents)
+    } finally {
+      IvfCatalog.clear()
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
+  test("registered table: plain exact search is rewritten to a 3-partition probe scan") {
+    withIndexDir { (dir, cents) =>
+      IvfCatalog.register(dir, cents, nprobe = 3)
+      spark.catalog.clearCache()
+      val hits = Knn.search(Ann.readIndexed(spark, dir), "embedding", "vec_id", q, k = 10)
+      val scan = hits.queryExecution.executedPlan.collectLeaves()
+        .collectFirst { case s: FileSourceScanExec => s }.get
+      assert(scan.selectedPartitions.partitionCount == 3,
+        s"rule should prune to nprobe=3 partitions, scanned ${scan.selectedPartitions.partitionCount}")
+      // results equal the explicit Ann.search probe path
+      val expect = Ann.search(Ann.readIndexed(spark, dir), "embedding", "vec_id",
+        q, k = 10, cents, nprobe = 3).select("vec_id").collect().map(_.getLong(0)).toSeq
+      assert(hits.select("vec_id").collect().map(_.getLong(0)).toSeq == expect)
+    }
+  }
+
+  test("unregistered table: exact search untouched (all partitions scanned)") {
+    withIndexDir { (dir, _) =>
+      spark.catalog.clearCache()
+      val hits = Knn.search(Ann.readIndexed(spark, dir), "embedding", "vec_id", q, k = 10)
+      val scan = hits.queryExecution.executedPlan.collectLeaves()
+        .collectFirst { case s: FileSourceScanExec => s }.get
+      assert(scan.selectedPartitions.partitionCount == 8)
+      // exact answer = brute force over the whole corpus
+      val exact = Knn.search(emb, "embedding", "vec_id", q, k = 10)
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+      assert(hits.select("vec_id").collect().map(_.getLong(0)).toSeq == exact)
+    }
+  }
+
+  test("probing all lists through the rule reproduces the exact result") {
+    withIndexDir { (dir, cents) =>
+      IvfCatalog.register(dir, cents, nprobe = 8)
+      spark.catalog.clearCache()
+      val viaRule = Knn.search(Ann.readIndexed(spark, dir), "embedding", "vec_id", q, k = 10)
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+      val exact = Knn.search(emb, "embedding", "vec_id", q, k = 10)
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+      assert(viaRule == exact)
+    }
+  }
+}
