@@ -188,5 +188,32 @@ object VectorQueries {
       """.stripMargin.trim
     })
 
-  val defs: Seq[QueryDef] = Seq(filtered, l2Search, batch, ragContext, ivf)
+  private val sqlApi = QueryDef(
+    "knn_sql_api",
+    "Flagship KNN expressed in pure SQL against the registered function " +
+      "surface (spark.sql + cosine_distance from VectorFunctions" +
+      ".registerAll / GraftExtensions) — same TakeOrderedAndProject plan " +
+      "as the DataFrame API path.",
+    (s, dir) => {
+      Tables.embeddings(s, dir).createOrReplaceTempView("embeddings_v")
+      val qArr = Queries.queryVec64
+        .map(f => s"CAST(${new java.math.BigDecimal(f.toDouble).toPlainString} AS FLOAT)")
+        .mkString("array(", ", ", ")")
+      s.sql(
+        s"""SELECT vec_id,
+           |       round(cosine_distance(embedding, $qArr), 6) AS distance
+           |FROM embeddings_v
+           |ORDER BY cosine_distance(embedding, $qArr), vec_id
+           |LIMIT 10""".stripMargin)
+    },
+    Some(s"""
+      |WITH d AS (
+      |  SELECT vec_id, ${duckCosine("embedding", vecLit(Queries.queryVec64))} AS dist
+      |  FROM embeddings
+      |)
+      |SELECT vec_id, round(dist, 6) AS distance
+      |FROM d ORDER BY dist, vec_id LIMIT 10
+      """.stripMargin.trim))
+
+  val defs: Seq[QueryDef] = Seq(filtered, l2Search, batch, ragContext, ivf, sqlApi)
 }

@@ -74,6 +74,25 @@ class GoldenHotelsSpec extends SparkSpec {
     assert(scores == scores.sorted.reverse)
   }
 
+  test("display shaping: bulk rename to UI names + rating format (P10/P13, streamlit_app.py:224-231,261)") {
+    val qv = model.encode("beach stay")
+    val shaped = Knn.withMatchScore(
+      Knn.search(hotels, "addr_vec", "name", qv, k = 3), "name")
+      .withColumnsRenamed(Map(
+        "name" -> "Hotel", "addr_text" -> "Address", "city" -> "City",
+        "price_usd" -> "Price (USD)", "rating" -> "Rating", "url" -> "Website"))
+      .withColumn("Rating", format_number(least(greatest(col("Rating"), lit(0.0)), lit(5.0)), 1))
+      .select("Hotel", "Address", "City", "Price (USD)", "Rating", "Website", "display_score")
+    val rows = shaped.collect()
+    assert(rows.length == 3)
+    assert(shaped.columns.toSeq ==
+      Seq("Hotel", "Address", "City", "Price (USD)", "Rating", "Website", "display_score"))
+    rows.foreach { r =>
+      assert(r.getAs[String]("Rating").matches("\\d\\.\\d"))
+      assert(r.getAs[String]("display_score").endsWith("%"))
+    }
+  }
+
   test("wire-format round trip on real vectors (TO_VECTOR parity, P3∘P4)") {
     val back = hotels
       .withColumn("wire", vectorToString(col("addr_vec")))

@@ -117,6 +117,16 @@ class TextDedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L, 0L)))
   }
 
+  test("approx_count_distinct tracks the exact distinct count (SURVEY §2.5)") {
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val r = docs.agg(
+      countDistinct(col("source")).as("exact"),
+      approx_count_distinct(col("source"), 0.02).as("approx")).collect()(0)
+    val (exact, approx) = (r.getLong(0), r.getLong(1))
+    assert(math.abs(approx - exact).toDouble / exact < 0.1,
+      s"approx=$approx vs exact=$exact")
+  }
+
   test("embedding near-dup pairs respect blocking and threshold") {
     val embs = Seq(
       (1L, 0, Seq(1f, 0f)), (2L, 0, Seq(0.99f, 0.14f)),
