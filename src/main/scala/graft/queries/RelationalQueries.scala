@@ -210,5 +210,88 @@ object RelationalQueries {
       |ORDER BY c_mktsegment
       """.stripMargin.trim))
 
-  val defs: Seq[QueryDef] = Seq(q3, q5, windowTop, rollupQ, setOps, semiAnti)
+  private val q12 = QueryDef(
+    "q12_priority_by_shipmode",
+    "TPC-H Q12-style conditional aggregation: CASE WHEN inside sums, IN-" +
+      "list + range predicates pushed to the scan, one fact shuffle.",
+    (s, dir) => {
+      val ord = Tables.orders(s, dir)
+      val li = Tables.lineitem(s, dir).filter(
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_linenumber").isin(1, 2, 3))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_linenumber"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+            .as("high_line_count"),
+          sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+            .as("low_line_count"))
+        .orderBy(col("l_linenumber"))
+    },
+    Some("""
+      |SELECT l_linenumber,
+      |       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+      |       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_linenumber IN (1, 2, 3)
+      |GROUP BY l_linenumber ORDER BY l_linenumber
+      """.stripMargin.trim))
+
+  private val q14 = QueryDef(
+    "q14_promo_share",
+    "TPC-H Q14-style: LIKE predicate inside conditional aggregation, " +
+      "broadcast part dim, single-division ratio (deterministic double).",
+    (s, dir) => {
+      val part = Tables.part(s, dir)
+      val li = Tables.lineitem(s, dir).filter(
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-07-01").cast("timestamp"))
+      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .agg(
+          (round(
+            dsum(when(col("p_type").like("%a%"),
+              col("l_extendedprice") * (lit(1.0) - col("l_discount"))).otherwise(lit(0.0)))
+              * 100.0 /
+              dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 6))
+            .as("promo_share_pct"),
+          count(lit(1)).as("n_rows"))
+    },
+    Some("""
+      |SELECT round(
+      |         CAST(SUM(CAST(CASE WHEN p_type LIKE '%a%'
+      |                       THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END AS DECIMAL(38,6))) AS DOUBLE)
+      |         * 100.0 /
+      |         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE), 6) AS promo_share_pct,
+      |       COUNT(*) AS n_rows
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate <  TIMESTAMP '1996-07-01 00:00:00'
+      """.stripMargin.trim))
+
+  private val scalarSub = QueryDef(
+    "scalar_subquery_above_avg",
+    "Scalar subquery: customers per segment with account balance above " +
+      "the global average (subquery broadcast as a scalar; one dim scan " +
+      "+ one reuse).",
+    (s, dir) => {
+      val cust = Tables.customer(s, dir)
+      cust.createOrReplaceTempView("customer_v")
+      s.sql("""
+        SELECT c_mktsegment, count(*) AS n_above
+        FROM customer_v
+        WHERE CAST(c_acctbal AS DECIMAL(38,6)) > (SELECT avg(CAST(c_acctbal AS DECIMAL(38,6))) FROM customer_v)
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+    },
+    Some("""
+      |SELECT c_mktsegment, count(*) AS n_above
+      |FROM customer
+      |WHERE CAST(c_acctbal AS DECIMAL(38,6)) > (SELECT avg(CAST(c_acctbal AS DECIMAL(38,6))) FROM customer)
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment
+      """.stripMargin.trim))
+
+  val defs: Seq[QueryDef] =
+    Seq(q3, q5, windowTop, rollupQ, setOps, semiAnti, q12, q14, scalarSub)
 }
