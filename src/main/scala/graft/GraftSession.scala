@@ -75,7 +75,10 @@ object Tables {
     * partitions and this is unnecessary — it guards the small-file case.
     */
   def documentsSpread(s: SparkSession, d: String): DataFrame =
-    documents(s, d).repartition(s.sparkContext.defaultParallelism)
+    // hash on the key, not round-robin: RoundRobinPartitioning sorts
+    // every input partition first (sortBeforeRepartition, for retry
+    // determinism) — a full-row sort of the text column for nothing
+    documents(s, d).repartition(s.sparkContext.defaultParallelism, col("doc_id"))
   def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")
 
   /** `events` with `ts` as a microsecond TIMESTAMP (UTC session TZ).
