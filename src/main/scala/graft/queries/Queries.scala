@@ -167,7 +167,7 @@ object Queries {
   val all: Seq[QueryDef] =
     Seq(q1, q6, knnExact, knnScored) ++ TextQueries.defs ++ DedupQueries.defs ++
       RelationalQueries.defs ++ EventQueries.defs ++ VectorQueries.defs ++
-      MultimodalQueries.defs
+      MultimodalQueries.defs ++ PipelineQueries.defs
 
   def queriesMap: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> { (s: SparkSession, dir: String) =>
