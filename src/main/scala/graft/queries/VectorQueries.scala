@@ -215,5 +215,37 @@ object VectorQueries {
       |FROM d ORDER BY dist, vec_id LIMIT 10
       """.stripMargin.trim))
 
-  val defs: Seq[QueryDef] = Seq(filtered, l2Search, batch, ragContext, ivf, sqlApi)
+  private val centroids = QueryDef(
+    "vec_centroids_by_label",
+    "Per-label embedding centroids (the IVF-refresh aggregation) in the " +
+      "order-independent formulation: posexplode → exact decimal sums " +
+      "per (label, position) → reassembled vector. The single-pass " +
+      "Aggregator fast path (CentroidAggregator) is spec-tested against " +
+      "this.",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      e.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("label"), col("pos"))
+        .agg((sum(col("v").cast(org.apache.spark.sql.types.DecimalType(38, 12))).cast("double") /
+          count(lit(1))).as("m"))
+        .groupBy(col("label"))
+        .agg(transform(sort_array(collect_list(struct(col("pos"), col("m")))),
+          x => round(x.getField("m"), 6)).as("centroid"))
+        .orderBy(col("label"))
+    },
+    Some("""
+      |WITH ex AS (
+      |  SELECT label, generate_subscripts(embedding, 1) - 1 AS pos, unnest(embedding) AS v
+      |  FROM embeddings
+      |), m AS (
+      |  SELECT label, pos,
+      |         CAST(SUM(CAST(v AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS m
+      |  FROM ex GROUP BY label, pos
+      |)
+      |SELECT label, list(round(m, 6) ORDER BY pos) AS centroid
+      |FROM m GROUP BY label ORDER BY label
+      """.stripMargin.trim))
+
+  val defs: Seq[QueryDef] =
+    Seq(filtered, l2Search, batch, ragContext, ivf, sqlApi, centroids)
 }

@@ -74,6 +74,30 @@ class AnnSpec extends SparkSpec {
     assert(assigned.select("cluster_id").distinct().count() > 1)
   }
 
+  test("CentroidAggregator (single-pass) agrees with the explode-based centroid query") {
+    import spark.implicits._
+    val agg = new graft.functions.CentroidAggregator(dim = 64)
+    val fast = emb.select(col("label"), col("embedding"))
+      .as[(Int, Seq[Float])]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(agg.toColumn.name("centroid"))
+      .collect().toMap
+    // reference: driver-side exact means
+    val rows = emb.select("label", "embedding").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1)))
+    val expect = rows.groupBy(_._1).map { case (l, vs) =>
+      val dim = vs.head._2.length
+      l -> (0 until dim).map(i => (vs.map(_._2(i).toDouble).sum / vs.length).toFloat)
+    }
+    fast.foreach { case (l, c) =>
+      c.lazyZip(expect(l)).foreach { (a, b) =>
+        assert(math.abs(a - b) < 1e-4, s"label $l centroid mismatch: $a vs $b")
+      }
+    }
+    assert(fast.keySet == expect.keySet)
+  }
+
   test("lsh buckets: deterministic, query bucket matches column computation") {
     val planes = Ann.hyperplanes(dim = 64, nBits = 12, seed = 42L)
     val bucketed = Ann.assignLshBuckets(emb, "embedding", planes)
