@@ -42,6 +42,17 @@ object Knn {
       .limit(k)
   }
 
+  /** The reference's end-to-end entry point (`perform_similarity_search`,
+    * streamlit_app.py:45-52): TEXT query → embed on the driver (one
+    * vector → literal in the plan) → exact top-k. The corpus must have
+    * been embedded with the same model.
+    */
+  def searchText(corpus: DataFrame, vecCol: String, idCol: String,
+                 queryText: String, k: Int,
+                 model: graft.functions.EmbeddingModel,
+                 metric: Metric = Cosine): DataFrame =
+    search(corpus, vecCol, idCol, model.encode(queryText), k, metric)
+
   /** Filtered (hybrid) search: relational predicate + KNN. The predicate
     * is applied *before* the distance so Catalyst pushes it into the scan
     * (partition/file pruning at scale).

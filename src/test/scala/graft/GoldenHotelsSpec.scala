@@ -57,6 +57,16 @@ class GoldenHotelsSpec extends SparkSpec {
     assert(rows.map(_.getString(0)).toSeq == again.toSeq)
   }
 
+  test("searchText: the text-in results-out entry point equals encode+search") {
+    val viaText = Knn.searchText(hotels, "addr_vec", "name",
+      "beach resort near fort Goa", k = 4, model)
+      .select("name").collect().map(_.getString(0)).toSeq
+    val viaVec = Knn.search(hotels, "addr_vec", "name",
+      model.encode("beach resort near fort Goa"), k = 4)
+      .select("name").collect().map(_.getString(0)).toSeq
+    assert(viaText == viaVec && viaText.length == 4)
+  }
+
   test("match-score shaping matches the reference formula and ordering") {
     val qv = model.encode("hotel near Candolim fort")
     val scored = Knn.withMatchScore(

@@ -60,6 +60,15 @@ class PlanShapeSpec extends SparkSpec {
       s"label IN filter should push into parquet:\n$p")
   }
 
+  test("batch KNN: corpus side never shuffles (broadcast nested-loop + one rank shuffle)") {
+    val p = planOf("knn_batch")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    // exactly one exchange: the per-query window rank; the corpus scan
+    // itself feeds the join without shuffling
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected exactly the rank shuffle, got $exchanges:\n$p")
+  }
+
   test("persisted IVF index: probe filter becomes partition pruning") {
     val emb = Tables.embeddings(spark, sf("sf0.001"))
     val cents = Ann.seededCentroids(emb, "embedding", "vec_id", nlist = 8)
