@@ -124,6 +124,21 @@ object TextAnalysis {
       lit(0.4) * stopRatio + lit(0.3) * lenSat + lit(0.3) * (lit(1.0) - punctRatio))
   }
 
+  /** BPE-ish pre-tokenization pattern (GPT-2-style word/number/symbol
+    * split, simplified to the lookahead-free subset both Java regex and
+    * RE2 support): leading-space word runs, digit runs, and symbol
+    * runs each form one pre-token.
+    */
+  val BpePattern = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+
+  /** Pre-token count under [[BpePattern]] — the LLM-pipeline "token
+    * budget" estimator (a real tokenizer refines these pre-tokens into
+    * subwords; the split is the engine-side part).
+    * DuckDB: `len(regexp_extract_all(norm, pattern))`.
+    */
+  def bpeTokenCount(norm: Column): Column =
+    size(regexp_extract_all(norm, lit(BpePattern), lit(0))).cast("long")
+
   /** Exact-dedup fingerprint: md5 of the normalized text (bit-identical
     * in DuckDB: `md5(lower(trim(regexp_replace(...))))`).
     */

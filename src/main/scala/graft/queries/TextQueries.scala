@@ -35,7 +35,8 @@ object TextQueries {
         size(col("toks")).cast("long").as("n_tokens"),
         size(array_distinct(col("toks"))).cast("long").as("n_distinct_tokens"),
         round(avgTokenLenFromTokens(col("toks")), 6).as("avg_token_len"),
-        punctCount(col("norm")).as("n_punct"))
+        punctCount(col("norm")).as("n_punct"),
+        bpeTokenCount(col("norm")).as("n_bpe_tokens"))
         .orderBy(col("doc_id"))
     },
     Some(s"""
@@ -43,7 +44,8 @@ object TextQueries {
       |SELECT doc_id, len(toks)::BIGINT AS n_tokens,
       |       len(list_distinct(toks))::BIGINT AS n_distinct_tokens,
       |       round(list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks), 6) AS avg_token_len,
-      |       ${Duck.punct} AS n_punct
+      |       ${Duck.punct} AS n_punct,
+      |       len(regexp_extract_all(norm, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+'))::BIGINT AS n_bpe_tokens
       |FROM tt ORDER BY doc_id
       """.stripMargin.trim))
 
