@@ -97,22 +97,35 @@ object Dedup {
     * (band_key, id) rows; band-key skew is bounded by band count.
     * Returns (id_a, id_b) with id_a < id_b.
     */
+  /** (id, sh: array<string>) shingle relation for `docs` — the shared
+    * input of candidate generation and Jaccard verification. `toks` is
+    * a named column: the shingle lambda slices it per element, and an
+    * inlined tokenizer would re-split per shingle.
+    */
+  def shingleRelation(docs: DataFrame, textCol: String, idCol: String,
+                      shingleK: Int): DataFrame =
+    docs
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .select(col("id"), shinglesFromTokens(col("toks"), shingleK).as("sh"))
+
   def minhashCandidatePairs(docs: DataFrame, textCol: String, idCol: String,
                             shingleK: Int = 3, numHashes: Int = 12,
-                            numBands: Int = 4): DataFrame = {
+                            numBands: Int = 4): DataFrame =
+    minhashCandidatePairsFromShingles(
+      shingleRelation(docs, textCol, idCol, shingleK), numHashes, numBands)
+
+  /** Candidate pairs from a prepared (id, sh) relation. */
+  def minhashCandidatePairsFromShingles(shingleRel: DataFrame, numHashes: Int,
+                                        numBands: Int): DataFrame = {
     val rowsPerBand = numHashes / numBands
-    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val par = shingleRel.sparkSession.sparkContext.defaultParallelism
     // The repartition is a MATERIALIZATION BARRIER as much as
     // parallelism: CollapseProject counts syntactic references, so
     // without it the shingle-hash pipeline would be inlined into the
     // signature lambda and re-evaluated once per seed per row. The
     // exchange ships only (id, hash-array) rows and forces single
     // evaluation on its map side.
-    // toks is a named column: the shingle lambda slices it per element,
-    // and an inlined tokenizer would re-split per shingle
-    val banded = docs
-      .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
-      .select(col("id"), shinglesFromTokens(col("toks"), shingleK).as("sh"))
+    val banded = shingleRel
       .select(col("id"), transform(col("sh"), s => md5Long32(s)).as("hs"))
       .repartition(par, col("id"))
       .select(col("id"), minhashSignature(col("hs"), numHashes).as("sig"))
@@ -132,7 +145,14 @@ object Dedup {
     * must have (id_a, id_b).
     */
   def jaccardOnPairs(docs: DataFrame, pairs: DataFrame, textCol: String,
-                     idCol: String, shingleK: Int): DataFrame = {
+                     idCol: String, shingleK: Int): DataFrame =
+    jaccardOnPairsFromShingles(
+      shingleRelation(docs, textCol, idCol, shingleK), pairs)
+
+  /** Exact Jaccard for candidate pairs from a prepared (id, sh)
+    * relation.
+    */
+  def jaccardOnPairsFromShingles(shingleRel: DataFrame, pairs: DataFrame): DataFrame = {
     // Restrict the shingle index to documents that occur in a candidate
     // pair BEFORE the shingle self-join: candidates are sparse (LSH
     // band collisions), so this turns an |corpus|-inverted-index join
@@ -143,9 +163,7 @@ object Dedup {
     // keys shuffle/compare far cheaper, and at corpus scale the
     // collision probability (n²/2⁴⁹) is negligible — the oracle mirrors
     // the same hashing so the check stays exact
-    val sh = docs
-      .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
-      .select(col("id"), shinglesFromTokens(col("toks"), shingleK).as("sh"))
+    val sh = shingleRel
       .join(candIds, Seq("id"), "left_semi")
       .select(col("id"), size(col("sh")).cast("long").as("n_sh"),
         explode(transform(col("sh"), s => TextAnalysis.md5Long48(s))).as("s"))

@@ -71,12 +71,14 @@ object DedupQueries {
       "only (band_key, id) shuffles for the candidate join.",
     (s, dir) => {
       val d = Tables.documentsSpread(s, dir)
-      // candidates are referenced 3× downstream (both semi-join sides +
-      // the id restriction); cache the tiny pair set so the signature
-      // pipeline runs once, not three times
-      val cands = Dedup.minhashCandidatePairs(d, "text", "doc_id",
-        shingleK = 3, numHashes = 12, numBands = 4).cache()
-      Dedup.jaccardOnPairs(d, cands, "text", "doc_id", shingleK = 3)
+      // one cached shingle relation feeds BOTH candidate generation and
+      // the Jaccard verify (tokenize+shingle once); the candidate pairs
+      // are cached because they are referenced 3× downstream (both
+      // semi-join sides + the id restriction)
+      val sh = Dedup.shingleRelation(d, "text", "doc_id", shingleK = 3).cache()
+      val cands = Dedup.minhashCandidatePairsFromShingles(sh, numHashes = 12, numBands = 4)
+        .cache()
+      Dedup.jaccardOnPairsFromShingles(sh, cands)
         .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
     },
     Some(s"""
