@@ -108,6 +108,48 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  /** "Resize" for image media, STUBBED like decode: a real
+    * implementation decodes, scales to `targetW`×`targetH`, re-encodes;
+    * the stub deterministically downsamples the byte payload to a
+    * proportional length and rewrites the metadata dims. The engine
+    * contract — binary in, binary out, metadata kept consistent,
+    * shuffle-free projection — is the part under test.
+    */
+  def resizeMedia(df: DataFrame, mediaCol: String, metaCol: String,
+                  targetW: Int, targetH: Int,
+                  batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(df.schema.fields.map {
+      case f if f.name == metaCol => f.copy(dataType = mediaMetaType)
+      case f => f
+    })
+    val mediaIdx = df.schema.fieldNames.indexOf(mediaCol)
+    val metaIdx = df.schema.fieldNames.indexOf(metaCol)
+    require(mediaIdx >= 0 && metaIdx >= 0, s"need $mediaCol and $metaCol")
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          (Option(r.getAs[Array[Byte]](mediaIdx)), Option(r.getAs[Row](metaIdx))) match {
+            case (Some(bytes), Some(meta)) =>
+              // positional access per mediaMetaType: (media_type, width,
+              // height, n_channels, duration_ms) — nested rows carry no
+              // schema inside mapPartitions
+              val (w, h) = (meta.getInt(1), meta.getInt(2))
+              val scale = math.min(1.0,
+                (targetW.toDouble * targetH) / math.max(1, w.toLong * h).toDouble)
+              val outLen = math.max(1, (bytes.length * scale).toInt)
+              val stride = math.max(1, bytes.length / outLen)
+              val resized = bytes.indices.by(stride).map(bytes).toArray
+              val newMeta = Row(meta.getString(0) + "/resized",
+                targetW, targetH, meta.getInt(3), meta.getLong(4))
+              Row.fromSeq(r.toSeq.updated(mediaIdx, resized).updated(metaIdx, newMeta))
+            case _ => r
+          }
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Frame sampling for "video" media: every `stride`-th fixed-size
     * slice of the byte payload becomes one frame row
     * (posexplode-style). Real video uses codec keyframes; the slicing,

@@ -62,6 +62,22 @@ class MultimodalSpec extends SparkSpec {
     assert(plan.split("Exchange").length <= 2, s"decode should not shuffle:\n$plan")
   }
 
+  test("resizeMedia: stub resize rewrites dims, shrinks payload, stays null-safe") {
+    val decoded = Multimodal.decodeAndExtract(Multimodal.withFakeMedia(docs, "text"), "media")
+    val resized = Multimodal.resizeMedia(decoded, "media", "media_meta", targetW = 32, targetH = 32)
+    assert(resized.schema("media_meta").dataType == Multimodal.mediaMetaType)
+    val r = resized.filter(col("doc_id") === 2L)
+      .select("media", "media_meta.media_type", "media_meta.width", "media_meta.height")
+      .collect()(0)
+    val orig = decoded.filter(col("doc_id") === 2L).select("media").collect()(0)
+    assert(r.getAs[Array[Byte]](0).length <= orig.getAs[Array[Byte]](0).length)
+    assert(r.getString(1) == "stub/resized" && r.getInt(2) == 32 && r.getInt(3) == 32)
+    // deterministic
+    val again = Multimodal.resizeMedia(decoded, "media", "media_meta", 32, 32)
+      .filter(col("doc_id") === 2L).select("media").collect()(0).getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(again, r.getAs[Array[Byte]](0)))
+  }
+
   test("sampleFrames slices every stride-th fixed-size window of the bytes") {
     val d = Multimodal.withFakeMedia(docs.filter(col("doc_id") === 2L), "text")
     val frames = Multimodal.sampleFrames(d, "media", "doc_id", frameBytes = 16, stride = 4)
