@@ -1,0 +1,24 @@
+package graft
+
+import graft.queries.Queries
+
+/** Dev/report main: dump formatted physical plans of the headline
+  * queries (the evidence for the scale-design claims in README /
+  * SURVEY §4). Usage: tools/run_main.sh graft.PlanDump <sfDir>
+  */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = GraftSession.local(4)
+    val interesting = Seq(
+      "knn_exact_cosine", "knn_filtered_hybrid", "knn_batch",
+      "q1_pricing_summary", "q3_shipping_priority",
+      "dedup_minhash_lsh", "ev_tumbling_5min", "pipeline_training_prep")
+    interesting.foreach { name =>
+      println(s"\n===== $name =====")
+      println(Queries.queriesMap(name)(spark, sfDir).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+    }
+    spark.stop()
+  }
+}
