@@ -135,5 +135,43 @@ object EventQueries {
       |ORDER BY user_id, event_type
       """.stripMargin.trim))
 
-  val defs: Seq[QueryDef] = Seq(tumbling, sliding, sessionsQ, propsQ, firstQ)
+  private val valueStats = QueryDef(
+    "ev_value_stats",
+    "Distribution statistics per event type: mean and sample stddev from " +
+      "exact decimal sums (order-independent — the naive stddev " +
+      "aggregate is accumulation-order-sensitive across engines), plus " +
+      "exact interpolated median (percentile ≡ quantile_cont).",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val dec = org.apache.spark.sql.types.DecimalType(38, 6)
+      ev.groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("value").cast(dec)).cast("double").as("sum_v"),
+          sum((col("value") * col("value")).cast(dec)).cast("double").as("sum_v2"),
+          expr("percentile(value, 0.5)").as("median_value"))
+        .select(
+          col("event_type"), col("n"),
+          round(col("sum_v") / col("n"), 6).as("mean_value"),
+          round(sqrt((col("sum_v2") - col("sum_v") * col("sum_v") / col("n")) /
+            (col("n") - 1)), 6).as("stddev_value"),
+          round(col("median_value"), 6).as("median_value"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      |WITH a AS (
+      |  SELECT event_type, count(*) AS n,
+      |         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_v,
+      |         CAST(SUM(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) AS sum_v2,
+      |         quantile_cont(value, 0.5) AS median_value
+      |  FROM events GROUP BY event_type
+      |)
+      |SELECT event_type, n,
+      |       round(sum_v / n, 6) AS mean_value,
+      |       round(sqrt((sum_v2 - sum_v * sum_v / n) / (n - 1)), 6) AS stddev_value,
+      |       round(median_value, 6) AS median_value
+      |FROM a ORDER BY event_type
+      """.stripMargin.trim))
+
+  val defs: Seq[QueryDef] = Seq(tumbling, sliding, sessionsQ, propsQ, firstQ, valueStats)
 }
