@@ -173,5 +173,34 @@ object EventQueries {
       |FROM a ORDER BY event_type
       """.stripMargin.trim))
 
-  val defs: Seq[QueryDef] = Seq(tumbling, sliding, sessionsQ, propsQ, firstQ, valueStats)
+  private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  private val pivotQ = QueryDef(
+    "ev_pivot_daily",
+    "Pivoted daily event-type counts (groupBy().pivot() with an explicit " +
+      "value list — the explicit list keeps the plan single-pass; an " +
+      "unlisted pivot needs a values-discovery job first).",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      ev.withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+        .groupBy(col("day"))
+        .pivot("event_type", eventTypes)
+        .agg(count(lit(1)))
+        .na.fill(0L, eventTypes)
+        .orderBy(col("day"))
+        .limit(14)
+    },
+    Some {
+      val cases = eventTypes.map(t =>
+        s"SUM(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS $t").mkString(",\n       ")
+      s"""
+      |SELECT strftime(ts::TIMESTAMP, '%Y-%m-%d') AS day,
+      |       $cases
+      |FROM events
+      |GROUP BY 1 ORDER BY day LIMIT 14
+      """.stripMargin.trim
+    })
+
+  val defs: Seq[QueryDef] =
+    Seq(tumbling, sliding, sessionsQ, propsQ, firstQ, valueStats, pivotQ)
 }
