@@ -58,6 +58,18 @@ class IvfProbeRuleSpec extends SparkSpec {
     }
   }
 
+  test("rule also rewrites L2-metric searches") {
+    withIndexDir { (dir, cents) =>
+      IvfCatalog.register(dir, cents, nprobe = 3)
+      spark.catalog.clearCache()
+      val hits = Knn.search(Ann.readIndexed(spark, dir), "embedding", "vec_id",
+        q, k = 10, metric = Knn.L2)
+      val scan = hits.queryExecution.executedPlan.collectLeaves()
+        .collectFirst { case s: FileSourceScanExec => s }.get
+      assert(scan.selectedPartitions.partitionCount == 3)
+    }
+  }
+
   test("probing all lists through the rule reproduces the exact result") {
     withIndexDir { (dir, cents) =>
       IvfCatalog.register(dir, cents, nprobe = 8)

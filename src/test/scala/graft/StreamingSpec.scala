@@ -42,6 +42,20 @@ class StreamingSpec extends SparkSpec {
     assert(batch.collect().map(key).toSet.nonEmpty)
   }
 
+  test("sliding-window counts over a stream equal the batch computation") {
+    val input = MemoryStream[Ev](spark)
+    val events = Seq(ev(1, 0), ev(2, 3), ev(3, 7, typ = "view"), ev(4, 12))
+    val streamed = runQuery(
+      EventPipeline.slidingCounts(input.toDF(), "10 minutes", "5 minutes"),
+      "t_sliding", OutputMode.Complete())(() => input.addData(events))
+    val batch = EventPipeline.slidingCounts(events.toDF(), "10 minutes", "5 minutes")
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getTimestamp(0).toString, r.getString(1), r.getLong(2))
+    assert(streamed.collect().map(key).toSet == batch.collect().map(key).toSet)
+    // every event lands in exactly width/slide = 2 windows
+    assert(batch.agg(sum("n")).collect()(0).getLong(0) == events.length * 2)
+  }
+
   test("watermarked session windows emit once the watermark passes the gap") {
     val input = MemoryStream[Ev](spark)
     val sessions = EventPipeline.sessions(

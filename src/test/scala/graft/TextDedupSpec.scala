@@ -117,6 +117,15 @@ class TextDedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L, 0L)))
   }
 
+  test("null text propagates null through the text operators (defined contract)") {
+    val df = Seq(Tuple1(Option.empty[String])).toDF("text")
+      .select(normalize(col("text")).as("norm"), tokens(col("text")).as("toks"),
+        tokenCount(col("text")).as("n"), fingerprint(col("text")).as("fp"),
+        qualityScore(col("text")).as("q"))
+    val r = df.collect()(0)
+    (0 until r.length).foreach(i => assert(r.isNullAt(i), s"field $i not null: $r"))
+  }
+
   test("approx_count_distinct tracks the exact distinct count (SURVEY §2.5)") {
     val docs = Tables.documents(spark, sf("sf0.001"))
     val r = docs.agg(
