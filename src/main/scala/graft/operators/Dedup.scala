@@ -230,6 +230,52 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Duplicate clusters from pairwise near-dup edges: connected
+    * components with component id = min member id, via iterative
+    * min-label propagation (each round: every node adopts the smallest
+    * label among itself and its neighbors; converges in ≤ diameter
+    * rounds — bounded by `maxIter`). Fully distributed — the driver
+    * only checks the per-round change COUNT; no edge list is ever
+    * collected. At 100 TB the same loop runs on the (sparse) edge
+    * relation produced by LSH blocking.
+    *
+    * `pairs` must carry (id_a, id_b); returns (id, cluster_id) for
+    * every node incident to an edge.
+    */
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // the edge relation of a dedup graph is SMALL by construction (LSH
+    // keeps it sparse); run the loop on few partitions — per-iteration
+    // fixed task overhead dominates otherwise
+    val edges = pairs.select(col("id_a"), col("id_b"))
+      .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .distinct()
+      .repartition(4, col("id_a"))
+      .cache()
+    var labels = edges.select(col("id_a").as("id")).distinct()
+      .withColumn("root", col("id"))
+      .cache()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val propagated = labels.as("l")
+        .join(edges.as("e"), expr("l.id = e.id_a"))
+        .select(col("e.id_b").as("id"), col("l.root").as("root"))
+        .union(labels)
+        .groupBy("id").agg(min(col("root")).as("root"))
+        .cache()
+      val changes = propagated.as("n")
+        .join(labels.withColumnsRenamed(Map("root" -> "old_root")), Seq("id"))
+        .filter(col("root") =!= col("old_root"))
+        .count()
+      labels.unpersist()
+      labels = propagated
+      converged = changes == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("id"), col("root").as("cluster_id"))
+  }
+
   /** Embedding near-dup pairs: cosine distance below `maxDistance`,
     * blocked by a coarse partition column (label / cluster id from an
     * ANN index — see [[Ann]]). Within-block pairwise only.

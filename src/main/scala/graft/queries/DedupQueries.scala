@@ -173,5 +173,45 @@ object DedupQueries {
       |ORDER BY cos_dist, id_a, id_b LIMIT 20
       """.stripMargin.trim))
 
-  val defs: Seq[QueryDef] = Seq(exact, ngram, minhash, simhash, embCos)
+  private val clusters = QueryDef(
+    "dedup_clusters",
+    "Duplicate clusters: connected components over the Jaccard ≥ 0.3 " +
+      "near-dup pair graph (min-label propagation; oracle = recursive " +
+      "transitive closure). cluster_id = smallest member id.",
+    (s, dir) => {
+      val d = Tables.documentsSpread(s, dir)
+      val pairs = Dedup.ngramJaccardPairs(d, "text", "doc_id", shingleK = 3, threshold = 0.3)
+      Dedup.duplicateClusters(pairs)
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_members"), max(col("id")).as("max_member_id"))
+        .orderBy(col("cluster_id"))
+    },
+    Some(s"""
+      |$duckShingles, ex AS (
+      |  SELECT doc_id, len(shingles)::BIGINT AS n_sh,
+      |         unnest(list_transform(shingles, x -> ('0x' || substring(md5(x), 1, 12))::BIGINT)) AS s FROM sh
+      |), jpairs AS (
+      |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, x.n_sh AS na, y.n_sh AS nb, count(*) AS common
+      |  FROM ex x JOIN ex y ON x.s = y.s AND x.doc_id < y.doc_id
+      |  GROUP BY 1, 2, 3, 4
+      |), edges0 AS (
+      |  SELECT id_a, id_b FROM jpairs
+      |  WHERE round(common::DOUBLE / (na + nb - common)::DOUBLE, 6) >= 0.3
+      |), edges AS (
+      |  SELECT id_a, id_b FROM edges0
+      |  UNION SELECT id_b, id_a FROM edges0
+      |), closure AS (
+      |  WITH RECURSIVE cl(a, b) AS (
+      |    SELECT DISTINCT id_a, id_a FROM edges
+      |    UNION
+      |    SELECT cl.a, e.id_b FROM cl JOIN edges e ON cl.b = e.id_a
+      |  )
+      |  SELECT a, b FROM cl
+      |)
+      |SELECT min_b AS cluster_id, count(*) AS n_members, max(a) AS max_member_id
+      |FROM (SELECT a, min(b) AS min_b FROM closure GROUP BY a)
+      |GROUP BY min_b ORDER BY cluster_id
+      """.stripMargin.trim))
+
+  val defs: Seq[QueryDef] = Seq(exact, ngram, minhash, simhash, embCos, clusters)
 }

@@ -136,6 +136,13 @@ class TextDedupSpec extends SparkSpec {
       s"approx=$approx vs exact=$exact")
   }
 
+  test("duplicateClusters: transitive chains merge, disjoint pairs stay separate") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
+    val clusters = Dedup.duplicateClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("embedding near-dup pairs respect blocking and threshold") {
     val embs = Seq(
       (1L, 0, Seq(1f, 0f)), (2L, 0, Seq(0.99f, 0.14f)),
