@@ -90,9 +90,9 @@ object EventQueries {
       |  SELECT user_id, session_id, count(*) AS n_events FROM y GROUP BY 1, 2
       |)
       |SELECT user_id, count(*) AS n_sessions,
-      |       sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS n_singleton_sessions,
+      |       CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_singleton_sessions,
       |       max(n_events) AS max_session_events,
-      |       sum(n_events) AS total_events
+      |       CAST(sum(n_events) AS BIGINT) AS total_events
       |FROM sess GROUP BY user_id ORDER BY user_id
       """.stripMargin.trim))
 
@@ -192,7 +192,7 @@ object EventQueries {
     },
     Some {
       val cases = eventTypes.map(t =>
-        s"SUM(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS $t").mkString(",\n       ")
+        s"CAST(SUM(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS $t").mkString(",\n       ")
       s"""
       |SELECT strftime(ts::TIMESTAMP, '%Y-%m-%d') AS day,
       |       $cases

@@ -229,8 +229,14 @@ object VectorQueries {
         .agg((sum(col("v").cast(org.apache.spark.sql.types.DecimalType(38, 12))).cast("double") /
           count(lit(1))).as("m"))
         .groupBy(col("label"))
-        .agg(transform(sort_array(collect_list(struct(col("pos"), col("m")))),
-          x => round(x.getField("m"), 6)).as("centroid"))
+        // Serialized to a fixed-decimal CSV string (not array<double>): the
+        // driver harness pandas-sorts result cells and cannot hash ndarrays,
+        // and DECIMAL(20,6)->string gives identical text in both engines.
+        .agg(array_join(
+          transform(sort_array(collect_list(struct(col("pos"), col("m")))),
+            x => round(x.getField("m"), 6)
+              .cast(org.apache.spark.sql.types.DecimalType(20, 6)).cast("string")),
+          ",").as("centroid"))
         .orderBy(col("label"))
     },
     Some("""
@@ -242,7 +248,8 @@ object VectorQueries {
       |         CAST(SUM(CAST(v AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS m
       |  FROM ex GROUP BY label, pos
       |)
-      |SELECT label, list(round(m, 6) ORDER BY pos) AS centroid
+      |SELECT label,
+      |       array_to_string(list(CAST(round(m, 6) AS DECIMAL(20,6))::VARCHAR ORDER BY pos), ',') AS centroid
       |FROM m GROUP BY label ORDER BY label
       """.stripMargin.trim))
 
