@@ -1,6 +1,14 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bench {
+  /** Execute EVERY column of the result: the noop sink consumes whole
+    * rows, so projection-heavy queries (txt_*, mm_*) pay their real
+    * cost. `.count()` would let Catalyst prune any column that doesn't
+    * affect the row count — a profiling lie.
+    */
+  private def consume(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -13,13 +21,18 @@ object Bench {
     // untimed warmup: session bootstrap, parquet footer reads, codegen
     // JIT — once per distinct input pipeline (vector + text)
     Seq("knn_exact_cosine", "txt_stats").foreach { w =>
-      try SparkEntry.queries(w)(spark, sfDir).count()
+      try consume(SparkEntry.queries(w)(spark, sfDir))
       catch { case _: Throwable => () }
+      spark.catalog.clearCache()
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try consume(fn(spark, sfDir)) catch { case _: Throwable => () }
       val sec = (System.nanoTime() - t0) / 1e9
+      // drop every cache the query left behind — retained blocks would
+      // build memory pressure across the 40+ query session and turn
+      // later timings into eviction noise
+      spark.catalog.clearCache()
       System.err.println(f"[bench] $name%-32s $sec%8.2f s")
       name -> sec
     }

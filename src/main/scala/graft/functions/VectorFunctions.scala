@@ -40,6 +40,16 @@ object VectorFunctions {
   def toVector(s: Column): Column =
     from_json(s, ArrayType(FloatType, containsNull = false))
 
+  /** Dim-pinned parse — `TO_VECTOR(:v, 384)` parity
+    * (`streamlit_app.py:66`): the reference pins the dimension at parse
+    * time. A parse that succeeds but yields the wrong arity is as
+    * malformed as unparseable text → NULL on either failure.
+    */
+  def toVector(s: Column, dim: Int): Column = {
+    val parsed = toVector(s)
+    when(size(parsed) === dim, parsed)
+  }
+
   /** Serialize array<float> to the reference wire format `"[v1,v2,…]"`
     * (`streamlit_app.py:53`).
     */

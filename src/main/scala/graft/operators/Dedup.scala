@@ -178,15 +178,27 @@ object Dedup {
         (col("na") + col("nb") - col("n_common")).cast("double"), 6).as("jaccard"))
   }
 
+  /** Default document-frequency cap on inverted-index shingles — the
+    * 100 TB guard: the blocking join costs Σ_shingle df², so one
+    * boilerplate shingle shared by 10⁶ docs alone would generate 10¹²
+    * candidate pairs. Capping df drops only shingles so common they
+    * carry no near-dup signal (pairs sharing ONLY capped shingles are
+    * missed by design — boilerplate-only overlap is not duplication).
+    * Set well above any fixture df so small-SF results are unchanged.
+    */
+  val DefaultMaxShingleDf = 1000
+
   /** All-pairs n-gram Jaccard above a threshold, blocked by shared
     * shingles (a pair with zero common shingles has Jaccard 0 and is
     * never materialized). The shingle join is the blocking step: cost is
-    * Σ_shingle df(shingle)² — bounded in practice by rare shingles; a
-    * production run caps df with a frequency filter like `maxShingleDf`.
+    * Σ_shingle df(shingle)², so hot shingles are capped at
+    * `maxShingleDf` (default [[DefaultMaxShingleDf]]; `None` = uncapped
+    * exact mode). Jaccard denominators always use the FULL shingle-set
+    * sizes — the cap only prunes which pairs get generated.
     */
   def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
                         shingleK: Int = 3, threshold: Double = 0.1,
-                        maxShingleDf: Option[Int] = None): DataFrame = {
+                        maxShingleDf: Option[Int] = Some(DefaultMaxShingleDf)): DataFrame = {
     // integer-keyed inverted index — see jaccardOnPairs
     val sh0 = docs
       .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
@@ -231,49 +243,97 @@ object Dedup {
   }
 
   /** Duplicate clusters from pairwise near-dup edges: connected
-    * components with component id = min member id, via iterative
-    * min-label propagation (each round: every node adopts the smallest
-    * label among itself and its neighbors; converges in ≤ diameter
-    * rounds — bounded by `maxIter`). Fully distributed — the driver
-    * only checks the per-round change COUNT; no edge list is ever
-    * collected. At 100 TB the same loop runs on the (sparse) edge
-    * relation produced by LSH blocking.
+    * components with component id = min member id. Min-label
+    * propagation WITH pointer doubling — each round every node (a)
+    * adopts the smallest root in its closed neighborhood (hop), then
+    * (b) shortcuts to its root's root (doubling). The hop moves labels
+    * one edge; the shortcut compounds previous rounds, so the distance
+    * a label still has to travel shrinks geometrically → **O(log
+    * diameter) rounds**, not O(diameter): a 100 TB near-dup CHAIN of
+    * length d costs ~log₂ d rounds. Fully distributed — no edge list
+    * is ever collected.
+    *
+    * Convergence is detected with **one action per round**: the
+    * changed-node count rides the cached label frame as an aggregate
+    * column (no separate convergence join). Partition count is sized
+    * from the edge count. The returned frame is `localCheckpoint`ed —
+    * materialized, lineage truncated (20 rounds of join lineage would
+    * otherwise replan downstream), and every loop cache released.
     *
     * `pairs` must carry (id_a, id_b); returns (id, cluster_id) for
     * every node incident to an edge.
     */
-  def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    // the edge relation of a dedup graph is SMALL by construction (LSH
-    // keeps it sparse); run the loop on few partitions — per-iteration
-    // fixed task overhead dominates otherwise
-    val edges = pairs.select(col("id_a"), col("id_b"))
-      .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame =
+    duplicateClustersWithRounds(pairs, maxIter)._1
+
+  /** [[duplicateClusters]] plus the number of rounds actually run
+    * (spec hook for the O(log diameter) bound).
+    */
+  def duplicateClustersWithRounds(pairs: DataFrame, maxIter: Int = 20): (DataFrame, Int) = {
+    val sc = pairs.sparkSession.sparkContext
+    // materialize the pair relation ONCE before symmetrizing: the union
+    // references it twice, and near-dup pair generation (inverted-index
+    // joins) is far too expensive to recompute per branch. The eager
+    // checkpoint also truncates that lineage out of the loop's plans.
+    val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint(true)
+    val edges0 = p
+      .union(p.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .distinct()
-      .repartition(4, col("id_a"))
       .cache()
+    // per-round fixed task overhead dominates on sparse dedup graphs;
+    // size the loop's parallelism from the data: ~1M edges per
+    // partition, capped by the cluster's parallelism
+    val edgeCount = edges0.count()
+    val numParts = math.max(1, math.min(sc.defaultParallelism.toLong,
+      edgeCount / 1000000L + 1L).toInt)
+    val edges = edges0.repartition(numParts, col("id_a")).cache()
+
     var labels = edges.select(col("id_a").as("id")).distinct()
       .withColumn("root", col("id"))
       .cache()
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      val propagated = labels.as("l")
-        .join(edges.as("e"), expr("l.id = e.id_a"))
-        .select(col("e.id_b").as("id"), col("l.root").as("root"))
-        .union(labels)
-        .groupBy("id").agg(min(col("root")).as("root"))
-        .cache()
-      val changes = propagated.as("n")
-        .join(labels.withColumnsRenamed(Map("root" -> "old_root")), Seq("id"))
-        .filter(col("root") =!= col("old_root"))
-        .count()
-      labels.unpersist()
-      labels = propagated
+      // (a) hop: smallest root over the closed neighborhood (least()
+      // skips the null from nodes whose neighbors carry no smaller root)
+      val nbrMin = labels.as("l")
+        .join(edges.as("e"), col("l.id") === col("e.id_a"))
+        .groupBy(col("e.id_b").as("id"))
+        .agg(min(col("l.root")).as("nbr_root"))
+      val hopped = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), least(col("root"), col("nbr_root")).as("root"),
+          col("root").as("old_root"))
+      // (b) shortcut: root ← root's root (roots are node ids, so the
+      // self-join always hits; left + coalesce guards the root row itself)
+      val m = hopped.select(col("id").as("m_id"), col("root").as("m_root"))
+      // eager localCheckpoint = the round's ONE materialization, and it
+      // truncates lineage: hopped and next each reference their input
+      // twice, so without truncation the logical plan QUADRUPLES per
+      // round (4^20 nodes — analyzer OOM long before any data moves).
+      // Truncation also unlinks the previous round's blocks → the
+      // ContextCleaner frees them as the old frame goes unreachable.
+      val next = hopped.join(m, hopped("root") === col("m_id"), "left")
+        .select(col("id"),
+          coalesce(col("m_root"), col("root")).as("root"),
+          (coalesce(col("m_root"), col("root")) =!= col("old_root"))
+            .cast("long").as("changed"))
+        .localCheckpoint(true)
+      // change count scans only the checkpointed blocks (no recompute);
+      // coalesce: SUM over an empty node set is NULL, not 0
+      val changes = next.agg(coalesce(sum(col("changed")), lit(0L)))
+        .first().getLong(0)
+      labels.unpersist() // frees the initial cache; no-op on checkpoints
+      // the stray `changed` column is projected away at every use site
+      labels = next
       converged = changes == 0
       iter += 1
     }
+    // the checkpoint made the result self-contained — release the edge
+    // caches; nothing the caller holds depends on them
+    val result = labels.select(col("id"), col("root").as("cluster_id"))
     edges.unpersist()
-    labels.select(col("id"), col("root").as("cluster_id"))
+    edges0.unpersist()
+    (result, iter)
   }
 
   /** Embedding near-dup pairs: cosine distance below `maxDistance`,

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.Dedup
+import graft.operators.{Ann, Dedup}
 import org.apache.spark.sql.functions._
 
 /** Deduplication query surface over `documents` / `embeddings` (driver
@@ -40,21 +40,34 @@ object DedupQueries {
       |FROM g GROUP BY group_size ORDER BY group_size
       """.stripMargin.trim))
 
+  /** Shared DuckDB CTE tail: df-capped inverted index (mirrors
+    * `Dedup.DefaultMaxShingleDf` — the Σ df² guard; n_sh keeps the FULL
+    * set size, the cap only prunes pair generation).
+    */
+  private val duckCappedIndex =
+    s"""ex0 AS (
+       |  SELECT doc_id, len(shingles)::BIGINT AS n_sh,
+       |         unnest(list_transform(shingles, x -> ('0x' || substring(md5(x), 1, 12))::BIGINT)) AS s FROM sh
+       |), ex AS (
+       |  SELECT * FROM ex0
+       |  WHERE s IN (SELECT s FROM ex0 GROUP BY s HAVING count(*) <= ${Dedup.DefaultMaxShingleDf})
+       |)""".stripMargin
+
   private val ngram = QueryDef(
     "dedup_ngram_jaccard",
     "N-gram (3-shingle) Jaccard near-dup pairs ≥ 0.1. Blocked by shared " +
       "shingles: a pair is only materialized if it shares ≥1 shingle, so " +
-      "cost is Σ df(shingle)² over the inverted index, not n².",
+      "cost is Σ df(shingle)² over the inverted index, not n² — with hot " +
+      "shingles capped at df ≤ " + Dedup.DefaultMaxShingleDf +
+      " (the 100 TB guard; oracle mirrors the cap).",
     (s, dir) => {
       val d = Tables.documentsSpread(s, dir)
-      Dedup.ngramJaccardPairs(d, "text", "doc_id", shingleK = 3, threshold = 0.1)
+      Dedup.ngramJaccardPairs(d, "text", "doc_id", shingleK = 3, threshold = 0.1,
+          maxShingleDf = Some(Dedup.DefaultMaxShingleDf))
         .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
     },
     Some(s"""
-      |$duckShingles, ex AS (
-      |  SELECT doc_id, len(shingles)::BIGINT AS n_sh,
-      |         unnest(list_transform(shingles, x -> ('0x' || substring(md5(x), 1, 12))::BIGINT)) AS s FROM sh
-      |), pairs AS (
+      |$duckShingles, $duckCappedIndex, pairs AS (
       |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, x.n_sh AS na, y.n_sh AS nb, count(*) AS common
       |  FROM ex x JOIN ex y ON x.s = y.s AND x.doc_id < y.doc_id
       |  GROUP BY 1, 2, 3, 4
@@ -148,26 +161,41 @@ object DedupQueries {
       |ORDER BY hamming, id_a, id_b LIMIT 30
       """.stripMargin.trim))
 
+  /** DuckDB sequential-order L2 distance (matches `graft.functions.L2Distance`). */
+  private def duckL2(a: String, b: String): String =
+    s"sqrt(list_sum(list_transform(range(len($a)), i -> (($a)[i+1] - ($b)[i+1]) * (($a)[i+1] - ($b)[i+1]))))"
+
   private val embCos = QueryDef(
     "dedup_embedding_cosine",
-    "Embedding near-dup scan: 20 closest same-label pairs by cosine " +
-      "distance. Label is the blocking key (stand-in for an ANN cluster " +
-      "id at scale — see operators.Ann); pairwise work stays within " +
-      "blocks.",
+    "Embedding near-dup scan: 20 closest pairs by cosine distance, " +
+      "blocked on the ANN IVF cluster id (16 seeded centroids — " +
+      "operators.Ann). The blocking key is the SAME partition column the " +
+      "IVF index stores by, so at 100 TB the pairwise work is " +
+      "per-partition-local and bounded by the largest cluster, not n²/|labels|.",
     (s, dir) => {
       val e = Tables.embeddings(s, dir)
-      Dedup.embeddingNearDupPairs(e, "embedding", "vec_id", "label", maxDistance = 2.0)
+      val cents = Ann.seededCentroids(e, "embedding", "vec_id", nlist = 16)
+      val indexed = Ann.assignClusters(e, "embedding", cents)
+      Dedup.embeddingNearDupPairs(indexed, "embedding", "vec_id", "cluster_id", maxDistance = 2.0)
         .orderBy(col("cos_dist"), col("id_a"), col("id_b"))
         .limit(20)
     },
     Some(s"""
-      |WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
-      |p AS (
+      |WITH cents AS (
+      |  SELECT vec_id AS cid, embedding::DOUBLE[] AS c FROM embeddings WHERE vec_id < 16
+      |), e AS (
+      |  SELECT vec_id, embedding, cid AS cluster_id FROM (
+      |    SELECT emb.vec_id, emb.embedding, c.cid,
+      |           row_number() OVER (PARTITION BY emb.vec_id
+      |                              ORDER BY ${duckL2("emb.embedding::DOUBLE[]", "c.c")}, c.cid) AS rn
+      |    FROM embeddings emb CROSS JOIN cents c
+      |  ) WHERE rn = 1
+      |), p AS (
       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
       |         round(1.0 - list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
       |           (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
       |            sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS cos_dist
-      |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+      |  FROM e a JOIN e b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
       |)
       |SELECT id_a, id_b, cos_dist FROM p
       |ORDER BY cos_dist, id_a, id_b LIMIT 20
@@ -176,21 +204,20 @@ object DedupQueries {
   private val clusters = QueryDef(
     "dedup_clusters",
     "Duplicate clusters: connected components over the Jaccard ≥ 0.3 " +
-      "near-dup pair graph (min-label propagation; oracle = recursive " +
-      "transitive closure). cluster_id = smallest member id.",
+      "near-dup pair graph (pointer-doubling min-label propagation, " +
+      "O(log diameter) rounds; oracle = recursive transitive closure). " +
+      "cluster_id = smallest member id.",
     (s, dir) => {
       val d = Tables.documentsSpread(s, dir)
-      val pairs = Dedup.ngramJaccardPairs(d, "text", "doc_id", shingleK = 3, threshold = 0.3)
+      val pairs = Dedup.ngramJaccardPairs(d, "text", "doc_id", shingleK = 3, threshold = 0.3,
+        maxShingleDf = Some(Dedup.DefaultMaxShingleDf))
       Dedup.duplicateClusters(pairs)
         .groupBy(col("cluster_id"))
         .agg(count(lit(1)).as("n_members"), max(col("id")).as("max_member_id"))
         .orderBy(col("cluster_id"))
     },
     Some(s"""
-      |$duckShingles, ex AS (
-      |  SELECT doc_id, len(shingles)::BIGINT AS n_sh,
-      |         unnest(list_transform(shingles, x -> ('0x' || substring(md5(x), 1, 12))::BIGINT)) AS s FROM sh
-      |), jpairs AS (
+      |$duckShingles, $duckCappedIndex, jpairs AS (
       |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, x.n_sh AS na, y.n_sh AS nb, count(*) AS common
       |  FROM ex x JOIN ex y ON x.s = y.s AND x.doc_id < y.doc_id
       |  GROUP BY 1, 2, 3, 4

@@ -292,6 +292,54 @@ object RelationalQueries {
       |GROUP BY c_mktsegment ORDER BY c_mktsegment
       """.stripMargin.trim))
 
+  private val cubeQ = QueryDef(
+    "cube_returnflag_status",
+    "CUBE aggregation (SURVEY §2.7): all four grouping sets of (flag, " +
+      "status) — (both), (flag), (status), () — in one shuffle with " +
+      "map-side partials; oracle spells the equivalent GROUPING SETS.",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      li.cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+          col("sum_qty"), col("n"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+    Some("""
+      |SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+      |       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+      |       COUNT(*) AS n
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus), ())
+      |ORDER BY l_returnflag, l_linestatus
+      """.stripMargin.trim))
+
+  private val distinctCounts = QueryDef(
+    "distinct_customers_by_priority",
+    "Exact distinct aggregation (SURVEY §2.5): per order priority, " +
+      "count(DISTINCT custkey) next to the plain row count — Spark " +
+      "expands the distinct into a two-phase aggregate (partial " +
+      "per-key dedup before the shuffle). The approximate variant " +
+      "(approx_count_distinct/HLL, the 100 TB path when exactness is " +
+      "negotiable) is spec-covered with tolerance in TextDedupSpec.",
+    (s, dir) => {
+      val ord = Tables.orders(s, dir)
+      ord.groupBy(col("o_orderpriority"))
+        .agg(countDistinct(col("o_custkey")).as("n_distinct_custs"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""
+      |SELECT o_orderpriority,
+      |       COUNT(DISTINCT o_custkey) AS n_distinct_custs,
+      |       COUNT(*) AS n_orders
+      |FROM orders
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority
+      """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
-    Seq(q3, q5, windowTop, rollupQ, setOps, semiAnti, q12, q14, scalarSub)
+    Seq(q3, q5, windowTop, rollupQ, cubeQ, distinctCounts, setOps, semiAnti,
+      q12, q14, scalarSub)
 }

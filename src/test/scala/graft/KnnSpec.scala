@@ -39,6 +39,22 @@ class KnnSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("NegDot metric ranks by descending inner product (MIPS ordering)") {
+    val hits = Knn.search(emb, "embedding", "vec_id", q, k = 8, metric = Knn.NegDot)
+      .collect()
+    assert(hits.length == 8)
+    // scores are negated dot products — ascending neg-dot ≡ descending dot
+    val negDots = hits.map(_.getAs[Double]("distance_score")).toSeq
+    assert(negDots == negDots.sorted)
+    // the top MIPS hit must be the brute-force argmax of the dot product
+    val best = emb.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .maxBy { case (_, v) =>
+        v.zip(q).map { case (a, b) => a.toDouble * b.toDouble }.sum
+      }._1
+    assert(hits.head.getAs[Long]("vec_id") == best)
+  }
+
   test("filtered search honors the predicate and pushes it below the sort") {
     val hits = Knn.filteredSearch(emb, col("label") === 3, "embedding", "vec_id", q, k = 5)
     assert(hits.select("label").collect().forall(_.getInt(0) == 3))

@@ -143,6 +143,19 @@ class TextDedupSpec extends SparkSpec {
     assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("duplicateClusters: pointer doubling converges in O(log diameter) rounds on a chain") {
+    val n = 64 // worst case for plain propagation: diameter 63
+    val pairs = (1L until n).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (clusters, rounds) = Dedup.duplicateClustersWithRounds(pairs, maxIter = 20)
+    val rows = clusters.collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(rows.length == n)
+    assert(rows.forall(_._2 == 1L), "every chain node must land in cluster 1")
+    // log₂(64) = 6; +3 covers the hop offset and the final no-change round.
+    // Plain one-hop propagation would need 63 rounds here.
+    val bound = (math.log(n.toDouble) / math.log(2.0)).ceil.toInt + 3
+    assert(rounds <= bound, s"took $rounds rounds, bound $bound")
+  }
+
   test("embedding near-dup pairs respect blocking and threshold") {
     val embs = Seq(
       (1L, 0, Seq(1f, 0f)), (2L, 0, Seq(0.99f, 0.14f)),

@@ -117,6 +117,17 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(df.collect()(0).getSeq[Float](0) == v)
   }
 
+  test("toVector(s, dim) pins the dimension: match parses, mismatch/malformed → null") {
+    val df = Seq("[1.5,2.5,3.5]", "[1.5,2.5]", "not a vector", null)
+      .toDF("s")
+      .select(col("s"), toVector(col("s"), 3).as("v"))
+      .collect()
+    assert(df(0).getSeq[Float](1) == Seq(1.5f, 2.5f, 3.5f))
+    assert(df(1).isNullAt(1), "wrong arity must parse to null")
+    assert(df(2).isNullAt(1), "malformed input must parse to null")
+    assert(df(3).isNullAt(1), "null input stays null")
+  }
+
   test("assertDim passes on match and raises on mismatch") {
     val ok = Seq(Tuple1(Seq(1f, 2f))).toDF("v").select(assertDim(col("v"), 2))
     assert(ok.collect().length == 1)
