@@ -19,8 +19,9 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: session bootstrap, parquet footer reads, codegen
-    // JIT — once per distinct input pipeline (vector + text)
-    Seq("knn_exact_cosine", "txt_stats").foreach { w =>
+    // JIT — once per distinct input pipeline (vector, text projection,
+    // shingle-join/cluster-loop)
+    Seq("knn_exact_cosine", "txt_stats", "dedup_clusters").foreach { w =>
       try consume(SparkEntry.queries(w)(spark, sfDir))
       catch { case _: Throwable => () }
       spark.catalog.clearCache()

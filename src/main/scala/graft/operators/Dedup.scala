@@ -207,9 +207,14 @@ object Dedup {
         explode(transform(col("sh"), s => TextAnalysis.md5Long48(s))).as("s"))
     val sh = maxShingleDf match {
       case Some(cap) =>
-        val keep = sh0.groupBy("s").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= cap).select("s")
-        sh0.join(broadcast(keep), Seq("s"), "left_semi")
+        // broadcast the HOT list (df > cap), not the keep list: hot
+        // shingles are few BY CONSTRUCTION (the cap exists because they
+        // are outliers), so the broadcast stays bounded at 100 TB,
+        // whereas the keep side is O(all distinct shingles). The
+        // aggregate producing it is map-side-partial, output tiny.
+        val hot = sh0.groupBy("s").agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select("s")
+        sh0.join(broadcast(hot), Seq("s"), "left_anti")
       case None => sh0
     }
     sh.as("x").join(sh.as("y"), col("x.s") === col("y.s") && col("x.id") < col("y.id"))
@@ -276,17 +281,21 @@ object Dedup {
     // joins) is far too expensive to recompute per branch. The eager
     // checkpoint also truncates that lineage out of the loop's plans.
     val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint(true)
-    val edges0 = p
-      .union(p.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-      .distinct()
-      .cache()
+    // count scans the checkpointed blocks (no recompute). No distinct()
+    // on the symmetrized union: generators emit unique (a<b) pairs so
+    // the two branches cannot collide, and even caller-supplied
+    // duplicate edges are harmless under a min() aggregate — not worth
+    // a shuffle to dedup.
+    val edgeCount = p.count() * 2
     // per-round fixed task overhead dominates on sparse dedup graphs;
     // size the loop's parallelism from the data: ~1M edges per
     // partition, capped by the cluster's parallelism
-    val edgeCount = edges0.count()
     val numParts = math.max(1, math.min(sc.defaultParallelism.toLong,
       edgeCount / 1000000L + 1L).toInt)
-    val edges = edges0.repartition(numParts, col("id_a")).cache()
+    val edges = p
+      .union(p.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .repartition(numParts, col("id_a"))
+      .cache()
 
     var labels = edges.select(col("id_a").as("id")).distinct()
       .withColumn("root", col("id"))
@@ -329,10 +338,9 @@ object Dedup {
       iter += 1
     }
     // the checkpoint made the result self-contained — release the edge
-    // caches; nothing the caller holds depends on them
+    // cache; nothing the caller holds depends on it
     val result = labels.select(col("id"), col("root").as("cluster_id"))
     edges.unpersist()
-    edges0.unpersist()
     (result, iter)
   }
 
