@@ -66,6 +66,32 @@ object VectorFunctions {
     when(size(v) === dim, v).otherwise(raise_error(concat(
       lit(s"vector dimension mismatch: expected $dim, got "), size(v).cast("string"))))
 
+  /** Symmetric int8 quantization scale: max |component| (double). */
+  def quantScale(v: Column): Column =
+    array_max(transform(v, x => abs(x.cast("double"))))
+
+  /** Symmetric per-vector int8 quantization: q_i = round(v_i/amax·127)
+    * ∈ [-127, 127]. Cuts vector storage/bandwidth 4× — the standard
+    * memory-bound ANN trick (distances on int8 with one per-vector
+    * scale). Pure projection (HOF transform, codegen'd); zero vectors
+    * quantize to zeros rather than NaN. HALF_UP rounding matches
+    * DuckDB's `round`.
+    *
+    * `amax` must be a MATERIALIZED column (project [[quantScale]] under
+    * a distinct name first) — any expression placed inside the lambda
+    * re-evaluates per element, turning the row cost O(d) → O(d²).
+    */
+  def quantizeInt8(v: Column, amax: Column): Column =
+    transform(v, x =>
+      when(amax === 0.0, lit(0))
+        .otherwise(round(x.cast("double") / amax * 127.0).cast("int")))
+
+  /** Dequantized (lossy) float vector from [[quantizeInt8]] output and
+    * its [[quantScale]].
+    */
+  def dequantizeInt8(q: Column, amax: Column): Column =
+    transform(q, x => (x.cast("double") * amax / 127.0).cast("float"))
+
   /** First 15 hex chars of md5 as a non-negative BIGINT — a portable,
     * SQL-reproducible 60-bit hash (DuckDB: `('0x' ||
     * substring(md5(x),1,15))::BIGINT`). Used for minhash/fingerprints so

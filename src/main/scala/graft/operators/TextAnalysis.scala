@@ -207,3 +207,44 @@ object TextAnalysis {
   def hammingDistance(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b)).cast("long")
 }
+
+/** Corpus-relative term scoring (TF-IDF): needs a corpus-wide document
+  * frequency per term, so unlike [[TextAnalysis]]'s pure projections it
+  * owns a small aggregation pipeline. Kept separate so the projection
+  * operators stay trivially shuffle-free.
+  */
+object TfIdf {
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.expressions.Window
+
+  /** Top-`k` TF-IDF terms per document: `tfidf = tf · ln(N / df)`.
+    *
+    * Scale shape: one explode + (doc, term) aggregate (map-side
+    * partials), one term-keyed aggregate for df (each (doc, term) row
+    * counts once — no DISTINCT pass), one broadcast of the single-row
+    * corpus count, and a per-doc window where `WindowGroupLimit` keeps
+    * k rows per partition before the rank. The vocabulary-sized df
+    * relation joins on the term key — a shuffle join, NOT a broadcast
+    * (vocab at 100 TB is billions of terms).
+    *
+    * Deterministic: rank orders by (ROUNDED score desc, term asc) —
+    * ranking on the raw double would let a 1-ulp `ln` difference
+    * between engines flip an ordering; after round-6 any residual tie
+    * falls to the term.
+    */
+  def topTerms(docs: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val n = docs.select(count(lit(1)).cast("double").as("n_docs"))
+    val score = round(col("tf") * log(col("n_docs") / col("df")), 6)
+    val w = Window.partitionBy(col("doc_id")).orderBy(score.desc, col("tok"))
+    tf.join(df, "tok")
+      .crossJoin(broadcast(n))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("rnk"), col("tok"), score.as("tfidf"))
+  }
+}

@@ -201,6 +201,45 @@ object EventQueries {
       """.stripMargin.trim
     })
 
+  private val asofQ = QueryDef(
+    "ev_asof_last_view",
+    "As-of join: every click gains the latest same-user view at-or-" +
+      "before it, via a running-max window over ONE user-keyed shuffle " +
+      "(Spark's default RANGE frame = ASOF '>=' semantics, ties " +
+      "included) — never a per-key range join, so hot users stay " +
+      "linear at 100 TB. Aggregated per user: click count, matched " +
+      "count, exact lag sum in integer microseconds.",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      graft.operators.AsOf.selfAsOf(ev, "user_id", "ts",
+          probePred = col("event_type") === "click",
+          matchPred = col("event_type") === "view")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_clicks"),
+          count(col("asof_ts")).as("n_with_view"),
+          // exact integer µs (decimal accumulate → BIGINT): a seconds
+          // double would hit engine-specific decimal→double rounding
+          sum(coalesce(col("asof_lag_us"), lit(0L)).cast("decimal(38,6)"))
+            .cast("long").as("lag_us_sum"))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      |WITH ev AS (
+      |  SELECT event_id, ts::TIMESTAMP AS ts, user_id, event_type FROM events
+      |), w AS (
+      |  SELECT event_id, user_id, event_type, ts,
+      |         max(CASE WHEN event_type = 'view' THEN ts END)
+      |           OVER (PARTITION BY user_id ORDER BY ts
+      |                 RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_ts
+      |  FROM ev
+      |)
+      |SELECT user_id, count(*) AS n_clicks,
+      |       count(asof_ts) AS n_with_view,
+      |       CAST(SUM(CAST(COALESCE(date_diff('microsecond', asof_ts, ts), 0) AS DECIMAL(38,6))) AS BIGINT) AS lag_us_sum
+      |FROM w WHERE event_type = 'click'
+      |GROUP BY user_id ORDER BY user_id
+      """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
-    Seq(tumbling, sliding, sessionsQ, propsQ, firstQ, valueStats, pivotQ)
+    Seq(tumbling, sliding, sessionsQ, propsQ, firstQ, valueStats, pivotQ, asofQ)
 }

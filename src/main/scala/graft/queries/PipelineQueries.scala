@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.operators.Sampling
 import graft.operators.TextAnalysis._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -71,5 +72,55 @@ object PipelineQueries {
       """.stripMargin.trim
     })
 
-  val defs: Seq[QueryDef] = Seq(prep)
+  private val split = QueryDef(
+    "pipeline_train_test_split",
+    "Deterministic 80/20 train/test split: md5-hash bucket of doc_id " +
+      "(salted), never rand() — stable under task retries, and " +
+      "incremental ingestion can't reassign existing docs across the " +
+      "leak boundary. Pure projection + tiny aggregate.",
+    (s, dir) => {
+      Tables.documents(s, dir)
+        .withColumn("split", Sampling.splitLabel(col("doc_id"), "split", 80))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars").cast("decimal(38,6)")).cast("double").as("chars_sum"))
+        .orderBy(col("split"))
+    },
+    Some(s"""
+      |SELECT CASE WHEN ${Duck.md5Long48("doc_id::VARCHAR || ':split'")} % 100 < 80
+      |         THEN 'train' ELSE 'test' END AS split,
+      |       count(*) AS n_docs,
+      |       CAST(SUM(CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE) AS chars_sum
+      |FROM documents GROUP BY 1 ORDER BY 1
+      """.stripMargin.trim))
+
+  private val balanced = QueryDef(
+    "pipeline_balanced_sample",
+    "Per-language balanced downsample (class rebalancing): keep 30 " +
+      "docs per lang chosen by salted hash order — deterministic, " +
+      "rerun-stable. One shuffle on the stratum key; WindowGroupLimit " +
+      "caps per-partition work before the rank.",
+    (s, dir) => {
+      Sampling.stratifiedSample(Tables.documents(s, dir), "lang", "doc_id",
+          perStratum = 30)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_sampled"),
+          min(col("doc_id")).as("min_doc_id"),
+          sum(col("doc_id").cast("decimal(38,6)")).cast("double").as("id_sum"))
+        .orderBy(col("lang"))
+    },
+    Some(s"""
+      |WITH ranked AS (
+      |  SELECT lang, doc_id,
+      |         row_number() OVER (PARTITION BY lang ORDER BY
+      |           ${Duck.md5Long48("doc_id::VARCHAR || ':sample'")} % 1073741824, doc_id) AS rnk
+      |  FROM documents
+      |)
+      |SELECT lang, count(*) AS n_sampled, min(doc_id) AS min_doc_id,
+      |       CAST(SUM(CAST(doc_id AS DECIMAL(38,6))) AS DOUBLE) AS id_sum
+      |FROM ranked WHERE rnk <= 30
+      |GROUP BY lang ORDER BY lang
+      """.stripMargin.trim))
+
+  val defs: Seq[QueryDef] = Seq(prep, split, balanced)
 }

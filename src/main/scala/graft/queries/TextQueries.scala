@@ -189,6 +189,36 @@ object TextQueries {
     },
     None)
 
+  private val tfidfQ = QueryDef(
+    "txt_tfidf_top_terms",
+    "Top-3 TF-IDF terms per document (tf · ln(N/df)): explode + two " +
+      "keyed aggregates (map-side partials), vocab-keyed shuffle join " +
+      "for df (never broadcast — vocab is unbounded at scale), " +
+      "WindowGroupLimit per-doc rank. Rank on the rounded score so a " +
+      "1-ulp ln() divergence can't flip cross-engine ordering.",
+    (s, dir) =>
+      graft.operators.TfIdf.topTerms(Tables.documentsSpread(s, dir), "text", "doc_id", 3)
+        .orderBy(col("doc_id"), col("rnk")),
+    Some(s"""
+      |${Duck.docToks}, tokx AS (
+      |  SELECT doc_id, unnest(toks) AS tok FROM tt
+      |), tf AS (
+      |  SELECT doc_id, tok, count(*)::BIGINT AS tf FROM tokx GROUP BY 1, 2
+      |), dfreq AS (
+      |  SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY 1
+      |), scored AS (
+      |  SELECT tf.doc_id, tf.tok,
+      |         round(tf.tf * ln((SELECT count(*) FROM documents)::DOUBLE / dfreq.df), 6) AS tfidf
+      |  FROM tf JOIN dfreq USING (tok)
+      |), ranked AS (
+      |  SELECT doc_id, tok, tfidf,
+      |         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rnk
+      |  FROM scored
+      |)
+      |SELECT doc_id, rnk, tok, tfidf FROM ranked WHERE rnk <= 3
+      |ORDER BY doc_id, rnk
+      """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
-    Seq(stats, langQ, quality, fp, topTokens, simhashQ, embedQ)
+    Seq(stats, langQ, quality, fp, topTokens, simhashQ, embedQ, tfidfQ)
 }

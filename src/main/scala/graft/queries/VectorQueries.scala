@@ -253,6 +253,38 @@ object VectorQueries {
       |FROM m GROUP BY label ORDER BY label
       """.stripMargin.trim))
 
+  private val quantize = QueryDef(
+    "vec_quantize_int8",
+    "Symmetric per-vector int8 quantization (4× vector storage/" +
+      "bandwidth cut, the memory-bound ANN serving trick): amax scale " +
+      "+ HOF-transform rounding, pure codegen'd projection. Scale " +
+      "serialized via the decimal-string pattern (driver hash can't " +
+      "compare raw doubles across engines at ulp level).",
+    (s, dir) => {
+      import graft.functions.VectorFunctions.{quantScale, quantizeInt8}
+      Tables.embeddings(s, dir)
+        .filter(col("vec_id") < 10)
+        .withColumn("amax", quantScale(col("embedding")))
+        .select(col("vec_id"),
+          round(col("amax"), 6)
+            .cast(org.apache.spark.sql.types.DecimalType(20, 6)).cast("string").as("amax"),
+          array_join(transform(quantizeInt8(col("embedding"), col("amax")),
+            _.cast("string")), ",").as("q"))
+        .orderBy(col("vec_id"))
+    },
+    Some("""
+      |WITH e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 10
+      |), m AS (
+      |  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS amax FROM e
+      |)
+      |SELECT vec_id,
+      |       CAST(round(amax, 6) AS DECIMAL(20,6))::VARCHAR AS amax,
+      |       array_to_string(list_transform(v, x ->
+      |         CASE WHEN amax = 0 THEN 0 ELSE CAST(round(x / amax * 127) AS INT) END), ',') AS q
+      |FROM m ORDER BY vec_id
+      """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
-    Seq(filtered, l2Search, batch, ragContext, ivf, sqlApi, centroids)
+    Seq(filtered, l2Search, batch, ragContext, ivf, sqlApi, centroids, quantize)
 }

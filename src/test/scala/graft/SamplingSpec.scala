@@ -1,0 +1,70 @@
+package graft
+
+import graft.operators.{AsOf, Sampling}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("splitLabel is deterministic, id-keyed, and roughly honors the percentage") {
+    val ids = (0L until 1000L).toDF("id")
+    val labeled = ids.withColumn("split", Sampling.splitLabel(col("id"), "split", 80))
+    val once = labeled.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val twice = labeled.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(once == twice, "split must be stable across executions")
+    val trainFrac = once.values.count(_ == "train") / 1000.0
+    assert(trainFrac > 0.7 && trainFrac < 0.9, s"got $trainFrac, expected ~0.8")
+    // a different salt must give an independent assignment (not identical)
+    val other = ids.withColumn("split", Sampling.splitLabel(col("id"), "other", 80))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(once != other, "salts must decorrelate splits")
+  }
+
+  test("split assignment is stable under corpus growth (no leakage on ingest)") {
+    val small = (0L until 100L).toDF("id")
+      .withColumn("split", Sampling.splitLabel(col("id"), "s", 80))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val grown = (0L until 200L).toDF("id")
+      .withColumn("split", Sampling.splitLabel(col("id"), "s", 80))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(small.forall { case (id, sp) => grown(id) == sp },
+      "adding rows must never move an existing row across the split boundary")
+  }
+
+  test("stratifiedSample keeps at most k per stratum, deterministically") {
+    val df = Seq.tabulate(300)(i => (i.toLong, s"lang${i % 3}")).toDF("id", "lang")
+    val s1 = Sampling.stratifiedSample(df, "lang", "id", perStratum = 10)
+    val counts = s1.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.forall(_ == 10L), s"got $counts")
+    val ids1 = s1.select("id").collect().map(_.getLong(0)).toSet
+    val ids2 = Sampling.stratifiedSample(df, "lang", "id", perStratum = 10)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2, "sample must be deterministic")
+    // under-full strata are kept whole
+    val tiny = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("id", "lang")
+    assert(Sampling.stratifiedSample(tiny, "lang", "id", 10).count() == 3)
+  }
+
+  test("asof lastMatchTs attaches the latest at-or-before match per key") {
+    val ev = Seq(
+      // (event_id, user, type, ts-seconds)
+      (1L, 1L, "view", 10L), (2L, 1L, "click", 15L),  // click sees view@10
+      (3L, 1L, "view", 20L), (4L, 1L, "click", 20L),  // tie: same-ts view counts (>= semantics)
+      (5L, 2L, "click", 5L),                          // no view for user 2 → null
+      (6L, 3L, "view", 30L)                           // view with no click → filtered out
+    ).toDF("event_id", "user_id", "event_type", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val out = AsOf.selfAsOf(ev, "user_id", "ts",
+        probePred = col("event_type") === "click",
+        matchPred = col("event_type") === "view")
+      .select(col("event_id"), col("asof_lag_us"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long]))
+      .toMap
+    assert(out == Map(
+      2L -> Some(5000000L), // 15s - 10s
+      4L -> Some(0L),       // same-instant view
+      5L -> None))          // unmatched
+  }
+}

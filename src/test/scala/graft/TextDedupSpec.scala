@@ -156,6 +156,25 @@ class TextDedupSpec extends SparkSpec {
     assert(rounds <= bound, s"took $rounds rounds, bound $bound")
   }
 
+  test("tfidf top terms: corpus-common terms score zero, rare terms rank first") {
+    val docs = Seq(
+      (1L, "apple banana banana common"),
+      (2L, "cherry common"),
+      (3L, "banana common")
+    ).toDF("doc_id", "text")
+    val out = operators.TfIdf.topTerms(docs, "text", "doc_id", 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(3)))
+    val byDoc = out.groupBy(_._1)
+    // 'common' appears in all 3 docs → ln(3/3)=0; never the top term
+    // doc 1: apple ln(3)≈1.099 beats banana 2·ln(3/2)≈0.811 — rarity wins
+    assert(byDoc(1L).map(x => (x._2, x._3)).sorted.toSeq ==
+      Seq((1, "apple"), (2, "banana")))
+    assert(byDoc(2L).head._3 == "cherry", "df=1 term wins doc 2")
+    val cherry = byDoc(2L).head._4
+    assert(math.abs(cherry - math.round(math.log(3.0) * 1e6) / 1e6) < 1e-9)
+    assert(out.filter(_._3 == "common").forall(_._4 == 0.0))
+  }
+
   test("embedding near-dup pairs respect blocking and threshold") {
     val embs = Seq(
       (1L, 0, Seq(1f, 0f)), (2L, 0, Seq(0.99f, 0.14f)),

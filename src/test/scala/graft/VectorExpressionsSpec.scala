@@ -128,6 +128,22 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(df(3).isNullAt(1), "null input stays null")
   }
 
+  test("quantizeInt8 round-trips within one quantization step; zero vector → zeros") {
+    val df = Seq(
+      Tuple1(Seq(0.5f, -1.0f, 0.25f, 0.0f)),
+      Tuple1(Seq(0.0f, 0.0f))
+    ).toDF("v")
+      .withColumn("amax", quantScale(col("v")))
+      .withColumn("q", quantizeInt8(col("v"), col("amax")))
+      .withColumn("back", dequantizeInt8(col("q"), col("amax")))
+      .collect()
+    assert(df(0).getSeq[Int](2) == Seq(64, -127, 32, 0)) // 0.5/1*127=63.5 → HALF_UP 64
+    val v = df(0).getSeq[Float](0); val back = df(0).getSeq[Float](3)
+    val step = 1.0f / 127f
+    v.zip(back).foreach { case (a, b) => assert(math.abs(a - b) <= step) }
+    assert(df(1).getSeq[Int](2) == Seq(0, 0), "zero vector must not divide by zero")
+  }
+
   test("assertDim passes on match and raises on mismatch") {
     val ok = Seq(Tuple1(Seq(1f, 2f))).toDF("v").select(assertDim(col("v"), 2))
     assert(ok.collect().length == 1)
