@@ -69,6 +69,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges == 1, s"expected exactly the rank shuffle, got $exchanges:\n$p")
   }
 
+  test("as-of join: one keyed shuffle feeds window AND aggregate (partitioning reused)") {
+    val p = planOf("ev_asof_last_view")
+    // the window's hash(user_id) partitioning satisfies the groupBy's
+    // distribution — a second hash exchange would mean the reuse broke
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected one user_id shuffle, got $exchanges:\n$p")
+    assert(!p.toLowerCase.contains("nestedloop") && !p.contains("CartesianProduct"),
+      s"as-of must never plan a per-key range/cartesian join:\n$p")
+  }
+
+  test("ngram df cap: tiny hot list broadcasts into a left-anti join") {
+    val p = planOf("dedup_ngram_jaccard")
+    assert(p.contains("LeftAnti"), s"df cap should be an anti-join:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"the hot list (not the keep list) must be the broadcast side:\n$p")
+  }
+
+  test("stratified sample and tfidf rank under WindowGroupLimit (k-cap before full sort)") {
+    assert(planOf("pipeline_balanced_sample").contains("WindowGroupLimit"))
+    assert(planOf("txt_tfidf_top_terms").contains("WindowGroupLimit"))
+  }
+
   test("persisted IVF index: probe filter becomes partition pruning") {
     val emb = Tables.embeddings(spark, sf("sf0.001"))
     val cents = Ann.seededCentroids(emb, "embedding", "vec_id", nlist = 8)
