@@ -239,6 +239,13 @@ object Dedup {
     val withBands = sigs.select(col("id"), col("sig"),
       explode(array((0 until 4).map(b =>
         concat(lit(s"$b:"), shiftright(col("sig"), b * 12).bitwiseAND(lit(0xFFFL)).cast("string"))): _*)).as("band"))
+      // materialize the (id, sig, band) relation ONCE: the self-join
+      // consumes it on both sides, and the broadcast-build side would
+      // otherwise re-run the whole tokenize→simhash pipeline — worse,
+      // the join key's IsNotNull gets pushed into the parquet scan as
+      // the full simhash expression (a third evaluation per row).
+      // Mirrors the minhash `banded` cache.
+      .cache()
     withBands.as("a")
       .join(withBands.as("b"), col("a.band") === col("b.band") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
@@ -350,7 +357,11 @@ object Dedup {
     */
   def embeddingNearDupPairs(embs: DataFrame, vecCol: String, idCol: String,
                             blockCol: String, maxDistance: Double): DataFrame = {
+    // both join sides consume this projection; when the block column is
+    // a computed ANN assignment (argmin over centroids) an uncached
+    // frame would evaluate it once per side
     val e = embs.select(col(idCol).as("id"), col(blockCol).as("blk"), col(vecCol).as("v"))
+      .cache()
     e.as("a").join(e.as("b"),
         col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
