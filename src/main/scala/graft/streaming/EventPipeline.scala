@@ -99,4 +99,13 @@ object EventPipeline {
   def dedupWithinWatermark(events: DataFrame, keys: Seq[String]): DataFrame =
     if (events.isStreaming) events.dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
     else events.dropDuplicates(keys)
+
+  /** Stream–static enrichment: left-join each event against a static
+    * dimension on `key`. The dimension is broadcast per micro-batch —
+    * events never shuffle (stateless, no watermark requirement); at
+    * scale the static side is re-read each batch, so updates to the
+    * dimension table are picked up without restarting the query.
+    */
+  def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(dim), Seq(key), "left")
 }

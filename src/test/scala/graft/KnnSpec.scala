@@ -25,6 +25,20 @@ class KnnSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Knn.search(emb, "embedding", "vec_id", q, k = 0) }
   }
 
+  test("int8-quantized corpus preserves KNN recall (the 4x-storage serving path)") {
+    import graft.functions.VectorFunctions.{dequantizeInt8, quantScale, quantizeInt8}
+    val quant = emb
+      .withColumn("amax", quantScale(col("embedding")))
+      .withColumn("qvec", dequantizeInt8(
+        quantizeInt8(col("embedding"), col("amax")), col("amax")))
+    val exact = Knn.search(emb, "embedding", "vec_id", q, k = 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val approx = Knn.search(quant, "qvec", "vec_id", q, k = 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = (exact & approx).size / 10.0
+    assert(recall >= 0.8, s"quantized recall@10 = $recall")
+  }
+
   test("search result matches a brute-force driver-side computation") {
     val rows = emb.select("vec_id", "embedding").collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))

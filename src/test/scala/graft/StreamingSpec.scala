@@ -42,6 +42,19 @@ class StreamingSpec extends SparkSpec {
     assert(batch.collect().map(key).toSet.nonEmpty)
   }
 
+  test("stream-static enrichment joins the broadcast dimension per micro-batch") {
+    val input = MemoryStream[Ev](spark)
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val out = runQuery(
+      EventPipeline.enrich(input.toDF(), dim, "user_id"),
+      "t_enrich", OutputMode.Append())(
+      () => input.addData(Seq(ev(1, 0, user = 1L), ev(2, 1, user = 2L), ev(3, 2, user = 9L))))
+    val got = out.select("event_id", "tier").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got == Map(1L -> Some("gold"), 2L -> Some("basic"), 3L -> None),
+      "unknown keys must survive the left join with a null tier")
+  }
+
   test("sliding-window counts over a stream equal the batch computation") {
     val input = MemoryStream[Ev](spark)
     val events = Seq(ev(1, 0), ev(2, 3), ev(3, 7, typ = "view"), ev(4, 12))
