@@ -240,6 +240,40 @@ object EventQueries {
       |GROUP BY user_id ORDER BY user_id
       """.stripMargin.trim))
 
+  private val rangeQ = QueryDef(
+    "ev_range_clicks_views",
+    "Time-range join: per user, (click, view) pairs with the view in " +
+      "the 10 minutes up to the click — bucketized into an EQUALITY " +
+      "join on (user, time bucket) with left fanout ≤ 2 " +
+      "(operators.RangeJoin), never a per-key nested loop; hot users " +
+      "spread across time buckets.",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("c_ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("v_ts"))
+      graft.operators.RangeJoin.timeRangeJoin(clicks, views, "c_ts", "v_ts",
+          beforeUs = 600000000L, afterUs = 0L, keys = Seq("user_id"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("click_id")).as("n_clicks_matched"))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      |WITH ev AS (
+      |  SELECT event_id, ts::TIMESTAMP AS ts, user_id, event_type FROM events
+      |)
+      |SELECT c.user_id, count(*) AS n_pairs,
+      |       count(DISTINCT c.event_id) AS n_clicks_matched
+      |FROM ev c JOIN ev v
+      |  ON c.event_type = 'click' AND v.event_type = 'view'
+      | AND c.user_id = v.user_id
+      | AND v.ts BETWEEN c.ts - INTERVAL '10 minutes' AND c.ts
+      |GROUP BY c.user_id ORDER BY c.user_id
+      """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
-    Seq(tumbling, sliding, sessionsQ, propsQ, firstQ, valueStats, pivotQ, asofQ)
+    Seq(tumbling, sliding, sessionsQ, propsQ, firstQ, valueStats, pivotQ, asofQ,
+      rangeQ)
 }

@@ -47,6 +47,33 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.stratifiedSample(tiny, "lang", "id", 10).count() == 3)
   }
 
+  test("timeRangeJoin equals the brute-force range join, including bucket-boundary pairs") {
+    import graft.operators.RangeJoin
+    // seconds chosen to straddle bucket boundaries for span=10s
+    val left = Seq((1L, 100L, 10L), (2L, 1L, 25L), (3L, 2L, 31L))
+      .toDF("lid", "user_id", "lsec")
+      .withColumn("lts", timestamp_seconds(col("lsec")))
+    val right = Seq((1L, 3L), (1L, 10L), (1L, 20L), (1L, 21L), (2L, 30L), (9L, 10L))
+      .toDF("user_id", "rsec")
+      .withColumn("rts", timestamp_seconds(col("rsec")))
+    val got = RangeJoin.timeRangeJoin(left, right, "lts", "rts",
+        beforeUs = 10000000L, afterUs = 0L, keys = Seq("user_id"))
+      .select("lid", "rsec").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force: rsec ∈ [lsec-10, lsec]
+    val l = Seq((1L, 100L, 10L), (2L, 1L, 25L), (3L, 2L, 31L))
+    val r = Seq((1L, 3L), (1L, 10L), (1L, 20L), (1L, 21L), (2L, 30L), (9L, 10L))
+    val expect = (for {
+      (lid, lu, ls) <- l; (ru, rs) <- r
+      if lu == ru && rs >= ls - 10 && rs <= ls
+    } yield (lid, rs)).toSet
+    assert(got == expect)
+    assert(expect.contains((3L, 30L)), "fixture must exercise a cross-bucket pair")
+    // no duplicate pairs from the two-bucket explode
+    val all = RangeJoin.timeRangeJoin(left, right, "lts", "rts",
+      10000000L, 0L, Seq("user_id")).collect()
+    assert(all.length == expect.size)
+  }
+
   test("asof lastMatchTs attaches the latest at-or-before match per key") {
     val ev = Seq(
       // (event_id, user, type, ts-seconds)
