@@ -219,6 +219,68 @@ object TextQueries {
       |ORDER BY doc_id, rnk
       """.stripMargin.trim))
 
+  private val chunksQ = QueryDef(
+    "txt_chunk_windows",
+    "Context-length chunking: 32-token windows with 8-token overlap " +
+      "(stride 24), final partial window kept. Pure per-row HOF + " +
+      "posexplode — no shuffle; chunk text fingerprinted (md5) so the " +
+      "cross-engine check covers exact window contents.",
+    (s, dir) => {
+      import graft.operators.TextChunking.chunkTokens
+      docToks(s, dir)
+        .select(col("doc_id"),
+          posexplode(chunkTokens(col("toks"), chunkSize = 32, overlap = 8))
+            .as(Seq("chunk_idx", "chunk")))
+        .filter(size(col("chunk")) > 0)
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          size(col("chunk")).cast("long").as("n_chunk_tokens"),
+          md5(array_join(col("chunk"), " ")).as("chunk_fp"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+    Some(s"""
+      |${Duck.docToks}, ch AS (
+      |  SELECT doc_id,
+      |         unnest(list_transform(range(((greatest(len(toks),1) - 1) // 24)::BIGINT + 1),
+      |                i -> struct_pack(idx := i, chunk := list_slice(toks, i*24 + 1, i*24 + 32)))) AS c
+      |  FROM tt
+      |)
+      |SELECT doc_id, c.idx AS chunk_idx, len(c.chunk)::BIGINT AS n_chunk_tokens,
+      |       md5(array_to_string(c.chunk, ' ')) AS chunk_fp
+      |FROM ch WHERE len(c.chunk) > 0 ORDER BY doc_id, chunk_idx
+      """.stripMargin.trim))
+
+  private val packQ = QueryDef(
+    "pipeline_pack_sequences",
+    "Concat-and-cut sequence packing: per language shard, docs in " +
+      "doc_id order are cut every 512 tokens; pack_id = exclusive " +
+      "running token sum ÷ 512. Parallelism = shards (each prefix sum " +
+      "is an independent window partition); deterministic layout → " +
+      "rerun-identical training shards.",
+    (s, dir) => {
+      import graft.operators.TextChunking.packSequences
+      val withN = docToks(s, dir)
+        .select(col("doc_id"), col("lang"), size(col("toks")).cast("long").as("n"))
+      packSequences(withN, col("n"), col("doc_id"), col("lang"), seqLen = 512)
+        .groupBy(col("lang"), col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n").cast("decimal(38,6)")).cast("long").as("n_tokens"))
+        .orderBy(col("lang"), col("pack_id"))
+    },
+    Some(s"""
+      |${Duck.docToks}, cnt AS (
+      |  SELECT doc_id, lang, len(toks)::BIGINT AS n FROM tt
+      |), cum AS (
+      |  SELECT lang, doc_id, n,
+      |         COALESCE(SUM(n) OVER (PARTITION BY lang ORDER BY doc_id
+      |                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+      |  FROM cnt
+      |)
+      |SELECT lang, (prior // 512)::BIGINT AS pack_id, count(*) AS n_docs,
+      |       CAST(SUM(CAST(n AS DECIMAL(38,6))) AS BIGINT) AS n_tokens
+      |FROM cum GROUP BY 1, 2 ORDER BY lang, pack_id
+      """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
-    Seq(stats, langQ, quality, fp, topTokens, simhashQ, embedQ, tfidfQ)
+    Seq(stats, langQ, quality, fp, topTokens, simhashQ, embedQ, tfidfQ,
+      chunksQ, packQ)
 }

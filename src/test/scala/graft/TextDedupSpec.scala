@@ -175,6 +175,35 @@ class TextDedupSpec extends SparkSpec {
     assert(out.filter(_._3 == "common").forall(_._4 == 0.0))
   }
 
+  test("chunkTokens: overlap windows, short-doc single window, empty-doc empty window") {
+    import graft.operators.TextChunking.chunkTokens
+    val toks = (1 to 10).map(i => s"t$i")
+    val out = Seq(Tuple1(toks)).toDF("toks")
+      .select(chunkTokens(col("toks"), chunkSize = 4, overlap = 1).as("ch"))
+      .collect()(0).getSeq[Seq[String]](0)
+    // stride 3 over 10 tokens → starts 0,3,6,9
+    assert(out == Seq(
+      Seq("t1", "t2", "t3", "t4"), Seq("t4", "t5", "t6", "t7"),
+      Seq("t7", "t8", "t9", "t10"), Seq("t10")))
+    val short = Seq(Tuple1(Seq("a"))).toDF("toks")
+      .select(chunkTokens(col("toks"), 4, 1).as("ch")).collect()(0).getSeq[Seq[String]](0)
+    assert(short == Seq(Seq("a")))
+    val empty = Seq(Tuple1(Seq.empty[String])).toDF("toks")
+      .select(chunkTokens(col("toks"), 4, 1).as("ch")).collect()(0).getSeq[Seq[String]](0)
+    assert(empty == Seq(Seq.empty[String]), "empty doc → one empty (filterable) window")
+  }
+
+  test("packSequences: exclusive prefix cut every seqLen, independent per shard") {
+    import graft.operators.TextChunking.packSequences
+    val docs = Seq(
+      (1L, "en", 60L), (2L, "en", 60L), (3L, "en", 60L),  // prior 0,60,120 → packs 0,0,1
+      (4L, "de", 100L), (5L, "de", 10L)                   // prior 0,100 → packs 0,1
+    ).toDF("doc_id", "lang", "n")
+    val got = packSequences(docs, col("n"), col("doc_id"), col("lang"), seqLen = 100)
+      .select("doc_id", "pack_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 0L, 5L -> 1L))
+  }
+
   test("embedding near-dup pairs respect blocking and threshold") {
     val embs = Seq(
       (1L, 0, Seq(1f, 0f)), (2L, 0, Seq(0.99f, 0.14f)),
