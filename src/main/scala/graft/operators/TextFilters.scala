@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Gopher-style document quality filters (the public heuristic battery
+  * from Rae et al. 2021, "Scaling Language Models", appendix A1.1 —
+  * the de-facto standard pretraining-corpus gate): per-document
+  * token-shape metrics plus a repetition metric, each a hard
+  * pass/fail. All per-row metrics are linear HOF projections; the
+  * repetition metric (top-bigram fraction) aggregates instead of
+  * scanning O(d²) per row — see [[topBigramFraction]].
+  */
+object TextFilters {
+
+  /** Mean token length (characters). Gopher keeps docs in [3, 10]. */
+  def meanWordLen(toks: Column): Column =
+    when(size(toks) === 0, lit(0.0)).otherwise(
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks))
+
+  /** Fraction of tokens containing at least one letter (tokenizer
+    * yields [a-z0-9]+ runs, so "letterless" = pure digit runs).
+    * Gopher requires > 0.8.
+    */
+  def alphaWordFraction(toks: Column): Column =
+    when(size(toks) === 0, lit(0.0)).otherwise(
+      size(filter(toks, t => t.rlike("[a-z]"))).cast("double") / size(toks))
+
+  /** Hash/ellipsis symbols per token ('#' and '...'), Gopher cap 0.1. */
+  def symbolWordRatio(norm: Column, toks: Column): Column = {
+    val hashes = length(norm) - length(regexp_replace(norm, "#", ""))
+    val ellipses = (length(norm) - length(regexp_replace(norm, "\\.\\.\\.", ""))) / 3
+    when(size(toks) === 0, lit(0.0))
+      .otherwise((hashes + ellipses).cast("double") / size(toks))
+  }
+
+  /** Per-document fraction of token bigrams taken by the single most
+    * frequent bigram (repetition proxy; Gopher caps it at 0.2). Runs
+    * as explode → (doc, bigram) count → per-doc max/total: two
+    * map-side-combining aggregates, never an O(d²) per-row scan (a
+    * 10k-token doc would cost 10⁸ HOF steps per row).
+    * Returns (idCol, top_bigram_frac) for docs with ≥ 1 bigram.
+    */
+  def topBigramFraction(docs: DataFrame, toksCol: String, idCol: String): DataFrame = {
+    val bigrams = docs
+      .select(col(idCol).as("id"),
+        // slice length = full array size (start+length must stay in Int
+        // range — a literal Int.MaxValue length overflows to an empty
+        // slice); trailing over-read is truncated
+        explode(zip_with(col(toksCol), slice(col(toksCol), lit(2), size(col(toksCol))),
+          (a, b) => concat_ws(" ", a, b))).as("bg"))
+      // zip_with pads the tail with null; concat_ws drops nulls, so the
+      // padded element has no space — filter it by that
+      .filter(col("bg").contains(" "))
+    bigrams.groupBy("id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("id")
+      .agg((max(col("c")).cast("double") /
+        sum(col("c")).cast("double")).as("top_bigram_frac"))
+  }
+}

@@ -273,7 +273,36 @@ object EventQueries {
       |GROUP BY c.user_id ORDER BY c.user_id
       """.stripMargin.trim))
 
+  private val movingQ = QueryDef(
+    "ev_moving_avg_daily",
+    "3-day moving average of daily event value (ROWS frame window over " +
+      "the daily pre-aggregate): the heavy aggregation happens first " +
+      "(map-side partials to |days| rows), the window then runs over " +
+      "the tiny aggregate — never over raw events.",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, dir)
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(sum(col("value").cast("decimal(38,6)")).cast("double").as("day_value"))
+      val w = Window.orderBy(col("day")).rowsBetween(-2, 0)
+      daily
+        .withColumn("avg3", round(avg(col("day_value")).over(w), 6))
+        .select(col("day"), round(col("day_value"), 6).as("day_value"), col("avg3"))
+        .orderBy(col("day"))
+    },
+    Some("""
+      |WITH daily AS (
+      |  SELECT strftime(ts::TIMESTAMP, '%Y-%m-%d') AS day,
+      |         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS day_value
+      |  FROM events GROUP BY 1
+      |)
+      |SELECT day, round(day_value, 6) AS day_value,
+      |       round(AVG(day_value) OVER (ORDER BY day
+      |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS avg3
+      |FROM daily ORDER BY day
+      """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
     Seq(tumbling, sliding, sessionsQ, propsQ, firstQ, valueStats, pivotQ, asofQ,
-      rangeQ)
+      rangeQ, movingQ)
 }

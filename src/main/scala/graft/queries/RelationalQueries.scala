@@ -339,7 +339,36 @@ object RelationalQueries {
       |GROUP BY o_orderpriority ORDER BY o_orderpriority
       """.stripMargin.trim))
 
+  private val ntileQ = QueryDef(
+    "ntile_balance_quartiles",
+    "NTILE bucketing (SURVEY §2.7): account-balance quartiles WITHIN " +
+      "each market segment (partitioned, so no global sort — each " +
+      "segment ranks independently), unique-key tiebreak, quartile " +
+      "summary stats.",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      Tables.customer(s, dir)
+        .withColumn("quartile", ntile(4).over(w).cast("long")) // DuckDB ntile is BIGINT
+        .groupBy(col("c_mktsegment"), col("quartile"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("c_acctbal")).as("bal_sum"))
+        .orderBy(col("c_mktsegment"), col("quartile"))
+    },
+    Some("""
+      |WITH q AS (
+      |  SELECT c_mktsegment, c_acctbal,
+      |         ntile(4) OVER (PARTITION BY c_mktsegment
+      |                        ORDER BY c_acctbal, c_custkey) AS quartile
+      |  FROM customer
+      |)
+      |SELECT c_mktsegment, quartile, count(*) AS n,
+      |       CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS bal_sum
+      |FROM q GROUP BY 1, 2 ORDER BY c_mktsegment, quartile
+      """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
     Seq(q3, q5, windowTop, rollupQ, cubeQ, distinctCounts, setOps, semiAnti,
-      q12, q14, scalarSub)
+      q12, q14, scalarSub, ntileQ)
 }

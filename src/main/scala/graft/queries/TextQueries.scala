@@ -280,7 +280,61 @@ object TextQueries {
       |FROM cum GROUP BY 1, 2 ORDER BY lang, pack_id
       """.stripMargin.trim))
 
+  private val gopherQ = QueryDef(
+    "txt_gopher_filters",
+    "Gopher-style quality gate (Rae et al. 2021 A1.1): mean word " +
+      "length ∈ [3,10], symbol/word < 0.1, alpha-word fraction > 0.8, " +
+      "≥ 2 en stopwords, top-bigram fraction ≤ 0.2. Shape metrics are " +
+      "linear HOF projections; the repetition metric aggregates " +
+      "(explode + two map-side-combining groupBys), never O(d²)/row.",
+    (s, dir) => {
+      import graft.operators.TextFilters._
+      val base = docToks(s, dir).select(col("doc_id"), col("norm"), col("toks"))
+      val bg = topBigramFraction(base, "toks", "doc_id")
+        .withColumnRenamed("id", "doc_id")
+      base.join(bg, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          round(meanWordLen(col("toks")), 6).as("mean_word_len"),
+          round(symbolWordRatio(col("norm"), col("toks")), 6).as("symbol_ratio"),
+          round(alphaWordFraction(col("toks")), 6).as("alpha_frac"),
+          stopwordHitsFromTokens(col("toks"), stopwords("en")).as("en_stops"),
+          round(coalesce(col("top_bigram_frac"), lit(0.0)), 6).as("top_bigram_frac"))
+        .withColumn("gopher_pass",
+          col("mean_word_len").between(3.0, 10.0) && col("symbol_ratio") < 0.1 &&
+            col("alpha_frac") > 0.8 && col("en_stops") >= 2 &&
+            col("top_bigram_frac") <= 0.2)
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      |${Duck.docToks}, bg AS (
+      |  SELECT doc_id, unnest(list_transform(range(len(toks) - 1),
+      |         i -> toks[i+1] || ' ' || toks[i+2])) AS b
+      |  FROM tt WHERE len(toks) >= 2
+      |), bgc AS (
+      |  SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2
+      |), bgf AS (
+      |  SELECT doc_id, max(c)::DOUBLE / sum(c)::DOUBLE AS top_bigram_frac
+      |  FROM bgc GROUP BY doc_id
+      |), m AS (
+      |  SELECT tt.doc_id,
+      |         round(CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+      |           list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks) END, 6) AS mean_word_len,
+      |         round(CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+      |           ((length(norm) - length(replace(norm, '#', '')))
+      |            + (length(norm) - length(replace(norm, '...', ''))) / 3)::DOUBLE / len(toks) END, 6) AS symbol_ratio,
+      |         round(CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+      |           len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))::DOUBLE / len(toks) END, 6) AS alpha_frac,
+      |         ${Duck.hits(stopwords("en"))} AS en_stops,
+      |         round(COALESCE(bgf.top_bigram_frac, 0.0), 6) AS top_bigram_frac
+      |  FROM tt LEFT JOIN bgf ON tt.doc_id = bgf.doc_id
+      |)
+      |SELECT *, (mean_word_len BETWEEN 3.0 AND 10.0 AND symbol_ratio < 0.1
+      |           AND alpha_frac > 0.8 AND en_stops >= 2
+      |           AND top_bigram_frac <= 0.2) AS gopher_pass
+      |FROM m ORDER BY doc_id
+      """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
     Seq(stats, langQ, quality, fp, topTokens, simhashQ, embedQ, tfidfQ,
-      chunksQ, packQ)
+      chunksQ, packQ, gopherQ)
 }

@@ -193,6 +193,18 @@ class TextDedupSpec extends SparkSpec {
     assert(empty == Seq(Seq.empty[String]), "empty doc → one empty (filterable) window")
   }
 
+  test("topBigramFraction: hand-computed repetition fraction; no-bigram docs absent") {
+    import graft.operators.TextFilters.topBigramFraction
+    val docs = Seq(
+      (1L, Seq("a", "b", "a", "b", "c")), // bigrams: ab,ba,ab,bc → top 2/4
+      (2L, Seq("x")),                     // no bigrams → no row
+      (3L, Seq.empty[String])
+    ).toDF("doc_id", "toks")
+    val got = topBigramFraction(docs, "toks", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(1L -> 0.5))
+  }
+
   test("packSequences: exclusive prefix cut every seqLen, independent per shard") {
     import graft.operators.TextChunking.packSequences
     val docs = Seq(
