@@ -368,7 +368,42 @@ object RelationalQueries {
       |FROM q GROUP BY 1, 2 ORDER BY c_mktsegment, quartile
       """.stripMargin.trim))
 
+  private val upsertQ = QueryDef(
+    "upsert_orders_latest_wins",
+    "Latest-wins upsert (batch MERGE emulation, SURVEY §2.1): a " +
+      "deterministic update slice (every 97th order, +10.0 price, " +
+      "version 1) merged over the base table (version 0) — one keyed " +
+      "shuffle + WindowGroupLimit rank, rerun-identical. Verified by " +
+      "post-merge aggregate: row count unchanged, updated-row count, " +
+      "exact price sum reflecting the deltas.",
+    (s, dir) => {
+      val ord = Tables.orders(s, dir)
+      val base = ord.withColumn("_v", lit(0L))
+      val upd = ord.filter(col("o_orderkey") % 97 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 10.0)
+        .withColumn("_v", lit(1L))
+      graft.operators.Upsert.latestWins(base, upd, Seq("o_orderkey"), "_v")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("_v")).as("n_updated"),
+          dsum(col("o_totalprice")).as("price_sum"))
+    },
+    Some("""
+      |WITH base AS (
+      |  SELECT o_orderkey, o_totalprice, 0 AS v FROM orders
+      |), upd AS (
+      |  SELECT o_orderkey, o_totalprice + 10.0 AS o_totalprice, 1 AS v
+      |  FROM orders WHERE o_orderkey % 97 = 0
+      |), merged AS (
+      |  SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY v DESC) AS rn
+      |  FROM (SELECT * FROM base UNION ALL SELECT * FROM upd)
+      |)
+      |SELECT count(*) AS n_rows,
+      |       CAST(SUM(v) AS BIGINT) AS n_updated,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS price_sum
+      |FROM merged WHERE rn = 1
+      """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
     Seq(q3, q5, windowTop, rollupQ, cubeQ, distinctCounts, setOps, semiAnti,
-      q12, q14, scalarSub, ntileQ)
+      q12, q14, scalarSub, ntileQ, upsertQ)
 }

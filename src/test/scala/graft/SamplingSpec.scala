@@ -74,6 +74,22 @@ class SamplingSpec extends SparkSpec {
     assert(all.length == expect.size)
   }
 
+  test("latestWins upsert: higher version wins, update beats base on version tie") {
+    import graft.operators.Upsert
+    val base = Seq((1L, "a", 3L), (2L, "b", 3L), (4L, "d", 9L)).toDF("k", "val", "ver")
+    val upd = Seq((2L, "B", 5L), (3L, "C", 1L), (4L, "D", 9L)).toDF("k", "val", "ver")
+    val got = Upsert.latestWins(base, upd, Seq("k"), "ver")
+      .select("k", "val").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(
+      1L -> "a",  // untouched base row survives
+      2L -> "B",  // higher version wins
+      3L -> "C",  // insert (no base row)
+      4L -> "D")) // version tie → update side wins
+    // schema preserved, helper columns dropped
+    assert(Upsert.latestWins(base, upd, Seq("k"), "ver").columns.toSeq ==
+      Seq("k", "val", "ver"))
+  }
+
   test("asof lastMatchTs attaches the latest at-or-before match per key") {
     val ev = Seq(
       // (event_id, user, type, ts-seconds)
