@@ -44,6 +44,32 @@ class IvfProbeRuleSpec extends SparkSpec {
     }
   }
 
+  test("hybrid search through the rule: label predicate AND probe pruning compose") {
+    import org.apache.spark.sql.functions.col
+    withIndexDir { (dir, cents) =>
+      IvfCatalog.register(dir, cents, nprobe = 3)
+      spark.catalog.clearCache()
+      val hits = Knn.filteredSearch(Ann.readIndexed(spark, dir),
+        col("label") === 3, "embedding", "vec_id", q, k = 5)
+      val scan = hits.queryExecution.executedPlan.collectLeaves()
+        .collectFirst { case s: FileSourceScanExec => s }.get
+      assert(scan.selectedPartitions.partitionCount == 3,
+        "the probe filter must prune partitions even with a user predicate in the plan")
+      assert(hits.select("label").collect().forall(_.getInt(0) == 3),
+        "the user predicate must still apply")
+      // full-probe hybrid (nprobe = nlist) reproduces the exact filtered search
+      IvfCatalog.register(dir, cents, nprobe = 8)
+      spark.catalog.clearCache()
+      val full = Knn.filteredSearch(Ann.readIndexed(spark, dir),
+        col("label") === 3, "embedding", "vec_id", q, k = 5)
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+      val exact = Knn.filteredSearch(emb, col("label") === 3,
+        "embedding", "vec_id", q, k = 5)
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+      assert(full == exact)
+    }
+  }
+
   test("unregistered table: exact search untouched (all partitions scanned)") {
     withIndexDir { (dir, _) =>
       spark.catalog.clearCache()
