@@ -240,5 +240,80 @@ object DedupQueries {
       |GROUP BY min_b ORDER BY cluster_id
       """.stripMargin.trim))
 
-  val defs: Seq[QueryDef] = Seq(exact, ngram, minhash, simhash, embCos, clusters)
+  private val canonical = QueryDef(
+    "pipeline_canonical_docs",
+    "Canonical-document selection — the end-use of the dedup stack: " +
+      "near-dup clusters (Jaccard ≥ 0.3 → connected components) keep " +
+      "only their highest-quality member (tiebreak doc_id); docs with " +
+      "no near-dup edge are their own canonical. One row per surviving " +
+      "document.",
+    (s, dir) => {
+      import graft.operators.TextAnalysis
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables.documentsSpread(s, dir)
+        .withColumn("norm", TextAnalysis.normalize(col("text")))
+        .withColumn("toks", TextAnalysis.tokensFromNorm(col("norm")))
+        .withColumn("quality",
+          round(TextAnalysis.qualityScoreFromParts(col("toks"), col("norm")), 6))
+      val pairs = Dedup.ngramJaccardPairs(d, "text", "doc_id", shingleK = 3,
+        threshold = 0.3, maxShingleDf = Some(Dedup.DefaultMaxShingleDf))
+      val clustered = Dedup.duplicateClusters(pairs).withColumnRenamed("id", "doc_id")
+      val w = Window.partitionBy(col("cluster_id"))
+        .orderBy(col("quality").desc, col("doc_id"))
+      d.select(col("doc_id"), col("quality"))
+        .join(clustered, Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+        .withColumn("rnk", row_number().over(w))
+        .withColumn("n_members",
+          count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+        .filter(col("rnk") === 1)
+        .select(col("cluster_id"), col("doc_id").as("canonical_doc_id"),
+          col("n_members"), col("quality"))
+        .orderBy(col("cluster_id"))
+    },
+    Some {
+      import graft.operators.TextAnalysis.stopwords
+      s"""
+      |$duckShingles, $duckCappedIndex, jpairs AS (
+      |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, x.n_sh AS na, y.n_sh AS nb, count(*) AS common
+      |  FROM ex x JOIN ex y ON x.s = y.s AND x.doc_id < y.doc_id
+      |  GROUP BY 1, 2, 3, 4
+      |), edges0 AS (
+      |  SELECT id_a, id_b FROM jpairs
+      |  WHERE round(common::DOUBLE / (na + nb - common)::DOUBLE, 6) >= 0.3
+      |), edges AS (
+      |  SELECT id_a, id_b FROM edges0
+      |  UNION SELECT id_b, id_a FROM edges0
+      |), closure AS (
+      |  WITH RECURSIVE cl(a, b) AS (
+      |    SELECT DISTINCT id_a, id_a FROM edges
+      |    UNION
+      |    SELECT cl.a, e.id_b FROM cl JOIN edges e ON cl.b = e.id_a
+      |  )
+      |  SELECT a, b FROM cl
+      |), clu AS (
+      |  SELECT a AS doc_id, min(b) AS cluster_id FROM closure GROUP BY a
+      |), q AS (
+      |  SELECT doc_id,
+      |         round(CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+      |           0.4 * least(1.0, ${Duck.hits(stopwords("en"))}::DOUBLE * 8.0 / len(toks)::DOUBLE)
+      |           + 0.3 * least(1.0, len(toks)::DOUBLE / 50.0)
+      |           + 0.3 * (1.0 - ${Duck.punct}::DOUBLE / length(norm)::DOUBLE) END, 6) AS quality
+      |  FROM tt
+      |), j AS (
+      |  SELECT q.doc_id, COALESCE(clu.cluster_id, q.doc_id) AS cluster_id, q.quality
+      |  FROM q LEFT JOIN clu USING (doc_id)
+      |), r AS (
+      |  SELECT *,
+      |         row_number() OVER (PARTITION BY cluster_id ORDER BY quality DESC, doc_id) AS rnk,
+      |         count(*) OVER (PARTITION BY cluster_id) AS n_members
+      |  FROM j
+      |)
+      |SELECT cluster_id, doc_id AS canonical_doc_id, n_members, quality
+      |FROM r WHERE rnk = 1 ORDER BY cluster_id
+      """.stripMargin.trim
+    })
+
+  val defs: Seq[QueryDef] =
+    Seq(exact, ngram, minhash, simhash, embCos, clusters, canonical)
 }
