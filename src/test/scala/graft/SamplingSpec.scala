@@ -90,6 +90,25 @@ class SamplingSpec extends SparkSpec {
       Seq("k", "val", "ver"))
   }
 
+  test("property: timeRangeJoin equals brute force on seeded random events (asymmetric window)") {
+    import graft.operators.RangeJoin
+    val rnd = new scala.util.Random(7)
+    val ls = Seq.tabulate(120)(i => (i.toLong, rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong))
+    val rs = Seq.tabulate(150)(j => (rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong))
+    val left = ls.toDF("lid", "user_id", "lsec").withColumn("lts", timestamp_seconds(col("lsec")))
+    val right = rs.toDF("user_id", "rsec").withColumn("rts", timestamp_seconds(col("rsec")))
+    // window = [ts − 15s, ts + 7s]: span 22s, asymmetric → exercises both bucket edges
+    val got = RangeJoin.timeRangeJoin(left, right, "lts", "rts",
+        beforeUs = 15000000L, afterUs = 7000000L, keys = Seq("user_id"))
+      .select("lid", "rsec").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expect = for {
+      (lid, lu, lt) <- ls; (ru, rt) <- rs
+      if lu == ru && rt >= lt - 15 && rt <= lt + 7
+    } yield (lid, rt)
+    assert(got.sorted.toSeq == expect.sorted.toSeq,
+      s"got ${got.length} pairs, expected ${expect.length}")
+  }
+
   test("asof lastMatchTs attaches the latest at-or-before match per key") {
     val ev = Seq(
       // (event_id, user, type, ts-seconds)

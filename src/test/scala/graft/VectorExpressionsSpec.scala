@@ -128,6 +128,23 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(df(3).isNullAt(1), "null input stays null")
   }
 
+  test("property: quantize round-trip error ≤ amax/127 on seeded random vectors") {
+    val rnd = new scala.util.Random(42)
+    val vecs = Seq.tabulate(100)(i =>
+      (i.toLong, Seq.fill(16)((rnd.nextFloat() - 0.5f) * 20f)))
+    val rows = vecs.toDF("id", "v")
+      .withColumn("amax", quantScale(col("v")))
+      .withColumn("back", dequantizeInt8(quantizeInt8(col("v"), col("amax")), col("amax")))
+      .select("v", "amax", "back").collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Float](0); val amax = r.getDouble(1); val back = r.getSeq[Float](2)
+      val bound = amax / 127.0 + 1e-6
+      v.zip(back).foreach { case (a, b) =>
+        assert(math.abs(a - b) <= bound, s"|$a - $b| > $bound (amax=$amax)")
+      }
+    }
+  }
+
   test("quantizeInt8 round-trips within one quantization step; zero vector → zeros") {
     val df = Seq(
       Tuple1(Seq(0.5f, -1.0f, 0.25f, 0.0f)),
