@@ -108,4 +108,27 @@ object EventPipeline {
     */
   def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(org.apache.spark.sql.functions.broadcast(dim), Seq(key), "left")
+
+  /** Stream–stream interval join: pairs with
+    * `right.ts ∈ [left.ts − before, left.ts + after]` per key — the
+    * streaming counterpart of `operators.RangeJoin`. On streams, BOTH
+    * inputs must carry event-time watermarks; the time-bound condition
+    * is what lets Spark evict join state (each side keeps only rows
+    * whose window can still match — state is bounded by
+    * watermark + span, not unbounded). The same expression runs on
+    * batch frames, where Catalyst plans it as an ordinary join.
+    * Column names apart from `keys` must be disjoint.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                   leftTs: String, rightTs: String,
+                   before: String, after: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val keyCond = keys.map(k => left(k) === right(k)).reduce(_ && _)
+    val timeCond =
+      col(rightTs) >= col(leftTs) - expr(s"INTERVAL $before") &&
+        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $after")
+    val rightKeys = keys.map(right(_))
+    left.join(right, keyCond && timeCond)
+      .drop(rightKeys.head, rightKeys.tail: _*)
+  }
 }

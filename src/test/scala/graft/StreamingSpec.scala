@@ -55,6 +55,38 @@ class StreamingSpec extends SparkSpec {
       "unknown keys must survive the left join with a null tier")
   }
 
+  test("stream-stream interval join with watermarks equals the batch range join") {
+    val clicksIn = MemoryStream[Ev](spark)
+    val viewsIn = MemoryStream[Ev](spark)
+    val clicks = clicksIn.toDF().select($"event_id".as("click_id"), $"user_id", $"ts".as("c_ts"))
+      .withWatermark("c_ts", "30 minutes")
+    val views = viewsIn.toDF().select($"user_id", $"ts".as("v_ts"))
+      .withWatermark("v_ts", "30 minutes")
+    val joined = EventPipeline.intervalJoin(clicks, views, Seq("user_id"),
+      "c_ts", "v_ts", before = "10 MINUTES", after = "0 SECONDS")
+    val clickEvents = Seq(ev(1, 15, user = 1), ev(2, 40, user = 1), ev(3, 5, user = 2))
+    val viewEvents = Seq(
+      ev(10, 8, user = 1, typ = "view"),  // within 10 min of click@15
+      ev(11, 14, user = 1, typ = "view"), // within both? click@15 yes; click@40 no
+      ev(12, 35, user = 1, typ = "view"), // within 10 min of click@40
+      ev(13, 50, user = 2, typ = "view")) // after user 2's click — excluded
+    val streamed = runQuery(joined, "t_ivjoin", OutputMode.Append())(
+      () => { clicksIn.addData(clickEvents); viewsIn.addData(viewEvents) })
+      .select("click_id", "v_ts").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString)).toSet
+    // batch equivalence: same operator over batch frames
+    val bClicks = clickEvents.toDF().select($"event_id".as("click_id"), $"user_id", $"ts".as("c_ts"))
+    val bViews = viewEvents.toDF().select($"user_id", $"ts".as("v_ts"))
+    val batch = EventPipeline.intervalJoin(bClicks, bViews, Seq("user_id"),
+      "c_ts", "v_ts", before = "10 MINUTES", after = "0 SECONDS")
+      .select("click_id", "v_ts").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString)).toSet
+    assert(streamed == batch)
+    assert(batch == Set(
+      1L -> "2024-01-01 10:08:00.0", 1L -> "2024-01-01 10:14:00.0",
+      2L -> "2024-01-01 10:35:00.0"))
+  }
+
   test("sliding-window counts over a stream equal the batch computation") {
     val input = MemoryStream[Ev](spark)
     val events = Seq(ev(1, 0), ev(2, 3), ev(3, 7, typ = "view"), ev(4, 12))
