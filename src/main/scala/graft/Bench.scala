@@ -20,8 +20,10 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: session bootstrap, parquet footer reads, codegen
     // JIT — once per distinct input pipeline (vector, text projection,
-    // shingle-join/cluster-loop)
-    Seq("knn_exact_cosine", "txt_stats", "dedup_clusters").foreach { w =>
+    // shingle-join/cluster-loop, relational lineitem/orders join-agg).
+    // Without the relational entry the alphabetically-first lineitem
+    // query pays the whole codegen+footer warmup inside its timing.
+    Seq("knn_exact_cosine", "txt_stats", "dedup_clusters", "q1_pricing_summary").foreach { w =>
       try consume(SparkEntry.queries(w)(spark, sfDir))
       catch { case _: Throwable => () }
       spark.catalog.clearCache()

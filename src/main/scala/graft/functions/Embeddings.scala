@@ -29,6 +29,64 @@ trait EmbeddingModel extends Serializable {
   * any JVM. Empty/blank text → basis vector e₀ (a real encoder never
   * returns the zero vector either).
   */
+/** JVM-side md5 helpers mirroring the DuckDB-portable hash family
+  * (`Duck.md5Long48`): lowercase hex digest, first 12 hex chars as a
+  * non-negative 48-bit long. Shared by the portable embedder, the
+  * multimodal stub decoder, and the LSH sign planes so every consumer
+  * hashes identically to its SQL oracle.
+  */
+object Md5 {
+  def hexOfBytes(bytes: Array[Byte]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(bytes).map(b => f"${b & 0xff}%02x").mkString
+  }
+  def hex(s: String): String = hexOfBytes(s.getBytes("UTF-8"))
+  /** First 12 hex chars as a non-negative 48-bit long (≡ DuckDB
+    * `('0x' || substring(md5(s), 1, 12))::BIGINT`).
+    */
+  def long48(s: String): Long = java.lang.Long.parseLong(hex(s).substring(0, 12), 16)
+}
+
+/** Cross-engine-portable feature-hashing encoder: token → md5-derived
+  * (bucket, ±1 sign), accumulated then L2-normalized — same contract as
+  * [[HashingEmbedder]] (fixed dim, unit norm, e₀ fallback) but every
+  * step is reproducible in ANSI-ish SQL, so the embed→KNN ingest
+  * pipeline gets a hash-checkable DuckDB oracle:
+  *
+  *   - tokens: `lower` + split `[^a-z0-9]+` (≡ `Duck.toks`);
+  *   - bucket = md5Long48(token) % dim;
+  *   - sign   = +1 if the 13th md5 hex nibble < 8 else −1;
+  *   - accumulate ±1 in Double (exact integers), norm = √Σw², each
+  *     component quantized `(w/norm).toFloat` — IEEE round-to-nearest,
+  *     ≡ DuckDB `CAST(w/norm AS FLOAT)` — so both engines hold
+  *     bit-identical float32 vectors.
+  */
+final case class Md5PortableEmbedder(dim: Int = 64) extends EmbeddingModel {
+  override def encode(text: String): Array[Float] = {
+    val acc = new Array[Double](dim)
+    val tokens = text.toLowerCase.split("[^a-z0-9]+")
+    var any = false
+    tokens.foreach { t =>
+      if (t.nonEmpty) {
+        any = true
+        val hex = Md5.hex(t)
+        val idx = (java.lang.Long.parseLong(hex.substring(0, 12), 16) % dim).toInt
+        val sign = if (Character.digit(hex.charAt(12), 16) < 8) 1.0 else -1.0
+        acc(idx) += sign
+      }
+    }
+    if (!any) acc(0) = 1.0
+    var norm = 0.0
+    var i = 0
+    while (i < dim) { norm += acc(i) * acc(i); i += 1 }
+    norm = math.sqrt(norm)
+    val out = new Array[Float](dim)
+    if (norm == 0.0) { out(0) = 1.0f }
+    else { i = 0; while (i < dim) { out(i) = (acc(i) / norm).toFloat; i += 1 } }
+    out
+  }
+}
+
 final case class HashingEmbedder(dim: Int = 384, seed: Int = 42) extends EmbeddingModel {
   override def encode(text: String): Array[Float] = {
     val acc = new Array[Double](dim)

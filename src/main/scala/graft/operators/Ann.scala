@@ -107,6 +107,20 @@ object Ann {
     Array.fill(nBits)(Array.fill(dim)((rnd.nextGaussian()).toFloat))
   }
 
+  /** md5-derived ±1 (Rademacher) hyperplanes — statistically equivalent
+    * to gaussian planes for sign-LSH (only the projection SIGN is used,
+    * and a ±1 plane is a valid random hyperplane draw), but every
+    * component is recomputable in SQL
+    * (`md5('tag:bit:j')`-parity — see the `ann_lsh_probe` oracle), so
+    * the whole LSH path is hash-gated cross-engine, not spec-only.
+    */
+  def signPlanes(dim: Int, nBits: Int, tag: String = "lsh"): Array[Array[Float]] =
+    Array.tabulate(nBits) { b =>
+      Array.tabulate(dim) { j =>
+        if (graft.functions.Md5.long48(s"$tag:$b:$j") % 2 == 0) 1.0f else -1.0f
+      }
+    }
+
   /** Packed sign-bucket id (LongType) of a vector under the planes. */
   def lshBucket(vec: Column, planes: Array[Array[Float]]): Column = {
     val planeLit = typedLit(planes.map(_.toSeq).toSeq)

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.{EmbeddingModel, HashingEmbedder}
+import graft.functions.{EmbeddingModel, Md5, Md5PortableEmbedder}
 import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -48,25 +48,27 @@ object Multimodal {
     def decode(bytes: Array[Byte]): (Row, Array[Float])
   }
 
-  /** Deterministic fake decoder: "dimensions" and "duration" are
-    * derived from a rolling hash of the bytes; features are the hashing
-    * embedder over the hex of a byte prefix. Fixed contract, no I/O —
-    * the Spark plumbing around it is what's under test.
+  /** Deterministic fake decoder: "dimensions" and "duration" are bit
+    * slices of the 48-bit md5-derived hash of the bytes; features are
+    * the md5-portable embedder over the digest's 2-hex-char "byte"
+    * tokens. Fixed contract, no I/O — and every step is reproducible in
+    * DuckDB SQL (md5 of the UTF-8 stand-in bytes ≡ `md5(text)`), so the
+    * decode query is hash-gated cross-engine, not rows-only. The Spark
+    * plumbing around it is what's under test.
     */
   final case class StubDecoder(featureDim: Int = 16) extends MediaDecoder {
-    private val embedder: EmbeddingModel = HashingEmbedder(dim = featureDim, seed = 1337)
+    private val embedder: EmbeddingModel = Md5PortableEmbedder(dim = featureDim)
 
     def decode(bytes: Array[Byte]): (Row, Array[Float]) = {
-      var h = 1125899906842597L // deterministic rolling hash (FNV-ish)
-      var i = 0
-      while (i < bytes.length) { h = 31 * h + (bytes(i) & 0xff); i += 1 }
-      val w = 64 + java.lang.Math.floorMod(h, 1024L).toInt
-      val ht = 64 + java.lang.Math.floorMod(h >> 10, 1024L).toInt
-      val ch = 1 + java.lang.Math.floorMod(h >> 20, 4L).toInt
-      val dur = java.lang.Math.floorMod(h >> 22, 600000L)
+      val hex = Md5.hexOfBytes(bytes)
+      val h = java.lang.Long.parseLong(hex.substring(0, 12), 16) // 48-bit, non-negative
+      val w = 64 + (h % 1024L).toInt
+      val ht = 64 + ((h >> 10) % 1024L).toInt
+      val ch = 1 + ((h >> 20) % 4L).toInt
+      val dur = (h >> 22) % 600000L
       val meta = Row("stub", w, ht, ch, dur)
-      val prefix = bytes.take(32).map(b => f"${b & 0xff}%02x").mkString
-      (meta, embedder.encode(prefix))
+      val featInput = hex.grouped(2).mkString(" ")
+      (meta, embedder.encode(featInput))
     }
   }
 

@@ -172,22 +172,64 @@ object TextQueries {
     "txt_embed_pipeline",
     "Batch embedding pipeline (reference ingest shape, ingest_hotels" +
       ".py:21-34, set-oriented): documents → batched partition-local " +
-      "encode → unit-norm 64-d vectors; verifies norm and dimension " +
-      "per row. Rows-only check (feature hashing is not " +
-      "ANSI-SQL-expressible); exact semantics covered by specs.",
+      "encode → unit-norm 64-d vectors via the md5-portable encoder; " +
+      "oracle recomputes every vector in SQL (md5 buckets + float32 " +
+      "quantization) and checks dim + norm per row.",
     (s, dir) => {
-      import graft.functions.{Embeddings, HashingEmbedder}
+      import graft.functions.{Embeddings, Md5PortableEmbedder}
       import graft.functions.VectorFunctions._
       val d = Tables.documentsSpread(s, dir)
       val embedded = Embeddings.embedDataFrame(
-        d.select("doc_id", "text"), "text", "vec", HashingEmbedder(dim = 64, seed = 7))
+        d.select("doc_id", "text"), "text", "vec", Md5PortableEmbedder(dim = 64))
       embedded.select(
         col("doc_id"),
         vectorDim(col("vec")).as("dim"),
         round(l2Norm(col("vec")), 4).as("norm"))
         .orderBy(col("doc_id"))
     },
-    None)
+    Some(s"""
+      |${Duck.docToks}, ${Duck.md5EmbedVecs(64)}
+      |SELECT doc_id, 64::INT AS dim, round(sqrt(list_dot_product(v, v)), 4) AS norm
+      |FROM vecs ORDER BY doc_id
+      """.stripMargin.trim))
+
+  /** Driver-side embedding of the e2e query text — the reference's
+    * search entry point embeds the user query exactly once on the
+    * client (`streamlit_app.py:45-52`); here the same portable model
+    * embeds both corpus (distributed) and query (driver literal).
+    */
+  private val e2eModel = graft.functions.Md5PortableEmbedder(dim = 64)
+  private val e2eQueryVec = e2eModel.encode("graft portable embed knn query")
+
+  private val embedKnnQ = QueryDef(
+    "txt_embed_knn_e2e",
+    "End-to-end reference ingest+search path, fully oracle-checked: " +
+      "documents → batched md5-portable embedding (mapPartitions, " +
+      "broadcast model) → exact cosine top-10 against a driver-embedded " +
+      "query literal. The DuckDB oracle recomputes the corpus vectors " +
+      "in SQL (bit-identical float32s) and mirrors the KNN.",
+    (s, dir) => {
+      import graft.functions.Embeddings
+      import graft.operators.Knn
+      val d = Tables.documentsSpread(s, dir)
+      val embedded = Embeddings.embedDataFrame(
+        d.select("doc_id", "text"), "text", "vec", e2eModel)
+      Knn.search(embedded, "vec", "doc_id", e2eQueryVec, k = 10)
+        .select(col("doc_id"), round(col("distance_score"), 6).as("distance"))
+        .orderBy(col("distance"), col("doc_id"))
+    },
+    Some {
+      val qLit = Duck.vecLit(e2eQueryVec)
+      s"""
+      |${Duck.docToks}, ${Duck.md5EmbedVecs(64)},
+      |d AS (
+      |  SELECT doc_id, ${Duck.cosine("v", qLit)} AS dist
+      |  FROM vecs ORDER BY dist, doc_id LIMIT 10
+      |)
+      |SELECT doc_id, round(dist, 6) AS distance
+      |FROM d ORDER BY distance, doc_id
+      """.stripMargin.trim
+    })
 
   private val tfidfQ = QueryDef(
     "txt_tfidf_top_terms",
@@ -335,6 +377,6 @@ object TextQueries {
       """.stripMargin.trim))
 
   val defs: Seq[QueryDef] =
-    Seq(stats, langQ, quality, fp, topTokens, simhashQ, embedQ, tfidfQ,
-      chunksQ, packQ, gopherQ)
+    Seq(stats, langQ, quality, fp, topTokens, simhashQ, embedQ, embedKnnQ,
+      tfidfQ, chunksQ, packQ, gopherQ)
 }
