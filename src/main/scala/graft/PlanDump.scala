@@ -14,7 +14,8 @@ object PlanDump {
       "knn_exact_cosine", "knn_filtered_hybrid", "knn_batch",
       "q1_pricing_summary", "q3_shipping_priority",
       "dedup_minhash_lsh", "ev_tumbling_5min", "pipeline_training_prep",
-      "ev_asof_last_view", "ev_range_clicks_views")
+      "ev_asof_last_view", "ev_range_clicks_views",
+      "ann_ivf_rule_rewrite", "txt_embed_knn_e2e")
     interesting.foreach { name =>
       println(s"\n===== $name =====")
       println(Queries.queriesMap(name)(spark, sfDir).queryExecution.explainString(

@@ -195,6 +195,16 @@ object Dedup {
     * `maxShingleDf` (default [[DefaultMaxShingleDf]]; `None` = uncapped
     * exact mode). Jaccard denominators always use the FULL shingle-set
     * sizes — the cap only prunes which pairs get generated.
+    *
+    * SEMANTICS NOTE: the capped default makes this operator
+    * *approximate* — a pair whose only shingle overlap is via
+    * hotter-than-cap shingles is never emitted. This is the intended
+    * production default (boilerplate-only overlap is not duplication,
+    * and the uncapped join is quadratic in hot-shingle df); callers who
+    * need the exact all-pairs semantics must pass
+    * `maxShingleDf = None` explicitly. Default changed from `None` in
+    * an earlier revision — existing callers relying on exact results
+    * should pin it.
     */
   def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
                         shingleK: Int = 3, threshold: Double = 0.1,
@@ -230,6 +240,13 @@ object Dedup {
   /** SimHash near-dup pairs: 48-bit signatures, banded into 4×12-bit
     * chunks for blocking (hamming-close pairs almost surely share a
     * chunk), verified with exact hamming distance ≤ `maxHamming`.
+    *
+    * CACHE HYGIENE: the banded signature relation is `.cache()`d (both
+    * self-join sides consume it; see comment below) and stays
+    * registered until the caller drops it — in a long-lived session
+    * invoking dedup operators repeatedly, call
+    * `spark.catalog.clearCache()` (what Verify/Bench do per query) or
+    * `unpersist` the returned frame's sources between invocations.
     */
   def simhashPairs(docs: DataFrame, textCol: String, idCol: String,
                    maxHamming: Int = 16): DataFrame = {
@@ -280,6 +297,18 @@ object Dedup {
 
   /** [[duplicateClusters]] plus the number of rounds actually run
     * (spec hook for the O(log diameter) bound).
+    *
+    * FAULT TOLERANCE: per-round materialization uses
+    * `localCheckpoint(true)` — lineage truncation is mandatory here
+    * (plans quadruple per round), but localCheckpoint storage is
+    * non-reliable: losing an executor loses its blocks and fails the
+    * job (Spark cannot recompute truncated lineage). On a real cluster
+    * running hours-long 100 TB clustering, prefer reliable checkpoints:
+    * `sc.setCheckpointDir(hdfsPath)` and replace the two
+    * `localCheckpoint(true)` calls with `checkpoint()` (same plan
+    * shape, adds an HDFS round-trip per round). Local/single-JVM runs
+    * (tests, bench) cannot lose executors, so the fast path is the
+    * right default here.
     */
   def duplicateClustersWithRounds(pairs: DataFrame, maxIter: Int = 20): (DataFrame, Int) = {
     val sc = pairs.sparkSession.sparkContext
@@ -354,6 +383,11 @@ object Dedup {
   /** Embedding near-dup pairs: cosine distance below `maxDistance`,
     * blocked by a coarse partition column (label / cluster id from an
     * ANN index — see [[Ann]]). Within-block pairwise only.
+    *
+    * CACHE HYGIENE: same contract as [[simhashPairs]] — the projected
+    * self-join input is `.cache()`d and callers own eviction
+    * (`spark.catalog.clearCache()` between repeated invocations in a
+    * long-lived session).
     */
   def embeddingNearDupPairs(embs: DataFrame, vecCol: String, idCol: String,
                             blockCol: String, maxDistance: Double): DataFrame = {
