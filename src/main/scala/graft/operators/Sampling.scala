@@ -51,4 +51,32 @@ object Sampling {
       .filter(col("sample_rank") <= perStratum)
       .drop("sample_rank")
   }
+
+  /** Rebalance a skewed mixture to a UNIFORM one: downsample every
+    * stratum (language, domain, source) to exactly the smallest
+    * stratum's size — the data-mix leveling step of a training-data
+    * pipeline (a corpus 60% en / 3% fr cannot be fed to a model that
+    * should weight them equally).
+    *
+    * Selection is the same deterministic hash-order rank as
+    * [[stratifiedSample]] (retry-stable, row-order-independent,
+    * oracle-reproducible); the per-stratum budget comes from the data:
+    * min over the stratum counts, computed in one map-side-partial
+    * aggregate whose single-row result is BROADCAST — no second pass,
+    * no driver collect. Cost: one stratum-keyed shuffle for the rank
+    * (WindowGroupLimit caps nothing here since the budget is
+    * data-dependent, but the window writes only rank ≤ budget rows
+    * onward).
+    */
+  def rebalanceToMin(df: DataFrame, stratumCol: String, idCol: String,
+                     salt: String = "rebalance"): DataFrame = {
+    val minCount = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("_stratum_n"))
+      .agg(min(col("_stratum_n")).as("_min_n"))
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(hashBucket(col(idCol), salt, 1 << 30), col(idCol))
+    df.withColumn("_rk", row_number().over(w))
+      .crossJoin(broadcast(minCount))
+      .filter(col("_rk") <= col("_min_n"))
+      .drop("_rk", "_min_n")
+  }
 }

@@ -122,5 +122,72 @@ object PipelineQueries {
       |GROUP BY lang ORDER BY lang
       """.stripMargin.trim))
 
-  val defs: Seq[QueryDef] = Seq(prep, split, balanced)
+  private val decontaminate = QueryDef(
+    "pipeline_decontaminate",
+    "Benchmark decontamination (GPT-3-style n-gram overlap check): " +
+      "docs sharing any 5-gram with the benchmark slice (doc_id ≡ 7 " +
+      "mod 100) are flagged. The benchmark gram set is broadcast — the " +
+      "corpus never shuffles on the gram key; per-doc work is the " +
+      "shared tokenize→shingle→md5 projection.",
+    (s, dir) => {
+      import graft.operators.Decontaminate
+      val d = Tables.documentsSpread(s, dir)
+      val bench = d.filter(pmod(col("doc_id"), lit(100)) === 7)
+      val corpus = d.filter(pmod(col("doc_id"), lit(100)) =!= 7)
+      Decontaminate.flagContaminated(corpus, bench, "text", "doc_id", n = 5)
+        .select(col("doc_id"), col("n_contaminated_grams"), col("contaminated"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      |${Duck.docToks}, sh5 AS (
+      |  SELECT doc_id, ${Duck.shingles(5)} AS shingles FROM tt
+      |), bg AS (
+      |  SELECT DISTINCT unnest(list_transform(shingles,
+      |           x -> ('0x' || substring(md5(x), 1, 12))::BIGINT)) AS g
+      |  FROM sh5 WHERE doc_id % 100 = 7
+      |), cg AS (
+      |  SELECT doc_id, unnest(list_transform(shingles,
+      |           x -> ('0x' || substring(md5(x), 1, 12))::BIGINT)) AS g
+      |  FROM sh5 WHERE doc_id % 100 <> 7
+      |), hits AS (
+      |  SELECT cg.doc_id, count(*) AS n FROM cg JOIN bg USING (g) GROUP BY cg.doc_id
+      |)
+      |SELECT tt.doc_id, COALESCE(hits.n, 0)::BIGINT AS n_contaminated_grams,
+      |       COALESCE(hits.n, 0) >= 1 AS contaminated
+      |FROM tt LEFT JOIN hits ON tt.doc_id = hits.doc_id
+      |WHERE tt.doc_id % 100 <> 7 ORDER BY tt.doc_id
+      """.stripMargin.trim))
+
+  private val rebalance = QueryDef(
+    "pipeline_rebalance_langs",
+    "Data-mix leveling: downsample every language to the smallest " +
+      "language's size (uniform mixture), selection by salted hash " +
+      "order — deterministic, retry-stable; the budget is data-derived " +
+      "(min stratum count, one broadcast single-row aggregate). Kept " +
+      "ids are fingerprinted (md5 of the sorted id list) so the check " +
+      "covers exact membership, not just counts.",
+    (s, dir) => {
+      Sampling.rebalanceToMin(Tables.documents(s, dir), "lang", "doc_id")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"),
+          md5(array_join(transform(sort_array(collect_list(col("doc_id"))),
+            _.cast("string")), ",")).as("ids_md5"))
+        .orderBy(col("lang"))
+    },
+    Some(s"""
+      |WITH ranked AS (
+      |  SELECT lang, doc_id,
+      |         row_number() OVER (PARTITION BY lang ORDER BY
+      |           ${Duck.md5Long48("doc_id::VARCHAR || ':rebalance'")} % 1073741824, doc_id) AS rk
+      |  FROM documents
+      |), m AS (
+      |  SELECT min(cnt) AS mn FROM (SELECT count(*) AS cnt FROM documents GROUP BY lang)
+      |)
+      |SELECT lang, count(*) AS n_kept,
+      |       md5(string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id)) AS ids_md5
+      |FROM ranked, m WHERE rk <= mn
+      |GROUP BY lang ORDER BY lang
+      """.stripMargin.trim))
+
+  val defs: Seq[QueryDef] = Seq(prep, split, balanced, decontaminate, rebalance)
 }

@@ -129,4 +129,22 @@ class SamplingSpec extends SparkSpec {
       4L -> Some(0L),       // same-instant view
       5L -> None))          // unmatched
   }
+
+  test("rebalanceToMin levels every stratum to the smallest one, deterministically") {
+    // skewed mix: 100 a, 40 b, 15 c → uniform 15/15/15
+    val df = ((0 until 100).map(i => (i.toLong, "a")) ++
+      (100 until 140).map(i => (i.toLong, "b")) ++
+      (140 until 155).map(i => (i.toLong, "c"))).toDF("id", "lang")
+    val out = Sampling.rebalanceToMin(df, "lang", "id")
+    val counts = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("a" -> 15L, "b" -> 15L, "c" -> 15L), s"got $counts")
+    // the smallest stratum survives intact (its own rank ≤ its own size)
+    val cIds = out.filter(col("lang") === "c").select("id").collect().map(_.getLong(0)).toSet
+    assert(cIds == (140L until 155L).toSet)
+    // deterministic under re-execution and row order
+    val again = Sampling.rebalanceToMin(df.orderBy(col("id").desc), "lang", "id")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(again == out.select("id").collect().map(_.getLong(0)).toSet)
+  }
 }

@@ -225,4 +225,41 @@ class TextDedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.toSeq == Seq((1L, 2L))) // 3 too far; 4 other block
   }
+
+  test("incrementalDedupFlags: exact dup, near dup, and novel incoming docs") {
+    import org.apache.spark.sql.functions.pmod
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, base),                                   // existing
+      (2L, "totally different words here entirely one two three"), // existing
+      (10L, base),                                  // incoming: exact dup of 1
+      (15L, base + " lambda"),                      // incoming: near dup of 1
+      (20L, "nothing shared with any existing corpus document at all")) // incoming: novel
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalDedupFlags(docs, "text", "doc_id",
+        isNew = pmod(col("doc_id"), lit(5)) === 0, threshold = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), Option(r.get(2)).map(_.asInstanceOf[Long]),
+          r.getBoolean(4))).toMap
+    assert(out(10L) == ((true, Some(1L), true)), s"exact dup: ${out(10L)}")
+    assert(out(15L)._1 == false && out(15L)._2 == Some(1L) && out(15L)._3,
+      s"near dup: ${out(15L)}")
+    assert(out(20L) == ((false, None, false)), s"novel: ${out(20L)}")
+    // existing docs never appear in the output (incoming-only contract)
+    assert(out.keySet == Set(10L, 15L, 20L))
+  }
+
+  test("decontaminate flags corpus docs sharing an n-gram with the benchmark") {
+    import graft.operators.Decontaminate
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "prefix words then the quick brown fox jumps and more"), // shares a 5-gram
+      (2L, "completely unrelated content with no benchmark overlap at all"))
+      .toDF("doc_id", "text")
+    val out = Decontaminate.flagContaminated(corpus, bench, "text", "doc_id", n = 5)
+      .select("doc_id", "n_contaminated_grams", "contaminated")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out(1L)._2 && out(1L)._1 >= 1L, s"doc 1 should be flagged: ${out(1L)}")
+    assert(out(2L) == ((0L, false)), s"doc 2 clean: ${out(2L)}")
+  }
 }
