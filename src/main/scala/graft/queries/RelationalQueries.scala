@@ -403,7 +403,35 @@ object RelationalQueries {
       |FROM merged WHERE rn = 1
       """.stripMargin.trim))
 
+  private val saltedJoinQ = QueryDef(
+    "skew_salted_join_revenue",
+    "Skew-mitigated fact join: lineitem⋈orders through Skew.saltedJoin " +
+      "— the fact side salted into 8 sub-keys per order key, the other " +
+      "side replicated 8× — then revenue per order priority. The salt " +
+      "must be RESULT-INVISIBLE: the oracle is the plain unsalted join, " +
+      "so a green hash proves salting changes the task layout, never " +
+      "the semantics.",
+    (s, dir) => {
+      import graft.operators.Skew
+      val j = Skew.saltedJoin(
+        Tables.lineitem(s, dir),
+        Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderpriority")),
+        bigKey = "l_orderkey", smallKey = "o_orderkey",
+        bigDisambig = "l_orderkey", saltFactor = 8)
+      j.groupBy(col("o_orderpriority"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""
+      |SELECT o_orderpriority,
+      |       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+      |       COUNT(*) AS n_items
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority
+      """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
     Seq(q3, q5, windowTop, rollupQ, cubeQ, distinctCounts, setOps, semiAnti,
-      q12, q14, scalarSub, ntileQ, upsertQ)
+      q12, q14, scalarSub, ntileQ, upsertQ, saltedJoinQ)
 }

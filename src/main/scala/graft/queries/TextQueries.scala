@@ -231,6 +231,69 @@ object TextQueries {
       """.stripMargin.trim
     })
 
+  /** BM25 query terms — high-df tokens of the fixture corpus so the
+    * saturation terms exercise meaningfully.
+    */
+  private val bm25Terms = Seq("spark", "table", "scan")
+
+  private val bm25Q = QueryDef(
+    "txt_bm25_topk",
+    "BM25 ranking (k1=1.2, b=0.75, Lucene idf): top-10 documents for a " +
+      "3-term query. Per-doc tf/dl ride the token projection (no " +
+      "explode — the query term set is tiny and fixed); corpus stats " +
+      "(N, Σdl, per-term df) are ONE map-side-partial aggregate whose " +
+      "single row is broadcast back. Rank on the rounded score so a " +
+      "1-ulp ln() divergence can't flip cross-engine ordering.",
+    (s, dir) => {
+      val base = docToks(s, dir)
+        .select(col("doc_id"), col("toks"))
+        .withColumn("dl", size(col("toks")).cast("double"))
+      val withTf = bm25Terms.foldLeft(base) { (df, t) =>
+        df.withColumn(s"tf_$t", size(filter(col("toks"), x => x === t)).cast("double"))
+      }
+      val statCols =
+        Seq(count(lit(1)).cast("double").as("n_docs"),
+          sum(col("dl").cast("decimal(38,6)")).cast("double").as("dl_sum")) ++
+          bm25Terms.map(t =>
+            sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).cast("double").as(s"df_$t"))
+      val stats = withTf.agg(statCols.head, statCols.tail: _*)
+      val avgdl = col("dl_sum") / col("n_docs")
+      val score = bm25Terms.map { t =>
+        val tf = col(s"tf_$t"); val df = col(s"df_$t")
+        val idf = log((col("n_docs") - df + 0.5) / (df + 0.5) + 1.0)
+        idf * ((tf * 2.2) / (tf + lit(1.2) * (lit(1.0) - 0.75 + lit(0.75) * col("dl") / avgdl)))
+      }.reduce(_ + _)
+      withTf.crossJoin(broadcast(stats))
+        .select(col("doc_id"), round(score, 6).as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(10)
+    },
+    Some {
+      val tfSel = bm25Terms.map(t =>
+        s"len(list_filter(toks, x -> x = '$t'))::DOUBLE AS tf_$t").mkString(",\n       ")
+      val dfSel = bm25Terms.map(t =>
+        s"sum(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END)::DOUBLE AS df_$t").mkString(",\n       ")
+      val scoreSql = bm25Terms.map(t =>
+        s"ln((n_docs - df_$t + 0.5) / (df_$t + 0.5) + 1.0) * " +
+          s"((tf_$t * 2.2) / (tf_$t + 1.2 * (1.0 - 0.75 + 0.75 * dl / (dl_sum / n_docs))))")
+        .mkString(" + ")
+      s"""
+      |${Duck.docToks}, base AS (
+      |  SELECT doc_id, len(toks)::DOUBLE AS dl,
+      |       $tfSel
+      |  FROM tt
+      |), st AS (
+      |  SELECT count(*)::DOUBLE AS n_docs,
+      |       CAST(SUM(CAST(dl AS DECIMAL(38,6))) AS DOUBLE) AS dl_sum,
+      |       $dfSel
+      |  FROM base
+      |)
+      |SELECT doc_id, round($scoreSql, 6) AS bm25
+      |FROM base, st
+      |ORDER BY bm25 DESC, doc_id LIMIT 10
+      """.stripMargin.trim
+    })
+
   private val tfidfQ = QueryDef(
     "txt_tfidf_top_terms",
     "Top-3 TF-IDF terms per document (tf · ln(N/df)): explode + two " +
@@ -378,5 +441,5 @@ object TextQueries {
 
   val defs: Seq[QueryDef] =
     Seq(stats, langQ, quality, fp, topTokens, simhashQ, embedQ, embedKnnQ,
-      tfidfQ, chunksQ, packQ, gopherQ)
+      bm25Q, tfidfQ, chunksQ, packQ, gopherQ)
 }

@@ -302,6 +302,62 @@ object VectorQueries {
       """.stripMargin.trim
     })
 
+  private val quantRescore = QueryDef(
+    "knn_quantized_rescore",
+    "Memory-bound ANN serving pattern: candidate top-30 ranked on the " +
+      "int8-DEQUANTIZED vectors (4× less bandwidth per scanned vector " +
+      "— at 100 TB the scan is memory/IO-bound and this is the win), " +
+      "then exact float rescore of the 30 survivors to the final " +
+      "top-10. Quantization error is mirrored exactly in the oracle " +
+      "(round-half-up int8 + float32 dequant both recomputed in SQL).",
+    (s, dir) => {
+      import graft.functions.VectorFunctions._
+      val q = Queries.queryVec64
+      val quant = Tables.embeddings(s, dir)
+        .withColumn("amax", quantScale(col("embedding")))
+        .withColumn("qv", quantizeInt8(col("embedding"), col("amax")))
+        .withColumn("deq", dequantizeInt8(col("qv"), col("amax")))
+      val cand = quant
+        .withColumn("approx_d", cosineDistance(col("deq"), typedLit(q)))
+        .orderBy(col("approx_d").asc, col("vec_id").asc)
+        .limit(30)
+      cand
+        .withColumn("exact_d", cosineDistance(col("embedding"), typedLit(q)))
+        .select(col("vec_id"),
+          round(col("approx_d"), 6).as("approx_distance"),
+          round(col("exact_d"), 6).as("distance"))
+        .orderBy(col("distance"), col("vec_id"))
+        .limit(10)
+    },
+    Some {
+      val qLit = vecLit(Queries.queryVec64)
+      s"""
+      |WITH e AS (
+      |  SELECT vec_id, embedding, embedding::DOUBLE[] AS v FROM embeddings
+      |), m AS (
+      |  SELECT vec_id, embedding, v,
+      |         list_max(list_transform(v, x -> abs(x))) AS amax
+      |  FROM e
+      |), dq AS (
+      |  SELECT vec_id, embedding, amax,
+      |         list_transform(v, x -> CAST(CAST(
+      |           (CASE WHEN amax = 0 THEN 0 ELSE CAST(round(x / amax * 127) AS INT) END)::DOUBLE
+      |             * amax / 127.0 AS FLOAT) AS DOUBLE)) AS deq
+      |  FROM m
+      |), cand AS (
+      |  SELECT vec_id, embedding,
+      |         ${duckCosine("deq", qLit)} AS approx_d
+      |  FROM dq ORDER BY approx_d, vec_id LIMIT 30
+      |), res AS (
+      |  SELECT vec_id, approx_d,
+      |         ${duckCosine("embedding", qLit)} AS exact_d
+      |  FROM cand
+      |)
+      |SELECT vec_id, round(approx_d, 6) AS approx_distance, round(exact_d, 6) AS distance
+      |FROM res ORDER BY distance, vec_id LIMIT 10
+      """.stripMargin.trim
+    })
+
   private val sqlApi = QueryDef(
     "knn_sql_api",
     "Flagship KNN expressed in pure SQL against the registered function " +
@@ -401,5 +457,5 @@ object VectorQueries {
 
   val defs: Seq[QueryDef] =
     Seq(filtered, l2Search, batch, ragContext, ivf, lshProbe, ivfRule,
-      sqlApi, centroids, quantize)
+      quantRescore, sqlApi, centroids, quantize)
 }
