@@ -227,10 +227,15 @@ object Dedup {
       .select(col("id"), col("is_new"),
         explode(lshBandKeys(col("sig"), numBands, rowsPerBand)).as("band"))
       .cache()
+    // cached: the candidate pair list is tiny and referenced 3× by the
+    // Jaccard verify (both candIds union branches + the semi-join) —
+    // uncached, the whole band join would re-run per reference. Same
+    // cache-hygiene contract as simhashPairs (callers own eviction).
     val cand = banded.filter(col("is_new")).as("n")
       .join(banded.filter(!col("is_new")).as("e"), col("n.band") === col("e.band"))
       .select(col("n.id").as("id_a"), col("e.id").as("id_b"))
       .distinct()
+      .cache()
     val verified = jaccardOnPairsFromShingles(rel.select(col("id"), col("sh")), cand)
     // best existing match per incoming doc: max jaccard, tie → smallest
     // existing id (struct max is lexicographic; -id_b turns "smallest
