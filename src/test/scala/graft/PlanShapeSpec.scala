@@ -91,6 +91,58 @@ class PlanShapeSpec extends SparkSpec {
     assert(planOf("txt_tfidf_top_terms").contains("WindowGroupLimit"))
   }
 
+  test("decontaminate: benchmark gram set broadcasts; corpus never sort-merge-joins on grams") {
+    val p = planOf("pipeline_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), s"gram join must broadcast the bench side:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus must not shuffle on the gram key:\n$p")
+  }
+
+  test("quantized rescore: both stages are TakeOrderedAndProject, zero corpus shuffles") {
+    val p = planOf("knn_quantized_rescore")
+    val topK = "TakeOrderedAndProject".r.findAllIn(p).length
+    assert(topK >= 2, s"expected candidate + rescore top-k stages:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"quantized search must not shuffle the corpus:\n$p")
+  }
+
+  test("bm25: corpus stats broadcast as a single row (no per-doc stats shuffle)") {
+    val p = planOf("txt_bm25_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the one-row stats relation must broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-10 must be a bounded heap:\n$p")
+  }
+
+  test("runtime bloom filter prunes the fact side of orders⋈lineitem (Spark 3.3+ runtime filtering)") {
+    // the application-side minimum (default 10 GB — the fact scan must
+    // be big enough to be worth protecting) is floored so the
+    // fixture-size join qualifies; the creation-side MAXIMUM (build
+    // side ≤ 10 MB) already passes for the filtered orders slice — at
+    // real scale both defaults gate this automatically
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") // force a shuffle join so the filter has a side to protect
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val ord = Tables.orders(spark, sf("sf0.001"))
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val li = Tables.lineitem(spark, sf("sf0.001"))
+      val joined = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).count()
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(plan.contains("bloom_filter") || plan.contains("BloomFilter") ||
+        plan.contains("might_contain"),
+        s"runtime bloom filter should inject on the fact scan:\n$plan")
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
+    }
+  }
+
   test("persisted IVF index: probe filter becomes partition pruning") {
     val emb = Tables.embeddings(spark, sf("sf0.001"))
     val cents = Ann.seededCentroids(emb, "embedding", "vec_id", nlist = 8)
