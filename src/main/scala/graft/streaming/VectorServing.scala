@@ -1,0 +1,72 @@
+package graft.streaming
+
+import graft.functions.{EmbeddingModel, Embeddings}
+import graft.operators.{Ann, Knn}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** The reference's two entry points — ingest (`ingest_hotels.py:21-36`)
+  * and search (`streamlit_app.py:45-73`) — as Structured Streaming
+  * pipelines: continuous document ingestion with write-time index
+  * assignment, and micro-batch KNN serving for a stream of queries.
+  *
+  * Both use `foreachBatch`: the per-batch frame is a plain batch
+  * DataFrame, so the EXACT SAME operators the oracle-gated batch
+  * queries run (`Embeddings.embedDataFrame`, `Ann.assignClusters`,
+  * `Knn.batchSearch`) execute incrementally — no second
+  * implementation to drift. This is the standard production shape for
+  * sinks/ops streaming doesn't support natively (multi-stage top-k
+  * rank, partitioned parquet append with custom layout).
+  *
+  * Scale: each micro-batch embeds only its own rows (the model rides
+  * the existing broadcast inside `embedDataFrame`); index assignment
+  * is a projection; the parquet append writes only the batch's
+  * partitions. Serving never shuffles the corpus — `Knn.batchSearch`
+  * broadcasts the (small) query batch.
+  */
+object VectorServing {
+
+  /** Streaming ingest: text stream → batched embedding → nearest-
+    * centroid `cluster_id` (write-time IVF step) → append to the
+    * cluster-partitioned corpus at `path`. Searches through
+    * `Ann.readIndexed(path)` + `IvfCatalog` then partition-prune
+    * against everything ingested so far.
+    */
+  def ingestStream(docs: DataFrame, textCol: String, model: EmbeddingModel,
+                   centroids: Array[Array[Float]], path: String,
+                   checkpoint: String): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val embedded = Embeddings.embedDataFrame(batch, textCol, "vec", model)
+        Ann.assignClusters(embedded, "vec", centroids)
+          .write.mode("append").partitionBy("cluster_id").parquet(path)
+      }
+      .start()
+
+  /** Micro-batch KNN serving: a stream of (queryId, queryVec) rows is
+    * scored top-`k` against the static `corpus` per micro-batch with
+    * the same broadcast-NLJ + per-query rank plan as the batch
+    * `knn_batch` oracle query; results go to `sink` (a memory table,
+    * kafka writer, …).
+    */
+  def serveKnn(queries: DataFrame, corpus: DataFrame,
+               corpusVecCol: String, corpusIdCol: String,
+               queryVecCol: String, queryIdCol: String, k: Int,
+               checkpoint: String)(sink: DataFrame => Unit): StreamingQuery =
+    queries.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          sink(Knn.batchSearch(corpus, batch, corpusVecCol, corpusIdCol,
+            queryVecCol, queryIdCol, k)
+            .select(col(queryIdCol), col("knn_rank"), col(corpusIdCol),
+              round(col("distance_score"), 6).as("distance")))
+        }
+      }
+      .start()
+}

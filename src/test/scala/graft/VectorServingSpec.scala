@@ -1,0 +1,91 @@
+package graft
+
+import graft.functions.Md5PortableEmbedder
+import graft.operators.{Ann, Knn}
+import graft.streaming.VectorServing
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming vector pipeline tests: the reference's ingest and search
+  * entry points run as Structured Streaming micro-batches and must
+  * produce byte-identical results to the batch operators they wrap.
+  */
+case class IngestDoc(doc_id: Long, text: String)
+case class QueryVec(query_id: Int, query_vec: Seq[Float])
+
+class VectorServingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val model = Md5PortableEmbedder(dim = 16)
+
+  test("streaming ingest builds the same cluster-partitioned corpus as the batch path") {
+    val docs = Seq(
+      IngestDoc(1L, "alpha beta gamma"), IngestDoc(2L, "delta epsilon zeta"),
+      IngestDoc(3L, "eta theta iota"), IngestDoc(4L, "kappa lambda mu"),
+      IngestDoc(5L, "alpha beta delta"), IngestDoc(6L, "nu xi omicron"))
+    val cents = Array("alpha beta", "delta zeta", "theta").map(model.encode)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft_ingest_cp").toString
+    try {
+      val input = MemoryStream[IngestDoc](spark)
+      input.addData(docs)
+      // AvailableNow: drain everything queued, then stop — the restart-
+      // safe batch-boundary trigger a scheduled ingest job would use
+      val q = VectorServing.ingestStream(input.toDF(), "text", model, cents,
+        s"$dir/corpus", cp)
+      q.awaitTermination()
+
+      val stored = Ann.readIndexed(spark, s"$dir/corpus")
+      // batch reference: same operators, same data, one shot
+      val expect = Ann.assignClusters(
+        graft.functions.Embeddings.embedDataFrame(docs.toDF(), "text", "vec", model),
+        "vec", cents)
+      val key = (df: org.apache.spark.sql.DataFrame) =>
+        df.select(col("doc_id"), col("vec"), col("cluster_id").cast("int"))
+          .collect().map(r => (r.getLong(0), r.getSeq[Float](1), r.getInt(2))).toSet
+      assert(key(stored) == key(expect))
+      // the write really is cluster-partitioned (directory layout = index)
+      val parts = new java.io.File(s"$dir/corpus").listFiles()
+        .filter(_.getName.startsWith("cluster_id=")).map(_.getName).toSet
+      assert(parts.nonEmpty && parts.subsetOf(
+        (0 until cents.length).map(i => s"cluster_id=$i").toSet))
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+      new Directory(new java.io.File(cp)).deleteRecursively()
+    }
+  }
+
+  test("micro-batch KNN serving equals the batch batchSearch on the same queries") {
+    val corpus = Tables.embeddings(spark, sf("sf0.001"))
+    val qvecs = (0 until 3).map(i =>
+      QueryVec(i, graft.functions.HashingEmbedder(dim = 64, seed = 7)
+        .encode(s"serving query $i").toSeq))
+    val cp = java.nio.file.Files.createTempDirectory("graft_serve_cp").toString
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Long, Double)]
+    try {
+      val input = MemoryStream[QueryVec](spark)
+      val q = VectorServing.serveKnn(input.toDF(), corpus,
+        "embedding", "vec_id", "query_vec", "query_id", k = 3, cp) { out =>
+        got ++= out.collect().map(r =>
+          (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      }
+      try {
+        input.addData(qvecs.take(2)); q.processAllAvailable()
+        input.addData(qvecs.drop(2)); q.processAllAvailable()
+      } finally q.stop()
+
+      val expect = Knn.batchSearch(corpus, qvecs.toDF(),
+          "embedding", "vec_id", "query_vec", "query_id", k = 3)
+        .select(col("query_id"), col("knn_rank"), col("vec_id"),
+          round(col("distance_score"), 6).as("distance"))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(got.toSet == expect, s"streamed=${got.toSet}\nbatch=$expect")
+      assert(expect.size == 9) // 3 queries × k=3
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(cp)).deleteRecursively()
+    }
+  }
+}
