@@ -403,6 +403,32 @@ object RelationalQueries {
       |FROM merged WHERE rn = 1
       """.stripMargin.trim))
 
+  private val q13 = QueryDef(
+    "q13_customer_distribution",
+    "TPC-H Q13-style: customers LEFT OUTER orders (zero-order " +
+      "customers kept — the outer-join coverage a semi/anti pair " +
+      "misses), per-customer order count, then the distribution " +
+      "histogram. Two keyed aggregations, both map-side partial.",
+    (s, dir) => {
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+    Some("""
+      |SELECT c_count, count(*) AS custdist
+      |FROM (
+      |  SELECT c_custkey, count(o_orderkey) AS c_count
+      |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |  GROUP BY c_custkey
+      |)
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC
+      """.stripMargin.trim))
+
   private val saltedJoinQ = QueryDef(
     "skew_salted_join_revenue",
     "Skew-mitigated fact join: lineitem⋈orders through Skew.saltedJoin " +
@@ -433,5 +459,5 @@ object RelationalQueries {
 
   val defs: Seq[QueryDef] =
     Seq(q3, q5, windowTop, rollupQ, cubeQ, distinctCounts, setOps, semiAnti,
-      q12, q14, scalarSub, ntileQ, upsertQ, saltedJoinQ)
+      q12, q13, q14, scalarSub, ntileQ, upsertQ, saltedJoinQ)
 }

@@ -302,6 +302,33 @@ object VectorQueries {
       """.stripMargin.trim
     })
 
+  private val mips = QueryDef(
+    "knn_mips_topk",
+    "Maximum-inner-product search (recommendation-style scoring, where " +
+      "vector magnitude carries signal): top-10 by dot product " +
+      "descending via the NegDot metric — same TakeOrderedAndProject " +
+      "heap as the cosine flagship, the ordering expression is the " +
+      "only change.",
+    (s, dir) => {
+      val q = Queries.queryVec64
+      Knn.search(Tables.embeddings(s, dir), "embedding", "vec_id", q,
+          k = 10, metric = Knn.NegDot)
+        .select(col("vec_id"),
+          round(-col("distance_score"), 6).as("dot"))
+        .orderBy(col("dot").desc, col("vec_id"))
+    },
+    Some(s"""
+      |WITH d AS (
+      |  SELECT vec_id,
+      |         list_dot_product(embedding::DOUBLE[], ${vecLit(Queries.queryVec64)}) AS dot
+      |  FROM embeddings
+      |), top AS (
+      |  SELECT vec_id, dot FROM d ORDER BY dot DESC, vec_id LIMIT 10
+      |)
+      |SELECT vec_id, round(dot, 6) AS dot
+      |FROM top ORDER BY dot DESC, vec_id
+      """.stripMargin.trim))
+
   private val quantRescore = QueryDef(
     "knn_quantized_rescore",
     "Memory-bound ANN serving pattern: candidate top-30 ranked on the " +
@@ -457,5 +484,5 @@ object VectorQueries {
 
   val defs: Seq[QueryDef] =
     Seq(filtered, l2Search, batch, ragContext, ivf, lshProbe, ivfRule,
-      quantRescore, sqlApi, centroids, quantize)
+      mips, quantRescore, sqlApi, centroids, quantize)
 }

@@ -136,6 +136,23 @@ class TextDedupSpec extends SparkSpec {
       s"approx=$approx vs exact=$exact")
   }
 
+  test("approx_percentile tracks exact percentiles within the rank-error bound (SURVEY §2.5)") {
+    // the t-digest/GK sketch is the scale path for quantiles (exact
+    // percentile materializes the whole column per group); accuracy N
+    // bounds rank error by n/N — assert the VALUE lands within the
+    // exact p±0.01 quantile envelope
+    val ev = Tables.events(spark, sf("sf0.001"))
+    Seq(0.5, 0.9, 0.99).foreach { p =>
+      val r = ev.agg(
+        expr(s"percentile(value, ${p - 0.01})").as("lo"),
+        expr(s"percentile(value, ${math.min(p + 0.01, 1.0)})").as("hi"),
+        expr(s"approx_percentile(value, $p, 1000)").as("approx")).collect()(0)
+      val (lo, hi, approx) = (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+      assert(approx >= lo && approx <= hi,
+        s"p=$p: approx=$approx outside exact envelope [$lo, $hi]")
+    }
+  }
+
   test("duplicateClusters: transitive chains merge, disjoint pairs stay separate") {
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
     val clusters = Dedup.duplicateClusters(pairs)
