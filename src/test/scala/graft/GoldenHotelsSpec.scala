@@ -118,4 +118,25 @@ class GoldenHotelsSpec extends SparkSpec {
       assert(Knn.search(hotels, "addr_vec", "name", qv, k = k).count() == k)
     }
   }
+
+  test("portable embedder e2e on the golden corpus: self-query ranks the hotel itself first") {
+    // swap in the oracle-checkable encoder (same EmbeddingModel
+    // contract) and run the reference flow: a hotel's own embed-text as
+    // the query must return that hotel at distance ~0 rank 1 — the
+    // model-swap seam the reference's @st.cache_resource loader implies
+    val portable = graft.functions.Md5PortableEmbedder(dim = 64)
+    val csv = getClass.getResource("/hotels_golden.csv").getPath
+    val raw = spark.read.option("header", "true").schema(hotelSchema).csv(csv)
+      .withColumn("embed_text", concat_ws(" ", col("addr_text"), col("city")))
+    val corpus = Embeddings.embedDataFrame(raw, "embed_text", "addr_vec", portable).cache()
+    val probe = corpus.select("name", "embed_text").collect().take(3)
+    probe.foreach { r =>
+      val top = Knn.searchText(corpus, "addr_vec", "name", r.getString(1), k = 1, portable)
+        .select("name", "distance_score").collect()(0)
+      assert(top.getString(0) == r.getString(0),
+        s"self-query for ${r.getString(0)} returned ${top.getString(0)}")
+      assert(top.getDouble(1) < 1e-9, s"self-distance ${top.getDouble(1)}")
+    }
+    corpus.unpersist()
+  }
 }

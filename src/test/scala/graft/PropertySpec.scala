@@ -30,6 +30,37 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("portable embedder: unit vector of declared dim, deterministic, tokenization-stable") {
+    val e = graft.functions.Md5PortableEmbedder(dim = 48)
+    check("md5 embedder", Prop.forAll(textGen) { t =>
+      val v = e.encode(t)
+      val norm = math.sqrt(v.map(x => x.toDouble * x).sum)
+      v.length == 48 && math.abs(norm - 1.0) < 1e-4 && v.toSeq == e.encode(t).toSeq &&
+        // tokenization invariance: separators/case cannot change the vector
+        v.toSeq == e.encode(t.toUpperCase.replace(' ', '\t')).toSeq
+    })
+  }
+
+  test("portable embedder matches the DuckDB-mirror formula token by token") {
+    // the SQL oracle's construction recomputed in plain JVM code —
+    // a divergence here would silently break every embed oracle row
+    val e = graft.functions.Md5PortableEmbedder(dim = 16)
+    val tokGen = Gen.nonEmptyListOf(Gen.alphaLowerStr.suchThat(_.nonEmpty)).map(_.mkString(" "))
+    check("mirror", Prop.forAll(tokGen) { text =>
+      val acc = new Array[Double](16)
+      text.split(" ").filter(_.nonEmpty).foreach { t =>
+        val hex = graft.functions.Md5.hex(t)
+        val bucket = (java.lang.Long.parseLong(hex.take(12), 16) % 16).toInt
+        acc(bucket) += (if (Character.digit(hex.charAt(12), 16) < 8) 1.0 else -1.0)
+      }
+      val norm = math.sqrt(acc.map(x => x * x).sum)
+      val expect =
+        if (norm == 0.0) { val z = new Array[Float](16); z(0) = 1.0f; z.toSeq }
+        else acc.map(x => (x / norm).toFloat).toSeq
+      e.encode(text).toSeq == expect
+    })
+  }
+
   test("lsh probe sets: size = Σ C(nBits, r), all within radius, contains the origin") {
     val gen = for {
       nBits <- Gen.choose(2, 12)
