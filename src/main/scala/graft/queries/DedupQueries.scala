@@ -377,6 +377,47 @@ object DedupQueries {
       |WHERE tt.doc_id % 5 = 0 ORDER BY id
       """.stripMargin.trim))
 
+  private val sourceMatrix = QueryDef(
+    "dedup_source_matrix",
+    "Cross-source contamination matrix: near-dup pairs (Jaccard ≥ 0.3) " +
+      "aggregated to (source_a, source_b) counts — which feeds " +
+      "duplicate across which, the view that decides source-level " +
+      "dedup policy. Composes the pair machinery with two broadcast " +
+      "dimension joins; pair endpoints are canonicalized (min source " +
+      "first) so the matrix is triangular.",
+    (s, dir) => {
+      val d = Tables.documentsSpread(s, dir)
+      val pairs = Dedup.ngramJaccardPairs(d, "text", "doc_id", shingleK = 3,
+        threshold = 0.3, maxShingleDf = Some(Dedup.DefaultMaxShingleDf))
+      val src = d.select(col("doc_id"), col("source"))
+      pairs
+        .join(broadcast(src).as("sa"), col("id_a") === col("sa.doc_id"))
+        .join(broadcast(src).as("sb"), col("id_b") === col("sb.doc_id"))
+        .select(least(col("sa.source"), col("sb.source")).as("source_a"),
+          greatest(col("sa.source"), col("sb.source")).as("source_b"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("source_a"), col("source_b"))
+    },
+    Some(s"""
+      |$duckShingles, $duckCappedIndex, jp AS (
+      |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, x.n_sh AS na, y.n_sh AS nb, count(*) AS common
+      |  FROM ex x JOIN ex y ON x.s = y.s AND x.doc_id < y.doc_id
+      |  GROUP BY 1, 2, 3, 4
+      |), pr AS (
+      |  SELECT id_a, id_b FROM jp
+      |  WHERE round(common::DOUBLE / (na + nb - common)::DOUBLE, 6) >= 0.3
+      |)
+      |SELECT least(da.source, db.source) AS source_a,
+      |       greatest(da.source, db.source) AS source_b,
+      |       count(*) AS n_pairs
+      |FROM pr
+      |JOIN documents da ON pr.id_a = da.doc_id
+      |JOIN documents db ON pr.id_b = db.doc_id
+      |GROUP BY 1, 2 ORDER BY 1, 2
+      """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
-    Seq(exact, ngram, minhash, simhash, embCos, clusters, canonical, incremental)
+    Seq(exact, ngram, minhash, simhash, embCos, clusters, canonical,
+      incremental, sourceMatrix)
 }

@@ -385,6 +385,37 @@ object TextQueries {
       |FROM cum GROUP BY 1, 2 ORDER BY lang, pack_id
       """.stripMargin.trim))
 
+  private val tokenBudgetQ = QueryDef(
+    "txt_token_budget",
+    "Training-cost accounting: BPE-ish token totals per (lang, source) " +
+      "shard with each shard's share of the corpus budget — the " +
+      "number that prices a training run and drives mixture weights. " +
+      "One map-side-partial aggregate; the corpus total rides a window " +
+      "over the tiny aggregated frame, not the raw data.",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val shard = docToks(s, dir)
+        .select(col("lang"), col("source"), bpeTokenCount(col("norm")).as("n_bpe"))
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_bpe").cast("decimal(38,6)")).cast("long").as("n_tokens"))
+      shard
+        .withColumn("share",
+          round(col("n_tokens").cast("double") /
+            sum(col("n_tokens")).over(Window.partitionBy()).cast("double"), 6))
+        .orderBy(col("lang"), col("source"))
+    },
+    Some(s"""
+      |${Duck.docToks}, shard AS (
+      |  SELECT lang, source, count(*) AS n_docs,
+      |         CAST(SUM(CAST(len(regexp_extract_all(norm, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+'))::BIGINT AS DECIMAL(38,6))) AS BIGINT) AS n_tokens
+      |  FROM tt GROUP BY 1, 2
+      |)
+      |SELECT lang, source, n_docs, n_tokens,
+      |       round(n_tokens::DOUBLE / sum(n_tokens) OVER ()::DOUBLE, 6) AS share
+      |FROM shard ORDER BY lang, source
+      """.stripMargin.trim))
+
   private val gopherQ = QueryDef(
     "txt_gopher_filters",
     "Gopher-style quality gate (Rae et al. 2021 A1.1): mean word " +
@@ -441,5 +472,5 @@ object TextQueries {
 
   val defs: Seq[QueryDef] =
     Seq(stats, langQ, quality, fp, topTokens, simhashQ, embedQ, embedKnnQ,
-      bm25Q, tfidfQ, chunksQ, packQ, gopherQ)
+      bm25Q, tfidfQ, chunksQ, packQ, tokenBudgetQ, gopherQ)
 }

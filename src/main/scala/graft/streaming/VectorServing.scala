@@ -47,6 +47,54 @@ object VectorServing {
       }
       .start()
 
+  /** Streaming ingest with an incremental dedup gate — the continuous
+    * form of [[graft.operators.Dedup.incrementalDedupFlags]]: each
+    * micro-batch is checked against everything ALREADY STORED (exact
+    * fingerprint semi-join + incoming-bands × stored-bands MinHash LSH
+    * + Jaccard verify) and only novel documents append to the corpus.
+    * Work per batch is |batch| × band-collisions — the stored corpus is
+    * scanned but never self-paired, so ingest cost stays proportional
+    * to the batch, not the corpus².
+    *
+    * Within-batch duplicates are NOT collapsed here (apply
+    * `Dedup.exactDropIds` upstream if batches can self-duplicate).
+    * The dedup operators cache their band/candidate relations; this
+    * sink clears the catalog cache per batch — streaming ingest jobs
+    * own a dedicated session in production, which is the deployment
+    * this assumes.
+    */
+  def ingestDedupStream(docs: DataFrame, textCol: String, idCol: String,
+                        corpusPath: String, checkpoint: String,
+                        threshold: Double = 0.5): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val incoming = batch.select(col(idCol), col(textCol))
+          val existing =
+            if (new java.io.File(corpusPath).exists())
+              Some(spark.read.parquet(corpusPath).select(col(idCol), col(textCol)))
+            else None
+          val novel = existing match {
+            case None => incoming // empty corpus: everything is novel
+            case Some(ex) =>
+              val combined = ex.withColumn("is_new", lit(false))
+                .unionByName(incoming.withColumn("is_new", lit(true)))
+              val dupIds = graft.operators.Dedup
+                .incrementalDedupFlags(combined, textCol, idCol, col("is_new"),
+                  threshold = threshold)
+                .filter(col("is_exact_dup") || col("is_near_dup"))
+                .select(col("id").as(idCol))
+              incoming.join(dupIds, Seq(idCol), "left_anti")
+          }
+          novel.write.mode("append").parquet(corpusPath)
+          spark.catalog.clearCache() // dedup band/candidate caches — see scaladoc
+        }
+      }
+      .start()
+
   /** Micro-batch KNN serving: a stream of (queryId, queryVec) rows is
     * scored top-`k` against the static `corpus` per micro-batch with
     * the same broadcast-NLJ + per-query rank plan as the batch

@@ -266,6 +266,24 @@ class TextDedupSpec extends SparkSpec {
     assert(out.keySet == Set(10L, 15L, 20L))
   }
 
+  test("null text: decontaminate and incremental dedup treat it as novel/clean (defined contract)") {
+    import org.apache.spark.sql.functions.pmod
+    // null text yields null tokens → null shingles → absent from every
+    // gram/band relation: such docs are never flagged and never match
+    val docs = Seq((1L, "alpha beta gamma delta epsilon"), (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val decon = graft.operators.Decontaminate
+      .flagContaminated(docs, bench, "text", "doc_id", n = 3)
+      .select("doc_id", "contaminated").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(decon == Map(1L -> true, 5L -> false))
+    val inc = Dedup.incrementalDedupFlags(docs, "text", "doc_id",
+        isNew = pmod(col("doc_id"), lit(5)) === 0)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(4)))
+    assert(inc.toSeq == Seq((5L, false, false)), s"got ${inc.toSeq}")
+  }
+
   test("decontaminate flags corpus docs sharing an n-gram with the benchmark") {
     import graft.operators.Decontaminate
     val bench = Seq((100L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")

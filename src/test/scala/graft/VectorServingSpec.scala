@@ -56,6 +56,35 @@ class VectorServingSpec extends SparkSpec {
     }
   }
 
+  test("streaming ingest dedup gate: later batches drop exact and near dups of stored docs") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup_ingest").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft_dedup_ingest_cp").toString
+    try {
+      val input = MemoryStream[IngestDoc](spark)
+      val q = VectorServing.ingestDedupStream(input.toDF(), "text", "doc_id",
+        s"$dir/corpus", cp, threshold = 0.5)
+      try {
+        // batch 1 → empty corpus, both stored
+        input.addData(Seq(IngestDoc(1L, base),
+          IngestDoc(2L, "totally different words here entirely one two three")))
+        q.processAllAvailable()
+        // batch 2 → exact dup of 1, near dup of 1, and a novel doc
+        input.addData(Seq(IngestDoc(10L, base), IngestDoc(15L, base + " lambda"),
+          IngestDoc(20L, "nothing shared with any stored corpus document at all")))
+        q.processAllAvailable()
+      } finally q.stop()
+      val stored = spark.read.parquet(s"$dir/corpus")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(stored == Set(1L, 2L, 20L),
+        s"expected dups 10 (exact) and 15 (near) gated out, got $stored")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+      new Directory(new java.io.File(cp)).deleteRecursively()
+    }
+  }
+
   test("micro-batch KNN serving equals the batch batchSearch on the same queries") {
     val corpus = Tables.embeddings(spark, sf("sf0.001"))
     val qvecs = (0 until 3).map(i =>
