@@ -36,8 +36,15 @@ trait EmbeddingModel extends Serializable {
   * hashes identically to its SQL oracle.
   */
 object Md5 {
+  // per-thread digest instance: getInstance per call would pay a JCA
+  // provider lookup + allocation PER TOKEN on the embedding hot path
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
   def hexOfBytes(bytes: Array[Byte]): String = {
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = digest.get()
+    md.reset()
     md.digest(bytes).map(b => f"${b & 0xff}%02x").mkString
   }
   def hex(s: String): String = hexOfBytes(s.getBytes("UTF-8"))
@@ -64,7 +71,10 @@ object Md5 {
 final case class Md5PortableEmbedder(dim: Int = 64) extends EmbeddingModel {
   override def encode(text: String): Array[Float] = {
     val acc = new Array[Double](dim)
-    val tokens = text.toLowerCase.split("[^a-z0-9]+")
+    // Locale.ROOT: the default-locale overload would produce dotless-ı
+    // tokens under a tr/az JVM locale and break oracle parity with
+    // DuckDB's locale-independent lower()
+    val tokens = text.toLowerCase(java.util.Locale.ROOT).split("[^a-z0-9]+")
     var any = false
     tokens.foreach { t =>
       if (t.nonEmpty) {
@@ -90,7 +100,8 @@ final case class Md5PortableEmbedder(dim: Int = 64) extends EmbeddingModel {
 final case class HashingEmbedder(dim: Int = 384, seed: Int = 42) extends EmbeddingModel {
   override def encode(text: String): Array[Float] = {
     val acc = new Array[Double](dim)
-    val tokens = text.toLowerCase.split("[^\\p{L}\\p{N}]+")
+    // Locale.ROOT for locale-independent results (see Md5PortableEmbedder)
+    val tokens = text.toLowerCase(java.util.Locale.ROOT).split("[^\\p{L}\\p{N}]+")
     var any = false
     tokens.foreach { t =>
       if (t.nonEmpty) {

@@ -35,15 +35,11 @@ object Queries {
   private def dsum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     sum(c.cast(DecimalType(38, 6))).cast("double")
 
-  /** Exact decimal literal of a float32 value — parses to the identical
-    * double in DuckDB (shortest-float repr would NOT: its nearest double
-    * differs from the widened float).
+  /** Exact decimal literal of a float32 value — single source of truth
+    * in [[Duck.vecLit]] (parses to the identical double in DuckDB;
+    * shortest-float repr would NOT).
     */
-  private def floatLit(f: Float): String =
-    new java.math.BigDecimal(f.toDouble).toPlainString
-
-  private def vecLit(v: Array[Float]): String =
-    v.map(floatLit).mkString("[", ", ", "]::DOUBLE[]")
+  private def vecLit(v: Array[Float]): String = Duck.vecLit(v)
 
   /** The flagship deterministic query vector (64-d to match the
     * `embeddings` fixture), from the engine's offline encoder.

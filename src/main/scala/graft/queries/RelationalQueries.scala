@@ -439,11 +439,17 @@ object RelationalQueries {
       "the semantics.",
     (s, dir) => {
       import graft.operators.Skew
+      // the salt driver must be row-unique-ish, NOT the join key itself
+      // (salting on the key gives every row of a hot key the same salt —
+      // zero spreading); (orderkey, linenumber) is the lineitem PK
+      val li = Tables.lineitem(s, dir)
+        .withColumn("l_row_key",
+          concat_ws(":", col("l_orderkey"), col("l_linenumber")))
       val j = Skew.saltedJoin(
-        Tables.lineitem(s, dir),
+        li,
         Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderpriority")),
         bigKey = "l_orderkey", smallKey = "o_orderkey",
-        bigDisambig = "l_orderkey", saltFactor = 8)
+        bigDisambig = "l_row_key", saltFactor = 8)
       j.groupBy(col("o_orderpriority"))
         .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
           count(lit(1)).as("n_items"))

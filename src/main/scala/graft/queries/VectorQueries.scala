@@ -12,12 +12,10 @@ import org.apache.spark.sql.functions._
   */
 object VectorQueries {
 
-  /** Exact decimal literal of a float32 (see Queries.floatLit). */
-  private def floatLit(f: Float): String =
-    new java.math.BigDecimal(f.toDouble).toPlainString
-
-  private def vecLit(v: Array[Float]): String =
-    v.map(floatLit).mkString("[", ", ", "]::DOUBLE[]")
+  /** Exact decimal float literals — single source of truth in [[Duck]]
+    * (three drifting copies existed before round 5's consolidation).
+    */
+  private def vecLit(v: Array[Float]): String = Duck.vecLit(v)
 
   private val embedder = HashingEmbedder(dim = 64, seed = 7)
 
@@ -252,8 +250,12 @@ object VectorQueries {
     def ensure(s: org.apache.spark.sql.SparkSession, dir: String,
                cents: Array[Array[Float]]): String =
       written.getOrElseUpdate(dir, {
+        // path is per-PROCESS (pid suffix): a deterministic shared path
+        // would let a concurrent JVM's overwrite delete files out from
+        // under this JVM's registered scans mid-query
+        val pid = ProcessHandle.current().pid()
         val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_idx_" +
-          graft.functions.Md5.hex(dir).take(12)
+          graft.functions.Md5.hex(dir).take(12) + s"_$pid"
         Ann.writeIndexed(Tables.embeddings(s, dir), "embedding", cents, path)
         path
       })

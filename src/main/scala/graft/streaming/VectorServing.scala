@@ -73,8 +73,14 @@ object VectorServing {
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
           val incoming = batch.select(col(idCol), col(textCol))
+          // existence via the Hadoop FileSystem of the path, NOT
+          // java.io.File — the corpus lives on hdfs://-s3a:// in
+          // production, where a local-file check is silently always
+          // false and would disable the dedup gate forever
+          val hPath = new org.apache.hadoop.fs.Path(corpusPath)
+          val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
           val existing =
-            if (new java.io.File(corpusPath).exists())
+            if (fs.exists(hPath))
               Some(spark.read.parquet(corpusPath).select(col(idCol), col(textCol)))
             else None
           val novel = existing match {
