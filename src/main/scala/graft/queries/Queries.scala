@@ -48,12 +48,10 @@ object Queries {
     .encode("graft flagship knn query vector")
 
   /** DuckDB cosine-distance SQL fragment matching [[graft.functions.CosineDistance]]
-    * bit-for-bit: sequential double dot products, 1 − dot/(√na·√nb).
+    * bit-for-bit — delegates to the single [[Duck.cosine]] builder.
     */
   private def duckCosine(vecExpr: String, qLit: String): String =
-    s"(1.0 - (list_dot_product($vecExpr::DOUBLE[], $qLit) / " +
-      s"(sqrt(list_dot_product($vecExpr::DOUBLE[], $vecExpr::DOUBLE[])) * " +
-      s"sqrt(list_dot_product($qLit, $qLit)))))"
+    Duck.cosine(s"$vecExpr::DOUBLE[]", qLit)
 
   // ---------------------------------------------------------------------
   // Relational coverage (TPC-H-ish fixtures)

@@ -23,10 +23,11 @@ object VectorQueries {
   private def duckL2(a: String, b: String): String =
     s"sqrt(list_sum(list_transform(range(len($a)), i -> (($a)[i+1] - ($b)[i+1]) * (($a)[i+1] - ($b)[i+1]))))"
 
+  /** Cosine over a raw (float-array) column expression: delegates to the
+    * single [[Duck.cosine]] builder with the ::DOUBLE[] widening cast.
+    */
   private def duckCosine(vecExpr: String, qLit: String): String =
-    s"(1.0 - (list_dot_product($vecExpr::DOUBLE[], $qLit) / " +
-      s"(sqrt(list_dot_product($vecExpr::DOUBLE[], $vecExpr::DOUBLE[])) * " +
-      s"sqrt(list_dot_product($qLit, $qLit)))))"
+    Duck.cosine(s"$vecExpr::DOUBLE[]", qLit)
 
   private val filtered = QueryDef(
     "knn_filtered_hybrid",
