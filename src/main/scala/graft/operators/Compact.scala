@@ -13,55 +13,109 @@ import org.apache.spark.sql.functions._
   *
   * `rewrite` sizes the output file count from the table's actual bytes
   * (ceil(totalBytes / targetFileBytes)), rewrites through a temp
-  * directory, and atomically swaps via rename — readers either see the
-  * old layout or the new one, never a partial mix. Partition columns
-  * are preserved (`partitionBy`), and within each output file rows are
-  * sorted by `sortCols` so parquet min/max column statistics become
-  * selective (data skipping for range predicates — the poor man's
-  * Z-order for a single sort dimension).
+  * directory, and swaps via rename. Partition directory layout is
+  * preserved, with output files per partition sized from the data (a
+  * 50 GB date partition gets ~400 right-sized files, not one); within
+  * files rows are sorted by `sortCols` so parquet min/max statistics
+  * become selective (data skipping for range predicates — the poor
+  * man's Z-order for a single sort dimension).
   *
-  * This is the open-source shape of lakehouse `OPTIMIZE`; table formats
-  * (Delta/Iceberg) add transactional manifests, which plain parquet
-  * directories lack — hence the rename swap, which is atomic on HDFS
-  * and local filesystems (object stores need the table-format route).
+  * CONCURRENCY CONTRACT — plain parquet directories have no
+  * transaction log, so the caller MUST quiesce writers for the
+  * duration of `rewrite`: an append that lands between the input
+  * listing and the swap is silently lost (it rides along in the
+  * discarded old directory). Pause the ingest stream (or compact
+  * between its triggers); concurrent READERS are safe on filesystems
+  * with atomic rename (HDFS/local — object stores need a real table
+  * format). Streaming-sink tables carrying a `_spark_metadata` log
+  * must be compacted through the sink's own mechanism, not this one
+  * (the rewrite does not recreate the log; metadata files are excluded
+  * from stats and from the data rewrite).
+  *
+  * Crash recovery: the swap is two renames. A crash between them
+  * leaves the table at `<path>_compact_old` and nothing at `path` —
+  * rename it back to recover; nothing is deleted until both renames
+  * succeed. Leftover `_compact_tmp`/`_compact_old` directories from a
+  * previous crashed run are detected and removed up front (they are,
+  * respectively, a partial rewrite and an already-replaced layout —
+  * but `_compact_old` is only removed when `path` itself is healthy;
+  * otherwise it IS the table and `rewrite` refuses to run).
   */
 object Compact {
 
   final case class Stats(files: Long, bytes: Long)
 
-  /** File count + total bytes of the data files under `path`. */
+  /** True if any path component under the table root is a metadata
+    * dir/file (leading `_` or `.`) — e.g. `_spark_metadata/0`, whose
+    * leaf name alone looks like a data file.
+    */
+  private def isMetadata(root: Path, file: Path): Boolean = {
+    var p = file
+    while (p != null && p != root) {
+      val n = p.getName
+      if (n.startsWith("_") || n.startsWith(".")) return true
+      p = p.getParent
+    }
+    false
+  }
+
+  /** File count + total bytes of the DATA files under `path`
+    * (metadata trees like `_spark_metadata` excluded at every level).
+    */
   def tableStats(spark: SparkSession, path: String): Stats = {
-    val p = new Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val it = fs.listFiles(p, true)
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(root, true)
     var files = 0L; var bytes = 0L
     while (it.hasNext) {
       val f = it.next()
-      // count data files only — skip _SUCCESS and checkpoint metadata
-      if (!f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith(".")) {
-        files += 1; bytes += f.getLen
-      }
+      if (!isMetadata(root, f.getPath)) { files += 1; bytes += f.getLen }
     }
     Stats(files, bytes)
   }
 
   /** Rewrite `path` into ~targetFileBytes-sized parquet files,
     * preserving `partitionBy` layout, sorting rows within files by
-    * `sortCols`. Returns (before, after) stats.
+    * `sortCols`. Returns (before, after) stats. See the object scaladoc
+    * for the writer-quiescence contract.
     */
   def rewrite(spark: SparkSession, path: String,
               targetFileBytes: Long = 128L * 1024 * 1024,
               partitionBy: Seq[String] = Nil,
               sortCols: Seq[String] = Nil): (Stats, Stats) = {
+    val p = new Path(path.stripSuffix("/"))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(path.stripSuffix("/") + "_compact_tmp")
+    val old = new Path(path.stripSuffix("/") + "_compact_old")
+    // pre-clean leftovers of a crashed run: tmp is always a partial
+    // rewrite (safe to drop); old is stale ONLY if the live path exists
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    if (fs.exists(old)) {
+      if (fs.exists(p)) fs.delete(old, true)
+      else throw new java.io.IOException(
+        s"$old exists but $p does not — a previous swap crashed mid-rename; " +
+          s"recover with: fs.rename($old, $p)")
+    }
+
     val before = tableStats(spark, path)
     val nFiles = math.max(1L, (before.bytes + targetFileBytes - 1) / targetFileBytes).toInt
     val df = spark.read.parquet(path)
     val repartitioned =
-      if (partitionBy.nonEmpty)
-        // co-locate each table partition's rows so every partition dir
-        // gets whole output files rather than nFiles slivers each
-        df.repartition(nFiles, partitionBy.map(col): _*)
-      else if (sortCols.nonEmpty)
+      if (partitionBy.nonEmpty) {
+        // hashing on the partition columns ALONE would send each
+        // partition value to one task → one (arbitrarily large) file
+        // per directory. Salt with a per-partition bucket sized so each
+        // directory gets ~its-bytes/targetFileBytes files.
+        val nParts = math.max(1L, df.select(partitionBy.map(col): _*).distinct().count())
+        val filesPerPart = math.max(1L, math.ceil(nFiles.toDouble / nParts).toLong).toInt
+        val salt = pmod(xxhash64(df.columns.map(col): _*), lit(filesPerPart))
+        // RANGE partitioning on (partition cols, salt): each discrete
+        // (partValue, salt) combo lands in its own task range, so every
+        // directory gets ~filesPerPart files — hash partitioning here
+        // collides combos into shared tasks at small bucket counts,
+        // collapsing a hot partition back to one oversized file
+        df.repartitionByRange(nFiles, partitionBy.map(col) :+ salt: _*)
+      } else if (sortCols.nonEmpty)
         // range partitioning makes the per-file sort global-ish: file k
         // holds a contiguous key range → min/max stats are disjoint
         df.repartitionByRange(nFiles, sortCols.map(col): _*)
@@ -69,16 +123,13 @@ object Compact {
     val sorted =
       if (sortCols.nonEmpty) repartitioned.sortWithinPartitions(sortCols.map(col): _*)
       else repartitioned
-    val tmp = path.stripSuffix("/") + "_compact_tmp"
     val writer = sorted.write.mode("overwrite")
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
-      .parquet(tmp)
-    // atomic swap: old dir → trash name, tmp → live, then drop the old
-    val p = new Path(path); val t = new Path(tmp)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val old = new Path(path.stripSuffix("/") + "_compact_old")
+      .parquet(tmp.toString)
+    // swap: nothing is deleted until both renames succeed; a crash in
+    // the window leaves the table intact at `old` (see scaladoc)
     if (!fs.rename(p, old)) throw new java.io.IOException(s"rename $p -> $old failed")
-    if (!fs.rename(t, p)) { fs.rename(old, p); throw new java.io.IOException(s"rename $t -> $p failed") }
+    if (!fs.rename(tmp, p)) { fs.rename(old, p); throw new java.io.IOException(s"rename $tmp -> $p failed") }
     fs.delete(old, true)
     (before, tableStats(spark, path))
   }

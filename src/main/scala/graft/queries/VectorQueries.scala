@@ -253,10 +253,26 @@ object VectorQueries {
       written.getOrElseUpdate(dir, {
         // path is per-PROCESS (pid suffix): a deterministic shared path
         // would let a concurrent JVM's overwrite delete files out from
-        // under this JVM's registered scans mid-query
+        // under this JVM's registered scans mid-query. Deleted on JVM
+        // exit — without the hook every run would leak an index copy
+        // into /tmp.
         val pid = ProcessHandle.current().pid()
-        val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_idx_" +
-          graft.functions.Md5.hex(dir).take(12) + s"_$pid"
+        val tmpRoot = System.getProperty("java.io.tmpdir")
+        val prefix = "graft_ivf_idx_" + graft.functions.Md5.hex(dir).take(12) + "_"
+        // reap siblings whose owning JVM is gone (a kill -9 skips the
+        // shutdown hook) — live-pid dirs are left alone, preserving the
+        // concurrent-JVM isolation the pid suffix exists for
+        Option(new java.io.File(tmpRoot).listFiles()).getOrElse(Array.empty)
+          .filter(f => f.getName.startsWith(prefix))
+          .foreach { f =>
+            val ownerAlive = f.getName.stripPrefix(prefix).toLongOption
+              .exists(p => ProcessHandle.of(p).isPresent)
+            if (!ownerAlive)
+              new scala.reflect.io.Directory(f).deleteRecursively()
+          }
+        val path = s"$tmpRoot/$prefix$pid"
+        Runtime.getRuntime.addShutdownHook(new Thread(() =>
+          new scala.reflect.io.Directory(new java.io.File(path)).deleteRecursively()))
         Ann.writeIndexed(Tables.embeddings(s, dir), "embedding", cents, path)
         path
       })

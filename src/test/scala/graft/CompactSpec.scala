@@ -59,6 +59,62 @@ class CompactSpec extends SparkSpec {
     } finally cleanup(dir)
   }
 
+  test("partitioned rewrite splits big partitions into multiple right-sized files") {
+    val dir = tmpDir("graft_compact_split")
+    try {
+      // one hot partition (900 rows) + one small (100): with a target of
+      // ~1/4 the table bytes, the hot partition must get >1 output file
+      // (hashing on the partition column alone would give exactly 1)
+      val rows = (0L until 1000L).map(i => (i, s"payload $i" * 8, if (i < 900) 0 else 1))
+      rows.grouped(50).foreach { g =>
+        g.toDF("id", "v", "part").coalesce(1)
+          .write.mode("append").partitionBy("part").parquet(dir)
+      }
+      val bytes = Compact.tableStats(spark, dir).bytes
+      Compact.rewrite(spark, dir, targetFileBytes = bytes / 4, partitionBy = Seq("part"))
+      val hotFiles = new java.io.File(s"$dir/part=0").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      assert(hotFiles > 1, s"hot partition collapsed to $hotFiles file(s)")
+      assert(spark.read.parquet(dir).count() == 1000)
+    } finally cleanup(dir)
+  }
+
+  test("crashed-swap leftovers: stale old dir cleaned, orphaned old dir refuses with recovery hint") {
+    val dir = tmpDir("graft_compact_crash")
+    try {
+      (0L until 100L).map(i => (i, s"v$i")).toDF("id", "v")
+        .write.mode("overwrite").parquet(dir)
+      // stale leftover (live table present) → silently cleaned, rewrite proceeds
+      new java.io.File(dir + "_compact_old").mkdirs()
+      Compact.rewrite(spark, dir, targetFileBytes = 1L << 30)
+      assert(!new java.io.File(dir + "_compact_old").exists())
+      // orphaned leftover (live table missing = crash between renames) → refuse
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.rename(new org.apache.hadoop.fs.Path(dir),
+        new org.apache.hadoop.fs.Path(dir + "_compact_old"))
+      val e = intercept[java.io.IOException] {
+        Compact.rewrite(spark, dir, targetFileBytes = 1L << 30)
+      }
+      assert(e.getMessage.contains("recover"), e.getMessage)
+    } finally cleanup(dir)
+  }
+
+  test("tableStats ignores files nested inside metadata directories") {
+    val dir = tmpDir("graft_compact_meta")
+    try {
+      (0L until 10L).map(i => (i, s"v$i")).toDF("id", "v")
+        .write.mode("overwrite").parquet(dir)
+      val clean = Compact.tableStats(spark, dir)
+      val meta = new java.io.File(s"$dir/_spark_metadata")
+      meta.mkdirs()
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$dir/_spark_metadata/0"), "x" * 4096)
+      assert(Compact.tableStats(spark, dir) == clean,
+        "metadata log contents must not count as data files")
+    } finally cleanup(dir)
+  }
+
   test("sorted rewrite yields disjoint per-file key ranges (min/max data skipping)") {
     val dir = tmpDir("graft_compact_sort")
     try {
