@@ -46,7 +46,18 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // the stdout line is what the driver captures, but its capture
+    // truncates from the HEAD of long output — so ALSO write the full
+    // JSON to a file: the artifact stays parseable (all queries present)
+    // no matter what the tail capture kept
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      System.err.println(s"[bench] full results written to $outPath")
+    } catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
+    println(line)
     spark.stop()
   }
 }

@@ -45,9 +45,14 @@ object Compact {
 
   final case class Stats(files: Long, bytes: Long)
 
-  /** True if any path component under the table root is a metadata
+  /** True if any path component BELOW the table root is a metadata
     * dir/file (leading `_` or `.`) — e.g. `_spark_metadata/0`, whose
-    * leaf name alone looks like a data file.
+    * leaf name alone looks like a data file. `root` MUST be qualified
+    * with the same FileSystem that produced `file` (listings return
+    * fully-qualified paths): comparing against an unqualified root
+    * never terminates the walk at the table boundary, so a table that
+    * merely LIVES UNDER a dot/underscore ancestor (`/data/.cache/t`)
+    * would count zero data files.
     */
   private def isMetadata(root: Path, file: Path): Boolean = {
     var p = file
@@ -63,8 +68,9 @@ object Compact {
     * (metadata trees like `_spark_metadata` excluded at every level).
     */
   def tableStats(spark: SparkSession, path: String): Stats = {
-    val root = new Path(path)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // qualify BEFORE comparing: listFiles yields file://-qualified paths
+    val root = fs.makeQualified(new Path(path))
     val it = fs.listFiles(root, true)
     var files = 0L; var bytes = 0L
     while (it.hasNext) {
@@ -73,6 +79,21 @@ object Compact {
     }
     Stats(files, bytes)
   }
+
+  /** Number of leaf partition directories (`col=value` at every level)
+    * `depth` levels below `root` — the partition-combination count read
+    * straight from the directory layout, replacing a full
+    * `distinct().count()` scan of the data. At 100 TB listing the
+    * directory tree is O(#partitions); scanning the table is O(bytes).
+    */
+  private def countLeafPartitionDirs(fs: org.apache.hadoop.fs.FileSystem,
+                                     root: Path, depth: Int): Long =
+    if (depth == 0) 1L
+    else fs.listStatus(root).iterator
+      .filter(s => s.isDirectory && s.getPath.getName.contains("=") &&
+        !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+      .map(s => countLeafPartitionDirs(fs, s.getPath, depth - 1))
+      .sum
 
   /** Rewrite `path` into ~targetFileBytes-sized parquet files,
     * preserving `partitionBy` layout, sorting rows within files by
@@ -99,14 +120,31 @@ object Compact {
 
     val before = tableStats(spark, path)
     val nFiles = math.max(1L, (before.bytes + targetFileBytes - 1) / targetFileBytes).toInt
-    val df = spark.read.parquet(path)
+    // partition values must round-trip VERBATIM: with type inference on,
+    // `part=01` reads as int 1 and rewrites to a renamed `part=1`
+    // directory — readers keying on the original string value lose the
+    // partition. Inference off reads them as strings, and the rewritten
+    // directory names are byte-identical (a later read with inference
+    // on sees the same types as before the compaction).
+    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val savedInfer = spark.conf.getOption(inferKey)
+    spark.conf.set(inferKey, "false")
+    // partition discovery runs eagerly at read-time, so the conf can be
+    // restored as soon as the frame is resolved
+    val df = try spark.read.parquet(path) finally savedInfer match {
+      case Some(v) => spark.conf.set(inferKey, v)
+      case None    => spark.conf.unset(inferKey)
+    }
     val repartitioned =
       if (partitionBy.nonEmpty) {
         // hashing on the partition columns ALONE would send each
         // partition value to one task → one (arbitrarily large) file
         // per directory. Salt with a per-partition bucket sized so each
         // directory gets ~its-bytes/targetFileBytes files.
-        val nParts = math.max(1L, df.select(partitionBy.map(col): _*).distinct().count())
+        // Partition-combo count comes from the directory layout, not a
+        // distinct() scan of the data — the values ARE the dir names.
+        val nParts = math.max(1L,
+          countLeafPartitionDirs(fs, fs.makeQualified(p), partitionBy.length))
         val filesPerPart = math.max(1L, math.ceil(nFiles.toDouble / nParts).toLong).toInt
         val salt = pmod(xxhash64(df.columns.map(col): _*), lit(filesPerPart))
         // RANGE partitioning on (partition cols, salt): each discrete

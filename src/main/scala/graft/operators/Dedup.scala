@@ -199,6 +199,14 @@ object Dedup {
     * band-key-bucketed table maintained at ingest (write-time index);
     * this method recomputes it inline because the fixtures are small —
     * the join/verify shape is identical either way.
+    *
+    * EVALUATION NOTE: the result is materialized EAGERLY (one job,
+    * `localCheckpoint`) so the band/candidate caches the pipeline needs
+    * internally can be dropped before returning — a long-lived session
+    * calling this per micro-batch accumulates zero retained cache
+    * blocks. The returned frame reads from its checkpoint blocks
+    * (released when the frame is GC'd); it is |incoming|-sized, the
+    * smallest relation in the whole computation.
     */
   def incrementalDedupFlags(docs: DataFrame, textCol: String, idCol: String,
                             isNew: Column, shingleK: Int = 3,
@@ -246,13 +254,20 @@ object Dedup {
       .select(col("id"), (-col("b.neg_id")).as("best_match_id"),
         col("b.jaccard").as("best_jaccard"))
 
-    base.filter(col("is_new")).select(col("id"))
+    val flags = base.filter(col("is_new")).select(col("id"))
       .join(exactDups.withColumn("is_exact_dup", lit(true)), Seq("id"), "left")
       .join(best, Seq("id"), "left")
       .select(col("id"),
         coalesce(col("is_exact_dup"), lit(false)).as("is_exact_dup"),
         col("best_match_id"), col("best_jaccard"),
         coalesce(col("best_jaccard") >= threshold, lit(false)).as("is_near_dup"))
+    // materialize once (the caches above make that single job cheap),
+    // then drop the intermediates — the caller gets a self-contained
+    // frame and the session retains no cache blocks (see scaladoc)
+    val out = flags.localCheckpoint(true)
+    banded.unpersist(false)
+    cand.unpersist(false)
+    out
   }
 
   /** Default document-frequency cap on inverted-index shingles — the

@@ -382,19 +382,28 @@ object DedupQueries {
     "Cross-source contamination matrix: near-dup pairs (Jaccard ≥ 0.3) " +
       "aggregated to (source_a, source_b) counts — which feeds " +
       "duplicate across which, the view that decides source-level " +
-      "dedup policy. Composes the pair machinery with two broadcast " +
-      "dimension joins; pair endpoints are canonicalized (min source " +
+      "dedup policy. The near-dup pair list is the SPARSE side — it, " +
+      "not the corpus-sized (doc_id, source) dimension, is what gets " +
+      "broadcast: the corpus stays the streamed probe side of both " +
+      "joins, so nothing O(|corpus|) ever crosses the network or parks " +
+      "on the driver. Pair endpoints are canonicalized (min source " +
       "first) so the matrix is triangular.",
     (s, dir) => {
       val d = Tables.documentsSpread(s, dir)
       val pairs = Dedup.ngramJaccardPairs(d, "text", "doc_id", shingleK = 3,
         threshold = 0.3, maxShingleDf = Some(Dedup.DefaultMaxShingleDf))
       val src = d.select(col("doc_id"), col("source"))
-      pairs
-        .join(broadcast(src).as("sa"), col("id_a") === col("sa.doc_id"))
-        .join(broadcast(src).as("sb"), col("id_b") === col("sb.doc_id"))
-        .select(least(col("sa.source"), col("sb.source")).as("source_a"),
-          greatest(col("sa.source"), col("sb.source")).as("source_b"))
+      // broadcast(pairs), never broadcast(src): src is O(|corpus|) rows
+      // (driver OOM at 100 TB); pairs is bounded by the near-dup rate.
+      // The second join broadcasts the (pairs ⋈ source_a) result, which
+      // has exactly |pairs| rows — still the sparse side.
+      val withA = broadcast(pairs)
+        .join(src.as("sa"), col("id_a") === col("sa.doc_id"))
+        .select(col("id_b"), col("sa.source").as("src_a"))
+      broadcast(withA)
+        .join(src.as("sb"), col("id_b") === col("sb.doc_id"))
+        .select(least(col("src_a"), col("sb.source")).as("source_a"),
+          greatest(col("src_a"), col("sb.source")).as("source_b"))
         .groupBy(col("source_a"), col("source_b"))
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy(col("source_a"), col("source_b"))

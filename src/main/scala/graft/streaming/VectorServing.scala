@@ -58,10 +58,9 @@ object VectorServing {
     *
     * Within-batch duplicates are NOT collapsed here (apply
     * `Dedup.exactDropIds` upstream if batches can self-duplicate).
-    * The dedup operators cache their band/candidate relations; this
-    * sink clears the catalog cache per batch — streaming ingest jobs
-    * own a dedicated session in production, which is the deployment
-    * this assumes.
+    * `incrementalDedupFlags` materializes eagerly and drops its own
+    * band/candidate caches before returning, so a long-running ingest
+    * stream accumulates no retained cache blocks across batches.
     */
   def ingestDedupStream(docs: DataFrame, textCol: String, idCol: String,
                         corpusPath: String, checkpoint: String,
@@ -76,11 +75,24 @@ object VectorServing {
           // existence via the Hadoop FileSystem of the path, NOT
           // java.io.File — the corpus lives on hdfs://-s3a:// in
           // production, where a local-file check is silently always
-          // false and would disable the dedup gate forever
+          // false and would disable the dedup gate forever. And the
+          // check is for DATA FILES, not the bare directory: a created-
+          // but-empty corpus dir (mkdir racing the first batch, or a
+          // wiped table leaving the root) would make `read.parquet`
+          // throw "unable to infer schema" and wedge the stream forever.
           val hPath = new org.apache.hadoop.fs.Path(corpusPath)
           val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val hasData = fs.exists(hPath) && {
+            val it = fs.listFiles(hPath, true)
+            var found = false
+            while (!found && it.hasNext) {
+              val n = it.next().getPath.getName
+              if (!n.startsWith("_") && !n.startsWith(".")) found = true
+            }
+            found
+          }
           val existing =
-            if (fs.exists(hPath))
+            if (hasData)
               Some(spark.read.parquet(corpusPath).select(col(idCol), col(textCol)))
             else None
           val novel = existing match {
@@ -96,7 +108,6 @@ object VectorServing {
               incoming.join(dupIds, Seq(idCol), "left_anti")
           }
           novel.write.mode("append").parquet(corpusPath)
-          spark.catalog.clearCache() // dedup band/candidate caches — see scaladoc
         }
       }
       .start()

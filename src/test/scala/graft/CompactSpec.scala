@@ -115,6 +115,75 @@ class CompactSpec extends SparkSpec {
     } finally cleanup(dir)
   }
 
+  test("table under a dot-directory ancestor: stats see the data and rewrite is faithful") {
+    // regression: isMetadata walked past the (unqualified) root and
+    // flagged the `.cache` ANCESTOR as metadata → Stats(0,0) and a
+    // rewrite that collapsed everything into one bogus file
+    val base = java.nio.file.Files.createTempDirectory("graft_compact_dotroot")
+    val dir = s"$base/.cache/t"
+    try {
+      val rows = (0L until 200L).map(i => (i, s"v$i"))
+      rows.grouped(20).foreach { g =>
+        g.toDF("id", "v").coalesce(1).write.mode("append").parquet(dir)
+      }
+      val before = Compact.tableStats(spark, dir)
+      assert(before.files >= 10 && before.bytes > 0,
+        s"stats must see data under a dotted ancestor, got $before")
+      val (b, a) = Compact.rewrite(spark, dir, targetFileBytes = 1L << 30)
+      assert(b == before && a.files < b.files && a.bytes > 0, s"$b -> $a")
+      assert(spark.read.parquet(dir).as[(Long, String)].collect().toSet == rows.toSet)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(base.toFile).deleteRecursively()
+    }
+  }
+
+  test("partition directory values round-trip verbatim (no type-inference renaming)") {
+    val dir = tmpDir("graft_compact_verbatim")
+    try {
+      // "01" and "001" both parse to int 1 under partition type
+      // inference — an inferring rewrite would merge/rename the dirs
+      val rows = Seq((1L, "a", "01"), (2L, "b", "001"), (3L, "c", "x7"))
+      rows.toDF("id", "v", "part").write.partitionBy("part").parquet(dir)
+      Compact.rewrite(spark, dir, targetFileBytes = 1L << 30, partitionBy = Seq("part"))
+      val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory).map(_.getName).toSet
+      assert(dirs == Set("part=01", "part=001", "part=x7"),
+        s"partition directory names must be preserved byte-for-byte: $dirs")
+      assert(spark.read.parquet(dir).count() == 3)
+    } finally cleanup(dir)
+  }
+
+  test("partitioned rewrite counts partitions from the directory layout, not a data scan") {
+    val dir = tmpDir("graft_compact_nocount")
+    try {
+      val rows = (0L until 300L).map(i => (i, s"v$i", (i % 3).toInt))
+      rows.grouped(30).foreach { g =>
+        g.toDF("id", "v", "part").coalesce(1)
+          .write.mode("append").partitionBy("part").parquet(dir)
+      }
+      val countActions = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+                               qe: org.apache.spark.sql.execution.QueryExecution,
+                               durationNs: Long): Unit =
+          if (funcName == "count") countActions.incrementAndGet()
+        override def onFailure(funcName: String,
+                               qe: org.apache.spark.sql.execution.QueryExecution,
+                               exception: Exception): Unit = ()
+      }
+      spark.listenerManager.register(listener)
+      try {
+        val (b, a) = Compact.rewrite(spark, dir, targetFileBytes = 1L << 30,
+          partitionBy = Seq("part"))
+        assert(a.files < b.files)
+        // listener delivery is async; give the bus a moment to drain
+        Thread.sleep(1500)
+        assert(countActions.get() == 0,
+          "partition-combo count must come from fs listing, not distinct().count()")
+      } finally spark.listenerManager.unregister(listener)
+    } finally cleanup(dir)
+  }
+
   test("sorted rewrite yields disjoint per-file key ranges (min/max data skipping)") {
     val dir = tmpDir("graft_compact_sort")
     try {

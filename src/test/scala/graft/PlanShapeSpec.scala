@@ -86,6 +86,28 @@ class PlanShapeSpec extends SparkSpec {
       s"the hot list (not the keep list) must be the broadcast side:\n$p")
   }
 
+  test("source matrix: only the sparse pair side broadcasts — never the corpus dimension") {
+    GraftSession.prepare(spark)
+    val q = Queries.queriesMap("dedup_source_matrix")(spark, sf("sf0.001"))
+    // AQE wraps the plan; collect() doesn't descend through the wrapper
+    val exec = q.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val broadcasts = exec.collect {
+      case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
+    }
+    assert(broadcasts.nonEmpty, "expected the pair side to broadcast")
+    broadcasts.foreach { b =>
+      // a corpus-dimension broadcast would be a bare Scan(+Project/Filter)
+      // of documents; the pair side always contains the join/aggregate
+      // machinery of the shingle pipeline
+      val sub = b.toString
+      assert(sub.contains("HashAggregate") || sub.contains("Join"),
+        s"BroadcastExchange over a bare corpus scan (dimension broadcast):\n$sub")
+    }
+  }
+
   test("stratified sample and tfidf rank under WindowGroupLimit (k-cap before full sort)") {
     assert(planOf("pipeline_balanced_sample").contains("WindowGroupLimit"))
     assert(planOf("txt_tfidf_top_terms").contains("WindowGroupLimit"))
