@@ -54,7 +54,7 @@ object Compact {
     * merely LIVES UNDER a dot/underscore ancestor (`/data/.cache/t`)
     * would count zero data files.
     */
-  private def isMetadata(root: Path, file: Path): Boolean = {
+  private[graft] def isMetadata(root: Path, file: Path): Boolean = {
     var p = file
     while (p != null && p != root) {
       val n = p.getName
@@ -127,14 +127,13 @@ object Compact {
     // directory names are byte-identical (a later read with inference
     // on sees the same types as before the compaction).
     val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
-    val savedInfer = spark.conf.getOption(inferKey)
-    spark.conf.set(inferKey, "false")
-    // partition discovery runs eagerly at read-time, so the conf can be
-    // restored as soon as the frame is resolved
-    val df = try spark.read.parquet(path) finally savedInfer match {
-      case Some(v) => spark.conf.set(inferKey, v)
-      case None    => spark.conf.unset(inferKey)
-    }
+    // read through a child session (own SQLConf, shared SparkContext and
+    // catalog) so disabling inference can't leak into concurrent queries
+    // on the caller's session — and doesn't depend on partition
+    // discovery staying eager inside load() across Spark versions
+    val reader = spark.newSession()
+    reader.conf.set(inferKey, "false")
+    val df = reader.read.parquet(path)
     val repartitioned =
       if (partitionBy.nonEmpty) {
         // hashing on the partition columns ALONE would send each

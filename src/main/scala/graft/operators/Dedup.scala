@@ -207,6 +207,15 @@ object Dedup {
     * blocks. The returned frame reads from its checkpoint blocks
     * (released when the frame is GC'd); it is |incoming|-sized, the
     * smallest relation in the whole computation.
+    *
+    * `localCheckpoint` stores those blocks in NON-RELIABLE executor
+    * storage: on a real cluster an executor loss after return makes the
+    * frame unrecoverable (lineage is truncated) and fails the caller's
+    * batch. Fine for local/test; a production ingest loop should
+    * `spark.sparkContext.setCheckpointDir(...)` and swap this for a
+    * reliable `checkpoint(true)` — same eager-materialize + cache-drop
+    * contract, blocks on the cluster FS instead (see the same note on
+    * [[duplicateClustersWithRounds]]).
     */
   def incrementalDedupFlags(docs: DataFrame, textCol: String, idCol: String,
                             isNew: Column, shingleK: Int = 3,

@@ -82,12 +82,18 @@ object VectorServing {
           // throw "unable to infer schema" and wedge the stream forever.
           val hPath = new org.apache.hadoop.fs.Path(corpusPath)
           val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          // a file counts as data only if NO component between it and
+          // the table root is a metadata dir — a leaf-name-only check
+          // would accept `_temporary/.../part-*.parquet` from a crashed
+          // write (or `_spark_metadata/0`) and then wedge the stream on
+          // the schema-inference error the gate exists to prevent
+          val qRoot = fs.makeQualified(hPath)
           val hasData = fs.exists(hPath) && {
             val it = fs.listFiles(hPath, true)
             var found = false
             while (!found && it.hasNext) {
-              val n = it.next().getPath.getName
-              if (!n.startsWith("_") && !n.startsWith(".")) found = true
+              if (!graft.operators.Compact.isMetadata(qRoot, it.next().getPath))
+                found = true
             }
             found
           }

@@ -176,9 +176,16 @@ class CompactSpec extends SparkSpec {
         val (b, a) = Compact.rewrite(spark, dir, targetFileBytes = 1L << 30,
           partitionBy = Seq("part"))
         assert(a.files < b.files)
-        // listener delivery is async; give the bus a moment to drain
-        Thread.sleep(1500)
-        assert(countActions.get() == 0,
+        // listener delivery is async but FIFO: run a sentinel count and
+        // wait until the listener sees it — any count() issued by
+        // rewrite would have been delivered before the sentinel, so
+        // "exactly 1" proves rewrite issued none (no fixed sleep, and a
+        // late-delivered rewrite count can't slip past the assert)
+        spark.range(1).count()
+        val deadline = System.nanoTime() + 10_000_000_000L
+        while (countActions.get() == 0 && System.nanoTime() < deadline)
+          Thread.sleep(25)
+        assert(countActions.get() == 1,
           "partition-combo count must come from fs listing, not distinct().count()")
       } finally spark.listenerManager.unregister(listener)
     } finally cleanup(dir)

@@ -85,6 +85,41 @@ class VectorServingSpec extends SparkSpec {
     }
   }
 
+  test("dedup gate ignores metadata trees: _temporary leftovers are not data") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup_meta").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft_dedup_meta_cp").toString
+    try {
+      // simulate a crashed first write: the corpus dir exists and holds a
+      // parquet-NAMED file, but only under a hidden staging tree. A
+      // leaf-name check would see "data", read.parquet would then find
+      // zero usable files and throw — wedging the stream. The component
+      // walk must classify the corpus as empty and ingest everything.
+      // (.staging, not _temporary/0/task_*: that exact layout is
+      // FileOutputCommitter's own staging area, and the first real write
+      // would PROMOTE the fake file into the table root on job commit)
+      val tmpTree = new java.io.File(s"$dir/corpus/.staging/0/task_0")
+      assert(tmpTree.mkdirs())
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(tmpTree.getPath, "part-00000.parquet"),
+        Array[Byte](1, 2, 3))
+      val input = MemoryStream[IngestDoc](spark)
+      val q = VectorServing.ingestDedupStream(input.toDF(), "text", "doc_id",
+        s"$dir/corpus", cp, threshold = 0.5)
+      try {
+        input.addData(Seq(IngestDoc(1L, "first real document after the crash"),
+          IngestDoc(2L, "second unrelated document with other words")))
+        q.processAllAvailable()
+      } finally q.stop()
+      val stored = spark.read.parquet(s"$dir/corpus")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(stored == Set(1L, 2L), s"got $stored")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+      new Directory(new java.io.File(cp)).deleteRecursively()
+    }
+  }
+
   test("micro-batch KNN serving equals the batch batchSearch on the same queries") {
     val corpus = Tables.embeddings(spark, sf("sf0.001"))
     val qvecs = (0 until 3).map(i =>
