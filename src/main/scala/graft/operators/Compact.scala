@@ -45,6 +45,26 @@ object Compact {
 
   final case class Stats(files: Long, bytes: Long)
 
+  // One cached child session per caller session. Weak keys: the cache
+  // must never pin a caller session (the child references only the
+  // shared SparkContext). Reusing one child per caller keeps repeated
+  // maintenance runs from accumulating ExecutionListenerBus
+  // registrations on the shared context listener bus.
+  private val readers =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, SparkSession]())
+
+  /** The child session `rewrite` reads and writes through: shares the
+    * SparkContext + catalog with `spark` but owns its SQLConf, so
+    * disabling partition type inference can't leak into concurrent
+    * queries on the caller's session. `rewrite` re-syncs the caller's
+    * runtime confs into it on every call (see there); exposed to tests
+    * so execution listeners can be registered on the session whose
+    * sessionUUID the listener bus actually filters for.
+    */
+  private[graft] def compactionReader(spark: SparkSession): SparkSession =
+    readers.computeIfAbsent(spark, s => s.newSession())
+
   /** True if any path component BELOW the table root is a metadata
     * dir/file (leading `_` or `.`) — e.g. `_spark_metadata/0`, whose
     * leaf name alone looks like a data file. `root` MUST be qualified
@@ -127,11 +147,19 @@ object Compact {
     // directory names are byte-identical (a later read with inference
     // on sees the same types as before the compaction).
     val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
-    // read through a child session (own SQLConf, shared SparkContext and
-    // catalog) so disabling inference can't leak into concurrent queries
-    // on the caller's session — and doesn't depend on partition
-    // discovery staying eager inside load() across Spark versions
-    val reader = spark.newSession()
+    // read (and write) through the cached child session — own SQLConf,
+    // shared SparkContext and catalog — so disabling inference can't
+    // leak into concurrent queries on the caller's session. The child
+    // starts from the INITIAL SparkConf, not the caller's runtime
+    // state, so mirror the caller's runtime confs first: the rewrite's
+    // write must honor whatever parquet codec / outputTimestampType /
+    // rebase-mode / ANSI settings the caller's own writes would use.
+    // Non-runtime (static/immutable) entries throw and are skipped.
+    val reader = compactionReader(spark)
+    spark.conf.getAll.foreach { case (k, v) =>
+      try reader.conf.set(k, v)
+      catch { case _: org.apache.spark.sql.AnalysisException => () }
+    }
     reader.conf.set(inferKey, "false")
     val df = reader.read.parquet(path)
     val repartitioned =

@@ -171,7 +171,12 @@ class CompactSpec extends SparkSpec {
                                qe: org.apache.spark.sql.execution.QueryExecution,
                                exception: Exception): Unit = ()
       }
-      spark.listenerManager.register(listener)
+      // the ExecutionListenerBus filters events by sessionUUID, and
+      // rewrite executes on its cached CHILD session — register the
+      // listener (and run the FIFO sentinel) on that session, or a
+      // regressed distinct().count() inside rewrite would never reach it
+      val reader = Compact.compactionReader(spark)
+      reader.listenerManager.register(listener)
       try {
         val (b, a) = Compact.rewrite(spark, dir, targetFileBytes = 1L << 30,
           partitionBy = Seq("part"))
@@ -181,13 +186,46 @@ class CompactSpec extends SparkSpec {
         // rewrite would have been delivered before the sentinel, so
         // "exactly 1" proves rewrite issued none (no fixed sleep, and a
         // late-delivered rewrite count can't slip past the assert)
-        spark.range(1).count()
+        reader.range(1).count()
         val deadline = System.nanoTime() + 10_000_000_000L
         while (countActions.get() == 0 && System.nanoTime() < deadline)
           Thread.sleep(25)
         assert(countActions.get() == 1,
           "partition-combo count must come from fs listing, not distinct().count()")
-      } finally spark.listenerManager.unregister(listener)
+      } finally reader.listenerManager.unregister(listener)
+    } finally cleanup(dir)
+  }
+
+  test("rewrite honors the caller's runtime write confs (parquet codec)") {
+    val dir = tmpDir("graft_compact_codec")
+    val codecKey = "spark.sql.parquet.compression.codec"
+    val prev = spark.conf.get(codecKey)
+    try {
+      (0L until 200L).map(i => (i, s"v$i")).toDF("id", "v")
+        .repartition(4).write.mode("overwrite").parquet(dir)
+      // the caller's session asks for gzip; the rewrite runs on a child
+      // session built from the INITIAL conf — without the runtime-conf
+      // sync, compacted files would come out under the default codec
+      spark.conf.set(codecKey, "gzip")
+      Compact.rewrite(spark, dir, targetFileBytes = 1L << 30)
+      val names = new java.io.File(dir).listFiles()
+        .map(_.getName).filter(_.endsWith(".parquet")).toSeq
+      assert(names.nonEmpty && names.forall(_.contains(".gz.")),
+        s"compacted files must use the caller's codec: $names")
+      assert(spark.read.parquet(dir).count() == 200)
+    } finally { spark.conf.set(codecKey, prev); cleanup(dir) }
+  }
+
+  test("repeated rewrites reuse one child session per caller (no session churn)") {
+    val dir = tmpDir("graft_compact_reuse")
+    try {
+      (0L until 50L).map(i => (i, s"v$i")).toDF("id", "v")
+        .repartition(5).write.mode("overwrite").parquet(dir)
+      val first = Compact.compactionReader(spark)
+      Compact.rewrite(spark, dir, targetFileBytes = 1L << 30)
+      Compact.rewrite(spark, dir, targetFileBytes = 1L << 30)
+      assert(Compact.compactionReader(spark) eq first,
+        "maintenance runs must not allocate a fresh session (listener-bus churn)")
     } finally cleanup(dir)
   }
 
