@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
 object DedupQueries {
 
   /** Shared DuckDB CTE: doc shingles (k=3) from the token pipeline. */
-  private val duckShingles =
+  private[queries] val duckShingles =
     s"""${Duck.docToks}, sh AS (
        |  SELECT doc_id, ${Duck.shingles(3)} AS shingles FROM tt
        |)""".stripMargin
@@ -314,6 +314,60 @@ object DedupQueries {
       """.stripMargin.trim
     })
 
+  /** CTE chain (appended after [[duckShingles]]) recomputing
+    * `Dedup.incrementalDedupFlags` (12 minhashes, 4 bands, 3-shingles):
+    * MinHash signatures → LSH bands → incoming×existing candidates →
+    * exact Jaccard → best existing match per incoming doc (`best`), plus
+    * exact fingerprints (`fpx`). `incoming(col)` renders the
+    * incoming-batch predicate — shared by the batch `dedup_incremental`
+    * oracle and the streaming `stream_ingest_dedup` oracle so the two
+    * gates can never drift.
+    */
+  private[queries] def duckIncrementalCtes(incoming: String => String): String =
+    s"""hs AS (
+       |  SELECT doc_id, list_transform(shingles,
+       |    x -> ('0x' || substring(md5(x), 1, 8))::BIGINT) AS h
+       |  FROM sh
+       |), sig AS (
+       |  SELECT doc_id, list_transform(range(12),
+       |    s -> list_min(list_transform(h,
+       |      v -> (v * (((s + 1) * 2654435761) % 1073741789)
+       |            + (((s + 1) * 97531) % 1073741789)) % 2147483647))) AS sg
+       |  FROM hs
+       |), bands AS (
+       |  SELECT doc_id, unnest(list_transform(range(4),
+       |    b -> b::VARCHAR || ':' || md5(array_to_string(list_slice(sg, b*3+1, b*3+3), ',')))) AS band
+       |  FROM sig
+       |), cand AS (
+       |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+       |  FROM bands x JOIN bands y ON x.band = y.band
+       |  WHERE ${incoming("x.doc_id")} AND NOT (${incoming("y.doc_id")})
+       |), ex AS (
+       |  SELECT doc_id, len(shingles)::BIGINT AS n_sh,
+       |         unnest(list_transform(shingles, x -> ('0x' || substring(md5(x), 1, 12))::BIGINT)) AS s FROM sh
+       |), common AS (
+       |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, x.n_sh AS na, y.n_sh AS nb, count(*) AS n_common
+       |  FROM ex x JOIN ex y ON x.s = y.s
+       |  JOIN cand c ON c.id_a = x.doc_id AND c.id_b = y.doc_id
+       |  GROUP BY 1, 2, 3, 4
+       |), jac AS (
+       |  SELECT id_a, id_b,
+       |         round(n_common::DOUBLE / (na + nb - n_common)::DOUBLE, 6) AS jaccard
+       |  FROM common
+       |), best AS (
+       |  SELECT id_a AS id, id_b AS best_match_id, jaccard AS best_jaccard
+       |  FROM jac
+       |  QUALIFY row_number() OVER (PARTITION BY id_a ORDER BY jaccard DESC, id_b) = 1
+       |), fpx AS (
+       |  SELECT doc_id, md5(norm) AS fp FROM tt
+       |)""".stripMargin
+
+  /** Exact-dup EXISTS predicate over `fpx` for a `tt`-aliased doc. */
+  private[queries] def duckExactDupExists(incoming: String => String): String =
+    s"""(EXISTS (SELECT 1 FROM fpx e
+       |                WHERE NOT (${incoming("e.doc_id")})
+       |                  AND e.fp = (SELECT fp FROM fpx n WHERE n.doc_id = tt.doc_id)))""".stripMargin
+
   private val incremental = QueryDef(
     "dedup_incremental",
     "Incremental ingest dedup — the 100 TB production shape: the " +
@@ -329,53 +383,18 @@ object DedupQueries {
           shingleK = 3, numHashes = 12, numBands = 4, threshold = 0.5)
         .orderBy(col("id"))
     },
-    Some(s"""
-      |$duckShingles, hs AS (
-      |  SELECT doc_id, list_transform(shingles,
-      |    x -> ('0x' || substring(md5(x), 1, 8))::BIGINT) AS h
-      |  FROM sh
-      |), sig AS (
-      |  SELECT doc_id, list_transform(range(12),
-      |    s -> list_min(list_transform(h,
-      |      v -> (v * (((s + 1) * 2654435761) % 1073741789)
-      |            + (((s + 1) * 97531) % 1073741789)) % 2147483647))) AS sg
-      |  FROM hs
-      |), bands AS (
-      |  SELECT doc_id, unnest(list_transform(range(4),
-      |    b -> b::VARCHAR || ':' || md5(array_to_string(list_slice(sg, b*3+1, b*3+3), ',')))) AS band
-      |  FROM sig
-      |), cand AS (
-      |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-      |  FROM bands x JOIN bands y ON x.band = y.band
-      |  WHERE x.doc_id % 5 = 0 AND y.doc_id % 5 <> 0
-      |), ex AS (
-      |  SELECT doc_id, len(shingles)::BIGINT AS n_sh,
-      |         unnest(list_transform(shingles, x -> ('0x' || substring(md5(x), 1, 12))::BIGINT)) AS s FROM sh
-      |), common AS (
-      |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, x.n_sh AS na, y.n_sh AS nb, count(*) AS n_common
-      |  FROM ex x JOIN ex y ON x.s = y.s
-      |  JOIN cand c ON c.id_a = x.doc_id AND c.id_b = y.doc_id
-      |  GROUP BY 1, 2, 3, 4
-      |), jac AS (
-      |  SELECT id_a, id_b,
-      |         round(n_common::DOUBLE / (na + nb - n_common)::DOUBLE, 6) AS jaccard
-      |  FROM common
-      |), best AS (
-      |  SELECT id_a AS id, id_b AS best_match_id, jaccard AS best_jaccard
-      |  FROM jac
-      |  QUALIFY row_number() OVER (PARTITION BY id_a ORDER BY jaccard DESC, id_b) = 1
-      |), fpx AS (
-      |  SELECT doc_id, md5(norm) AS fp FROM tt
-      |)
+    Some {
+      val inc = (c: String) => s"$c % 5 = 0"
+      s"""
+      |$duckShingles, ${duckIncrementalCtes(inc)}
       |SELECT tt.doc_id AS id,
-      |       (EXISTS (SELECT 1 FROM fpx e
-      |                WHERE e.doc_id % 5 <> 0
-      |                  AND e.fp = (SELECT fp FROM fpx n WHERE n.doc_id = tt.doc_id))) AS is_exact_dup,
+      |       ${duckExactDupExists(inc)} AS is_exact_dup,
       |       best.best_match_id, best.best_jaccard,
       |       COALESCE(best.best_jaccard >= 0.5, false) AS is_near_dup
       |FROM tt LEFT JOIN best ON tt.doc_id = best.id
       |WHERE tt.doc_id % 5 = 0 ORDER BY id
-      """.stripMargin.trim))
+      """.stripMargin.trim
+    })
 
   private val sourceMatrix = QueryDef(
     "dedup_source_matrix",

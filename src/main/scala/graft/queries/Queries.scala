@@ -161,7 +161,7 @@ object Queries {
   val all: Seq[QueryDef] =
     Seq(q1, q6, knnExact, knnScored) ++ TextQueries.defs ++ DedupQueries.defs ++
       RelationalQueries.defs ++ EventQueries.defs ++ VectorQueries.defs ++
-      MultimodalQueries.defs ++ PipelineQueries.defs
+      MultimodalQueries.defs ++ PipelineQueries.defs ++ StreamingQueries.defs
 
   def queriesMap: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> { (s: SparkSession, dir: String) =>

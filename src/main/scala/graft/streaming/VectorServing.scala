@@ -64,10 +64,12 @@ object VectorServing {
     */
   def ingestDedupStream(docs: DataFrame, textCol: String, idCol: String,
                         corpusPath: String, checkpoint: String,
-                        threshold: Double = 0.5): StreamingQuery =
+                        threshold: Double = 0.5,
+                        trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
           val spark = batch.sparkSession

@@ -120,6 +120,27 @@ class VectorServingSpec extends SparkSpec {
     }
   }
 
+  test("registered stream_ingest_dedup run equals the batch incremental gate") {
+    val dir = sf("sf0.001")
+    // the registered query runs the whole AvailableNow two-batch replay
+    // (memoized per JVM) and returns the final stored corpus ids
+    val out = graft.queries.Queries.queriesMap("stream_ingest_dedup")(spark, dir)
+      .collect().map(_.getLong(0)).toSeq
+    // batch reference: existing docs (≢ 0 mod 5) all stored; incoming
+    // kept iff the one-shot incremental gate flags it neither exact nor
+    // near dup — if the stream had collapsed to a single batch, nothing
+    // would be gated and this equality would fail
+    val d = Tables.documents(spark, dir)
+    val gated = graft.operators.Dedup.incrementalDedupFlags(
+        d, "text", "doc_id", pmod(col("doc_id"), lit(5)) === 0, threshold = 0.5)
+      .filter(col("is_exact_dup") || col("is_near_dup"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    val expect = d.select("doc_id").collect().map(_.getLong(0))
+      .filter(id => id % 5 != 0 || !gated(id)).sorted.toSeq
+    assert(out == expect)
+    assert(gated.nonEmpty, "fixture must exercise the gate (near-dups across the split)")
+  }
+
   test("micro-batch KNN serving equals the batch batchSearch on the same queries") {
     val corpus = Tables.embeddings(spark, sf("sf0.001"))
     val qvecs = (0 until 3).map(i =>
