@@ -29,7 +29,8 @@ object Bench {
     // runs its one-time AvailableNow stream here so the timed number is
     // the corpus read, not the replay
     Seq("knn_exact_cosine", "txt_stats", "dedup_clusters", "q1_pricing_summary",
-        "ann_ivf_rule_rewrite", "stream_ingest_dedup").foreach { w =>
+        "ann_ivf_rule_rewrite", "ann_ivf_kmeans_rewrite",
+        "stream_ingest_dedup").foreach { w =>
       try consume(SparkEntry.queries(w)(spark, sfDir))
       catch { case _: Throwable => () }
       spark.catalog.clearCache()

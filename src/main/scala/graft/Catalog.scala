@@ -14,7 +14,7 @@ object Catalog {
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("QUERIES.md")
     val defs = Queries.all.sortBy(_.name)
-    val oracleCount = defs.count(_.oracle.isDefined)
+    val oracleCount = defs.count(_.oracleGated)
     val sb = new StringBuilder
     sb ++= "# QUERIES — generated catalog (graft.Catalog; do not hand-edit)\n\n"
     sb ++= s"${defs.length} registered queries, $oracleCount with a DuckDB oracle " +
@@ -25,7 +25,7 @@ object Catalog {
     sb ++= "| query | gate | what it covers |\n"
     sb ++= "|---|---|---|\n"
     defs.foreach { d =>
-      val gate = if (d.oracle.isDefined) "oracle" else "rows-only"
+      val gate = if (d.oracleGated) "oracle" else "rows-only"
       val doc = d.doc.replace("|", "\\|").replace("\n", " ")
       sb ++= s"| `${d.name}` | $gate | $doc |\n"
     }

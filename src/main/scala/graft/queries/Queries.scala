@@ -25,7 +25,24 @@ final case class QueryDef(
     name: String,
     doc: String,
     run: (SparkSession, String) => DataFrame,
-    oracle: Option[String])
+    oracle: Option[String],
+    oracleLate: Option[() => Option[String]] = None) {
+
+  /** Oracle SQL resolved at DUMP time. `SparkEntry.oracleSql` is read
+    * AFTER every query has run (Verify runs the queries first, then
+    * writes `oracle_sql.json`), so `oracleLate` can embed state computed
+    * DURING the run — e.g. fitted KMeans centroid literals that don't
+    * exist before a SparkSession does. The thunk returning None (query
+    * never ran / crashed) degrades to the rows-only gate for exactly the
+    * runs where the hash row would have been absent anyway.
+    */
+  def oracleNow: Option[String] = oracleLate.flatMap(_()).orElse(oracle)
+
+  /** Whether this query is oracle-gated (for the catalog doc — must not
+    * force the late thunk outside a dump).
+    */
+  def oracleGated: Boolean = oracle.isDefined || oracleLate.isDefined
+}
 
 object Queries {
 
@@ -169,5 +186,5 @@ object Queries {
     }).toMap
 
   def oracleMap: Map[String, String] =
-    all.flatMap(q => q.oracle.map(q.name -> _)).toMap
+    all.flatMap(q => q.oracleNow.map(q.name -> _)).toMap
 }

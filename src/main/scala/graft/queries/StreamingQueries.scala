@@ -30,20 +30,7 @@ object StreamingQueries {
 
     def ensure(s: SparkSession, dir: String): String =
       done.getOrElseUpdate(dir, {
-        val pid = ProcessHandle.current().pid()
-        val tmpRoot = System.getProperty("java.io.tmpdir")
-        val prefix = "graft_stream_ingest_" + graft.functions.Md5.hex(dir).take(12) + "_"
-        Option(new java.io.File(tmpRoot).listFiles()).getOrElse(Array.empty)
-          .filter(_.getName.startsWith(prefix))
-          .foreach { f =>
-            val ownerAlive = f.getName.stripPrefix(prefix).toLongOption
-              .exists(p => ProcessHandle.of(p).isPresent)
-            if (!ownerAlive)
-              new scala.reflect.io.Directory(f).deleteRecursively()
-          }
-        val root = s"$tmpRoot/$prefix$pid"
-        Runtime.getRuntime.addShutdownHook(new Thread(() =>
-          new scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()))
+        val root = TmpStores.pidScopedPath("graft_stream_ingest", dir)
 
         // Deterministic two-batch replay: the "already ingested" corpus
         // (doc_id ≢ 0 mod 5 — same split as the batch dedup_incremental

@@ -1,0 +1,36 @@
+package graft.queries
+
+/** Shared lifecycle for the one-time write-time artifacts the registered
+  * queries memoize per (fixture, JVM): persisted ANN indexes, streamed
+  * corpora. One policy, three users — previously copy-pasted.
+  */
+private[queries] object TmpStores {
+
+  /** A tmp directory scoped to (tag, key, THIS JVM):
+    *   - pid-suffixed — a deterministic shared path would let a
+    *     concurrent JVM's overwrite delete files out from under this
+    *     JVM's registered scans mid-query;
+    *   - sibling dirs whose owning JVM is gone are reaped (a kill -9
+    *     skips shutdown hooks) while live-pid dirs are left alone;
+    *   - deleted on JVM exit via shutdown hook — without it every run
+    *     would leak a copy into /tmp.
+    * The directory itself is NOT created — callers write into it.
+    */
+  def pidScopedPath(tag: String, key: String): String = {
+    val pid = ProcessHandle.current().pid()
+    val tmpRoot = System.getProperty("java.io.tmpdir")
+    val prefix = s"${tag}_" + graft.functions.Md5.hex(key).take(12) + "_"
+    Option(new java.io.File(tmpRoot).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith(prefix))
+      .foreach { f =>
+        val ownerAlive = f.getName.stripPrefix(prefix).toLongOption
+          .exists(p => ProcessHandle.of(p).isPresent)
+        if (!ownerAlive)
+          new scala.reflect.io.Directory(f).deleteRecursively()
+      }
+    val path = s"$tmpRoot/$prefix$pid"
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      new scala.reflect.io.Directory(new java.io.File(path)).deleteRecursively()))
+    path
+  }
+}

@@ -251,31 +251,37 @@ object VectorQueries {
     def ensure(s: org.apache.spark.sql.SparkSession, dir: String,
                cents: Array[Array[Float]]): String =
       written.getOrElseUpdate(dir, {
-        // path is per-PROCESS (pid suffix): a deterministic shared path
-        // would let a concurrent JVM's overwrite delete files out from
-        // under this JVM's registered scans mid-query. Deleted on JVM
-        // exit — without the hook every run would leak an index copy
-        // into /tmp.
-        val pid = ProcessHandle.current().pid()
-        val tmpRoot = System.getProperty("java.io.tmpdir")
-        val prefix = "graft_ivf_idx_" + graft.functions.Md5.hex(dir).take(12) + "_"
-        // reap siblings whose owning JVM is gone (a kill -9 skips the
-        // shutdown hook) — live-pid dirs are left alone, preserving the
-        // concurrent-JVM isolation the pid suffix exists for
-        Option(new java.io.File(tmpRoot).listFiles()).getOrElse(Array.empty)
-          .filter(f => f.getName.startsWith(prefix))
-          .foreach { f =>
-            val ownerAlive = f.getName.stripPrefix(prefix).toLongOption
-              .exists(p => ProcessHandle.of(p).isPresent)
-            if (!ownerAlive)
-              new scala.reflect.io.Directory(f).deleteRecursively()
-          }
-        val path = s"$tmpRoot/$prefix$pid"
-        Runtime.getRuntime.addShutdownHook(new Thread(() =>
-          new scala.reflect.io.Directory(new java.io.File(path)).deleteRecursively()))
+        val path = TmpStores.pidScopedPath("graft_ivf_idx", dir)
         Ann.writeIndexed(Tables.embeddings(s, dir), "embedding", cents, path)
         path
       })
+  }
+
+  /** KMeans-built IVF index per (fixture, JVM) — the QUALITY centroid
+    * path (Spark ML k-means‖, fixed seed) on the same persisted,
+    * cluster-partitioned layout as [[IvfIndexStore]]. The fitted
+    * centroids are kept for the LATE oracle builder: `oracleSql` is
+    * dumped after the queries run, so the oracle mirrors the exact
+    * centroid floats this run trained — the result and its oracle are
+    * always self-consistent even though KMeans itself is not
+    * SQL-recomputable.
+    */
+  private object KmeansIndexStore {
+    val cents = scala.collection.concurrent.TrieMap.empty[String, Array[Array[Float]]]
+    @volatile var lastDir: Option[String] = None
+    private val written = scala.collection.concurrent.TrieMap.empty[String, String]
+    def ensure(s: org.apache.spark.sql.SparkSession, dir: String,
+               nlist: Int): (String, Array[Array[Float]]) = {
+      val c = cents.getOrElseUpdate(dir,
+        Ann.kmeansCentroids(Tables.embeddings(s, dir), "embedding", nlist))
+      lastDir = Some(dir)
+      val path = written.getOrElseUpdate(dir, {
+        val p = TmpStores.pidScopedPath("graft_ivf_kidx", dir)
+        Ann.writeIndexed(Tables.embeddings(s, dir), "embedding", c, p)
+        p
+      })
+      (path, c)
+    }
   }
 
   private val ivfRule = QueryDef(
@@ -317,6 +323,101 @@ object VectorQueries {
       |  FROM assigned WHERE cluster_id IN (SELECT cid FROM probes)
       |)
       |SELECT vec_id, round(dist, 6) AS distance
+      |FROM d ORDER BY dist, vec_id LIMIT 10
+      """.stripMargin.trim
+    })
+
+  private val ivfKmeansRule = QueryDef(
+    "ann_ivf_kmeans_rewrite",
+    "Transparent KNN→IVF rewrite over the KMEANS-built persisted index " +
+      "(Spark ML k-means‖, fixed seed — the quality-centroid path, vs " +
+      "the seeded-centroid index of ann_ivf_rule_rewrite): plain exact-" +
+      "KNN API over the stored corpus, probe filter injected by " +
+      "IvfProbeRule, cluster-partitioned parquet turns it into " +
+      "partition pruning. KMeans is not SQL-recomputable, so the oracle " +
+      "is built LATE: it embeds the exact centroid literals this run " +
+      "fitted (oracleSql is dumped after the queries execute), keeping " +
+      "result and oracle self-consistent per run.",
+    (s, dir) => {
+      val q = Queries.queryVec64
+      val (path, cents) = KmeansIndexStore.ensure(s, dir, nlist = 8)
+      graft.plans.IvfCatalog.register(path, cents, nprobe = 3)
+      Knn.search(Ann.readIndexed(s, path), "embedding", "vec_id", q, k = 10)
+        .select(col("vec_id"), col("cluster_id").cast("long").as("cluster_id"),
+          round(col("distance_score"), 6).as("distance"))
+        .orderBy(col("distance"), col("vec_id"))
+    },
+    oracle = None,
+    oracleLate = Some(() =>
+      KmeansIndexStore.lastDir.flatMap(KmeansIndexStore.cents.get).map { cents =>
+        val qLit = vecLit(Queries.queryVec64)
+        val values = cents.zipWithIndex
+          .map { case (c, i) => s"($i, ${vecLit(c)})" }.mkString(",\n         ")
+        s"""
+        |WITH cents(cid, c) AS (
+        |  VALUES $values
+        |), assigned AS (
+        |  SELECT vec_id, embedding, cid AS cluster_id FROM (
+        |    SELECT e.vec_id, e.embedding, c.cid,
+        |           row_number() OVER (PARTITION BY e.vec_id
+        |                              ORDER BY ${duckL2("e.embedding::DOUBLE[]", "c.c")}, c.cid) AS rn
+        |    FROM embeddings e CROSS JOIN cents c
+        |  ) WHERE rn = 1
+        |), probes AS (
+        |  SELECT cid FROM cents ORDER BY ${duckL2(qLit, "c")}, cid LIMIT 3
+        |), d AS (
+        |  SELECT vec_id, cluster_id, ${duckCosine("embedding", qLit)} AS dist
+        |  FROM assigned WHERE cluster_id IN (SELECT cid FROM probes)
+        |)
+        |SELECT vec_id, cluster_id, round(dist, 6) AS distance
+        |FROM d ORDER BY dist, vec_id LIMIT 10
+        """.stripMargin.trim
+      }))
+
+  private val filteredIvfRule = QueryDef(
+    "knn_filtered_ivf_rewrite",
+    "Hybrid predicate + transparent IVF rewrite: the query is the plain " +
+      "filteredSearch API (label IN …) over the registered stored " +
+      "corpus; IvfProbeRule injects the probe filter through the " +
+      "intervening relational Filter, so the scan carries BOTH " +
+      "PartitionFilters (cluster_id IN probes — whole directories " +
+      "skipped) and PushedFilters (label) — the two pruning channels a " +
+      "100 TB hybrid search needs at once. Oracle = probe-restricted " +
+      "SQL with the same label predicate; green proves filter and " +
+      "rewrite compose.",
+    (s, dir) => {
+      val q = Queries.queryVec64
+      val corpus = Tables.embeddings(s, dir)
+      val cents = Ann.seededCentroids(corpus, "embedding", "vec_id", nlist = 8)
+      val path = IvfIndexStore.ensure(s, dir, cents)
+      graft.plans.IvfCatalog.register(path, cents, nprobe = 3)
+      Knn.filteredSearch(Ann.readIndexed(s, path),
+          col("label").isin(2, 5, 8), "embedding", "vec_id", q, k = 10)
+        .select(col("vec_id"), col("label"),
+          col("cluster_id").cast("long").as("cluster_id"),
+          round(col("distance_score"), 6).as("distance"))
+        .orderBy(col("distance"), col("vec_id"))
+    },
+    Some {
+      val qLit = vecLit(Queries.queryVec64)
+      s"""
+      |WITH cents AS (
+      |  SELECT vec_id AS cid, embedding::DOUBLE[] AS c FROM embeddings WHERE vec_id < 8
+      |), assigned AS (
+      |  SELECT vec_id, label, embedding, cid AS cluster_id FROM (
+      |    SELECT e.vec_id, e.label, e.embedding, c.cid,
+      |           row_number() OVER (PARTITION BY e.vec_id
+      |                              ORDER BY ${duckL2("e.embedding::DOUBLE[]", "c.c")}, c.cid) AS rn
+      |    FROM embeddings e CROSS JOIN cents c
+      |  ) WHERE rn = 1
+      |), probes AS (
+      |  SELECT cid FROM cents ORDER BY ${duckL2(qLit, "c")}, cid LIMIT 3
+      |), d AS (
+      |  SELECT vec_id, label, cluster_id, ${duckCosine("embedding", qLit)} AS dist
+      |  FROM assigned
+      |  WHERE cluster_id IN (SELECT cid FROM probes) AND label IN (2, 5, 8)
+      |)
+      |SELECT vec_id, label, cluster_id, round(dist, 6) AS distance
       |FROM d ORDER BY dist, vec_id LIMIT 10
       """.stripMargin.trim
     })
@@ -503,5 +604,6 @@ object VectorQueries {
 
   val defs: Seq[QueryDef] =
     Seq(filtered, l2Search, batch, ragContext, ivf, lshProbe, ivfRule,
-      mips, quantRescore, sqlApi, centroids, quantize)
+      ivfKmeansRule, filteredIvfRule, mips, quantRescore, sqlApi,
+      centroids, quantize)
 }

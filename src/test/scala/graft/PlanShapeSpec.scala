@@ -165,6 +165,47 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  /** First parquet scan of the executed plan, descending through the
+    * AQE wrapper (collectLeaves on AdaptiveSparkPlanExec stops at the
+    * wrapper itself).
+    */
+  private def fileScanOf(q: org.apache.spark.sql.DataFrame)
+      : Option[org.apache.spark.sql.execution.FileSourceScanExec] = {
+    val exec = q.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    exec.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+  }
+
+  test("hybrid IVF rewrite: partition pruning AND pushed label filter on one scan") {
+    GraftSession.prepare(spark)
+    val q = Queries.queriesMap("knn_filtered_ivf_rewrite")(spark, sf("sf0.001"))
+    val scan = fileScanOf(q)
+    assert(scan.nonEmpty, q.queryExecution.executedPlan.toString)
+    // channel 1: the injected probe filter prunes cluster directories
+    assert(scan.get.selectedPartitions.partitionCount == 3,
+      s"expected 3 probed partitions, scanned ${scan.get.selectedPartitions.partitionCount}")
+    // channel 2: the relational predicate reaches parquet as a pushed filter
+    val pushed = scan.get.metadata.getOrElse("PushedFilters", "")
+    assert(pushed.contains("In(label"), s"label filter must push into the scan: $pushed")
+    // and the top-k is still a bounded heap, not a global sort
+    assert(q.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
+  }
+
+  test("kmeans IVF rewrite: probe filter prunes the kmeans-partitioned index") {
+    GraftSession.prepare(spark)
+    val q = Queries.queriesMap("ann_ivf_kmeans_rewrite")(spark, sf("sf0.001"))
+    val scan = fileScanOf(q)
+    assert(scan.nonEmpty)
+    // ≤ 3 of the 8 cluster directories read (a probed kmeans cluster MAY
+    // be empty → no directory, so exact-3 would flake); ≥ 1 proves the
+    // scan isn't unpruned
+    val n = scan.get.selectedPartitions.partitionCount
+    assert(n >= 1 && n <= 3, s"expected ≤3 probed partitions of 8, scanned $n")
+  }
+
   test("persisted IVF index: probe filter becomes partition pruning") {
     val emb = Tables.embeddings(spark, sf("sf0.001"))
     val cents = Ann.seededCentroids(emb, "embedding", "vec_id", nlist = 8)
