@@ -302,7 +302,55 @@ object EventQueries {
       |FROM daily ORDER BY day
       """.stripMargin.trim))
 
+  private val gapsQ = QueryDef(
+    "ev_gaps_lag_pctrank",
+    "Window-function breadth as the Spark-side query under test: " +
+      "lag/lead over the per-user event sequence (inter-event gap in " +
+      "exact integer µs, next event type) — one user-keyed shuffle — " +
+      "then percent_rank + cume_dist over the PER-USER AGGREGATE " +
+      "(|users| rows), so the unpartitioned ranking window never sees " +
+      "raw events, only the pre-aggregated relation.",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir)
+      val wUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val gaps = ev
+        .withColumn("gap_us",
+          unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(wUser)))
+        .withColumn("next_type", lead(col("event_type"), 1).over(wUser))
+      val perUser = gaps.groupBy(col("user_id"))
+        .agg(count(col("gap_us")).as("n_gaps"),
+          coalesce(sum(col("gap_us").cast("decimal(38,6)")).cast("long"), lit(0L))
+            .as("gap_us_sum"),
+          sum(when(col("next_type") === "click", 1L).otherwise(0L)).as("n_click_next"))
+      val wRank = Window.orderBy(col("gap_us_sum"), col("user_id"))
+      perUser
+        .withColumn("pr", round(percent_rank().over(wRank), 6))
+        .withColumn("cd", round(cume_dist().over(wRank), 6))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      |WITH ev AS (
+      |  SELECT event_id, ts::TIMESTAMP AS ts, user_id, event_type FROM events
+      |), g AS (
+      |  SELECT user_id,
+      |         date_diff('microsecond', lag(ts) OVER w, ts) AS gap_us,
+      |         lead(event_type) OVER w AS next_type
+      |  FROM ev
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), a AS (
+      |  SELECT user_id, count(gap_us) AS n_gaps,
+      |         COALESCE(CAST(SUM(CAST(gap_us AS DECIMAL(38,6))) AS BIGINT), 0) AS gap_us_sum,
+      |         CAST(SUM(CASE WHEN next_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click_next
+      |  FROM g GROUP BY user_id
+      |)
+      |SELECT user_id, n_gaps, gap_us_sum, n_click_next,
+      |       round(percent_rank() OVER (ORDER BY gap_us_sum, user_id), 6) AS pr,
+      |       round(cume_dist() OVER (ORDER BY gap_us_sum, user_id), 6) AS cd
+      |FROM a ORDER BY user_id
+      """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
     Seq(tumbling, sliding, sessionsQ, propsQ, firstQ, valueStats, pivotQ, asofQ,
-      rangeQ, movingQ)
+      rangeQ, movingQ, gapsQ)
 }
