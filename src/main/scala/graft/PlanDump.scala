@@ -15,7 +15,9 @@ object PlanDump {
       "q1_pricing_summary", "q3_shipping_priority",
       "dedup_minhash_lsh", "ev_tumbling_5min", "pipeline_training_prep",
       "ev_asof_last_view", "ev_range_clicks_views",
-      "ann_ivf_rule_rewrite", "txt_embed_knn_e2e")
+      "ann_ivf_rule_rewrite", "txt_embed_knn_e2e",
+      "knn_filtered_ivf_rewrite", "ann_ivf_kmeans_rewrite",
+      "ev_gaps_lag_pctrank")
     interesting.foreach { name =>
       println(s"\n===== $name =====")
       println(Queries.queriesMap(name)(spark, sfDir).queryExecution.explainString(

@@ -23,8 +23,10 @@ import org.apache.spark.sql.functions._
   *     deterministic, SQL-reproducible (the DuckDB oracle recomputes the
   *     identical index), good enough for uniform corpora;
   *   - [[kmeansCentroids]]: Spark ML KMeans (k-means‖ init, fixed seed)
-  *     — the quality path; not oracle-checkable (iterative float math),
-  *     covered by the recall spec instead.
+  *     — the quality path; the iterative float math is not
+  *     SQL-recomputable, so its oracle row (`ann_ivf_kmeans_rewrite`)
+  *     is built LATE from the fitted centroid literals, and the recall
+  *     spec covers index quality.
   */
 object Ann {
 
