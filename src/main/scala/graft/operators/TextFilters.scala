@@ -34,6 +34,37 @@ object TextFilters {
       .otherwise((hashes + ellipses).cast("double") / size(toks))
   }
 
+  /** PII redaction patterns — the pre-training scrub every public
+    * corpus pipeline runs (emails, phone numbers, IPv4s, SSN-shaped
+    * ids). Deliberately restricted to regex constructs with identical
+    * semantics in Java regex and RE2 (DuckDB), so the whole redaction
+    * is DuckDB-recomputable: explicit character classes (no `\\s`,
+    * whose class differs between engines), `\\b` word boundaries,
+    * bounded repetition. Application ORDER is part of the contract
+    * (email before phone, or the phone pattern eats the digits of an
+    * address's local part) — keep [[PiiPatterns]] ordered.
+    */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ip", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "[IP]"),
+    ("ssn", "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b", "[SSN]"),
+    ("phone", "\\+?[0-9][0-9()\\- ]{6,}[0-9]", "[PHONE]"))
+
+  /** `text` with every PII pattern replaced by its tag, in contract
+    * order. A chain of codegen'd `regexp_replace` projections — linear
+    * per row, no shuffle, safe at any scale.
+    */
+  def redactPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (_, pat, tag)) =>
+      regexp_replace(c, pat, java.util.regex.Matcher.quoteReplacement(tag))
+    }
+
+  /** Match count of one PII pattern in `text` (BIGINT — audit metric
+    * for redaction reporting).
+    */
+  def piiCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long")
+
   /** Per-document fraction of token bigrams taken by the single most
     * frequent bigram (repetition proxy; Gopher caps it at 0.2). Runs
     * as explode → (doc, bigram) count → per-doc max/total: two

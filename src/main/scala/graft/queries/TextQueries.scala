@@ -470,7 +470,62 @@ object TextQueries {
       |FROM m ORDER BY doc_id
       """.stripMargin.trim))
 
+  private val piiQ = QueryDef(
+    "txt_pii_redact",
+    "PII redaction (email / IPv4 / SSN / phone → tags) — the pre-" +
+      "training scrub, as a chain of codegen'd regexp_replace " +
+      "projections (linear per row, no shuffle). The fixture corpus " +
+      "carries no PII, so each doc gets a deterministic doc_id-derived " +
+      "payload appended first; audit counts are taken on the " +
+      "PROGRESSIVELY redacted text in application order (the phone " +
+      "pattern must not re-count SSN digits), and the oracle replays " +
+      "the identical pattern chain in RE2 (patterns restricted to the " +
+      "Java∩RE2-identical subset; DuckDB needs the 'g' flag to match " +
+      "Spark's replace-all).",
+    (s, dir) => {
+      import graft.operators.TextFilters._
+      val d = Tables.documentsSpread(s, dir)
+      val payload = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com or +1 (555) 010-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+        lit(" at 10.0."), pmod(col("doc_id"), lit(256)).cast("string"),
+        lit(".17 id 123-45-6789"))
+      // fold the pattern chain: count pattern i on the text with
+      // patterns 1..i-1 already redacted, then redact it too
+      val (countCols, redacted) =
+        PiiPatterns.foldLeft((Seq.empty[org.apache.spark.sql.Column], payload)) {
+          case ((cols, cur), (name, pat, tag)) =>
+            (cols :+ piiCount(cur, pat).as(s"n_$name"),
+              regexp_replace(cur, pat, java.util.regex.Matcher.quoteReplacement(tag)))
+        }
+      d.select(col("doc_id") +: countCols :+ md5(redacted).as("redacted_fp"): _*)
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      import graft.operators.TextFilters.PiiPatterns
+      val chain = PiiPatterns.zipWithIndex.map { case ((name, pat, tag), i) =>
+        s"""p${i + 1} AS (
+           |  SELECT doc_id, len(regexp_extract_all(t, '$pat'))::BIGINT AS n_$name,
+           |         ${(1 to i).map(j => s"n_${PiiPatterns(j - 1)._1}, ").mkString}regexp_replace(t, '$pat', '$tag', 'g') AS t
+           |  FROM p$i
+           |)""".stripMargin
+      }.mkString(", ")
+      val names = PiiPatterns.map { case (n, _, _) => s"n_$n" }.mkString(", ")
+      s"""
+      |WITH p0 AS (
+      |  SELECT doc_id,
+      |         text || ' contact user' || doc_id::VARCHAR || '@example.com or +1 (555) 010-'
+      |              || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+      |              || ' at 10.0.' || (doc_id % 256)::VARCHAR || '.17 id 123-45-6789' AS t
+      |  FROM documents
+      |), $chain
+      |SELECT doc_id, $names, md5(t) AS redacted_fp
+      |FROM p${PiiPatterns.length} ORDER BY doc_id
+      """.stripMargin.trim
+    })
+
   val defs: Seq[QueryDef] =
     Seq(stats, langQ, quality, fp, topTokens, simhashQ, embedQ, embedKnnQ,
-      bm25Q, tfidfQ, chunksQ, packQ, tokenBudgetQ, gopherQ)
+      bm25Q, tfidfQ, chunksQ, packQ, tokenBudgetQ, gopherQ, piiQ)
 }

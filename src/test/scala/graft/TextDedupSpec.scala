@@ -297,4 +297,25 @@ class TextDedupSpec extends SparkSpec {
     assert(out(1L)._2 && out(1L)._1 >= 1L, s"doc 1 should be flagged: ${out(1L)}")
     assert(out(2L) == ((0L, false)), s"doc 2 clean: ${out(2L)}")
   }
+
+  test("PII redaction: all four pattern families redact; clean text untouched") {
+    import graft.operators.TextFilters.{redactPii, piiCount, PiiPatterns}
+    val rows = Seq(
+      (1L, "reach Jane.Doe+spam@sub.example.co.uk or call +1 (555) 010-9999 now"),
+      (2L, "server 192.168.001.042 logged ssn 123-45-6789 at midnight"),
+      (3L, "no personal data here, just plain prose with the number 7"))
+      .toDF("doc_id", "text")
+    val red = rows.select(col("doc_id"), redactPii(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(red(1L) == "reach [EMAIL] or call [PHONE] now", red(1L))
+    assert(red(2L) == "server [IP] logged ssn [SSN] at midnight", red(2L))
+    assert(red(3L) == "no personal data here, just plain prose with the number 7")
+    // counts audit the ORIGINAL occurrences per family
+    val counts = rows.select(
+      PiiPatterns.map { case (n, p, _) => piiCount(col("text"), p).as(n) }: _*)
+      .collect()
+    assert(counts(0).getLong(0) == 1 && counts(0).getLong(3) >= 1) // email + phone
+    assert(counts(1).getLong(1) == 1 && counts(1).getLong(2) == 1) // ip + ssn
+    assert(counts(2).toSeq == Seq(0L, 0L, 0L, 0L))
+  }
 }
