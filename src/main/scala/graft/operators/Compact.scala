@@ -156,7 +156,17 @@ object Compact {
     // rebase-mode / ANSI settings the caller's own writes would use.
     // Non-runtime (static/immutable) entries throw and are skipped.
     val reader = compactionReader(spark)
-    spark.conf.getAll.foreach { case (k, v) =>
+    val callerConf = spark.conf.getAll
+    // the child is CACHED across rewrites, so first drop keys the caller
+    // has since unset (both sessions share the initial SparkConf, so a
+    // child key absent from the caller's runtime conf means the caller
+    // unset it — leaving it would freeze e.g. a long-gone codec choice
+    // into every future rewrite), then mirror the current values
+    reader.conf.getAll.keys.filterNot(callerConf.contains).foreach { k =>
+      try reader.conf.unset(k)
+      catch { case _: org.apache.spark.sql.AnalysisException => () }
+    }
+    callerConf.foreach { case (k, v) =>
       try reader.conf.set(k, v)
       catch { case _: org.apache.spark.sql.AnalysisException => () }
     }

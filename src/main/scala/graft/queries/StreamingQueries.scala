@@ -31,6 +31,10 @@ object StreamingQueries {
     def ensure(s: SparkSession, dir: String): String =
       done.getOrElseUpdate(dir, {
         val root = TmpStores.pidScopedPath("graft_stream_ingest", dir)
+        // a FAILED earlier attempt in this JVM caches nothing in `done`
+        // but leaves staging/checkpoint/corpus on disk — start clean or
+        // the retry wedges on half-staged files and a stale checkpoint
+        new scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
 
         // Deterministic two-batch replay: the "already ingested" corpus
         // (doc_id ≢ 0 mod 5 — same split as the batch dedup_incremental
@@ -49,7 +53,8 @@ object StreamingQueries {
             .getOrElse(sys.error(s"no part file staged under $scratch"))
           val dest = new java.io.File(s"$staging/$name.parquet")
           dest.getParentFile.mkdirs()
-          java.nio.file.Files.move(part.toPath, dest.toPath)
+          java.nio.file.Files.move(part.toPath, dest.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
           dest.setLastModified(System.currentTimeMillis() - ageMs)
           new scala.reflect.io.Directory(new java.io.File(scratch)).deleteRecursively()
         }

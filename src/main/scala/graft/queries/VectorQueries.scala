@@ -369,9 +369,12 @@ object VectorQueries {
         |  SELECT vec_id, cluster_id, ${duckCosine("embedding", qLit)} AS dist
         |  FROM assigned WHERE cluster_id IN (SELECT cid FROM probes)
         |)
-        |SELECT vec_id, cluster_id, round(dist, 6) AS distance
+        |SELECT vec_id, cluster_id::BIGINT AS cluster_id, round(dist, 6) AS distance
         |FROM d ORDER BY dist, vec_id LIMIT 10
         """.stripMargin.trim
+        // cluster_id::BIGINT: the VALUES literal types cid as INT32,
+        // but the Spark result casts to long — the driver gate
+        // hash-compares SCHEMAS too, and INT-vs-BIGINT fails it
       }))
 
   private val filteredIvfRule = QueryDef(

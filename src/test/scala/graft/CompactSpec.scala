@@ -213,6 +213,15 @@ class CompactSpec extends SparkSpec {
       assert(names.nonEmpty && names.forall(_.contains(".gz.")),
         s"compacted files must use the caller's codec: $names")
       assert(spark.read.parquet(dir).count() == 200)
+      // the child session is CACHED — when the caller unsets the key,
+      // the next rewrite must not keep compacting with the stale gzip
+      spark.conf.unset(codecKey)
+      Compact.rewrite(spark, dir, targetFileBytes = 1L << 30)
+      val after = new java.io.File(dir).listFiles()
+        .map(_.getName).filter(_.endsWith(".parquet")).toSeq
+      assert(after.nonEmpty && !after.exists(_.contains(".gz.")),
+        s"unset codec must not linger in the cached session: $after")
+      assert(spark.read.parquet(dir).count() == 200)
     } finally { spark.conf.set(codecKey, prev); cleanup(dir) }
   }
 

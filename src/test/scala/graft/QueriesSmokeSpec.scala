@@ -19,7 +19,7 @@ class QueriesSmokeSpec extends SparkSpec {
   }
 
   Queries.all.foreach { q =>
-    test(s"${q.name} executes on sf0.001${if (q.oracle.isEmpty) " (rows-only)" else ""}") {
+    test(s"${q.name} executes on sf0.001${if (!q.oracleGated) " (rows-only)" else ""}") {
       val df = q.run(spark, sf("sf0.001"))
       val n = df.count()
       assert(n >= 0)
