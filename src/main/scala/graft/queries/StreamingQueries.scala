@@ -6,16 +6,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
-/** Hash-gated coverage of the STREAMING ingest path (SURVEY §2.8): the
-  * other streaming queries (tumbling/sliding/session windows) are
+/** Hash-gated coverage of the STREAMING paths (SURVEY §2.8): the other
+  * streaming queries (tumbling/sliding/session windows) are
   * oracle-gated through their batch-equivalent frames, but
-  * [[VectorServing.ingestDedupStream]] — foreachBatch, stateful against
-  * the stored corpus — was spec-only. Here it runs to completion with
-  * `Trigger.AvailableNow` over a two-file replay of the `documents`
-  * fixture and the FINAL STORED TABLE is what the driver hashes, so the
-  * oracle greenness proves the whole streaming loop: file-source
-  * ordering, per-batch dedup against everything previously stored,
-  * append-only corpus growth.
+  * [[VectorServing.ingestDedupStream]] (foreachBatch, stateful against
+  * the stored corpus) and [[VectorServing.serveKnn]] (micro-batch KNN
+  * over a query stream) were spec-only. Both now run to completion —
+  * AvailableNow file replay for ingest, drained MemoryStream for
+  * serving — and the driver hashes their FINAL materialized output, so
+  * oracle greenness proves the streaming loops themselves: batch
+  * ordering, per-batch state against everything previously stored,
+  * append-only sink growth.
   */
 object StreamingQueries {
 
@@ -102,5 +103,76 @@ object StreamingQueries {
       """.stripMargin.trim
     })
 
-  val defs: Seq[QueryDef] = Seq(streamIngest)
+  /** One run-to-completion serving stream per (sfDir, JVM): the
+    * `knn_batch` query vectors arrive as TWO MemoryStream micro-batches
+    * (3 then 2 queries), each scored top-3 against the embeddings
+    * corpus by the SAME `Knn.batchSearch` the batch oracle gates; every
+    * batch's results append to a parquet sink. Because per-query top-k
+    * is independent of batching, the final sink must equal the one-shot
+    * batch result — which is exactly the `knn_batch` oracle SQL.
+    */
+  private object ServeStore {
+    private val done = scala.collection.concurrent.TrieMap.empty[String, String]
+
+    def ensure(s: SparkSession, dir: String): String =
+      done.getOrElseUpdate(dir, {
+        val root = TmpStores.pidScopedPath("graft_stream_serve", dir)
+        new scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
+        val out = s"$root/results"
+        val corpus = Tables.embeddings(s, dir)
+        import s.implicits._
+        val input = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Int, Seq[Float])](s)
+        val qvecs = VectorQueries.batchQueryVecs.map { case (i, v) => (i, v.toSeq) }
+        val q = VectorServing.serveKnn(
+          input.toDF().toDF("query_id", "query_vec"), corpus,
+          "embedding", "vec_id", "query_vec", "query_id", k = 3,
+          s"$root/ckpt") { batchOut =>
+          batchOut.write.mode("append").parquet(out)
+        }
+        try {
+          input.addData(qvecs.take(3)); q.processAllAvailable()
+          input.addData(qvecs.drop(3)); q.processAllAvailable()
+        } finally q.stop()
+        out
+      })
+  }
+
+  private val streamServe = QueryDef(
+    "stream_serve_knn",
+    "Micro-batch KNN serving run to completion: the knn_batch query " +
+      "vectors stream through VectorServing.serveKnn in two " +
+      "micro-batches, each scored top-3 against the embeddings corpus " +
+      "with the broadcast-query BNLJ + per-query rank plan, results " +
+      "appended per batch to a parquet sink. The hashed result is the " +
+      "FINAL sink table; the oracle is the one-shot batch SQL — green " +
+      "proves the incremental serving loop reproduces the batch answer " +
+      "regardless of how the query stream was batched.",
+    (s, dir) => {
+      val out = ServeStore.ensure(s, dir)
+      s.read.parquet(out)
+        .select(col("query_id"), col("knn_rank").cast("long").as("knn_rank"),
+          col("vec_id"), col("distance"))
+        .orderBy(col("query_id"), col("knn_rank"))
+    },
+    Some {
+      val values = VectorQueries.batchQueryVecs
+        .map { case (i, v) => s"($i, ${Duck.vecLit(v)})" }.mkString(",\n         ")
+      val cos = (e: String, q: String) => Duck.cosine(s"$e::DOUBLE[]", q)
+      s"""
+      |WITH queries(query_id, qv) AS (
+      |  VALUES $values
+      |), d AS (
+      |  SELECT q.query_id, e.vec_id,
+      |         ${cos("e.embedding", "q.qv")} AS dist,
+      |         row_number() OVER (PARTITION BY q.query_id
+      |                            ORDER BY ${cos("e.embedding", "q.qv")}, e.vec_id) AS knn_rank
+      |  FROM embeddings e CROSS JOIN queries q
+      |)
+      |SELECT query_id, knn_rank, vec_id, round(dist, 6) AS distance
+      |FROM d WHERE knn_rank <= 3 ORDER BY query_id, knn_rank
+      """.stripMargin.trim
+    })
+
+  val defs: Seq[QueryDef] = Seq(streamIngest, streamServe)
 }

@@ -79,6 +79,19 @@ class PlanShapeSpec extends SparkSpec {
       s"as-of must never plan a per-key range/cartesian join:\n$p")
   }
 
+  test("gaps window breadth: one data-sized shuffle; ranking window sees only the aggregate") {
+    val p = planOf("ev_gaps_lag_pctrank")
+    // the per-user aggregate must reuse the lag/lead window's
+    // hash(user_id) partitioning — exactly one hashpartitioning
+    // exchange; the percent_rank window's singlePartition exchange
+    // carries |users| rows, which is fine
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 1, s"expected one user_id shuffle, got $hashEx:\n$p")
+    val aggIdx = p.indexOf("HashAggregate")
+    assert(aggIdx >= 0 && p.indexOf("HashAggregate", aggIdx + 1) > aggIdx,
+      s"expected partial+final HashAggregate pair on the window output:\n$p")
+  }
+
   test("ngram df cap: tiny hot list broadcasts into a left-anti join") {
     val p = planOf("dedup_ngram_jaccard")
     assert(p.contains("LeftAnti"), s"df cap should be an anti-join:\n$p")
