@@ -155,24 +155,9 @@ object StreamingQueries {
           col("vec_id"), col("distance"))
         .orderBy(col("query_id"), col("knn_rank"))
     },
-    Some {
-      val values = VectorQueries.batchQueryVecs
-        .map { case (i, v) => s"($i, ${Duck.vecLit(v)})" }.mkString(",\n         ")
-      val cos = (e: String, q: String) => Duck.cosine(s"$e::DOUBLE[]", q)
-      s"""
-      |WITH queries(query_id, qv) AS (
-      |  VALUES $values
-      |), d AS (
-      |  SELECT q.query_id, e.vec_id,
-      |         ${cos("e.embedding", "q.qv")} AS dist,
-      |         row_number() OVER (PARTITION BY q.query_id
-      |                            ORDER BY ${cos("e.embedding", "q.qv")}, e.vec_id) AS knn_rank
-      |  FROM embeddings e CROSS JOIN queries q
-      |)
-      |SELECT query_id, knn_rank, vec_id, round(dist, 6) AS distance
-      |FROM d WHERE knn_rank <= 3 ORDER BY query_id, knn_rank
-      """.stripMargin.trim
-    })
+    // the SAME SQL that gates knn_batch — single builder, so the
+    // "streamed ≡ batch" premise is structural, not a copy
+    Some(VectorQueries.duckBatchKnnSql(k = 3)))
 
   val defs: Seq[QueryDef] = Seq(streamIngest, streamServe)
 }

@@ -79,6 +79,29 @@ object VectorQueries {
   val batchQueryVecs: Seq[(Int, Array[Float])] =
     (0 until 5).map(i => i -> embedder.encode(s"batch query $i"))
 
+  /** One-shot batch-KNN oracle SQL over [[batchQueryVecs]] — SHARED by
+    * `knn_batch` and the streaming `stream_serve_knn` gate, whose whole
+    * premise is "final sink ≡ this SQL": a single builder means a
+    * parity fix to one can never strand the other.
+    */
+  private[queries] def duckBatchKnnSql(k: Int): String = {
+    val values = batchQueryVecs
+      .map { case (i, v) => s"($i, ${vecLit(v)})" }.mkString(",\n         ")
+    s"""
+    |WITH queries(query_id, qv) AS (
+    |  VALUES $values
+    |), d AS (
+    |  SELECT q.query_id, e.vec_id,
+    |         ${duckCosine("e.embedding", "q.qv")} AS dist,
+    |         row_number() OVER (PARTITION BY q.query_id
+    |                            ORDER BY ${duckCosine("e.embedding", "q.qv")}, e.vec_id) AS knn_rank
+    |  FROM embeddings e CROSS JOIN queries q
+    |)
+    |SELECT query_id, knn_rank, vec_id, round(dist, 6) AS distance
+    |FROM d WHERE knn_rank <= $k ORDER BY query_id, knn_rank
+    """.stripMargin.trim
+  }
+
   private val batch = QueryDef(
     "knn_batch",
     "Batch KNN: top-3 per query for a broadcast table of 5 query " +
@@ -95,23 +118,7 @@ object VectorQueries {
           round(col("distance_score"), 6).as("distance"))
         .orderBy(col("query_id"), col("knn_rank"))
     },
-    Some {
-      val values = batchQueryVecs
-        .map { case (i, v) => s"($i, ${vecLit(v)})" }.mkString(",\n         ")
-      s"""
-      |WITH queries(query_id, qv) AS (
-      |  VALUES $values
-      |), d AS (
-      |  SELECT q.query_id, e.vec_id,
-      |         ${duckCosine("e.embedding", "q.qv")} AS dist,
-      |         row_number() OVER (PARTITION BY q.query_id
-      |                            ORDER BY ${duckCosine("e.embedding", "q.qv")}, e.vec_id) AS knn_rank
-      |  FROM embeddings e CROSS JOIN queries q
-      |)
-      |SELECT query_id, knn_rank, vec_id, round(dist, 6) AS distance
-      |FROM d WHERE knn_rank <= 3 ORDER BY query_id, knn_rank
-      """.stripMargin.trim
-    })
+    Some(duckBatchKnnSql(k = 3)))
 
   private val ragContext = QueryDef(
     "rag_context",
