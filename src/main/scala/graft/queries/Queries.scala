@@ -178,7 +178,8 @@ object Queries {
   val all: Seq[QueryDef] =
     Seq(q1, q6, knnExact, knnScored) ++ TextQueries.defs ++ DedupQueries.defs ++
       RelationalQueries.defs ++ EventQueries.defs ++ VectorQueries.defs ++
-      MultimodalQueries.defs ++ PipelineQueries.defs ++ StreamingQueries.defs
+      MultimodalQueries.defs ++ PipelineQueries.defs ++ StreamingQueries.defs ++
+      MaintenanceQueries.defs
 
   def queriesMap: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> { (s: SparkSession, dir: String) =>
