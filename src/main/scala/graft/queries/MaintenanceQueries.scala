@@ -79,5 +79,56 @@ object MaintenanceQueries {
       |FROM lineitem
       """.stripMargin.trim))
 
-  val defs: Seq[QueryDef] = Seq(compactRoundtrip)
+  private val snapshotDiffQ = QueryDef(
+    "cdc_snapshot_diff",
+    "Snapshot diff (CDC / dataset versioning): orders v2 is derived " +
+      "deterministically from v1 (keys ≡0 mod 97 removed; of the rest, " +
+      "≡0 mod 101 get price+1.5 and a new priority; ≡0 mod 103 rows " +
+      "re-added under shifted keys), and SnapshotDiff classifies every " +
+      "key via ONE co-partitioned full-outer join with null-safe value " +
+      "compare — no data-sized broadcast. The result aggregates per " +
+      "change class; the oracle derives the expected classes from the " +
+      "key arithmetic alone, so a green hash proves the structural diff " +
+      "agrees with the ground-truth mutation rules.",
+    (s, dir) => {
+      import graft.operators.SnapshotDiff
+      val v1 = Tables.orders(s, dir)
+      val maxKey = lit(1000000000L) // static shift keeps added keys disjoint
+      val kept = v1.filter(pmod(col("o_orderkey"), lit(97)) =!= 0)
+      val mutated = kept
+        .withColumn("o_totalprice",
+          when(pmod(col("o_orderkey"), lit(101)) === 0, col("o_totalprice") + 1.5)
+            .otherwise(col("o_totalprice")))
+        .withColumn("o_orderpriority",
+          when(pmod(col("o_orderkey"), lit(101)) === 0, lit("9-SYNTH"))
+            .otherwise(col("o_orderpriority")))
+      val added = kept.filter(pmod(col("o_orderkey"), lit(103)) === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + maxKey)
+      val v2 = mutated.unionByName(added)
+      SnapshotDiff.diff(v1, v2, Seq("o_orderkey"),
+          Seq("o_totalprice", "o_orderstatus", "o_orderpriority"))
+        .groupBy(col("change_type"))
+        .agg(count(lit(1)).as("n"),
+          min(col("o_orderkey")).as("min_key"), max(col("o_orderkey")).as("max_key"))
+        .orderBy(col("change_type"))
+    },
+    Some("""
+      |WITH classified AS (
+      |  SELECT o_orderkey,
+      |         CASE WHEN o_orderkey % 97 = 0 THEN 'removed'
+      |              WHEN o_orderkey % 101 = 0 THEN 'changed'
+      |              ELSE 'unchanged' END AS change_type
+      |  FROM orders
+      |), added AS (
+      |  SELECT o_orderkey + 1000000000 AS o_orderkey, 'added' AS change_type
+      |  FROM orders WHERE o_orderkey % 97 <> 0 AND o_orderkey % 103 = 0
+      |), all_rows AS (
+      |  SELECT * FROM classified UNION ALL SELECT * FROM added
+      |)
+      |SELECT change_type, count(*) AS n,
+      |       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+      |FROM all_rows GROUP BY change_type ORDER BY change_type
+      """.stripMargin.trim))
+
+  val defs: Seq[QueryDef] = Seq(compactRoundtrip, snapshotDiffQ)
 }

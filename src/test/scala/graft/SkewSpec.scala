@@ -47,4 +47,21 @@ class SkewSpec extends SparkSpec {
     assert(salted == plain)
     assert(plain(1L) == 900L)
   }
+
+  test("snapshot diff: added/removed/changed/unchanged with null-safe value compare") {
+    import graft.operators.SnapshotDiff
+    val v1 = Seq((1L, Some(10.0), "a"), (2L, Some(20.0), "b"),
+      (3L, None: Option[Double], "c"), (4L, Some(40.0), "d"))
+      .toDF("k", "v", "tag")
+    val v2 = Seq((1L, Some(10.0), "a"),   // unchanged
+      (2L, Some(21.0), "b"),              // changed (value)
+      (3L, Some(30.0), "c"),              // changed (NULL → value, needs <=>)
+      (5L, Some(50.0), "e"))              // added; 4 removed
+      .toDF("k", "v", "tag")
+    val out = SnapshotDiff.diff(v1, v2, Seq("k"), Seq("v", "tag"))
+      .select("k", "change_type")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "unchanged", 2L -> "changed", 3L -> "changed",
+      4L -> "removed", 5L -> "added"), out.toString)
+  }
 }
