@@ -31,7 +31,7 @@ object Bench {
     Seq("knn_exact_cosine", "txt_stats", "dedup_clusters", "q1_pricing_summary",
         "ann_ivf_rule_rewrite", "ann_ivf_kmeans_rewrite",
         "stream_ingest_dedup", "stream_serve_knn",
-        "maint_compact_roundtrip").foreach { w =>
+        "maint_compact_roundtrip", "maint_zorder_roundtrip").foreach { w =>
       try consume(SparkEntry.queries(w)(spark, sfDir))
       catch { case _: Throwable => () }
       spark.catalog.clearCache()

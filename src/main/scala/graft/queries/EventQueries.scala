@@ -350,7 +350,113 @@ object EventQueries {
       |FROM a ORDER BY user_id
       """.stripMargin.trim))
 
+  private val funnelQ = QueryDef(
+    "ev_funnel_conversion",
+    "Sequential funnel (view → click → purchase, strictly ordered per " +
+      "user): staged first-reach timestamps via chained unbounded " +
+      "windows over ONE user-keyed shuffle (the later windows and the " +
+      "per-user collapse reuse the same hash partitioning), then a " +
+      "single-row global rollup — the per-user relation, not raw " +
+      "events, is all that crosses the final (tiny) aggregation. At " +
+      "100 TB the only data-sized exchange is the one user_id shuffle.",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+      val ev = Tables.events(s, dir).select(col("user_id"), col("event_type"), col("ts"))
+      val staged = ev
+        .withColumn("v_ts",
+          min(when(col("event_type") === "view", col("ts"))).over(w))
+        .withColumn("c_ts",
+          min(when(col("event_type") === "click" && col("ts") > col("v_ts"), col("ts"))).over(w))
+      val perUser = staged
+        .groupBy(col("user_id"), col("v_ts"), col("c_ts"))
+        .agg(min(when(col("event_type") === "purchase" && col("ts") > col("c_ts"), col("ts")))
+          .as("p_ts"))
+      perUser.agg(
+        count(lit(1)).as("n_users"),
+        count(col("v_ts")).as("n_viewed"),
+        count(col("c_ts")).as("n_clicked_after_view"),
+        count(col("p_ts")).as("n_purchased_full_funnel"))
+    },
+    Some("""
+      |WITH e AS (
+      |  SELECT user_id, event_type, ts::TIMESTAMP AS ts FROM events
+      |), u1 AS (
+      |  SELECT user_id, event_type, ts,
+      |         min(CASE WHEN event_type = 'view' THEN ts END)
+      |           OVER (PARTITION BY user_id) AS v_ts
+      |  FROM e
+      |), u2 AS (
+      |  SELECT user_id, event_type, ts, v_ts,
+      |         min(CASE WHEN event_type = 'click' AND ts > v_ts THEN ts END)
+      |           OVER (PARTITION BY user_id) AS c_ts
+      |  FROM u1
+      |), per_user AS (
+      |  SELECT user_id, v_ts, c_ts,
+      |         min(CASE WHEN event_type = 'purchase' AND ts > c_ts THEN ts END) AS p_ts
+      |  FROM u2 GROUP BY user_id, v_ts, c_ts
+      |)
+      |SELECT count(*) AS n_users, count(v_ts) AS n_viewed,
+      |       count(c_ts) AS n_clicked_after_view,
+      |       count(p_ts) AS n_purchased_full_funnel
+      |FROM per_user
+      """.stripMargin.trim))
+
+  private val percentilesQ = QueryDef(
+    "ev_value_percentiles",
+    "Exact order-statistic percentiles (p25/p50/p75/p90/p99, linear " +
+      "interpolation at rank p·(n−1)) of event value per type — Spark's " +
+      "exact `percentile` aggregate vs DuckDB `quantile_cont`, both " +
+      "rounded to 6 decimals. Exact percentile buffers per-group values " +
+      "(with map-side partial merge); at 100 TB the per-group counts " +
+      "here are bounded by the type cardinality, and the approximate " +
+      "path (approx_percentile / t-digest) is the documented fallback " +
+      "for unbounded groups.",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      ev.groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(expr("percentile(value, 0.25)"), 6).as("p25"),
+          round(expr("percentile(value, 0.5)"), 6).as("p50"),
+          round(expr("percentile(value, 0.75)"), 6).as("p75"),
+          round(expr("percentile(value, 0.9)"), 6).as("p90"),
+          round(expr("percentile(value, 0.99)"), 6).as("p99"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      |SELECT event_type, count(*) AS n,
+      |       round(quantile_cont(value, 0.25), 6) AS p25,
+      |       round(quantile_cont(value, 0.5),  6) AS p50,
+      |       round(quantile_cont(value, 0.75), 6) AS p75,
+      |       round(quantile_cont(value, 0.9),  6) AS p90,
+      |       round(quantile_cont(value, 0.99), 6) AS p99
+      |FROM events GROUP BY event_type ORDER BY event_type
+      """.stripMargin.trim))
+
+  private val histogramQ = QueryDef(
+    "ev_value_histogram",
+    "Fixed-width value histogram (25-unit buckets): bucket id from " +
+      "IEEE-identical floor(value/25) in both engines, per-bucket count " +
+      "+ exact-decimal sum. One map-side-combinable aggregation whose " +
+      "output is bounded by the bucket count, not the data — the " +
+      "canonical distribution-profile shape at any scale.",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      ev.withColumn("bucket", floor(col("value") / lit(25.0)).cast("long"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(38, 6)))
+            .cast("double").as("sum_value"))
+        .orderBy(col("bucket"))
+    },
+    Some("""
+      |SELECT CAST(floor(value / 25.0) AS BIGINT) AS bucket, count(*) AS n,
+      |       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1 ORDER BY 1
+      """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
     Seq(tumbling, sliding, sessionsQ, propsQ, firstQ, valueStats, pivotQ, asofQ,
-      rangeQ, movingQ, gapsQ)
+      rangeQ, movingQ, gapsQ, funnelQ, percentilesQ, histogramQ)
 }

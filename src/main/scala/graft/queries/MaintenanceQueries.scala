@@ -130,5 +130,66 @@ object MaintenanceQueries {
       |FROM all_rows GROUP BY change_type ORDER BY change_type
       """.stripMargin.trim))
 
-  val defs: Seq[QueryDef] = Seq(compactRoundtrip, snapshotDiffQ)
+  /** One z-order layout per (sfDir, JVM): lineitem rewritten as 16
+    * parquet files clustered on the Morton curve of (l_partkey,
+    * l_suppkey). The registered query reads the RELAID table.
+    */
+  private object ZOrderStore {
+    private val done = scala.collection.concurrent.TrieMap.empty[String, String]
+
+    def ensure(s: SparkSession, dir: String): String =
+      done.getOrElseUpdate(dir, {
+        import graft.operators.ZOrder
+        val root = TmpStores.pidScopedPath("graft_zorder_rt", dir)
+        new scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
+        val table = s"$root/lineitem_z"
+        val st = ZOrder.layout(s, Tables.lineitem(s, dir),
+          Seq("l_partkey", "l_suppkey"), table, nFiles = 16)
+        require(st.files >= 1, s"z-order layout wrote no files at $table")
+        table
+      })
+  }
+
+  private val zorderRoundtrip = QueryDef(
+    "maint_zorder_roundtrip",
+    "Z-order layout data-fidelity gate: lineitem is relaid as 16 files " +
+      "clustered on the Morton curve of (l_partkey, l_suppkey) — ONE " +
+      "range shuffle, no collect, no broadcast — and the RELAID table " +
+      "is aggregated: row count, exact decimal sum, extrema of both " +
+      "curve dimensions, and an order-independent md5 row-set checksum " +
+      "(fingerprinting the curve columns themselves). The oracle runs " +
+      "the same aggregates on the ORIGINAL fixture, so a green hash " +
+      "proves the multi-dimensional re-layout is a pure permutation. " +
+      "Clustering quality (tight per-file min/max envelopes on BOTH " +
+      "dims → parquet row-group skipping) is asserted in ZOrderSpec.",
+    (s, dir) => {
+      val table = ZOrderStore.ensure(s, dir)
+      val dec = org.apache.spark.sql.types.DecimalType(38, 6)
+      val rowKey = concat_ws("|",
+        col("l_orderkey").cast("string"), col("l_linenumber").cast("string"),
+        col("l_partkey").cast("string"), col("l_suppkey").cast("string"),
+        col("l_returnflag"))
+      val h = conv(substring(md5(rowKey), 1, 12), 16, 10).cast("decimal(38,0)")
+      s.read.parquet(table)
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("l_extendedprice").cast(dec)).cast("double").as("sum_price"),
+          min(col("l_partkey")).as("min_part"), max(col("l_partkey")).as("max_part"),
+          min(col("l_suppkey")).as("min_supp"), max(col("l_suppkey")).as("max_supp"),
+          sum(h).cast("decimal(38,0)").cast("string").as("rowset_fp"))
+    },
+    Some("""
+      |SELECT count(*) AS n_rows,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price,
+      |       min(l_partkey) AS min_part, max(l_partkey) AS max_part,
+      |       min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp,
+      |       CAST(CAST(SUM(CAST(('0x' || substring(md5(
+      |         l_orderkey::VARCHAR || '|' || l_linenumber::VARCHAR || '|' ||
+      |         l_partkey::VARCHAR || '|' || l_suppkey::VARCHAR || '|' ||
+      |         l_returnflag), 1, 12))::BIGINT AS DECIMAL(38,0)))
+      |         AS DECIMAL(38,0)) AS VARCHAR) AS rowset_fp
+      |FROM lineitem
+      """.stripMargin.trim))
+
+  val defs: Seq[QueryDef] = Seq(compactRoundtrip, snapshotDiffQ, zorderRoundtrip)
 }

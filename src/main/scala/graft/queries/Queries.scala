@@ -179,7 +179,7 @@ object Queries {
     Seq(q1, q6, knnExact, knnScored) ++ TextQueries.defs ++ DedupQueries.defs ++
       RelationalQueries.defs ++ EventQueries.defs ++ VectorQueries.defs ++
       MultimodalQueries.defs ++ PipelineQueries.defs ++ StreamingQueries.defs ++
-      MaintenanceQueries.defs
+      MaintenanceQueries.defs ++ QualityQueries.defs
 
   def queriesMap: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> { (s: SparkSession, dir: String) =>
