@@ -79,4 +79,32 @@ object Sampling {
       .filter(col("_rk") <= col("_min_n"))
       .drop("_rk", "_min_n")
   }
+
+  /** Weighted sample without replacement (Efraimidis–Spirakis A-ES):
+    * every row draws priority u^(1/w) from a DETERMINISTIC uniform
+    * u ∈ (0, 1] (its md5 hash — not `rand()`, for the same retry /
+    * rerun / oracle reasons as the other samplers), and the global
+    * top-k priorities win. Rows with weight ≤ 0 are excluded (they
+    * have no sampling mass; u^(1/w) would invert the order for w < 0).
+    *
+    * Scale shape: the priority is a per-row projection and the top-k
+    * is `orderBy(...).limit(k)` — Spark plans TakeOrderedAndProject
+    * (per-partition bounded heaps + a k-row driver merge), so nothing
+    * resembling a global sort ever materializes. The id tiebreak makes
+    * the selected SET unique even under (astronomically unlikely)
+    * priority collisions.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int, salt: String = "wsample"): DataFrame = {
+    // (hash48 + 1) / 2^48: exact integer-to-double, exact power-of-two
+    // divide -> u is bit-identical in any IEEE engine (and never 0)
+    val u = (md5Long48(concat(col(idCol).cast("string"), lit(":" + salt))) + lit(1L))
+      .cast("double") / lit(281474976710656.0)
+    val priority = pow(u, lit(1.0) / col(weightCol).cast("double"))
+    df.filter(col(weightCol) > 0)
+      .withColumn("_wpri", priority)
+      .orderBy(col("_wpri").desc, col(idCol))
+      .limit(k)
+      .drop("_wpri")
+  }
 }

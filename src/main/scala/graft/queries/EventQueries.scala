@@ -456,7 +456,94 @@ object EventQueries {
       |FROM events GROUP BY 1 ORDER BY 1
       """.stripMargin.trim))
 
+  private val outliersQ = QueryDef(
+    "ev_value_outliers",
+    "Z-score outlier detection per event type: exact-decimal moments " +
+      "(Σv, Σv²) in ONE map-side-combinable pass, threshold mean+3σ " +
+      "derived in double with a term-by-term IEEE-identical formula in " +
+      "both engines, then the 5-row stats relation is BROADCAST back " +
+      "onto the events scan to count exceedances — the second pass " +
+      "never shuffles the data. The anomaly-gate shape (compute global " +
+      "stats, broadcast, filter) is the 100 TB pattern for any " +
+      "distribution-relative filter.",
+    (s, dir) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 6)
+      val ev = Tables.events(s, dir)
+      val stats = ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(dec)).cast("double").as("s"),
+          sum((col("value") * col("value")).cast(dec)).cast("double").as("s2"))
+        .withColumn("mean", col("s") / col("n"))
+        .withColumn("thr", col("mean") +
+          lit(3.0) * sqrt((col("s2") - col("s") * col("s") / col("n")) / (col("n") - lit(1))))
+      ev.join(broadcast(stats), "event_type")
+        .groupBy(col("event_type"))
+        .agg(max(col("n")).as("n"),
+          sum(when(col("value") > col("thr"), 1L).otherwise(0L)).as("n_outliers"),
+          round(max(col("mean")), 6).as("mean_value"),
+          round(max(col("thr")), 6).as("threshold"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      |WITH st AS (
+      |  SELECT event_type, count(*) AS n,
+      |         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS s,
+      |         CAST(SUM(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) AS s2
+      |  FROM events GROUP BY event_type
+      |), thr AS (
+      |  SELECT event_type, n, s / n AS mean,
+      |         s / n + 3.0 * sqrt((s2 - s * s / n) / (n - 1)) AS thr
+      |  FROM st
+      |)
+      |SELECT e.event_type, max(t.n) AS n,
+      |       CAST(SUM(CASE WHEN e.value > t.thr THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+      |       round(max(t.mean), 6) AS mean_value,
+      |       round(max(t.thr), 6) AS threshold
+      |FROM events e JOIN thr t USING (event_type)
+      |GROUP BY e.event_type ORDER BY e.event_type
+      """.stripMargin.trim))
+
+  private val cohortsQ = QueryDef(
+    "ev_retention_cohorts",
+    "Retention cohort matrix: each user joins the cohort of their first " +
+      "active day; per (cohort_day, day_offset) count distinct " +
+      "returning users. One user-keyed shuffle derives the cohort via " +
+      "an unbounded min-window, the (user, cohort, offset) relation is " +
+      "deduped on the SAME partitioning, and only the deduped relation " +
+      "reaches the cohort aggregate — events never shuffle twice.",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+      ev.withColumn("cohort_day", min(col("day")).over(w))
+        .withColumn("day_offset", datediff(col("day"), col("cohort_day")))
+        .select(col("user_id"), col("cohort_day"), col("day_offset"))
+        .distinct()
+        .groupBy(col("cohort_day"), col("day_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .withColumn("cohort_day", date_format(col("cohort_day"), "yyyy-MM-dd"))
+        .orderBy(col("cohort_day"), col("day_offset"))
+    },
+    Some("""
+      |WITH e AS (
+      |  SELECT user_id, CAST(ts::TIMESTAMP AS DATE) AS day FROM events
+      |), c AS (
+      |  SELECT user_id, day,
+      |         min(day) OVER (PARTITION BY user_id) AS cohort_day
+      |  FROM e
+      |), d AS (
+      |  SELECT DISTINCT user_id, cohort_day,
+      |         date_diff('day', cohort_day, day) AS day_offset
+      |  FROM c
+      |)
+      |SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+      |       CAST(day_offset AS INT) AS day_offset, count(*) AS n_users
+      |FROM d GROUP BY cohort_day, day_offset ORDER BY cohort_day, day_offset
+      """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
     Seq(tumbling, sliding, sessionsQ, propsQ, firstQ, valueStats, pivotQ, asofQ,
-      rangeQ, movingQ, gapsQ, funnelQ, percentilesQ, histogramQ)
+      rangeQ, movingQ, gapsQ, funnelQ, percentilesQ, histogramQ, outliersQ,
+      cohortsQ)
 }

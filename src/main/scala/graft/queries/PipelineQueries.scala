@@ -189,5 +189,41 @@ object PipelineQueries {
       |GROUP BY lang ORDER BY lang
       """.stripMargin.trim))
 
-  val defs: Seq[QueryDef] = Seq(prep, split, balanced, decontaminate, rebalance)
+  private val weighted = QueryDef(
+    "pipeline_weighted_sample",
+    "Importance-weighted sample without replacement (Efraimidis–" +
+      "Spirakis): 200 documents drawn with probability ∝ n_chars via " +
+      "deterministic md5-uniform priorities u^(1/w) — the " +
+      "quality-weighted corpus subsetting step of a training-data mix. " +
+      "Top-k is TakeOrderedAndProject (per-partition heaps + k-row " +
+      "driver merge, no global sort); u is (hash48+1)/2^48, exact in " +
+      "IEEE, so the oracle reproduces the identical draw. Output " +
+      "aggregates the selected set (count, id/weight sums, extrema).",
+    (s, dir) => {
+      Sampling.weightedSample(Tables.documents(s, dir), "doc_id", "n_chars", k = 200)
+        .agg(
+          count(lit(1)).as("n_sampled"),
+          sum(col("doc_id").cast("decimal(38,6)")).cast("double").as("id_sum"),
+          sum(col("n_chars").cast("decimal(38,6)")).cast("double").as("w_sum"),
+          min(col("doc_id")).as("min_doc_id"),
+          max(col("doc_id")).as("max_doc_id"))
+    },
+    Some(s"""
+      |WITH pri AS (
+      |  SELECT doc_id, n_chars,
+      |         pow((${Duck.md5Long48("doc_id::VARCHAR || ':wsample'")} + 1) / 281474976710656.0,
+      |             1.0 / CAST(n_chars AS DOUBLE)) AS p
+      |  FROM documents WHERE n_chars > 0
+      |), top AS (
+      |  SELECT doc_id, n_chars FROM pri ORDER BY p DESC, doc_id LIMIT 200
+      |)
+      |SELECT count(*) AS n_sampled,
+      |       CAST(SUM(CAST(doc_id AS DECIMAL(38,6))) AS DOUBLE) AS id_sum,
+      |       CAST(SUM(CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE) AS w_sum,
+      |       min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+      |FROM top
+      """.stripMargin.trim))
+
+  val defs: Seq[QueryDef] =
+    Seq(prep, split, balanced, decontaminate, rebalance, weighted)
 }

@@ -92,6 +92,41 @@ class PlanShapeSpec extends SparkSpec {
       s"expected partial+final HashAggregate pair on the window output:\n$p")
   }
 
+  test("funnel: chained windows + per-user collapse reuse ONE user shuffle") {
+    val p = planOf("ev_funnel_conversion")
+    // both stage windows and the (user_id, v_ts, c_ts) aggregate are
+    // satisfied by hash(user_id); the only other exchange is the
+    // single-partition merge of 1-row aggregate partials
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 1, s"expected one user_id shuffle, got $hashEx:\n$p")
+  }
+
+  test("cohorts: raw events shuffle once; only the deduped relation re-shuffles") {
+    val p = planOf("ev_retention_cohorts")
+    // shuffle 1: hash(user_id) for the cohort window (distinct reuses
+    // it); shuffle 2: hash(cohort_day, day_offset) over the DEDUPED
+    // (user, cohort, offset) relation — bounded by |users|×|days|
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 2, s"expected two hash exchanges, got $hashEx:\n$p")
+    // plan prints root-first: the cohort-key exchange (above the
+    // window) appears BEFORE it in the string, the user_id exchange
+    // (feeding the window) after it
+    val winIdx = p.indexOf("Window")
+    assert(winIdx >= 0, s"expected a Window node:\n$p")
+    assert(p.indexOf("Exchange hashpartitioning") < winIdx,
+      s"cohort-key exchange must sit ABOVE the window (deduped side only):\n$p")
+    assert(p.lastIndexOf("Exchange hashpartitioning") > winIdx,
+      s"user_id exchange must sit BELOW the window:\n$p")
+  }
+
+  test("outliers: per-type stats broadcast back onto the scan (no second data shuffle)") {
+    val p = planOf("ev_value_outliers")
+    assert(p.contains("BroadcastExchange"),
+      s"stats relation must broadcast:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"events⋈stats must be a broadcast hash join:\n$p")
+  }
+
   test("ngram df cap: tiny hot list broadcasts into a left-anti join") {
     val p = planOf("dedup_ngram_jaccard")
     assert(p.contains("LeftAnti"), s"df cap should be an anti-join:\n$p")

@@ -147,4 +147,29 @@ class SamplingSpec extends SparkSpec {
       .select("id").collect().map(_.getLong(0)).toSet
     assert(again == out.select("id").collect().map(_.getLong(0)).toSet)
   }
+
+  test("weightedSample is deterministic, weight-biased, and heap-planned") {
+    // weights 1 vs 100: the heavy ids should dominate a 50-of-200 draw
+    val df = ((0L until 100L).map(i => (i, 1.0)) ++
+      (100L until 200L).map(i => (i, 100.0))).toDF("id", "w")
+    val out = Sampling.weightedSample(df, "id", "w", k = 50)
+    val ids = out.select("id").collect().map(_.getLong(0)).toSet
+    assert(ids.size == 50)
+    val heavy = ids.count(_ >= 100L)
+    assert(heavy >= 40, s"100x weights should dominate the draw, got $heavy/50 heavy")
+    // byte-identical under re-execution and input row order
+    val again = Sampling.weightedSample(df.orderBy(col("id").desc), "id", "w", k = 50)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(again == ids)
+    // zero/negative weights carry no sampling mass
+    val withZero = df.withColumn("w", when(col("id") < 100L, lit(0.0)).otherwise(col("w")))
+    val onlyHeavy = Sampling.weightedSample(withZero, "id", "w", k = 150)
+      .select("id").collect().map(_.getLong(0))
+    assert(onlyHeavy.length == 100 && onlyHeavy.forall(_ >= 100L))
+    // top-k must plan as TakeOrderedAndProject (bounded heaps), never a
+    // global Sort
+    val plan = Sampling.weightedSample(df, "id", "w", k = 50)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"unexpected plan:\n$plan")
+  }
 }
