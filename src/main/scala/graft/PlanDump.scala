@@ -17,7 +17,8 @@ object PlanDump {
       "ev_asof_last_view", "ev_range_clicks_views",
       "ann_ivf_rule_rewrite", "txt_embed_knn_e2e",
       "knn_filtered_ivf_rewrite", "ann_ivf_kmeans_rewrite",
-      "ev_gaps_lag_pctrank")
+      "ev_gaps_lag_pctrank", "ev_funnel_conversion",
+      "ev_retention_cohorts", "ev_value_outliers", "dq_profile_orders")
     interesting.foreach { name =>
       println(s"\n===== $name =====")
       println(Queries.queriesMap(name)(spark, sfDir).queryExecution.explainString(

@@ -542,8 +542,62 @@ object EventQueries {
       |FROM d GROUP BY cohort_day, day_offset ORDER BY cohort_day, day_offset
       """.stripMargin.trim))
 
+  private val gapfillQ = QueryDef(
+    "ev_daily_gapfill",
+    "Time-series gap-fill with forward-fill: per-user daily value sums, " +
+      "missing calendar days generated from each user's own [min, max] " +
+      "span (sequence+explode — the day scaffold is derived per key, " +
+      "never a driver-built calendar), then last-observation-carried-" +
+      "forward via an ignore-nulls running window. Values stay " +
+      "DECIMAL(38,6) end-to-end (zero double drift). Every stage — " +
+      "daily rollup, span, scaffold join, fill window, final collapse — " +
+      "is keyed by user_id, so the whole pipeline lives in one " +
+      "partitioning family; output is |users| rows.",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val dec = org.apache.spark.sql.types.DecimalType(38, 6)
+      val ev = Tables.events(s, dir)
+      val daily = ev.groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(sum(col("value").cast(dec)).as("v"))
+      val span = daily.groupBy(col("user_id"))
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      val scaffold = span.select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      scaffold.join(daily, Seq("user_id", "day"), "left")
+        .withColumn("vf", last(col("v"), ignoreNulls = true).over(w))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_days"),
+          count(col("v")).as("n_observed"),
+          sum(col("vf")).cast("double").as("filled_sum"))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      |WITH daily AS (
+      |  SELECT user_id, CAST(ts::TIMESTAMP AS DATE) AS day,
+      |         SUM(CAST(value AS DECIMAL(38,6))) AS v
+      |  FROM events GROUP BY 1, 2
+      |), span AS (
+      |  SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1
+      |), scaffold AS (
+      |  SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+      |  FROM span
+      |), filled AS (
+      |  SELECT s.user_id, d.v,
+      |         last_value(d.v IGNORE NULLS) OVER (
+      |           PARTITION BY s.user_id ORDER BY s.day
+      |           ROWS UNBOUNDED PRECEDING) AS vf
+      |  FROM scaffold s LEFT JOIN daily d
+      |    ON s.user_id = d.user_id AND s.day = d.day
+      |)
+      |SELECT user_id, count(*) AS n_days, count(v) AS n_observed,
+      |       CAST(SUM(vf) AS DOUBLE) AS filled_sum
+      |FROM filled GROUP BY user_id ORDER BY user_id
+      """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
     Seq(tumbling, sliding, sessionsQ, propsQ, firstQ, valueStats, pivotQ, asofQ,
       rangeQ, movingQ, gapsQ, funnelQ, percentilesQ, histogramQ, outliersQ,
-      cohortsQ)
+      cohortsQ, gapfillQ)
 }

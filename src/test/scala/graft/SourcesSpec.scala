@@ -60,4 +60,26 @@ class SourcesSpec extends SparkSpec {
       assert(en.count() == docs.filter(col("lang") === "en").count())
     } finally rm(dir)
   }
+
+  test("schema evolution: mergeSchema unions appended columns, old rows null-fill") {
+    val dir = tmp("graft_evolve")
+    try {
+      // v1 writer: (doc_id, lang); later the pipeline gains a column
+      docs.select("doc_id", "lang").limit(10)
+        .write.mode("append").parquet(dir)
+      docs.select(col("doc_id") + 1000000L as "doc_id", col("lang"),
+          col("n_chars"))
+        .limit(10).write.mode("append").parquet(dir)
+      val back = spark.read.option("mergeSchema", "true").parquet(dir)
+      assert(back.columns.sorted.toSeq == Seq("doc_id", "lang", "n_chars"),
+        back.columns.mkString(","))
+      assert(back.count() == 20)
+      // v1 rows surface the evolved column as null, v2 rows keep values
+      assert(back.filter(col("n_chars").isNull).count() == 10)
+      assert(back.filter(col("doc_id") >= 1000000L && col("n_chars").isNull).count() == 0)
+      // column pruning still reaches the scan under the merged schema
+      val plan = back.select("doc_id").queryExecution.executedPlan.toString
+      assert(plan.contains("ReadSchema: struct<doc_id:bigint>"), plan)
+    } finally rm(dir)
+  }
 }
