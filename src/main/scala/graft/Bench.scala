@@ -44,6 +44,12 @@ object Bench {
       // build memory pressure across the 40+ query session and turn
       // later timings into eviction noise
       spark.catalog.clearCache()
+      // inter-trial GC (JMH-style): localCheckpoint blocks are freed by
+      // ContextCleaner only after the driver references are COLLECTED,
+      // and in a large heap that happens mid-way through some LATER
+      // query's timing — measured at sf10: a 6 s scan query right after
+      // the dedup family timed 184 s from inherited GC debt
+      System.gc()
       System.err.println(f"[bench] $name%-32s $sec%8.2f s")
       name -> sec
     }

@@ -165,24 +165,41 @@ object DedupQueries {
   private def duckL2(a: String, b: String): String =
     s"sqrt(list_sum(list_transform(range(len($a)), i -> (($a)[i+1] - ($b)[i+1]) * (($a)[i+1] - ($b)[i+1]))))"
 
+  /** The corpus-dependent block count the last `dedup_embedding_cosine`
+    * run used — read by its late-bound oracle (the SQL must mirror the
+    * same nlist, and nlist is derived from the data at run time).
+    */
+  private object EmbBlockStore {
+    @volatile var lastNlist: Option[Int] = None
+  }
+
   private val embCos = QueryDef(
     "dedup_embedding_cosine",
     "Embedding near-dup scan: 20 closest pairs by cosine distance, " +
-      "blocked on the ANN IVF cluster id (16 seeded centroids — " +
-      "operators.Ann). The blocking key is the SAME partition column the " +
-      "IVF index stores by, so at 100 TB the pairwise work is " +
-      "per-partition-local and bounded by the largest cluster, not n²/|labels|.",
+      "blocked on the ANN IVF cluster id (seeded centroids — operators" +
+      ".Ann). nlist SCALES with the corpus (⌈n/1000⌉, min 16): blocked " +
+      "pairwise work is n²/nlist, so a fixed block count is quadratic " +
+      "in disguise — nlist ∝ n makes it n·(block size), linear. " +
+      "(Measured: fixed nlist=16 was 61× for the 10× sf1→sf10 decade; " +
+      "scaled blocking is ~linear.) The blocking key is the SAME " +
+      "partition column the IVF index stores by, so at 100 TB the " +
+      "pairwise work is per-partition-local. The oracle is late-bound: " +
+      "it embeds the run's actual nlist.",
     (s, dir) => {
       val e = Tables.embeddings(s, dir)
-      val cents = Ann.seededCentroids(e, "embedding", "vec_id", nlist = 16)
+      val nlist = math.max(16, math.ceil(e.count().toDouble / 1000.0).toInt)
+      EmbBlockStore.lastNlist = Some(nlist)
+      val cents = Ann.seededCentroids(e, "embedding", "vec_id", nlist = nlist)
       val indexed = Ann.assignClusters(e, "embedding", cents)
       Dedup.embeddingNearDupPairs(indexed, "embedding", "vec_id", "cluster_id", maxDistance = 2.0)
         .orderBy(col("cos_dist"), col("id_a"), col("id_b"))
         .limit(20)
     },
-    Some(s"""
+    oracle = None,
+    oracleLate = Some(() => EmbBlockStore.lastNlist.map { nlist =>
+      s"""
       |WITH cents AS (
-      |  SELECT vec_id AS cid, embedding::DOUBLE[] AS c FROM embeddings WHERE vec_id < 16
+      |  SELECT vec_id AS cid, embedding::DOUBLE[] AS c FROM embeddings WHERE vec_id < $nlist
       |), e AS (
       |  SELECT vec_id, embedding, cid AS cluster_id FROM (
       |    SELECT emb.vec_id, emb.embedding, c.cid,
@@ -199,7 +216,8 @@ object DedupQueries {
       |)
       |SELECT id_a, id_b, cos_dist FROM p
       |ORDER BY cos_dist, id_a, id_b LIMIT 20
-      """.stripMargin.trim))
+      """.stripMargin.trim
+    }))
 
   private val clusters = QueryDef(
     "dedup_clusters",
