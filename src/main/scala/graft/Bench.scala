@@ -37,6 +37,12 @@ object Bench {
       spark.catalog.clearCache()
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // a dead context would make every remaining query fast-fail in the
+      // catch below and the artifact would report a fleet of 0.02 s
+      // "timings" — abort instead of lying (seen once: an executor OOM
+      // stopped the context mid-run and 88 queries "finished" in 2.3 s)
+      require(!spark.sparkContext.isStopped,
+        s"SparkContext died before $name — benchmark run is invalid")
       val t0 = System.nanoTime()
       try consume(fn(spark, sfDir)) catch { case _: Throwable => () }
       val sec = (System.nanoTime() - t0) / 1e9

@@ -349,8 +349,20 @@ object Dedup {
     * `spark.catalog.clearCache()` (what Verify/Bench do per query) or
     * `unpersist` the returned frame's sources between invocations.
     */
+  /** In-block pairwise work is Σ |band bucket|² — on a corpus with
+    * pathological duplicate density a single hot band value can hold
+    * 10⁵ documents (5·10⁹ pairs in ONE join key = one task). The
+    * opt-in cap drops band buckets larger than this; a document pair
+    * sharing a dropped band is still found through its other 3 bands
+    * unless ALL its bands are hot (i.e. it sits in a mega-duplicate
+    * cluster — which exact dedup or a cluster-level pass should own).
+    * Same mitigation shape as the n-gram path's `maxShingleDf`.
+    */
+  val DefaultMaxBandSize = 10000
+
   def simhashPairs(docs: DataFrame, textCol: String, idCol: String,
-                   maxHamming: Int = 16): DataFrame = {
+                   maxHamming: Int = 16,
+                   maxBandSize: Option[Int] = None): DataFrame = {
     val sigs = docs
       .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
       .select(col("id"), simhash48FromTokens(col("toks")).as("sig"))
@@ -364,8 +376,18 @@ object Dedup {
       // the full simhash expression (a third evaluation per row).
       // Mirrors the minhash `banded` cache.
       .cache()
-    withBands.as("a")
-      .join(withBands.as("b"), col("a.band") === col("b.band") && col("a.id") < col("b.id"))
+    // hot-band exclusion: the hot LIST (buckets above the cap) is tiny
+    // by construction — broadcast it into a left-anti join; the band
+    // relation itself never re-shuffles (mirrors the ngram df cap)
+    val pruned = maxBandSize match {
+      case Some(cap) =>
+        val hot = withBands.groupBy(col("band"))
+          .agg(count(lit(1)).as("n")).filter(col("n") > cap).select("band")
+        withBands.join(broadcast(hot), Seq("band"), "left_anti")
+      case None => withBands
+    }
+    pruned.as("a")
+      .join(pruned.as("b"), col("a.band") === col("b.band") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         hammingDistance(col("a.sig"), col("b.sig")).as("hamming"))
       .distinct()

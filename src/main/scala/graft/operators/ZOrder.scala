@@ -36,6 +36,8 @@ object ZOrder {
         max(col(c).cast("double")).as(s"${c}__max")))
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     cols.zipWithIndex.map { case (c, i) =>
+      require(!row.isNullAt(2 * i) && !row.isNullAt(2 * i + 1),
+        s"z-order column '$c' has no non-null values (empty input or all-null column)")
       ColRange(c, row.getDouble(2 * i), row.getDouble(2 * i + 1))
     }
   }

@@ -165,12 +165,15 @@ object DedupQueries {
   private def duckL2(a: String, b: String): String =
     s"sqrt(list_sum(list_transform(range(len($a)), i -> (($a)[i+1] - ($b)[i+1]) * (($a)[i+1] - ($b)[i+1]))))"
 
-  /** The corpus-dependent block count the last `dedup_embedding_cosine`
-    * run used — read by its late-bound oracle (the SQL must mirror the
-    * same nlist, and nlist is derived from the data at run time).
+  /** The corpus-dependent block count per fixture dir, plus which dir
+    * ran last — read by the late-bound oracle (the SQL must mirror the
+    * run's own nlist; a single unkeyed slot would let a different-SF
+    * run in the same JVM poison the dump). Same shape as the KMeans
+    * late-oracle store in VectorQueries.
     */
   private object EmbBlockStore {
-    @volatile var lastNlist: Option[Int] = None
+    val nlists = scala.collection.concurrent.TrieMap.empty[String, Int]
+    @volatile var lastDir: Option[String] = None
   }
 
   private val embCos = QueryDef(
@@ -188,7 +191,8 @@ object DedupQueries {
     (s, dir) => {
       val e = Tables.embeddings(s, dir)
       val nlist = math.max(16, math.ceil(e.count().toDouble / 1000.0).toInt)
-      EmbBlockStore.lastNlist = Some(nlist)
+      EmbBlockStore.nlists(dir) = nlist
+      EmbBlockStore.lastDir = Some(dir)
       val cents = Ann.seededCentroids(e, "embedding", "vec_id", nlist = nlist)
       val indexed = Ann.assignClusters(e, "embedding", cents)
       Dedup.embeddingNearDupPairs(indexed, "embedding", "vec_id", "cluster_id", maxDistance = 2.0)
@@ -196,7 +200,7 @@ object DedupQueries {
         .limit(20)
     },
     oracle = None,
-    oracleLate = Some(() => EmbBlockStore.lastNlist.map { nlist =>
+    oracleLate = Some(() => EmbBlockStore.lastDir.flatMap(EmbBlockStore.nlists.get).map { nlist =>
       s"""
       |WITH cents AS (
       |  SELECT vec_id AS cid, embedding::DOUBLE[] AS c FROM embeddings WHERE vec_id < $nlist

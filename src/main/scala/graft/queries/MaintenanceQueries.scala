@@ -22,12 +22,8 @@ object MaintenanceQueries {
     * l_orderkey. The registered query reads the COMPACTED table.
     */
   private object CompactStore {
-    private val done = scala.collection.concurrent.TrieMap.empty[String, String]
-
     def ensure(s: SparkSession, dir: String): String =
-      done.getOrElseUpdate(dir, {
-        val root = TmpStores.pidScopedPath("graft_compact_rt", dir)
-        new scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
+      TmpStores.memoizedTable("graft_compact_rt", dir) { root =>
         val table = s"$root/lineitem"
         Tables.lineitem(s, dir).repartition(40).write.parquet(table)
         val (before, after) = Compact.rewrite(s, table,
@@ -35,7 +31,7 @@ object MaintenanceQueries {
         require(after.files < before.files,
           s"compaction must reduce the file count: $before -> $after")
         table
-      })
+      }
   }
 
   private val compactRoundtrip = QueryDef(
@@ -135,19 +131,15 @@ object MaintenanceQueries {
     * l_suppkey). The registered query reads the RELAID table.
     */
   private object ZOrderStore {
-    private val done = scala.collection.concurrent.TrieMap.empty[String, String]
-
     def ensure(s: SparkSession, dir: String): String =
-      done.getOrElseUpdate(dir, {
+      TmpStores.memoizedTable("graft_zorder_rt", dir) { root =>
         import graft.operators.ZOrder
-        val root = TmpStores.pidScopedPath("graft_zorder_rt", dir)
-        new scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
         val table = s"$root/lineitem_z"
         val st = ZOrder.layout(s, Tables.lineitem(s, dir),
           Seq("l_partkey", "l_suppkey"), table, nFiles = 16)
         require(st.files >= 1, s"z-order layout wrote no files at $table")
         table
-      })
+      }
   }
 
   private val zorderRoundtrip = QueryDef(

@@ -196,9 +196,13 @@ object PipelineQueries {
       "deterministic md5-uniform priorities u^(1/w) — the " +
       "quality-weighted corpus subsetting step of a training-data mix. " +
       "Top-k is TakeOrderedAndProject (per-partition heaps + k-row " +
-      "driver merge, no global sort); u is (hash48+1)/2^48, exact in " +
-      "IEEE, so the oracle reproduces the identical draw. Output " +
-      "aggregates the selected set (count, id/weight sums, extrema).",
+      "driver merge, no global sort). Parity: u = (hash48+1)/2^48 and " +
+      "1/w are bit-exact cross-engine; pow itself is only ≤1-ulp " +
+      "cross-engine (JVM Math.pow vs libm), which flips the selected " +
+      "set only if the kth and (k+1)th priorities differ by ~1e-16 — " +
+      "hash-uniform priorities space ~1e-10 apart at this n, and exact " +
+      "ties are pinned by the id tiebreak. Output aggregates the " +
+      "selected set (count, id/weight sums, extrema).",
     (s, dir) => {
       Sampling.weightedSample(Tables.documents(s, dir), "doc_id", "n_chars", k = 200)
         .agg(

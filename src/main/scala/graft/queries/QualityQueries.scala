@@ -119,7 +119,7 @@ object QualityQueries {
     },
     Some("""
       |WITH names AS (
-      |  SELECT p_name, count(*) AS cnt, split_part(p_name, ' ', 2) AS blk
+      |  SELECT p_name, count(*) AS cnt, string_split(p_name, ' ')[-1] AS blk
       |  FROM part GROUP BY p_name
       |)
       |SELECT a.p_name AS name_a, b.p_name AS name_b,

@@ -33,4 +33,19 @@ private[queries] object TmpStores {
       new scala.reflect.io.Directory(new java.io.File(path)).deleteRecursively()))
     path
   }
+
+  private val memo = scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
+  /** One build per (tag, key, JVM) of an on-disk table: clears the
+    * pid-scoped root first (a failed previous attempt leaves half-staged
+    * files the new build must not see), runs `build(root)`, memoizes the
+    * returned table path. The memoize-after-cleanup-then-build sequence
+    * was previously copy-pasted per store.
+    */
+  def memoizedTable(tag: String, key: String)(build: String => String): String =
+    memo.getOrElseUpdate((tag, key), {
+      val root = pidScopedPath(tag, key)
+      new scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
+      build(root)
+    })
 }

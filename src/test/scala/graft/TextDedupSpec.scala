@@ -117,6 +117,23 @@ class TextDedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L, 0L)))
   }
 
+  test("simhash hot-band cap drops mega-bucket pairs, keeps small-bucket pairs") {
+    // 40 identical docs = one mega duplicate cluster (every band bucket
+    // has 40 members); docs 100/101 are an isolated identical pair
+    val mega = (1L to 40L).map(i => (i, "the quick brown fox jumps over the lazy dog again and again"))
+    val small = Seq((100L, "completely different text about spark physical plans"),
+      (101L, "completely different text about spark physical plans"))
+    val docs = (mega ++ small).toDF("doc_id", "text")
+    val capped = Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 0,
+        maxBandSize = Some(10))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((100L, 101L)),
+      s"cap must drop the mega cluster's pairs and keep the small pair: $capped")
+    // uncapped finds all 40·39/2 mega pairs plus the small pair
+    val full = Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 0)
+    assert(full.count() == 40L * 39 / 2 + 1)
+  }
+
   test("null text propagates null through the text operators (defined contract)") {
     val df = Seq(Tuple1(Option.empty[String])).toDF("text")
       .select(normalize(col("text")).as("norm"), tokens(col("text")).as("toks"),
