@@ -36,7 +36,7 @@ object EventQueries {
     Some("""
       |SELECT strftime(time_bucket(INTERVAL '5 minutes', ts::TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS window_start,
       |       event_type, count(*) AS n,
-      |       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+      |       CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_value
       |FROM events
       |GROUP BY 1, 2 ORDER BY 1, 2
       """.stripMargin.trim))
@@ -105,13 +105,13 @@ object EventQueries {
       ev.withColumn("k_bucket", (col("k") / 10L).cast("long"))
         .groupBy(col("k_bucket"))
         .agg(count(lit(1)).as("n"),
-          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(38, 6))).cast("double").as("sum_value"))
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(38, 6))).cast(org.apache.spark.sql.types.DecimalType(38, 2)).cast("double").as("sum_value"))
         .orderBy(col("k_bucket"))
     },
     Some("""
       |SELECT (json_extract_string(props, '$.k')::BIGINT // 10) AS k_bucket,
       |       count(*) AS n,
-      |       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+      |       CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_value
       |FROM events
       |GROUP BY 1 ORDER BY 1
       """.stripMargin.trim))
@@ -147,8 +147,8 @@ object EventQueries {
       ev.groupBy(col("event_type"))
         .agg(
           count(lit(1)).as("n"),
-          sum(col("value").cast(dec)).cast("double").as("sum_v"),
-          sum((col("value") * col("value")).cast(dec)).cast("double").as("sum_v2"),
+          sum(col("value").cast(dec)).cast(org.apache.spark.sql.types.DecimalType(38, 2)).cast("double").as("sum_v"),
+          sum((col("value") * col("value")).cast(dec)).cast(org.apache.spark.sql.types.DecimalType(38, 4)).cast("double").as("sum_v2"),
           expr("percentile(value, 0.5)").as("median_value"))
         .select(
           col("event_type"), col("n"),
@@ -161,8 +161,8 @@ object EventQueries {
     Some("""
       |WITH a AS (
       |  SELECT event_type, count(*) AS n,
-      |         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_v,
-      |         CAST(SUM(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) AS sum_v2,
+      |         CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_v,
+      |         CAST(CAST(SUM(CAST(value * value AS DECIMAL(38,6))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_v2,
       |         quantile_cont(value, 0.5) AS median_value
       |  FROM events GROUP BY event_type
       |)
@@ -283,7 +283,7 @@ object EventQueries {
       import org.apache.spark.sql.expressions.Window
       val daily = Tables.events(s, dir)
         .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
-        .agg(sum(col("value").cast("decimal(38,6)")).cast("double").as("day_value"))
+        .agg(sum(col("value").cast("decimal(38,6)")).cast("decimal(38,2)").cast("double").as("day_value"))
       val w = Window.orderBy(col("day")).rowsBetween(-2, 0)
       daily
         .withColumn("avg3", round(avg(col("day_value")).over(w), 6))
@@ -293,7 +293,7 @@ object EventQueries {
     Some("""
       |WITH daily AS (
       |  SELECT strftime(ts::TIMESTAMP, '%Y-%m-%d') AS day,
-      |         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS day_value
+      |         CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DECIMAL(38,2)) AS DOUBLE) AS day_value
       |  FROM events GROUP BY 1
       |)
       |SELECT day, round(day_value, 6) AS day_value,
@@ -452,7 +452,7 @@ object EventQueries {
     },
     Some("""
       |SELECT CAST(floor(value / 25.0) AS BIGINT) AS bucket, count(*) AS n,
-      |       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+      |       CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1 ORDER BY 1
       """.stripMargin.trim))
 
@@ -471,8 +471,8 @@ object EventQueries {
       val ev = Tables.events(s, dir)
       val stats = ev.groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
-          sum(col("value").cast(dec)).cast("double").as("s"),
-          sum((col("value") * col("value")).cast(dec)).cast("double").as("s2"))
+          sum(col("value").cast(dec)).cast(org.apache.spark.sql.types.DecimalType(38, 2)).cast("double").as("s"),
+          sum((col("value") * col("value")).cast(dec)).cast(org.apache.spark.sql.types.DecimalType(38, 4)).cast("double").as("s2"))
         .withColumn("mean", col("s") / col("n"))
         .withColumn("thr", col("mean") +
           lit(3.0) * sqrt((col("s2") - col("s") * col("s") / col("n")) / (col("n") - lit(1))))
@@ -487,8 +487,8 @@ object EventQueries {
     Some("""
       |WITH st AS (
       |  SELECT event_type, count(*) AS n,
-      |         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS s,
-      |         CAST(SUM(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) AS s2
+      |         CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DECIMAL(38,2)) AS DOUBLE) AS s,
+      |         CAST(CAST(SUM(CAST(value * value AS DECIMAL(38,6))) AS DECIMAL(38,4)) AS DOUBLE) AS s2
       |  FROM events GROUP BY event_type
       |), thr AS (
       |  SELECT event_type, n, s / n AS mean,
@@ -570,7 +570,7 @@ object EventQueries {
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_days"),
           count(col("v")).as("n_observed"),
-          sum(col("vf")).cast("double").as("filled_sum"))
+          sum(col("vf")).cast("decimal(38,2)").cast("double").as("filled_sum"))
         .orderBy(col("user_id"))
     },
     Some("""
@@ -592,7 +592,7 @@ object EventQueries {
       |    ON s.user_id = d.user_id AND s.day = d.day
       |)
       |SELECT user_id, count(*) AS n_days, count(v) AS n_observed,
-      |       CAST(SUM(vf) AS DOUBLE) AS filled_sum
+      |       CAST(CAST(SUM(vf) AS DECIMAL(38,2)) AS DOUBLE) AS filled_sum
       |FROM filled GROUP BY user_id ORDER BY user_id
       """.stripMargin.trim))
 

@@ -57,15 +57,15 @@ object MaintenanceQueries {
       s.read.parquet(table)
         .agg(
           count(lit(1)).as("n_rows"),
-          sum(col("l_extendedprice").cast(dec)).cast("double").as("sum_price"),
-          sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast(dec)).cast(org.apache.spark.sql.types.DecimalType(38, 2)).cast("double").as("sum_price"),
+          sum(col("l_quantity").cast(dec)).cast(org.apache.spark.sql.types.DecimalType(38, 2)).cast("double").as("sum_qty"),
           min(col("l_orderkey")).as("min_key"), max(col("l_orderkey")).as("max_key"),
           sum(h).cast("decimal(38,0)").cast("string").as("rowset_fp"))
     },
     Some("""
       |SELECT count(*) AS n_rows,
-      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price,
-      |       CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+      |       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_price,
+      |       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty,
       |       min(l_orderkey) AS min_key, max(l_orderkey) AS max_key,
       |       CAST(CAST(SUM(CAST(('0x' || substring(md5(
       |         l_orderkey::VARCHAR || '|' || l_linenumber::VARCHAR || '|' ||
@@ -165,14 +165,14 @@ object MaintenanceQueries {
       s.read.parquet(table)
         .agg(
           count(lit(1)).as("n_rows"),
-          sum(col("l_extendedprice").cast(dec)).cast("double").as("sum_price"),
+          sum(col("l_extendedprice").cast(dec)).cast(org.apache.spark.sql.types.DecimalType(38, 2)).cast("double").as("sum_price"),
           min(col("l_partkey")).as("min_part"), max(col("l_partkey")).as("max_part"),
           min(col("l_suppkey")).as("min_supp"), max(col("l_suppkey")).as("max_supp"),
           sum(h).cast("decimal(38,0)").cast("string").as("rowset_fp"))
     },
     Some("""
       |SELECT count(*) AS n_rows,
-      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price,
+      |       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_price,
       |       min(l_partkey) AS min_part, max(l_partkey) AS max_part,
       |       min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp,
       |       CAST(CAST(SUM(CAST(('0x' || substring(md5(

@@ -83,14 +83,14 @@ object PipelineQueries {
         .withColumn("split", Sampling.splitLabel(col("doc_id"), "split", 80))
         .groupBy("split")
         .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_chars").cast("decimal(38,6)")).cast("double").as("chars_sum"))
+          sum(col("n_chars").cast("decimal(38,6)")).cast("decimal(38,2)").cast("double").as("chars_sum"))
         .orderBy(col("split"))
     },
     Some(s"""
       |SELECT CASE WHEN ${Duck.md5Long48("doc_id::VARCHAR || ':split'")} % 100 < 80
       |         THEN 'train' ELSE 'test' END AS split,
       |       count(*) AS n_docs,
-      |       CAST(SUM(CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE) AS chars_sum
+      |       CAST(CAST(SUM(CAST(n_chars AS DECIMAL(38,6))) AS DECIMAL(38,2)) AS DOUBLE) AS chars_sum
       |FROM documents GROUP BY 1 ORDER BY 1
       """.stripMargin.trim))
 
@@ -106,7 +106,7 @@ object PipelineQueries {
         .groupBy("lang")
         .agg(count(lit(1)).as("n_sampled"),
           min(col("doc_id")).as("min_doc_id"),
-          sum(col("doc_id").cast("decimal(38,6)")).cast("double").as("id_sum"))
+          sum(col("doc_id").cast("decimal(38,6)")).cast("decimal(38,2)").cast("double").as("id_sum"))
         .orderBy(col("lang"))
     },
     Some(s"""
@@ -117,7 +117,7 @@ object PipelineQueries {
       |  FROM documents
       |)
       |SELECT lang, count(*) AS n_sampled, min(doc_id) AS min_doc_id,
-      |       CAST(SUM(CAST(doc_id AS DECIMAL(38,6))) AS DOUBLE) AS id_sum
+      |       CAST(CAST(SUM(CAST(doc_id AS DECIMAL(38,6))) AS DECIMAL(38,2)) AS DOUBLE) AS id_sum
       |FROM ranked WHERE rnk <= 30
       |GROUP BY lang ORDER BY lang
       """.stripMargin.trim))
@@ -207,8 +207,8 @@ object PipelineQueries {
       Sampling.weightedSample(Tables.documents(s, dir), "doc_id", "n_chars", k = 200)
         .agg(
           count(lit(1)).as("n_sampled"),
-          sum(col("doc_id").cast("decimal(38,6)")).cast("double").as("id_sum"),
-          sum(col("n_chars").cast("decimal(38,6)")).cast("double").as("w_sum"),
+          sum(col("doc_id").cast("decimal(38,6)")).cast("decimal(38,2)").cast("double").as("id_sum"),
+          sum(col("n_chars").cast("decimal(38,6)")).cast("decimal(38,2)").cast("double").as("w_sum"),
           min(col("doc_id")).as("min_doc_id"),
           max(col("doc_id")).as("max_doc_id"))
     },
@@ -222,8 +222,8 @@ object PipelineQueries {
       |  SELECT doc_id, n_chars FROM pri ORDER BY p DESC, doc_id LIMIT 200
       |)
       |SELECT count(*) AS n_sampled,
-      |       CAST(SUM(CAST(doc_id AS DECIMAL(38,6))) AS DOUBLE) AS id_sum,
-      |       CAST(SUM(CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE) AS w_sum,
+      |       CAST(CAST(SUM(CAST(doc_id AS DECIMAL(38,6))) AS DECIMAL(38,2)) AS DOUBLE) AS id_sum,
+      |       CAST(CAST(SUM(CAST(n_chars AS DECIMAL(38,6))) AS DECIMAL(38,2)) AS DOUBLE) AS w_sum,
       |       min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
       |FROM top
       """.stripMargin.trim))

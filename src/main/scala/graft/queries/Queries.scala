@@ -14,7 +14,12 @@ import org.apache.spark.sql.types.DecimalType
   * Oracle-parity rules (SURVEY §5/§7.3):
   *   - every ordered output sorts by (metric, unique key);
   *   - double aggregation goes through DECIMAL(38,6) per-row casts (exact,
-  *     order-independent summation in both engines) then back to DOUBLE;
+  *     order-independent summation in both engines), is REDUCED to scale 2
+  *     (lossless — every summand has ≤2 decimals), then cast to DOUBLE: a
+  *     scale-6 sum > ~9e9 exceeds 2^53 in fixed-point units and the two
+  *     engines' decimal→double conversions round differently (DuckDB
+  *     converts the int128 then divides — double rounding; Spark rounds
+  *     once via BigDecimal), measured as a 3e-6 q1 mismatch at sf1;
   *   - distances are computed in Double with sequential accumulation and
   *     rounded to 6 decimals before ordering;
   *   - temporal outputs are serialized to ISO strings (parquet µs-UTC vs
@@ -50,7 +55,52 @@ object Queries {
     * safe to hash-compare against DuckDB), surfaced back as DOUBLE.
     */
   private def dsum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    sum(c.cast(DecimalType(38, 6))).cast("double")
+    sum(c.cast(DecimalType(38, 6))).cast(DecimalType(38, 2)).cast("double")
+
+  /** Exact decimal TPC-H money arithmetic, shared by every revenue-style
+    * aggregate. Casting the PRODUCT of double factors to decimal is not
+    * cross-engine-stable: Spark's double→decimal goes through the
+    * shortest string repr (then HALF_UP) while DuckDB rounds the exact
+    * binary value, and for an arbitrary product double the two disagree
+    * ~1e-7 of rows — invisible at sf0.01, a hash mismatch by sf1
+    * (measured: q1 sum_charge off by 3e-6 over 6.7 M rows). Casting
+    * each 2-decimal FACTOR first is unambiguous (the double sits ~1e-11
+    * from the grid, the boundary is 5e-3 away), and everything after is
+    * exact decimal arithmetic with identical results in both engines at
+    * ANY scale. Widths stay narrow (price (12,2), rates (4,2)) so
+    * neither engine's product-type rules hit the 38-digit cap.
+    */
+  private[queries] object Money {
+    val price: DecimalType = DecimalType(12, 2)
+    val rate: DecimalType = DecimalType(4, 2)
+    import org.apache.spark.sql.Column
+    def discFactor: Column = lit(1).cast(rate) - col("l_discount").cast(rate)
+    def taxFactor: Column = lit(1).cast(rate) + col("l_tax").cast(rate)
+    def discPrice: Column = col("l_extendedprice").cast(price) * discFactor
+    def charge: Column = discPrice * taxFactor
+    def discount: Column = col("l_extendedprice").cast(price) * col("l_discount").cast(rate)
+
+    val sqlDiscFactor = "(CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))"
+    val sqlTaxFactor = "(CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))"
+    val sqlDiscPrice = s"CAST(l_extendedprice AS DECIMAL(12,2)) * $sqlDiscFactor"
+    val sqlCharge = s"$sqlDiscPrice * $sqlTaxFactor"
+    val sqlDiscount = "CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))"
+  }
+
+  /** SUM of an already-exact decimal PRODUCT expression, surfaced as a
+    * cents-TRUNCATED double. Product summands carry 4-6 exact decimals,
+    * so any scale-reduction ROUNDING can land on an exact .5 tie — and
+    * the engines disagree there (Spark decimal casts round HALF_UP,
+    * DuckDB half-to-even; measured as ±0.01 on 5/6 q1 rows). FLOOR has
+    * no tie: floor(sum·100) is the same exact integer in both engines,
+    * fits 2^53 for sums up to ~9e13, and converts to double exactly.
+    */
+  private[queries] def xsum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    floor(sum(c) * 100).cast("double") / lit(100.0)
+
+  /** DuckDB mirror of [[xsum]]. */
+  private[queries] def duckXsum(expr: String): String =
+    s"CAST(FLOOR(SUM($expr) * 100) AS DOUBLE) / 100.0"
 
   /** Exact decimal literal of a float32 value — single source of truth
     * in [[Duck.vecLit]] (parses to the identical double in DuckDB;
@@ -85,17 +135,17 @@ object Queries {
         .agg(
           dsum(col("l_quantity")).as("sum_qty"),
           dsum(col("l_extendedprice")).as("sum_base_price"),
-          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
-          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+          xsum(Money.discPrice).as("sum_disc_price"),
+          xsum(Money.charge).as("sum_charge"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     },
     Some("""
       |SELECT l_returnflag, l_linestatus,
-      |       CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
-      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base_price,
-      |       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
-      |       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(38,6))) AS DOUBLE) AS sum_charge,
+      |       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty,
+      |       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_base_price,
+      |       CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) * 100) AS DOUBLE) / 100.0 AS sum_disc_price,
+      |       CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) * 100) AS DOUBLE) / 100.0 AS sum_charge,
       |       COUNT(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -114,11 +164,11 @@ object Queries {
           col("l_shipdate") < lit("1996-01-01").cast("timestamp") &&
           col("l_discount").between(0.05, 0.07) &&
           col("l_quantity") < 24)
-        .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+        .agg(xsum(Money.discount).as("revenue"),
              count(lit(1)).as("n_rows"))
     },
     Some("""
-      |SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+      |SELECT CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) * 100) AS DOUBLE) / 100.0 AS revenue,
       |       COUNT(*) AS n_rows
       |FROM lineitem
       |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.queries.Queries.{Money, xsum}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -18,7 +19,7 @@ import org.apache.spark.sql.types.DecimalType
 object RelationalQueries {
 
   private def dsum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    sum(c.cast(DecimalType(38, 6))).cast("double")
+    sum(c.cast(DecimalType(38, 6))).cast(DecimalType(38, 2)).cast("double")
 
   private val q3 = QueryDef(
     "q3_shipping_priority",
@@ -33,7 +34,7 @@ object RelationalQueries {
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .agg(xsum(Money.discPrice).as("revenue"))
         .select(col("l_orderkey"), col("revenue"),
           date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
           col("o_orderpriority"))
@@ -42,7 +43,7 @@ object RelationalQueries {
     },
     Some("""
       |SELECT l_orderkey,
-      |       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+      |       CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) * 100) AS DOUBLE) / 100.0 AS revenue,
       |       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
       |       o_orderpriority
       |FROM customer, orders, lineitem
@@ -75,13 +76,13 @@ object RelationalQueries {
         .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("n_name"))
-        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        .agg(xsum(Money.discPrice).as("revenue"),
           count(lit(1)).as("n_lineitems"))
         .orderBy(col("revenue").desc, col("n_name"))
     },
     Some("""
       |SELECT n_name,
-      |       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+      |       CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) * 100) AS DOUBLE) / 100.0 AS revenue,
       |       COUNT(*) AS n_lineitems
       |FROM region, nation, customer, orders, lineitem, supplier
       |WHERE r_name = 'ASIA' AND n_regionkey = r_regionkey
@@ -140,7 +141,7 @@ object RelationalQueries {
     Some("""
       |SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
       |       coalesce(l_linestatus, 'ALL') AS l_linestatus,
-      |       CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+      |       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty,
       |       COUNT(*) AS n
       |FROM lineitem
       |GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -252,19 +253,18 @@ object RelationalQueries {
       li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
         .agg(
           (round(
-            dsum(when(col("p_type").like("%a%"),
-              col("l_extendedprice") * (lit(1.0) - col("l_discount"))).otherwise(lit(0.0)))
+            coalesce(xsum(when(col("p_type").like("%a%"), Money.discPrice)), lit(0.0))
               * 100.0 /
-              dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 6))
+              xsum(Money.discPrice), 6))
             .as("promo_share_pct"),
           count(lit(1)).as("n_rows"))
     },
     Some("""
       |SELECT round(
-      |         CAST(SUM(CAST(CASE WHEN p_type LIKE '%a%'
-      |                       THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END AS DECIMAL(38,6))) AS DOUBLE)
+      |         COALESCE(CAST(FLOOR(SUM(CASE WHEN p_type LIKE '%a%'
+      |                       THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) END) * 100) AS DOUBLE) / 100.0, 0.0)
       |         * 100.0 /
-      |         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE), 6) AS promo_share_pct,
+      |         CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) * 100) AS DOUBLE) / 100.0, 6) AS promo_share_pct,
       |       COUNT(*) AS n_rows
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -309,7 +309,7 @@ object RelationalQueries {
     Some("""
       |SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
       |       coalesce(l_linestatus, 'ALL') AS l_linestatus,
-      |       CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+      |       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty,
       |       COUNT(*) AS n
       |FROM lineitem
       |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus), ())
@@ -364,7 +364,7 @@ object RelationalQueries {
       |  FROM customer
       |)
       |SELECT c_mktsegment, quartile, count(*) AS n,
-      |       CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS bal_sum
+      |       CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DECIMAL(38,2)) AS DOUBLE) AS bal_sum
       |FROM q GROUP BY 1, 2 ORDER BY c_mktsegment, quartile
       """.stripMargin.trim))
 
@@ -399,7 +399,7 @@ object RelationalQueries {
       |)
       |SELECT count(*) AS n_rows,
       |       CAST(SUM(v) AS BIGINT) AS n_updated,
-      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS price_sum
+      |       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DECIMAL(38,2)) AS DOUBLE) AS price_sum
       |FROM merged WHERE rn = 1
       """.stripMargin.trim))
 
@@ -451,13 +451,13 @@ object RelationalQueries {
         bigKey = "l_orderkey", smallKey = "o_orderkey",
         bigDisambig = "l_row_key", saltFactor = 8)
       j.groupBy(col("o_orderpriority"))
-        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        .agg(xsum(Money.discPrice).as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy(col("o_orderpriority"))
     },
     Some("""
       |SELECT o_orderpriority,
-      |       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+      |       CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) * 100) AS DOUBLE) / 100.0 AS revenue,
       |       COUNT(*) AS n_items
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority ORDER BY o_orderpriority

@@ -253,7 +253,7 @@ object TextQueries {
       }
       val statCols =
         Seq(count(lit(1)).cast("double").as("n_docs"),
-          sum(col("dl").cast("decimal(38,6)")).cast("double").as("dl_sum")) ++
+          sum(col("dl").cast("decimal(38,6)")).cast("decimal(38,2)").cast("double").as("dl_sum")) ++
           bm25Terms.map(t =>
             sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).cast("double").as(s"df_$t"))
       val stats = withTf.agg(statCols.head, statCols.tail: _*)
@@ -284,7 +284,7 @@ object TextQueries {
       |  FROM tt
       |), st AS (
       |  SELECT count(*)::DOUBLE AS n_docs,
-      |       CAST(SUM(CAST(dl AS DECIMAL(38,6))) AS DOUBLE) AS dl_sum,
+      |       CAST(CAST(SUM(CAST(dl AS DECIMAL(38,6))) AS DECIMAL(38,2)) AS DOUBLE) AS dl_sum,
       |       $dfSel
       |  FROM base
       |)

@@ -23,7 +23,7 @@ object EventPipeline {
     * see Queries.dsum).
     */
   private def dsum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    sum(c.cast(DecimalType(38, 6))).cast("double")
+    sum(c.cast(DecimalType(38, 6))).cast(DecimalType(38, 2)).cast("double")
 
   /** Event-time watermark (streaming state-eviction bound; no-op on
     * batch). Late events beyond `delay` are dropped by stateful ops.

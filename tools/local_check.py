@@ -34,8 +34,22 @@ def canon(v):
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
+        # driver fixtures are single files; synthesized SFs (SynthScale)
+        # are Spark-written DIRECTORIES of part files — glob those
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        sel = "*"
+        if t == "events":
+            # driver fixtures store ts as TIMESTAMP(NANOS); SynthScale
+            # (Spark) re-writes it as raw INT64 nanos. Expose the same
+            # µs-truncated timestamp Spark's reader produces.
+            (ts_type,) = con.execute(
+                f"SELECT typeof(ts) FROM read_parquet('{path}') LIMIT 1").fetchone()
+            if ts_type == "BIGINT":
+                sel = "* REPLACE (make_timestamp(ts // 1000) AS ts)"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+            f"CREATE VIEW {t} AS SELECT {sel} FROM read_parquet('{path}')")
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:
         oracles = json.load(f)
 
