@@ -352,17 +352,25 @@ object Dedup {
   /** In-block pairwise work is Σ |band bucket|² — on a corpus with
     * pathological duplicate density a single hot band value can hold
     * 10⁵ documents (5·10⁹ pairs in ONE join key = one task). The
-    * opt-in cap drops band buckets larger than this; a document pair
+    * DEFAULT cap drops band buckets larger than this; a document pair
     * sharing a dropped band is still found through its other 3 bands
     * unless ALL its bands are hot (i.e. it sits in a mega-duplicate
     * cluster — which exact dedup or a cluster-level pass should own).
-    * Same mitigation shape as the n-gram path's `maxShingleDf`.
+    * Same mitigation shape as the n-gram path's `maxShingleDf`
+    * (`DefaultMaxShingleDf`): the constant sits ABOVE every observed
+    * fixture band size so capped results are bit-identical to
+    * uncapped — measured max band bucket is 1 656 (sf0.1), 2 289
+    * (synthesized sf1), 4 863 (synthesized sf10; replica token
+    * suffixes diversify signatures, so growth is sublinear) — while
+    * still bounding a real mega-dup corpus's hottest band to
+    * ≤ 10⁴ docs ⇒ ≤ 5·10⁷ pairs per band value, task-sized. Pass
+    * `maxBandSize = None` to disable.
     */
   val DefaultMaxBandSize = 10000
 
   def simhashPairs(docs: DataFrame, textCol: String, idCol: String,
                    maxHamming: Int = 16,
-                   maxBandSize: Option[Int] = None): DataFrame = {
+                   maxBandSize: Option[Int] = Some(DefaultMaxBandSize)): DataFrame = {
     val sigs = docs
       .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
       .select(col("id"), simhash48FromTokens(col("toks")).as("sig"))

@@ -447,6 +447,7 @@ object EventQueries {
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast(org.apache.spark.sql.types.DecimalType(38, 6)))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 2))
             .cast("double").as("sum_value"))
         .orderBy(col("bucket"))
     },

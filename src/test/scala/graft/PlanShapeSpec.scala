@@ -102,21 +102,40 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("cohorts: raw events shuffle once; only the deduped relation re-shuffles") {
-    val p = planOf("ev_retention_cohorts")
+    // structured traversal (not plan-string offsets): collect the real
+    // Exchange/Window operators and assert the tree relationship
+    GraftSession.prepare(spark)
+    // AQE wraps the plan; collect() doesn't descend through the wrapper
+    val exec = Queries.queriesMap("ev_retention_cohorts")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def hashExchanges(p: SparkPlan): Seq[ShuffleExchangeExec] = p.collect {
+      case e: ShuffleExchangeExec if e.outputPartitioning.isInstanceOf[HashPartitioning] => e
+    }
     // shuffle 1: hash(user_id) for the cohort window (distinct reuses
     // it); shuffle 2: hash(cohort_day, day_offset) over the DEDUPED
     // (user, cohort, offset) relation — bounded by |users|×|days|
-    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
-    assert(hashEx == 2, s"expected two hash exchanges, got $hashEx:\n$p")
-    // plan prints root-first: the cohort-key exchange (above the
-    // window) appears BEFORE it in the string, the user_id exchange
-    // (feeding the window) after it
-    val winIdx = p.indexOf("Window")
-    assert(winIdx >= 0, s"expected a Window node:\n$p")
-    assert(p.indexOf("Exchange hashpartitioning") < winIdx,
-      s"cohort-key exchange must sit ABOVE the window (deduped side only):\n$p")
-    assert(p.lastIndexOf("Exchange hashpartitioning") > winIdx,
-      s"user_id exchange must sit BELOW the window:\n$p")
+    val all = hashExchanges(exec)
+    assert(all.length == 2, s"expected two hash exchanges, got ${all.length}:\n$exec")
+    val windows = exec.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, s"expected a Window node:\n$exec")
+    // the user_id exchange FEEDS the window (sits in its subtree);
+    // the cohort-key exchange sits above it (deduped side only)
+    val below = windows.flatMap(w => hashExchanges(w)).distinct
+    assert(below.length == 1 &&
+      below.head.outputPartitioning.asInstanceOf[HashPartitioning]
+        .expressions.map(_.toString).exists(_.contains("user_id")),
+      s"exactly the user_id exchange must sit below the window:\n$exec")
+    val above = all.filterNot(below.contains)
+    assert(above.length == 1 &&
+      above.head.outputPartitioning.asInstanceOf[HashPartitioning]
+        .expressions.map(_.toString).exists(_.contains("cohort_day")),
+      s"the cohort-key exchange must sit above the window:\n$exec")
   }
 
   test("outliers: per-type stats broadcast back onto the scan (no second data shuffle)") {

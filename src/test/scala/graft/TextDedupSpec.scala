@@ -129,9 +129,31 @@ class TextDedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(capped == Set((100L, 101L)),
       s"cap must drop the mega cluster's pairs and keep the small pair: $capped")
-    // uncapped finds all 40·39/2 mega pairs plus the small pair
-    val full = Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 0)
+    // explicitly uncapped finds all 40·39/2 mega pairs plus the small pair
+    val full = Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 0,
+      maxBandSize = None)
     assert(full.count() == 40L * 39 / 2 + 1)
+  }
+
+  test("simhash hot-band cap is ON by default and bounds per-band work") {
+    // A mega-duplicate cluster one past the default cap: every band
+    // bucket holds DefaultMaxBandSize+1 members, so the DEFAULT path
+    // must drop all of them (bounded Σ|bucket|² per band value) while
+    // keeping the isolated small pair. Uncapped this would be ~5·10⁷
+    // pairs; capped it is exactly one.
+    val n = Dedup.DefaultMaxBandSize + 1
+    val mega = (1L to n.toLong).map(i => (i, "identical mega cluster body text"))
+    val small = Seq((2000000L, "an unrelated isolated duplicate pair"),
+      (2000001L, "an unrelated isolated duplicate pair"))
+    val docs = (mega ++ small).toDF("doc_id", "text")
+    val defaulted = Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(defaulted == Set((2000000L, 2000001L)),
+      s"default cap must drop the mega cluster, keep the small pair: ${defaulted.take(5)}")
+    // below the cap the default path is bit-identical to uncapped
+    // (the fixture-safety property the constant is chosen for)
+    assert(Dedup.simhashPairs(dupDocs, "text", "doc_id", maxHamming = 0).collect().toSet ==
+      Dedup.simhashPairs(dupDocs, "text", "doc_id", maxHamming = 0, maxBandSize = None).collect().toSet)
   }
 
   test("null text propagates null through the text operators (defined contract)") {

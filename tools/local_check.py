@@ -44,9 +44,14 @@ def main(sf_dir, out_dir):
             # driver fixtures store ts as TIMESTAMP(NANOS); SynthScale
             # (Spark) re-writes it as raw INT64 nanos. Expose the same
             # µs-truncated timestamp Spark's reader produces.
-            (ts_type,) = con.execute(
+            row = con.execute(
                 f"SELECT typeof(ts) FROM read_parquet('{path}') LIMIT 1").fetchone()
-            if ts_type == "BIGINT":
+            if row is not None and row[0] == "BIGINT":
+                # DuckDB's `//` on BIGINT truncates toward zero
+                # (verified: (-7)::BIGINT // 2 = -3, not floor's -4),
+                # exactly matching Spark's `ts div 1000` — including
+                # for hypothetical pre-epoch (negative) nanos. Integer
+                # arithmetic throughout; no double rounding.
                 sel = "* REPLACE (make_timestamp(ts // 1000) AS ts)"
         con.execute(
             f"CREATE VIEW {t} AS SELECT {sel} FROM read_parquet('{path}')")
