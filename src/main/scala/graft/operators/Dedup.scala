@@ -208,19 +208,20 @@ object Dedup {
     * (released when the frame is GC'd); it is |incoming|-sized, the
     * smallest relation in the whole computation.
     *
-    * `localCheckpoint` stores those blocks in NON-RELIABLE executor
-    * storage: on a real cluster an executor loss after return makes the
-    * frame unrecoverable (lineage is truncated) and fails the caller's
-    * batch. Fine for local/test; a production ingest loop should
-    * `spark.sparkContext.setCheckpointDir(...)` and swap this for a
-    * reliable `checkpoint(true)` — same eager-materialize + cache-drop
-    * contract, blocks on the cluster FS instead (see the same note on
-    * [[duplicateClustersWithRounds]]).
+    * The default `reliable = false` stores those blocks in NON-RELIABLE
+    * executor storage: on a real cluster an executor loss after return
+    * makes the frame unrecoverable (lineage is truncated) and fails the
+    * caller's batch. Fine for local/test; a production ingest loop
+    * should `spark.sparkContext.setCheckpointDir(...)` and pass
+    * `reliable = true` — same eager-materialize + cache-drop contract,
+    * blocks on the cluster FS instead (see [[materialize]] and the same
+    * note on [[duplicateClustersWithRounds]]).
     */
   def incrementalDedupFlags(docs: DataFrame, textCol: String, idCol: String,
                             isNew: Column, shingleK: Int = 3,
                             numHashes: Int = 12, numBands: Int = 4,
-                            threshold: Double = 0.5): DataFrame = {
+                            threshold: Double = 0.5,
+                            reliable: Boolean = false): DataFrame = {
     val rowsPerBand = numHashes / numBands
     val par = docs.sparkSession.sparkContext.defaultParallelism
     val base = docs.select(col(idCol).as("id"), isNew.as("is_new"), col(textCol).as("txt"))
@@ -273,7 +274,7 @@ object Dedup {
     // materialize once (the caches above make that single job cheap),
     // then drop the intermediates — the caller gets a self-contained
     // frame and the session retains no cache blocks (see scaladoc)
-    val out = flags.localCheckpoint(true)
+    val out = materialize(flags, reliable)
     banded.unpersist(false)
     cand.unpersist(false)
     out
@@ -423,31 +424,53 @@ object Dedup {
     * `pairs` must carry (id_a, id_b); returns (id, cluster_id) for
     * every node incident to an edge.
     */
-  def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame =
-    duplicateClustersWithRounds(pairs, maxIter)._1
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 20,
+                        reliable: Boolean = false): DataFrame =
+    duplicateClustersWithRounds(pairs, maxIter, reliable)._1
+
+  /** Eager materialization + lineage truncation, the per-round barrier
+    * both dedup loops depend on (plans quadruple per round without it).
+    *
+    *   - `reliable = false` (default): `localCheckpoint(true)` —
+    *     executor-local block storage. Fastest; correct on local /
+    *     single-JVM runs, but on a real cluster an executor loss makes
+    *     the truncated lineage unrecoverable and fails the job.
+    *   - `reliable = true`: `checkpoint()` (eager) — blocks on the
+    *     SparkContext checkpoint directory (HDFS/object store at
+    *     cluster scale), surviving executor loss at the cost of one
+    *     cluster-FS round-trip per materialization. Requires
+    *     `sc.setCheckpointDir(...)`; fails fast with a clear message
+    *     otherwise (Spark's own error surfaces mid-job).
+    */
+  private def materialize(df: DataFrame, reliable: Boolean): DataFrame =
+    if (reliable) {
+      require(df.sparkSession.sparkContext.getCheckpointDir.isDefined,
+        "reliable = true requires spark.sparkContext.setCheckpointDir(<cluster-fs path>)")
+      df.checkpoint()
+    } else df.localCheckpoint(true)
 
   /** [[duplicateClusters]] plus the number of rounds actually run
     * (spec hook for the O(log diameter) bound).
     *
-    * FAULT TOLERANCE: per-round materialization uses
-    * `localCheckpoint(true)` — lineage truncation is mandatory here
-    * (plans quadruple per round), but localCheckpoint storage is
-    * non-reliable: losing an executor loses its blocks and fails the
-    * job (Spark cannot recompute truncated lineage). On a real cluster
-    * running hours-long 100 TB clustering, prefer reliable checkpoints:
-    * `sc.setCheckpointDir(hdfsPath)` and replace the two
-    * `localCheckpoint(true)` calls with `checkpoint()` (same plan
-    * shape, adds an HDFS round-trip per round). Local/single-JVM runs
-    * (tests, bench) cannot lose executors, so the fast path is the
-    * right default here.
+    * FAULT TOLERANCE: per-round materialization goes through
+    * [[materialize]] — lineage truncation is mandatory here (plans
+    * quadruple per round). The default `reliable = false` uses
+    * non-reliable `localCheckpoint(true)` storage: losing an executor
+    * loses its blocks and fails the job (Spark cannot recompute
+    * truncated lineage). On a real cluster running hours-long 100 TB
+    * clustering, set `sc.setCheckpointDir(hdfsPath)` and pass
+    * `reliable = true` — same plan shape, adds a cluster-FS round-trip
+    * per round. Local/single-JVM runs (tests, bench) cannot lose
+    * executors, so the fast path is the right default here.
     */
-  def duplicateClustersWithRounds(pairs: DataFrame, maxIter: Int = 20): (DataFrame, Int) = {
+  def duplicateClustersWithRounds(pairs: DataFrame, maxIter: Int = 20,
+                                  reliable: Boolean = false): (DataFrame, Int) = {
     val sc = pairs.sparkSession.sparkContext
     // materialize the pair relation ONCE before symmetrizing: the union
     // references it twice, and near-dup pair generation (inverted-index
     // joins) is far too expensive to recompute per branch. The eager
     // checkpoint also truncates that lineage out of the loop's plans.
-    val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint(true)
+    val p = materialize(pairs.select(col("id_a"), col("id_b")), reliable)
     // count scans the checkpointed blocks (no recompute). No distinct()
     // on the symmetrized union: generators emit unique (a<b) pairs so
     // the two branches cannot collide, and even caller-supplied
@@ -488,12 +511,13 @@ object Dedup {
       // round (4^20 nodes — analyzer OOM long before any data moves).
       // Truncation also unlinks the previous round's blocks → the
       // ContextCleaner frees them as the old frame goes unreachable.
-      val next = hopped.join(m, hopped("root") === col("m_id"), "left")
-        .select(col("id"),
-          coalesce(col("m_root"), col("root")).as("root"),
-          (coalesce(col("m_root"), col("root")) =!= col("old_root"))
-            .cast("long").as("changed"))
-        .localCheckpoint(true)
+      val next = materialize(
+        hopped.join(m, hopped("root") === col("m_id"), "left")
+          .select(col("id"),
+            coalesce(col("m_root"), col("root")).as("root"),
+            (coalesce(col("m_root"), col("root")) =!= col("old_root"))
+              .cast("long").as("changed")),
+        reliable)
       // change count scans only the checkpointed blocks (no recompute);
       // coalesce: SUM over an empty node set is NULL, not 0
       val changes = next.agg(coalesce(sum(col("changed")), lit(0L)))

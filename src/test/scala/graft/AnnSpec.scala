@@ -167,6 +167,34 @@ class AnnSpec extends SparkSpec {
     indexed.unpersist(); emb01.unpersist()
   }
 
+  test("kmeans IVF, clustered corpus: recall@10 ≥ 0.9 probing ≤ nlist/4 (production regime; RECALL.md)") {
+    // The fixture embeddings are near-uniform (worst case — see the
+    // sf0.01 curve test above); THIS is the regime IVF exists for:
+    // locally-clustered corpora where a query's true neighbors share
+    // its cluster. RECALL.md records the full measured curve; this
+    // spec pins the production tuning target per-commit.
+    val nlist = 16
+    val corpus = RecallDump.clusteredCorpus(spark, n = 800, dim = 64,
+      nClusters = 32, sigma = 0.15, seed = 7L).cache()
+    val cents = Ann.kmeansCentroids(corpus, "embedding", nlist, seed = 42L, maxIter = 20)
+    val indexed = Ann.assignClusters(corpus, "embedding", cents).cache()
+    val qs = corpus.filter(col("vec_id") % 160 === 10)
+      .orderBy("vec_id").select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    assert(qs.length >= 5, s"workload too small: ${qs.length}")
+    val np = nlist / 4
+    val recalls = qs.map { qv =>
+      Ann.recallAtK(
+        Ann.search(indexed, "embedding", "vec_id", qv, k = 10, cents, np),
+        Knn.search(corpus, "embedding", "vec_id", qv, k = 10), "vec_id")
+    }
+    val mean = recalls.sum / recalls.length
+    info(s"clustered-corpus mean recall@10 at nprobe=$np/$nlist: $mean")
+    assert(mean >= 0.9,
+      s"recall@10 $mean < 0.9 at nprobe=$np/$nlist on the clustered corpus")
+    indexed.unpersist(); corpus.unpersist()
+  }
+
   test("md5 sign planes: deterministic ±1, recall monotone in radius (parity with gaussian planes)") {
     val planes = Ann.signPlanes(dim = 64, nBits = 10)
     assert(planes.length == 10 && planes.forall(_.length == 64))

@@ -212,6 +212,55 @@ class TextDedupSpec extends SparkSpec {
     assert(rounds <= bound, s"took $rounds rounds, bound $bound")
   }
 
+  test("duplicateClusters reliable mode: identical results, checkpoint-dir blocks, truncated lineage") {
+    val sc = spark.sparkContext
+    assert(sc.getCheckpointDir.isEmpty)
+    // without a checkpoint dir, reliable mode must fail fast — NOT
+    // surface as a mid-job Spark error after shuffles already ran
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.duplicateClusters(pairs, reliable = true)
+    }
+    assert(e.getMessage.contains("setCheckpointDir"))
+
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    sc.setCheckpointDir(ckpt)
+    try {
+      val (rel, relRounds) = Dedup.duplicateClustersWithRounds(pairs, reliable = true)
+      val (loc, locRounds) = Dedup.duplicateClustersWithRounds(pairs, reliable = false)
+      assert(rel.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ==
+        loc.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq)
+      assert(relRounds == locRounds)
+      // the per-round materialization really landed on the reliable dir
+      def fileCount(p: java.io.File): Int =
+        if (p.isDirectory) p.listFiles.map(fileCount).sum else 1
+      assert(fileCount(new java.io.File(ckpt)) > 0,
+        s"expected reliable checkpoint blocks under $ckpt")
+      // lineage is truncated: the returned frame reads checkpointed
+      // blocks (an RDD scan), not the 2×-per-round join tree
+      val leaves = rel.queryExecution.optimizedPlan.collectLeaves()
+      assert(leaves.forall(_.getClass.getSimpleName.contains("LogicalRDD")),
+        s"expected checkpoint-scan leaves, got ${leaves.map(_.getClass.getSimpleName)}")
+
+      // incremental dedup honors the same switch
+      val docs = Seq(
+        (1L, "alpha beta gamma delta epsilon", false),
+        (2L, "alpha beta gamma delta epsilon", true),
+        (3L, "totally novel content here now", true)
+      ).toDF("doc_id", "text", "new_flag")
+      val relInc = Dedup.incrementalDedupFlags(docs, "text", "doc_id",
+        col("new_flag"), reliable = true)
+      val locInc = Dedup.incrementalDedupFlags(docs, "text", "doc_id",
+        col("new_flag"), reliable = false)
+      assert(relInc.collect().map(_.toString).sorted.toSeq ==
+        locInc.collect().map(_.toString).sorted.toSeq)
+    } finally {
+      // leave no checkpoint dir behind for later suites sharing the session
+      sc.setCheckpointDir(null)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    }
+  }
+
   test("tfidf top terms: corpus-common terms score zero, rare terms rank first") {
     val docs = Seq(
       (1L, "apple banana banana common"),
