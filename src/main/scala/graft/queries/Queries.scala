@@ -54,16 +54,19 @@ object Queries {
   /** SUM over doubles with exact decimal accumulation (order-independent —
     * safe to hash-compare against DuckDB), surfaced back as DOUBLE.
     */
-  private def dsum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  private[queries] def dsum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     sum(c.cast(DecimalType(38, 6))).cast(DecimalType(38, 2)).cast("double")
 
   /** Exact decimal TPC-H money arithmetic, shared by every revenue-style
     * aggregate. Casting the PRODUCT of double factors to decimal is not
     * cross-engine-stable: Spark's double→decimal goes through the
-    * shortest string repr (then HALF_UP) while DuckDB rounds the exact
-    * binary value, and for an arbitrary product double the two disagree
-    * ~1e-7 of rows — invisible at sf0.01, a hash mismatch by sf1
-    * (measured: q1 sum_charge off by 3e-6 over 6.7 M rows). Casting
+    * shortest string repr (then HALF_UP) while DuckDB's rounding is
+    * path- and value-dependent (its constant-folding and vectorized
+    * executor paths disagree with each other — probed in
+    * tools/proto_parity.py), and for an arbitrary product double the two
+    * engines disagree ~1e-7 of rows — invisible at sf0.01, a hash
+    * mismatch by sf1 (measured: q1 sum_charge off by 3e-6 over 6.7 M
+    * rows). Casting
     * each 2-decimal FACTOR first is unambiguous (the double sits ~1e-11
     * from the grid, the boundary is 5e-3 away), and everything after is
     * exact decimal arithmetic with identical results in both engines at
@@ -89,11 +92,12 @@ object Queries {
 
   /** SUM of an already-exact decimal PRODUCT expression, surfaced as a
     * cents-TRUNCATED double. Product summands carry 4-6 exact decimals,
-    * so any scale-reduction ROUNDING can land on an exact .5 tie — and
-    * the engines disagree there (Spark decimal casts round HALF_UP,
-    * DuckDB half-to-even; measured as ±0.01 on 5/6 q1 rows). FLOOR has
-    * no tie: floor(sum·100) is the same exact integer in both engines,
-    * fits 2^53 for sums up to ~9e13, and converts to double exactly.
+    * so any scale-reduction rounds — and the engines disagree on HOW:
+    * Spark decimal casts round HALF_UP, DuckDB 1.0 TRUNCATES toward
+    * zero (probed in tools/proto_parity.py; first measured as ±0.01 on
+    * 5/6 q1 rows). FLOOR is mode-free: floor(sum·100) is the same exact
+    * integer in both engines, fits 2^53 for sums up to ~9e13, and
+    * converts to double exactly. FloatParitySpec property-tests this.
     */
   private[queries] def xsum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     floor(sum(c) * 100).cast("double") / lit(100.0)
