@@ -69,4 +69,48 @@ class ZOrderSpec extends SparkSpec {
         f"z-order ($zCov%.3f) should beat the z-unaware layout ($nCov%.3f)")
     } finally { cleanup(zDir); cleanup(naiveDir) }
   }
+
+  test("read path: a 2-D range predicate skips row groups on the z layout, not on hash") {
+    // the envelope-tightness test above proves the stats COULD prune;
+    // this one proves the parquet read path actually DOES: the scan's
+    // numOutputRows metric counts rows decoded after row-group
+    // stats skipping (each ~3.7k-row file here is one row group), so a
+    // selective box predicate on both clustered dims must decode far
+    // less of the z layout than of the same-file-count hash layout
+    val li = Tables.lineitem(spark, sf("sf0.01"))
+      .select($"l_orderkey", $"l_partkey", $"l_suppkey", $"l_extendedprice")
+    val zDir = tmpDir("graft_zskip")
+    val naiveDir = tmpDir("graft_zskip_naive")
+    try {
+      ZOrder.layout(spark, li, Seq("l_partkey", "l_suppkey"), zDir, nFiles = 16)
+      li.repartition(16).write.parquet(naiveDir)
+
+      // ~6% × ~16% of the two key ranges ≈ 1% of the z-space: inside
+      // 1-2 Morton tiles, but inside EVERY hash file's envelope
+      def run(dir: String): (Long, Set[(Long, Long)]) = {
+        val q = spark.read.parquet(dir)
+          .filter($"l_partkey".between(100, 220) && $"l_suppkey".between(10, 25))
+        val rows = q.collect().map(r =>
+          (r.getAs[Long]("l_orderkey"), r.getAs[Long]("l_partkey"))).toSet
+        val exec = q.queryExecution.executedPlan match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+          case p => p
+        }
+        val scan = exec.collectFirst {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+        }.getOrElse(fail(s"no FileSourceScanExec:\n$exec"))
+        (scan.metrics("numOutputRows").value, rows)
+      }
+      val (zScanned, zRows) = run(zDir)
+      val (nScanned, nRows) = run(naiveDir)
+      assert(zRows == nRows, "both layouts must return identical rows")
+      assert(zRows.nonEmpty, "predicate should match something")
+      val total = li.count()
+      info(f"scan decoded rows: z=$zScanned n=$nScanned of $total")
+      assert(nScanned > total / 2,
+        s"hash layout should decode most of the table ($nScanned of $total)")
+      assert(zScanned * 3 < nScanned,
+        s"z layout should decode <1/3 of the hash layout's rows ($zScanned vs $nScanned)")
+    } finally { cleanup(zDir); cleanup(naiveDir) }
+  }
 }
