@@ -199,10 +199,13 @@ object Queries {
     Some(s"""
       |WITH d AS (
       |  SELECT vec_id,
-      |         round(${duckCosine("embedding", vecLit(queryVec64))}, 6) AS distance
+      |         ${duckCosine("embedding", vecLit(queryVec64))} AS dist
       |  FROM embeddings
+      |), top AS (
+      |  SELECT vec_id, dist FROM d ORDER BY dist, vec_id LIMIT 10
       |)
-      |SELECT vec_id, distance FROM d ORDER BY distance, vec_id LIMIT 10
+      |SELECT vec_id, round(dist, 6) AS distance
+      |FROM top ORDER BY distance, vec_id
       """.stripMargin.trim))
 
   private val knnScored = QueryDef(

@@ -48,9 +48,11 @@ object VectorQueries {
       |  SELECT vec_id, label,
       |         ${duckCosine("embedding", vecLit(Queries.queryVec64))} AS dist
       |  FROM embeddings WHERE label IN (2, 5, 8)
+      |), top AS (
+      |  SELECT vec_id, label, dist FROM d ORDER BY dist, vec_id LIMIT 10
       |)
       |SELECT vec_id, label, round(dist, 6) AS distance
-      |FROM d ORDER BY dist, vec_id LIMIT 10
+      |FROM top ORDER BY distance, vec_id
       """.stripMargin.trim))
 
   private val l2Search = QueryDef(
@@ -70,9 +72,11 @@ object VectorQueries {
       |  SELECT vec_id,
       |         ${duckL2("embedding::DOUBLE[]", vecLit(Queries.queryVec64))} AS dist
       |  FROM embeddings
+      |), top AS (
+      |  SELECT vec_id, dist FROM d ORDER BY dist, vec_id LIMIT 10
       |)
       |SELECT vec_id, round(dist, 6) AS distance
-      |FROM d ORDER BY dist, vec_id LIMIT 10
+      |FROM top ORDER BY distance, vec_id
       """.stripMargin.trim))
 
   /** Five deterministic query vectors for the batch search. */
@@ -188,9 +192,11 @@ object VectorQueries {
       |  SELECT vec_id, cluster_id,
       |         ${duckCosine("embedding", qLit)} AS dist
       |  FROM assigned WHERE cluster_id IN (SELECT cid FROM probes)
+      |), top AS (
+      |  SELECT vec_id, cluster_id, dist FROM d ORDER BY dist, vec_id LIMIT 10
       |)
       |SELECT vec_id, cluster_id, round(dist, 6) AS distance
-      |FROM d ORDER BY dist, vec_id LIMIT 10
+      |FROM top ORDER BY distance, vec_id
       """.stripMargin.trim
     })
 
@@ -242,9 +248,11 @@ object VectorQueries {
       |  SELECT c.vec_id, c.lsh_bucket,
       |         ${duckCosine("e.embedding", qLit)} AS dist
       |  FROM cand c JOIN embeddings e ON c.vec_id = e.vec_id
+      |), top AS (
+      |  SELECT vec_id, lsh_bucket, dist FROM d ORDER BY dist, vec_id LIMIT 10
       |)
       |SELECT vec_id, lsh_bucket, round(dist, 6) AS distance
-      |FROM d ORDER BY dist, vec_id LIMIT 10
+      |FROM top ORDER BY distance, vec_id
       """.stripMargin.trim
     })
 
@@ -328,9 +336,11 @@ object VectorQueries {
       |), d AS (
       |  SELECT vec_id, ${duckCosine("embedding", qLit)} AS dist
       |  FROM assigned WHERE cluster_id IN (SELECT cid FROM probes)
+      |), top AS (
+      |  SELECT vec_id, dist FROM d ORDER BY dist, vec_id LIMIT 10
       |)
       |SELECT vec_id, round(dist, 6) AS distance
-      |FROM d ORDER BY dist, vec_id LIMIT 10
+      |FROM top ORDER BY distance, vec_id
       """.stripMargin.trim
     })
 
@@ -375,9 +385,11 @@ object VectorQueries {
         |), d AS (
         |  SELECT vec_id, cluster_id, ${duckCosine("embedding", qLit)} AS dist
         |  FROM assigned WHERE cluster_id IN (SELECT cid FROM probes)
+        |), top AS (
+        |  SELECT vec_id, cluster_id, dist FROM d ORDER BY dist, vec_id LIMIT 10
         |)
         |SELECT vec_id, cluster_id::BIGINT AS cluster_id, round(dist, 6) AS distance
-        |FROM d ORDER BY dist, vec_id LIMIT 10
+        |FROM top ORDER BY distance, vec_id
         """.stripMargin.trim
         // cluster_id::BIGINT: the VALUES literal types cid as INT32,
         // but the Spark result casts to long — the driver gate
@@ -426,9 +438,11 @@ object VectorQueries {
       |  SELECT vec_id, label, cluster_id, ${duckCosine("embedding", qLit)} AS dist
       |  FROM assigned
       |  WHERE cluster_id IN (SELECT cid FROM probes) AND label IN (2, 5, 8)
+      |), top AS (
+      |  SELECT vec_id, label, cluster_id, dist FROM d ORDER BY dist, vec_id LIMIT 10
       |)
       |SELECT vec_id, label, cluster_id, round(dist, 6) AS distance
-      |FROM d ORDER BY dist, vec_id LIMIT 10
+      |FROM top ORDER BY distance, vec_id
       """.stripMargin.trim
     })
 
@@ -526,20 +540,30 @@ object VectorQueries {
       val qArr = Queries.queryVec64
         .map(f => s"CAST(${new java.math.BigDecimal(f.toDouble).toPlainString} AS FLOAT)")
         .mkString("array(", ", ", ")")
+      // two-level shape: top-k SELECTION on the full-precision distance
+      // (the inner Sort+Limit still plans as TakeOrderedAndProject), then
+      // PRESENTATION ordered on the rounded projection — near-ties that
+      // round equal get a cross-engine-deterministic (distance, vec_id)
+      // output order
       s.sql(
-        s"""SELECT vec_id,
-           |       round(cosine_distance(embedding, $qArr), 6) AS distance
-           |FROM embeddings_v
-           |ORDER BY cosine_distance(embedding, $qArr), vec_id
-           |LIMIT 10""".stripMargin)
+        s"""SELECT vec_id, round(d, 6) AS distance
+           |FROM (
+           |  SELECT vec_id, cosine_distance(embedding, $qArr) AS d
+           |  FROM embeddings_v
+           |  ORDER BY d, vec_id
+           |  LIMIT 10
+           |)
+           |ORDER BY distance, vec_id""".stripMargin)
     },
     Some(s"""
       |WITH d AS (
       |  SELECT vec_id, ${duckCosine("embedding", vecLit(Queries.queryVec64))} AS dist
       |  FROM embeddings
+      |), top AS (
+      |  SELECT vec_id, dist FROM d ORDER BY dist, vec_id LIMIT 10
       |)
       |SELECT vec_id, round(dist, 6) AS distance
-      |FROM d ORDER BY dist, vec_id LIMIT 10
+      |FROM top ORDER BY distance, vec_id
       """.stripMargin.trim))
 
   private val centroids = QueryDef(

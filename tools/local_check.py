@@ -5,7 +5,14 @@ Runs each SparkEntry oracle SQL in DuckDB over the same parquet fixtures
 and diffs against the Verify parquet dumps. Usage:
 
     tools/run_main.sh graft.Verify /root/testdata/sf0.01 /tmp/vout
-    python3 tools/local_check.py /root/testdata/sf0.01 /tmp/vout
+    python3 tools/local_check.py /root/testdata/sf0.01 /tmp/vout [--only a,b,c]
+
+At synthesized-decade SFs (sf10: 60M-row lineitem), DuckDB's defaults
+exhaust the box: unlimited memory OOMs the process mid-suite and the
+cwd-relative temp dir fills the root filesystem. The resource caps
+below keep the oracle within one machine's budget; --only re-runs a
+named subset (e.g. the queries past a crash) without repeating the
+hours-long full suite.
 """
 import json
 import math
@@ -31,8 +38,17 @@ def canon(v):
     return v
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=None):
     con = duckdb.connect()
+    # bounded resources: spill to a dedicated temp dir instead of OOM,
+    # and never fill the cwd filesystem silently (see module docstring)
+    con.execute("SET temp_directory='/tmp/graft_duck_tmp'")
+    # default 48GB leaves room for a concurrent Spark JVM; override via
+    # GRAFT_DUCK_MEM when DuckDB runs alone and a spill-heavy oracle
+    # (dedup_incremental at sf10) would otherwise exhaust the disk
+    con.execute(f"SET memory_limit='{os.environ.get('GRAFT_DUCK_MEM', '48GB')}'")
+    con.execute("SET threads=16")
+    con.execute("SET preserve_insertion_order=false")
     for t in TABLES:
         # driver fixtures are single files; synthesized SFs (SynthScale)
         # are Spark-written DIRECTORIES of part files — glob those
@@ -60,6 +76,8 @@ def main(sf_dir, out_dir):
 
     n_pass = n_fail = 0
     for name in sorted(oracles):
+        if only is not None and name not in only:
+            continue
         sql = oracles[name]
         spark_dir = os.path.join(out_dir, name)
         if not os.path.isdir(spark_dir):
@@ -117,4 +135,9 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    only = None
+    if "--only" in sys.argv:
+        i = sys.argv.index("--only")
+        only = set(sys.argv[i + 1].split(","))
+        del sys.argv[i:i + 2]
+    sys.exit(main(sys.argv[1], sys.argv[2], only))
