@@ -28,4 +28,50 @@ class QueriesSmokeSpec extends SparkSpec {
       assert(n < 5000000, s"${q.name} exploded to $n rows at sf0.001")
     }
   }
+
+  // Cross-engine tie safety (the sf10 decade's regression class): a
+  // top-k query's SELECTION runs at full precision (the operator's
+  // TakeOrderedAndProject), but its PRESENTATION must order on the
+  // ROUNDED score projection + unique key — two rows whose distances
+  // round equal can differ in full-precision order between engines, so
+  // presenting on the raw value makes the row order engine-dependent.
+  private val knnPresentation: Seq[(String, String, String, Boolean)] = Seq(
+    // (query, rounded score col, id col, descending)
+    ("knn_exact_cosine", "distance", "vec_id", false),
+    ("knn_exact_l2", "distance", "vec_id", false),
+    ("knn_sql_api", "distance", "vec_id", false),
+    ("knn_filtered_hybrid", "distance", "vec_id", false),
+    ("knn_filtered_ivf_rewrite", "distance", "vec_id", false),
+    ("knn_quantized_rescore", "distance", "vec_id", false),
+    ("ann_ivf_probe", "distance", "vec_id", false),
+    ("ann_ivf_rule_rewrite", "distance", "vec_id", false),
+    ("ann_ivf_kmeans_rewrite", "distance", "vec_id", false),
+    ("ann_lsh_probe", "distance", "vec_id", false),
+    ("knn_mips_topk", "dot", "vec_id", true),
+    ("knn_match_score", "match_score", "vec_id", true))
+
+  knnPresentation.foreach { case (name, scoreCol, idCol, desc) =>
+    test(s"$name presents in (rounded $scoreCol${if (desc) " desc" else ""}, $idCol) order") {
+      val rows = Queries.queriesMap(name)(spark, sf("sf0.001"))
+        .select(scoreCol, idCol).collect()
+        .map(r => (r.getAs[Number](0).doubleValue * (if (desc) -1 else 1),
+          r.getAs[Number](1).longValue))
+      assert(rows.nonEmpty && rows.sameElements(rows.sorted),
+        s"$name output not in presentation order: ${rows.mkString(", ")}")
+    }
+  }
+
+  test("KNN-family oracles end with ORDER BY on the rounded alias, not the raw score") {
+    // the kmeans/embedding late oracles only resolve during a Verify dump;
+    // the static family is checked here, the late ones share the builders
+    knnPresentation.map(_._1).filter(Queries.oracleMap.contains).foreach { name =>
+      val sql = Queries.oracleMap(name)
+      val tail = sql.substring(sql.lastIndexOf("ORDER BY"))
+      // `dist` is the family's raw full-precision column name by
+      // convention; the rounded projection is always aliased away from it
+      assert(!tail.matches("(?s)ORDER BY\\s+dist\\b.*"),
+        s"$name: final ORDER BY must present on the rounded projection, " +
+          s"not the raw distance: $tail")
+    }
+  }
 }
