@@ -344,6 +344,25 @@ object DedupQueries {
     * incoming-batch predicate — shared by the batch `dedup_incremental`
     * oracle and the streaming `stream_ingest_dedup` oracle so the two
     * gates can never drift.
+    *
+    * The Jaccard verify mirrors the Spark side's candidate-doc
+    * restriction (`jaccardOnPairsFromShingles` semi-joins candIds BEFORE
+    * its shingle join) and drives the intersection count from the `cand`
+    * pair, so the count's cost is |cand| × shingles-per-doc. An earlier
+    * revision self-joined the UNRESTRICTED exploded index (Σ df² over
+    * the whole corpus) — semantically identical, but at synthesized sf10
+    * (5M docs, 26M exploded shingles, hot shared shingles) it spilled
+    * past a 94 GB filesystem where the restricted form touches ~1M rows.
+    *
+    * The `AS MATERIALIZED` hints are load-bearing, not cosmetic: DuckDB
+    * inlines plain CTEs per reference, which (a) re-expands the whole
+    * signature→bands→cand chain once per consumer (four band-join
+    * subtrees in one EXPLAIN) and (b) frees the optimizer to run the
+    * shingle equi-join BEFORE the pair restriction — the exact Σ df²
+    * blowup the restriction exists to prevent. Materializing cand / cids
+    * / ex / pa pins the evaluation order: `common` is a single
+    * two-relation join on (doc_id, s), output bounded by |pa|.
+    * Semantics are unchanged (the hint only forces evaluation).
     */
   private[queries] def duckIncrementalCtes(incoming: String => String): String =
     s"""hs AS (
@@ -360,17 +379,22 @@ object DedupQueries {
        |  SELECT doc_id, unnest(list_transform(range(4),
        |    b -> b::VARCHAR || ':' || md5(array_to_string(list_slice(sg, b*3+1, b*3+3), ',')))) AS band
        |  FROM sig
-       |), cand AS (
+       |), cand AS MATERIALIZED (
        |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
        |  FROM bands x JOIN bands y ON x.band = y.band
        |  WHERE ${incoming("x.doc_id")} AND NOT (${incoming("y.doc_id")})
-       |), ex AS (
+       |), cids AS MATERIALIZED (
+       |  SELECT id_a AS doc_id FROM cand UNION SELECT id_b FROM cand
+       |), ex AS MATERIALIZED (
        |  SELECT doc_id, len(shingles)::BIGINT AS n_sh,
-       |         unnest(list_transform(shingles, x -> ('0x' || substring(md5(x), 1, 12))::BIGINT)) AS s FROM sh
+       |         unnest(list_transform(shingles, x -> ('0x' || substring(md5(x), 1, 12))::BIGINT)) AS s
+       |  FROM sh WHERE doc_id IN (SELECT doc_id FROM cids)
+       |), pa AS MATERIALIZED (
+       |  SELECT c.id_a, c.id_b, xa.n_sh AS na, xa.s
+       |  FROM cand c JOIN ex xa ON xa.doc_id = c.id_a
        |), common AS (
-       |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, x.n_sh AS na, y.n_sh AS nb, count(*) AS n_common
-       |  FROM ex x JOIN ex y ON x.s = y.s
-       |  JOIN cand c ON c.id_a = x.doc_id AND c.id_b = y.doc_id
+       |  SELECT p.id_a, p.id_b, p.na AS na, xb.n_sh AS nb, count(*) AS n_common
+       |  FROM pa p JOIN ex xb ON xb.doc_id = p.id_b AND xb.s = p.s
        |  GROUP BY 1, 2, 3, 4
        |), jac AS (
        |  SELECT id_a, id_b,
@@ -380,15 +404,23 @@ object DedupQueries {
        |  SELECT id_a AS id, id_b AS best_match_id, jaccard AS best_jaccard
        |  FROM jac
        |  QUALIFY row_number() OVER (PARTITION BY id_a ORDER BY jaccard DESC, id_b) = 1
-       |), fpx AS (
+       |), fpx AS MATERIALIZED (
        |  SELECT doc_id, md5(norm) AS fp FROM tt
        |)""".stripMargin
 
-  /** Exact-dup EXISTS predicate over `fpx` for a `tt`-aliased doc. */
+  /** Exact-dup EXISTS predicate over `fpx` for a row aliased `tt` that
+    * itself comes FROM `fpx` (so `tt.fp` is in scope). The final selects
+    * deliberately read the narrow materialized `fpx` (doc_id, fp) rather
+    * than `tt`: `tt` carries `norm` (KB of text) and `toks` (a ~400
+    * string list) per row, and hauling those through 5M-row hash joins
+    * is tens of GB of spill at sf10 for columns the output never uses.
+    * `fpx` has exactly one row per `tt` row (doc_id is the documents
+    * PK), so the rewrite is value-identical.
+    */
   private[queries] def duckExactDupExists(incoming: String => String): String =
     s"""(EXISTS (SELECT 1 FROM fpx e
        |                WHERE NOT (${incoming("e.doc_id")})
-       |                  AND e.fp = (SELECT fp FROM fpx n WHERE n.doc_id = tt.doc_id)))""".stripMargin
+       |                  AND e.fp = tt.fp))""".stripMargin
 
   private val incremental = QueryDef(
     "dedup_incremental",
@@ -413,7 +445,7 @@ object DedupQueries {
       |       ${duckExactDupExists(inc)} AS is_exact_dup,
       |       best.best_match_id, best.best_jaccard,
       |       COALESCE(best.best_jaccard >= 0.5, false) AS is_near_dup
-      |FROM tt LEFT JOIN best ON tt.doc_id = best.id
+      |FROM fpx tt LEFT JOIN best ON tt.doc_id = best.id
       |WHERE tt.doc_id % 5 = 0 ORDER BY id
       """.stripMargin.trim
     })

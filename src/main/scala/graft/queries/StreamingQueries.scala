@@ -92,10 +92,10 @@ object StreamingQueries {
       val inc = (c: String) => s"$c % 5 = 0"
       s"""
       |${DedupQueries.duckShingles}, ${DedupQueries.duckIncrementalCtes(inc)}
-      |SELECT doc_id FROM tt WHERE NOT (doc_id % 5 = 0)
+      |SELECT doc_id FROM fpx WHERE NOT (doc_id % 5 = 0)
       |UNION ALL
       |SELECT tt.doc_id
-      |FROM tt LEFT JOIN best ON tt.doc_id = best.id
+      |FROM fpx tt LEFT JOIN best ON tt.doc_id = best.id
       |WHERE tt.doc_id % 5 = 0
       |  AND NOT (${DedupQueries.duckExactDupExists(inc)}
       |           OR COALESCE(best.best_jaccard >= 0.5, false))

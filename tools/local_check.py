@@ -48,7 +48,12 @@ def main(sf_dir, out_dir, only=None):
     # (dedup_incremental at sf10) would otherwise exhaust the disk
     con.execute(f"SET memory_limit='{os.environ.get('GRAFT_DUCK_MEM', '48GB')}'")
     con.execute("SET threads=16")
-    con.execute("SET preserve_insertion_order=false")
+    # Do NOT set preserve_insertion_order=false here: DuckDB 1.0's docs
+    # say it only affects queries without an ORDER BY, but in practice
+    # (witnessed on stream_ingest_dedup at sf1) it can scramble the
+    # output of a query WITH a final ORDER BY — wrapping the set-op in
+    # an ordered subquery doesn't help. This compare is ordered, so the
+    # memory saving isn't worth nondeterministic false FAILs.
     for t in TABLES:
         # driver fixtures are single files; synthesized SFs (SynthScale)
         # are Spark-written DIRECTORIES of part files — glob those
