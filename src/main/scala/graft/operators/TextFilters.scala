@@ -88,4 +88,63 @@ object TextFilters {
       .agg((max(col("c")).cast("double") /
         sum(col("c")).cast("double")).as("top_bigram_frac"))
   }
+
+  /** Per-document fraction of n-gram-occurrence CHARACTERS belonging to
+    * n-grams that occur ≥ 2 times within the document — the second half
+    * of Gopher's repetition battery (Rae et al. 2021 A1.1: the
+    * duplicate-n-gram family, capped at 0.15 for n=5 sliding to 0.10
+    * for n=10). Character mass counts token characters only:
+    * chars(gram) = length(space-joined gram) − (n−1), identical in both
+    * engines by construction.
+    *
+    * Same scale contract as [[topBigramFraction]]: explode ALL n-gram
+    * occurrences → (id, gram) counts → per-doc ratio, two
+    * map-side-combining aggregates. Gram STRINGS never shuffle — a
+    * 48-bit md5 hash plus the char length travel instead, and the
+    * grouping key includes `chars`, so a hash collision between
+    * different-length grams cannot merge groups differently across
+    * engines (the oracle groups on the identical (hash, chars) pair).
+    * Docs with fewer than n tokens produce no row — callers left-join
+    * and coalesce to 0 ("no n-grams" means "no repetition").
+    */
+  def dupNgramCharFraction(docs: DataFrame, toksCol: String, idCol: String,
+                           n: Int): DataFrame =
+    dupNgramCharFractions(docs, toksCol, idCol, Seq(n))
+      .withColumnRenamed(s"dup_${n}gram_char_frac", "dup_char_frac")
+
+  /** The whole n-family in ONE pass: a tagged explode (each n-gram
+    * occurrence becomes (n, hash, chars)) feeds a single
+    * (id, n, gh, chars) count and one per-id aggregate with a
+    * conditional sum pair per n — one corpus scan and one doc-keyed
+    * shuffle chain regardless of |ns| (the per-n composition would scan
+    * and shuffle once per n; at corpus scale the scans dominate).
+    * A doc with n-grams for SOME of `ns` gets 0.0 for the others
+    * (no n-grams = no repetition); a doc shorter than every n is
+    * absent.
+    */
+  def dupNgramCharFractions(docs: DataFrame, toksCol: String, idCol: String,
+                            ns: Seq[Int]): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1), "ns must be non-empty, each >= 1")
+    val toks = col(toksCol)
+    val perN = ns.map { n =>
+      when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n), i =>
+          struct(lit(n).as("n"), array_join(slice(toks, i + 1, lit(n)), " ").as("g"))))
+        .otherwise(array().cast("array<struct<n:int,g:string>>"))
+    }
+    val tagged = docs
+      .select(col(idCol).as("id"), explode(flatten(array(perN: _*))).as("t"))
+      .select(col("id"), col("t.n").as("n"),
+        TextAnalysis.md5Long48(col("t.g")).as("gh"),
+        (length(col("t.g")) - (col("t.n") - lit(1))).cast("long").as("chars"))
+    val counts = tagged.groupBy("id", "n", "gh", "chars").agg(count(lit(1)).as("c"))
+    val fracs = ns.map { n =>
+      val dup = sum(when(col("n") === n && col("c") >= 2, col("c") * col("chars"))
+        .otherwise(lit(0L)))
+      val total = sum(when(col("n") === n, col("c") * col("chars")).otherwise(lit(0L)))
+      when(total > 0, dup.cast("double") / total.cast("double"))
+        .otherwise(lit(0.0)).as(s"dup_${n}gram_char_frac")
+    }
+    counts.groupBy("id").agg(fracs.head, fracs.tail: _*)
+  }
 }

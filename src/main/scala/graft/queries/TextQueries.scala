@@ -470,6 +470,66 @@ object TextQueries {
       |FROM m ORDER BY doc_id
       """.stripMargin.trim))
 
+  /** Renders one n's oracle CTE triple (grams → counts → fraction). */
+  private def duckDupNgram(n: Int): String =
+    s"""g$n AS (
+       |  SELECT doc_id, ('0x' || substring(md5(g), 1, 12))::BIGINT AS gh,
+       |         (length(g) - ${n - 1})::BIGINT AS chars
+       |  FROM (
+       |    SELECT doc_id, unnest(list_transform(range(len(toks) - ${n - 1}),
+       |           i -> array_to_string(list_slice(toks, i + 1, i + $n), ' '))) AS g
+       |    FROM tt WHERE len(toks) >= $n)
+       |), c$n AS (
+       |  SELECT doc_id, gh, chars, count(*) AS c FROM g$n GROUP BY 1, 2, 3
+       |), f$n AS (
+       |  SELECT doc_id, SUM(CASE WHEN c >= 2 THEN c * chars ELSE 0 END)::DOUBLE
+       |           / SUM(c * chars)::DOUBLE AS f
+       |  FROM c$n GROUP BY doc_id
+       |)""".stripMargin
+
+  private val dupNgramsQ = QueryDef(
+    "txt_dup_ngrams",
+    "Duplicate-n-gram repetition gate — the second half of Gopher's " +
+      "repetition battery (Rae et al. 2021 A1.1): per-doc fraction of " +
+      "n-gram-occurrence characters inside n-grams repeated within the " +
+      "document, for n=5 (cap 0.15) and n=10 (cap 0.10), plus n=2 with " +
+      "no cap (the paper's dup family starts at 5, but the fixture's " +
+      "~30-word vocabulary only repeats bigrams within a doc — n=2 is " +
+      "what keeps this oracle discriminating rather than all-zero). " +
+      "Gram strings never shuffle (a 48-bit hash + char length " +
+      "travel); two map-side-combining aggregates per n — the intra-" +
+      "document twin of the cross-document dedup family.",
+    (s, dir) => {
+      import graft.operators.TextFilters
+      val base = docToks(s, dir).select(col("doc_id"), col("toks"))
+      // one-pass family: single scan + single doc-keyed shuffle chain
+      // for all three n (see dupNgramCharFractions scaladoc)
+      val fam = TextFilters.dupNgramCharFractions(base, "toks", "doc_id", Seq(2, 5, 10))
+        .withColumnRenamed("id", "doc_id")
+      base.select(col("doc_id"))
+        .join(fam, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          round(coalesce(col("dup_2gram_char_frac"), lit(0.0)), 6).as("dup_2gram_char_frac"),
+          round(coalesce(col("dup_5gram_char_frac"), lit(0.0)), 6).as("dup_5gram_char_frac"),
+          round(coalesce(col("dup_10gram_char_frac"), lit(0.0)), 6).as("dup_10gram_char_frac"))
+        .withColumn("repetition_pass",
+          col("dup_5gram_char_frac") <= 0.15 && col("dup_10gram_char_frac") <= 0.10)
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      |${Duck.docToks}, ${duckDupNgram(2)}, ${duckDupNgram(5)}, ${duckDupNgram(10)}
+      |SELECT tt.doc_id,
+      |       round(COALESCE(f2.f, 0.0), 6) AS dup_2gram_char_frac,
+      |       round(COALESCE(f5.f, 0.0), 6) AS dup_5gram_char_frac,
+      |       round(COALESCE(f10.f, 0.0), 6) AS dup_10gram_char_frac,
+      |       (round(COALESCE(f5.f, 0.0), 6) <= 0.15
+      |        AND round(COALESCE(f10.f, 0.0), 6) <= 0.10) AS repetition_pass
+      |FROM tt LEFT JOIN f2 ON tt.doc_id = f2.doc_id
+      |        LEFT JOIN f5 ON tt.doc_id = f5.doc_id
+      |        LEFT JOIN f10 ON tt.doc_id = f10.doc_id
+      |ORDER BY tt.doc_id
+      """.stripMargin.trim))
+
   private val piiQ = QueryDef(
     "txt_pii_redact",
     "PII redaction (email / IPv4 / SSN / phone → tags) — the pre-" +
@@ -527,5 +587,5 @@ object TextQueries {
 
   val defs: Seq[QueryDef] =
     Seq(stats, langQ, quality, fp, topTokens, simhashQ, embedQ, embedKnnQ,
-      bm25Q, tfidfQ, chunksQ, packQ, tokenBudgetQ, gopherQ, piiQ)
+      bm25Q, tfidfQ, chunksQ, packQ, tokenBudgetQ, gopherQ, dupNgramsQ, piiQ)
 }

@@ -310,6 +310,39 @@ class TextDedupSpec extends SparkSpec {
     assert(got == Map(1L -> 0.5))
   }
 
+  test("dupNgramCharFraction: repeated grams carry their char mass; short docs absent") {
+    import graft.operators.TextFilters.dupNgramCharFraction
+    val docs = Seq(
+      // 2-grams: "aa bb","bb aa","aa bb","bb cc" — "aa bb" occurs twice
+      // (2 occ × 4 chars = 8 of 4×4=16 total chars) → 0.5
+      (1L, Seq("aa", "bb", "aa", "bb", "cc")),
+      // fully repetitive: every 2-gram is "x x" → 1.0
+      (2L, Seq("x", "x", "x", "x")),
+      // no repeats → 0.0
+      (3L, Seq("a", "b", "c")),
+      // shorter than n → no row (caller coalesces to 0)
+      (4L, Seq("solo")),
+      (5L, Seq.empty[String])
+    ).toDF("doc_id", "toks")
+    val got = dupNgramCharFraction(docs, "toks", "doc_id", 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(1L -> 0.5, 2L -> 1.0, 3L -> 0.0))
+  }
+
+  test("dupNgramCharFraction gates a synthetically repetitive doc at the Gopher caps") {
+    import graft.operators.TextFilters.dupNgramCharFraction
+    // a doc that loops one 5-token phrase 10 times: every 5-gram occurs
+    // repeatedly, so the dup-5gram char fraction is 1.0 — far past the
+    // paper's 0.15 cap; a non-repeating doc of the same length is 0.0
+    val phrase = Seq("alpha", "beta", "gamma", "delta", "epsilon")
+    val looped = (1 to 10).flatMap(_ => phrase)
+    val distinct = (1 to 50).map(i => s"tok$i")
+    val docs = Seq((1L, looped), (2L, distinct)).toDF("doc_id", "toks")
+    val got = dupNgramCharFraction(docs, "toks", "doc_id", 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) == 1.0 && got(2L) == 0.0)
+  }
+
   test("packSequences: exclusive prefix cut every seqLen, independent per shard") {
     import graft.operators.TextChunking.packSequences
     val docs = Seq(
