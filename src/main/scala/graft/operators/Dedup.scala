@@ -544,6 +544,64 @@ object Dedup {
     * (`spark.catalog.clearCache()` between repeated invocations in a
     * long-lived session).
     */
+  /** Cross-document duplicate-window spans — the window-granular
+    * approximation of exact-substring dedup (Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better"): a
+    * w-token window whose space-joined text occurs ≥ 2 times ANYWHERE
+    * in the corpus (another document, or again in the same one) marks a
+    * duplicated span start. Complements [[graft.operators.TextFilters
+    * .dupNgramCharFractions]] (intra-document repetition) with the
+    * corpus-level view a substring-dedup pass acts on.
+    *
+    * Returns one row per input doc: (id, n_windows, n_dup_windows,
+    * covered_tokens, total_tokens). `covered_tokens` is the exact size
+    * of the union of [p, p+w) over duplicated start positions p,
+    * computed with the sorted-lag trick — Σ least(p − lag(p), w) with
+    * the first position contributing w — so no per-token explode is
+    * ever materialized. Docs shorter than w (or empty) report zeroes.
+    *
+    * Scale shape: windows explode once per side (hash + position
+    * travel, never the window string); the duplicated-hash set is one
+    * (hash → count≥2) aggregate with map-side combine; it joins back to
+    * positions as a LEFT SEMI on the 48-bit hash — both sides shuffle
+    * on the hash, skew bounded by true mega-duplicate windows. The
+    * interval union is one window function + aggregate over (id, p) —
+    * a single doc-keyed shuffle chain. The explode is recomputed for
+    * the two consumers from the column-pruned scan (cheaper at corpus
+    * scale than caching terabytes of exploded windows).
+    */
+  def duplicateWindowSpans(docs: DataFrame, toksCol: String, idCol: String,
+                           w: Int): DataFrame = {
+    require(w >= 1, s"window size must be >= 1, got $w")
+    val toks = col(toksCol)
+    val pos = docs
+      .where(size(toks) >= w)
+      .select(col(idCol).as("id"),
+        explode(transform(sequence(lit(0), size(toks) - w), i =>
+          struct(i.as("p"),
+            md5Long48(array_join(slice(toks, i + 1, lit(w)), " ")).as("gh")))).as("t"))
+      .select(col("id"), col("t.p").as("p"), col("t.gh").as("gh"))
+    val dupHashes = pos.groupBy("gh").agg(count(lit(1)).as("c"))
+      .where(col("c") >= 2).select("gh")
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("p")
+    val cov = pos.join(dupHashes, Seq("gh"), "left_semi")
+      .withColumn("d", col("p") - lag("p", 1).over(win))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_dup_windows"),
+        sum(when(col("d").isNull, lit(w)).otherwise(least(col("d"), lit(w))))
+          .as("covered_tokens"))
+    docs
+      .select(col(idCol).as("id"),
+        greatest(size(toks) - w + 1, lit(0)).cast("long").as("n_windows"),
+        size(toks).cast("long").as("total_tokens"))
+      .join(cov, Seq("id"), "left")
+      .select(col("id"), col("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        col("total_tokens"))
+  }
+
   def embeddingNearDupPairs(embs: DataFrame, vecCol: String, idCol: String,
                             blockCol: String, maxDistance: Double): DataFrame = {
     // both join sides consume this projection; when the block column is

@@ -499,7 +499,56 @@ object DedupQueries {
       |GROUP BY 1, 2 ORDER BY 1, 2
       """.stripMargin.trim))
 
+  private val windowSpans = QueryDef(
+    "dedup_window_spans",
+    "Cross-document duplicate-window spans — the window-granular " +
+      "approximation of exact-substring dedup (Lee et al. 2021): a " +
+      "10-token window occurring ≥ 2 times anywhere in the corpus marks " +
+      "a duplicated span start; per doc, report window/dup-window " +
+      "counts and the EXACT union size of the duplicated [p, p+10) " +
+      "intervals via the sorted-lag trick (Σ least(gap, w)) — no " +
+      "per-token explode. Window strings never shuffle (48-bit hash + " +
+      "position travel); the duplicated-hash set is one count≥2 " +
+      "aggregate semi-joined back on the hash. The corpus-level twin " +
+      "of txt_dup_ngrams' intra-document repetition gate.",
+    (s, dir) => {
+      import graft.operators.TextAnalysis.tokens
+      val d = Tables.documentsSpread(s, dir)
+        .withColumn("toks", tokens(col("text")))
+      Dedup.duplicateWindowSpans(d, "toks", "doc_id", 10)
+        .select(col("id").as("doc_id"), col("n_windows"), col("n_dup_windows"),
+          col("covered_tokens"), col("total_tokens"),
+          round(when(col("total_tokens") > 0,
+            col("covered_tokens").cast("double") / col("total_tokens").cast("double"))
+            .otherwise(lit(0.0)), 6).as("dup_span_frac"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      |${Duck.docToks}, pos AS (
+      |  SELECT doc_id, t.p AS p, t.gh AS gh FROM (
+      |    SELECT doc_id, unnest(list_transform(range(len(toks) - 9),
+      |           i -> struct_pack(p := i, gh := ${Duck.md5Long48("array_to_string(list_slice(toks, i + 1, i + 10), ' ')")}))) AS t
+      |    FROM tt WHERE len(toks) >= 10)
+      |), dup AS (SELECT gh FROM pos GROUP BY gh HAVING count(*) >= 2),
+      |cov AS (
+      |  SELECT doc_id, count(*) AS n_dup_windows,
+      |         SUM(CASE WHEN d IS NULL THEN 10 ELSE LEAST(d, 10) END)::BIGINT AS covered_tokens
+      |  FROM (SELECT doc_id, p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS d
+      |        FROM pos SEMI JOIN dup USING (gh))
+      |  GROUP BY doc_id
+      |)
+      |SELECT tt.doc_id,
+      |       GREATEST(len(toks) - 9, 0)::BIGINT AS n_windows,
+      |       COALESCE(n_dup_windows, 0)::BIGINT AS n_dup_windows,
+      |       COALESCE(covered_tokens, 0)::BIGINT AS covered_tokens,
+      |       len(toks)::BIGINT AS total_tokens,
+      |       round(CASE WHEN len(toks) > 0
+      |             THEN COALESCE(covered_tokens, 0)::DOUBLE / len(toks)::DOUBLE
+      |             ELSE 0.0 END, 6) AS dup_span_frac
+      |FROM tt LEFT JOIN cov USING (doc_id) ORDER BY tt.doc_id
+      """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
     Seq(exact, ngram, minhash, simhash, embCos, clusters, canonical,
-      incremental, sourceMatrix)
+      incremental, sourceMatrix, windowSpans)
 }

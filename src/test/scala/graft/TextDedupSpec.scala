@@ -343,6 +343,35 @@ class TextDedupSpec extends SparkSpec {
     assert(got(1L) == 1.0 && got(2L) == 0.0)
   }
 
+  test("duplicateWindowSpans: cross-doc + intra-doc dups, exact interval union") {
+    import graft.operators.Dedup.duplicateWindowSpans
+    val docs = Seq(
+      // "a b c" (p0) also appears in docs 2 and 6 → dup; "b c d" unique
+      (1L, Seq("a", "b", "c", "d")),
+      // "a b c" at p1 → dup; "x a b" unique
+      (2L, Seq("x", "a", "b", "c")),
+      // every window is "q q q" (3 occurrences, intra-doc) → all dup;
+      // union of [0,3),[1,4),[2,5) = 5 tokens
+      (3L, Seq("q", "q", "q", "q", "q")),
+      // shorter than w → zero windows, zero coverage
+      (4L, Seq("z1", "z2")),
+      // all windows unique → zero dup
+      (5L, Seq("m1", "m2", "m3", "m4", "m5")),
+      // dup windows at p0 and p4 with a gap > w: two DISJOINT spans,
+      // union = 3 + 3 = 6 of 7 tokens
+      (6L, Seq("a", "b", "c", "k1", "a", "b", "c"))
+    ).toDF("doc_id", "toks")
+    val got = duplicateWindowSpans(docs, "toks", "doc_id", 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got(1L) == ((2L, 1L, 3L, 4L)))
+    assert(got(2L) == ((2L, 1L, 3L, 4L)))
+    assert(got(3L) == ((3L, 3L, 5L, 5L)))
+    assert(got(4L) == ((0L, 0L, 0L, 2L)))
+    assert(got(5L) == ((3L, 0L, 0L, 5L)))
+    assert(got(6L) == ((5L, 2L, 6L, 7L)))
+  }
+
   test("packSequences: exclusive prefix cut every seqLen, independent per shard") {
     import graft.operators.TextChunking.packSequences
     val docs = Seq(
