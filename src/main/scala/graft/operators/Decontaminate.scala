@@ -46,6 +46,50 @@ object Decontaminate {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** [[flagContaminated]] with a Bloom-filter pre-filter — the shape
+    * for when the benchmark gram set outgrows an exact broadcast. The
+    * exact path broadcasts 8 bytes per distinct bench gram; at ~9 BITS
+    * per item (3% fpp) the bloom stays broadcastable roughly 7× longer.
+    * Corpus grams stream through `mightContain` (a codegen'd literal
+    * predicate — no join, no shuffle), and only the surviving ~fpp
+    * fraction plus true hits reaches the exact confirm semi-join, which
+    * therefore joins a sliver of the corpus instead of all of it (no
+    * broadcast hint: AQE broadcasts while the bench set fits, degrades
+    * to a shuffle join beyond — the beyond-broadcast fallback this
+    * variant exists for). No false negatives + exact confirm ⇒ the output
+    * is IDENTICAL to [[flagContaminated]] for any fpp, which is what
+    * lets the query share the exact oracle.
+    *
+    * The bloom is built by one aggregate over the bench grams and
+    * collected to the driver (a few MB — same order as the broadcast it
+    * replaces); `expectedItems` sizes it (defaults pessimistically to
+    * 1M when the caller has no estimate).
+    */
+  def flagContaminatedBloom(corpus: DataFrame, bench: DataFrame,
+                            textCol: String, idCol: String, n: Int,
+                            minOverlap: Int = 1,
+                            expectedItems: Long = 1000000L): DataFrame = {
+    import graft.functions.BloomFunctions._
+    val benchGrams = gramRelation(bench, textCol, idCol, n)
+      .select(col("g")).distinct()
+    val bloomBytes = benchGrams
+      .agg(bloomFilterAgg(col("g"), expectedItems).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    // empty bench ⇒ null bloom ⇒ nothing can hit; mirror flagContaminated
+    val grams = gramRelation(corpus, textCol, idCol, n)
+    val survivors =
+      if (bloomBytes == null) grams.where(lit(false))
+      else grams.where(mightContain(lit(bloomBytes), col("g")))
+    val counts = survivors.join(benchGrams, Seq("g"), "left_semi")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_hits"))
+      .withColumnRenamed("id", idCol)
+    corpus.join(broadcast(counts), Seq(idCol), "left")
+      .withColumn("n_contaminated_grams", coalesce(col("n_hits"), lit(0L)))
+      .drop("n_hits")
+      .withColumn("contaminated", col("n_contaminated_grams") >= minOverlap)
+  }
+
   /** Corpus rows + `n_contaminated_grams` + `contaminated` flag
     * (overlap ≥ `minOverlap` distinct n-grams). The corpus never
     * shuffles: overlap counts ride a broadcast join back onto the

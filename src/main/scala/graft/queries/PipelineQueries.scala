@@ -122,23 +122,12 @@ object PipelineQueries {
       |GROUP BY lang ORDER BY lang
       """.stripMargin.trim))
 
-  private val decontaminate = QueryDef(
-    "pipeline_decontaminate",
-    "Benchmark decontamination (GPT-3-style n-gram overlap check): " +
-      "docs sharing any 5-gram with the benchmark slice (doc_id ≡ 7 " +
-      "mod 100) are flagged. The benchmark gram set is broadcast — the " +
-      "corpus never shuffles on the gram key; per-doc work is the " +
-      "shared tokenize→shingle→md5 projection.",
-    (s, dir) => {
-      import graft.operators.Decontaminate
-      val d = Tables.documentsSpread(s, dir)
-      val bench = d.filter(pmod(col("doc_id"), lit(100)) === 7)
-      val corpus = d.filter(pmod(col("doc_id"), lit(100)) =!= 7)
-      Decontaminate.flagContaminated(corpus, bench, "text", "doc_id", n = 5)
-        .select(col("doc_id"), col("n_contaminated_grams"), col("contaminated"))
-        .orderBy(col("doc_id"))
-    },
-    Some(s"""
+  /** Shared oracle for both decontamination variants: the bloom path's
+    * output is provably identical to the exact path (no false
+    * negatives + exact confirm join), so one SQL gates both.
+    */
+  private val duckDecontaminate: String =
+    s"""
       |${Duck.docToks}, sh5 AS (
       |  SELECT doc_id, ${Duck.shingles(5)} AS shingles FROM tt
       |), bg AS (
@@ -156,7 +145,52 @@ object PipelineQueries {
       |       COALESCE(hits.n, 0) >= 1 AS contaminated
       |FROM tt LEFT JOIN hits ON tt.doc_id = hits.doc_id
       |WHERE tt.doc_id % 100 <> 7 ORDER BY tt.doc_id
-      """.stripMargin.trim))
+      """.stripMargin.trim
+
+  private val decontaminate = QueryDef(
+    "pipeline_decontaminate",
+    "Benchmark decontamination (GPT-3-style n-gram overlap check): " +
+      "docs sharing any 5-gram with the benchmark slice (doc_id ≡ 7 " +
+      "mod 100) are flagged. The benchmark gram set is broadcast — the " +
+      "corpus never shuffles on the gram key; per-doc work is the " +
+      "shared tokenize→shingle→md5 projection.",
+    (s, dir) => {
+      import graft.operators.Decontaminate
+      val d = Tables.documentsSpread(s, dir)
+      val bench = d.filter(pmod(col("doc_id"), lit(100)) === 7)
+      val corpus = d.filter(pmod(col("doc_id"), lit(100)) =!= 7)
+      Decontaminate.flagContaminated(corpus, bench, "text", "doc_id", n = 5)
+        .select(col("doc_id"), col("n_contaminated_grams"), col("contaminated"))
+        .orderBy(col("doc_id"))
+    },
+    Some(duckDecontaminate))
+
+  private val decontaminateBloom = QueryDef(
+    "pipeline_decontaminate_bloom",
+    "Bloom-prefiltered decontamination — the beyond-broadcast-scale " +
+      "variant of pipeline_decontaminate: the benchmark gram set is " +
+      "compressed into a Bloom filter (~9 bits/item at 3% fpp vs 8 " +
+      "bytes/item for the exact broadcast set), corpus grams stream " +
+      "through a codegen'd might_contain literal (no join, no " +
+      "shuffle), and only the surviving sliver reaches the exact " +
+      "confirm semi-join (no broadcast hint — AQE broadcasts while " +
+      "the bench set is small, degrades to a shuffle join beyond). " +
+      "No false negatives + exact confirm " +
+      "makes the output IDENTICAL to the exact path for any fpp, so " +
+      "both queries share one oracle.",
+    (s, dir) => {
+      import graft.operators.Decontaminate
+      val d = Tables.documentsSpread(s, dir)
+      val bench = d.filter(pmod(col("doc_id"), lit(100)) === 7)
+      val corpus = d.filter(pmod(col("doc_id"), lit(100)) =!= 7)
+      // default 1M expectedItems: right-sized for the fixtures and sf1;
+      // at sf10 the bench outgrows it and fpp degrades — GRACEFULLY
+      // (more survivors to confirm, identical output)
+      Decontaminate.flagContaminatedBloom(corpus, bench, "text", "doc_id", n = 5)
+        .select(col("doc_id"), col("n_contaminated_grams"), col("contaminated"))
+        .orderBy(col("doc_id"))
+    },
+    Some(duckDecontaminate))
 
   private val rebalance = QueryDef(
     "pipeline_rebalance_langs",
@@ -229,5 +263,6 @@ object PipelineQueries {
       """.stripMargin.trim))
 
   val defs: Seq[QueryDef] =
-    Seq(prep, split, balanced, decontaminate, rebalance, weighted)
+    Seq(prep, split, balanced, decontaminate, decontaminateBloom, rebalance,
+      weighted)
 }

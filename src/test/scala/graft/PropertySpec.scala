@@ -116,4 +116,21 @@ class PropertySpec extends AnyFunSuite {
       got.lazyZip(expect).forall((a, b) => math.abs(a - b) < 1e-4)
     })
   }
+
+  test("duplicate-window interval union: sorted-lag sum equals brute-force coverage") {
+    // the arithmetic core of Dedup.duplicateWindowSpans: for sorted
+    // duplicated start positions, Σ (first → w, else min(gap, w))
+    // must equal |∪ [p, p+w)| exactly — overlapping, touching, and
+    // disjoint spans alike
+    val gen = for {
+      w <- Gen.choose(1, 12)
+      ps <- Gen.listOf(Gen.choose(0, 200)).map(_.distinct.sorted)
+    } yield (w, ps)
+    check("intervalUnion", Prop.forAll(gen) { case (w, ps) =>
+      val lagSum = ps.headOption.map(_ => w).getOrElse(0) +
+        ps.lazyZip(ps.drop(1)).map((prev, p) => math.min(p - prev, w)).sum
+      val brute = ps.flatMap(p => p until p + w).distinct.size
+      lagSum == brute
+    }, n = 200)
+  }
 }

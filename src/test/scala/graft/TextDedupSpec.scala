@@ -448,6 +448,41 @@ class TextDedupSpec extends SparkSpec {
     assert(out(2L) == ((0L, false)), s"doc 2 clean: ${out(2L)}")
   }
 
+  test("flagContaminatedBloom reproduces the exact path bit-for-bit") {
+    import graft.operators.Decontaminate
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "prefix words then the quick brown fox jumps and more"),
+      (2L, "completely unrelated content with no benchmark overlap at all"),
+      (3L, "over the lazy dog sentences keep going with extra tokens here"))
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "n_contaminated_grams", "contaminated")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val exact = rows(Decontaminate.flagContaminated(corpus, bench, "text", "doc_id", n = 5))
+    val bloom = rows(Decontaminate.flagContaminatedBloom(corpus, bench, "text", "doc_id", n = 5,
+      expectedItems = 1000L))
+    assert(bloom == exact, s"bloom=$bloom exact=$exact")
+    // degenerate benches: empty (null bloom) and no-overlap
+    val empty = bench.where(lit(false))
+    assert(rows(Decontaminate.flagContaminatedBloom(corpus, empty, "text", "doc_id", n = 5))
+      == rows(Decontaminate.flagContaminated(corpus, empty, "text", "doc_id", n = 5)))
+  }
+
+  test("bloom filter: zero false negatives, bounded false positives") {
+    import graft.functions.BloomFunctions._
+    val keys = (1L to 1000L).toDF("k")
+    val bytes = keys.agg(bloomFilterAgg(col("k"), 1000L).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    // every inserted key must hit (bloom has no false negatives)
+    val hits = keys.where(mightContain(lit(bytes), col("k"))).count()
+    assert(hits == 1000L)
+    // fresh keys: false-positive rate stays near the ~3% design point
+    val fresh = (1000001L to 1010000L).toDF("k")
+    val fp = fresh.where(mightContain(lit(bytes), col("k"))).count()
+    assert(fp < 500L, s"false positives $fp / 10000 exceeds 5%")
+  }
+
   test("PII redaction: all four pattern families redact; clean text untouched") {
     import graft.operators.TextFilters.{redactPii, piiCount, PiiPatterns}
     val rows = Seq(
