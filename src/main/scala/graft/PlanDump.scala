@@ -18,7 +18,9 @@ object PlanDump {
       "ann_ivf_rule_rewrite", "txt_embed_knn_e2e",
       "knn_filtered_ivf_rewrite", "ann_ivf_kmeans_rewrite",
       "ev_gaps_lag_pctrank", "ev_funnel_conversion",
-      "ev_retention_cohorts", "ev_value_outliers", "dq_profile_orders")
+      "ev_retention_cohorts", "ev_value_outliers", "dq_profile_orders",
+      "txt_dup_ngrams", "dedup_window_spans", "dedup_remove_spans",
+      "pipeline_decontaminate_bloom")
     interesting.foreach { name =>
       println(s"\n===== $name =====")
       println(Queries.queriesMap(name)(spark, sfDir).queryExecution.explainString(

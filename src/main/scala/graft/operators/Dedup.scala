@@ -570,17 +570,27 @@ object Dedup {
     * the two consumers from the column-pruned scan (cheaper at corpus
     * scale than caching terabytes of exploded windows).
     */
-  def duplicateWindowSpans(docs: DataFrame, toksCol: String, idCol: String,
-                           w: Int): DataFrame = {
-    require(w >= 1, s"window size must be >= 1, got $w")
+  /** (id, p, gh): every w-token window occurrence as (0-based start,
+    * 48-bit md5 hash of the space-joined window). Docs shorter than w
+    * contribute nothing.
+    */
+  private def windowPositions(docs: DataFrame, toksCol: String, idCol: String,
+                              w: Int): DataFrame = {
     val toks = col(toksCol)
-    val pos = docs
+    docs
       .where(size(toks) >= w)
       .select(col(idCol).as("id"),
         explode(transform(sequence(lit(0), size(toks) - w), i =>
           struct(i.as("p"),
             md5Long48(array_join(slice(toks, i + 1, lit(w)), " ")).as("gh")))).as("t"))
       .select(col("id"), col("t.p").as("p"), col("t.gh").as("gh"))
+  }
+
+  def duplicateWindowSpans(docs: DataFrame, toksCol: String, idCol: String,
+                           w: Int): DataFrame = {
+    require(w >= 1, s"window size must be >= 1, got $w")
+    val toks = col(toksCol)
+    val pos = windowPositions(docs, toksCol, idCol, w)
     val dupHashes = pos.groupBy("gh").agg(count(lit(1)).as("c"))
       .where(col("c") >= 2).select("gh")
     val win = org.apache.spark.sql.expressions.Window
@@ -600,6 +610,46 @@ object Dedup {
         coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
         coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
         col("total_tokens"))
+  }
+
+  /** Exact-substring dedup at window granularity, first-occurrence-wins
+    * (the ACTION of Lee et al. 2021 where [[duplicateWindowSpans]] is
+    * the measurement): for every window hash occurring ≥ 2 times in the
+    * corpus, the lexicographically smallest (id, p) occurrence is
+    * canonical; every OTHER occurrence marks its [p, p+w) for removal
+    * in its document. Returns (id, toks, kept) — `kept` is the token
+    * array with all removal intervals cut out (a canonical occurrence
+    * can still lose tokens to an OVERLAPPING removal interval; interval
+    * removal is token-exact, not occurrence-atomic). Docs with nothing
+    * to remove pass through unchanged.
+    *
+    * Scale shape: the canonical pick is one (gh → min(id,p), count)
+    * aggregate with map-side combine — NOT a row_number window, which
+    * would funnel a mega-duplicate boilerplate hash into one sort
+    * partition; the join back on gh can still skew on such a hash, but
+    * its build side is one row per key, exactly the shape AQE skew-join
+    * splitting handles. Removal positions then collect per doc (bounded
+    * by doc length) and the cut is a per-row HOF — no per-token explode.
+    */
+  def removeDuplicateWindows(docs: DataFrame, toksCol: String, idCol: String,
+                             w: Int): DataFrame = {
+    require(w >= 1, s"window size must be >= 1, got $w")
+    val pos = windowPositions(docs, toksCol, idCol, w)
+    val stats = pos.groupBy("gh")
+      .agg(min(struct(col("id"), col("p"))).as("can"), count(lit(1)).as("c"))
+      .where(col("c") >= 2)
+      .select(col("gh"), col("can"))
+    val rm = pos.join(stats, Seq("gh"))
+      .where(!(col("id") === col("can.id") && col("p") === col("can.p")))
+      .select(col("id"), col("p"))
+    val lists = rm.groupBy("id").agg(sort_array(collect_list(col("p"))).as("ps"))
+    docs.select(col(idCol).as("id"), col(toksCol).as("toks"))
+      .join(lists, Seq("id"), "left")
+      .select(col("id"), col("toks"),
+        when(col("ps").isNull, col("toks"))
+          .otherwise(filter(col("toks"), (_, i) =>
+            !exists(col("ps"), p => p <= i && i < p + w)))
+          .as("kept"))
   }
 
   def embeddingNearDupPairs(embs: DataFrame, vecCol: String, idCol: String,

@@ -548,7 +548,59 @@ object DedupQueries {
       |FROM tt LEFT JOIN cov USING (doc_id) ORDER BY tt.doc_id
       """.stripMargin.trim))
 
+  private val removeSpans = QueryDef(
+    "dedup_remove_spans",
+    "Exact-substring dedup at window granularity, first-occurrence-" +
+      "wins — the ACTION where dedup_window_spans is the measurement " +
+      "(Lee et al. 2021): for every 10-token window repeated anywhere " +
+      "in the corpus, the lexicographically smallest (doc, position) " +
+      "occurrence survives and every other occurrence's interval is " +
+      "cut from its document. Canonical pick is a map-side-combining " +
+      "(hash → min, count) aggregate, NOT a row_number window (which " +
+      "would funnel a mega-duplicate boilerplate hash into one sort " +
+      "partition); the cut is a per-row HOF over collected removal " +
+      "positions. Cleaned docs are md5-fingerprinted so the oracle " +
+      "covers exact kept-token contents.",
+    (s, dir) => {
+      import graft.operators.TextAnalysis.tokens
+      val d = Tables.documentsSpread(s, dir)
+        .withColumn("toks", tokens(col("text")))
+      Dedup.removeDuplicateWindows(d, "toks", "doc_id", 10)
+        .select(col("id").as("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          (size(col("toks")) - size(col("kept"))).cast("long").as("n_removed"),
+          md5(array_join(col("kept"), " ")).as("kept_md5"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      |${Duck.docToks}, pos AS (
+      |  SELECT doc_id, t.p AS p, t.gh AS gh FROM (
+      |    SELECT doc_id, unnest(list_transform(range(len(toks) - 9),
+      |           i -> struct_pack(p := i, gh := ${Duck.md5Long48("array_to_string(list_slice(toks, i + 1, i + 10), ' ')")}))) AS t
+      |    FROM tt WHERE len(toks) >= 10)
+      |), rm AS (
+      |  SELECT doc_id, p FROM (
+      |    SELECT doc_id, p, row_number() OVER (PARTITION BY gh ORDER BY doc_id, p) AS rn
+      |    FROM pos)
+      |  WHERE rn > 1
+      |), lists AS (
+      |  SELECT doc_id, list_sort(list(p)) AS ps FROM rm GROUP BY doc_id
+      |), cl AS (
+      |  SELECT tt.doc_id, toks,
+      |         CASE WHEN ps IS NULL THEN toks ELSE
+      |           list_filter(list_transform(range(len(toks)),
+      |             i -> CASE WHEN len(list_filter(ps, p -> p <= i AND i < p + 10)) > 0
+      |                  THEN NULL ELSE toks[i + 1] END), x -> x IS NOT NULL)
+      |         END AS kept
+      |  FROM tt LEFT JOIN lists ON tt.doc_id = lists.doc_id
+      |)
+      |SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+      |       (len(toks) - len(kept))::BIGINT AS n_removed,
+      |       md5(COALESCE(array_to_string(kept, ' '), '')) AS kept_md5
+      |FROM cl ORDER BY doc_id
+      """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
     Seq(exact, ngram, minhash, simhash, embCos, clusters, canonical,
-      incremental, sourceMatrix, windowSpans)
+      incremental, sourceMatrix, windowSpans, removeSpans)
 }

@@ -301,4 +301,46 @@ class PlanShapeSpec extends SparkSpec {
       new Directory(new java.io.File(dir)).deleteRecursively()
     }
   }
+
+  test("remove-spans: canonical pick is a partial aggregate, never a hash-partition window") {
+    // the mega-duplicate skew guard: row_number() over (partition by gh)
+    // would funnel every occurrence of one boilerplate window hash into
+    // a single sort partition; the min(struct)+count aggregate combines
+    // map-side. The only Window allowed in this plan is none at all —
+    // the interval CUT is a per-row HOF, not a window function.
+    val p = planOf("dedup_remove_spans")
+    assert(!p.contains("Window"), s"no window function expected:\n$p")
+    val aggIdx = p.indexOf("HashAggregate")
+    assert(aggIdx >= 0 && p.indexOf("HashAggregate", aggIdx + 1) > aggIdx,
+      s"expected partial+final HashAggregate for the canonical pick:\n$p")
+  }
+
+  test("window-spans: interval union rides the doc partitioning (no extra id exchange)") {
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    GraftSession.prepare(spark)
+    val exec = Queries.queriesMap("dedup_window_spans")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    def hashExchanges(p: SparkPlan): Seq[ShuffleExchangeExec] = p.collect {
+      case e: ShuffleExchangeExec if e.outputPartitioning.isInstanceOf[HashPartitioning] => e
+    }
+    val windows = exec.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, s"expected a WindowExec (lag over id):\n$exec")
+    // hash exchanges: 3× documentsSpread repartition(doc_id) (spine +
+    // the two window-explode consumers) + 1× hash(gh) under the dup-set
+    // aggregate. A 5th would mean the lag window or the coverage
+    // aggregate re-shuffled on id instead of riding the doc_id
+    // partitioning through the alias (AliasAwareOutputExpression).
+    assert(hashExchanges(exec).length == 4,
+      s"expected 4 hash exchanges (3 doc repartitions + gh agg):\n$exec")
+    // the window subtree holds both explode-side doc repartitions and
+    // the gh aggregate's exchange — and nothing else: no 4th exchange
+    // means the lag/coverage chain reuses the doc_id partitioning
+    assert(hashExchanges(windows.head).length == 3,
+      s"window subtree must hold only 2 doc repartitions + the gh exchange:\n${windows.head}")
+  }
 }

@@ -372,6 +372,31 @@ class TextDedupSpec extends SparkSpec {
     assert(got(6L) == ((5L, 2L, 6L, 7L)))
   }
 
+  test("removeDuplicateWindows: first occurrence survives, later intervals cut") {
+    import graft.operators.Dedup.removeDuplicateWindows
+    val docs = Seq(
+      // "a b c" at (1,0) is the corpus-wide canonical → doc untouched
+      (1L, Seq("a", "b", "c", "d")),
+      // "a b c" at (2,1) is non-canonical → [1,4) cut → kept [x]
+      (2L, Seq("x", "a", "b", "c")),
+      // all windows "q q q"; canonical (3,0), removals [1,4)∪[2,5):
+      // the canonical occurrence itself loses tokens 1-2 to the
+      // overlap (interval removal is token-exact) → kept [q]
+      (3L, Seq("q", "q", "q", "q", "q")),
+      // shorter than w → untouched
+      (4L, Seq("z1", "z2")),
+      // both "a b c" occurrences non-canonical → [0,3)∪[4,7) cut
+      (6L, Seq("a", "b", "c", "k1", "a", "b", "c"))
+    ).toDF("doc_id", "toks")
+    val got = removeDuplicateWindows(docs, "toks", "doc_id", 3)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](2)).toMap
+    assert(got(1L) == Seq("a", "b", "c", "d"))
+    assert(got(2L) == Seq("x"))
+    assert(got(3L) == Seq("q"))
+    assert(got(4L) == Seq("z1", "z2"))
+    assert(got(6L) == Seq("k1"))
+  }
+
   test("packSequences: exclusive prefix cut every seqLen, independent per shard") {
     import graft.operators.TextChunking.packSequences
     val docs = Seq(
