@@ -234,7 +234,7 @@ object Queries {
 
   val all: Seq[QueryDef] =
     Seq(q1, q6, knnExact, knnScored) ++ TextQueries.defs ++ DedupQueries.defs ++
-      RelationalQueries.defs ++ EventQueries.defs ++ VectorQueries.defs ++
+      RelationalQueries.defs ++ TpchDeepQueries.defs ++ EventQueries.defs ++ VectorQueries.defs ++
       MultimodalQueries.defs ++ PipelineQueries.defs ++ StreamingQueries.defs ++
       MaintenanceQueries.defs ++ QualityQueries.defs
 

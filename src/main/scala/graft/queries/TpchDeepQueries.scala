@@ -1,0 +1,294 @@
+package graft.queries
+
+import graft.Tables
+import graft.queries.Queries.{Money, xsum}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** The decorrelation-heavy half of the TPC-H-style surface: correlated
+  * EXISTS / NOT EXISTS, correlated scalar aggregates, group-HAVING
+  * semi joins — the query shapes where the OPTIMIZER (not the operator
+  * set) determines whether the plan survives 100 TB.
+  *
+  * Shapes and what Catalyst must do with them:
+  *   - q4:  correlated EXISTS with a cross-table inequality → left-semi
+  *     join (RewritePredicateSubquery); one fact-fact shuffle.
+  *   - q7:  nation-pair volume: all dims broadcast, ONE orders⋈lineitem
+  *     shuffle; the pair predicate prunes on broadcast dims, never on
+  *     the fact.
+  *   - q10: returned-item revenue ranking: selective flag+date filter
+  *     pushed to the scan before the join, top-k via
+  *     TakeOrderedAndProject (no global sort).
+  *   - q17: correlated scalar aggregate decorrelated BY HAND into a
+  *     pre-aggregate + re-join on the SAME semi-joined scan — at scale
+  *     the per-part average must come from one shuffle, not a
+  *     re-executed subquery per row. All comparisons in exact integer
+  *     arithmetic (quantities are integral) — zero float-parity risk.
+  *   - q18: group-HAVING membership: aggregate lineitem once, the
+  *     having-filtered aggregate IS the (tiny) build side for the join
+  *     back — AQE turns it into a broadcast at runtime.
+  *   - q21: semi + anti correlation on the same fact table
+  *     (multi-supplier orders where exactly one supplier returned) →
+  *     two left-semi/anti joins against re-scans of lineitem, both on
+  *     the SAME l_orderkey partitioning.
+  *   - q22: uncorrelated scalar subquery (one broadcast scalar) + NOT
+  *     EXISTS anti join on orders.
+  *
+  * Fixture adaptations (no partsupp / commitdate / shipmode columns in
+  * the driver schema — SURVEY §6): q4's "late" = shipped >60 days after
+  * order date; q21's "failed" = l_returnflag = 'R'.
+  */
+object TpchDeepQueries {
+
+  private def dsum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sum(c.cast(DecimalType(38, 6))).cast(DecimalType(38, 2)).cast("double")
+
+  private val q4 = QueryDef(
+    "q4_late_order_priority",
+    "TPC-H Q4-style: correlated EXISTS (lineitem shipped >60 days after " +
+      "the order date) → Catalyst RewritePredicateSubquery left-semi " +
+      "join; count by priority.",
+    (s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+      s.sql("""
+        SELECT o_orderpriority, count(*) AS n_late_orders
+        FROM orders_v o
+        WHERE EXISTS (
+          SELECT 1 FROM lineitem_v l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAYS)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+    },
+    Some("""
+      |SELECT o_orderpriority, count(*) AS n_late_orders
+      |FROM orders o
+      |WHERE EXISTS (
+      |  SELECT 1 FROM lineitem l
+      |  WHERE l.l_orderkey = o.o_orderkey
+      |    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority
+      """.stripMargin.trim))
+
+  private val q7 = QueryDef(
+    "q7_nation_volume",
+    "TPC-H Q7-style: supplier-nation × customer-nation shipping volume " +
+      "for one nation pair, by ship year. Dims broadcast; the pair " +
+      "predicate lands on broadcast rows, the fact shuffles once.",
+    (s, dir) => {
+      val nation = Tables.nation(s, dir)
+      val supp = Tables.supplier(s, dir)
+        .join(broadcast(nation.select(col("n_nationkey"), col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("supp_nation"))
+      val cust = Tables.customer(s, dir)
+        .join(broadcast(nation.select(col("n_nationkey"), col("n_name").as("cust_nation"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("cust_nation"))
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir).select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .filter(
+          (col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_7") ||
+          (col("supp_nation") === "NATION_7" && col("cust_nation") === "NATION_3"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(xsum(Money.discPrice).as("revenue"), count(lit(1)).as("n_rows"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    },
+    Some("""
+      |SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+      |       CAST(year(l_shipdate) AS INT) AS l_year,
+      |       CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) * 100) AS DOUBLE) / 100.0 AS revenue,
+      |       count(*) AS n_rows
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation sn ON s_nationkey = sn.n_nationkey
+      |JOIN nation cn ON c_nationkey = cn.n_nationkey
+      |WHERE (sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_7')
+      |   OR (sn.n_name = 'NATION_7' AND cn.n_name = 'NATION_3')
+      |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+      """.stripMargin.trim))
+
+  private val q10 = QueryDef(
+    "q10_returned_revenue",
+    "TPC-H Q10-style returned-item report: flag+date filters pushed to " +
+      "the scans, one fact shuffle, top-20 customers via " +
+      "TakeOrderedAndProject on the exact-decimal revenue.",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+      val ord = Tables.orders(s, dir).filter(
+        col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(xsum(Money.discPrice).as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+    Some("""
+      |SELECT c_custkey, c_name, n_name,
+      |       CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) * 100) AS DOUBLE) / 100.0 AS revenue,
+      |       count(*) AS n_items
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |WHERE l_returnflag = 'R'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+      |GROUP BY 1, 2, 3 ORDER BY revenue DESC, c_custkey LIMIT 20
+      """.stripMargin.trim))
+
+  private val q17 = QueryDef(
+    "q17_small_qty_revenue",
+    "TPC-H Q17-style correlated scalar aggregate (quantity below 20% of " +
+      "the part's average), decorrelated into pre-aggregate + re-join on " +
+      "one semi-joined scan. The threshold compare is exact integer " +
+      "arithmetic (5·qty·cnt < Σqty) — no float boundary risk.",
+    (s, dir) => {
+      val brandParts = Tables.part(s, dir)
+        .filter(col("p_brand") === "Brand#23").select("p_partkey")
+      // Restrict lineitem to the brand's parts ONCE; both the per-part
+      // average and the probe side reuse this scan (ReusedExchange).
+      val li = Tables.lineitem(s, dir)
+        .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"), "left_semi")
+        .select(col("l_partkey"), col("l_quantity").cast("bigint").as("qty"),
+          col("l_extendedprice"))
+      val perPart = li.groupBy(col("l_partkey").as("pp_partkey"))
+        .agg(sum(col("qty")).as("sum_qty"), count(lit(1)).as("n_li"))
+      li.join(broadcast(perPart), col("l_partkey") === col("pp_partkey"))
+        .filter(col("qty") * lit(5L) * col("n_li") < col("sum_qty"))
+        .agg(
+          (floor(dsum(col("l_extendedprice")) / 7.0 * 100.0).cast("double") / 100.0)
+            .as("avg_yearly"),
+          count(lit(1)).as("n_rows"))
+    },
+    Some("""
+      |WITH li AS (
+      |  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty, l_extendedprice
+      |  FROM lineitem
+      |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#23')
+      |), pp AS (
+      |  SELECT l_partkey AS pp_partkey, SUM(qty) AS sum_qty, COUNT(*) AS n_li
+      |  FROM li GROUP BY 1
+      |)
+      |SELECT CAST(FLOOR(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DECIMAL(38,2)) AS DOUBLE) / 7.0 * 100.0) AS DOUBLE) / 100.0 AS avg_yearly,
+      |       COUNT(*) AS n_rows
+      |FROM li JOIN pp ON l_partkey = pp_partkey
+      |WHERE qty * 5 * n_li < sum_qty
+      """.stripMargin.trim))
+
+  private val q18 = QueryDef(
+    "q18_large_volume_orders",
+    "TPC-H Q18-style large-volume orders: aggregate lineitem once, the " +
+      "HAVING-filtered aggregate (204 keys at sf0.01) is the tiny build " +
+      "side joined back to orders/customer — AQE broadcasts it at runtime.",
+    (s, dir) => {
+      val big = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast("bigint")).as("sum_qty"))
+        .filter(col("sum_qty") > 250L)
+      Tables.orders(s, dir)
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(Tables.customer(s, dir).select("c_custkey", "c_name")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+          col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20)
+    },
+    Some("""
+      |SELECT c_name, c_custkey, o_orderkey,
+      |       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+      |       o_totalprice, CAST(sum_qty AS BIGINT) AS sum_qty
+      |FROM orders
+      |JOIN (SELECT l_orderkey, SUM(CAST(l_quantity AS BIGINT)) AS sum_qty
+      |      FROM lineitem GROUP BY 1 HAVING sum_qty > 250) big
+      |  ON o_orderkey = big.l_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+      """.stripMargin.trim))
+
+  private val q21 = QueryDef(
+    "q21_waiting_suppliers",
+    "TPC-H Q21-style: semi + anti correlation on the same fact — the " +
+      "sole returning supplier on multi-supplier finished orders. Both " +
+      "rewritten subqueries join on the SAME l_orderkey key.",
+    (s, dir) => {
+      Tables.supplier(s, dir).createOrReplaceTempView("supplier_v")
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+      Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+      s.sql("""
+        SELECT s_name, count(*) AS numwait
+        FROM supplier_v
+        JOIN lineitem_v l1 ON s_suppkey = l1.l_suppkey
+        JOIN orders_v ON o_orderkey = l1.l_orderkey
+        WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+          AND EXISTS (
+            SELECT 1 FROM lineitem_v l2
+            WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (
+            SELECT 1 FROM lineitem_v l3
+            WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_returnflag = 'R')
+        GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""")
+    },
+    Some("""
+      |SELECT s_name, count(*) AS numwait
+      |FROM supplier
+      |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      |JOIN orders ON o_orderkey = l1.l_orderkey
+      |WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      |  AND EXISTS (
+      |    SELECT 1 FROM lineitem l2
+      |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM lineitem l3
+      |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      |      AND l3.l_returnflag = 'R')
+      |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20
+      """.stripMargin.trim))
+
+  private val q22 = QueryDef(
+    "q22_idle_balance",
+    "TPC-H Q22-style: uncorrelated scalar subquery (avg positive " +
+      "balance, broadcast as one scalar) + NOT EXISTS anti join against " +
+      "the urgent-order subset; per-nation rollup of idle high-balance " +
+      "customers (every fixture customer has SOME order, so the classic " +
+      "no-orders predicate is vacuous — SURVEY §6).",
+    (s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+      Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+      s.sql("""
+        SELECT c_nationkey, count(*) AS numcust,
+               CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DECIMAL(38,2)) AS DOUBLE) AS totacctbal
+        FROM customer_v
+        WHERE CAST(c_acctbal AS DECIMAL(38,6)) > (
+            SELECT avg(CAST(c_acctbal AS DECIMAL(38,6))) FROM customer_v
+            WHERE c_acctbal > 0.0)
+          AND NOT EXISTS (SELECT 1 FROM orders_v
+                          WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        GROUP BY c_nationkey ORDER BY c_nationkey""")
+    },
+    Some("""
+      |SELECT c_nationkey, count(*) AS numcust,
+      |       CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DECIMAL(38,2)) AS DOUBLE) AS totacctbal
+      |FROM customer
+      |WHERE CAST(c_acctbal AS DECIMAL(38,6)) > (
+      |    SELECT avg(CAST(c_acctbal AS DECIMAL(38,6))) FROM customer
+      |    WHERE c_acctbal > 0.0)
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |GROUP BY c_nationkey ORDER BY c_nationkey
+      """.stripMargin.trim))
+
+  val defs: Seq[QueryDef] = Seq(q4, q7, q10, q17, q18, q21, q22)
+}

@@ -343,4 +343,65 @@ class PlanShapeSpec extends SparkSpec {
     assert(hashExchanges(windows.head).length == 3,
       s"window subtree must hold only 2 doc repartitions + the gh exchange:\n${windows.head}")
   }
+
+  // The TPC-H-deep family: correlated subqueries must DECORRELATE —
+  // Catalyst rewrites EXISTS/NOT EXISTS to semi/anti hash joins and
+  // scalar subqueries to one broadcast scalar. A nested-loop or
+  // cartesian fallback here is the difference between one shuffle and
+  // O(n·m) work at 100 TB.
+  private def unwrapped(name: String): SparkPlan = {
+    GraftSession.prepare(spark)
+    Queries.queriesMap(name)(spark, sf("sf0.001"))
+      .queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+  }
+
+  private def joinTypes(p: SparkPlan): Seq[String] =
+    p.collect { case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j.joinType.sql }
+
+  private def assertNoLoopJoins(p: SparkPlan): Unit = {
+    val loops = p.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }
+    assert(loops.isEmpty, s"correlation fell back to a loop join:\n$p")
+  }
+
+  test("q4: correlated EXISTS decorrelates to one left-semi hash join") {
+    val p = unwrapped("q4_late_order_priority")
+    assert(joinTypes(p).count(_ == "LEFT SEMI") == 1, s"expected one semi join:\n$p")
+    assertNoLoopJoins(p)
+  }
+
+  test("q21: semi + anti correlation on the same fact, both as hash joins") {
+    val p = unwrapped("q21_waiting_suppliers")
+    val jt = joinTypes(p)
+    assert(jt.contains("LEFT SEMI") && jt.contains("LEFT ANTI"),
+      s"expected semi AND anti joins, got $jt:\n$p")
+    assertNoLoopJoins(p)
+  }
+
+  test("q22: scalar subquery broadcasts as one scalar; NOT EXISTS is an anti hash join") {
+    val p = unwrapped("q22_idle_balance")
+    assert(joinTypes(p).contains("LEFT ANTI"), s"expected an anti join:\n$p")
+    assertNoLoopJoins(p)
+    // the avg-balance subquery must hang off a Filter as a scalar, not
+    // join against the customer scan
+    assert(p.toString.contains("Subquery subquery"), s"expected a scalar subquery:\n$p")
+  }
+
+  test("q17: per-part average comes from one aggregate broadcast back, not a re-executed subquery") {
+    val p = unwrapped("q17_small_qty_revenue")
+    val broadcasts = p.collect {
+      case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
+    }
+    // brand-part semi builds ×2 + the per-part aggregate build
+    assert(broadcasts.length == 3, s"expected 3 broadcast builds:\n$p")
+    assertNoLoopJoins(p)
+    // the threshold compare is integer arithmetic end-to-end (the
+    // float-parity contract in the querydoc)
+    assert(!p.toString.contains("avg("), s"no floating avg may appear in the plan:\n$p")
+  }
 }
