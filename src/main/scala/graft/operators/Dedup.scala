@@ -665,4 +665,31 @@ object Dedup {
         round(cosineDistance(col("a.v"), col("b.v")), 6).as("cos_dist"))
       .filter(col("cos_dist") <= maxDistance)
   }
+
+  /** SemDeDup-style semantic pruning (Abbas et al. 2023, "SemDeDup:
+    * Data-efficient learning at web-scale through semantic
+    * deduplication"): within each ANN cluster, a vector is pruned iff
+    * some LOWER-id vector sits within `maxDistance` cosine distance —
+    * the deterministic keep-lowest-id variant of the paper's
+    * keep-one-per-ε-group rule (the paper keeps the member farthest
+    * from the centroid; any fixed representative choice gives the same
+    * dedup power, and min-id is retry- and engine-stable). Returns the
+    * input columns plus a `pruned` flag.
+    *
+    * Scale shape: the pairwise step is cluster-blocked
+    * ([[embeddingNearDupPairs]] — Σ|cluster|² work, linear when the
+    * cluster count scales with the corpus); the pruned-id set (≤ one
+    * row per input vector, usually far fewer) is the only thing joined
+    * back, as a build side onto the corpus scan. The distance filter
+    * applies to the 6-decimal-rounded distance, keeping the ε boundary
+    * engine-exact.
+    */
+  def semanticPruneFlags(embs: DataFrame, vecCol: String, idCol: String,
+                         blockCol: String, maxDistance: Double): DataFrame = {
+    val pruned = embeddingNearDupPairs(embs, vecCol, idCol, blockCol, maxDistance)
+      .select(col("id_b").as("_pid")).distinct()
+    embs.join(pruned, embs(idCol) === col("_pid"), "left")
+      .withColumn("pruned", col("_pid").isNotNull)
+      .drop("_pid")
+  }
 }

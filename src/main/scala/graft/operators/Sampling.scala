@@ -107,4 +107,43 @@ object Sampling {
       .limit(k)
       .drop("_wpri")
   }
+  /** Temperature-flattened group resampling: keep each row of group g
+    * with rate (n_min / n_g)^(1-alpha), so kept counts are ∝ n_g^alpha
+    * — alpha = 1 keeps the natural mix, alpha = 0 flattens to uniform
+    * (≈ n_min per group), alpha = 0.5 is the sqrt flattening most
+    * multilingual training mixes use against head-language dominance.
+    * Down-sampling only (the smallest group keeps everything); blowing
+    * UP tail groups is replication, a different operator.
+    *
+    * Determinism/parity: the keep decision is u < r with u the per-row
+    * md5-48 uniform (exact dyadic — bit-identical cross-engine, never
+    * 0) and r the per-group rate. At alpha = 0.5 the rate is
+    * sqrt(n_min/n_g): one correctly-rounded IEEE divide + sqrt, so r is
+    * also bit-identical cross-engine. Other alphas go through pow(),
+    * which is only ≤1-ulp cross-engine (JVM vs libm) — a boundary row
+    * needs u within 1 ulp of r to flip (~2^-48 per row); callers that
+    * hash-gate against another engine should stick to 0.5 (the
+    * registered query does).
+    *
+    * Scale shape: group counts are one map-side-combined aggregate of
+    * |groups| rows, broadcast back onto the scan (with the single-row
+    * global min attached) — the corpus itself is filtered in place:
+    * no corpus shuffle, no window, nothing driver-sized.
+    */
+  def temperatureSample(df: DataFrame, idCol: String, groupCol: String,
+                        alpha: Double = 0.5, salt: String = "tempmix"): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1]: $alpha")
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("_ng"))
+    val nMin = counts.agg(min(col("_ng")).as("_nmin"))
+    val rates = counts.crossJoin(broadcast(nMin))
+      .withColumn("_rate",
+        if (alpha == 0.5) sqrt(col("_nmin").cast("double") / col("_ng").cast("double"))
+        else pow(col("_nmin").cast("double") / col("_ng").cast("double"), lit(1.0 - alpha)))
+      .select(col(groupCol), col("_rate"))
+    val u = (md5Long48(concat(col(idCol).cast("string"), lit(":" + salt))) + lit(1L))
+      .cast("double") / lit(281474976710656.0)
+    df.join(broadcast(rates), Seq(groupCol))
+      .filter(u < col("_rate"))
+      .drop("_rate")
+  }
 }

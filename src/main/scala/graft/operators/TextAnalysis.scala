@@ -248,3 +248,43 @@ object TfIdf {
       .select(col("doc_id"), col("rnk"), col("tok"), score.as("tfidf"))
   }
 }
+
+/** Cross-document n-gram novelty: how much of a document's n-gram
+  * vocabulary appears HERE first (by ascending doc id — ingestion
+  * order in a real pipeline). The corpus-level complement of the
+  * dedup family: near-dup detection asks "how much of this doc exists
+  * elsewhere", novelty scoring asks "how much of this doc is new" —
+  * the signal data-mixing uses to prefer fresh sources over
+  * boilerplate re-crawls (CCNet/RefinedWeb-style corpus curation).
+  */
+object Novelty {
+  import org.apache.spark.sql.DataFrame
+  import TextAnalysis.{md5Long48, shinglesFromTokens}
+
+  /** Per-doc (id, n_grams, n_novel): distinct k-gram count and how many
+    * of them first occur (min doc id over the corpus) in this doc.
+    *
+    * Scale shape: gram STRINGS never shuffle — each occurrence travels
+    * as (48-bit md5, char length), the same collision-safe key pair as
+    * the dup-ngram family. Two hash-keyed exchanges (the first-doc
+    * aggregate, map-side combining, and the join back — the aggregate's
+    * output partitioning satisfies the join's distribution so only the
+    * gram stream re-shuffles) plus one id-keyed aggregate. Skew is
+    * bounded by true mega-duplicate grams: a boilerplate gram's group
+    * is (df × 16 bytes), combined map-side before the exchange.
+    */
+  def ngramNoveltyPerDoc(docs: DataFrame, toksCol: String, idCol: String,
+                         k: Int): DataFrame = {
+    // shinglesFromTokens is array_distinct per doc → (id, gram) unique
+    val grams = docs.select(col(idCol).as("id"),
+        explode(shinglesFromTokens(col(toksCol), k)).as("g"))
+      .select(col("id"), md5Long48(col("g")).as("gh"),
+        length(col("g")).as("glen"))
+    val first = grams.groupBy(col("gh"), col("glen"))
+      .agg(min(col("id")).as("first_id"))
+    grams.join(first, Seq("gh", "glen"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_id") === col("id"), 1L).otherwise(0L)).as("n_novel"))
+  }
+}

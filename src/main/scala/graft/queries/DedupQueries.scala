@@ -176,6 +176,41 @@ object DedupQueries {
     @volatile var lastDir: Option[String] = None
   }
 
+  /** The run-scaled block count (⌈n/1000⌉, min 16 — see embCos querydoc)
+    * recorded for the late-bound oracles.
+    */
+  private def scaledNlist(s: org.apache.spark.sql.SparkSession, dir: String): Int = {
+    val nlist = math.max(16,
+      math.ceil(Tables.embeddings(s, dir).count().toDouble / 1000.0).toInt)
+    EmbBlockStore.nlists(dir) = nlist
+    EmbBlockStore.lastDir = Some(dir)
+    nlist
+  }
+
+  /** Shared late-oracle CTE: seeded-centroid cluster assignment of the
+    * embeddings table (SQL mirror of `Ann.seededCentroids` +
+    * `Ann.assignClusters` at the run's nlist) — `e(vec_id, embedding,
+    * cluster_id)`. Shared by both cluster-blocked embedding queries so
+    * the assignment SQL can't drift between them.
+    */
+  private def duckClusteredEmb(nlist: Int): String =
+    s"""WITH cents AS (
+       |  SELECT vec_id AS cid, embedding::DOUBLE[] AS c FROM embeddings WHERE vec_id < $nlist
+       |), e AS (
+       |  SELECT vec_id, embedding, cid AS cluster_id FROM (
+       |    SELECT emb.vec_id, emb.embedding, c.cid,
+       |           row_number() OVER (PARTITION BY emb.vec_id
+       |                              ORDER BY ${duckL2("emb.embedding::DOUBLE[]", "c.c")}, c.cid) AS rn
+       |    FROM embeddings emb CROSS JOIN cents c
+       |  ) WHERE rn = 1
+       |), p AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |         round(1.0 - list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+       |           (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+       |            sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS cos_dist
+       |  FROM e a JOIN e b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+       |)""".stripMargin
+
   private val embCos = QueryDef(
     "dedup_embedding_cosine",
     "Embedding near-dup scan: 20 closest pairs by cosine distance, " +
@@ -190,9 +225,7 @@ object DedupQueries {
       "it embeds the run's actual nlist.",
     (s, dir) => {
       val e = Tables.embeddings(s, dir)
-      val nlist = math.max(16, math.ceil(e.count().toDouble / 1000.0).toInt)
-      EmbBlockStore.nlists(dir) = nlist
-      EmbBlockStore.lastDir = Some(dir)
+      val nlist = scaledNlist(s, dir)
       val cents = Ann.seededCentroids(e, "embedding", "vec_id", nlist = nlist)
       val indexed = Ann.assignClusters(e, "embedding", cents)
       Dedup.embeddingNearDupPairs(indexed, "embedding", "vec_id", "cluster_id", maxDistance = 2.0)
@@ -202,24 +235,49 @@ object DedupQueries {
     oracle = None,
     oracleLate = Some(() => EmbBlockStore.lastDir.flatMap(EmbBlockStore.nlists.get).map { nlist =>
       s"""
-      |WITH cents AS (
-      |  SELECT vec_id AS cid, embedding::DOUBLE[] AS c FROM embeddings WHERE vec_id < $nlist
-      |), e AS (
-      |  SELECT vec_id, embedding, cid AS cluster_id FROM (
-      |    SELECT emb.vec_id, emb.embedding, c.cid,
-      |           row_number() OVER (PARTITION BY emb.vec_id
-      |                              ORDER BY ${duckL2("emb.embedding::DOUBLE[]", "c.c")}, c.cid) AS rn
-      |    FROM embeddings emb CROSS JOIN cents c
-      |  ) WHERE rn = 1
-      |), p AS (
-      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-      |         round(1.0 - list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
-      |           (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
-      |            sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS cos_dist
-      |  FROM e a JOIN e b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
-      |)
+      |${duckClusteredEmb(nlist)}
       |SELECT id_a, id_b, cos_dist FROM p
       |ORDER BY cos_dist, id_a, id_b LIMIT 20
+      """.stripMargin.trim
+    }))
+
+  private val semPrune = QueryDef(
+    "dedup_semantic_prune",
+    "SemDeDup-style semantic pruning (Abbas et al. 2023): within each " +
+      "ANN cluster (seeded centroids, run-scaled nlist — same blocking " +
+      "as dedup_embedding_cosine), prune every vector with a lower-id " +
+      "neighbor at cosine distance ≤ 0.62 — the deterministic " +
+      "keep-lowest-id variant of keep-one-per-ε-group. ε sits at the " +
+      "fixture's 0.1% closest-pair quantile (the corpus has no true " +
+      "near-dups — SURVEY §6), exercising a non-vacuous boundary. " +
+      "Output: per-cluster kept/pruned counts + exact pruned-id " +
+      "checksum (all-integer — zero float-parity surface beyond the " +
+      "6-decimal ε boundary, which both engines compare on the rounded " +
+      "distance).",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val nlist = scaledNlist(s, dir)
+      val cents = Ann.seededCentroids(e, "embedding", "vec_id", nlist = nlist)
+      val indexed = Ann.assignClusters(e, "embedding", cents)
+      Dedup.semanticPruneFlags(indexed, "embedding", "vec_id", "cluster_id",
+          maxDistance = 0.62)
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(when(col("pruned"), 1L).otherwise(0L)).as("n_pruned"),
+          coalesce(sum(when(col("pruned"), col("vec_id"))), lit(0L)).as("pruned_id_sum"))
+        .orderBy(col("cluster_id"))
+    },
+    oracle = None,
+    oracleLate = Some(() => EmbBlockStore.lastDir.flatMap(EmbBlockStore.nlists.get).map { nlist =>
+      s"""
+      |${duckClusteredEmb(nlist)}, pr AS (
+      |  SELECT DISTINCT id_b FROM p WHERE cos_dist <= 0.62
+      |)
+      |SELECT cluster_id, count(*) AS n_vecs,
+      |       CAST(count(pr.id_b) AS BIGINT) AS n_pruned,
+      |       CAST(COALESCE(SUM(pr.id_b), 0) AS BIGINT) AS pruned_id_sum
+      |FROM e LEFT JOIN pr ON e.vec_id = pr.id_b
+      |GROUP BY cluster_id ORDER BY cluster_id
       """.stripMargin.trim
     }))
 
@@ -601,6 +659,6 @@ object DedupQueries {
       """.stripMargin.trim))
 
   val defs: Seq[QueryDef] =
-    Seq(exact, ngram, minhash, simhash, embCos, clusters, canonical,
+    Seq(exact, ngram, minhash, simhash, embCos, semPrune, clusters, canonical,
       incremental, sourceMatrix, windowSpans, removeSpans)
 }

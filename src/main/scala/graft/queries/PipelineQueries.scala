@@ -262,7 +262,48 @@ object PipelineQueries {
       |FROM top
       """.stripMargin.trim))
 
+  private val temperature = QueryDef(
+    "pipeline_temperature_mix",
+    "Temperature-flattened language mix (α = 0.5 — the sqrt flattening " +
+      "multilingual training mixes apply against head-language " +
+      "dominance): keep each doc of language g with rate " +
+      "sqrt(n_min/n_g), so kept counts are ∝ √n_g and the smallest " +
+      "language keeps everything. Decision = md5-48 uniform < rate; at " +
+      "α=0.5 the rate is one IEEE divide + sqrt — bit-identical " +
+      "cross-engine (no pow — Sampling.temperatureSample scaladoc). " +
+      "Group rates broadcast onto the scan: the corpus never shuffles.",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val kept = Sampling.temperatureSample(docs, "doc_id", "lang", alpha = 0.5)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"),
+          sum(col("doc_id")).as("kept_id_sum"))
+      docs.groupBy(col("lang")).agg(count(lit(1)).as("n_orig"))
+        .join(kept, Seq("lang"), "left")
+        .select(col("lang"), col("n_orig"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("kept_id_sum"), lit(0L)).as("kept_id_sum"))
+        .orderBy(col("lang"))
+    },
+    Some(s"""
+      |WITH cnt AS (
+      |  SELECT lang, count(*) AS ng FROM documents GROUP BY 1
+      |), r AS (
+      |  SELECT lang, ng, sqrt((SELECT min(ng) FROM cnt)::DOUBLE / ng::DOUBLE) AS rate
+      |  FROM cnt
+      |), kept AS (
+      |  SELECT d.lang, count(*) AS n_kept, CAST(SUM(d.doc_id) AS BIGINT) AS kept_id_sum
+      |  FROM documents d JOIN r ON d.lang = r.lang
+      |  WHERE (${Duck.md5Long48("d.doc_id::VARCHAR || ':tempmix'")} + 1) / 281474976710656.0 < r.rate
+      |  GROUP BY 1
+      |)
+      |SELECT cnt.lang, cnt.ng AS n_orig,
+      |       COALESCE(kept.n_kept, 0) AS n_kept,
+      |       COALESCE(kept.kept_id_sum, 0) AS kept_id_sum
+      |FROM cnt LEFT JOIN kept ON cnt.lang = kept.lang
+      |ORDER BY cnt.lang
+      """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
     Seq(prep, split, balanced, decontaminate, decontaminateBloom, rebalance,
-      weighted)
+      weighted, temperature)
 }

@@ -585,7 +585,51 @@ object TextQueries {
       """.stripMargin.trim
     })
 
+  private val noveltyQ = QueryDef(
+    "txt_ngram_novelty",
+    "Cross-document n-gram novelty profile (CCNet/RefinedWeb-style " +
+      "curation signal): per source, what fraction of member docs' " +
+      "distinct 3-grams occur THERE first (global min doc id = " +
+      "ingestion order) — re-crawled boilerplate sources score low, " +
+      "fresh ones high. Gram strings never shuffle (48-bit hash + char " +
+      "length travel — operators.Novelty); the share is exact integer " +
+      "arithmetic surfaced through one deterministic double divide.",
+    (s, dir) => {
+      import graft.operators.Novelty
+      val docs = docToks(s, dir)
+      val perDoc = Novelty.ngramNoveltyPerDoc(docs, "toks", "doc_id", k = 3)
+        .withColumnRenamed("id", "doc_id")
+      perDoc.join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_grams")).as("total_grams"),
+          sum(col("n_novel")).as("novel_grams"))
+        .withColumn("novelty_pct",
+          floor(col("novel_grams").cast("double") * 10000.0
+            / col("total_grams").cast("double")).cast("double") / 100.0)
+        .orderBy(col("source"))
+    },
+    Some(s"""
+      |${Duck.docToks}, g AS (
+      |  SELECT doc_id, ${Duck.md5Long48("s")} AS gh, length(s) AS glen
+      |  FROM (SELECT doc_id, unnest(${Duck.shingles(3)}) AS s FROM tt)
+      |), f AS (
+      |  SELECT gh, glen, min(doc_id) AS first_id FROM g GROUP BY 1, 2
+      |), pd AS (
+      |  SELECT g.doc_id, count(*) AS n_grams,
+      |         SUM(CASE WHEN f.first_id = g.doc_id THEN 1 ELSE 0 END) AS n_novel
+      |  FROM g JOIN f USING (gh, glen) GROUP BY 1
+      |)
+      |SELECT source, count(*) AS n_docs,
+      |       CAST(SUM(n_grams) AS BIGINT) AS total_grams,
+      |       CAST(SUM(n_novel) AS BIGINT) AS novel_grams,
+      |       FLOOR(SUM(n_novel)::DOUBLE * 10000.0 / SUM(n_grams)::DOUBLE) / 100.0 AS novelty_pct
+      |FROM pd JOIN tt USING (doc_id)
+      |GROUP BY source ORDER BY source
+      """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
     Seq(stats, langQ, quality, fp, topTokens, simhashQ, embedQ, embedKnnQ,
-      bm25Q, tfidfQ, chunksQ, packQ, tokenBudgetQ, gopherQ, dupNgramsQ, piiQ)
+      bm25Q, tfidfQ, chunksQ, packQ, tokenBudgetQ, gopherQ, dupNgramsQ, piiQ,
+      noveltyQ)
 }

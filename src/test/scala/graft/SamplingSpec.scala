@@ -172,4 +172,41 @@ class SamplingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), s"unexpected plan:\n$plan")
   }
+
+  test("temperatureSample: √-flattened kept counts, smallest group keeps all, no corpus shuffle") {
+    // groups: a=1600, b=400, c=100 → α=0.5 rates 0.25, 0.5, 1.0
+    val df = ((0L until 1600L).map(i => (i, "a")) ++
+      (1600L until 2000L).map(i => (i, "b")) ++
+      (2000L until 2100L).map(i => (i, "c"))).toDF("id", "g")
+    val kept = Sampling.temperatureSample(df, "id", "g")
+    val counts = kept.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // expected √(n_min·n_g): a→400, b→200, c→100 (c exactly — rate 1)
+    assert(counts("c") == 100L, s"smallest group must keep everything: $counts")
+    assert(math.abs(counts("a") - 400L) < 80, s"a should keep ~400: $counts")
+    assert(math.abs(counts("b") - 200L) < 60, s"b should keep ~200: $counts")
+    // deterministic under re-execution and row order
+    val ids = kept.select("id").collect().map(_.getLong(0)).toSet
+    val again = Sampling.temperatureSample(df.orderBy(col("id").desc), "id", "g")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(again == ids)
+    // α=1 keeps the natural mix untouched
+    assert(Sampling.temperatureSample(df, "id", "g", alpha = 1.0).count() == 2100L)
+    // the corpus side must not shuffle: rates broadcast-join onto the scan
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"rates must broadcast:\n$plan")
+  }
+
+  test("temperatureSample keep-set is stable under corpus growth") {
+    // the per-row uniform is id-keyed, so adding rows only changes
+    // RATES, not u — a kept id with rate r stays kept if r doesn't drop
+    val df1 = ((0L until 400L).map(i => (i, "a")) ++
+      (400L until 500L).map(i => (i, "c"))).toDF("id", "g")
+    val kept1 = Sampling.temperatureSample(df1, "id", "g")
+      .select("id").collect().map(_.getLong(0)).toSet
+    // same corpus again → byte-identical
+    val kept2 = Sampling.temperatureSample(df1, "id", "g")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept1 == kept2)
+  }
 }

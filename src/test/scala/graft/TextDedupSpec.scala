@@ -528,4 +528,31 @@ class TextDedupSpec extends SparkSpec {
     assert(counts(1).getLong(1) == 1 && counts(1).getLong(2) == 1) // ip + ssn
     assert(counts(2).toSeq == Seq(0L, 0L, 0L, 0L))
   }
+
+  test("ngramNoveltyPerDoc: first doc owns its grams; exact copies score zero novelty") {
+    import graft.operators.Novelty
+    val docs = Seq(
+      (1L, "w x y z q"),
+      (2L, "w x y z q"),                 // exact copy of doc 1
+      (3L, "w x y z new1 new2 new3"))    // 2 of 5 grams seen in doc 1
+      .toDF("doc_id", "text")
+      .withColumn("toks", tokens(normalize(col("text"))))
+    val out = Novelty.ngramNoveltyPerDoc(docs, "toks", "doc_id", k = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) == (3L, 3L), s"doc 1 must own all its grams: $out")
+    assert(out(2L) == (3L, 0L), s"an exact later copy has zero novelty: $out")
+    assert(out(3L) == (5L, 3L), s"doc 3: 3 of 5 grams are new: $out")
+  }
+
+  test("semanticPruneFlags prunes higher-id eps-neighbors within a cluster only") {
+    val df = Seq(
+      (0L, 0, Array(1.0f, 0.0f)),    // keeper (lowest id of its eps-group)
+      (1L, 0, Array(1.0f, 0.001f)),  // near-identical, same cluster -> pruned
+      (2L, 0, Array(0.0f, 1.0f)),    // orthogonal, same cluster -> kept
+      (3L, 1, Array(1.0f, 0.0f)))    // identical direction, OTHER cluster -> kept
+      .toDF("id", "blk", "v")
+    val out = Dedup.semanticPruneFlags(df, "v", "id", "blk", maxDistance = 0.1)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(out == Map(0L -> false, 1L -> true, 2L -> false, 3L -> false), out.toString)
+  }
 }
