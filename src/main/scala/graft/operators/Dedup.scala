@@ -425,8 +425,22 @@ object Dedup {
     * every node incident to an edge.
     */
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 20,
-                        reliable: Boolean = false): DataFrame =
-    duplicateClustersWithRounds(pairs, maxIter, reliable)._1
+                        reliable: Boolean = false,
+                        localThreshold: Long = DefaultCcLocalThreshold): DataFrame =
+    duplicateClustersWithRounds(pairs, maxIter, reliable, localThreshold)._1
+
+  /** Directed-edge count at or below which the CC loop short-circuits
+    * to a driver-side union-find (4M directed edges = 2M near-dup
+    * pairs ≈ 32 MB on the driver). The pointer-doubling loop exists
+    * for graphs that DON'T fit a driver — per round it pays two joins,
+    * an aggregate, a materialization barrier, and a count action, so
+    * on the sparse graphs dedup actually produces (near-dup pairs are
+    * ≪ corpus size) the distributed loop is pure fixed overhead. Same
+    * adaptive local-fallback idea as AQE's runtime broadcast demotion:
+    * the plan is chosen by the measured size, not the operator's worst
+    * case, and the result is identical (spec'd both paths).
+    */
+  val DefaultCcLocalThreshold: Long = 4000000L
 
   /** Eager materialization + lineage truncation, the per-round barrier
     * both dedup loops depend on (plans quadruple per round without it).
@@ -464,7 +478,8 @@ object Dedup {
     * executors, so the fast path is the right default here.
     */
   def duplicateClustersWithRounds(pairs: DataFrame, maxIter: Int = 20,
-                                  reliable: Boolean = false): (DataFrame, Int) = {
+                                  reliable: Boolean = false,
+                                  localThreshold: Long = DefaultCcLocalThreshold): (DataFrame, Int) = {
     val sc = pairs.sparkSession.sparkContext
     // materialize the pair relation ONCE before symmetrizing: the union
     // references it twice, and near-dup pair generation (inverted-index
@@ -477,6 +492,34 @@ object Dedup {
     // duplicate edges are harmless under a min() aggregate — not worth
     // a shuffle to dedup.
     val edgeCount = p.count() * 2
+    if (edgeCount <= localThreshold) {
+      // adaptive local fallback (see DefaultCcLocalThreshold): the
+      // measured graph fits the driver comfortably — union-find there
+      // beats O(log diameter) rounds of cluster jobs outright. Rounds
+      // reported as 0 distinguishes the path for callers/specs.
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val es = p.select(col("id_a").cast("long"), col("id_b").cast("long"))
+        .as[(Long, Long)].collect()
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        // path compression
+        var c = x
+        while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        // union to the smaller root: roots stay the component minimum,
+        // matching the distributed loop's min-label semantics
+        if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+      }
+      val out = parent.keys.toSeq.map(id => (id, find(id)))
+      return (out.toDF("id", "cluster_id"), 0)
+    }
     // per-round fixed task overhead dominates on sparse dedup graphs;
     // size the loop's parallelism from the data: ~1M edges per
     // partition, capped by the cluster's parallelism

@@ -202,7 +202,10 @@ class TextDedupSpec extends SparkSpec {
   test("duplicateClusters: pointer doubling converges in O(log diameter) rounds on a chain") {
     val n = 64 // worst case for plain propagation: diameter 63
     val pairs = (1L until n).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val (clusters, rounds) = Dedup.duplicateClustersWithRounds(pairs, maxIter = 20)
+    // localThreshold = 0 forces the distributed loop — the property
+    // under test here; the adaptive local path is covered separately
+    val (clusters, rounds) =
+      Dedup.duplicateClustersWithRounds(pairs, maxIter = 20, localThreshold = 0L)
     val rows = clusters.collect().map(r => r.getLong(0) -> r.getLong(1))
     assert(rows.length == n)
     assert(rows.forall(_._2 == 1L), "every chain node must land in cluster 1")
@@ -212,6 +215,21 @@ class TextDedupSpec extends SparkSpec {
     assert(rounds <= bound, s"took $rounds rounds, bound $bound")
   }
 
+  test("duplicateClusters adaptive local fallback equals the distributed loop (rounds = 0)") {
+    // irregular component structure: chain + triangle + isolated pair
+    val pairs = (Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)) ++
+      Seq((20L, 21L), (21L, 22L), (20L, 22L)) ++ Seq((30L, 31L)))
+      .toDF("id_a", "id_b")
+    val (local, localRounds) = Dedup.duplicateClustersWithRounds(pairs)
+    val (dist, distRounds) =
+      Dedup.duplicateClustersWithRounds(pairs, localThreshold = 0L)
+    assert(localRounds == 0, "small graphs must take the driver union-find")
+    assert(distRounds > 0, "threshold 0 must force the distributed loop")
+    assert(local.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ==
+      dist.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq,
+      "both paths must produce identical min-label clusterings")
+  }
+
   test("duplicateClusters reliable mode: identical results, checkpoint-dir blocks, truncated lineage") {
     val sc = spark.sparkContext
     assert(sc.getCheckpointDir.isEmpty)
@@ -219,15 +237,17 @@ class TextDedupSpec extends SparkSpec {
     // surface as a mid-job Spark error after shuffles already ran
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
     val e = intercept[IllegalArgumentException] {
-      Dedup.duplicateClusters(pairs, reliable = true)
+      Dedup.duplicateClusters(pairs, reliable = true, localThreshold = 0L)
     }
     assert(e.getMessage.contains("setCheckpointDir"))
 
     val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
     sc.setCheckpointDir(ckpt)
     try {
-      val (rel, relRounds) = Dedup.duplicateClustersWithRounds(pairs, reliable = true)
-      val (loc, locRounds) = Dedup.duplicateClustersWithRounds(pairs, reliable = false)
+      val (rel, relRounds) =
+        Dedup.duplicateClustersWithRounds(pairs, reliable = true, localThreshold = 0L)
+      val (loc, locRounds) =
+        Dedup.duplicateClustersWithRounds(pairs, reliable = false, localThreshold = 0L)
       assert(rel.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ==
         loc.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq)
       assert(relRounds == locRounds)
