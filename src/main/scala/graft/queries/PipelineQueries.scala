@@ -303,7 +303,73 @@ object PipelineQueries {
       |ORDER BY cnt.lang
       """.stripMargin.trim))
 
+  private val mixReport = QueryDef(
+    "pipeline_mix_report",
+    "The end-of-pipeline data card, four stages composed in ONE " +
+      "oracle-checked query: exact-dedup (keep first per fingerprint) → " +
+      "quality gate (≥ 0.45) → temperature-flattened language mix " +
+      "(α = 0.5 over the GATED corpus — rates derive from post-gate " +
+      "counts) → per-language token budget with share-of-mix. The " +
+      "report a training run actually consumes. One wide op per stage " +
+      "(dedup rank, rate broadcast, final rollup); the share divides " +
+      "exact integer token counts once in double.",
+    (s, dir) => {
+      val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+      val gated = Tables.documentsSpread(s, dir)
+        .withColumn("norm", normalize(col("text")))
+        .withColumn("toks", tokensFromNorm(col("norm")))
+        .withColumn("fp", md5(col("norm")))
+        .withColumn("dup_rank", row_number().over(w))
+        .filter(col("dup_rank") === 1)
+        .withColumn("quality", round(qualityScoreFromParts(col("toks"), col("norm")), 6))
+        .filter(col("quality") >= 0.45)
+      val kept = Sampling.temperatureSample(gated, "doc_id", "lang",
+        alpha = 0.5, salt = "mixreport")
+      val agg = kept.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(col("toks")).cast("long")).as("n_tokens"))
+      agg.withColumn("token_share_pct",
+          floor(col("n_tokens").cast("double") * 10000.0
+            / sum(col("n_tokens")).over(Window.partitionBy()).cast("double"))
+            .cast("double") / 100.0)
+        .orderBy(col("lang"))
+    },
+    Some(s"""
+      |${Duck.docToks}, deduped AS (
+      |  SELECT doc_id, lang, norm, toks
+      |  FROM tt
+      |  QUALIFY row_number() OVER (PARTITION BY md5(norm) ORDER BY doc_id) = 1
+      |), scored AS (
+      |  SELECT doc_id, lang, len(toks)::BIGINT AS n,
+      |         ${Duck.hits(stopwords("en"))} AS en_hits,
+      |         ${Duck.punct} AS np,
+      |         length(norm) AS nc
+      |  FROM deduped
+      |), gated AS (
+      |  SELECT doc_id, lang, n FROM scored
+      |  WHERE round(CASE WHEN n = 0 THEN 0.0 ELSE
+      |          0.4 * least(1.0, en_hits::DOUBLE * 8.0 / n::DOUBLE)
+      |          + 0.3 * least(1.0, n::DOUBLE / 50.0)
+      |          + 0.3 * (1.0 - np::DOUBLE / nc::DOUBLE) END, 6) >= 0.45
+      |), cnt AS (
+      |  SELECT lang, count(*) AS ng FROM gated GROUP BY 1
+      |), r AS (
+      |  SELECT lang, sqrt((SELECT min(ng) FROM cnt)::DOUBLE / ng::DOUBLE) AS rate
+      |  FROM cnt
+      |), kept AS (
+      |  SELECT g.* FROM gated g JOIN r USING (lang)
+      |  WHERE (${Duck.md5Long48("g.doc_id::VARCHAR || ':mixreport'")} + 1) / 281474976710656.0 < r.rate
+      |), agg AS (
+      |  SELECT lang, count(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS n_tokens
+      |  FROM kept GROUP BY 1
+      |)
+      |SELECT lang, n_docs, n_tokens,
+      |       FLOOR(n_tokens::DOUBLE * 10000.0
+      |             / (SELECT SUM(n_tokens) FROM agg)::DOUBLE) / 100.0 AS token_share_pct
+      |FROM agg ORDER BY lang
+      """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
     Seq(prep, split, balanced, decontaminate, decontaminateBloom, rebalance,
-      weighted, temperature)
+      weighted, temperature, mixReport)
 }
