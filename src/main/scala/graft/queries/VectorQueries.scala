@@ -636,8 +636,63 @@ object VectorQueries {
       |FROM m ORDER BY vec_id
       """.stripMargin.trim))
 
+  private val groupTopk = QueryDef(
+    "vec_group_topk",
+    "Per-label top-3 nearest to the label's own centroid — the " +
+      "per-tenant serving pattern (every tenant's most-representative " +
+      "vectors in ONE query). Centroids use the order-independent " +
+      "exact-decimal formulation (vec_centroids_by_label, unrounded), " +
+      "broadcast back onto the scan (|labels| rows); the grouped top-k " +
+      "is a rank window capped by WindowGroupLimit before any full " +
+      "sort. Both engines rank on the ROUNDED distance with the id " +
+      "tiebreak — the selection key IS the presented key (the decade-" +
+      "gate tie lesson, ROUND10_NOTES #7).",
+    (s, dir) => {
+      import graft.functions.VectorFunctions.cosineDistance
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.embeddings(s, dir)
+      val cents = e
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("label"), col("pos"))
+        .agg((sum(col("v").cast(org.apache.spark.sql.types.DecimalType(38, 12)))
+          .cast("double") / count(lit(1))).as("m"))
+        .groupBy(col("label"))
+        .agg(transform(sort_array(collect_list(struct(col("pos"), col("m")))),
+          x => x.getField("m")).as("centroid"))
+      val d = e.join(broadcast(cents), Seq("label"))
+        .withColumn("dist",
+          round(cosineDistance(col("embedding").cast("array<double>"), col("centroid")), 6))
+      val w = Window.partitionBy(col("label")).orderBy(col("dist"), col("vec_id"))
+      d.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("label"), col("rnk"), col("vec_id"), col("dist"))
+        .orderBy(col("label"), col("rnk"))
+    },
+    Some("""
+      |WITH ex AS (
+      |  SELECT label, generate_subscripts(embedding, 1) - 1 AS pos, unnest(embedding) AS v
+      |  FROM embeddings
+      |), m AS (
+      |  SELECT label, pos,
+      |         CAST(SUM(CAST(v AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS m
+      |  FROM ex GROUP BY label, pos
+      |), c AS (
+      |  SELECT label, list(m ORDER BY pos) AS centroid FROM m GROUP BY label
+      |), d AS (
+      |  SELECT e.vec_id, e.label,
+      |         round(1.0 - list_dot_product(e.embedding::DOUBLE[], c.centroid) /
+      |           (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+      |            sqrt(list_dot_product(c.centroid, c.centroid))), 6) AS dist
+      |  FROM embeddings e JOIN c USING (label)
+      |)
+      |SELECT label, rnk, vec_id, dist FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY label ORDER BY dist, vec_id) AS rnk
+      |  FROM d)
+      |WHERE rnk <= 3 ORDER BY label, rnk
+      """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
     Seq(filtered, l2Search, batch, ragContext, ivf, lshProbe, ivfRule,
       ivfKmeansRule, filteredIvfRule, mips, quantRescore, sqlApi,
-      centroids, quantize)
+      centroids, quantize, groupTopk)
 }
