@@ -290,5 +290,125 @@ object TpchDeepQueries {
       |GROUP BY c_nationkey ORDER BY c_nationkey
       """.stripMargin.trim))
 
-  val defs: Seq[QueryDef] = Seq(q4, q7, q10, q17, q18, q21, q22)
+  private val q8 = QueryDef(
+    "q8_market_share",
+    "TPC-H Q8-style market share: of all revenue shipped to ASIA-region " +
+      "customers, the share supplied from one nation, by ship year. The " +
+      "share is a conditional-sum ratio over ONE fact pass; every dim " +
+      "broadcasts. Numerator and denominator are exact-decimal sums " +
+      "surfaced as doubles, so the single divide is deterministic.",
+    (s, dir) => {
+      val nation = Tables.nation(s, dir)
+      val custAsia = Tables.customer(s, dir)
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_custkey"))
+      val suppNation = Tables.supplier(s, dir)
+        .join(broadcast(nation.select(col("n_nationkey"), col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("supp_nation"))
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir).select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(custAsia), col("o_custkey") === col("c_custkey"), "left_semi")
+        .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(year(col("l_shipdate")).as("l_year"))
+        .agg(
+          coalesce(xsum(when(col("supp_nation") === "NATION_3", Money.discPrice)), lit(0.0))
+            .as("nation_revenue"),
+          xsum(Money.discPrice).as("total_revenue"),
+          count(lit(1)).as("n_rows"))
+        .withColumn("mkt_share_pct",
+          round(col("nation_revenue") * 100.0 / col("total_revenue"), 6))
+        .orderBy(col("l_year"))
+    },
+    Some("""
+      |SELECT CAST(year(l_shipdate) AS INT) AS l_year,
+      |       COALESCE(CAST(FLOOR(SUM(CASE WHEN sn.n_name = 'NATION_3'
+      |                     THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) END) * 100) AS DOUBLE) / 100.0, 0.0) AS nation_revenue,
+      |       CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) * 100) AS DOUBLE) / 100.0 AS total_revenue,
+      |       count(*) AS n_rows,
+      |       round(COALESCE(CAST(FLOOR(SUM(CASE WHEN sn.n_name = 'NATION_3'
+      |                     THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) END) * 100) AS DOUBLE) / 100.0, 0.0)
+      |             * 100.0 /
+      |             (CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) * 100) AS DOUBLE) / 100.0), 6) AS mkt_share_pct
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation sn ON s_nationkey = sn.n_nationkey
+      |WHERE o_custkey IN (
+      |  SELECT c_custkey FROM customer
+      |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+      |  JOIN region ON cn.n_regionkey = r_regionkey
+      |  WHERE r_name = 'ASIA')
+      |GROUP BY 1 ORDER BY 1
+      """.stripMargin.trim))
+
+  private val q15 = QueryDef(
+    "q15_top_supplier",
+    "TPC-H Q15-style top supplier: quarterly revenue per supplier, then " +
+      "the supplier(s) matching the scalar MAX — the aggregate is " +
+      "computed once and consumed twice (probe + max side). Equality " +
+      "on the exact-floor revenue is engine-safe (both sides carry the " +
+      "identical double).",
+    (s, dir) => {
+      val rev = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(xsum(Money.discPrice).as("total_revenue"))
+      rev.createOrReplaceTempView("supplier_revenue_v")
+      Tables.supplier(s, dir).createOrReplaceTempView("supplier_v")
+      s.sql("""
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier_v JOIN supplier_revenue_v ON s_suppkey = l_suppkey
+        WHERE total_revenue = (SELECT max(total_revenue) FROM supplier_revenue_v)
+        ORDER BY s_suppkey""")
+    },
+    Some("""
+      |WITH rev AS (
+      |  SELECT l_suppkey,
+      |         CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) * 100) AS DOUBLE) / 100.0 AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      |  GROUP BY 1
+      |)
+      |SELECT s_suppkey, s_name, total_revenue
+      |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+      |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+      |ORDER BY s_suppkey
+      """.stripMargin.trim))
+
+  private val q19 = QueryDef(
+    "q19_disjunctive_revenue",
+    "TPC-H Q19-style disjunctive predicate join: three (brand, size, " +
+      "quantity) OR-arms across lineitem⋈part. Catalyst factors the " +
+      "common sub-predicates OUT of the OR (quantity/size lower bounds " +
+      "push to both scans) and keeps the equi-join with the residual OR " +
+      "as a post-join filter — never a nested loop.",
+    (s, dir) => {
+      val part = Tables.part(s, dir)
+      val li = Tables.lineitem(s, dir)
+      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(20, 30)))
+        .agg(xsum(Money.discPrice).as("revenue"), count(lit(1)).as("n_rows"))
+    },
+    Some("""
+      |SELECT CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) * 100) AS DOUBLE) / 100.0 AS revenue,
+      |       count(*) AS n_rows
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1  AND 11)
+      |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+      |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+      """.stripMargin.trim))
+
+  val defs: Seq[QueryDef] = Seq(q4, q7, q8, q10, q15, q17, q18, q19, q21, q22)
 }

@@ -392,6 +392,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.toString.contains("Subquery subquery"), s"expected a scalar subquery:\n$p")
   }
 
+  test("q19: the OR-of-ANDs predicate factors into pushed filters on BOTH scans") {
+    GraftSession.prepare(spark)
+    // the simple plan string TRUNCATES scan metadata — formatted mode
+    // carries the full PushedFilters lists
+    val p = Queries.queriesMap("q19_disjunctive_revenue")(spark, sf("sf0.001"))
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    // quantity arms push into the lineitem scan, brand/size arms into
+    // the part scan — the disjunction never forces a full-scan join
+    assert(p.contains("Or(Or(And(GreaterThanOrEqual(l_quantity"),
+      s"quantity OR-arms must push into the lineitem scan:\n$p")
+    assert(p.contains("EqualTo(p_brand,Brand#12)"),
+      s"brand/size OR-arms must push into the part scan:\n$p")
+    assertNoLoopJoins(unwrapped("q19_disjunctive_revenue"))
+  }
+
+  test("q15: the max-revenue compare is one scalar subquery, not a join") {
+    val p = unwrapped("q15_top_supplier")
+    assert(p.toString.contains("Subquery subquery"),
+      s"expected the MAX as a scalar subquery:\n$p")
+    assertNoLoopJoins(p)
+  }
+
   test("q17: per-part average comes from one aggregate broadcast back, not a re-executed subquery") {
     val p = unwrapped("q17_small_qty_revenue")
     val broadcasts = p.collect {
