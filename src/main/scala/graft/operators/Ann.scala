@@ -186,6 +186,16 @@ object Ann {
     assignClusters(corpus, vecCol, centroids)
       .write.mode("overwrite").partitionBy("cluster_id").parquet(path)
 
+  /** The LSH twin of [[writeIndexed]]: persist the bucket-assigned
+    * corpus partitioned by `lsh_bucket`, so a probe IN-filter (explicit
+    * via [[lshSearch]] or injected by the transparent rewrite —
+    * [[graft.plans.LshCatalog]]) becomes static partition pruning.
+    */
+  def writeLshIndexed(corpus: DataFrame, vecCol: String,
+                      planes: Array[Array[Float]], path: String): Unit =
+    assignLshBuckets(corpus, vecCol, planes)
+      .write.mode("overwrite").partitionBy("lsh_bucket").parquet(path)
+
   def readIndexed(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 

@@ -34,6 +34,29 @@ object IvfCatalog {
     rootPaths.map(normalize).flatMap(indexes.get).headOption
 }
 
+/** Registry of LSH-bucketed tables: storage path → (sign planes,
+  * multi-probe radius). Same explicit-opt-in contract as [[IvfCatalog]]
+  * — registration is what authorizes [[IvfProbeRule]] to trade
+  * exactness for bucket pruning on that table.
+  */
+object LshCatalog {
+  final case class LshIndex(planes: Array[Array[Float]], radius: Int)
+
+  private val indexes = TrieMap.empty[String, LshIndex]
+
+  private def normalize(path: String): String =
+    path.stripSuffix("/").replaceFirst("^file:", "")
+
+  def register(path: String, planes: Array[Array[Float]], radius: Int): Unit =
+    indexes.put(normalize(path), LshIndex(planes, radius))
+
+  def unregister(path: String): Unit = indexes.remove(normalize(path))
+  def clear(): Unit = indexes.clear()
+
+  def lookup(rootPaths: Seq[String]): Option[LshIndex] =
+    rootPaths.map(normalize).flatMap(indexes.get).headOption
+}
+
 /** Transparent exact-KNN → IVF-probe rewrite (SURVEY §4's optional
   * optimizer extension): a logical plan of the shape
   *
@@ -43,7 +66,10 @@ object IvfCatalog {
   * the index's `cluster_id` column, gains a
   * `cluster_id IN (nearest nprobe centroids of LITERAL)` filter above
   * the scan — which cluster-partitioned storage turns into partition
-  * pruning. The top-k semantics stay `TakeOrderedAndProject`; only the
+  * pruning. Tables registered in [[LshCatalog]] (sign-plane buckets,
+  * `lsh_bucket` column) get the analogous
+  * `lsh_bucket IN (hamming-≤radius probe set of LITERAL's bucket)`
+  * filter — one rule, two index families, same opt-in contract. The top-k semantics stay `TakeOrderedAndProject`; only the
   * scanned fraction changes (~nprobe/nlist). Applies once
   * (idempotent by construction: the injected filter is recognized on
   * re-entry).
@@ -97,13 +123,22 @@ object IvfProbeRule extends Rule[LogicalPlan] {
       case _ => None
     }
 
-  /** True if a probe filter on cluster_id already guards a registered
-    * relation anywhere below (idempotence across optimizer re-runs).
+  private def lshIndexOf(rel: LogicalRelation): Option[LshCatalog.LshIndex] =
+    rel.relation match {
+      case fs: HadoopFsRelation =>
+        LshCatalog.lookup(fs.location.rootPaths.map(_.toString))
+      case _ => None
+    }
+
+  /** True if a probe filter on the index column already guards a
+    * registered relation anywhere below (idempotence across optimizer
+    * re-runs) — cluster_id for IVF tables, lsh_bucket for LSH tables.
     */
   private def alreadyProbed(plan: LogicalPlan): Boolean = plan.exists {
-    case Filter(cond, rel: LogicalRelation) if indexOf(rel).isDefined =>
+    case Filter(cond, rel: LogicalRelation)
+        if indexOf(rel).isDefined || lshIndexOf(rel).isDefined =>
       cond.exists {
-        case In(a: Attribute, _) => a.name == "cluster_id"
+        case In(a: Attribute, _) => a.name == "cluster_id" || a.name == "lsh_bucket"
         case _                   => false
       }
     case _ => false
@@ -131,6 +166,23 @@ object IvfProbeRule extends Rule[LogicalPlan] {
             val clusterAttr = rel.output.find(_.name == "cluster_id").get
             val probes = Ann.probeIds(qv, idx.centroids, idx.nprobe)
             Filter(In(clusterAttr, probes.map(p => Literal(p))), rel)
+          case rel: LogicalRelation
+              if lshIndexOf(rel).isDefined && rel.output.exists(_.name == "lsh_bucket") =>
+            val idx = lshIndexOf(rel).get
+            val bucketAttr = rel.output.find(_.name == "lsh_bucket").get
+            val probes = Ann.probeBuckets(
+              Ann.queryBucket(qv, idx.planes), idx.planes.length, idx.radius)
+            // partition discovery may have inferred the bucket column as
+            // INT (small values) — literals must match the attribute's
+            // type or the resolved plan becomes unresolved
+            val lits = probes.map { b =>
+              bucketAttr.dataType match {
+                case org.apache.spark.sql.types.LongType    => Literal(b)
+                case org.apache.spark.sql.types.IntegerType => Literal(b.toInt)
+                case other => Cast(Literal(b), other)
+              }
+            }
+            Filter(In(bucketAttr, lits), rel)
         }
       }).getOrElse(limit)
   }

@@ -272,6 +272,70 @@ object VectorQueries {
       })
   }
 
+  /** One bucket-partitioned LSH index write per (sfDir, JVM) — the LSH
+    * twin of [[IvfIndexStore]].
+    */
+  private object LshIndexStore {
+    private val written = scala.collection.concurrent.TrieMap.empty[String, String]
+    def ensure(s: org.apache.spark.sql.SparkSession, dir: String,
+               planes: Array[Array[Float]]): String =
+      written.getOrElseUpdate(dir, {
+        val path = TmpStores.pidScopedPath("graft_lsh_idx", dir)
+        Ann.writeLshIndexed(Tables.embeddings(s, dir), "embedding", planes, path)
+        path
+      })
+  }
+
+  private val lshRule = QueryDef(
+    "ann_lsh_rule_rewrite",
+    "Transparent KNN→LSH rewrite on the persisted bucket-partitioned " +
+      "store: the query is the PLAIN exact-KNN API — no bucket filter " +
+      "anywhere in user code — but the path is registered in " +
+      "LshCatalog, so IvfProbeRule injects `lsh_bucket IN (hamming-≤1 " +
+      "probe set of the query's bucket)` above the scan → static " +
+      "partition pruning (9 of ≤256 bucket directories read). The " +
+      "oracle is the probe-RESTRICTED SQL (same CTE family as " +
+      "ann_lsh_probe): a green hash proves the rewrite fired.",
+    (s, dir) => {
+      val planes = Ann.signPlanes(dim = 64, nBits = 8)
+      val path = LshIndexStore.ensure(s, dir, planes)
+      graft.plans.LshCatalog.register(path, planes, radius = 1)
+      Knn.search(Ann.readIndexed(s, path), "embedding", "vec_id", lshQueryVec, k = 10)
+        .select(col("vec_id"), round(col("distance_score"), 6).as("distance"))
+        .orderBy(col("distance"), col("vec_id"))
+    },
+    Some {
+      val qLit = vecLit(lshQueryVec)
+      s"""
+      |WITH planes AS (
+      |  SELECT b, list_transform(range(64), j ->
+      |    CASE WHEN ('0x' || substring(md5('lsh:' || b::VARCHAR || ':' || j::VARCHAR), 1, 12))::BIGINT % 2 = 0
+      |         THEN 1.0 ELSE -1.0 END) AS plane
+      |  FROM (SELECT unnest(range(8)) AS b)
+      |), bk AS (
+      |  SELECT e.vec_id,
+      |         sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], p.plane) >= 0
+      |                  THEN (1::BIGINT << p.b) ELSE 0 END)::BIGINT AS lsh_bucket
+      |  FROM embeddings e CROSS JOIN planes p GROUP BY e.vec_id
+      |), qb AS (
+      |  SELECT sum(CASE WHEN list_dot_product($qLit, plane) >= 0
+      |                  THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS qbucket
+      |  FROM planes
+      |), cand AS (
+      |  SELECT bk.vec_id FROM bk, qb
+      |  WHERE len(list_filter(range(8), i ->
+      |        ((bk.lsh_bucket >> i) & 1) <> ((qb.qbucket >> i) & 1))) <= 1
+      |), d AS (
+      |  SELECT c.vec_id, ${duckCosine("e.embedding", qLit)} AS dist
+      |  FROM cand c JOIN embeddings e ON c.vec_id = e.vec_id
+      |), top AS (
+      |  SELECT vec_id, dist FROM d ORDER BY dist, vec_id LIMIT 10
+      |)
+      |SELECT vec_id, round(dist, 6) AS distance
+      |FROM top ORDER BY distance, vec_id
+      """.stripMargin.trim
+    })
+
   /** KMeans-built IVF index per (fixture, JVM) — the QUALITY centroid
     * path (Spark ML k-means‖, fixed seed) on the same persisted,
     * cluster-partitioned layout as [[IvfIndexStore]]. The fitted
@@ -693,6 +757,6 @@ object VectorQueries {
 
   val defs: Seq[QueryDef] =
     Seq(filtered, l2Search, batch, ragContext, ivf, lshProbe, ivfRule,
-      ivfKmeansRule, filteredIvfRule, mips, quantRescore, sqlApi,
+      lshRule, ivfKmeansRule, filteredIvfRule, mips, quantRescore, sqlApi,
       centroids, quantize, groupTopk)
 }

@@ -107,4 +107,42 @@ class IvfProbeRuleSpec extends SparkSpec {
       assert(viaRule == exact)
     }
   }
+
+  test("LSH-registered table: plain exact search is rewritten to the 9-bucket probe scan") {
+    import graft.plans.LshCatalog
+    val planes = Ann.signPlanes(dim = 64, nBits = 8)
+    val lq = graft.queries.Queries.queryVec64
+    val dir = java.nio.file.Files.createTempDirectory("graft_lsh_rule").toString
+    try {
+      Ann.writeLshIndexed(emb, "embedding", planes, dir)
+      LshCatalog.register(dir, planes, radius = 1)
+      spark.catalog.clearCache()
+      val hits = Knn.search(Ann.readIndexed(spark, dir), "embedding", "vec_id", lq, k = 10)
+      val scan = hits.queryExecution.executedPlan.collectLeaves()
+        .collectFirst { case s: FileSourceScanExec => s }.get
+      val probes = Ann.probeBuckets(Ann.queryBucket(lq, planes), 8, 1)
+      // only bucket directories that EXIST are scanned (≤ 9 probes)
+      assert(scan.selectedPartitions.partitionCount <= probes.length,
+        s"probe filter must prune to at most ${probes.length} bucket partitions, " +
+          s"scanned ${scan.selectedPartitions.partitionCount}")
+      // results equal the explicit multi-probe lshSearch path
+      val expect = Ann.lshSearch(
+        Ann.assignLshBuckets(emb, "embedding", planes), "embedding", "vec_id",
+        lq, k = 10, planes, radius = 1)
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+      assert(hits.select("vec_id").collect().map(_.getLong(0)).toSeq == expect)
+      // unregistering restores the exact full scan
+      LshCatalog.clear()
+      spark.catalog.clearCache()
+      val full = Knn.search(Ann.readIndexed(spark, dir), "embedding", "vec_id", lq, k = 10)
+      val fullScan = full.queryExecution.executedPlan.collectLeaves()
+        .collectFirst { case s: FileSourceScanExec => s }.get
+      assert(fullScan.selectedPartitions.partitionCount > probes.length,
+        "without registration every bucket partition must be scanned")
+    } finally {
+      LshCatalog.clear()
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
 }
