@@ -183,5 +183,43 @@ object MaintenanceQueries {
       |FROM lineitem
       """.stripMargin.trim))
 
-  val defs: Seq[QueryDef] = Seq(compactRoundtrip, snapshotDiffQ, zorderRoundtrip)
+  private val incrementalRollup = QueryDef(
+    "maint_incremental_rollup",
+    "Incremental aggregate maintenance (the materialized-view refresh " +
+      "pattern): orders split into a base (19/20 of keys) and a delta " +
+      "batch (keys ≡ 0 mod 20); per-priority algebraic partials (exact-" +
+      "decimal sum / count / min / max) are computed per side and " +
+      "MERGED — the base fact rows are never re-aggregated. The oracle " +
+      "is the FULL recompute over all orders: a green hash proves " +
+      "merge(partial(A), partial(B)) ≡ partial(A ∪ B) exactly, the " +
+      "property that lets 100 TB rollups refresh by touching only " +
+      "|keys| + |delta| rows.",
+    (s, dir) => {
+      import graft.operators.IncrementalAgg
+      val ord = Tables.orders(s, dir)
+      val base = ord.filter(col("o_orderkey") % 20 =!= 0)
+      val delta = ord.filter(col("o_orderkey") % 20 === 0)
+      val keys = Seq("o_orderpriority")
+      val merged = IncrementalAgg.merge(
+        Seq(IncrementalAgg.partials(base, keys, "o_totalprice"),
+          IncrementalAgg.partials(delta, keys, "o_totalprice")), keys)
+      merged.select(col("o_orderpriority"),
+          col("p_sum").cast(org.apache.spark.sql.types.DecimalType(38, 2))
+            .cast("double").as("total_price"),
+          col("p_count").as("n_orders"),
+          col("p_min").as("min_price"), col("p_max").as("max_price"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""
+      |SELECT o_orderpriority,
+      |       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DECIMAL(38,2)) AS DOUBLE) AS total_price,
+      |       count(*) AS n_orders,
+      |       min(o_totalprice) AS min_price,
+      |       max(o_totalprice) AS max_price
+      |FROM orders
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority
+      """.stripMargin.trim))
+
+  val defs: Seq[QueryDef] =
+    Seq(compactRoundtrip, snapshotDiffQ, zorderRoundtrip, incrementalRollup)
 }

@@ -197,6 +197,28 @@ class SamplingSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"rates must broadcast:\n$plan")
   }
 
+  test("incremental rollup: any merge tree of partials equals the direct aggregate") {
+    import graft.operators.IncrementalAgg
+    val df = Seq.tabulate(300)(i => (i.toLong, s"k${i % 4}", (i * 37 % 997) / 100.0))
+      .toDF("id", "k", "v")
+    val keys = Seq("k")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("k").collect().map(_.toString).toSeq
+    val direct = rows(IncrementalAgg.partials(df, keys, "v"))
+    val a = IncrementalAgg.partials(df.filter(col("id") % 3 === 0), keys, "v")
+    val b = IncrementalAgg.partials(df.filter(col("id") % 3 === 1), keys, "v")
+    val c = IncrementalAgg.partials(df.filter(col("id") % 3 === 2), keys, "v")
+    // flat merge and cascaded merge must both equal the full recompute
+    assert(rows(IncrementalAgg.merge(Seq(a, b, c), keys)) == direct)
+    assert(rows(IncrementalAgg.merge(
+      Seq(IncrementalAgg.merge(Seq(a, b), keys), c), keys)) == direct)
+    // a key present only in the delta must appear in the merged rollup
+    val extra = IncrementalAgg.partials(
+      Seq((9999L, "k9", 1.25)).toDF("id", "k", "v"), keys, "v")
+    val withNew = IncrementalAgg.merge(Seq(a, extra), keys)
+    assert(withNew.filter(col("k") === "k9").count() == 1)
+  }
+
   test("temperatureSample keep-set is stable under corpus growth") {
     // the per-row uniform is id-keyed, so adding rows only changes
     // RATES, not u — a kept id with rate r stays kept if r doesn't drop
