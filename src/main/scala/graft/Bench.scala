@@ -29,7 +29,7 @@ object Bench {
     // runs its one-time AvailableNow stream here so the timed number is
     // the corpus read, not the replay
     Seq("knn_exact_cosine", "txt_stats", "dedup_clusters", "q1_pricing_summary",
-        "ann_ivf_rule_rewrite", "ann_ivf_kmeans_rewrite",
+        "ann_ivf_rule_rewrite", "ann_ivf_kmeans_rewrite", "ann_lsh_rule_rewrite",
         "stream_ingest_dedup", "stream_serve_knn",
         "maint_compact_roundtrip", "maint_zorder_roundtrip").foreach { w =>
       try consume(SparkEntry.queries(w)(spark, sfDir))
