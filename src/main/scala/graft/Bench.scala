@@ -28,9 +28,12 @@ object Bench {
     // the probed READ path, not the write; stream_ingest_dedup likewise
     // runs its one-time AvailableNow stream here so the timed number is
     // the corpus read, not the replay
+    // ann_pq_adc's warmup performs the one-time per-JVM codebook fit
+    // (8 subspace KMeans runs, memoized in PqStore) so the timed runs
+    // of both PQ queries measure the encode+ADC scan, not model fitting
     Seq("knn_exact_cosine", "txt_stats", "dedup_clusters", "q1_pricing_summary",
         "ann_ivf_rule_rewrite", "ann_ivf_kmeans_rewrite", "ann_lsh_rule_rewrite",
-        "stream_ingest_dedup", "stream_serve_knn",
+        "ann_pq_adc", "stream_ingest_dedup", "stream_serve_knn",
         "maint_compact_roundtrip", "maint_zorder_roundtrip").foreach { w =>
       try consume(SparkEntry.queries(w)(spark, sfDir))
       catch { case _: Throwable => () }

@@ -83,23 +83,38 @@ object Tables {
 
   /** `events` with `ts` as a microsecond TIMESTAMP (UTC session TZ).
     *
-    * The fixture stores nanosecond INT64 timestamps, which Spark's
-    * vectorized parquet reader cannot represent; with
-    * `legacy.parquet.nanosAsLong` we read raw nanos and floor-truncate
-    * to micros. Oracle parity: DuckDB's `ts::TIMESTAMP` performs the
-    * same ns→us truncation.
+    * Fixture generations have stored `ts` two ways: nanosecond INT64
+    * (which Spark's vectorized reader only surfaces as a raw long via
+    * `legacy.parquet.nanosAsLong` — floor-truncated here to micros) and
+    * plain microsecond TIMESTAMP (read as NTZ, normalized to the UTC
+    * session TZ). tools/local_check.py branches on `typeof(ts)` the
+    * same way, so both engines see identical µs instants either way.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    read(spark, sfDir, "events")
-      // integer `div`, NOT `/`: ns values ~1.7e18 exceed double's exact
-      // integer range, so a double division here silently loses microseconds
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = read(spark, sfDir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // integer `div`, NOT `/`: ns values ~1.7e18 exceed double's exact
+        // integer range; a double division silently loses microseconds
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        // NTZ micros; session TZ is pinned UTC, so the cast re-types the
+        // same wall-clock instant without shifting it
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
   }
 
   /** `events` with raw nanosecond `ts` (long) for exact-ns arithmetic. */
   def eventsRawNanos(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    read(spark, sfDir, "events")
+    val df = read(spark, sfDir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => df
+      case _ =>
+        // µs fixture: synthesize exact nanos (µs × 1000 stays < 2^63)
+        df.withColumn("ts",
+          unix_micros(col("ts").cast(org.apache.spark.sql.types.TimestampType)) * lit(1000L))
+    }
   }
 }

@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions.l2Distance
+
+/** Product quantization (PQ) — the memory-bound ANN serving path the
+  * reference's engine family offers alongside IVF (Jégou et al., "Product
+  * Quantization for Nearest Neighbor Search", TPAMI 2011; reference
+  * behavior anchor: the vector index options of
+  * `/root/reference/streamlit_app.py:55-73`'s backing store, re-expressed
+  * Spark-first like `Ann`/`VectorFunctions.quantizeInt8`).
+  *
+  * The vector column (D float32s = 4·D bytes) is split into `m`
+  * subspaces; each subspace gets a `ksub`-centroid codebook (Spark ML
+  * KMeans, fixed seed); a vector is stored as `m` small ints (one code
+  * per subspace) — a 4·D/m-fold compression (64-d float32 → 8 bytes at
+  * m=8). Query scoring is ADC (asymmetric distance computation): the
+  * query precomputes an m×ksub table of squared subspace distances on
+  * the driver, and each row's approximate squared L2 distance is m
+  * table lookups + (m−1) adds — a codegen'd projection over the codes
+  * column, no vector arithmetic, no shuffle, TakeOrderedAndProject for
+  * the top-k. At 100 TB the codes relation is ~1/32 the corpus bytes
+  * and the scan is memory-bandwidth-bound exactly like the int8 path.
+  *
+  * Determinism/parity contract (mirrored by the late-bound DuckDB
+  * oracles in VectorQueries):
+  *   - code assignment = argmin of the SAME sqrt'd [[l2Distance]] the
+  *     IVF path compares, ties → lower code id (struct-min, identical
+  *     to [[Ann.nearestCentroid]]);
+  *   - the ADC table is computed ONCE driver-side in Double and embedded
+  *     as exact decimal literals on both engines;
+  *   - the per-row ADC sum is a FIXED left-associated add chain (both
+  *     engines evaluate ((d0+d1)+d2)+… in subspace order);
+  *   - top-k SELECTION runs on the full-precision (adc, id) key;
+  *     presentation rounds to 6 decimals and re-sorts on the rounded
+  *     alias (the sf10 decade-gate rule).
+  *
+  * Codebook fitting at cluster scale runs on a driver-chosen SAMPLE of
+  * the corpus (pass the sampled DataFrame to [[fitCodebooks]]) — the
+  * fit cost is independent of corpus size; encode is a projection.
+  */
+object Pq {
+
+  /** Per-subspace KMeans codebooks: result is m × ksub × (D/m) floats.
+    * Fit runs one Spark ML KMeans per subspace over the sliced vectors
+    * (fixed seed ⇒ deterministic for a given input DataFrame).
+    */
+  def fitCodebooks(corpus: DataFrame, vecCol: String, dim: Int, m: Int,
+                   ksub: Int, seed: Long = 42L,
+                   maxIter: Int = 10): Array[Array[Array[Float]]] = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val dsub = dim / m
+    (0 until m).toArray.map { mi =>
+      val sub = corpus.select(
+        slice(col(vecCol), mi * dsub + 1, dsub).as("sub"))
+      Ann.kmeansCentroids(sub, "sub", ksub, seed + mi, maxIter)
+    }
+  }
+
+  /** Corpus + `pq_codes` (array<int>, one nearest-codebook-entry id per
+    * subspace). A pure projection — the original vector column is kept
+    * so a rescore stage can re-read it.
+    */
+  def encode(df: DataFrame, vecCol: String,
+             codebooks: Array[Array[Array[Float]]]): DataFrame = {
+    val m = codebooks.length
+    val dsub = codebooks(0)(0).length
+    val codes = array((0 until m).map { mi =>
+      Ann.nearestCentroid(slice(col(vecCol), mi * dsub + 1, dsub), codebooks(mi))
+    }: _*)
+    df.withColumn("pq_codes", codes)
+  }
+
+  /** The query's ADC table: adcTable(m)(c) = Σᵢ (q[m·dsub+i] −
+    * codebook[m](c)(i))² — squared subspace L2, sequential Double
+    * accumulation (same order as [[l2Distance]] without the sqrt).
+    */
+  def adcTable(queryVec: Array[Float],
+               codebooks: Array[Array[Array[Float]]]): Array[Array[Double]] = {
+    val dsub = codebooks(0)(0).length
+    codebooks.zipWithIndex.map { case (cb, mi) =>
+      cb.map { c =>
+        var acc = 0.0; var i = 0
+        while (i < dsub) {
+          val d = queryVec(mi * dsub + i).toDouble - c(i); acc += d * d; i += 1
+        }
+        acc
+      }
+    }
+  }
+
+  /** Approximate squared L2 of a row vs the query: m literal-array
+    * lookups summed as a fixed left-associated chain (codegen'd; IEEE
+    * order identical in the SQL mirror).
+    */
+  def adcScore(codesCol: Column, table: Array[Array[Double]]): Column =
+    table.zipWithIndex.map { case (dists, mi) =>
+      element_at(typedLit(dists.toSeq), element_at(codesCol, mi + 1) + 1)
+    }.reduceLeft(_ + _)
+
+  /** Top-k by ADC: full-precision (adc, id) selection via
+    * TakeOrderedAndProject — no shuffle, no vector column read.
+    */
+  def search(encoded: DataFrame, idCol: String, queryVec: Array[Float],
+             codebooks: Array[Array[Array[Float]]], k: Int): DataFrame = {
+    val t = adcTable(queryVec, codebooks)
+    encoded.withColumn("adc_dist", adcScore(col("pq_codes"), t))
+      .orderBy(col("adc_dist"), col(idCol))
+      .limit(k)
+  }
+
+  /** PQ shortlist → exact rescore: top-`shortlist` rows by ADC (codes
+    * only), then exact cosine over the kept vector column for the final
+    * top-k — the standard two-stage serving shape (compressed scan
+    * bounds the exact work to `shortlist` rows).
+    */
+  def searchRescore(encoded: DataFrame, vecCol: String, idCol: String,
+                    queryVec: Array[Float],
+                    codebooks: Array[Array[Array[Float]]], k: Int,
+                    shortlist: Int): DataFrame = {
+    val cand = search(encoded, idCol, queryVec, codebooks, shortlist)
+    graft.operators.Knn.search(cand, vecCol, idCol, queryVec, k)
+  }
+}

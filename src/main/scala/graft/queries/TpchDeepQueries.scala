@@ -410,5 +410,231 @@ object TpchDeepQueries {
       |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
       """.stripMargin.trim))
 
-  val defs: Seq[QueryDef] = Seq(q4, q7, q8, q10, q15, q17, q18, q19, q21, q22)
+  private val q2 = QueryDef(
+    "q2_min_cost_supplier",
+    "TPC-H Q2-style minimum-cost supplier (fixture-adapted: no partsupp " +
+      "table — unit cost = the supplier's lowest observed " +
+      "l_extendedprice for the part, and the cost relation is region-" +
+      "scoped up front exactly as Q2's inner subquery is). The " +
+      "correlated scalar MIN decorrelates " +
+      "(RewriteCorrelatedScalarSubquery) into a second aggregate over " +
+      "the SAME (part,supplier) relation + an equality join back — both " +
+      "shuffles share the l_partkey key family; every dim broadcasts. " +
+      "MIN over identical doubles is exact selection in both engines; " +
+      "no rounding anywhere; the top-100 cut orders on a unique " +
+      "composite key.",
+    (s, dir) => {
+      val eur = Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+      eur.createOrReplaceTempView("eur_supplier_v")
+      // region filter lands BEFORE the fact aggregate — at 100 TB the
+      // (part,supplier) rollup only ever sees the region's rows
+      Tables.lineitem(s, dir)
+        .join(broadcast(eur.select("s_suppkey")),
+          col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(col("l_extendedprice")).as("unit_cost"))
+        .createOrReplaceTempView("part_supp_cost_v")
+      Tables.part(s, dir).createOrReplaceTempView("part_v")
+      s.sql("""
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_name, unit_cost
+        FROM part_supp_cost_v c
+        JOIN part_v ON p_partkey = c.l_partkey
+        JOIN eur_supplier_v ON s_suppkey = c.l_suppkey
+        WHERE p_type = 'LARGE'
+          AND unit_cost = (SELECT MIN(c2.unit_cost) FROM part_supp_cost_v c2
+                           WHERE c2.l_partkey = c.l_partkey)
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""")
+    },
+    Some("""
+      |WITH eur AS (
+      |  SELECT s_suppkey, s_name, s_acctbal, n_name
+      |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  WHERE r_name = 'EUROPE'
+      |), cost AS (
+      |  SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS unit_cost
+      |  FROM lineitem
+      |  WHERE l_suppkey IN (SELECT s_suppkey FROM eur)
+      |  GROUP BY 1, 2
+      |), best AS (
+      |  SELECT l_partkey AS b_partkey, MIN(unit_cost) AS min_cost FROM cost GROUP BY 1
+      |)
+      |SELECT s_acctbal, s_name, n_name, p_partkey, p_name, unit_cost
+      |FROM cost
+      |JOIN best ON l_partkey = b_partkey AND unit_cost = min_cost
+      |JOIN part ON p_partkey = l_partkey
+      |JOIN eur ON s_suppkey = l_suppkey
+      |WHERE p_type = 'LARGE'
+      |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100
+      """.stripMargin.trim))
+
+  private val q9 = QueryDef(
+    "q9_product_profit",
+    "TPC-H Q9-style product profit by supplier nation and ship year " +
+      "(fixture-adapted: no partsupp — unit cost = 10% of " +
+      "p_retailprice). profit = discPrice − cost·qty entirely in exact " +
+      "decimal (every factor sits on its decimal grid), xsum-floored to " +
+      "cents. One fact shuffle for the aggregate; part and " +
+      "supplier⋈nation dims broadcast; the p_name LIKE filter prunes " +
+      "the broadcast side before the join.",
+    (s, dir) => {
+      val widgetParts = Tables.part(s, dir)
+        .filter(col("p_name").like("%widget%"))
+        .select(col("p_partkey"), col("p_retailprice"))
+      val suppNation = Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("nation"))
+      val profit = Money.discPrice -
+        col("p_retailprice").cast(Money.price) * lit(0.10).cast(Money.rate) *
+          col("l_quantity").cast(Money.price)
+      Tables.lineitem(s, dir)
+        .join(broadcast(widgetParts), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("nation"), year(col("l_shipdate")).as("o_year"))
+        .agg(xsum(profit).as("sum_profit"), count(lit(1)).as("n_rows"))
+        .orderBy(col("nation"), col("o_year").desc)
+    },
+    Some("""
+      |SELECT n_name AS nation, CAST(year(l_shipdate) AS INT) AS o_year,
+      |       CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+      |                 - CAST(p_retailprice AS DECIMAL(12,2)) * CAST(0.10 AS DECIMAL(4,2)) * CAST(l_quantity AS DECIMAL(12,2))) * 100) AS DOUBLE) / 100.0 AS sum_profit,
+      |       count(*) AS n_rows
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE p_name LIKE '%widget%'
+      |GROUP BY 1, 2 ORDER BY 1, 2 DESC
+      """.stripMargin.trim))
+
+  private val q11 = QueryDef(
+    "q11_important_stock",
+    "TPC-H Q11-style important stock (fixture-adapted: value = exact-" +
+      "decimal disc-price shipped by EUROPE-region suppliers, per part; " +
+      "Q11's fixed HAVING fraction is concentration-unstable across " +
+      "scale factors, so the registered shape is top-25-by-value with " +
+      "the global-total scalar surfaced as a share). The total is ONE " +
+      "broadcast scalar row consumed against the per-part rollup; share " +
+      "division runs on the two exact floored-cents doubles so both " +
+      "engines divide identical bits. Ordering and the top-k cut use " +
+      "the PRESENTED (value, partkey) key.",
+    (s, dir) => {
+      val eurSupp = Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"))
+      val vpp = Tables.lineitem(s, dir)
+        .join(broadcast(eurSupp), col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .groupBy(col("l_partkey"))
+        .agg(sum(Money.discPrice.cast(DecimalType(38, 6))).as("vx"))
+      val tot = vpp.agg(sum(col("vx")).as("totx"))
+      val centsFloor = (c: org.apache.spark.sql.Column) =>
+        floor(c * 100).cast("double") / lit(100.0)
+      vpp.crossJoin(broadcast(tot))
+        .select(col("l_partkey"), centsFloor(col("vx")).as("value"),
+          round(centsFloor(col("vx")) / centsFloor(col("totx")), 9).as("share"))
+        .orderBy(col("value").desc, col("l_partkey"))
+        .limit(25)
+    },
+    Some("""
+      |WITH eur AS (
+      |  SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE'
+      |), val AS (
+      |  SELECT l_partkey,
+      |         SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(38,6))) AS vx
+      |  FROM lineitem WHERE l_suppkey IN (SELECT s_suppkey FROM eur)
+      |  GROUP BY 1
+      |), tot AS (SELECT SUM(vx) AS totx FROM val)
+      |SELECT l_partkey,
+      |       CAST(FLOOR(vx * 100) AS DOUBLE) / 100.0 AS value,
+      |       round((CAST(FLOOR(vx * 100) AS DOUBLE) / 100.0) / (CAST(FLOOR(totx * 100) AS DOUBLE) / 100.0), 9) AS share
+      |FROM val, tot
+      |ORDER BY value DESC, l_partkey LIMIT 25
+      """.stripMargin.trim))
+
+  private val q16 = QueryDef(
+    "q16_parts_supplier",
+    "TPC-H Q16-style supplier-relationship count (fixture-adapted: the " +
+      "observed (part,supplier) pairs come from lineitem — no partsupp; " +
+      "'complaint' suppliers = negative account balance). Pair " +
+      "discovery is ONE distinct shuffle on (partkey,suppkey); the " +
+      "exclusion list and the filtered part dim broadcast; " +
+      "count-distinct runs on the already-distinct pair relation.",
+    (s, dir) => {
+      val badSupp = Tables.supplier(s, dir)
+        .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+      val selParts = Tables.part(s, dir)
+        .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO" &&
+          col("p_size").isin(1, 9, 15, 22, 28, 36, 44, 50))
+        .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+      Tables.lineitem(s, dir)
+        .join(broadcast(selParts.select("p_partkey")),
+          col("l_partkey") === col("p_partkey"), "left_semi")
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+        .join(broadcast(badSupp), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(broadcast(selParts), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+    },
+    Some("""
+      |SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+      |JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+      |  AND p_size IN (1, 9, 15, 22, 28, 36, 44, 50)
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY 1, 2, 3 ORDER BY supplier_cnt DESC, 1, 2, 3
+      """.stripMargin.trim))
+
+  private val q20 = QueryDef(
+    "q20_potential_promotion",
+    "TPC-H Q20-style nested subquery chain: suppliers in one region who " +
+      "moved >30 units of any 'small%'-named part during 1996. Catalyst " +
+      "rewrites both IN-subqueries to left-semi joins — the part list " +
+      "broadcasts into the fact scan, the HAVING aggregate keys on " +
+      "(suppkey,partkey), and the surviving supplier ids are a tiny " +
+      "semi-join build side. Integer quantity arithmetic throughout.",
+    (s, dir) => {
+      Tables.supplier(s, dir).createOrReplaceTempView("supplier_v")
+      Tables.nation(s, dir).createOrReplaceTempView("nation_v")
+      Tables.region(s, dir).createOrReplaceTempView("region_v")
+      Tables.part(s, dir).createOrReplaceTempView("part_v")
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+      s.sql("""
+        SELECT s_name, s_acctbal
+        FROM supplier_v JOIN nation_v ON s_nationkey = n_nationkey
+        JOIN region_v ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+          AND s_suppkey IN (
+            SELECT l_suppkey FROM lineitem_v
+            WHERE l_partkey IN (SELECT p_partkey FROM part_v WHERE p_name LIKE 'small%')
+              AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY l_suppkey, l_partkey
+            HAVING SUM(CAST(l_quantity AS BIGINT)) > 30)
+        ORDER BY s_name""")
+    },
+    Some("""
+      |SELECT s_name, s_acctbal
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'EUROPE'
+      |  AND s_suppkey IN (
+      |    SELECT l_suppkey FROM lineitem
+      |    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+      |      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      |    GROUP BY l_suppkey, l_partkey
+      |    HAVING SUM(CAST(l_quantity AS BIGINT)) > 30)
+      |ORDER BY s_name
+      """.stripMargin.trim))
+
+  val defs: Seq[QueryDef] =
+    Seq(q2, q4, q7, q8, q9, q10, q11, q15, q16, q17, q18, q19, q20, q21, q22)
 }

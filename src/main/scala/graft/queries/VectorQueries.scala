@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.HashingEmbedder
-import graft.operators.{Ann, Knn}
+import graft.operators.{Ann, Knn, Pq}
 import org.apache.spark.sql.functions._
 
 /** Vector-search surface beyond the flagship exact-KNN pair in
@@ -362,6 +362,141 @@ object VectorQueries {
       (path, c)
     }
   }
+
+  /** Per-fixture-dir PQ codebooks (m=8 subspaces × ksub=16 centroids over
+    * the 64-d embeddings), fitted once per run — the late oracles embed
+    * THIS run's codebook literals (KMeans is not SQL-recomputable; same
+    * self-consistency contract as [[KmeansIndexStore]]).
+    */
+  private object PqStore {
+    val M = 8; val Ksub = 16; val Dim = 64
+    val books = scala.collection.concurrent.TrieMap
+      .empty[String, Array[Array[Array[Float]]]]
+    @volatile var lastDir: Option[String] = None
+    def ensure(s: org.apache.spark.sql.SparkSession,
+               dir: String): Array[Array[Array[Float]]] = {
+      lastDir = Some(dir)
+      books.getOrElseUpdate(dir,
+        Pq.fitCodebooks(Tables.embeddings(s, dir), "embedding", Dim, M, Ksub))
+    }
+  }
+
+  /** Exact decimal literal of a Double (parses to the identical double
+    * in DuckDB — same rationale as [[Duck.floatLit]]).
+    */
+  private def dblLit(d: Double): String =
+    new java.math.BigDecimal(d).toPlainString
+
+  /** Shared late-oracle CTE chain for the PQ family: codebook VALUES →
+    * per-(vector,subspace) nearest-code assignment (same sqrt'd L2 +
+    * lower-cid tie rule as the Spark struct-min) → per-vector code row →
+    * the fixed left-associated ADC add chain with the SAME driver-
+    * computed distance-table literals the Spark plan uses.
+    */
+  private def duckPqAdc(cb: Array[Array[Array[Float]]]): String = {
+    val m = cb.length; val dsub = cb(0)(0).length
+    val q = Queries.queryVec64
+    val cbRows = (for { mi <- 0 until m; ci <- cb(mi).indices } yield
+      s"($mi, $ci, ${vecLit(cb(mi)(ci))})").mkString(",\n         ")
+    def sub(mi: Int) =
+      s"list_slice(e.embedding::DOUBLE[], ${mi * dsub + 1}, ${(mi + 1) * dsub})"
+    // one rn ordering per subspace value of m — the CASE keeps a single
+    // window pass while matching each subspace against its own slice
+    val distByM = (0 until m).map(mi =>
+      s"WHEN cb.m = $mi THEN ${duckL2(sub(mi), "cb.c")}").mkString(" ", "\n             ", "")
+    val t = Pq.adcTable(q, cb)
+    val codeCols = (0 until m).map(mi =>
+      s"MAX(CASE WHEN m = $mi THEN cid END) AS c$mi").mkString(",\n         ")
+    val chain = (0 until m).map { mi =>
+      val lits = t(mi).map(dblLit).mkString("[", ", ", "]::DOUBLE[]")
+      s"list_extract($lits, c$mi + 1)"
+    }.reduceLeft((a, b) => s"($a + $b)")
+    s"""
+    |WITH cb(m, cid, c) AS (
+    |  VALUES $cbRows
+    |), assigned AS (
+    |  SELECT vec_id, m, cid FROM (
+    |    SELECT e.vec_id, cb.m, cb.cid,
+    |           row_number() OVER (PARTITION BY e.vec_id, cb.m
+    |                              ORDER BY CASE$distByM
+    |                              END, cb.cid) AS rn
+    |    FROM embeddings e CROSS JOIN cb
+    |  ) WHERE rn = 1
+    |), codes AS (
+    |  SELECT vec_id,
+    |         $codeCols
+    |  FROM assigned GROUP BY vec_id
+    |), adc AS (
+    |  SELECT vec_id, $chain AS adc_dist FROM codes
+    |)""".stripMargin
+  }
+
+  private val pqAdc = QueryDef(
+    "ann_pq_adc",
+    "Product-quantization ANN (Jégou et al. 2011): 64-d float32 vectors " +
+      "stored as 8 codebook codes (32× compression), query scored by " +
+      "ADC — 8 literal-table lookups + 7 adds per row, a codegen'd " +
+      "projection over the codes column with TakeOrderedAndProject on " +
+      "top; the corpus vector column is never read and nothing " +
+      "shuffles. KMeans codebooks are not SQL-recomputable, so the " +
+      "oracle embeds this run's fitted codebook AND the driver-computed " +
+      "ADC table as exact literals (late-bound, self-consistent per " +
+      "run); selection is full-precision (adc, id), presentation " +
+      "rounds to 6 decimals.",
+    (s, dir) => {
+      val cb = PqStore.ensure(s, dir)
+      val enc = Pq.encode(Tables.embeddings(s, dir), "embedding", cb)
+      Pq.search(enc, "vec_id", Queries.queryVec64, cb, k = 10)
+        .select(col("vec_id"), round(col("adc_dist"), 6).as("adc_distance"))
+        .orderBy(col("adc_distance"), col("vec_id"))
+    },
+    oracle = None,
+    oracleLate = Some(() =>
+      PqStore.lastDir.flatMap(PqStore.books.get).map { cb =>
+        s"""
+        |${duckPqAdc(cb)},
+        |top AS (
+        |  SELECT vec_id, adc_dist FROM adc ORDER BY adc_dist, vec_id LIMIT 10
+        |)
+        |SELECT vec_id, round(adc_dist, 6) AS adc_distance
+        |FROM top ORDER BY adc_distance, vec_id
+        """.stripMargin.trim
+      }))
+
+  private val pqRescore = QueryDef(
+    "ann_pq_rescore",
+    "Two-stage PQ serving: ADC over the codes column shortlists 50 " +
+      "candidates (compressed scan, no vector reads), then the exact " +
+      "cosine re-ranks only those 50 for the final top-10 — both stages " +
+      "are TakeOrderedAndProject, zero shuffles; the exact stage's cost " +
+      "is bounded by the shortlist, not the corpus. Late oracle mirrors " +
+      "both stages on the same fitted-codebook literals.",
+    (s, dir) => {
+      val cb = PqStore.ensure(s, dir)
+      val enc = Pq.encode(Tables.embeddings(s, dir), "embedding", cb)
+      Pq.searchRescore(enc, "embedding", "vec_id", Queries.queryVec64, cb,
+          k = 10, shortlist = 50)
+        .select(col("vec_id"), round(col("distance_score"), 6).as("distance"))
+        .orderBy(col("distance"), col("vec_id"))
+    },
+    oracle = None,
+    oracleLate = Some(() =>
+      PqStore.lastDir.flatMap(PqStore.books.get).map { cb =>
+        val qLit = vecLit(Queries.queryVec64)
+        s"""
+        |${duckPqAdc(cb)},
+        |cand AS (
+        |  SELECT vec_id FROM adc ORDER BY adc_dist, vec_id LIMIT 50
+        |), d AS (
+        |  SELECT e.vec_id, ${duckCosine("e.embedding", qLit)} AS dist
+        |  FROM embeddings e WHERE e.vec_id IN (SELECT vec_id FROM cand)
+        |), top AS (
+        |  SELECT vec_id, dist FROM d ORDER BY dist, vec_id LIMIT 10
+        |)
+        |SELECT vec_id, round(dist, 6) AS distance
+        |FROM top ORDER BY distance, vec_id
+        """.stripMargin.trim
+      }))
 
   private val ivfRule = QueryDef(
     "ann_ivf_rule_rewrite",
@@ -758,5 +893,5 @@ object VectorQueries {
   val defs: Seq[QueryDef] =
     Seq(filtered, l2Search, batch, ragContext, ivf, lshProbe, ivfRule,
       lshRule, ivfKmeansRule, filteredIvfRule, mips, quantRescore, sqlApi,
-      centroids, quantize, groupTopk)
+      centroids, quantize, groupTopk, pqAdc, pqRescore)
 }

@@ -414,6 +414,37 @@ class PlanShapeSpec extends SparkSpec {
     assertNoLoopJoins(p)
   }
 
+  test("q2: correlated MIN decorrelates to an aggregate join, dims broadcast, no loop join") {
+    val p = unwrapped("q2_min_cost_supplier")
+    assertNoLoopJoins(p)
+    // RewriteCorrelatedScalarSubquery: the per-part MIN must appear as a
+    // second aggregate joined back on l_partkey — i.e. at least two
+    // aggregate pairs (partial+final) over the cost relation, and an
+    // inner equality join whose keys include the cost column
+    val aggs = p.collect {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+    }
+    assert(aggs.length >= 4, s"expected partial+final aggs for cost AND min-cost:\n$p")
+    assert(joinTypes(p).count(_ == "INNER") >= 3, s"expected the min-cost equality join:\n$p")
+  }
+
+  test("q16: pair discovery is one distinct shuffle; exclusion and dims broadcast") {
+    val p = unwrapped("q16_parts_supplier")
+    assertNoLoopJoins(p)
+    assert(joinTypes(p).contains("LEFT ANTI"), s"expected the bad-supplier anti join:\n$p")
+    val bhj = p.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }
+    assert(bhj.length >= 3, s"part semi, anti and dim joins must broadcast:\n$p")
+  }
+
+  test("q20: both IN-subqueries rewrite to semi joins, never loop joins") {
+    val p = unwrapped("q20_potential_promotion")
+    assert(joinTypes(p).count(_ == "LEFT SEMI") == 2,
+      s"expected two left-semi joins (part list + supplier ids):\n$p")
+    assertNoLoopJoins(p)
+  }
+
   test("q17: per-part average comes from one aggregate broadcast back, not a re-executed subquery") {
     val p = unwrapped("q17_small_qty_revenue")
     val broadcasts = p.collect {

@@ -1,0 +1,79 @@
+package graft
+
+import graft.operators.{Knn, Pq}
+import graft.queries.Queries
+import org.apache.spark.sql.functions._
+
+/** Product-quantization tests: encode invariants, ADC-vs-true-distance
+  * fidelity, rescore recall against exact KNN, and the no-shuffle plan
+  * contract of the ADC scan.
+  */
+class PqSpec extends SparkSpec {
+
+  private lazy val emb = Tables.embeddings(spark, sf("sf0.001")).cache()
+  private val q = Queries.queryVec64
+  private lazy val cb = Pq.fitCodebooks(emb, "embedding", dim = 64, m = 8, ksub = 16)
+
+  test("codebook shape: m × ksub × dsub; codes land in [0, ksub)") {
+    assert(cb.length == 8 && cb.forall(_.length == 16) &&
+      cb.forall(_.forall(_.length == 8)))
+    val codes = Pq.encode(emb, "embedding", cb)
+      .select(explode(col("pq_codes")).as("c")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(codes.nonEmpty && codes.forall(c => c >= 0 && c < 16))
+  }
+
+  test("encode is the per-subspace argmin (spot-check against driver compute)") {
+    val sample = Pq.encode(emb, "embedding", cb)
+      .select("embedding", "pq_codes").limit(20).collect()
+    sample.foreach { r =>
+      val v = r.getSeq[Float](0).toArray
+      val got = r.getSeq[Int](1)
+      (0 until 8).foreach { mi =>
+        val sub = v.slice(mi * 8, mi * 8 + 8)
+        val want = cb(mi).zipWithIndex.map { case (c, i) =>
+          var acc = 0.0; var j = 0
+          while (j < 8) { val d = sub(j).toDouble - c(j); acc += d * d; j += 1 }
+          (math.sqrt(acc), i)
+        }.min._2
+        assert(got(mi) == want, s"subspace $mi: got ${got(mi)}, want $want")
+      }
+    }
+  }
+
+  test("ADC score equals the driver-side table sum for the assigned codes") {
+    val t = Pq.adcTable(q, cb)
+    val rows = Pq.encode(emb, "embedding", cb)
+      .withColumn("adc", Pq.adcScore(col("pq_codes"), t))
+      .select("pq_codes", "adc").limit(20).collect()
+    rows.foreach { r =>
+      val codes = r.getSeq[Int](0)
+      val want = (0 until 8).map(mi => t(mi)(codes(mi))).reduceLeft(_ + _)
+      assert(r.getDouble(1) == want)
+    }
+  }
+
+  test("ADC approximates squared L2: rescore recall@10 vs exact ≥ 0.8, shortlist-50") {
+    val exact = Knn.search(emb, "embedding", "vec_id", q, k = 10, Knn.L2)
+    val enc = Pq.encode(emb, "embedding", cb)
+    val approx = Pq.searchRescore(enc, "embedding", "vec_id", q, cb,
+      k = 10, shortlist = 50)
+    // rescore metric is cosine (serving default) — compare against the
+    // exact cosine top-10, the contract the registered query gates
+    val exactCos = Knn.search(emb, "embedding", "vec_id", q, k = 10)
+    val a = approx.select("vec_id").collect().map(_.getLong(0)).toSet
+    val e = exactCos.select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = (a intersect e).size.toDouble / e.size
+    assert(recall >= 0.8, s"rescore recall $recall < 0.8")
+    // sanity: the L2-exact set exists and is the right size
+    assert(exact.count() == 10)
+  }
+
+  test("ADC search plan: TakeOrderedAndProject over the scan, zero exchanges") {
+    val enc = Pq.encode(emb, "embedding", cb)
+    val p = Pq.search(enc, "vec_id", q, cb, k = 10)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), s"expected a top-k heap:\n$p")
+    assert(!p.contains("Exchange"), s"ADC scan must not shuffle:\n$p")
+  }
+}
