@@ -114,21 +114,27 @@ object Dedup {
     minhashCandidatePairsFromShingles(
       shingleRelation(docs, textCol, idCol, shingleK), numHashes, numBands)
 
+  /** (id, sig) MinHash signature relation from a prepared (id, sh)
+    * relation. The repartition is a MATERIALIZATION BARRIER as much as
+    * parallelism: CollapseProject counts syntactic references, so
+    * without it the shingle-hash pipeline would be inlined into the
+    * signature lambda and re-evaluated once per seed per row. The
+    * exchange ships only (id, hash-array) rows and forces single
+    * evaluation on its map side.
+    */
+  def minhashSignatures(shingleRel: DataFrame, numHashes: Int): DataFrame = {
+    val par = shingleRel.sparkSession.sparkContext.defaultParallelism
+    shingleRel
+      .select(col("id"), transform(col("sh"), s => md5Long32(s)).as("hs"))
+      .repartition(par, col("id"))
+      .select(col("id"), minhashSignature(col("hs"), numHashes).as("sig"))
+  }
+
   /** Candidate pairs from a prepared (id, sh) relation. */
   def minhashCandidatePairsFromShingles(shingleRel: DataFrame, numHashes: Int,
                                         numBands: Int): DataFrame = {
     val rowsPerBand = numHashes / numBands
-    val par = shingleRel.sparkSession.sparkContext.defaultParallelism
-    // The repartition is a MATERIALIZATION BARRIER as much as
-    // parallelism: CollapseProject counts syntactic references, so
-    // without it the shingle-hash pipeline would be inlined into the
-    // signature lambda and re-evaluated once per seed per row. The
-    // exchange ships only (id, hash-array) rows and forces single
-    // evaluation on its map side.
-    val banded = shingleRel
-      .select(col("id"), transform(col("sh"), s => md5Long32(s)).as("hs"))
-      .repartition(par, col("id"))
-      .select(col("id"), minhashSignature(col("hs"), numHashes).as("sig"))
+    val banded = minhashSignatures(shingleRel, numHashes)
       .select(col("id"),
         explode(lshBandKeys(col("sig"), numBands, rowsPerBand)).as("band"))
       // the band relation is tiny (numBands rows per doc) and both

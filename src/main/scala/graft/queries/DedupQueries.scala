@@ -77,6 +77,46 @@ object DedupQueries {
       |ORDER BY jaccard DESC, id_a, id_b
       """.stripMargin.trim))
 
+  /** Shared DuckDB CTE chain mirroring `Dedup.minhashSignatures` +
+    * `minhashCandidatePairsFromShingles` (12 hashes, 4×3 bands): `sig`
+    * holds the signatures, `cand` the distinct LSH candidate pairs —
+    * consumed by both dedup_minhash_lsh and dedup_minhash_estimate (no
+    * copy drift).
+    */
+  private val duckMinhashCand =
+    """hs AS (
+      |  SELECT doc_id, list_transform(shingles,
+      |    x -> ('0x' || substring(md5(x), 1, 8))::BIGINT) AS h
+      |  FROM sh
+      |), sig AS (
+      |  SELECT doc_id, list_transform(range(12),
+      |    s -> list_min(list_transform(h,
+      |      v -> (v * (((s + 1) * 2654435761) % 1073741789)
+      |            + (((s + 1) * 97531) % 1073741789)) % 2147483647))) AS sg
+      |  FROM hs
+      |), bands AS (
+      |  SELECT doc_id, unnest(list_transform(range(4),
+      |    b -> b::VARCHAR || ':' || md5(array_to_string(list_slice(sg, b*3+1, b*3+3), ',')))) AS band
+      |  FROM sig
+      |), cand AS (
+      |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      |  FROM bands x JOIN bands y ON x.band = y.band AND x.doc_id < y.doc_id
+      |)""".stripMargin
+
+  /** Shared CTE tail: exact shingle-Jaccard counts for the `cand` pairs
+    * (mirrors `Dedup.jaccardOnPairsFromShingles`).
+    */
+  private val duckCandJaccard =
+    """ex AS (
+      |  SELECT doc_id, len(shingles)::BIGINT AS n_sh,
+      |         unnest(list_transform(shingles, x -> ('0x' || substring(md5(x), 1, 12))::BIGINT)) AS s FROM sh
+      |), common AS (
+      |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, x.n_sh AS na, y.n_sh AS nb, count(*) AS n_common
+      |  FROM ex x JOIN ex y ON x.s = y.s AND x.doc_id < y.doc_id
+      |  JOIN cand c ON c.id_a = x.doc_id AND c.id_b = y.doc_id
+      |  GROUP BY 1, 2, 3, 4
+      |)""".stripMargin
+
   private val minhash = QueryDef(
     "dedup_minhash_lsh",
     "MinHash(12) + LSH(4 bands × 3 rows) candidate pairs, verified with " +
@@ -95,34 +135,53 @@ object DedupQueries {
         .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
     },
     Some(s"""
-      |$duckShingles, hs AS (
-      |  SELECT doc_id, list_transform(shingles,
-      |    x -> ('0x' || substring(md5(x), 1, 8))::BIGINT) AS h
-      |  FROM sh
-      |), sig AS (
-      |  SELECT doc_id, list_transform(range(12),
-      |    s -> list_min(list_transform(h,
-      |      v -> (v * (((s + 1) * 2654435761) % 1073741789)
-      |            + (((s + 1) * 97531) % 1073741789)) % 2147483647))) AS sg
-      |  FROM hs
-      |), bands AS (
-      |  SELECT doc_id, unnest(list_transform(range(4),
-      |    b -> b::VARCHAR || ':' || md5(array_to_string(list_slice(sg, b*3+1, b*3+3), ',')))) AS band
-      |  FROM sig
-      |), cand AS (
-      |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-      |  FROM bands x JOIN bands y ON x.band = y.band AND x.doc_id < y.doc_id
-      |), ex AS (
-      |  SELECT doc_id, len(shingles)::BIGINT AS n_sh,
-      |         unnest(list_transform(shingles, x -> ('0x' || substring(md5(x), 1, 12))::BIGINT)) AS s FROM sh
-      |), common AS (
-      |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, x.n_sh AS na, y.n_sh AS nb, count(*) AS n_common
-      |  FROM ex x JOIN ex y ON x.s = y.s AND x.doc_id < y.doc_id
-      |  JOIN cand c ON c.id_a = x.doc_id AND c.id_b = y.doc_id
-      |  GROUP BY 1, 2, 3, 4
-      |)
+      |$duckShingles, $duckMinhashCand, $duckCandJaccard
       |SELECT id_a, id_b, round(n_common::DOUBLE / (na + nb - n_common)::DOUBLE, 6) AS jaccard
       |FROM common ORDER BY jaccard DESC, id_a, id_b
+      """.stripMargin.trim))
+
+  private val minhashEstimate = QueryDef(
+    "dedup_minhash_estimate",
+    "MinHash estimator quality, in-engine: for every LSH candidate pair, " +
+      "the signature-agreement Jaccard ESTIMATE (matching positions / " +
+      "12) next to the exact shingle Jaccard and the absolute error — " +
+      "the tuning artifact for picking numHashes/bands on a real corpus. " +
+      "One signature relation feeds candidate generation AND the " +
+      "estimate; the exact verify runs only on the (sparse) candidates, " +
+      "so the added cost over dedup_minhash_lsh is two id-keyed joins " +
+      "of 12-int signature rows.",
+    (s, dir) => {
+      val d = Tables.documentsSpread(s, dir)
+      val sh = Dedup.shingleRelation(d, "text", "doc_id", shingleK = 3).cache()
+      val sigs = Dedup.minhashSignatures(sh, numHashes = 12)
+      val cands = Dedup.minhashCandidatePairsFromShingles(sh, numHashes = 12, numBands = 4)
+        .cache()
+      val exact = Dedup.jaccardOnPairsFromShingles(sh, cands)
+      val est = cands
+        .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+        .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+            b => b)).cast("double") / 12.0, 6).as("est_jaccard"))
+      est.join(exact, Seq("id_a", "id_b"))
+        .select(col("id_a"), col("id_b"), col("est_jaccard"), col("jaccard"),
+          round(abs(col("est_jaccard") - col("jaccard")), 6).as("abs_err"))
+        .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
+    },
+    Some(s"""
+      |$duckShingles, $duckMinhashCand, $duckCandJaccard, est AS (
+      |  SELECT c.id_a, c.id_b,
+      |         len(list_filter(range(12), i -> sa.sg[i+1] = sb.sg[i+1]))::BIGINT AS matches
+      |  FROM cand c JOIN sig sa ON sa.doc_id = c.id_a
+      |  JOIN sig sb ON sb.doc_id = c.id_b
+      |)
+      |SELECT m.id_a, m.id_b,
+      |       round(matches::DOUBLE / 12.0, 6) AS est_jaccard,
+      |       round(n_common::DOUBLE / (na + nb - n_common)::DOUBLE, 6) AS jaccard,
+      |       round(abs(round(matches::DOUBLE / 12.0, 6)
+      |                 - round(n_common::DOUBLE / (na + nb - n_common)::DOUBLE, 6)), 6) AS abs_err
+      |FROM common m JOIN est ON m.id_a = est.id_a AND m.id_b = est.id_b
+      |ORDER BY jaccard DESC, m.id_a, m.id_b
       """.stripMargin.trim))
 
   private val simhash = QueryDef(
@@ -659,6 +718,6 @@ object DedupQueries {
       """.stripMargin.trim))
 
   val defs: Seq[QueryDef] =
-    Seq(exact, ngram, minhash, simhash, embCos, semPrune, clusters, canonical,
-      incremental, sourceMatrix, windowSpans, removeSpans)
+    Seq(exact, ngram, minhash, minhashEstimate, simhash, embCos, semPrune,
+      clusters, canonical, incremental, sourceMatrix, windowSpans, removeSpans)
 }
