@@ -1,8 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.VectorFunctions.l2Distance
+import graft.functions.VectorFunctions.cosineDistance
 
 /** Product quantization (PQ) — the memory-bound ANN serving path the
   * reference's engine family offers alongside IVF (Jégou et al., "Product
@@ -121,5 +122,44 @@ object Pq {
                     shortlist: Int): DataFrame = {
     val cand = search(encoded, idCol, queryVec, codebooks, shortlist)
     graft.operators.Knn.search(cand, vecCol, idCol, queryVec, k)
+  }
+
+  /** Batch multi-query PQ serving: every query in `queries` gets its own
+    * driver-computed ADC table, compiled into ONE codegen'd CASE chain
+    * keyed on query_id — so the corpus×queries BroadcastNestedLoopJoin
+    * scores every pair with table lookups, never vector arithmetic. The
+    * per-query shortlist comes from a rank window (WindowGroupLimit caps
+    * the sort at `shortlist` per query); only shortlisted rows read the
+    * vector column for the exact rescore. The corpus never shuffles
+    * vectors — the rank shuffle carries (query_id, id, adc) rows.
+    *
+    * This is the micro-batch serving kernel: a streaming foreachBatch
+    * collects its (small-by-contract) query batch, builds the tables,
+    * and runs this one distributed job per batch.
+    */
+  def batchSearchRescore(encoded: DataFrame, vecCol: String, idCol: String,
+                         queries: Seq[(Int, Array[Float])],
+                         codebooks: Array[Array[Array[Float]]],
+                         k: Int, shortlist: Int): DataFrame = {
+    val spark = encoded.sparkSession
+    val qdf = spark.createDataFrame(queries.map { case (i, v) => (i, v.toSeq) })
+      .toDF("query_id", "query_vec")
+    val adcByQ = queries.map { case (qid, v) =>
+      qid -> adcScore(col("pq_codes"), adcTable(v, codebooks))
+    }.foldLeft(lit(Double.NaN)) { case (acc, (qid, sc)) =>
+      when(col("query_id") === qid, sc).otherwise(acc)
+    }
+    val w1 = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist").asc, col(idCol).asc)
+    val cand = encoded.crossJoin(broadcast(qdf))
+      .withColumn("adc_dist", adcByQ)
+      .withColumn("adc_rank", row_number().over(w1))
+      .filter(col("adc_rank") <= shortlist)
+    val w2 = Window.partitionBy(col("query_id"))
+      .orderBy(col("distance_score").asc, col(idCol).asc)
+    cand
+      .withColumn("distance_score", cosineDistance(col(vecCol), col("query_vec")))
+      .withColumn("knn_rank", row_number().over(w2))
+      .filter(col("knn_rank") <= k)
   }
 }

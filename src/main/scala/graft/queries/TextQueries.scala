@@ -144,6 +144,59 @@ object TextQueries {
       |GROUP BY t ORDER BY n DESC, token LIMIT 25
       """.stripMargin.trim))
 
+  private val bigramLift = QueryDef(
+    "txt_bigram_lift",
+    "Bigram collocation mining: corpus-wide lift (observed/expected " +
+      "co-occurrence, the log-free PMI core) for bigrams seen ≥5 times, " +
+      "top 25. Bigrams come from two aligned slices zipped per document " +
+      "(no positional explode); unigram counts join on the term key " +
+      "(vocab unbounded — never broadcast, the TF-IDF rule); the two " +
+      "corpus totals are single-row broadcasts. The ratio is computed " +
+      "in ONE fixed parenthesization over exact integer counts, so both " +
+      "engines round identically; ranking and the cut use the " +
+      "PRESENTED (rounded lift, bigram) key.",
+    (s, dir) => {
+      val tk = docToks(s, dir)
+      val uni = tk.select(explode(col("toks")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      val tot = uni.agg(sum(col("c")).as("t_tokens"))
+      val bi = tk.select(explode(zip_with(
+          slice(col("toks"), lit(1), size(col("toks")) - 1),
+          slice(col("toks"), lit(2), size(col("toks")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("pr"))
+        .groupBy(col("pr.w1").as("w1"), col("pr.w2").as("w2"))
+        .agg(count(lit(1)).as("cab"))
+      val btot = bi.agg(sum(col("cab")).as("n_bigrams"))
+      bi.filter(col("cab") >= 5)
+        .join(uni.select(col("w").as("w1"), col("c").as("ca")), Seq("w1"))
+        .join(uni.select(col("w").as("w2"), col("c").as("cb")), Seq("w2"))
+        .crossJoin(broadcast(tot)).crossJoin(broadcast(btot))
+        .select(concat(col("w1"), lit(" "), col("w2")).as("bigram"),
+          col("cab").as("n_ab"),
+          round((col("cab").cast("double") * col("t_tokens").cast("double") *
+              col("t_tokens").cast("double")) /
+            (col("n_bigrams").cast("double") * col("ca").cast("double") *
+              col("cb").cast("double")), 6).as("lift"))
+        .orderBy(col("lift").desc, col("bigram"))
+        .limit(25)
+    },
+    Some(s"""
+      |${Duck.docToks}, uni AS (
+      |  SELECT t AS w, count(*) AS c FROM (SELECT unnest(toks) AS t FROM tt) GROUP BY 1
+      |), tot AS (SELECT SUM(c) AS t_tokens FROM uni),
+      |bi0 AS (
+      |  SELECT unnest(list_transform(range(len(toks)-1), i -> {'w1': toks[i+1], 'w2': toks[i+2]})) AS pr FROM tt
+      |), bi AS (
+      |  SELECT pr.w1 AS w1, pr.w2 AS w2, count(*) AS cab FROM bi0 GROUP BY 1, 2
+      |), btot AS (SELECT SUM(cab) AS n_bigrams FROM bi)
+      |SELECT w1 || ' ' || w2 AS bigram, cab AS n_ab,
+      |       round(((CAST(cab AS DOUBLE) * CAST(t_tokens AS DOUBLE)) * CAST(t_tokens AS DOUBLE))
+      |             / ((CAST(n_bigrams AS DOUBLE) * CAST(ca.c AS DOUBLE)) * CAST(cb.c AS DOUBLE)), 6) AS lift
+      |FROM bi JOIN uni ca ON bi.w1 = ca.w JOIN uni cb ON bi.w2 = cb.w, tot, btot
+      |WHERE cab >= 5
+      |ORDER BY lift DESC, bigram LIMIT 25
+      """.stripMargin.trim))
+
   private val simhashQ = QueryDef(
     "txt_simhash",
     "48-bit SimHash per document, computed in one pass with higher-order " +
@@ -629,7 +682,7 @@ object TextQueries {
       """.stripMargin.trim))
 
   val defs: Seq[QueryDef] =
-    Seq(stats, langQ, quality, fp, topTokens, simhashQ, embedQ, embedKnnQ,
-      bm25Q, tfidfQ, chunksQ, packQ, tokenBudgetQ, gopherQ, dupNgramsQ, piiQ,
-      noveltyQ)
+    Seq(stats, langQ, quality, fp, topTokens, bigramLift, simhashQ, embedQ,
+      embedKnnQ, bm25Q, tfidfQ, chunksQ, packQ, tokenBudgetQ, gopherQ,
+      dupNgramsQ, piiQ, noveltyQ)
 }

@@ -393,9 +393,8 @@ object VectorQueries {
     * the fixed left-associated ADC add chain with the SAME driver-
     * computed distance-table literals the Spark plan uses.
     */
-  private def duckPqAdc(cb: Array[Array[Array[Float]]]): String = {
+  private def duckPqCodes(cb: Array[Array[Array[Float]]]): String = {
     val m = cb.length; val dsub = cb(0)(0).length
-    val q = Queries.queryVec64
     val cbRows = (for { mi <- 0 until m; ci <- cb(mi).indices } yield
       s"($mi, $ci, ${vecLit(cb(mi)(ci))})").mkString(",\n         ")
     def sub(mi: Int) =
@@ -404,13 +403,8 @@ object VectorQueries {
     // window pass while matching each subspace against its own slice
     val distByM = (0 until m).map(mi =>
       s"WHEN cb.m = $mi THEN ${duckL2(sub(mi), "cb.c")}").mkString(" ", "\n             ", "")
-    val t = Pq.adcTable(q, cb)
     val codeCols = (0 until m).map(mi =>
       s"MAX(CASE WHEN m = $mi THEN cid END) AS c$mi").mkString(",\n         ")
-    val chain = (0 until m).map { mi =>
-      val lits = t(mi).map(dblLit).mkString("[", ", ", "]::DOUBLE[]")
-      s"list_extract($lits, c$mi + 1)"
-    }.reduceLeft((a, b) => s"($a + $b)")
     s"""
     |WITH cb(m, cid, c) AS (
     |  VALUES $cbRows
@@ -426,10 +420,26 @@ object VectorQueries {
     |  SELECT vec_id,
     |         $codeCols
     |  FROM assigned GROUP BY vec_id
-    |), adc AS (
-    |  SELECT vec_id, $chain AS adc_dist FROM codes
     |)""".stripMargin
   }
+
+  /** The fixed left-associated ADC add chain over `codes`-CTE columns
+    * c0..c{m−1}, with THIS query's driver-computed distance table as
+    * exact double literals — the SQL twin of `Pq.adcScore`.
+    */
+  private def duckAdcChain(cb: Array[Array[Array[Float]]],
+                           q: Array[Float]): String = {
+    val t = Pq.adcTable(q, cb)
+    t.indices.map { mi =>
+      val lits = t(mi).map(dblLit).mkString("[", ", ", "]::DOUBLE[]")
+      s"list_extract($lits, c$mi + 1)"
+    }.reduceLeft((a, b) => s"($a + $b)")
+  }
+
+  private def duckPqAdc(cb: Array[Array[Array[Float]]]): String =
+    s"""${duckPqCodes(cb)}, adc AS (
+    |  SELECT vec_id, ${duckAdcChain(cb, Queries.queryVec64)} AS adc_dist FROM codes
+    |)""".stripMargin
 
   private val pqAdc = QueryDef(
     "ann_pq_adc",
@@ -495,6 +505,60 @@ object VectorQueries {
         |)
         |SELECT vec_id, round(dist, 6) AS distance
         |FROM top ORDER BY distance, vec_id
+        """.stripMargin.trim
+      }))
+
+  private val pqBatch = QueryDef(
+    "ann_pq_batch",
+    "Batch multi-query PQ serving: the knn_batch query table scored " +
+      "against the CODES column — each query's ADC table compiles into " +
+      "one codegen'd CASE chain keyed on query_id, so the corpus×5 " +
+      "BNLJ does table lookups, not vector math; per-query shortlist-20 " +
+      "via a rank window (WindowGroupLimit), exact cosine rescore only " +
+      "on the shortlist. The micro-batch serving kernel — same output " +
+      "shape as knn_batch. Late oracle: per-query ADC chains over the " +
+      "shared recomputed codes + per-query rescore, unioned.",
+    (s, dir) => {
+      val cb = PqStore.ensure(s, dir)
+      val enc = Pq.encode(Tables.embeddings(s, dir), "embedding", cb)
+      Pq.batchSearchRescore(enc, "embedding", "vec_id", batchQueryVecs, cb,
+          k = 3, shortlist = 20)
+        .select(col("query_id"), col("knn_rank").cast("long").as("knn_rank"),
+          col("vec_id"), round(col("distance_score"), 6).as("distance"))
+        .orderBy(col("query_id"), col("knn_rank"))
+    },
+    oracle = None,
+    oracleLate = Some(() =>
+      PqStore.lastDir.flatMap(PqStore.books.get).map { cb =>
+        val adcCols = batchQueryVecs.map { case (i, v) =>
+          s"${duckAdcChain(cb, v)} AS adc_$i"
+        }.mkString(",\n         ")
+        val branches = batchQueryVecs.map { case (i, v) =>
+          val qLit = vecLit(v)
+          s"""|cand_$i AS (
+              |  SELECT vec_id FROM adc ORDER BY adc_$i, vec_id LIMIT 20
+              |), d_$i AS (
+              |  SELECT $i AS query_id, e.vec_id, ${duckCosine("e.embedding", qLit)} AS dist
+              |  FROM embeddings e WHERE e.vec_id IN (SELECT vec_id FROM cand_$i)
+              |)""".stripMargin
+        }.mkString(", ")
+        val union = batchQueryVecs.map { case (i, _) => s"SELECT * FROM d_$i" }
+          .mkString("\n  UNION ALL ")
+        s"""
+        |${duckPqCodes(cb)}, adc AS (
+        |  SELECT vec_id,
+        |         $adcCols
+        |  FROM codes
+        |), $branches, u AS (
+        |  $union
+        |), r AS (
+        |  SELECT query_id, vec_id, dist,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY dist, vec_id) AS knn_rank
+        |  FROM u
+        |)
+        |SELECT query_id, knn_rank, vec_id, round(dist, 6) AS distance
+        |FROM r WHERE knn_rank <= 3 ORDER BY query_id, knn_rank
         """.stripMargin.trim
       }))
 
@@ -893,5 +957,5 @@ object VectorQueries {
   val defs: Seq[QueryDef] =
     Seq(filtered, l2Search, batch, ragContext, ivf, lshProbe, ivfRule,
       lshRule, ivfKmeansRule, filteredIvfRule, mips, quantRescore, sqlApi,
-      centroids, quantize, groupTopk, pqAdc, pqRescore)
+      centroids, quantize, groupTopk, pqAdc, pqRescore, pqBatch)
 }

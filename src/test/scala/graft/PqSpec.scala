@@ -69,6 +69,33 @@ class PqSpec extends SparkSpec {
     assert(exact.count() == 10)
   }
 
+  test("batch PQ rescore ≡ per-query searchRescore for every query id") {
+    import graft.queries.VectorQueries
+    val enc = Pq.encode(emb, "embedding", cb).cache()
+    val batch = Pq.batchSearchRescore(enc, "embedding", "vec_id",
+        VectorQueries.batchQueryVecs, cb, k = 3, shortlist = 20)
+      .select("query_id", "knn_rank", "vec_id").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+    val single = VectorQueries.batchQueryVecs.flatMap { case (qid, v) =>
+      Pq.searchRescore(enc, "embedding", "vec_id", v, cb, k = 3, shortlist = 20)
+        .orderBy(col("distance_score"), col("vec_id"))
+        .collect().zipWithIndex
+        .map { case (r, i) => (qid, i + 1, r.getAs[Long]("vec_id")) }
+    }.toSet
+    assert(batch == single, s"batch $batch != per-query $single")
+    enc.unpersist()
+  }
+
+  test("batch PQ plan: rank under WindowGroupLimit, corpus vectors never shuffle") {
+    import graft.queries.VectorQueries
+    val enc = Pq.encode(emb, "embedding", cb)
+    val df = Pq.batchSearchRescore(enc, "embedding", "vec_id",
+      VectorQueries.batchQueryVecs, cb, k = 3, shortlist = 20)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"), s"shortlist rank must group-limit:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"), s"query table must broadcast:\n$p")
+  }
+
   test("ADC search plan: TakeOrderedAndProject over the scan, zero exchanges") {
     val enc = Pq.encode(emb, "embedding", cb)
     val p = Pq.search(enc, "vec_id", q, cb, k = 10)
