@@ -138,6 +138,64 @@ object StreamingQueries {
       })
   }
 
+  /** One run-to-completion PQ serving stream per (sfDir, JVM) — the PQ
+    * twin of [[ServeStore]]: same two MemoryStream micro-batches of the
+    * `knn_batch` query vectors, scored by `Pq.batchSearchRescore` over
+    * the encoded corpus (codebooks from the SAME per-run `PqStore` the
+    * batch PQ oracles embed).
+    */
+  private object PqServeStore {
+    private val done = scala.collection.concurrent.TrieMap.empty[String, String]
+
+    def ensure(s: SparkSession, dir: String): String =
+      done.getOrElseUpdate(dir, {
+        val root = TmpStores.pidScopedPath("graft_stream_pq", dir)
+        new scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
+        val out = s"$root/results"
+        val cb = VectorQueries.PqStore.ensure(s, dir)
+        val encoded = graft.operators.Pq.encode(
+          Tables.embeddings(s, dir), "embedding", cb)
+        import s.implicits._
+        val input = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Int, Seq[Float])](s)
+        val qvecs = VectorQueries.batchQueryVecs.map { case (i, v) => (i, v.toSeq) }
+        val q = VectorServing.servePqKnn(
+          input.toDF().toDF("query_id", "query_vec"), encoded,
+          "embedding", "vec_id", "query_vec", "query_id", cb,
+          k = 3, shortlist = 20, s"$root/ckpt") { batchOut =>
+          batchOut.write.mode("append").parquet(out)
+        }
+        try {
+          input.addData(qvecs.take(3)); q.processAllAvailable()
+          input.addData(qvecs.drop(3)); q.processAllAvailable()
+        } finally q.stop()
+        out
+      })
+  }
+
+  private val streamServePq = QueryDef(
+    "stream_serve_pq",
+    "Micro-batch PQ serving run to completion: the knn_batch query " +
+      "vectors stream through VectorServing.servePqKnn in two " +
+      "micro-batches; each batch compiles its per-query ADC tables into " +
+      "one codegen'd CASE chain over the codes column, shortlists 20 " +
+      "per query, and exact-rescores only the shortlist. The hashed " +
+      "result is the FINAL sink table; the oracle is the one-shot " +
+      "ann_pq_batch SQL (single builder) — green proves the streaming " +
+      "PQ loop reproduces the batch answer regardless of batching.",
+    (s, dir) => {
+      val out = PqServeStore.ensure(s, dir)
+      s.read.parquet(out)
+        .select(col("query_id"), col("knn_rank").cast("long").as("knn_rank"),
+          col("vec_id"), col("distance"))
+        .orderBy(col("query_id"), col("knn_rank"))
+    },
+    oracle = None,
+    oracleLate = Some(() =>
+      VectorQueries.PqStore.lastDir
+        .flatMap(VectorQueries.PqStore.books.get)
+        .map(VectorQueries.duckPqBatchSql)))
+
   private val streamServe = QueryDef(
     "stream_serve_knn",
     "Micro-batch KNN serving run to completion: the knn_batch query " +
@@ -159,5 +217,5 @@ object StreamingQueries {
     // "streamed ≡ batch" premise is structural, not a copy
     Some(VectorQueries.duckBatchKnnSql(k = 3)))
 
-  val defs: Seq[QueryDef] = Seq(streamIngest, streamServe)
+  val defs: Seq[QueryDef] = Seq(streamIngest, streamServe, streamServePq)
 }

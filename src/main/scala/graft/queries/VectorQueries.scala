@@ -368,7 +368,7 @@ object VectorQueries {
     * THIS run's codebook literals (KMeans is not SQL-recomputable; same
     * self-consistency contract as [[KmeansIndexStore]]).
     */
-  private object PqStore {
+  private[queries] object PqStore {
     val M = 8; val Ksub = 16; val Dim = 64
     val books = scala.collection.concurrent.TrieMap
       .empty[String, Array[Array[Array[Float]]]]
@@ -529,38 +529,44 @@ object VectorQueries {
     },
     oracle = None,
     oracleLate = Some(() =>
-      PqStore.lastDir.flatMap(PqStore.books.get).map { cb =>
-        val adcCols = batchQueryVecs.map { case (i, v) =>
-          s"${duckAdcChain(cb, v)} AS adc_$i"
-        }.mkString(",\n         ")
-        val branches = batchQueryVecs.map { case (i, v) =>
-          val qLit = vecLit(v)
-          s"""|cand_$i AS (
-              |  SELECT vec_id FROM adc ORDER BY adc_$i, vec_id LIMIT 20
-              |), d_$i AS (
-              |  SELECT $i AS query_id, e.vec_id, ${duckCosine("e.embedding", qLit)} AS dist
-              |  FROM embeddings e WHERE e.vec_id IN (SELECT vec_id FROM cand_$i)
-              |)""".stripMargin
-        }.mkString(", ")
-        val union = batchQueryVecs.map { case (i, _) => s"SELECT * FROM d_$i" }
-          .mkString("\n  UNION ALL ")
-        s"""
-        |${duckPqCodes(cb)}, adc AS (
-        |  SELECT vec_id,
-        |         $adcCols
-        |  FROM codes
-        |), $branches, u AS (
-        |  $union
-        |), r AS (
-        |  SELECT query_id, vec_id, dist,
-        |         row_number() OVER (PARTITION BY query_id
-        |                            ORDER BY dist, vec_id) AS knn_rank
-        |  FROM u
-        |)
-        |SELECT query_id, knn_rank, vec_id, round(dist, 6) AS distance
-        |FROM r WHERE knn_rank <= 3 ORDER BY query_id, knn_rank
-        """.stripMargin.trim
-      }))
+      PqStore.lastDir.flatMap(PqStore.books.get).map(duckPqBatchSql)))
+
+  /** One-shot batch-PQ oracle over [[batchQueryVecs]] — SHARED by
+    * `ann_pq_batch` and the streaming `stream_serve_pq` gate (final
+    * sink ≡ this SQL), same single-builder rule as [[duckBatchKnnSql]].
+    */
+  private[queries] def duckPqBatchSql(cb: Array[Array[Array[Float]]]): String = {
+    val adcCols = batchQueryVecs.map { case (i, v) =>
+      s"${duckAdcChain(cb, v)} AS adc_$i"
+    }.mkString(",\n         ")
+    val branches = batchQueryVecs.map { case (i, v) =>
+      val qLit = vecLit(v)
+      s"""|cand_$i AS (
+          |  SELECT vec_id FROM adc ORDER BY adc_$i, vec_id LIMIT 20
+          |), d_$i AS (
+          |  SELECT $i AS query_id, e.vec_id, ${duckCosine("e.embedding", qLit)} AS dist
+          |  FROM embeddings e WHERE e.vec_id IN (SELECT vec_id FROM cand_$i)
+          |)""".stripMargin
+    }.mkString(", ")
+    val union = batchQueryVecs.map { case (i, _) => s"SELECT * FROM d_$i" }
+      .mkString("\n  UNION ALL ")
+    s"""
+    |${duckPqCodes(cb)}, adc AS (
+    |  SELECT vec_id,
+    |         $adcCols
+    |  FROM codes
+    |), $branches, u AS (
+    |  $union
+    |), r AS (
+    |  SELECT query_id, vec_id, dist,
+    |         row_number() OVER (PARTITION BY query_id
+    |                            ORDER BY dist, vec_id) AS knn_rank
+    |  FROM u
+    |)
+    |SELECT query_id, knn_rank, vec_id, round(dist, 6) AS distance
+    |FROM r WHERE knn_rank <= 3 ORDER BY query_id, knn_rank
+    """.stripMargin.trim
+  }
 
   private val ivfRule = QueryDef(
     "ann_ivf_rule_rewrite",

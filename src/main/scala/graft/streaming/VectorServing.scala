@@ -142,4 +142,33 @@ object VectorServing {
         }
       }
       .start()
+
+  /** Micro-batch PQ serving: each query batch is COLLECTED to the driver
+    * (query batches are small by contract — they are user requests, not
+    * data) so its per-query ADC tables can be compiled into the one
+    * codegen'd CASE chain of [[graft.operators.Pq.batchSearchRescore]];
+    * the corpus side stays fully distributed — one job per batch over
+    * the codes column, vectors read only for the per-query shortlist.
+    * Same sink contract as [[serveKnn]].
+    */
+  def servePqKnn(queries: DataFrame, encoded: DataFrame,
+                 corpusVecCol: String, corpusIdCol: String,
+                 queryVecCol: String, queryIdCol: String,
+                 codebooks: Array[Array[Array[Float]]],
+                 k: Int, shortlist: Int,
+                 checkpoint: String)(sink: DataFrame => Unit): StreamingQuery =
+    queries.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val qs = batch.select(col(queryIdCol), col(queryVecCol)).collect()
+            .map(r => (r.getInt(0), r.getSeq[Float](1).toArray)).toSeq
+          sink(graft.operators.Pq.batchSearchRescore(encoded, corpusVecCol,
+              corpusIdCol, qs, codebooks, k, shortlist)
+            .select(col(queryIdCol), col("knn_rank"), col(corpusIdCol),
+              round(col("distance_score"), 6).as("distance")))
+        }
+      }
+      .start()
 }
