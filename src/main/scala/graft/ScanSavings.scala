@@ -83,6 +83,18 @@ object ScanSavings {
       f"${300.0 / 8}%.1f%% by rows; byte ratio differs by per-list size skew and " +
       "encoding), and " +
       f"${100.0 * rewrite.bytes / exact.bytes}%.1f%% of the exact scan's bytes.")
+
+    // PQ serving store: ADC over persisted (id, codes) — the compression
+    // axis (IVF above is the pruning axis; a production index uses both)
+    val pq = measure(spark, "ann_pq_store_adc", sfDir, runs)
+    println(s"\n## PQ codes-store scan savings ($sfDir, m=8 × ksub=16 over 64-d)\n")
+    println("| query | files read | bytes scanned | rows decoded | wall (median) |")
+    println("|---|---|---|---|---|")
+    println(f"| knn_exact_cosine (vector store) | ${exact.files} | ${exact.bytes / mb}%.1f MB | ${exact.rows}%,d | ${exact.sec}%.3f s |")
+    println(f"| ann_pq_store_adc (codes store) | ${pq.files} | ${pq.bytes / mb}%.1f MB | ${pq.rows}%,d | ${pq.sec}%.3f s |")
+    println()
+    println(f"ADC reads ${100.0 * pq.bytes / exact.bytes}%.1f%% of the vector scan's bytes " +
+      "(both scans decode every row — PQ compresses, IVF prunes).")
     spark.stop()
   }
 }

@@ -124,6 +124,21 @@ object Pq {
     graft.operators.Knn.search(cand, vecCol, idCol, queryVec, k)
   }
 
+  /** Write-time encode: persist ONLY (id, pq_codes) — the serving-scan
+    * relation. At 4·D/m-fold compression the stored bytes are the whole
+    * point: an ADC top-k over this store reads ~1/30 the bytes of the
+    * vector store (ScanSavings measures it; rescore candidates fetch
+    * their vectors from the primary store by id).
+    */
+  def writeEncoded(corpus: DataFrame, vecCol: String, idCol: String,
+                   codebooks: Array[Array[Array[Float]]], path: String): Unit =
+    encode(corpus, vecCol, codebooks)
+      .select(col(idCol), col("pq_codes"))
+      .write.mode("overwrite").parquet(path)
+
+  def readEncoded(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
   /** Batch multi-query PQ serving: every query in `queries` gets its own
     * driver-computed ADC table, compiled into ONE codegen'd CASE chain
     * keyed on query_id — so the corpus×queries BroadcastNestedLoopJoin

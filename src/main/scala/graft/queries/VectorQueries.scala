@@ -441,6 +441,57 @@ object VectorQueries {
     |  SELECT vec_id, ${duckAdcChain(cb, Queries.queryVec64)} AS adc_dist FROM codes
     |)""".stripMargin
 
+  /** Persisted (vec_id, pq_codes) store per (sfDir, JVM) — the serving
+    * layout `Pq.writeEncoded` produces; `ann_pq_store_adc` reads it and
+    * ScanSavings measures its scan bytes against the vector store.
+    */
+  private[queries] object PqCodeStore {
+    private val written = scala.collection.concurrent.TrieMap.empty[String, String]
+    def ensure(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+      val cb = PqStore.ensure(s, dir)
+      written.getOrElseUpdate(dir, {
+        val p = TmpStores.pidScopedPath("graft_pq_codes", dir)
+        Pq.writeEncoded(Tables.embeddings(s, dir), "embedding", "vec_id", cb, p)
+        p
+      })
+    }
+  }
+
+  /** `adc`-CTE + top-k presentation for the single flagship query —
+    * SHARED by `ann_pq_adc` (inline encode) and `ann_pq_store_adc`
+    * (persisted codes): the stored codes ARE the recomputed codes, so
+    * one oracle builder serves both (single-builder rule).
+    */
+  private[queries] def duckPqAdcTopSql(cb: Array[Array[Array[Float]]]): String =
+    s"""
+    |${duckPqAdc(cb)},
+    |top AS (
+    |  SELECT vec_id, adc_dist FROM adc ORDER BY adc_dist, vec_id LIMIT 10
+    |)
+    |SELECT vec_id, round(adc_dist, 6) AS adc_distance
+    |FROM top ORDER BY adc_distance, vec_id
+    """.stripMargin.trim
+
+  private val pqStoreAdc = QueryDef(
+    "ann_pq_store_adc",
+    "ADC top-k over the PERSISTED codes store (Pq.writeEncoded: only " +
+      "(vec_id, pq_codes) on disk — ~1/30 the vector store's bytes): " +
+      "the serving-path scan reads no vectors at all; " +
+      "TakeOrderedAndProject over the codes scan, zero shuffles. " +
+      "Oracle = the ann_pq_adc SQL (stored codes ≡ recomputed codes — " +
+      "a green row proves the write/read round trip preserved every " +
+      "code).",
+    (s, dir) => {
+      val cb = PqStore.ensure(s, dir)
+      val path = PqCodeStore.ensure(s, dir)
+      Pq.search(Pq.readEncoded(s, path), "vec_id", Queries.queryVec64, cb, k = 10)
+        .select(col("vec_id"), round(col("adc_dist"), 6).as("adc_distance"))
+        .orderBy(col("adc_distance"), col("vec_id"))
+    },
+    oracle = None,
+    oracleLate = Some(() =>
+      PqStore.lastDir.flatMap(PqStore.books.get).map(duckPqAdcTopSql)))
+
   private val pqAdc = QueryDef(
     "ann_pq_adc",
     "Product-quantization ANN (Jégou et al. 2011): 64-d float32 vectors " +
@@ -462,16 +513,7 @@ object VectorQueries {
     },
     oracle = None,
     oracleLate = Some(() =>
-      PqStore.lastDir.flatMap(PqStore.books.get).map { cb =>
-        s"""
-        |${duckPqAdc(cb)},
-        |top AS (
-        |  SELECT vec_id, adc_dist FROM adc ORDER BY adc_dist, vec_id LIMIT 10
-        |)
-        |SELECT vec_id, round(adc_dist, 6) AS adc_distance
-        |FROM top ORDER BY adc_distance, vec_id
-        """.stripMargin.trim
-      }))
+      PqStore.lastDir.flatMap(PqStore.books.get).map(duckPqAdcTopSql)))
 
   private val pqRescore = QueryDef(
     "ann_pq_rescore",
@@ -963,5 +1005,5 @@ object VectorQueries {
   val defs: Seq[QueryDef] =
     Seq(filtered, l2Search, batch, ragContext, ivf, lshProbe, ivfRule,
       lshRule, ivfKmeansRule, filteredIvfRule, mips, quantRescore, sqlApi,
-      centroids, quantize, groupTopk, pqAdc, pqRescore, pqBatch)
+      centroids, quantize, groupTopk, pqAdc, pqRescore, pqBatch, pqStoreAdc)
 }
