@@ -137,6 +137,70 @@ object RecallDump {
     pts
   }
 
+  /** PQ shortlist sweep: recall@k of ADC-shortlist → exact-rescore as a
+    * function of the shortlist size (the PQ tuning knob, like nprobe
+    * for IVF). shortlist=k is pure-ADC set recall (rescoring a k-set
+    * re-orders but cannot change it).
+    */
+  case class PqPoint(shortlist: Int, meanRecall: Double, minRecall: Double)
+
+  def pqCurve(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+              k: Int): Seq[PqPoint] = {
+    val emb = Tables.embeddings(spark, sfDir).cache()
+    val cb = graft.operators.Pq.fitCodebooks(emb, "embedding", dim = 64, m = 8, ksub = 16)
+    val enc = graft.operators.Pq.encode(emb, "embedding", cb).cache()
+    val qs = emb.filter(col("vec_id") % 100 === 10)
+      .orderBy("vec_id").select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray) :+ Queries.queryVec64
+    val exactByQ = qs.map(qv => Knn.search(emb, "embedding", "vec_id", qv, k))
+    val pts = sweep(emb, enc, cb, qs, k)
+    enc.unpersist(); emb.unpersist()
+    pts
+  }
+
+  /** PQ sweep over the clustered mixture-of-Gaussians corpus — the
+    * regime real embedding stores live in (same corpus as
+    * [[clusteredCurve]]).
+    */
+  def pqClusteredCurve(spark: org.apache.spark.sql.SparkSession,
+                       k: Int): Seq[PqPoint] = {
+    val emb = clusteredCorpus(spark, n = 2000, dim = 64, nClusters = 32,
+      sigma = 0.15, seed = 7L).cache()
+    val cb = graft.operators.Pq.fitCodebooks(emb, "embedding", dim = 64, m = 8, ksub = 16)
+    val enc = graft.operators.Pq.encode(emb, "embedding", cb).cache()
+    val qs = emb.filter(col("vec_id") % 100 === 10)
+      .orderBy("vec_id").select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    val pts = sweep(emb, enc, cb, qs, k)
+    enc.unpersist(); emb.unpersist()
+    pts
+  }
+
+  private def sweep(emb: org.apache.spark.sql.DataFrame,
+                    enc: org.apache.spark.sql.DataFrame,
+                    cb: Array[Array[Array[Float]]],
+                    qs: Array[Array[Float]], k: Int): Seq[PqPoint] = {
+    val exactByQ = qs.map(qv => Knn.search(emb, "embedding", "vec_id", qv, k))
+    Seq(k, 2 * k, 5 * k, 10 * k).map { sl =>
+      val rs = qs.toSeq.lazyZip(exactByQ).map { (qv, exact) =>
+        Ann.recallAtK(
+          graft.operators.Pq.searchRescore(enc, "embedding", "vec_id", qv, cb, k, sl),
+          exact, "vec_id")
+      }
+      PqPoint(sl, rs.sum / rs.size, rs.min)
+    }
+  }
+
+  private def pqTable(pts: Seq[PqPoint]): String = {
+    val sb = new StringBuilder
+    sb ++= "| shortlist | mean recall@10 | min recall@10 |\n"
+    sb ++= "|---|---|---|\n"
+    pts.foreach { p =>
+      sb ++= f"| ${p.shortlist} | ${p.meanRecall}%.3f | ${p.minRecall}%.3f |\n"
+    }
+    sb.toString
+  }
+
   private def lshTable(pts: Seq[LshPoint]): String = {
     val sb = new StringBuilder
     sb ++= "| radius | buckets probed | corpus scanned | mean recall@10 | min recall@10 |\n"
@@ -203,8 +267,40 @@ object RecallDump {
       "axis than IVF: bucket membership is determined by the query's " +
       "side of 8 hyperplanes, so near-uniform corpora split ~evenly " +
       "(scan ≈ probes/256) and recall grows with radius as the probe " +
-      "set covers more sign flips. Radius 2 (37 buckets) is the knee " +
-      "on this corpus.\n"
+      "set covers more sign flips. Like the IVF fixture curve above, a " +
+      "near-uniform corpus is the WORST CASE — recall per scanned row " +
+      "still beats random probing, but absolute recall is low; on " +
+      "clustered corpora (or with more bits + more probes) the same " +
+      "machinery sits far higher. The rewrite's radius-1 default is " +
+      "the latency point; audits wanting recall should probe radius 2+ " +
+      "or switch the store to the KMeans IVF index, whose " +
+      "clustered-regime curve reaches 1.0 at nprobe=1.\n"
+    sb ++= "\n## PQ shortlist sweep (ADC shortlist → exact rescore)\n\n"
+    sb ++= "Same fixture corpus and workload under the PQ codes store " +
+      "(m=8 × ksub=16 over 64-d — `ann_pq_rescore`'s read path, 3.3% of " +
+      "the vector store's bytes per PLANS.md). The shortlist is PQ's " +
+      "tuning knob (as nprobe is IVF's): the exact stage's cost is the " +
+      "shortlist size, and recall is bounded by whether the true " +
+      "neighbors survive the ADC cut. shortlist=10 is pure-ADC set " +
+      "recall (rescoring a 10-set cannot change it).\n\n"
+    sb ++= pqTable(pqCurve(spark, sfDir, k))
+    sb ++= "\nUnlike IVF/LSH, PQ scans EVERY row (compression, not " +
+      "pruning), so recall is limited only by quantization error — and " +
+      "an 8-byte code (64 bits for 64 dims) is COARSE on a near-uniform " +
+      "corpus, where true neighbors are barely closer than everything " +
+      "else: this is PQ's worst case exactly as it is IVF's. The knobs " +
+      "are m and ksub (more code bits → finer cells) and the shortlist. " +
+      "The clustered regime below is the one real stores live in.\n\n"
+    sb ++= "## PQ shortlist sweep, clustered corpus\n\n"
+    sb ++= "Same mixture-of-Gaussians corpus as the IVF clustered " +
+      "section (2000×64, 32 clusters, σ=0.15), same 8-byte codes.\n\n"
+    sb ++= pqTable(pqClusteredCurve(spark, k))
+    sb ++= "\nIn the clustered regime the 8-byte code separates " +
+      "clusters cleanly and the ADC shortlist recovers the true " +
+      "neighbors with a small rescore budget — and PQ composes with " +
+      "IVF: an IVF-partitioned codes store prunes rows (nprobe/nlist) " +
+      "AND shrinks bytes per scanned row (~1/30), multiplying the two " +
+      "savings at 100 TB.\n"
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       sb.toString.getBytes("UTF-8"))
     println(sb.toString)

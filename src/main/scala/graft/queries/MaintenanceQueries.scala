@@ -34,6 +34,56 @@ object MaintenanceQueries {
       }
   }
 
+  /** One layout migration per (sfDir, JVM): documents rewritten from a
+    * flat table into a lang-partitioned directory tree (the layout
+    * migration every warehouse eventually runs so per-language reads
+    * become partition pruning — SourcesSpec proves the pruned-read
+    * side; this store feeds the fidelity gate).
+    */
+  private object RepartitionStore {
+    def ensure(s: SparkSession, dir: String): String =
+      TmpStores.memoizedTable("graft_repart_docs", dir) { root =>
+        val table = s"$root/documents"
+        // one shuffle keyed on the partition column so each lang writes
+        // its files contiguously (no small-file explosion per task)
+        Tables.documents(s, dir).repartition(col("lang"))
+          .write.partitionBy("lang").parquet(table)
+        table
+      }
+  }
+
+  private val repartitionLayout = QueryDef(
+    "maint_repartition_layout",
+    "Partition-layout migration fidelity gate: documents are rewritten " +
+      "into a lang-partitioned tree (one shuffle keyed on the partition " +
+      "column), and the MIGRATED table is aggregated per lang — counts, " +
+      "char sums, and an order-independent md5 row-set checksum " +
+      "(doc_id|source|md5(text) — the partition column itself round-" +
+      "trips through directory names, which is exactly what the gate " +
+      "must catch). Oracle aggregates the ORIGINAL fixture.",
+    (s, dir) => {
+      val table = RepartitionStore.ensure(s, dir)
+      val rowKey = concat_ws("|",
+        col("doc_id").cast("string"), col("source"), md5(col("text")))
+      val h = conv(substring(md5(rowKey), 1, 12), 16, 10).cast("decimal(38,0)")
+      s.read.parquet(table)
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(h).cast("decimal(38,0)").cast("string").as("rowset_fp"))
+        .orderBy(col("lang"))
+    },
+    Some("""
+      |SELECT lang, count(*) AS n_docs,
+      |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |       CAST(CAST(SUM(CAST(('0x' || substring(md5(
+      |         doc_id::VARCHAR || '|' || source || '|' || md5(text)), 1, 12))::BIGINT
+      |         AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS VARCHAR) AS rowset_fp
+      |FROM documents
+      |GROUP BY lang ORDER BY lang
+      """.stripMargin.trim))
+
   private val compactRoundtrip = QueryDef(
     "maint_compact_roundtrip",
     "Small-file compaction data-fidelity gate: lineitem is fragmented " +
@@ -221,5 +271,6 @@ object MaintenanceQueries {
       """.stripMargin.trim))
 
   val defs: Seq[QueryDef] =
-    Seq(compactRoundtrip, snapshotDiffQ, zorderRoundtrip, incrementalRollup)
+    Seq(compactRoundtrip, repartitionLayout, snapshotDiffQ, zorderRoundtrip,
+      incrementalRollup)
 }

@@ -472,6 +472,44 @@ object VectorQueries {
     |FROM top ORDER BY adc_distance, vec_id
     """.stripMargin.trim
 
+  private val matryoshka = QueryDef(
+    "ann_matryoshka_rescore",
+    "Matryoshka (MRL) prefix-dimension search: stage 1 ranks by cosine " +
+      "over only the FIRST 16 of 64 dims (a 4× cheaper scan when the " +
+      "store is laid out prefix-first), shortlists 50; stage 2 exact " +
+      "full-dim rescore on the shortlist. Both stages " +
+      "TakeOrderedAndProject, zero shuffles, no model state — fully " +
+      "SQL-recomputable (static oracle, list_slice mirror).",
+    (s, dir) => {
+      val q = Queries.queryVec64
+      val qPrefix = q.take(16)
+      val cand = Tables.embeddings(s, dir)
+        .withColumn("prefix_dist",
+          graft.functions.VectorFunctions.cosineDistance(
+            slice(col("embedding"), 1, 16), typedLit(qPrefix)))
+        .orderBy(col("prefix_dist"), col("vec_id"))
+        .limit(50)
+      Knn.search(cand, "embedding", "vec_id", q, k = 10)
+        .select(col("vec_id"), round(col("distance_score"), 6).as("distance"))
+        .orderBy(col("distance"), col("vec_id"))
+    },
+    Some(s"""
+      |WITH cand AS (
+      |  SELECT vec_id, embedding
+      |  FROM embeddings
+      |  ORDER BY ${Duck.cosine("list_slice(embedding::DOUBLE[], 1, 16)",
+          vecLit(Queries.queryVec64.take(16)))}, vec_id
+      |  LIMIT 50
+      |), d AS (
+      |  SELECT vec_id, ${duckCosine("embedding", vecLit(Queries.queryVec64))} AS dist
+      |  FROM cand
+      |), top AS (
+      |  SELECT vec_id, dist FROM d ORDER BY dist, vec_id LIMIT 10
+      |)
+      |SELECT vec_id, round(dist, 6) AS distance
+      |FROM top ORDER BY distance, vec_id
+      """.stripMargin.trim))
+
   private val pqStoreAdc = QueryDef(
     "ann_pq_store_adc",
     "ADC top-k over the PERSISTED codes store (Pq.writeEncoded: only " +
@@ -1005,5 +1043,6 @@ object VectorQueries {
   val defs: Seq[QueryDef] =
     Seq(filtered, l2Search, batch, ragContext, ivf, lshProbe, ivfRule,
       lshRule, ivfKmeansRule, filteredIvfRule, mips, quantRescore, sqlApi,
-      centroids, quantize, groupTopk, pqAdc, pqRescore, pqBatch, pqStoreAdc)
+      centroids, quantize, groupTopk, pqAdc, pqRescore, pqBatch, pqStoreAdc,
+      matryoshka)
 }
