@@ -78,13 +78,23 @@ object Pq {
     * accumulation (same order as [[l2Distance]] without the sqrt).
     */
   def adcTable(queryVec: Array[Float],
-               codebooks: Array[Array[Array[Float]]]): Array[Array[Double]] = {
+               codebooks: Array[Array[Array[Float]]]): Array[Array[Double]] =
+    adcTableD(queryVec.map(_.toDouble), codebooks)
+
+  /** ADC table for a DOUBLE query vector — the IVF-PQ residual path,
+    * where the scored quantity (query − coarse centroid) is already a
+    * double and must NOT round-trip through float32 (both engines
+    * compute the residual in double; a float round-trip would introduce
+    * a rounding step the SQL mirror doesn't perform).
+    */
+  def adcTableD(queryVec: Array[Double],
+                codebooks: Array[Array[Array[Float]]]): Array[Array[Double]] = {
     val dsub = codebooks(0)(0).length
     codebooks.zipWithIndex.map { case (cb, mi) =>
       cb.map { c =>
         var acc = 0.0; var i = 0
         while (i < dsub) {
-          val d = queryVec(mi * dsub + i).toDouble - c(i); acc += d * d; i += 1
+          val d = queryVec(mi * dsub + i) - c(i); acc += d * d; i += 1
         }
         acc
       }

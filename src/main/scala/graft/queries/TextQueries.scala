@@ -289,6 +289,64 @@ object TextQueries {
     */
   private val bm25Terms = Seq("spark", "table", "scan")
 
+  /** (doc_id, bm25) — per-document BM25 score (k1=1.2, b=0.75, Lucene
+    * idf) for [[bm25Terms]], rounded to 6 decimals. SHARED by
+    * `txt_bm25_topk` and the RRF fusion's lexical leg (single-builder
+    * rule — a parity fix to one can never strand the other). Per-doc
+    * tf/dl ride the token projection (no explode — the query term set
+    * is tiny and fixed); corpus stats (N, Σdl, per-term df) are ONE
+    * map-side-partial aggregate whose single row is broadcast back.
+    */
+  private def bm25Scored(s: SparkSession, dir: String): DataFrame = {
+    val base = docToks(s, dir)
+      .select(col("doc_id"), col("toks"))
+      .withColumn("dl", size(col("toks")).cast("double"))
+    val withTf = bm25Terms.foldLeft(base) { (df, t) =>
+      df.withColumn(s"tf_$t", size(filter(col("toks"), x => x === t)).cast("double"))
+    }
+    val statCols =
+      Seq(count(lit(1)).cast("double").as("n_docs"),
+        sum(col("dl").cast("decimal(38,6)")).cast("decimal(38,2)").cast("double").as("dl_sum")) ++
+        bm25Terms.map(t =>
+          sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).cast("double").as(s"df_$t"))
+    val stats = withTf.agg(statCols.head, statCols.tail: _*)
+    val avgdl = col("dl_sum") / col("n_docs")
+    val score = bm25Terms.map { t =>
+      val tf = col(s"tf_$t"); val df = col(s"df_$t")
+      val idf = log((col("n_docs") - df + 0.5) / (df + 0.5) + 1.0)
+      idf * ((tf * 2.2) / (tf + lit(1.2) * (lit(1.0) - 0.75 + lit(0.75) * col("dl") / avgdl)))
+    }.reduce(_ + _)
+    withTf.crossJoin(broadcast(stats))
+      .select(col("doc_id"), round(score, 6).as("bm25"))
+  }
+
+  /** The SQL twin of [[bm25Scored]]: CTE chain (appended after
+    * `Duck.docToks`) ending in `bm25sc(doc_id, bm25)`.
+    */
+  private val duckBm25Cte: String = {
+    val tfSel = bm25Terms.map(t =>
+      s"len(list_filter(toks, x -> x = '$t'))::DOUBLE AS tf_$t").mkString(",\n       ")
+    val dfSel = bm25Terms.map(t =>
+      s"sum(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END)::DOUBLE AS df_$t").mkString(",\n       ")
+    val scoreSql = bm25Terms.map(t =>
+      s"ln((n_docs - df_$t + 0.5) / (df_$t + 0.5) + 1.0) * " +
+        s"((tf_$t * 2.2) / (tf_$t + 1.2 * (1.0 - 0.75 + 0.75 * dl / (dl_sum / n_docs))))")
+      .mkString(" + ")
+    s"""base AS (
+    |  SELECT doc_id, len(toks)::DOUBLE AS dl,
+    |       $tfSel
+    |  FROM tt
+    |), st AS (
+    |  SELECT count(*)::DOUBLE AS n_docs,
+    |       CAST(CAST(SUM(CAST(dl AS DECIMAL(38,6))) AS DECIMAL(38,2)) AS DOUBLE) AS dl_sum,
+    |       $dfSel
+    |  FROM base
+    |), bm25sc AS (
+    |  SELECT doc_id, round($scoreSql, 6) AS bm25
+    |  FROM base, st
+    |)""".stripMargin
+  }
+
   private val bm25Q = QueryDef(
     "txt_bm25_topk",
     "BM25 ranking (k1=1.2, b=0.75, Lucene idf): top-10 documents for a " +
@@ -297,55 +355,86 @@ object TextQueries {
       "(N, Σdl, per-term df) are ONE map-side-partial aggregate whose " +
       "single row is broadcast back. Rank on the rounded score so a " +
       "1-ulp ln() divergence can't flip cross-engine ordering.",
-    (s, dir) => {
-      val base = docToks(s, dir)
-        .select(col("doc_id"), col("toks"))
-        .withColumn("dl", size(col("toks")).cast("double"))
-      val withTf = bm25Terms.foldLeft(base) { (df, t) =>
-        df.withColumn(s"tf_$t", size(filter(col("toks"), x => x === t)).cast("double"))
-      }
-      val statCols =
-        Seq(count(lit(1)).cast("double").as("n_docs"),
-          sum(col("dl").cast("decimal(38,6)")).cast("decimal(38,2)").cast("double").as("dl_sum")) ++
-          bm25Terms.map(t =>
-            sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).cast("double").as(s"df_$t"))
-      val stats = withTf.agg(statCols.head, statCols.tail: _*)
-      val avgdl = col("dl_sum") / col("n_docs")
-      val score = bm25Terms.map { t =>
-        val tf = col(s"tf_$t"); val df = col(s"df_$t")
-        val idf = log((col("n_docs") - df + 0.5) / (df + 0.5) + 1.0)
-        idf * ((tf * 2.2) / (tf + lit(1.2) * (lit(1.0) - 0.75 + lit(0.75) * col("dl") / avgdl)))
-      }.reduce(_ + _)
-      withTf.crossJoin(broadcast(stats))
-        .select(col("doc_id"), round(score, 6).as("bm25"))
+    (s, dir) =>
+      bm25Scored(s, dir)
         .orderBy(col("bm25").desc, col("doc_id"))
-        .limit(10)
-    },
-    Some {
-      val tfSel = bm25Terms.map(t =>
-        s"len(list_filter(toks, x -> x = '$t'))::DOUBLE AS tf_$t").mkString(",\n       ")
-      val dfSel = bm25Terms.map(t =>
-        s"sum(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END)::DOUBLE AS df_$t").mkString(",\n       ")
-      val scoreSql = bm25Terms.map(t =>
-        s"ln((n_docs - df_$t + 0.5) / (df_$t + 0.5) + 1.0) * " +
-          s"((tf_$t * 2.2) / (tf_$t + 1.2 * (1.0 - 0.75 + 0.75 * dl / (dl_sum / n_docs))))")
-        .mkString(" + ")
-      s"""
-      |${Duck.docToks}, base AS (
-      |  SELECT doc_id, len(toks)::DOUBLE AS dl,
-      |       $tfSel
-      |  FROM tt
-      |), st AS (
-      |  SELECT count(*)::DOUBLE AS n_docs,
-      |       CAST(CAST(SUM(CAST(dl AS DECIMAL(38,6))) AS DECIMAL(38,2)) AS DOUBLE) AS dl_sum,
-      |       $dfSel
-      |  FROM base
-      |)
-      |SELECT doc_id, round($scoreSql, 6) AS bm25
-      |FROM base, st
+        .limit(10),
+    Some(s"""
+      |${Duck.docToks}, $duckBm25Cte
+      |SELECT doc_id, bm25
+      |FROM bm25sc
       |ORDER BY bm25 DESC, doc_id LIMIT 10
-      """.stripMargin.trim
-    })
+      """.stripMargin.trim))
+
+  private val hybridRrfQ = QueryDef(
+    "knn_hybrid_rrf",
+    "Hybrid lexical+vector retrieval with reciprocal-rank fusion " +
+      "(Cormack et al. 2009, the fusion every hybrid vector engine " +
+      "ships): BM25 top-30 (shared bm25Scored builder) and embedded " +
+      "cosine KNN top-30 (shared e2e embedder — DuckDB recomputes the " +
+      "float32 vectors bit-for-bit) are each ranked on their rounded " +
+      "score, full-outer-joined on doc_id, and fused as " +
+      "Σ 1/(60+rank) — a fixed two-term sum of exact double divisions, " +
+      "so the fused score is cross-engine bit-identical. Each leg is a " +
+      "TakeOrderedAndProject over its own scan; the rank windows run " +
+      "over 30-row relations and the fusion join is 30×30 — at 100 TB " +
+      "the only data-sized work is the two scans. Final top-10 on " +
+      "(rrf DESC, doc_id).",
+    (s, dir) => {
+      import graft.functions.Embeddings
+      import graft.operators.Knn
+      import org.apache.spark.sql.expressions.Window
+      val lexTop = bm25Scored(s, dir)
+        .orderBy(col("bm25").desc, col("doc_id")).limit(30)
+        .withColumn("lex_rank",
+          row_number().over(Window.orderBy(col("bm25").desc, col("doc_id")))
+            .cast("long"))
+      val embedded = Embeddings.embedDataFrame(
+        Tables.documentsSpread(s, dir).select("doc_id", "text"),
+        "text", "vec", e2eModel)
+      val semTop = Knn.search(embedded, "vec", "doc_id", e2eQueryVec, k = 30)
+        .select(col("doc_id"), round(col("distance_score"), 6).as("vdist"))
+        .withColumn("vec_rank",
+          row_number().over(Window.orderBy(col("vdist").asc, col("doc_id")))
+            .cast("long"))
+      val rrf = coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(60) + col("vec_rank")), lit(0.0))
+      lexTop.select("doc_id", "lex_rank")
+        .join(semTop.select("doc_id", "vec_rank"), Seq("doc_id"), "full_outer")
+        .withColumn("rrf", round(rrf, 6))
+        .orderBy(col("rrf").desc, col("doc_id")).limit(10)
+        .select(col("doc_id"), col("lex_rank"), col("vec_rank"), col("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+    },
+    Some(s"""
+      |${Duck.docToks}, $duckBm25Cte, ${Duck.md5EmbedVecs(64)},
+      |lex AS (
+      |  SELECT doc_id, bm25 FROM bm25sc ORDER BY bm25 DESC, doc_id LIMIT 30
+      |), lexr AS (
+      |  SELECT doc_id,
+      |         row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+      |  FROM lex
+      |), sem AS (
+      |  SELECT doc_id, round(dist, 6) AS vdist FROM (
+      |    SELECT doc_id, ${Duck.cosine("v", Duck.vecLit(e2eQueryVec))} AS dist
+      |    FROM vecs ORDER BY dist, doc_id LIMIT 30
+      |  )
+      |), semr AS (
+      |  SELECT doc_id,
+      |         row_number() OVER (ORDER BY vdist, doc_id) AS vec_rank
+      |  FROM sem
+      |), fused AS (
+      |  SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id, l.lex_rank, v.vec_rank,
+      |         round(COALESCE(1.0 / (60 + l.lex_rank), 0.0)
+      |               + COALESCE(1.0 / (60 + v.vec_rank), 0.0), 6) AS rrf
+      |  FROM lexr l FULL OUTER JOIN semr v ON l.doc_id = v.doc_id
+      |), top AS (
+      |  SELECT doc_id, lex_rank, vec_rank, rrf FROM fused
+      |  ORDER BY rrf DESC, doc_id LIMIT 10
+      |)
+      |SELECT doc_id, lex_rank, vec_rank, rrf
+      |FROM top ORDER BY rrf DESC, doc_id
+      """.stripMargin.trim))
 
   private val tfidfQ = QueryDef(
     "txt_tfidf_top_terms",
@@ -683,6 +772,6 @@ object TextQueries {
 
   val defs: Seq[QueryDef] =
     Seq(stats, langQ, quality, fp, topTokens, bigramLift, simhashQ, embedQ,
-      embedKnnQ, bm25Q, tfidfQ, chunksQ, packQ, tokenBudgetQ, gopherQ,
-      dupNgramsQ, piiQ, noveltyQ)
+      embedKnnQ, bm25Q, hybridRrfQ, tfidfQ, chunksQ, packQ, tokenBudgetQ,
+      gopherQ, dupNgramsQ, piiQ, noveltyQ)
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.HashingEmbedder
-import graft.operators.{Ann, Knn, Pq}
+import graft.operators.{Ann, IvfPq, Knn, Pq}
 import org.apache.spark.sql.functions._
 
 /** Vector-search surface beyond the flagship exact-KNN pair in
@@ -428,13 +428,19 @@ object VectorQueries {
     * exact double literals — the SQL twin of `Pq.adcScore`.
     */
   private def duckAdcChain(cb: Array[Array[Array[Float]]],
-                           q: Array[Float]): String = {
-    val t = Pq.adcTable(q, cb)
+                           q: Array[Float]): String =
+    duckAdcChainT(Pq.adcTable(q, cb))
+
+  /** The fixed left-associated ADC add chain for a PRECOMPUTED table —
+    * shared by the raw-vector PQ family (table from the query vector)
+    * and the IVF-PQ family (one table per probed cluster, from the
+    * query RESIDUAL).
+    */
+  private def duckAdcChainT(t: Array[Array[Double]]): String =
     t.indices.map { mi =>
       val lits = t(mi).map(dblLit).mkString("[", ", ", "]::DOUBLE[]")
       s"list_extract($lits, c$mi + 1)"
     }.reduceLeft((a, b) => s"($a + $b)")
-  }
 
   private def duckPqAdc(cb: Array[Array[Array[Float]]]): String =
     s"""${duckPqCodes(cb)}, adc AS (
@@ -1040,9 +1046,136 @@ object VectorQueries {
       |WHERE rnk <= 3 ORDER BY label, rnk
       """.stripMargin.trim))
 
+  /** Per-fixture-dir IVF-PQ composed index (seeded coarse centroids —
+    * SQL-recomputable — + residual PQ codebooks, persisted
+    * cluster-partitioned): fitted/written once per (dir, JVM); the late
+    * oracle embeds THIS run's residual codebook + per-probe ADC-table
+    * literals (KMeans codebooks are not SQL-recomputable — same
+    * self-consistency contract as [[PqStore]]).
+    */
+  private[queries] object IvfPqStore {
+    val Nlist = 8; val Nprobe = 3; val M = 8; val Ksub = 16; val Dim = 64
+    val fitted = scala.collection.concurrent.TrieMap
+      .empty[String, (Array[Array[Float]], Array[Array[Array[Float]]])]
+    @volatile var lastDir: Option[String] = None
+    def ensure(s: org.apache.spark.sql.SparkSession,
+               dir: String): (Array[Array[Float]], Array[Array[Array[Float]]], String) = {
+      lastDir = Some(dir)
+      val (cents, books) = fitted.getOrElseUpdate(dir, {
+        val corpus = Tables.embeddings(s, dir)
+        val c = Ann.seededCentroids(corpus, "embedding", "vec_id", Nlist)
+        (c, IvfPq.fitResidualCodebooks(corpus, "embedding", c, Dim, M, Ksub))
+      })
+      val path = TmpStores.memoizedTable("graft_ivfpq", dir) { root =>
+        IvfPq.writeIndex(Tables.embeddings(s, dir), "embedding", "vec_id",
+          cents, books, root)
+        root
+      }
+      (cents, books, path)
+    }
+  }
+
+  /** Late-bound IVF-PQ oracle: recomputes the seeded coarse assignment
+    * and the double residuals in SQL, assigns residual codes against the
+    * embedded codebook literals (same sqrt'd-L2 + lower-cid tie rule as
+    * the Spark struct-min), selects the probe set in SQL (so a
+    * driver/SQL probe disagreement surfaces as NULL scores → hash
+    * mismatch), and scores through the SAME per-probed-cluster
+    * driver-computed ADC tables the Spark plan dispatches on.
+    */
+  private def duckIvfPqSql(cents: Array[Array[Float]],
+                           books: Array[Array[Array[Float]]]): String = {
+    import IvfPqStore.{Dim, M, Nlist, Nprobe}
+    val dsub = Dim / M
+    val qLit = vecLit(Queries.queryVec64)
+    val cbRows = (for { mi <- 0 until M; ci <- books(mi).indices } yield
+      s"($mi, $ci, ${vecLit(books(mi)(ci))})").mkString(",\n         ")
+    val distByM = (0 until M).map(mi =>
+      s"WHEN cb.m = $mi THEN ${duckL2(s"list_slice(r.r, ${mi * dsub + 1}, ${(mi + 1) * dsub})", "cb.cv")}")
+      .mkString(" ", "\n             ", "")
+    val codeCols = (0 until M).map(mi =>
+      s"MAX(CASE WHEN m = $mi THEN cid END) AS c$mi").mkString(",\n         ")
+    val probes = Ann.probeIds(Queries.queryVec64, cents, Nprobe)
+    val caseArms = IvfPq.adcTables(Queries.queryVec64, cents, books, probes)
+      .map { case (c, t) => s"WHEN cluster_id = $c THEN ${duckAdcChainT(t)}" }
+      .mkString("\n           ", "\n           ", "")
+    s"""
+    |WITH cents AS (
+    |  SELECT vec_id AS cid, embedding::DOUBLE[] AS c FROM embeddings WHERE vec_id < $Nlist
+    |), assigned AS (
+    |  SELECT vec_id, embedding, cid AS cluster_id FROM (
+    |    SELECT e.vec_id, e.embedding, c.cid,
+    |           row_number() OVER (PARTITION BY e.vec_id
+    |                              ORDER BY ${duckL2("e.embedding::DOUBLE[]", "c.c")}, c.cid) AS rn
+    |    FROM embeddings e CROSS JOIN cents c
+    |  ) WHERE rn = 1
+    |), resid AS (
+    |  SELECT a.vec_id, a.cluster_id,
+    |         list_transform(range($Dim), i -> (a.embedding::DOUBLE[])[i+1] - (c.c)[i+1]) AS r
+    |  FROM assigned a JOIN cents c ON c.cid = a.cluster_id
+    |), cb(m, cid, cv) AS (
+    |  VALUES $cbRows
+    |), acode AS (
+    |  SELECT vec_id, cluster_id, m, cid FROM (
+    |    SELECT r.vec_id, r.cluster_id, cb.m, cb.cid,
+    |           row_number() OVER (PARTITION BY r.vec_id, cb.m
+    |                              ORDER BY CASE$distByM
+    |                              END, cb.cid) AS rn
+    |    FROM resid r CROSS JOIN cb
+    |  ) WHERE rn = 1
+    |), codes AS (
+    |  SELECT vec_id, cluster_id,
+    |         $codeCols
+    |  FROM acode GROUP BY vec_id, cluster_id
+    |), probes AS (
+    |  SELECT cid FROM cents ORDER BY ${duckL2(qLit, "c")}, cid LIMIT $Nprobe
+    |), adc AS (
+    |  SELECT vec_id, cluster_id,
+    |         CASE$caseArms
+    |         END AS adc_dist
+    |  FROM codes WHERE cluster_id IN (SELECT cid FROM probes)
+    |), top AS (
+    |  SELECT vec_id, cluster_id, adc_dist FROM adc ORDER BY adc_dist, vec_id LIMIT 10
+    |)
+    |SELECT vec_id, cluster_id::BIGINT AS cluster_id, round(adc_dist, 6) AS adc_distance
+    |FROM top ORDER BY adc_distance, vec_id
+    """.stripMargin.trim
+  }
+
+  private val ivfPqAdc = QueryDef(
+    "ann_ivfpq_adc",
+    "IVF-PQ (IVFADC, Jégou et al. 2011 §IV) — the composed big-corpus " +
+      "index: seeded coarse centroids route vectors to clusters, PQ " +
+      "encodes the RESIDUAL (vector − centroid, computed in double on " +
+      "both engines), and the store persists ONLY (vec_id, pq_codes) " +
+      "partitioned by cluster_id. A query probes the 3 nearest of 8 " +
+      "lists (static partition pruning — rows axis) and scores each " +
+      "surviving row from its 8 codes via a CASE-dispatched " +
+      "per-cluster ADC chain (bytes axis: no vector column in the " +
+      "store) — the two scan-reduction axes compose in one layout, " +
+      "~(nprobe/nlist)·(1/32) of the raw-vector bytes read. Residual " +
+      "codebooks are KMeans ⇒ late-bound oracle (this run's codebook + " +
+      "per-probe ADC tables as exact literals); the probe set is " +
+      "re-derived in SQL so a probe disagreement surfaces as a hash " +
+      "mismatch. Selection on full-precision (adc, id); presentation " +
+      "rounds to 6 decimals.",
+    (s, dir) => {
+      val (cents, books, path) = IvfPqStore.ensure(s, dir)
+      IvfPq.search(IvfPq.readIndex(s, path), "vec_id", Queries.queryVec64,
+          cents, books, nprobe = IvfPqStore.Nprobe, k = 10)
+        .select(col("vec_id"), col("cluster_id").cast("long").as("cluster_id"),
+          round(col("adc_dist"), 6).as("adc_distance"))
+        .orderBy(col("adc_distance"), col("vec_id"))
+    },
+    oracle = None,
+    oracleLate = Some(() =>
+      IvfPqStore.lastDir.flatMap(IvfPqStore.fitted.get).map {
+        case (cents, books) => duckIvfPqSql(cents, books)
+      }))
+
   val defs: Seq[QueryDef] =
     Seq(filtered, l2Search, batch, ragContext, ivf, lshProbe, ivfRule,
       lshRule, ivfKmeansRule, filteredIvfRule, mips, quantRescore, sqlApi,
       centroids, quantize, groupTopk, pqAdc, pqRescore, pqBatch, pqStoreAdc,
-      matryoshka)
+      matryoshka, ivfPqAdc)
 }

@@ -61,6 +61,29 @@ class QueriesSmokeSpec extends SparkSpec {
     }
   }
 
+  test("knn_hybrid_rrf: fused score is consistent with the returned ranks") {
+    // the rrf column must equal Σ 1/(60+rank) recomputed from the rank
+    // columns the row itself reports (null rank → leg absent → 0), and
+    // the output must present in (rrf desc, doc_id) order with ranks in
+    // [1, 30] and at least one leg present per row
+    val rows = Queries.queriesMap("knn_hybrid_rrf")(spark, sf("sf0.001"))
+      .collect()
+    assert(rows.length == 10)
+    val seen = rows.map { r =>
+      val lex = Option(r.getAs[java.lang.Long]("lex_rank")).map(_.toLong)
+      val vec = Option(r.getAs[java.lang.Long]("vec_rank")).map(_.toLong)
+      assert(lex.isDefined || vec.isDefined)
+      (lex.toSeq ++ vec.toSeq).foreach(k => assert(k >= 1 && k <= 30))
+      val want = BigDecimal(lex.map(k => 1.0 / (60 + k)).getOrElse(0.0) +
+          vec.map(k => 1.0 / (60 + k)).getOrElse(0.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getAs[Double]("rrf") == want,
+        s"rrf ${r.getAs[Double]("rrf")} != recomputed $want for ranks $lex/$vec")
+      (-r.getAs[Double]("rrf"), r.getAs[Long]("doc_id"))
+    }
+    assert(seen.sameElements(seen.sorted), "output not in (rrf desc, doc_id) order")
+  }
+
   test("KNN-family oracles end with ORDER BY on the rounded alias, not the raw score") {
     // the kmeans/embedding late oracles only resolve during a Verify dump;
     // the static family is checked here, the late ones share the builders
