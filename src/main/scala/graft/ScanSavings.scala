@@ -95,6 +95,21 @@ object ScanSavings {
     println()
     println(f"ADC reads ${100.0 * pq.bytes / exact.bytes}%.1f%% of the vector scan's bytes " +
       "(both scans decode every row — PQ compresses, IVF prunes).")
+
+    // IVF-PQ composed store: cluster-partitioned codes — BOTH axes in
+    // one layout (probe filter prunes partitions, rows carry 8-byte
+    // codes instead of vectors)
+    val ivfpq = measure(spark, "ann_ivfpq_adc", sfDir, runs)
+    println(s"\n## IVF-PQ composed-store scan savings ($sfDir, nprobe=3/nlist=8, m=8 × ksub=16)\n")
+    println("| query | files read | bytes scanned | rows decoded | wall (median) |")
+    println("|---|---|---|---|---|")
+    println(f"| knn_exact_cosine (vector store) | ${exact.files} | ${exact.bytes / mb}%.1f MB | ${exact.rows}%,d | ${exact.sec}%.3f s |")
+    println(f"| ann_ivfpq_adc (probed codes store) | ${ivfpq.files} | ${ivfpq.bytes / mb}%.1f MB | ${ivfpq.rows}%,d | ${ivfpq.sec}%.3f s |")
+    println()
+    println(f"The probed IVF-PQ scan reads ${100.0 * ivfpq.bytes / ivfpq.rootBytes}%.1f%% of its own " +
+      f"${ivfpq.rootBytes / mb}%.1f MB codes store (partition pruning ≈ nprobe/nlist) and " +
+      f"${100.0 * ivfpq.bytes / exact.bytes}%.2f%% of the raw vector scan's bytes — " +
+      "the pruning and compression axes compose multiplicatively in one layout.")
     spark.stop()
   }
 }

@@ -270,7 +270,81 @@ object MaintenanceQueries {
       |GROUP BY o_orderpriority ORDER BY o_orderpriority
       """.stripMargin.trim))
 
+  /** One incremental-append build per (sfDir, JVM): the IVF index is
+    * built from the corpus MINUS an incoming batch (vec_id ≡ 0 mod 5),
+    * then the batch alone is assigned against the SAME frozen centroids
+    * and appended — `mode("append").partitionBy` writes only new files
+    * into the matching cluster directories; the existing index files
+    * are never read, rewritten, or touched. That is the refresh shape
+    * that keeps a 100 TB ANN index current at O(|batch|) cost.
+    */
+  private object IvfAppendStore {
+    val Nlist = 8
+    def ensure(s: SparkSession, dir: String): String =
+      TmpStores.memoizedTable("graft_ivf_append", dir) { root =>
+        import graft.operators.Ann
+        val table = s"$root/ivf"
+        val emb = Tables.embeddings(s, dir)
+        // centroids seeded from the FULL corpus's smallest ids, so the
+        // frozen index geometry is independent of the base/batch split
+        // (and SQL-recomputable for the oracle)
+        val cents = Ann.seededCentroids(emb, "embedding", "vec_id", Nlist)
+        Ann.writeIndexed(emb.filter(col("vec_id") % 5 =!= 0), "embedding",
+          cents, table)
+        Ann.assignClusters(emb.filter(col("vec_id") % 5 === 0), "embedding", cents)
+          .write.mode("append").partitionBy("cluster_id").parquet(table)
+        table
+      }
+  }
+
+  private val ivfAppend = QueryDef(
+    "maint_ivf_append",
+    "Incremental ANN-index maintenance fidelity gate: the IVF store is " +
+      "built WITHOUT the incoming batch (vec_id ≡ 0 mod 5), the batch " +
+      "is assigned against the same frozen centroids and APPENDED " +
+      "(new files into the matching cluster_id directories — existing " +
+      "index data is never read or rewritten, so refresh cost is " +
+      "O(|batch|), not O(|corpus|)). The appended store is aggregated " +
+      "per cluster — counts, label sums, and an order-independent md5 " +
+      "row-set checksum over vec_id — while the oracle assigns the " +
+      "FULL corpus in SQL: a green hash proves incremental append ≡ " +
+      "full rebuild, row for row.",
+    (s, dir) => {
+      val table = IvfAppendStore.ensure(s, dir)
+      val h = conv(substring(md5(col("vec_id").cast("string")), 1, 12), 16, 10)
+        .cast("decimal(38,0)")
+      s.read.parquet(table)
+        .groupBy(col("cluster_id").cast("long").as("cluster_id"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(col("label")).as("sum_label"),
+          sum(h).cast("decimal(38,0)").cast("string").as("rowset_fp"))
+        .orderBy(col("cluster_id"))
+    },
+    Some {
+      val duckL2 = (a: String, b: String) =>
+        s"sqrt(list_sum(list_transform(range(len($a)), i -> (($a)[i+1] - ($b)[i+1]) * (($a)[i+1] - ($b)[i+1]))))"
+      s"""
+      |WITH cents AS (
+      |  SELECT vec_id AS cid, embedding::DOUBLE[] AS c FROM embeddings
+      |  WHERE vec_id < ${IvfAppendStore.Nlist}
+      |), assigned AS (
+      |  SELECT vec_id, label, cid AS cluster_id FROM (
+      |    SELECT e.vec_id, e.label, c.cid,
+      |           row_number() OVER (PARTITION BY e.vec_id
+      |                              ORDER BY ${duckL2("e.embedding::DOUBLE[]", "c.c")}, c.cid) AS rn
+      |    FROM embeddings e CROSS JOIN cents c
+      |  ) WHERE rn = 1
+      |)
+      |SELECT cluster_id, count(*) AS n_vecs,
+      |       CAST(SUM(label) AS BIGINT) AS sum_label,
+      |       CAST(CAST(SUM(CAST(('0x' || substring(md5(vec_id::VARCHAR), 1, 12))::BIGINT
+      |         AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS VARCHAR) AS rowset_fp
+      |FROM assigned
+      |GROUP BY cluster_id ORDER BY cluster_id
+      """.stripMargin.trim
+    })
+
   val defs: Seq[QueryDef] =
     Seq(compactRoundtrip, repartitionLayout, snapshotDiffQ, zorderRoundtrip,
-      incrementalRollup)
+      incrementalRollup, ivfAppend)
 }

@@ -130,5 +130,65 @@ object QualityQueries {
       |ORDER BY name_a, name_b
       """.stripMargin.trim))
 
-  val defs: Seq[QueryDef] = Seq(profileQ, fuzzyLinkQ)
+  private val expectationsQ = QueryDef(
+    "dq_expectations_orders",
+    "Declarative data-quality expectations over orders (the " +
+      "Great-Expectations/Deequ ingest gate): four row-local rules " +
+      "(positive total, total under the 400k anomaly budget — " +
+      "NON-vacuous: the fixture violates it, date window, known " +
+      "priority vocabulary) evaluate in ONE aggregate pass — each rule " +
+      "is a sum(violated) column beside a shared count(*), map-side " +
+      "partials, unpivoted to a row per rule — plus one referential " +
+      "rule (o_custkey resolves in customer) as a left-anti join " +
+      "against the deduplicated parent keys. Adding a row-local rule " +
+      "adds a column to the partial aggregate, never a pass over the " +
+      "100 TB fact table.",
+    (s, dir) => {
+      import graft.operators.Expectations
+      val ord = Tables.orders(s, dir)
+      val rowLocal = Expectations.check(ord, Seq(
+        "positive_total" -> (col("o_totalprice") > 0),
+        "total_under_400k" -> (col("o_totalprice") <= 400000),
+        "orderdate_in_window" ->
+          col("o_orderdate").between("1995-01-01", "2001-12-31 23:59:59"),
+        "known_priority" -> col("o_orderpriority").isin(
+          "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")))
+      val fk = Expectations.refCheck("custkey_in_customer",
+        ord, "o_custkey", Tables.customer(s, dir), "c_custkey")
+      rowLocal.unionAll(fk).orderBy(col("rule"))
+    },
+    Some("""
+      |WITH n AS (SELECT count(*) AS n_rows FROM orders),
+      |row_local AS (
+      |  SELECT * FROM (
+      |    SELECT 'positive_total' AS rule,
+      |           sum(CASE WHEN NOT COALESCE(o_totalprice > 0, FALSE) THEN 1 ELSE 0 END) AS n_violations
+      |    FROM orders
+      |    UNION ALL
+      |    SELECT 'total_under_400k',
+      |           sum(CASE WHEN NOT COALESCE(o_totalprice <= 400000, FALSE) THEN 1 ELSE 0 END)
+      |    FROM orders
+      |    UNION ALL
+      |    SELECT 'orderdate_in_window',
+      |           sum(CASE WHEN NOT COALESCE(o_orderdate BETWEEN TIMESTAMP '1995-01-01'
+      |             AND TIMESTAMP '2001-12-31 23:59:59', FALSE) THEN 1 ELSE 0 END)
+      |    FROM orders
+      |    UNION ALL
+      |    SELECT 'known_priority',
+      |           sum(CASE WHEN NOT COALESCE(o_orderpriority IN ('1-URGENT', '2-HIGH',
+      |             '3-MEDIUM', '4-NOT SPECIFIED', '5-LOW'), FALSE) THEN 1 ELSE 0 END)
+      |    FROM orders
+      |  )
+      |), fk AS (
+      |  SELECT 'custkey_in_customer' AS rule, count(*) AS n_violations
+      |  FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+      |    ON o.o_custkey = c.c_custkey
+      |  WHERE c.c_custkey IS NULL
+      |)
+      |SELECT rule, n_violations, n.n_rows
+      |FROM (SELECT * FROM row_local UNION ALL SELECT * FROM fk), n
+      |ORDER BY rule
+      """.stripMargin.trim))
+
+  val defs: Seq[QueryDef] = Seq(profileQ, fuzzyLinkQ, expectationsQ)
 }

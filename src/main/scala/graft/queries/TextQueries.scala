@@ -436,6 +436,93 @@ object TextQueries {
       |FROM top ORDER BY rrf DESC, doc_id
       """.stripMargin.trim))
 
+  /** Two fixed "query token" vectors for the late-interaction query —
+    * multi-vector queries are MaxSim's whole point.
+    */
+  private val maxsimQueryVecs: Seq[Array[Float]] =
+    Seq("spark partition shuffle scan", "vector index probe search")
+      .map(e2eModel.encode)
+
+  private val maxsimQ = QueryDef(
+    "knn_maxsim_colbert",
+    "Late-interaction multi-vector retrieval (ColBERT MaxSim, " +
+      "Khattab & Zaharia 2020): each document is represented by MANY " +
+      "vectors — one per 32-token chunk (stride 24, the " +
+      "txt_chunk_windows layout) — and a 2-vector query scores a doc " +
+      "as Σ over query vectors of the MAX chunk similarity. The max " +
+      "is an algebraic aggregate, so the chunk explosion collapses " +
+      "via map-side partials in ONE (doc_id)-keyed shuffle of " +
+      "(doc_id, sim…) rows — chunk vectors never cross the network; " +
+      "at 100 TB the multi-vector index scales by chunks scanned, not " +
+      "chunks shuffled. DuckDB recomputes the chunk embeddings " +
+      "bit-for-bit (md5-portable embedder over the chunk token " +
+      "slices) and mirrors both maxes; the 2-term final sum is " +
+      "fixed-order.",
+    (s, dir) => {
+      import graft.functions.Embeddings
+      import graft.operators.TextChunking.chunkTokens
+      val chunks = docToks(s, dir)
+        .select(col("doc_id"),
+          posexplode(chunkTokens(col("toks"), chunkSize = 32, overlap = 8))
+            .as(Seq("chunk_idx", "chunk")))
+        .filter(size(col("chunk")) > 0)
+        .select(col("doc_id"), array_join(col("chunk"), " ").as("chunk_text"))
+      val emb = Embeddings.embedDataFrame(chunks, "chunk_text", "cvec", e2eModel)
+      val sims = maxsimQueryVecs.zipWithIndex.foldLeft(emb) { case (df, (qv, i)) =>
+        df.withColumn(s"sim_$i", lit(1.0) -
+          graft.functions.VectorFunctions.cosineDistance(col("cvec"), typedLit(qv.toSeq)))
+      }
+      sims.groupBy(col("doc_id"))
+        .agg(max(col("sim_0")).as("m0"), max(col("sim_1")).as("m1"))
+        .select(col("doc_id"), round(col("m0") + col("m1"), 6).as("maxsim"))
+        .orderBy(col("maxsim").desc, col("doc_id")).limit(10)
+    },
+    Some {
+      val q0 = Duck.vecLit(maxsimQueryVecs(0))
+      val q1 = Duck.vecLit(maxsimQueryVecs(1))
+      s"""
+      |${Duck.docToks}, ch AS (
+      |  SELECT doc_id,
+      |         unnest(list_transform(range(((greatest(len(toks),1) - 1) // 24)::BIGINT + 1),
+      |                i -> struct_pack(idx := i, chunk := list_slice(toks, i*24 + 1, i*24 + 32)))) AS c
+      |  FROM tt
+      |), ck AS (
+      |  SELECT doc_id, c.idx AS chunk_idx, c.chunk AS ctoks FROM ch WHERE len(c.chunk) > 0
+      |), ctok AS (
+      |  SELECT doc_id, chunk_idx, unnest(ctoks) AS t FROM ck
+      |), cbk AS (
+      |  SELECT doc_id, chunk_idx,
+      |         (('0x' || substring(md5(t), 1, 12))::BIGINT % 64) AS bucket,
+      |         CASE WHEN ('0x' || substring(md5(t), 13, 1))::BIGINT < 8 THEN 1 ELSE -1 END AS sign
+      |  FROM ctok
+      |), cacc AS (
+      |  SELECT doc_id, chunk_idx, bucket, sum(sign)::DOUBLE AS w FROM cbk GROUP BY 1, 2, 3
+      |), cdense AS (
+      |  SELECT k.doc_id, k.chunk_idx, r.i AS bucket, COALESCE(a.w, 0.0) AS w
+      |  FROM ck k CROSS JOIN (SELECT unnest(range(64)) AS i) r
+      |  LEFT JOIN cacc a ON a.doc_id = k.doc_id AND a.chunk_idx = k.chunk_idx AND a.bucket = r.i
+      |), cnrm AS (
+      |  SELECT doc_id, chunk_idx, sqrt(sum(w * w)) AS nn FROM cdense GROUP BY 1, 2
+      |), ccomp AS (
+      |  SELECT d.doc_id, d.chunk_idx, d.bucket,
+      |         CASE WHEN n.nn = 0 THEN (CASE WHEN d.bucket = 0 THEN 1.0 ELSE 0.0 END)
+      |              ELSE CAST(CAST(d.w / n.nn AS FLOAT) AS DOUBLE) END AS c
+      |  FROM cdense d JOIN cnrm n ON d.doc_id = n.doc_id AND d.chunk_idx = n.chunk_idx
+      |), cvecs AS (
+      |  SELECT doc_id, chunk_idx, list(c ORDER BY bucket) AS v FROM ccomp GROUP BY 1, 2
+      |), sims AS (
+      |  SELECT doc_id,
+      |         1.0 - ${Duck.cosine("v", q0)} AS sim_0,
+      |         1.0 - ${Duck.cosine("v", q1)} AS sim_1
+      |  FROM cvecs
+      |), agg AS (
+      |  SELECT doc_id, round(max(sim_0) + max(sim_1), 6) AS maxsim
+      |  FROM sims GROUP BY doc_id
+      |)
+      |SELECT doc_id, maxsim FROM agg ORDER BY maxsim DESC, doc_id LIMIT 10
+      """.stripMargin.trim
+    })
+
   private val tfidfQ = QueryDef(
     "txt_tfidf_top_terms",
     "Top-3 TF-IDF terms per document (tf · ln(N/df)): explode + two " +
@@ -772,6 +859,6 @@ object TextQueries {
 
   val defs: Seq[QueryDef] =
     Seq(stats, langQ, quality, fp, topTokens, bigramLift, simhashQ, embedQ,
-      embedKnnQ, bm25Q, hybridRrfQ, tfidfQ, chunksQ, packQ, tokenBudgetQ,
-      gopherQ, dupNgramsQ, piiQ, noveltyQ)
+      embedKnnQ, bm25Q, hybridRrfQ, maxsimQ, tfidfQ, chunksQ, packQ,
+      tokenBudgetQ, gopherQ, dupNgramsQ, piiQ, noveltyQ)
 }

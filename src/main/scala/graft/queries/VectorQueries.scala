@@ -1173,9 +1173,95 @@ object VectorQueries {
         case (cents, books) => duckIvfPqSql(cents, books)
       }))
 
+  /** Per-fixture-dir PCA basis (mean + top-16 eigenvectors of the 64-d
+    * embedding covariance), fitted once per run. The Gram accumulation
+    * is shuffle-order-dependent floating math, so the basis is
+    * run-scoped state: the late oracle embeds THIS run's (mean, basis)
+    * literals — the same self-consistency contract as fitted KMeans
+    * centroids ([[KmeansIndexStore]]/[[PqStore]]).
+    */
+  private[queries] object PcaStore {
+    val K = 16; val Dim = 64
+    val fitted = scala.collection.concurrent.TrieMap
+      .empty[String, (Array[Double], Array[Array[Double]])]
+    @volatile var lastDir: Option[String] = None
+    def ensure(s: org.apache.spark.sql.SparkSession,
+               dir: String): (Array[Double], Array[Array[Double]]) = {
+      lastDir = Some(dir)
+      fitted.getOrElseUpdate(dir,
+        graft.operators.Pca.fit(Tables.embeddings(s, dir), "embedding", Dim, K))
+    }
+  }
+
+  /** Late-bound PCA-space KNN oracle: projects every corpus vector onto
+    * the embedded basis literals with the same sequential accumulation
+    * as the Spark HOF fold, then mirrors the fixed left-associated
+    * 16-term squared-distance chain to the projected query literals.
+    */
+  private def duckPcaKnnSql(mean: Array[Double],
+                            basis: Array[Array[Double]]): String = {
+    val qp = graft.operators.Pca.projectVec(Queries.queryVec64, mean, basis)
+    val meanLit = mean.map(dblLit).mkString("[", ", ", "]::DOUBLE[]")
+    val pcCols = basis.zipWithIndex.map { case (row, j) =>
+      val bLit = row.map(dblLit).mkString("[", ", ", "]::DOUBLE[]")
+      s"list_sum(list_transform(range(${PcaStore.Dim}), i -> " +
+        s"((embedding::DOUBLE[])[i+1] - ($meanLit)[i+1]) * (($bLit)[i+1]))) AS pc_$j"
+    }.mkString(",\n         ")
+    val chain = qp.indices.map(j =>
+      s"(pc_$j - ${dblLit(qp(j))}) * (pc_$j - ${dblLit(qp(j))})")
+      .reduceLeft((a, b) => s"($a + $b)")
+    s"""
+    |WITH pcs AS (
+    |  SELECT vec_id,
+    |         $pcCols
+    |  FROM embeddings
+    |), d AS (
+    |  SELECT vec_id, sqrt($chain) AS dist FROM pcs
+    |), top AS (
+    |  SELECT vec_id, dist FROM d ORDER BY dist, vec_id LIMIT 10
+    |)
+    |SELECT vec_id, round(dist, 6) AS pca_distance
+    |FROM top ORDER BY pca_distance, vec_id
+    """.stripMargin.trim
+  }
+
+  private val pcaKnn = QueryDef(
+    "vec_pca_knn",
+    "PCA dimensionality reduction + reduced-space search: the corpus " +
+      "covariance is ONE moment-pass aggregate (64 sums + the 2080-" +
+      "entry upper triangle, map-side partials); the 64×64 eigen " +
+      "problem solves on the DRIVER (cyclic Jacobi — never distribute " +
+      "an O(dim³) problem that fits in L2 cache); projection to 16 " +
+      "dims is a pure per-row sequential-fold expression with the " +
+      "basis as literals — no shuffle, no UDF. The query runs exact " +
+      "L2 top-10 in the 16-d projected space (4× fewer multiplies per " +
+      "row than full-dim — the PCA-truncation serving trade). The " +
+      "floating Gram is shuffle-order-dependent, so the oracle is " +
+      "late-bound: it embeds THIS run's mean+basis and mirrors the " +
+      "sequential projection fold and the fixed left-associated " +
+      "distance chain.",
+    (s, dir) => {
+      val (mean, basis) = PcaStore.ensure(s, dir)
+      val qp = graft.operators.Pca.projectVec(Queries.queryVec64, mean, basis)
+      val projected = graft.operators.Pca.project(
+        Tables.embeddings(s, dir), "embedding", mean, basis)
+      val chain = qp.indices.map(j =>
+        (col(s"pc_$j") - lit(qp(j))) * (col(s"pc_$j") - lit(qp(j))))
+        .reduceLeft(_ + _)
+      projected.withColumn("dist", sqrt(chain))
+        .orderBy(col("dist"), col("vec_id")).limit(10)
+        .select(col("vec_id"), round(col("dist"), 6).as("pca_distance"))
+        .orderBy(col("pca_distance"), col("vec_id"))
+    },
+    oracle = None,
+    oracleLate = Some(() =>
+      PcaStore.lastDir.flatMap(PcaStore.fitted.get).map {
+        case (mean, basis) => duckPcaKnnSql(mean, basis)
+      }))
+
   val defs: Seq[QueryDef] =
     Seq(filtered, l2Search, batch, ragContext, ivf, lshProbe, ivfRule,
       lshRule, ivfKmeansRule, filteredIvfRule, mips, quantRescore, sqlApi,
       centroids, quantize, groupTopk, pqAdc, pqRescore, pqBatch, pqStoreAdc,
-      matryoshka, ivfPqAdc)
+      matryoshka, ivfPqAdc, pcaKnn)
 }

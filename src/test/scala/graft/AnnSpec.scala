@@ -218,4 +218,36 @@ class AnnSpec extends SparkSpec {
     val scanned = indexed.filter(col("cluster_id").isin(probes: _*)).count()
     assert(scanned < emb.count(), "probe filter should restrict the scanned set")
   }
+
+  test("incremental append: existing index files untouched; combined store ≡ full rebuild") {
+    val cents = Ann.seededCentroids(emb, "embedding", "vec_id", nlist = 8)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_append").toString
+    Ann.writeIndexed(emb.filter(col("vec_id") % 5 =!= 0), "embedding", cents, dir)
+    def dataFiles = {
+      val b = java.nio.file.Paths.get(dir)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(b).iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet"))
+        .map(p => p.toString -> java.nio.file.Files.getLastModifiedTime(p))
+        .toMap
+    }
+    val before = dataFiles
+    Ann.assignClusters(emb.filter(col("vec_id") % 5 === 0), "embedding", cents)
+      .write.mode("append").partitionBy("cluster_id").parquet(dir)
+    val after = dataFiles
+    // refresh cost is O(|batch|): every pre-existing file survives
+    // byte-identical (same path, same mtime) — append only adds files
+    before.foreach { case (p, t) =>
+      assert(after.contains(p) && after(p) == t, s"append rewrote $p")
+    }
+    assert(after.size > before.size, "append must add files")
+    // and the combined store is exactly the full-rebuild assignment
+    val got = spark.read.parquet(dir).select("vec_id", "cluster_id")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val want = Ann.assignClusters(emb, "embedding", cents)
+      .select("vec_id", "cluster_id")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == want, "incremental append diverged from full rebuild")
+    new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+  }
 }
