@@ -1259,9 +1259,76 @@ object VectorQueries {
         case (mean, basis) => duckPcaKnnSql(mean, basis)
       }))
 
+  private val rpKnn = QueryDef(
+    "vec_rp_knn",
+    "Johnson–Lindenstrauss random projection + reduced-space search — " +
+      "the DATA-INDEPENDENT dimensionality reduction next to PCA's " +
+      "fitted one: 16 md5-derived ±1 (Rademacher) planes project 64→16 " +
+      "dims as 16 codegen'd sequential dot products per row (no fit, " +
+      "no model state, no shuffle), then exact L2 top-10 in the " +
+      "projected space via the fixed left-associated distance chain. " +
+      "Because the planes are md5-recomputable, the oracle is fully " +
+      "STATIC — it rebuilds the planes in SQL and projects the corpus " +
+      "with the same sequential accumulation; the query's 16 projected " +
+      "values are driver-computed exact-decimal literals on both " +
+      "engines (a pure function of two fixed constants).",
+    (s, dir) => {
+      val planes = Ann.signPlanes(dim = 64, nBits = 16, tag = "rp")
+      val q = Queries.queryVec64
+      val qp = planes.map { p =>
+        var acc = 0.0; var i = 0
+        while (i < 64) { acc += q(i).toDouble * p(i).toDouble; i += 1 }
+        acc
+      }
+      val projected = planes.zipWithIndex.foldLeft(Tables.embeddings(s, dir)) {
+        case (df, (p, j)) => df.withColumn(s"rp_$j",
+          graft.functions.VectorFunctions.dotProduct(col("embedding"), typedLit(p.toSeq)))
+      }
+      val chain = qp.indices.map(j =>
+        (col(s"rp_$j") - lit(qp(j))) * (col(s"rp_$j") - lit(qp(j))))
+        .reduceLeft(_ + _)
+      projected.withColumn("dist", sqrt(chain))
+        .orderBy(col("dist"), col("vec_id")).limit(10)
+        .select(col("vec_id"), round(col("dist"), 6).as("rp_distance"))
+        .orderBy(col("rp_distance"), col("vec_id"))
+    },
+    Some {
+      val planes = Ann.signPlanes(dim = 64, nBits = 16, tag = "rp")
+      val q = Queries.queryVec64
+      val qp = planes.map { p =>
+        var acc = 0.0; var i = 0
+        while (i < 64) { acc += q(i).toDouble * p(i).toDouble; i += 1 }
+        acc
+      }
+      val chainSql = qp.indices.map { j =>
+        val l = dblLit(qp(j))
+        s"(ys[${j + 1}] - $l) * (ys[${j + 1}] - $l)"
+      }.reduceLeft((a, b) => s"($a + $b)")
+      s"""
+      |WITH planes AS (
+      |  SELECT b, list_transform(range(64), j ->
+      |    CASE WHEN ('0x' || substring(md5('rp:' || b::VARCHAR || ':' || j::VARCHAR), 1, 12))::BIGINT % 2 = 0
+      |         THEN 1.0 ELSE -1.0 END) AS plane
+      |  FROM range(16) t(b)
+      |), proj AS (
+      |  SELECT e.vec_id, p.b,
+      |         list_sum(list_transform(range(64), i -> (e.embedding::DOUBLE[])[i+1] * (p.plane)[i+1])) AS y
+      |  FROM embeddings e CROSS JOIN planes p
+      |), pv AS (
+      |  SELECT vec_id, list(y ORDER BY b) AS ys FROM proj GROUP BY vec_id
+      |), d AS (
+      |  SELECT vec_id, sqrt($chainSql) AS dist FROM pv
+      |), top AS (
+      |  SELECT vec_id, dist FROM d ORDER BY dist, vec_id LIMIT 10
+      |)
+      |SELECT vec_id, round(dist, 6) AS rp_distance
+      |FROM top ORDER BY rp_distance, vec_id
+      """.stripMargin.trim
+    })
+
   val defs: Seq[QueryDef] =
     Seq(filtered, l2Search, batch, ragContext, ivf, lshProbe, ivfRule,
       lshRule, ivfKmeansRule, filteredIvfRule, mips, quantRescore, sqlApi,
       centroids, quantize, groupTopk, pqAdc, pqRescore, pqBatch, pqStoreAdc,
-      matryoshka, ivfPqAdc, pcaKnn)
+      matryoshka, ivfPqAdc, pcaKnn, rpKnn)
 }
