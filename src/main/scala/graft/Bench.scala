@@ -39,7 +39,7 @@ object Bench {
     Seq("knn_exact_cosine", "txt_stats", "dedup_clusters", "q1_pricing_summary",
         "ann_ivf_rule_rewrite", "ann_ivf_kmeans_rewrite", "ann_lsh_rule_rewrite",
         "ann_pq_adc", "ann_ivfpq_adc", "vec_pca_knn", "maint_ivf_append",
-        "stream_ingest_dedup", "stream_serve_knn",
+        "vec_bq_hamming_rescore", "stream_ingest_dedup", "stream_serve_knn",
         "maint_compact_roundtrip", "maint_zorder_roundtrip").foreach { w =>
       try consume(SparkEntry.queries(w)(spark, sfDir))
       catch { case _: Throwable => () }

@@ -1326,9 +1326,94 @@ object VectorQueries {
       """.stripMargin.trim
     })
 
+  /** Sign bits of 32 consecutive components packed into one BIGINT
+    * word (bit j = component off+j > 0) — a sequential fold over a
+    * powers-of-two literal array, shuffle-free.
+    */
+  private def packWord(vec: org.apache.spark.sql.Column, off: Int): org.apache.spark.sql.Column =
+    aggregate(
+      zip_with(slice(vec, off + 1, 32),
+        typedLit((0 until 32).map(j => 1L << j)),
+        (x, p) => when(x > 0, p).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Persisted (vec_id, b_lo, b_hi) binary-code store per (sfDir, JVM)
+    * — 16 bytes of sign bits for a 256-byte vector.
+    */
+  private[queries] object BqStore {
+    def ensure(s: org.apache.spark.sql.SparkSession, dir: String): String =
+      TmpStores.memoizedTable("graft_bq", dir) { root =>
+        Tables.embeddings(s, dir)
+          .select(col("vec_id"),
+            packWord(col("embedding"), 0).as("b_lo"),
+            packWord(col("embedding"), 32).as("b_hi"))
+          .write.mode("overwrite").parquet(root)
+        root
+      }
+  }
+
+  private val bqHamming = QueryDef(
+    "vec_bq_hamming_rescore",
+    "Binary quantization serving — the 1-bit-per-dimension compression " +
+      "extreme (32× smaller than float32; the BQ mode modern vector " +
+      "stores ship next to int8 and PQ): each vector's 64 sign bits " +
+      "pack into two BIGINT words persisted as (vec_id, b_lo, b_hi); " +
+      "the query scans ONLY that 16-byte-per-row store, scoring each " +
+      "row with two XOR + two popcount instructions (codegen'd " +
+      "bit_count), shortlists 50 by (hamming, vec_id) — integer keys, " +
+      "zero float-parity surface — and exact-rescores only the " +
+      "shortlist's vectors (fetched by id from the primary store). " +
+      "Sign-bit packing is pure arithmetic, so the oracle is fully " +
+      "STATIC: DuckDB repacks the corpus and mirrors both stages.",
+    (s, dir) => {
+      val q = Queries.queryVec64
+      def qWord(off: Int): Long =
+        (0 until 32).map(j => if (q(off + j) > 0f) 1L << j else 0L).sum
+      val store = s.read.parquet(BqStore.ensure(s, dir))
+      val ham = bit_count(col("b_lo").bitwiseXOR(lit(qWord(0)))) +
+        bit_count(col("b_hi").bitwiseXOR(lit(qWord(32))))
+      val shortlist = store.withColumn("hamming", ham)
+        .orderBy(col("hamming"), col("vec_id")).limit(50)
+      Knn.search(shortlist.join(Tables.embeddings(s, dir), "vec_id"),
+          "embedding", "vec_id", q, k = 10)
+        .select(col("vec_id"), col("hamming").cast("long").as("hamming"),
+          round(col("distance_score"), 6).as("distance"))
+        .orderBy(col("distance"), col("vec_id"))
+    },
+    Some {
+      val q = Queries.queryVec64
+      def qWord(off: Int): Long =
+        (0 until 32).map(j => if (q(off + j) > 0f) 1L << j else 0L).sum
+      def pack(off: Int) =
+        s"(list_sum(list_transform(range(32), j -> CASE WHEN (embedding::DOUBLE[])[j+${off + 1}] > 0 " +
+          s"THEN (1::BIGINT << j) ELSE 0 END)))::BIGINT"
+      s"""
+      |WITH packed AS (
+      |  SELECT vec_id, embedding,
+      |         ${pack(0)} AS b_lo,
+      |         ${pack(32)} AS b_hi
+      |  FROM embeddings
+      |), sh AS (
+      |  SELECT vec_id, embedding,
+      |         (bit_count(xor(b_lo, ${qWord(0)}::BIGINT))
+      |          + bit_count(xor(b_hi, ${qWord(32)}::BIGINT)))::BIGINT AS hamming
+      |  FROM packed
+      |), cand AS (
+      |  SELECT vec_id, embedding, hamming FROM sh ORDER BY hamming, vec_id LIMIT 50
+      |), d AS (
+      |  SELECT vec_id, hamming, ${duckCosine("embedding", vecLit(Queries.queryVec64))} AS dist
+      |  FROM cand
+      |), top AS (
+      |  SELECT vec_id, hamming, dist FROM d ORDER BY dist, vec_id LIMIT 10
+      |)
+      |SELECT vec_id, hamming, round(dist, 6) AS distance
+      |FROM top ORDER BY distance, vec_id
+      """.stripMargin.trim
+    })
+
   val defs: Seq[QueryDef] =
     Seq(filtered, l2Search, batch, ragContext, ivf, lshProbe, ivfRule,
       lshRule, ivfKmeansRule, filteredIvfRule, mips, quantRescore, sqlApi,
       centroids, quantize, groupTopk, pqAdc, pqRescore, pqBatch, pqStoreAdc,
-      matryoshka, ivfPqAdc, pcaKnn, rpKnn)
+      matryoshka, ivfPqAdc, pcaKnn, rpKnn, bqHamming)
 }

@@ -108,4 +108,25 @@ class KnnSpec extends SparkSpec {
     val scores = scored.map(_.getAs[Double]("match_score")).toSeq
     assert(scores == scores.sorted.reverse)
   }
+
+  test("binary quantization: registered query's hamming agrees with driver-packed sign bits") {
+    val rows = graft.queries.Queries.queriesMap("vec_bq_hamming_rescore")(
+      spark, sf("sf0.001")).collect()
+    assert(rows.length == 10)
+    val q = graft.queries.Queries.queryVec64
+    def packed(v: Array[Float]): (Long, Long) = {
+      def word(off: Int) =
+        (0 until 32).map(j => if (v(off + j) > 0f) 1L << j else 0L).sum
+      (word(0), word(32))
+    }
+    val (qlo, qhi) = packed(q)
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    rows.foreach { r =>
+      val (blo, bhi) = packed(vecs(r.getAs[Long]("vec_id")))
+      val want = java.lang.Long.bitCount(blo ^ qlo) + java.lang.Long.bitCount(bhi ^ qhi)
+      assert(r.getAs[Long]("hamming") == want.toLong,
+        s"vec ${r.getAs[Long]("vec_id")}: hamming ${r.getAs[Long]("hamming")} != $want")
+    }
+  }
 }
