@@ -197,6 +197,91 @@ object TextQueries {
       |ORDER BY lift DESC, bigram LIMIT 25
       """.stripMargin.trim))
 
+  private val lmQ = QueryDef(
+    "txt_lm_score",
+    "Bigram language-model quality scoring with stupid backoff (Brants " +
+      "et al. 2007) — the perplexity-filter signal of a pretraining " +
+      "pipeline: a bigram LM is fitted on the even-doc_id HALF of the " +
+      "corpus (so held-out docs genuinely hit the backoff path), and " +
+      "every doc scores mean log-prob of its bigrams — seen: " +
+      "ln(c(w1w2)/c(w1)); unseen: ln(0.4·(c(w2)+1)/(N+V)) (add-one on " +
+      "the unigram backoff so OOV words score finitely). Counts join " +
+      "on vocab keys (never broadcast); the two corpus scalars " +
+      "broadcast as one row. Float-parity: each ln term is ROUNDED to " +
+      "6 decimals first (engine-stable), then summed in exact " +
+      "DECIMAL(38,6) — the per-doc sum is order-independent, so the " +
+      "vocab-shuffle's row order cannot flip the hash. Output: the 10 " +
+      "lowest-scoring docs — the gibberish-filter view.",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      def pairs(toksCol: org.apache.spark.sql.Column) = zip_with(
+        slice(toksCol, lit(1), size(toksCol) - 1),
+        slice(toksCol, lit(2), size(toksCol) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))
+      val tk = docToks(s, dir).select(col("doc_id"), col("toks"))
+      val train = tk.filter(col("doc_id") % 2 === 0)
+      val uni = train.select(explode(col("toks")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c1"))
+      val stats = uni.agg(sum(col("c1")).as("n_tok"), count(lit(1)).as("n_vocab"))
+      val bi = train.select(explode(pairs(col("toks"))).as("pr"))
+        .groupBy(col("pr.w1").as("w1"), col("pr.w2").as("w2"))
+        .agg(count(lit(1)).as("c2"))
+      val docBi = tk.select(col("doc_id"), explode(pairs(col("toks"))).as("pr"))
+        .select(col("doc_id"), col("pr.w1").as("w1"), col("pr.w2").as("w2"))
+      val scored = docBi
+        .join(bi, Seq("w1", "w2"), "left")
+        .join(uni.select(col("w").as("w1"), col("c1").as("c1w1")), Seq("w1"), "left")
+        .join(uni.select(col("w").as("w2"), col("c1").as("c1w2")), Seq("w2"), "left")
+        .crossJoin(broadcast(stats))
+        .withColumn("lp", round(
+          when(col("c2").isNotNull,
+            log(col("c2").cast("double") / col("c1w1").cast("double")))
+            .otherwise(log(
+              (lit(0.4) * (coalesce(col("c1w2"), lit(0L)) + lit(1L)).cast("double")) /
+                (col("n_tok") + col("n_vocab")).cast("double"))), 6))
+      scored.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(col("lp").cast(DecimalType(38, 6))).as("lp_sum"))
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("lp_sum").cast("double") / col("n_bigrams").cast("double"), 6)
+            .as("avg_lp"))
+        .orderBy(col("avg_lp"), col("doc_id")).limit(10)
+    },
+    Some(s"""
+      |${Duck.docToks},
+      |train AS (SELECT doc_id, toks FROM tt WHERE doc_id % 2 = 0),
+      |uni AS (
+      |  SELECT t AS w, count(*) AS c1 FROM (SELECT unnest(toks) AS t FROM train) GROUP BY 1
+      |), st AS (SELECT SUM(c1) AS n_tok, COUNT(*) AS n_vocab FROM uni),
+      |bi AS (
+      |  SELECT pr.w1 AS w1, pr.w2 AS w2, count(*) AS c2 FROM (
+      |    SELECT unnest(list_transform(range(len(toks)-1), i -> {'w1': toks[i+1], 'w2': toks[i+2]})) AS pr
+      |    FROM train
+      |  ) GROUP BY 1, 2
+      |), docbi AS (
+      |  SELECT doc_id, pr.w1 AS w1, pr.w2 AS w2 FROM (
+      |    SELECT doc_id, unnest(list_transform(range(len(toks)-1), i -> {'w1': toks[i+1], 'w2': toks[i+2]})) AS pr
+      |    FROM tt
+      |  )
+      |), scored AS (
+      |  SELECT d.doc_id,
+      |         round(CASE WHEN b.c2 IS NOT NULL
+      |               THEN ln(CAST(b.c2 AS DOUBLE) / CAST(u1.c1 AS DOUBLE))
+      |               ELSE ln((0.4 * CAST(COALESCE(u2.c1, 0) + 1 AS DOUBLE))
+      |                       / CAST((st.n_tok + st.n_vocab) AS DOUBLE))
+      |               END, 6) AS lp
+      |  FROM docbi d
+      |  LEFT JOIN bi b ON d.w1 = b.w1 AND d.w2 = b.w2
+      |  LEFT JOIN uni u1 ON d.w1 = u1.w
+      |  LEFT JOIN uni u2 ON d.w2 = u2.w
+      |  CROSS JOIN st
+      |)
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |       round(CAST(SUM(CAST(lp AS DECIMAL(38,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS avg_lp
+      |FROM scored GROUP BY doc_id
+      |ORDER BY avg_lp, doc_id LIMIT 10
+      """.stripMargin.trim))
+
   private val simhashQ = QueryDef(
     "txt_simhash",
     "48-bit SimHash per document, computed in one pass with higher-order " +
@@ -858,7 +943,7 @@ object TextQueries {
       """.stripMargin.trim))
 
   val defs: Seq[QueryDef] =
-    Seq(stats, langQ, quality, fp, topTokens, bigramLift, simhashQ, embedQ,
-      embedKnnQ, bm25Q, hybridRrfQ, maxsimQ, tfidfQ, chunksQ, packQ,
+    Seq(stats, langQ, quality, fp, topTokens, bigramLift, lmQ, simhashQ,
+      embedQ, embedKnnQ, bm25Q, hybridRrfQ, maxsimQ, tfidfQ, chunksQ, packQ,
       tokenBudgetQ, gopherQ, dupNgramsQ, piiQ, noveltyQ)
 }
