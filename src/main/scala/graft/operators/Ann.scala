@@ -175,6 +175,51 @@ object Ann {
       vecCol, idCol, queryVec, k, metric)
   }
 
+  /** Per-query recall@k of the LSH probe path against exact KNN — the
+    * quality telemetry a production user tunes nBits/radius with,
+    * computed distributed and deterministic (every rank on
+    * (rounded dist, id)).
+    *
+    * Shape: the query set (a handful of rows) broadcasts onto ONE
+    * corpus pass per branch; both branches rank with
+    * `row_number ≤ k`, which Spark rewrites to WindowGroupLimit — each
+    * map task forwards at most k rows per query to the one qid-keyed
+    * shuffle, so the eval never shuffles the corpus itself. The ANN
+    * branch restricts to buckets within `radius` sign flips BEFORE
+    * ranking (the same candidate set the probe path scans).
+    */
+  def lshRecallEval(corpus: DataFrame, vecCol: String, idCol: String,
+                    queries: DataFrame, qidCol: String, qVecCol: String,
+                    planes: Array[Array[Float]], k: Int,
+                    radius: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bucketed = assignLshBuckets(corpus, vecCol, planes)
+    val q = assignLshBuckets(
+        queries.select(col(qidCol).as("qid"), col(qVecCol).as("qvec")), "qvec", planes)
+      .withColumnRenamed("lsh_bucket", "qbucket")
+    val scored = bucketed.crossJoin(broadcast(q))
+      .select(col("qid"), col(idCol),
+        round(cosineDistance(col(vecCol), col("qvec")), 6).as("dist"),
+        expr("bit_count(lsh_bucket ^ qbucket)").as("hamming"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col(idCol))
+    val exactTop = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k).select("qid", idCol)
+    val annTop = scored.filter(col("hamming") <= radius)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k).select("qid", idCol)
+    val nExact = exactTop.groupBy("qid").agg(count(lit(1)).as("n_exact"))
+    val nAnn = annTop.groupBy("qid").agg(count(lit(1)).as("n_ann"))
+    val overlap = exactTop.join(annTop, Seq("qid", idCol), "left_semi")
+      .groupBy("qid").agg(count(lit(1)).as("n_overlap"))
+    nExact.join(nAnn, Seq("qid"), "left").join(overlap, Seq("qid"), "left")
+      .select(col("qid"),
+        col("n_exact"),
+        coalesce(col("n_ann"), lit(0L)).as("n_ann"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)) / lit(k).cast("double")).as("recall"))
+      .orderBy(col("qid"))
+  }
+
   /** Persist the cluster-assigned corpus partitioned by `cluster_id` —
     * the write-time half of the IVF index. Reads through
     * [[readIndexed]] + [[search]] then hit only the probed partition

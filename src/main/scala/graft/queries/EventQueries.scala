@@ -597,8 +597,85 @@ object EventQueries {
       |FROM filled GROUP BY user_id ORDER BY user_id
       """.stripMargin.trim))
 
+  private val rfmQ = QueryDef(
+    "ev_rfm_segments",
+    "RFM user segmentation (recency / frequency / monetary): one " +
+      "user-keyed aggregate builds the per-user profile (last-seen µs, " +
+      "event count, exact-decimal value sum), quartile CUTOFFS come from " +
+      "one broadcast single-row percentile aggregate (NOT an " +
+      "unpartitioned ntile window — a global sort over all users is the " +
+      "thing that doesn't scale), and each user is scored 1-4 per axis " +
+      "by comparing against the broadcast cutoffs. Parity: recency is " +
+      "exact integer µs arithmetic (div truncation ≡ // on non-negative " +
+      "diffs); interpolated percentile ≡ quantile_cont; a 2-decimal " +
+      "monetary double round-trips through DECIMAL(38,2) exactly, so " +
+      "the per-segment re-sum stays order-independent.",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val dec = org.apache.spark.sql.types.DecimalType(38, 6)
+      val dec2 = org.apache.spark.sql.types.DecimalType(38, 2)
+      val perUser = ev.groupBy(col("user_id")).agg(
+        max(unix_micros(col("ts"))).as("last_us"),
+        count(lit(1)).as("frequency"),
+        sum(col("value").cast(dec)).cast(dec2).cast("double").as("monetary"))
+      val gmax = ev.agg(max(unix_micros(col("ts"))).as("g_us"))
+      val r = perUser.crossJoin(broadcast(gmax))
+        .withColumn("recency_days", expr("(g_us - last_us) div 86400000000"))
+      val cuts = r.agg(
+        expr("percentile(recency_days, 0.25)").as("r25"),
+        expr("percentile(recency_days, 0.50)").as("r50"),
+        expr("percentile(recency_days, 0.75)").as("r75"),
+        expr("percentile(frequency, 0.25)").as("f25"),
+        expr("percentile(frequency, 0.50)").as("f50"),
+        expr("percentile(frequency, 0.75)").as("f75"),
+        expr("percentile(monetary, 0.25)").as("m25"),
+        expr("percentile(monetary, 0.50)").as("m50"),
+        expr("percentile(monetary, 0.75)").as("m75"))
+      val scored = r.crossJoin(broadcast(cuts)).select(
+        col("user_id"), col("frequency"), col("monetary"),
+        when(col("recency_days") <= col("r25"), 4)
+          .when(col("recency_days") <= col("r50"), 3)
+          .when(col("recency_days") <= col("r75"), 2).otherwise(1).as("rs"),
+        when(col("frequency") >= col("f75"), 4)
+          .when(col("frequency") >= col("f50"), 3)
+          .when(col("frequency") >= col("f25"), 2).otherwise(1).as("fs"),
+        when(col("monetary") >= col("m75"), 4)
+          .when(col("monetary") >= col("m50"), 3)
+          .when(col("monetary") >= col("m25"), 2).otherwise(1).as("ms"))
+      scored
+        .groupBy(concat_ws("-", col("rs"), col("fs"), col("ms")).as("segment"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("frequency")).as("sum_freq"),
+          sum(col("monetary").cast(dec2)).cast(dec2).cast("double").as("total_monetary"),
+          min(col("user_id")).as("min_user"), max(col("user_id")).as("max_user"))
+        .orderBy(col("segment"))
+    },
+    Some("""
+      |WITH pu AS (
+      |  SELECT user_id, max(epoch_us(ts::TIMESTAMP)) AS last_us, count(*) AS frequency,
+      |         CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DECIMAL(38,2)) AS DOUBLE) AS monetary
+      |  FROM events GROUP BY user_id
+      |), g AS (SELECT max(epoch_us(ts::TIMESTAMP)) AS g_us FROM events),
+      |r AS (SELECT user_id, (g_us - last_us) // 86400000000 AS recency_days, frequency, monetary FROM pu, g),
+      |c AS (SELECT quantile_cont(recency_days, 0.25) AS r25, quantile_cont(recency_days, 0.50) AS r50, quantile_cont(recency_days, 0.75) AS r75,
+      |             quantile_cont(frequency, 0.25) AS f25, quantile_cont(frequency, 0.50) AS f50, quantile_cont(frequency, 0.75) AS f75,
+      |             quantile_cont(monetary, 0.25) AS m25, quantile_cont(monetary, 0.50) AS m50, quantile_cont(monetary, 0.75) AS m75
+      |      FROM r),
+      |s AS (
+      |  SELECT user_id, frequency, monetary,
+      |    CASE WHEN recency_days <= r25 THEN 4 WHEN recency_days <= r50 THEN 3 WHEN recency_days <= r75 THEN 2 ELSE 1 END AS rs,
+      |    CASE WHEN frequency >= f75 THEN 4 WHEN frequency >= f50 THEN 3 WHEN frequency >= f25 THEN 2 ELSE 1 END AS fs,
+      |    CASE WHEN monetary >= m75 THEN 4 WHEN monetary >= m50 THEN 3 WHEN monetary >= m25 THEN 2 ELSE 1 END AS ms
+      |  FROM r, c)
+      |SELECT rs || '-' || fs || '-' || ms AS segment, count(*) AS n_users,
+      |       CAST(SUM(frequency) AS BIGINT) AS sum_freq,
+      |       CAST(CAST(SUM(CAST(monetary AS DECIMAL(38,2))) AS DECIMAL(38,2)) AS DOUBLE) AS total_monetary,
+      |       min(user_id) AS min_user, max(user_id) AS max_user
+      |FROM s GROUP BY 1 ORDER BY 1
+      """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
     Seq(tumbling, sliding, sessionsQ, propsQ, firstQ, valueStats, pivotQ, asofQ,
       rangeQ, movingQ, gapsQ, funnelQ, percentilesQ, histogramQ, outliersQ,
-      cohortsQ, gapfillQ)
+      cohortsQ, gapfillQ, rfmQ)
 }

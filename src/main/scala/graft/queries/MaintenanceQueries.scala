@@ -344,7 +344,186 @@ object MaintenanceQueries {
       """.stripMargin.trim
     })
 
+  private val scd2Q = QueryDef(
+    "cdc_scd2_history",
+    "SCD Type-2 history build: three orders snapshots are derived " +
+      "deterministically from the fixture (v2 re-prioritizes keys ≡ 0 " +
+      "mod 7, v3 additionally closes keys ≡ 0 mod 11 — the v2 change " +
+      "persists into v3, so both-class keys produce three intervals), " +
+      "and Scd2.build folds them into validity intervals via ONE " +
+      "key-partitioned shuffle (lag change-detect + lead interval-close " +
+      "share the partitioning). The result aggregates per " +
+      "(version_from, version_to) with an order-independent md5 row-set " +
+      "checksum over the keys; the oracle enumerates the four " +
+      "key-arithmetic classes and their expected interval patterns " +
+      "directly, so a green hash proves the generic window-based " +
+      "history builder reproduces the ground-truth change structure.",
+    (s, dir) => {
+      import graft.operators.Scd2
+      val ord = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"))
+      val v2 = ord.withColumn("o_orderpriority",
+        when(pmod(col("o_orderkey"), lit(7)) === 0, lit("P-SYNTH"))
+          .otherwise(col("o_orderpriority")))
+      val v3 = v2.withColumn("o_orderstatus",
+        when(pmod(col("o_orderkey"), lit(11)) === 0, lit("Z"))
+          .otherwise(col("o_orderstatus")))
+      val hist = Scd2.build(Seq(1 -> ord, 2 -> v2, 3 -> v3),
+        Seq("o_orderkey"), Seq("o_orderstatus", "o_orderpriority"))
+      val h = conv(substring(md5(col("o_orderkey").cast("string")), 1, 12), 16, 10)
+        .cast("decimal(38,0)")
+      hist
+        .withColumn("version_to", coalesce(col("version_to"), lit(9999)))
+        .groupBy(col("version_from"), col("version_to"))
+        .agg(count(lit(1)).as("n_keys"),
+          min(col("o_orderkey")).as("min_key"), max(col("o_orderkey")).as("max_key"),
+          sum(h).cast("decimal(38,0)").cast("string").as("rowset_fp"))
+        .orderBy(col("version_from"), col("version_to"))
+    },
+    Some("""
+      |WITH k AS (
+      |  SELECT o_orderkey AS key,
+      |         (o_orderkey % 7 = 0) AS c7, (o_orderkey % 11 = 0) AS c11
+      |  FROM orders
+      |), iv AS (
+      |  SELECT key, 1 AS vf, CASE WHEN c7 THEN 1 WHEN c11 THEN 2 ELSE 9999 END AS vt FROM k
+      |  UNION ALL
+      |  SELECT key, 2, CASE WHEN c11 THEN 2 ELSE 9999 END FROM k WHERE c7
+      |  UNION ALL
+      |  SELECT key, 3, 9999 FROM k WHERE c11
+      |)
+      |SELECT vf AS version_from, vt AS version_to, count(*) AS n_keys,
+      |       min(key) AS min_key, max(key) AS max_key,
+      |       CAST(CAST(SUM(CAST(('0x' || substring(md5(key::VARCHAR), 1, 12))::BIGINT
+      |         AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS VARCHAR) AS rowset_fp
+      |FROM iv GROUP BY 1, 2 ORDER BY 1, 2
+      """.stripMargin.trim))
+
+  /** One manifest→orphan-injection→vacuum cycle per (sfDir, JVM):
+    * orders is written (8 files) and MANIFESTED; then a crashed
+    * writer's leftovers are simulated by appending a duplicate subset
+    * (keys ≡ 0 mod 10) that the manifest does NOT cover — a plain scan
+    * now double-counts those rows — and Vacuum deletes exactly the
+    * unmanifested files.
+    */
+  private object VacuumStore {
+    def ensure(s: SparkSession, dir: String): String =
+      TmpStores.memoizedTable("graft_vacuum_rt", dir) { root =>
+        import graft.operators.Vacuum
+        val table = s"$root/orders"
+        val ord = Tables.orders(s, dir)
+        ord.repartition(8).write.parquet(table)
+        val committed = Vacuum.writeManifest(s, table)
+        require(committed >= 8, s"expected >= 8 committed files, saw $committed")
+        ord.filter(col("o_orderkey") % 10 === 0)
+          .write.mode("append").parquet(table)
+        val st = Vacuum.vacuum(s, table)
+        require(st.deleted >= 1, s"vacuum must delete the injected orphans: $st")
+        require(st.kept == committed, s"vacuum must keep the committed files: $st vs $committed")
+        table
+      }
+  }
+
+  private val vacuumQ = QueryDef(
+    "maint_vacuum",
+    "Manifest-based vacuum gate: orders is written and manifested, a " +
+      "crashed writer's uncommitted append (duplicate rows for keys ≡ 0 " +
+      "mod 10) is injected, and Vacuum deletes exactly the unmanifested " +
+      "data files — pure file-metadata work, no data read. The " +
+      "registered query plain-scans the vacuumed directory and " +
+      "aggregates (count, exact decimal sum, key extrema, md5 row-set " +
+      "checksum); the oracle aggregates the ORIGINAL fixture. A green " +
+      "hash proves the scan no longer sees the orphan rows AND that " +
+      "vacuum deleted nothing it shouldn't have.",
+    (s, dir) => {
+      val table = VacuumStore.ensure(s, dir)
+      val dec = org.apache.spark.sql.types.DecimalType(38, 6)
+      val h = conv(substring(md5(concat_ws("|",
+        col("o_orderkey").cast("string"), col("o_orderpriority"))), 1, 12), 16, 10)
+        .cast("decimal(38,0)")
+      s.read.parquet(table)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_totalprice").cast(dec)).cast(org.apache.spark.sql.types.DecimalType(38, 2)).cast("double").as("sum_price"),
+          min(col("o_orderkey")).as("min_key"), max(col("o_orderkey")).as("max_key"),
+          sum(h).cast("decimal(38,0)").cast("string").as("rowset_fp"))
+    },
+    Some("""
+      |SELECT count(*) AS n_rows,
+      |       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_price,
+      |       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+      |       CAST(CAST(SUM(CAST(('0x' || substring(md5(
+      |         o_orderkey::VARCHAR || '|' || o_orderpriority), 1, 12))::BIGINT
+      |         AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS VARCHAR) AS rowset_fp
+      |FROM orders
+      """.stripMargin.trim))
+
+  /** One two-generation table per (sfDir, JVM): documents split by key
+    * parity into a v1 write (3 columns) and a later v2 write that added
+    * `source` / `n_chars` / a derived `quality_tier` — the schema-drift
+    * shape every long-lived dataset accumulates.
+    */
+  private object EvolveStore {
+    def ensure(s: SparkSession, dir: String): String =
+      TmpStores.memoizedTable("graft_evolve_docs", dir) { root =>
+        val table = s"$root/documents"
+        val d = Tables.documents(s, dir)
+        d.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id"), col("text"), col("lang"))
+          .write.parquet(table)
+        d.filter(col("doc_id") % 2 =!= 0)
+          .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+          .withColumn("quality_tier", pmod(col("n_chars"), lit(5)).cast("int"))
+          .write.mode("append").parquet(table)
+        table
+      }
+  }
+
+  private val evolveQ = QueryDef(
+    "maint_schema_evolution",
+    "Schema-evolution read gate: documents lands in two generations — " +
+      "v1 with (doc_id, text, lang), v2 adding source / n_chars / a " +
+      "derived quality_tier — and the query reads the directory with " +
+      "mergeSchema=true, so v1 rows surface NULLs for the late columns. " +
+      "Aggregates per lang (counts, null-aware sums, md5 row-set " +
+      "checksum over the null-coalesced row image); the oracle emulates " +
+      "the generation split from the original fixture with CASE on the " +
+      "key parity. A green hash proves schema drift widens, never " +
+      "corrupts: old rows keep their values, new columns are NULL " +
+      "exactly where no writer produced them.",
+    (s, dir) => {
+      val table = EvolveStore.ensure(s, dir)
+      val h = conv(substring(md5(concat_ws("|",
+        col("doc_id").cast("string"), coalesce(col("source"), lit("-")),
+        coalesce(col("quality_tier").cast("string"), lit("-")))), 1, 12), 16, 10)
+        .cast("decimal(38,0)")
+      s.read.option("mergeSchema", "true").parquet(table)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(col("source")).as("n_v2"),
+          sum(col("n_chars")).as("sum_chars_v2"),
+          sum(col("quality_tier")).as("sum_tier"),
+          sum(h).cast("decimal(38,0)").cast("string").as("rowset_fp"))
+        .orderBy(col("lang"))
+    },
+    Some("""
+      |WITH g AS (
+      |  SELECT doc_id, lang,
+      |         CASE WHEN doc_id % 2 <> 0 THEN source END AS source,
+      |         CASE WHEN doc_id % 2 <> 0 THEN n_chars END AS n_chars,
+      |         CASE WHEN doc_id % 2 <> 0 THEN (n_chars % 5)::INT END AS quality_tier
+      |  FROM documents
+      |)
+      |SELECT lang, count(*) AS n_docs, count(source) AS n_v2,
+      |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars_v2,
+      |       CAST(SUM(quality_tier) AS BIGINT) AS sum_tier,
+      |       CAST(CAST(SUM(CAST(('0x' || substring(md5(
+      |         doc_id::VARCHAR || '|' || COALESCE(source, '-') || '|' ||
+      |         COALESCE(quality_tier::VARCHAR, '-')), 1, 12))::BIGINT
+      |         AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS VARCHAR) AS rowset_fp
+      |FROM g GROUP BY lang ORDER BY lang
+      """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
     Seq(compactRoundtrip, repartitionLayout, snapshotDiffQ, zorderRoundtrip,
-      incrementalRollup, ivfAppend)
+      incrementalRollup, ivfAppend, scd2Q, vacuumQ, evolveQ)
 }

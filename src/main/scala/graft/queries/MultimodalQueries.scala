@@ -83,5 +83,49 @@ object MultimodalQueries {
       |ORDER BY m.doc_id
       """.stripMargin.trim))
 
-  val defs: Seq[QueryDef] = Seq(meta, decode)
+  private val frameDedup = QueryDef(
+    "mm_frame_dedup",
+    "Frame-level video dedup: the 16-byte/stride-4 frame sampler runs " +
+      "over the BINARY media column, every frame gets an md5 " +
+      "fingerprint, and fingerprints seen in ≥ 2 distinct docs are the " +
+      "cross-video duplicate frames (the primitive behind near-dup " +
+      "video detection: shared intros, stock footage, re-uploads). " +
+      "All map-side until one fingerprint-keyed aggregate; the " +
+      "global shared-count total rides in as a broadcast single-row " +
+      "aggregate, and the top-20 by spread is a TakeOrderedAndProject. " +
+      "Parity: the fixture's UTF-8 stand-in media is ASCII (verified: " +
+      "octet_length ≡ length), so DuckDB's VARCHAR substring slices " +
+      "the same bytes Spark's BINARY substr does, and md5(VARCHAR) " +
+      "hashes those bytes.",
+    (s, dir) => {
+      val d = Multimodal.withFakeMedia(Tables.documentsSpread(s, dir), "text")
+      val frames = Multimodal.sampleFrames(d, "media", "doc_id")
+      val shared = frames
+        .groupBy(md5(col("frame")).as("fp"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occ"),
+          min(col("doc_id")).as("first_doc"))
+        .filter(col("n_docs") >= 2)
+      val total = shared.agg(count(lit(1)).as("n_shared_total"))
+      shared.orderBy(col("n_docs").desc, col("fp")).limit(20)
+        .crossJoin(broadcast(total))
+        .select(col("fp"), col("n_docs"), col("n_occ"), col("first_doc"),
+          col("n_shared_total"))
+        .orderBy(col("n_docs").desc, col("fp"))
+    },
+    Some("""
+      |WITH f AS (
+      |  SELECT doc_id, md5(substring(text, i*64 + 1, 16)) AS fp
+      |  FROM documents, unnest(range(((octet_length(encode(text)) - 1) // 64) + 1)) AS t(i)
+      |), d AS (
+      |  SELECT fp, count(distinct doc_id) AS n_docs, count(*) AS n_occ,
+      |         min(doc_id) AS first_doc
+      |  FROM f GROUP BY fp HAVING count(distinct doc_id) >= 2
+      |), tot AS (SELECT count(*) AS n_shared_total FROM d)
+      |SELECT fp, n_docs, n_occ, first_doc, n_shared_total
+      |FROM (SELECT * FROM d ORDER BY n_docs DESC, fp LIMIT 20), tot
+      |ORDER BY n_docs DESC, fp
+      """.stripMargin.trim))
+
+  val defs: Seq[QueryDef] = Seq(meta, decode, frameDedup)
 }

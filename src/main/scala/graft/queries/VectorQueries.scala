@@ -1411,9 +1411,133 @@ object VectorQueries {
       """.stripMargin.trim
     })
 
+  /** MMR probe: the e2e embed pipeline's model + query text, so the
+    * shortlist provably contains real near-duplicate documents (three
+    * pairs with pairwise sim ≥ 0.99 at sf0.01) and the diversification
+    * is non-degenerate.
+    */
+  private val mmrModel = graft.functions.Md5PortableEmbedder(dim = 64)
+  private val mmrQueryVec = mmrModel.encode("graft portable embed knn query")
+
+  private val mmrDiversify = QueryDef(
+    "knn_mmr_diversify",
+    "MMR diversified reranking over the embedded documents corpus: " +
+      "distributed exact top-20 shortlist (TakeOrderedAndProject, no " +
+      "corpus shuffle) → driver-side greedy selection of 10 with " +
+      "λ = 0.5, demoting candidates similar to already-picked results " +
+      "(the shortlist contains three near-dup pairs with sim ≥ 0.99 — " +
+      "MMR visibly reorders them). The oracle recomputes the float32 " +
+      "corpus vectors in SQL and replays the greedy as a recursive CTE " +
+      "(argmax per step, 6-decimal re-rounding, id tiebreaks), so a " +
+      "green hash proves the sequential selection — not just the " +
+      "shortlist — is engine-exact.",
+    (s, dir) => {
+      import graft.functions.Embeddings
+      import graft.operators.Mmr
+      val d = Tables.documentsSpread(s, dir)
+      val embedded = Embeddings.embedDataFrame(
+        d.select("doc_id", "text"), "text", "vec", mmrModel)
+      Mmr.diversifiedSearch(embedded, "vec", "doc_id", mmrQueryVec,
+        k = 10, shortlist = 20, lambda = 0.5)
+    },
+    Some {
+      val qLit = Duck.vecLit(mmrQueryVec)
+      val withRec = Duck.docToks.replaceFirst("WITH ", "WITH RECURSIVE ")
+      s"""
+      |$withRec, ${Duck.md5EmbedVecs(64)},
+      |d AS (
+      |  SELECT doc_id, round(${Duck.cosine("v", qLit)}, 6) AS dist FROM vecs
+      |), cand AS (
+      |  SELECT doc_id, 1.0 - dist AS rel FROM d ORDER BY dist, doc_id LIMIT 20
+      |), ce AS (
+      |  SELECT c.doc_id, c.rel, vecs.v FROM cand c JOIN vecs ON vecs.doc_id = c.doc_id
+      |), sims AS (
+      |  SELECT a.doc_id AS ia, b.doc_id AS ib, round(1.0 - ${Duck.cosine("a.v", "b.v")}, 6) AS sim
+      |  FROM ce a JOIN ce b ON a.doc_id <> b.doc_id
+      |), pick AS (
+      |  (SELECT 1 AS pick_order, doc_id, round(0.5 * rel, 6) AS mmr_score, [doc_id] AS selected
+      |   FROM cand ORDER BY round(0.5 * rel, 6) DESC, doc_id LIMIT 1)
+      |  UNION ALL
+      |  (SELECT p.pick_order + 1, c.doc_id, c.mmr_score, list_append(p.selected, c.doc_id)
+      |   FROM pick p, LATERAL (
+      |     SELECT doc_id, round(0.5 * rel - 0.5 * mx, 6) AS mmr_score FROM (
+      |       SELECT c2.doc_id, c2.rel,
+      |              (SELECT max(s.sim) FROM sims s
+      |               WHERE s.ia = c2.doc_id AND list_contains(p.selected, s.ib)) AS mx
+      |       FROM cand c2 WHERE NOT list_contains(p.selected, c2.doc_id))
+      |     ORDER BY mmr_score DESC, doc_id LIMIT 1) c
+      |   WHERE p.pick_order < 10)
+      |)
+      |SELECT pick_order, doc_id, mmr_score FROM pick ORDER BY pick_order
+      """.stripMargin.trim
+    })
+
+  private val recallEval = QueryDef(
+    "ann_recall_eval",
+    "Recall@10 telemetry for the LSH probe path, oracle-gated: 10 " +
+      "corpus-point queries broadcast onto the corpus, exact top-10 and " +
+      "radius-1 probe top-10 both rank as row_number ≤ k (Spark " +
+      "rewrites to WindowGroupLimit — map tasks forward ≤ k rows per " +
+      "query, the corpus itself never shuffles), and per-query overlap " +
+      "counts become the recall curve a production user tunes " +
+      "nBits/radius against. The oracle recomputes planes, buckets, " +
+      "hamming probe sets, and both rankings in SQL — a green hash " +
+      "gates the QUALITY measurement itself, not just the search paths.",
+    (s, dir) => {
+      val planes = Ann.signPlanes(dim = 64, nBits = 8)
+      val emb = Tables.embeddings(s, dir)
+      Ann.lshRecallEval(emb, "embedding", "vec_id",
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        planes, k = 10, radius = 1)
+    },
+    Some {
+      s"""
+      |WITH planes AS (
+      |  SELECT b, list_transform(range(64), j ->
+      |    CASE WHEN ('0x' || substring(md5('lsh:' || b::VARCHAR || ':' || j::VARCHAR), 1, 12))::BIGINT % 2 = 0
+      |         THEN 1.0 ELSE -1.0 END) AS plane
+      |  FROM (SELECT unnest(range(8)) AS b)
+      |), bk AS (
+      |  SELECT e.vec_id,
+      |         sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], p.plane) >= 0
+      |                  THEN (1::BIGINT << p.b) ELSE 0 END)::BIGINT AS lsh_bucket
+      |  FROM embeddings e CROSS JOIN planes p GROUP BY e.vec_id
+      |), q AS (
+      |  SELECT e.vec_id AS qid, e.embedding::DOUBLE[] AS qv, bk.lsh_bucket AS qbucket
+      |  FROM embeddings e JOIN bk ON bk.vec_id = e.vec_id
+      |  WHERE e.vec_id < 10
+      |), scored AS (
+      |  SELECT q.qid, e.vec_id,
+      |         round(${Duck.cosine("e.embedding::DOUBLE[]", "q.qv")}, 6) AS dist,
+      |         len(list_filter(range(8), i ->
+      |             ((bk.lsh_bucket >> i) & 1) <> ((q.qbucket >> i) & 1))) AS hamming
+      |  FROM embeddings e JOIN bk ON bk.vec_id = e.vec_id CROSS JOIN q
+      |), et AS (
+      |  SELECT qid, vec_id FROM (
+      |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rn
+      |    FROM scored) WHERE rn <= 10
+      |), at AS (
+      |  SELECT qid, vec_id FROM (
+      |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rn
+      |    FROM scored WHERE hamming <= 1) WHERE rn <= 10
+      |), ne AS (SELECT qid, count(*) AS n_exact FROM et GROUP BY qid),
+      |na AS (SELECT qid, count(*) AS n_ann FROM at GROUP BY qid),
+      |ov AS (
+      |  SELECT e.qid, count(*) AS n_overlap FROM et e
+      |  JOIN at a ON a.qid = e.qid AND a.vec_id = e.vec_id GROUP BY e.qid
+      |)
+      |SELECT ne.qid, ne.n_exact,
+      |       COALESCE(na.n_ann, 0) AS n_ann,
+      |       COALESCE(ov.n_overlap, 0) AS n_overlap,
+      |       CAST(COALESCE(ov.n_overlap, 0) AS DOUBLE) / CAST(10 AS DOUBLE) AS recall
+      |FROM ne LEFT JOIN na ON na.qid = ne.qid LEFT JOIN ov ON ov.qid = ne.qid
+      |ORDER BY ne.qid
+      """.stripMargin.trim
+    })
+
   val defs: Seq[QueryDef] =
     Seq(filtered, l2Search, batch, ragContext, ivf, lshProbe, ivfRule,
       lshRule, ivfKmeansRule, filteredIvfRule, mips, quantRescore, sqlApi,
       centroids, quantize, groupTopk, pqAdc, pqRescore, pqBatch, pqStoreAdc,
-      matryoshka, ivfPqAdc, pcaKnn, rpKnn, bqHamming)
+      matryoshka, ivfPqAdc, pcaKnn, rpKnn, bqHamming, mmrDiversify, recallEval)
 }
