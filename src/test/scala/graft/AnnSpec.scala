@@ -250,4 +250,29 @@ class AnnSpec extends SparkSpec {
     assert(got == want, "incremental append diverged from full rebuild")
     new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
   }
+
+  test("lshRecallEval: self always found, full radius gives recall 1.0, map-side group limit") {
+    val planes = Ann.signPlanes(dim = 64, nBits = 8)
+    val queries = emb.filter(col("vec_id") < 5)
+    val r1 = Ann.lshRecallEval(emb, "embedding", "vec_id", queries,
+      "vec_id", "embedding", planes, k = 10, radius = 1)
+    val rows = r1.collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getLong(1) == 10, "exact top-10 must always fill")
+      assert(r.getLong(3) >= 1, "a corpus-point query must at least find itself")
+      val recall = r.getDouble(4)
+      assert(recall >= 0.1 && recall <= 1.0, s"recall out of range: $recall")
+    }
+    // radius = nBits probes every bucket -> ANN degenerates to exact
+    val rFull = Ann.lshRecallEval(emb, "embedding", "vec_id", queries,
+      "vec_id", "embedding", planes, k = 10, radius = 8)
+    assert(rFull.collect().forall(_.getDouble(4) == 1.0),
+      "probing every bucket must reproduce exact KNN")
+    // the ranking must be map-side limited (WindowGroupLimit), so the
+    // qid shuffle carries <= k rows per (query, map task), never the corpus
+    val plan = r1.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"row_number <= k ranking must plan a WindowGroupLimit:\n$plan")
+  }
 }
