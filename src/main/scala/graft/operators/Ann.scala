@@ -220,6 +220,59 @@ object Ann {
       .orderBy(col("qid"))
   }
 
+  /** Recall@k-vs-nprobe curve for the IVF probe path — the IVF twin of
+    * [[lshRecallEval]], and THE number a production user tunes nprobe
+    * against. One corpus pass scores every (query, point) pair
+    * (queries broadcast); the exact branch and one branch per nprobe
+    * value rank via `row_number ≤ k` (WindowGroupLimit — map tasks
+    * forward ≤ k rows per query, the corpus never shuffles); probe
+    * sets come from [[probeIds]] on the driver, exactly like the
+    * serving path. Corpus-point queries guarantee every (nprobe, qid)
+    * cell is populated: the query's own cluster is its rank-1 probe,
+    * so the self-hit always survives.
+    */
+  def ivfRecallEval(corpus: DataFrame, vecCol: String, idCol: String,
+                    queryVecs: Seq[(Long, Array[Float])],
+                    centroids: Array[Array[Float]], k: Int,
+                    nprobes: Seq[Int]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val assigned = assignClusters(corpus, vecCol, centroids)
+    val q = queryVecs.map { case (id, v) => (id, v.toSeq) }.toDF("qid", "qvec")
+    val scored = assigned.crossJoin(broadcast(q))
+      .select(col("qid"), col(idCol), col("cluster_id"),
+        round(cosineDistance(col(vecCol), col("qvec")), 6).as("dist"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col(idCol))
+    val exactTop = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k).select("qid", idCol)
+    val annTop = nprobes.map { p =>
+      val allowed = queryVecs.flatMap { case (id, v) =>
+        probeIds(v, centroids, p).map(cid => (id, cid))
+      }.toDF("qid", "cid")
+      scored.join(broadcast(allowed),
+          scored("qid") === allowed("qid") && col("cluster_id") === col("cid"))
+        .drop(allowed("qid")).drop("cid")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k)
+        .select(lit(p).as("nprobe"), col("qid"), col(idCol))
+    }.reduce(_ unionByName _)
+    val exactSet = exactTop.toDF("eqid", "eid") // nq × k rows — broadcastable
+    val perQuery = annTop
+      .join(broadcast(exactSet),
+        col("qid") === col("eqid") && col(idCol) === col("eid"), "left_semi")
+      .groupBy(col("nprobe"), col("qid"))
+      .agg(count(lit(1)).as("n_overlap"))
+    perQuery.groupBy(col("nprobe"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(col("n_overlap")).as("sum_overlap"),
+        (sum(col("n_overlap")).cast("double") /
+          (lit(queryVecs.size) * lit(k)).cast("double")).as("mean_recall"),
+        (min(col("n_overlap")).cast("double") / lit(k).cast("double")).as("min_recall"),
+        (max(col("n_overlap")).cast("double") / lit(k).cast("double")).as("max_recall"))
+      .orderBy(col("nprobe"))
+  }
+
   /** Persist the cluster-assigned corpus partitioned by `cluster_id` —
     * the write-time half of the IVF index. Reads through
     * [[readIndexed]] + [[search]] then hit only the probed partition

@@ -1535,9 +1535,79 @@ object VectorQueries {
       """.stripMargin.trim
     })
 
+  private val ivfRecallEvalQ = QueryDef(
+    "ann_ivf_recall_eval",
+    "Recall@10-vs-nprobe curve for the seeded IVF probe path (nlist=8, " +
+      "nprobe ∈ {1,2,4,8}) — the tuning artifact a production user " +
+      "reads before setting nprobe. One corpus pass scores 10 " +
+      "broadcast corpus-point queries; the exact branch and each " +
+      "nprobe branch rank as row_number ≤ k (WindowGroupLimit, no " +
+      "corpus shuffle); probe sets come from the driver exactly like " +
+      "the serving path. The oracle re-derives centroids, assignment, " +
+      "per-query probe ranks, and both rankings in SQL — at nprobe = " +
+      "nlist the curve must close at recall 1.0, which the gate checks " +
+      "as data, not as a spec assertion.",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cents = Ann.seededCentroids(emb, "embedding", "vec_id", 8)
+      val qs = emb.filter(col("vec_id") < 10).select("vec_id", "embedding")
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq.sortBy(_._1)
+      Ann.ivfRecallEval(emb, "embedding", "vec_id", qs, cents,
+        k = 10, nprobes = Seq(1, 2, 4, 8))
+    },
+    Some {
+      s"""
+      |WITH cents AS (
+      |  SELECT vec_id AS cid, embedding::DOUBLE[] AS c FROM embeddings WHERE vec_id < 8
+      |), q AS (
+      |  SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10
+      |), assigned AS (
+      |  SELECT vec_id, cluster_id FROM (
+      |    SELECT e.vec_id, c.cid AS cluster_id,
+      |           row_number() OVER (PARTITION BY e.vec_id
+      |                              ORDER BY ${duckL2("e.embedding::DOUBLE[]", "c.c")}, c.cid) AS rn
+      |    FROM embeddings e CROSS JOIN cents c
+      |  ) WHERE rn = 1
+      |), crank AS (
+      |  SELECT qid, cid,
+      |         row_number() OVER (PARTITION BY qid
+      |                            ORDER BY ${duckL2("qv", "c")}, cid) AS crank
+      |  FROM q CROSS JOIN cents
+      |), scored AS (
+      |  SELECT q.qid, e.vec_id, a.cluster_id,
+      |         round(${duckCosine("e.embedding", "q.qv")}, 6) AS dist
+      |  FROM embeddings e JOIN assigned a ON a.vec_id = e.vec_id CROSS JOIN q
+      |), et AS (
+      |  SELECT qid, vec_id FROM (
+      |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rn
+      |    FROM scored) WHERE rn <= 10
+      |), np AS (SELECT unnest([1, 2, 4, 8]) AS nprobe),
+      |annt AS (
+      |  SELECT nprobe, qid, vec_id FROM (
+      |    SELECT n.nprobe, s.qid, s.vec_id,
+      |           row_number() OVER (PARTITION BY n.nprobe, s.qid ORDER BY s.dist, s.vec_id) AS rn
+      |    FROM scored s
+      |    JOIN crank cr ON cr.qid = s.qid AND cr.cid = s.cluster_id
+      |    CROSS JOIN np n
+      |    WHERE cr.crank <= n.nprobe) WHERE rn <= 10
+      |), pq AS (
+      |  SELECT a.nprobe, a.qid, count(*) AS n_overlap FROM annt a
+      |  JOIN et e ON e.qid = a.qid AND e.vec_id = a.vec_id GROUP BY 1, 2
+      |)
+      |SELECT nprobe, count(*) AS n_queries,
+      |       CAST(SUM(n_overlap) AS BIGINT) AS sum_overlap,
+      |       CAST(SUM(n_overlap) AS DOUBLE) / CAST(100 AS DOUBLE) AS mean_recall,
+      |       CAST(MIN(n_overlap) AS DOUBLE) / CAST(10 AS DOUBLE) AS min_recall,
+      |       CAST(MAX(n_overlap) AS DOUBLE) / CAST(10 AS DOUBLE) AS max_recall
+      |FROM pq GROUP BY nprobe ORDER BY nprobe
+      """.stripMargin.trim
+    })
+
   val defs: Seq[QueryDef] =
     Seq(filtered, l2Search, batch, ragContext, ivf, lshProbe, ivfRule,
       lshRule, ivfKmeansRule, filteredIvfRule, mips, quantRescore, sqlApi,
       centroids, quantize, groupTopk, pqAdc, pqRescore, pqBatch, pqStoreAdc,
-      matryoshka, ivfPqAdc, pcaKnn, rpKnn, bqHamming, mmrDiversify, recallEval)
+      matryoshka, ivfPqAdc, pcaKnn, rpKnn, bqHamming, mmrDiversify, recallEval,
+      ivfRecallEvalQ)
 }
