@@ -1443,9 +1443,19 @@ object VectorQueries {
     Some {
       val qLit = Duck.vecLit(mmrQueryVec)
       val withRec = Duck.docToks.replaceFirst("WITH ", "WITH RECURSIVE ")
+      // MATERIALIZED on the BASE tables (vecs, d), not on the CTEs the
+      // recursion references: the recursive UNION ALL re-inlines every
+      // plain CTE per step — unpinned, that is 10+ full-corpus embed
+      // chains (OOM at sf1) — while pinning cand/ce/sims themselves
+      // trips a DuckDB 1.0 planner bug where the step-2 correlated
+      // max-subquery over a materialized chain returns NULL. With
+      // vecs/d pinned, the per-step re-derivation of cand/ce/sims is a
+      // top-20 sort + 380 cosines over tiny inputs (2 s at sf1).
+      val vecsMat = Duck.md5EmbedVecs(64)
+        .replace("vecs AS (", "vecs AS MATERIALIZED (")
       s"""
-      |$withRec, ${Duck.md5EmbedVecs(64)},
-      |d AS (
+      |$withRec, $vecsMat,
+      |d AS MATERIALIZED (
       |  SELECT doc_id, round(${Duck.cosine("v", qLit)}, 6) AS dist FROM vecs
       |), cand AS (
       |  SELECT doc_id, 1.0 - dist AS rel FROM d ORDER BY dist, doc_id LIMIT 20
