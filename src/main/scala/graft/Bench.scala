@@ -41,10 +41,11 @@ object Bench {
         "ann_pq_adc", "ann_ivfpq_adc", "vec_pca_knn", "maint_ivf_append",
         "vec_bq_hamming_rescore", "stream_ingest_dedup", "stream_serve_knn",
         "maint_compact_roundtrip", "maint_zorder_roundtrip",
-        // one-time store builds for the vacuum / schema-evolution gates
-        // (write+manifest+vacuum, two-generation write) — timed runs
-        // then measure the post-maintenance READ path like compact/zorder
-        "maint_vacuum", "maint_schema_evolution").foreach { w =>
+        // one-time store builds for the vacuum / schema-evolution /
+        // csv / json gates — timed runs then measure the post-write
+        // READ path like compact/zorder
+        "maint_vacuum", "maint_schema_evolution",
+        "src_csv_roundtrip", "src_json_roundtrip").foreach { w =>
       try consume(SparkEntry.queries(w)(spark, sfDir))
       catch { case _: Throwable => () }
       spark.catalog.clearCache()
