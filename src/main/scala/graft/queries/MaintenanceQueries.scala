@@ -523,6 +523,72 @@ object MaintenanceQueries {
       |FROM g GROUP BY lang ORDER BY lang
       """.stripMargin.trim))
 
+  /** The deterministic orders change batch shared by the batch MERGE
+    * gate and the streaming CDC-apply gate (single-builder rule):
+    * updates for keys ≡ 0 mod 13 (minus the deletes), deletes for
+    * ≡ 0 mod 17, inserts under +2e9-shifted keys for ≡ 0 mod 19.
+    */
+  private[queries] def orderChangeBatches(ord: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val k = col("o_orderkey")
+    val updates = ord.filter(pmod(k, lit(13)) === 0 && pmod(k, lit(17)) =!= 0)
+      .withColumn("o_orderpriority", lit("M-MERGED"))
+      .withColumn("o_totalprice", col("o_totalprice") + 2.25)
+      .withColumn("is_delete", lit(false))
+    val deletes = ord.filter(pmod(k, lit(17)) === 0)
+      .withColumn("is_delete", lit(true))
+    val inserts = ord.filter(pmod(k, lit(19)) === 0)
+      .select((k + 2000000000L).as("o_orderkey"),
+        lit(1L).as("o_custkey"), lit("N").as("o_orderstatus"),
+        lit(1000.5).as("o_totalprice"),
+        lit("1999-01-01").cast("timestamp").as("o_orderdate"),
+        lit("I-NEW").as("o_orderpriority"),
+        lit(false).as("is_delete"))
+    (updates, deletes, inserts)
+  }
+
+  /** Per-priority fidelity aggregate over a merged orders table —
+    * shared by both MERGE gates.
+    */
+  private[queries] def mergedOrdersAgg(merged: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 6)
+    val h = conv(substring(md5(concat_ws("|",
+      col("o_orderkey").cast("string"), col("o_orderpriority"))), 1, 12), 16, 10)
+      .cast("decimal(38,0)")
+    merged.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(dec)).cast(org.apache.spark.sql.types.DecimalType(38, 2)).cast("double").as("total_price"),
+        min(col("o_orderkey")).as("min_key"), max(col("o_orderkey")).as("max_key"),
+        sum(h).cast("decimal(38,0)").cast("string").as("rowset_fp"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** DuckDB mirror: applies the same three mutation classes
+    * arithmetically and aggregates identically — shared by the batch
+    * and streaming MERGE gates.
+    */
+  private[queries] val mergedOrdersOracleSql: String = """
+    |WITH merged AS (
+    |  SELECT o_orderkey AS key,
+    |         CASE WHEN o_orderkey % 13 = 0 AND o_orderkey % 17 <> 0
+    |              THEN 'M-MERGED' ELSE o_orderpriority END AS pri,
+    |         CASE WHEN o_orderkey % 13 = 0 AND o_orderkey % 17 <> 0
+    |              THEN o_totalprice + 2.25 ELSE o_totalprice END AS price
+    |  FROM orders WHERE o_orderkey % 17 <> 0
+    |  UNION ALL
+    |  SELECT o_orderkey + 2000000000, 'I-NEW', 1000.5
+    |  FROM orders WHERE o_orderkey % 19 = 0
+    |)
+    |SELECT pri AS o_orderpriority, count(*) AS n_orders,
+    |       CAST(CAST(SUM(CAST(price AS DECIMAL(38,6))) AS DECIMAL(38,2)) AS DOUBLE) AS total_price,
+    |       min(key) AS min_key, max(key) AS max_key,
+    |       CAST(CAST(SUM(CAST(('0x' || substring(md5(
+    |         key::VARCHAR || '|' || pri), 1, 12))::BIGINT
+    |         AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS VARCHAR) AS rowset_fp
+    |FROM merged GROUP BY pri ORDER BY pri
+    """.stripMargin.trim
+
   private val mergeQ = QueryDef(
     "cdc_merge_into",
     "MERGE INTO (the CDC-apply step): a deterministic change batch — " +
@@ -538,55 +604,14 @@ object MaintenanceQueries {
     (s, dir) => {
       import graft.operators.Merge
       val ord = Tables.orders(s, dir)
-      val k = col("o_orderkey")
-      val updates = ord.filter(pmod(k, lit(13)) === 0 && pmod(k, lit(17)) =!= 0)
-        .withColumn("o_orderpriority", lit("M-MERGED"))
-        .withColumn("o_totalprice", col("o_totalprice") + 2.25)
-        .withColumn("is_delete", lit(false))
-      val deletes = ord.filter(pmod(k, lit(17)) === 0)
-        .withColumn("is_delete", lit(true))
-      val inserts = ord.filter(pmod(k, lit(19)) === 0)
-        .select((k + 2000000000L).as("o_orderkey"),
-          lit(1L).as("o_custkey"), lit("N").as("o_orderstatus"),
-          lit(1000.5).as("o_totalprice"),
-          lit("1999-01-01").cast("timestamp").as("o_orderdate"),
-          lit("I-NEW").as("o_orderpriority"),
-          lit(false).as("is_delete"))
+      val (updates, deletes, inserts) = orderChangeBatches(ord)
       val source = updates.unionByName(deletes).unionByName(inserts)
       val merged = Merge(ord, source, Seq("o_orderkey"),
         updateCols = Seq("o_orderpriority", "o_totalprice"),
         deleteCondition = Some(col("is_delete")))
-      val dec = org.apache.spark.sql.types.DecimalType(38, 6)
-      val h = conv(substring(md5(concat_ws("|",
-        col("o_orderkey").cast("string"), col("o_orderpriority"))), 1, 12), 16, 10)
-        .cast("decimal(38,0)")
-      merged.groupBy(col("o_orderpriority"))
-        .agg(count(lit(1)).as("n_orders"),
-          sum(col("o_totalprice").cast(dec)).cast(org.apache.spark.sql.types.DecimalType(38, 2)).cast("double").as("total_price"),
-          min(col("o_orderkey")).as("min_key"), max(col("o_orderkey")).as("max_key"),
-          sum(h).cast("decimal(38,0)").cast("string").as("rowset_fp"))
-        .orderBy(col("o_orderpriority"))
+      mergedOrdersAgg(merged)
     },
-    Some("""
-      |WITH merged AS (
-      |  SELECT o_orderkey AS key,
-      |         CASE WHEN o_orderkey % 13 = 0 AND o_orderkey % 17 <> 0
-      |              THEN 'M-MERGED' ELSE o_orderpriority END AS pri,
-      |         CASE WHEN o_orderkey % 13 = 0 AND o_orderkey % 17 <> 0
-      |              THEN o_totalprice + 2.25 ELSE o_totalprice END AS price
-      |  FROM orders WHERE o_orderkey % 17 <> 0
-      |  UNION ALL
-      |  SELECT o_orderkey + 2000000000, 'I-NEW', 1000.5
-      |  FROM orders WHERE o_orderkey % 19 = 0
-      |)
-      |SELECT pri AS o_orderpriority, count(*) AS n_orders,
-      |       CAST(CAST(SUM(CAST(price AS DECIMAL(38,6))) AS DECIMAL(38,2)) AS DOUBLE) AS total_price,
-      |       min(key) AS min_key, max(key) AS max_key,
-      |       CAST(CAST(SUM(CAST(('0x' || substring(md5(
-      |         key::VARCHAR || '|' || pri), 1, 12))::BIGINT
-      |         AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS VARCHAR) AS rowset_fp
-      |FROM merged GROUP BY pri ORDER BY pri
-      """.stripMargin.trim))
+    Some(mergedOrdersOracleSql))
 
   val defs: Seq[QueryDef] =
     Seq(compactRoundtrip, repartitionLayout, snapshotDiffQ, zorderRoundtrip,

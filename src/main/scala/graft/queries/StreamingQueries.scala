@@ -46,21 +46,10 @@ object StreamingQueries {
         // batch2 is gated against the stored batch1.
         val docs = Tables.documents(s, dir)
         val staging = s"$root/staging"
-        def stage(df: DataFrame, name: String, ageMs: Long): Unit = {
-          val scratch = s"$root/_$name"
-          df.coalesce(1).write.mode("overwrite").parquet(scratch)
-          val part = new java.io.File(scratch).listFiles()
-            .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-            .getOrElse(sys.error(s"no part file staged under $scratch"))
-          val dest = new java.io.File(s"$staging/$name.parquet")
-          dest.getParentFile.mkdirs()
-          java.nio.file.Files.move(part.toPath, dest.toPath,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-          dest.setLastModified(System.currentTimeMillis() - ageMs)
-          new scala.reflect.io.Directory(new java.io.File(scratch)).deleteRecursively()
-        }
-        stage(docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), "batch1", 120000L)
-        stage(docs.filter(pmod(col("doc_id"), lit(5)) === 0), "batch2", 60000L)
+        TmpStores.stageFile(docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+          staging, "batch1", 120000L)
+        TmpStores.stageFile(docs.filter(pmod(col("doc_id"), lit(5)) === 0),
+          staging, "batch2", 60000L)
 
         val corpus = s"$root/corpus"
         val stream = s.readStream.schema(docs.schema)
@@ -217,5 +206,53 @@ object StreamingQueries {
     // "streamed ≡ batch" premise is structural, not a copy
     Some(VectorQueries.duckBatchKnnSql(k = 3)))
 
-  val defs: Seq[QueryDef] = Seq(streamIngest, streamServe, streamServePq)
+  /** One run-to-completion CDC apply stream per (sfDir, JVM): the
+    * orders change feed (the SAME deterministic three-class batch the
+    * cdc_merge_into gate uses) replays as two mtime-ordered file
+    * micro-batches — updates+deletes first, inserts second — and each
+    * batch MERGEs into a versioned parquet snapshot via
+    * [[graft.streaming.CdcApply]]. The classes touch disjoint keys, so
+    * the sequential apply must equal the one-shot merge.
+    */
+  private object CdcApplyStore {
+    def ensure(s: SparkSession, dir: String): String =
+      TmpStores.memoizedTable("graft_stream_cdcapply", dir) { root =>
+        val ord = Tables.orders(s, dir)
+        val t0 = s"$root/v0"
+        ord.write.parquet(t0)
+        val (updates, deletes, inserts) = MaintenanceQueries.orderChangeBatches(ord)
+        val staging = s"$root/staging"
+        TmpStores.stageFile(updates.unionByName(deletes), staging, "batch1", 120000L)
+        TmpStores.stageFile(inserts, staging, "batch2", 60000L)
+        val feedSchema = updates.schema
+        val stream = s.readStream.schema(feedSchema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(staging)
+        val applied = graft.streaming.CdcApply.applyStream(
+          stream, t0, root, Seq("o_orderkey"),
+          updateCols = Seq("o_orderpriority", "o_totalprice"),
+          deleteCol = "is_delete", checkpoint = s"$root/ckpt")
+        applied.query.awaitTermination()
+        applied.current
+      }
+  }
+
+  private val streamCdcApply = QueryDef(
+    "stream_cdc_apply",
+    "Streaming CDC apply run to completion (AvailableNow): the orders " +
+      "change feed replays as two mtime-ordered file micro-batches " +
+      "(updates+deletes, then inserts), each MERGEd into a NEW " +
+      "versioned snapshot with the pointer flipped only after the " +
+      "write commits. The registered query aggregates the FINAL " +
+      "snapshot with the same fidelity aggregate as cdc_merge_into, " +
+      "and the oracle is the SAME one-shot-merge SQL — a green hash " +
+      "proves per-batch apply composes to the batch answer.",
+    (s, dir) => {
+      val finalPath = CdcApplyStore.ensure(s, dir)
+      MaintenanceQueries.mergedOrdersAgg(s.read.parquet(finalPath))
+    },
+    Some(MaintenanceQueries.mergedOrdersOracleSql))
+
+  val defs: Seq[QueryDef] =
+    Seq(streamIngest, streamServe, streamServePq, streamCdcApply)
 }

@@ -48,4 +48,25 @@ private[queries] object TmpStores {
       new scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
       build(root)
     })
+
+  /** Stage `df` as ONE parquet file `stagingDir/name.parquet` with its
+    * mtime pushed `ageMs` into the past — the deterministic-replay
+    * primitive for file-source streams: the source picks oldest files
+    * first, so staged ages define the micro-batch order exactly.
+    * (Shared by the streaming ingest and CDC-apply stores.)
+    */
+  def stageFile(df: org.apache.spark.sql.DataFrame, stagingDir: String,
+                name: String, ageMs: Long): Unit = {
+    val scratch = s"$stagingDir/_scratch_$name"
+    df.coalesce(1).write.mode("overwrite").parquet(scratch)
+    val part = new java.io.File(scratch).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .getOrElse(sys.error(s"no part file staged under $scratch"))
+    val dest = new java.io.File(s"$stagingDir/$name.parquet")
+    dest.getParentFile.mkdirs()
+    java.nio.file.Files.move(part.toPath, dest.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    dest.setLastModified(System.currentTimeMillis() - ageMs)
+    new scala.reflect.io.Directory(new java.io.File(scratch)).deleteRecursively()
+  }
 }
