@@ -101,5 +101,31 @@ object SourceQueries {
     },
     Some(fidelitySql))
 
-  val defs: Seq[QueryDef] = Seq(csvRoundtrip, jsonRoundtrip)
+  private object OrcStore {
+    def ensure(s: SparkSession, dir: String): String =
+      TmpStores.memoizedTable("graft_orc_docs", dir) { root =>
+        val table = s"$root/documents_orc"
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+          .write.orc(table)
+        table
+      }
+  }
+
+  private val orcRoundtrip = QueryDef(
+    "src_orc_roundtrip",
+    "ORC sink/scan fidelity gate: documents written as ORC and read " +
+      "back with an explicit schema — the columnar non-parquet path " +
+      "(typed encodings, no text-escaping layer to get wrong; what CAN " +
+      "break is string/long codec round-trips, which the checksum " +
+      "covers). Same fidelity aggregate and oracle as the CSV/JSON " +
+      "gates; DuckDB has no ORC reader, so the oracle over the original " +
+      "parquet fixture is exactly the cross-format proof wanted here.",
+    (s, dir) => {
+      val table = OrcStore.ensure(s, dir)
+      fidelityAgg(s.read.schema(docSchema).orc(table))
+    },
+    Some(fidelitySql))
+
+  val defs: Seq[QueryDef] = Seq(csvRoundtrip, jsonRoundtrip, orcRoundtrip)
 }
