@@ -67,9 +67,9 @@ object Duck {
     * the Spark pipeline's `array<float>` column. Empty/cancelled docs
     * fall back to e₀ exactly like the encoder.
     */
-  def md5EmbedVecs(dim: Int): String =
+  def md5EmbedVecs(dim: Int, src: String = "tt"): String =
     s"""tok AS (
-       |  SELECT doc_id, unnest(toks) AS t FROM tt
+       |  SELECT doc_id, unnest(toks) AS t FROM $src
        |), b AS (
        |  SELECT doc_id,
        |         (('0x' || substring(md5(t), 1, 12))::BIGINT % $dim) AS bucket,
@@ -78,9 +78,9 @@ object Duck {
        |), acc AS (
        |  SELECT doc_id, bucket, sum(sign)::DOUBLE AS w FROM b GROUP BY 1, 2
        |), dense AS (
-       |  SELECT tt.doc_id, r.i AS bucket, COALESCE(a.w, 0.0) AS w
-       |  FROM tt CROSS JOIN (SELECT unnest(range($dim)) AS i) r
-       |  LEFT JOIN acc a ON a.doc_id = tt.doc_id AND a.bucket = r.i
+       |  SELECT $src.doc_id, r.i AS bucket, COALESCE(a.w, 0.0) AS w
+       |  FROM $src CROSS JOIN (SELECT unnest(range($dim)) AS i) r
+       |  LEFT JOIN acc a ON a.doc_id = $src.doc_id AND a.bucket = r.i
        |), nrm AS (
        |  SELECT doc_id, sqrt(sum(w * w)) AS nn FROM dense GROUP BY doc_id
        |), comp AS (

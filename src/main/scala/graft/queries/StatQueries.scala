@@ -320,6 +320,88 @@ object StatQueries {
       |ORDER BY label_a, label_b
       """.stripMargin.trim))
 
+  private val abWelch = QueryDef(
+    "stat_ab_welch",
+    "A/B experiment readout — Welch's z for the difference in mean " +
+      "event value between two deterministic assignment buckets " +
+      "(user_id % 2; hash-stable assignment is itself the point: " +
+      "re-running the experiment query must re-derive the same split). " +
+      "n/Σv/Σv² per arm from exact decimal sums in ONE aggregate pass; " +
+      "mean, Welch variance and z evaluated in double with a fixed " +
+      "shape. The p-value needs erf (libm, whose cross-engine rounding " +
+      "is unspecified) — the z statistic is the deterministic part.",
+    (s, dir) => {
+      val g = Tables.events(s, dir)
+        .select((col("user_id") % 2).as("grp"), col("value"))
+      val st = g.groupBy(col("grp")).agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(dec6)).cast(dec2).cast("double").as("sv"),
+        sum((col("value") * col("value")).cast(dec6))
+          .cast(DecimalType(38, 4)).cast("double").as("sv2"))
+      val m = st.select(col("grp"), col("n"),
+        (col("sv") / col("n")).as("mean"),
+        ((col("sv2") - col("sv") * col("sv") / col("n")) / (col("n") - 1)).as("vr"))
+      val a = m.filter(col("grp") === 0)
+        .select(col("n").as("n_a"), col("mean").as("mean_raw_a"), col("vr").as("var_a"))
+      val b = m.filter(col("grp") === 1)
+        .select(col("n").as("n_b"), col("mean").as("mean_raw_b"), col("vr").as("var_b"))
+      a.crossJoin(b).select(
+        col("n_a"), col("n_b"),
+        round(col("mean_raw_a"), 6).as("mean_a"),
+        round(col("mean_raw_b"), 6).as("mean_b"),
+        round((col("mean_raw_b") - col("mean_raw_a")) /
+          sqrt(col("var_a") / col("n_a") + col("var_b") / col("n_b")), 6).as("z_score"))
+    },
+    Some("""
+      |WITH g AS (
+      |  SELECT user_id % 2 AS grp, value FROM events
+      |), s AS (
+      |  SELECT grp, count(*) AS n,
+      |         CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DECIMAL(38,2)) AS DOUBLE) AS sv,
+      |         CAST(CAST(SUM(CAST(value * value AS DECIMAL(38,6))) AS DECIMAL(38,4)) AS DOUBLE) AS sv2
+      |  FROM g GROUP BY 1
+      |), m AS (
+      |  SELECT grp, n, sv / n AS mean,
+      |         (sv2 - sv * sv / n) / (n - 1) AS vr
+      |  FROM s
+      |)
+      |SELECT a.n AS n_a, b.n AS n_b,
+      |       round(a.mean, 6) AS mean_a, round(b.mean, 6) AS mean_b,
+      |       round((b.mean - a.mean) / sqrt(a.vr / a.n + b.vr / b.n), 6) AS z_score
+      |FROM m a JOIN m b ON a.grp = 0 AND b.grp = 1
+      """.stripMargin.trim))
+
+  private val benford = QueryDef(
+    "dq_benford_prices",
+    "Benford first-digit profile of l_extendedprice — the fraud/" +
+      "synthetic-data smell test from the data-quality toolbox (TPC-H " +
+      "prices are uniform-ish, NOT Benford — the profile exposing that " +
+      "is exactly the point of the probe). First digit via exact " +
+      "integer/string ops on the floored price; counts exact; one " +
+      "share division per digit. Single aggregate pass + a 9-row " +
+      "window.",
+    (s, dir) => {
+      val d = Tables.lineitem(s, dir).select(
+        substring(floor(col("l_extendedprice")).cast("long").cast("string"), 1, 1)
+          .cast("long").as("digit"))
+      d.groupBy(col("digit")).agg(count(lit(1)).as("n"))
+        .withColumn("p_observed", round(col("n").cast("double") /
+          sum(col("n")).over(Window.partitionBy()).cast("double"), 6))
+        .orderBy(col("digit"))
+    },
+    Some("""
+      |WITH d AS (
+      |  SELECT CAST(substring(CAST(CAST(FLOOR(l_extendedprice) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      |  FROM lineitem
+      |), c AS (
+      |  SELECT digit, count(*) AS n FROM d GROUP BY 1
+      |)
+      |SELECT digit, n,
+      |       round(n::DOUBLE / (SUM(n) OVER ())::DOUBLE, 6) AS p_observed
+      |FROM c ORDER BY digit
+      """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
-    Seq(trendOls, dailyCorr, markov, ewma, pagerank, centroidMatrix)
+    Seq(trendOls, dailyCorr, markov, ewma, pagerank, centroidMatrix,
+      abWelch, benford)
 }

@@ -942,8 +942,59 @@ object TextQueries {
       |GROUP BY source ORDER BY source
       """.stripMargin.trim))
 
+  /** Cross-encoder query text ≡ the BM25 terms, so stage 1 and stage 2
+    * answer the same information need.
+    */
+  private val ceQueryText = bm25Terms.mkString(" ")
+  private val ceQueryVec = e2eModel.encode(ceQueryText)
+
+  private val crossencQ = QueryDef(
+    "knn_crossenc_rerank",
+    "Two-stage retrieve-and-rerank — the production serving shape for " +
+      "expensive pairwise scoring models: BM25 retrieves a top-20 " +
+      "shortlist (shared bm25Scored builder), then ONLY those 20 " +
+      "(query, document) PAIRS run through the pair encoder " +
+      "(embed(query ⊕ doc) scored against embed(query)) and the " +
+      "shortlist is re-ordered by the pair score. The shortlist is " +
+      "broadcast onto the corpus scan, so the expensive per-pair model " +
+      "touches k rows, not the corpus — swap the md5-portable stub for " +
+      "a GPU cross-encoder and the plan is unchanged (same seam as the " +
+      "multimodal decoder). DuckDB recomputes the pair embeddings from " +
+      "concatenated token lists bit-for-bit.",
+    (s, dir) => {
+      import graft.functions.Embeddings
+      import graft.functions.VectorFunctions.cosineDistance
+      val short = bm25Scored(s, dir)
+        .orderBy(col("bm25").desc, col("doc_id")).limit(20)
+      val cand = Tables.documentsSpread(s, dir)
+        .select(col("doc_id"), col("text"))
+        .join(broadcast(short), "doc_id")
+        .withColumn("pair", concat(lit(ceQueryText + " "), col("text")))
+      Embeddings.embedDataFrame(
+          cand.select(col("doc_id"), col("bm25"), col("pair")), "pair", "vec", e2eModel)
+        .select(col("doc_id"), col("bm25"),
+          round(cosineDistance(col("vec"), typedLit(ceQueryVec)), 6).as("ce_dist"))
+        .orderBy(col("ce_dist"), col("doc_id"))
+    },
+    Some {
+      val qToksLit = bm25Terms.map(t => s"'$t'").mkString("[", ", ", "]")
+      s"""
+      |${Duck.docToks}, $duckBm25Cte,
+      |short AS (
+      |  SELECT doc_id, bm25 FROM bm25sc ORDER BY bm25 DESC, doc_id LIMIT 20
+      |), tt2 AS (
+      |  SELECT tt.doc_id, list_concat($qToksLit, tt.toks) AS toks
+      |  FROM tt JOIN short ON tt.doc_id = short.doc_id
+      |), ${Duck.md5EmbedVecs(64, "tt2")}
+      |SELECT short.doc_id, short.bm25,
+      |       round(${Duck.cosine("vecs.v", Duck.vecLit(ceQueryVec))}, 6) AS ce_dist
+      |FROM vecs JOIN short ON vecs.doc_id = short.doc_id
+      |ORDER BY ce_dist, short.doc_id
+      """.stripMargin.trim
+    })
+
   val defs: Seq[QueryDef] =
     Seq(stats, langQ, quality, fp, topTokens, bigramLift, lmQ, simhashQ,
-      embedQ, embedKnnQ, bm25Q, hybridRrfQ, maxsimQ, tfidfQ, chunksQ, packQ,
+      embedQ, embedKnnQ, bm25Q, hybridRrfQ, crossencQ, maxsimQ, tfidfQ, chunksQ, packQ,
       tokenBudgetQ, gopherQ, dupNgramsQ, piiQ, noveltyQ)
 }
