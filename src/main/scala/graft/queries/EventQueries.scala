@@ -674,8 +674,49 @@ object EventQueries {
       |FROM s GROUP BY 1 ORDER BY 1
       """.stripMargin.trim))
 
+  private val rangeFrameQ = QueryDef(
+    "ev_burst_range_frame",
+    "Per-event burst detection with a RANGE window frame — the " +
+      "value-based frame §2.7 breadth item next to the ROWS frames " +
+      "(moving avg) and the tumbling/sliding/session windows: for each " +
+      "event, the count and exact-cents value of the SAME USER's events " +
+      "in the strictly-preceding 10 minutes (RANGE on epoch-µs, " +
+      "[-600 s, -1 µs] — numeric frame bounds so both engines resolve " +
+      "identical membership; an INTERVAL frame vs epoch-µs frame could " +
+      "disagree at µs edges). One user-keyed window shuffle; top-100 " +
+      "burstiest rows presented on (n DESC, event_id).",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.events(s, dir)
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("vc", (col("value").cast(org.apache.spark.sql.types.DecimalType(12, 2)) * 100)
+          .cast("long"))
+      val fr = Window.partitionBy(col("user_id")).orderBy(col("us"))
+        .rangeBetween(-600000000L, -1L)
+      e.select(col("event_id"), col("user_id"), col("event_type"),
+          count(lit(1)).over(fr).as("n_prev_10m"),
+          coalesce(sum(col("vc")).over(fr), lit(0L)).as("cents_prev_10m"))
+        .orderBy(col("n_prev_10m").desc, col("event_id")).limit(100)
+    },
+    Some("""
+      |WITH e AS (
+      |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us,
+      |         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS vc
+      |  FROM events
+      |), w AS (
+      |  SELECT event_id, user_id, event_type,
+      |         count(*) OVER fr AS n_prev_10m,
+      |         COALESCE(SUM(vc) OVER fr, 0) AS cents_prev_10m
+      |  FROM e
+      |  WINDOW fr AS (PARTITION BY user_id ORDER BY us
+      |                RANGE BETWEEN 600000000 PRECEDING AND 1 PRECEDING)
+      |)
+      |SELECT event_id, user_id, event_type, n_prev_10m, cents_prev_10m
+      |FROM w ORDER BY n_prev_10m DESC, event_id LIMIT 100
+      """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
     Seq(tumbling, sliding, sessionsQ, propsQ, firstQ, valueStats, pivotQ, asofQ,
       rangeQ, movingQ, gapsQ, funnelQ, percentilesQ, histogramQ, outliersQ,
-      cohortsQ, gapfillQ, rfmQ)
+      cohortsQ, gapfillQ, rfmQ, rangeFrameQ)
 }
