@@ -401,7 +401,62 @@ object StatQueries {
       |FROM c ORDER BY digit
       """.stripMargin.trim))
 
+  private val ksTest = QueryDef(
+    "stat_ks_two_sample",
+    "Two-sample Kolmogorov–Smirnov statistic (click vs purchase value " +
+      "distributions) computed EXACTLY: D = max |F₁−F₂| is the integer " +
+      "argmax of |c₁·n₂ − c₂·n₁| over the pooled cents-value grid — " +
+      "ECDF steps as cumulative integer window sums, no float until " +
+      "the single final division. The unpartitioned cumulative window " +
+      "runs over the DISTINCT VALUE GRID (≤ 56k cents values by the " +
+      "fixture's value range), not the row count — value-domain-" +
+      "bounded, so the single-partition window is safe at any row " +
+      "scale; the row-sized work is one groupBy(vc) shuffle.",
+    (s, dir) => {
+      val st = Tables.events(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select((col("value").cast(DecimalType(12, 2)) * 100).cast("long").as("vc"),
+          when(col("event_type") === "click", 1L).otherwise(0L).as("is_a"))
+      val g = st.groupBy(col("vc"))
+        .agg(sum(col("is_a")).as("a_n"), sum(lit(1L) - col("is_a")).as("b_n"))
+      val cum = Window.orderBy(col("vc"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = Window.partitionBy()
+      g.select(col("vc"),
+          sum(col("a_n")).over(cum).as("ca"), sum(col("b_n")).over(cum).as("cb"),
+          sum(col("a_n")).over(tot).as("na"), sum(col("b_n")).over(tot).as("nb"))
+        .select(col("vc"), col("na"), col("nb"),
+          abs(col("ca") * col("nb") - col("cb") * col("na")).as("num"))
+        .orderBy(col("num").desc, col("vc")).limit(1)
+        .select(col("na").as("n_a"), col("nb").as("n_b"),
+          round(col("num").cast("double") /
+            (col("na").cast("double") * col("nb").cast("double")), 6).as("ks_d"),
+          (col("vc").cast("double") / lit(100.0)).as("at_value"))
+    },
+    Some("""
+      |WITH s AS (
+      |  SELECT CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS vc,
+      |         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_a
+      |  FROM events WHERE event_type IN ('click', 'purchase')
+      |), g AS (
+      |  SELECT vc, SUM(is_a) AS a_n, SUM(1 - is_a) AS b_n FROM s GROUP BY vc
+      |), c AS (
+      |  SELECT vc,
+      |         SUM(a_n) OVER (ORDER BY vc ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+      |         SUM(b_n) OVER (ORDER BY vc ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+      |         SUM(a_n) OVER () AS na, SUM(b_n) OVER () AS nb
+      |  FROM g
+      |), d AS (
+      |  SELECT vc, na, nb, abs(ca * nb - cb * na) AS num
+      |  FROM c ORDER BY num DESC, vc LIMIT 1
+      |)
+      |SELECT na AS n_a, nb AS n_b,
+      |       round(num::DOUBLE / (na::DOUBLE * nb::DOUBLE), 6) AS ks_d,
+      |       vc::DOUBLE / 100.0 AS at_value
+      |FROM d
+      """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
     Seq(trendOls, dailyCorr, markov, ewma, pagerank, centroidMatrix,
-      abWelch, benford)
+      abWelch, benford, ksTest)
 }
