@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, SQL-recomputable probabilistic sketches: HyperLogLog
+  * cardinality registers and a Count-Min frequency sketch.
+  *
+  * Unlike `approx_count_distinct` / datasketches aggregates (whose
+  * register layout and hash are engine-internal, so they can only be
+  * spec-gated with a tolerance), these sketches are built from the
+  * repo's portable md5-derived 48-bit hash ([[TextAnalysis.md5Long48]])
+  * and pure integer arithmetic — every register value and counter is a
+  * deterministic function of the input and can be recomputed bit-for-bit
+  * by a DuckDB oracle, putting *approximation-algorithm* telemetry under
+  * the exact hash gate.
+  *
+  * Scale design (both sketches are the textbook mergeable shape):
+  *   - HLL: the only shuffle carries (group, bucket, max rank) — at most
+  *     m = 2^p rows per group after map-side partial `max`, regardless of
+  *     input row count. The estimate step is O(groups).
+  *   - CMS: the only shuffle carries (row, bucket) partial counts — at
+  *     most d·w rows per upstream partition after partial aggregation.
+  *     Point lookups join the d·w counter table (a few KB) by broadcast.
+  *
+  * Float discipline: register sums use the integer-weight trick
+  *   Σ 2^(−reg) = Σ 2^(R−reg) / 2^R  with R = 48 − p + 1 (the max rank),
+  * so the harmonic sum is an exact BIGINT < 2^(p+R) = 2^49 and only the
+  * final closed-form estimate runs in double, with one fixed
+  * parenthesization mirrored by the oracle.
+  */
+object Sketches {
+
+  /** Rank = 1 + trailing-zero count of the post-bucket hash bits: a
+    * Geometric(1/2) variable, exactly the distribution HLL needs (the
+    * classic presentation uses leading zeros; trailing zeros of the same
+    * uniform word are identically distributed and cheaper to compute
+    * portably: tz(w) = bit_count((w & −w) − 1)).
+    */
+  private def rank(w: Column, maxRank: Int): Column =
+    when(w === 0, lit(maxRank.toLong))
+      .otherwise((bit_count(w.bitwiseAND(-w) - lit(1L)) + lit(1)).cast("long"))
+
+  /** HLL registers per group: (groupCol, bucket, reg) with bucket ∈
+    * [0, 2^p) and reg = max rank observed in the bucket. Buckets with no
+    * observations are absent (the estimate step accounts for them).
+    */
+  def hllRegisters(df: DataFrame, groupCol: String, key: Column, p: Int = 9): DataFrame = {
+    require(p >= 4 && p <= 16, s"p=$p outside [4,16]")
+    val m = 1 << p
+    val maxRank = 48 - p + 1
+    df.select(col(groupCol), TextAnalysis.md5Long48(key.cast("string")).as("h"))
+      .select(col(groupCol),
+        col("h").bitwiseAND(lit((m - 1).toLong)).as("bucket"),
+        shiftright(col("h"), p).as("w"))
+      .select(col(groupCol), col("bucket"), rank(col("w"), maxRank).as("rk"))
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(max(col("rk")).as("reg"))
+  }
+
+  /** Closed-form HLL estimate per group from a register table:
+    * E = α_m · m² / Σ_j 2^(−M_j), empty buckets contributing 2^0 = 1.
+    * The harmonic sum is kept exact in BIGINT (see object doc); the one
+    * double expression has a fixed shape: ((α · m²) · 2^R) / S.
+    * No small-range linear-counting correction: it needs ln (libm, whose
+    * cross-engine rounding is unspecified) — the raw estimator is the
+    * deterministic, oracle-mirrorable choice and its bias is part of the
+    * reported telemetry.
+    */
+  def hllEstimate(registers: DataFrame, groupCol: String, p: Int = 9): DataFrame = {
+    val m = 1 << p
+    val maxRank = 48 - p + 1
+    val pow2R = 1L << maxRank
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
+    registers
+      .groupBy(col(groupCol))
+      .agg(
+        sum(TextAnalysis.shl(lit(1L), (lit(maxRank) - col("reg")).cast("int"))).as("s_present"),
+        count(lit(1)).as("nb"))
+      .withColumn("s_total",
+        col("s_present") + (lit(m.toLong) - col("nb")) * lit(pow2R))
+      .withColumn("hll_estimate",
+        alpha * lit(m.toDouble * m) * lit(pow2R.toDouble) / col("s_total").cast("double"))
+      .select(col(groupCol), col("hll_estimate"))
+  }
+
+  /** The d bucket indices of an item in a (depth × width) Count-Min
+    * sketch: row i hashes md5(i ‖ ':' ‖ item) — independent rows via the
+    * salt prefix, identical in the oracle's SQL.
+    */
+  def cmsBuckets(item: Column, depth: Int, width: Int): Column =
+    array((0 until depth).map { i =>
+      TextAnalysis.md5Long48(concat_ws(":", lit(i.toString), item)) % lit(width.toLong)
+    }: _*)
+
+  /** The full (row_i, bucket, cnt) counter table of a Count-Min sketch
+    * over an item column — at most d·w rows after the single count
+    * shuffle (partial aggregation bounds the shuffled bytes at
+    * d·w per upstream partition, not d·|items|).
+    */
+  def cmsCounters(items: DataFrame, item: Column, depth: Int, width: Int): DataFrame =
+    items
+      .select(posexplode(cmsBuckets(item, depth, width)).as(Seq("row_i", "bucket")))
+      .groupBy(col("row_i"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Point-frequency lookup: adds `cms_estimate` = min over the d
+    * counters addressed by `item`. `counters` is tiny (≤ d·w rows) and
+    * is broadcast; the probe set never shuffles.
+    */
+  def cmsLookup(queries: DataFrame, item: Column, counters: DataFrame,
+      depth: Int, width: Int): DataFrame = {
+    val keyCols = queries.columns.map(col(_))
+    val probed = queries.select(
+      keyCols :+ posexplode(cmsBuckets(item, depth, width)).as(Seq("row_i", "bucket")): _*)
+    probed
+      .join(broadcast(counters), Seq("row_i", "bucket"))
+      .groupBy(keyCols: _*)
+      .agg(min(col("cnt")).as("cms_estimate"))
+  }
+}

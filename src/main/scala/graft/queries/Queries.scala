@@ -236,7 +236,8 @@ object Queries {
     Seq(q1, q6, knnExact, knnScored) ++ TextQueries.defs ++ DedupQueries.defs ++
       RelationalQueries.defs ++ TpchDeepQueries.defs ++ EventQueries.defs ++ VectorQueries.defs ++
       MultimodalQueries.defs ++ PipelineQueries.defs ++ StreamingQueries.defs ++
-      MaintenanceQueries.defs ++ QualityQueries.defs ++ SourceQueries.defs ++ StatQueries.defs
+      MaintenanceQueries.defs ++ QualityQueries.defs ++ SourceQueries.defs ++ StatQueries.defs ++
+      SketchQueries.defs
 
   def queriesMap: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> { (s: SparkSession, dir: String) =>
