@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Unweighted single/multi-source BFS (hop-count shortest path) by
+  * min-plus relaxation — the reachability operator next to PageRank
+  * (importance) and connected components (partition): "how many hops
+  * from these seeds to every vertex", the lineage/provenance question
+  * over a linkage graph.
+  *
+  * Determinism contract: distances are BIGINT hop counts; each round is
+  *   dist' (v) = min( dist(v), min over edges (u,v) of dist(u) + 1 )
+  * — pure integer `min`, which is order- and partitioning-independent,
+  * so like PageRank/CC the iterative algorithm itself is hash-gateable
+  * cross-engine with the rounds unrolled as oracle CTEs. Unreached
+  * vertices hold the sentinel [[Bfs.Unreached]] (BFS over k rounds
+  * bounds discovered distances by k, so any value > k is a safe
+  * sentinel; 99 keeps the output human-readable).
+  *
+  * Scale shape: one shuffle per round (groupBy dst of the frontier
+  * relaxation); the deduplicated edge relation is cached once and
+  * reused. Rounds are a fixed count — the result is "distance within k
+  * hops", a defined quantity at any scale (diameter-bounded graphs
+  * converge; for unbounded diameters run ⌈log₂ d⌉ doubling rounds like
+  * the CC loop instead). For graphs needing many rounds, truncate the
+  * per-round lineage with `localCheckpoint`/`checkpoint` exactly as
+  * documented on Dedup's pointer-doubling loop.
+  */
+object Bfs {
+
+  val Unreached = 99L
+
+  /** @param vertices one `id` column (integral)
+    * @param edges    `src`, `dst` (directed; pass both directions for an
+    *                 undirected walk). Deduplicated internally.
+    * @param sources  seed vertex ids (distance 0)
+    * @param rounds   relaxation rounds k — result is min(hops, k-capped)
+    * @return (id, dist) with dist ∈ [0, rounds] ∪ {Unreached}
+    */
+  def hopDistance(vertices: DataFrame, edges: DataFrame, sources: Seq[Long],
+                  rounds: Int): DataFrame = {
+    require(rounds >= 0 && rounds < Unreached, s"rounds=$rounds")
+    val e = edges.select(col("src"), col("dst")).distinct().cache()
+    var dist = vertices.select(col("id"),
+      when(col("id").isin(sources: _*), lit(0L)).otherwise(lit(Unreached)).as("d"))
+    for (_ <- 1 to rounds) {
+      val relaxed = e.join(dist, e("src") === dist("id"))
+        .select(col("dst"), (col("d") + lit(1L)).as("dnext"))
+        .groupBy(col("dst")).agg(min(col("dnext")).as("dr"))
+      dist = dist.join(relaxed, dist("id") === relaxed("dst"), "left")
+        .select(dist("id"),
+          least(col("d"), coalesce(col("dr"), lit(Unreached))).as("d"))
+    }
+    dist.select(col("id"), col("d").as("dist"))
+  }
+}

@@ -456,7 +456,357 @@ object StatQueries {
       |FROM d
       """.stripMargin.trim))
 
+  private val acf = QueryDef(
+    "stat_acf_daily",
+    "Autocorrelation function of the daily event-value series at lags " +
+      "1–3 per event type (the seasonality/memory probe run before any " +
+      "forecasting model). Day-ordered row lag over the exact-cents " +
+      "daily rollup, values deterministically decimated by a " +
+      "DATA-ADAPTIVE power of 10 (integer CASE on the exact global max " +
+      "— no libm; keeps 4 significant digits, so tiny fixtures retain " +
+      "variance and Σx², Σxy stay inside 2⁵³ at ANY scale); all three " +
+      "lags come from ONE window pass (same shuffle) stacked into " +
+      "(lag_k, x) pairs, then Pearson r per (type, lag) from exact " +
+      "BIGINT sufficient statistics with the fixed closed-form shape " +
+      "shared with stat_daily_corr. O(|types|·3) output at any scale.",
+    (s, dir) => {
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val daily = dailyCents(s, dir)
+      val mx = daily.agg(max(col("yc")).as("mx"))
+      val d = daily.crossJoin(broadcast(mx))
+        .withColumn("y", expr(s"yc div ($acfScaleSql)"))
+        .withColumn("y1", lag(col("y"), 1).over(w))
+        .withColumn("y2", lag(col("y"), 2).over(w))
+        .withColumn("y3", lag(col("y"), 3).over(w))
+      val pairs = d
+        .select(col("event_type"), col("y"),
+          expr("stack(3, 1, y1, 2, y2, 3, y3) as (lag_k, x)"))
+        .filter(col("x").isNotNull)
+      val st = pairs.groupBy(col("event_type"), col("lag_k")).agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("x")).cast("double").as("sx"), sum(col("y")).cast("double").as("sy"),
+        sum(col("x") * col("x")).cast("double").as("sxx"),
+        sum(col("y") * col("y")).cast("double").as("syy"),
+        sum(col("x") * col("y")).cast("double").as("sxy"))
+      // degenerate groups (zero variance in either leg — possible only
+      // on pathological fixtures) are excluded, not divided by zero
+      st.filter((col("n") * col("sxx") - col("sx") * col("sx")) > 0 &&
+          (col("n") * col("syy") - col("sy") * col("sy")) > 0)
+        .select(col("event_type"), col("lag_k"), col("n").cast("long").as("n_pairs"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+              (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("acf"))
+        .orderBy(col("event_type"), col("lag_k"))
+    },
+    Some(s"""
+      |WITH daily AS (
+      |$dailyCentsSql
+      |), m AS (
+      |  SELECT max(yc) AS mx FROM daily
+      |), d AS (
+      |  SELECT event_type, day, yc // ($acfScaleSql) AS y FROM daily CROSS JOIN m
+      |), l AS (
+      |  SELECT event_type, y,
+      |         lag(y, 1) OVER w AS y1, lag(y, 2) OVER w AS y2, lag(y, 3) OVER w AS y3
+      |  FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day)
+      |), p AS (
+      |  SELECT event_type, 1 AS lag_k, y1 AS x, y FROM l WHERE y1 IS NOT NULL
+      |  UNION ALL
+      |  SELECT event_type, 2 AS lag_k, y2 AS x, y FROM l WHERE y2 IS NOT NULL
+      |  UNION ALL
+      |  SELECT event_type, 3 AS lag_k, y3 AS x, y FROM l WHERE y3 IS NOT NULL
+      |), s AS (
+      |  SELECT event_type, lag_k, count(*)::DOUBLE AS n,
+      |         SUM(x)::DOUBLE AS sx, SUM(y)::DOUBLE AS sy,
+      |         SUM(x*x)::DOUBLE AS sxx, SUM(y*y)::DOUBLE AS syy, SUM(x*y)::DOUBLE AS sxy
+      |  FROM p GROUP BY 1, 2
+      |)
+      |SELECT event_type, lag_k, CAST(n AS BIGINT) AS n_pairs,
+      |       round((n * sxy - sx * sy) /
+      |             sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS acf
+      |FROM s
+      |WHERE (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+      |ORDER BY event_type, lag_k
+      """.stripMargin.trim))
+
+  /** Data-adaptive decimation scale for stat_acf_daily, as ONE SQL CASE
+    * expression valid in both engines (integer comparisons on the exact
+    * global max, no libm log10): the power of 10 that leaves the series
+    * max with 4 significant digits, so y stays in [0, 10⁴) and Σy²
+    * over the fixed ~30-day grid never approaches 2⁵³ at ANY scale
+    * factor, while tiny fixtures keep nonzero variance. Generated once
+    * and embedded verbatim in both the Spark expr and the oracle —
+    * lockstep by construction.
+    */
+  private lazy val acfScaleSql: String = {
+    val whens = (18 to 4 by -1).map { k =>
+      s"WHEN mx >= ${math.BigInt(10).pow(k)} THEN ${math.BigInt(10).pow(k - 4)}"
+    }.mkString(" ")
+    s"CASE $whens ELSE 1 END"
+  }
+
+  /** One BFS relaxation round as oracle CTEs (mirrors Bfs.hopDistance). */
+  private def bfsIter(k: Int, prev: Int): String = s"""
+    |, r$k AS (
+    |  SELECT e.dst AS id, min(d.d + 1) AS dr
+    |  FROM edges e JOIN d$prev d ON e.src = d.id GROUP BY 1
+    |), d$k AS (
+    |  SELECT p.id, least(p.d, COALESCE(r.dr, 99)) AS d
+    |  FROM d$prev p LEFT JOIN r$k r ON p.id = r.id
+    |)""".stripMargin
+
+  private val bfs = QueryDef(
+    "graph_bfs_nations",
+    "Single-source BFS (hop-count shortest path, 3 relaxation rounds) " +
+      "over the urgent-high-quantity trade graph: distance from nation " +
+      "0 to every nation, 99 = unreached within 3 hops. Min-plus " +
+      "integer relaxation is order/partitioning-independent, so the " +
+      "ITERATIVE algorithm is hash-gated with rounds unrolled as oracle " +
+      "CTEs (the reachability sibling of graph_pagerank_nations). One " +
+      "groupBy(dst) shuffle per round over the cached deduplicated edge " +
+      "relation; the selective edge predicate pushes into both scans.",
+    (s, dir) => {
+      val nation = Tables.nation(s, dir)
+      val edges = Tables.orders(s, dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .join(broadcast(Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .join(Tables.lineitem(s, dir).filter(col("l_quantity") > 45),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      val dist = graft.operators.Bfs.hopDistance(
+        nation.select(col("n_nationkey").as("id")), edges, sources = Seq(0L), rounds = 3)
+      dist.join(broadcast(nation), col("id") === col("n_nationkey"))
+        .select(col("n_name").as("nation"), col("dist"))
+        .orderBy(col("dist"), col("nation"))
+    },
+    Some("""
+      |WITH edges AS (
+      |  SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  WHERE o.o_orderpriority = '1-URGENT' AND l.l_quantity > 45
+      |), v AS (SELECT n_nationkey AS id FROM nation),
+      |d0 AS (SELECT id, CAST(CASE WHEN id = 0 THEN 0 ELSE 99 END AS BIGINT) AS d FROM v)
+      """.stripMargin.trim +
+      bfsIter(1, 0) + bfsIter(2, 1) + bfsIter(3, 2) + """
+      |SELECT n.n_name AS nation, d3.d AS dist
+      |FROM d3 JOIN nation n ON n.n_nationkey = d3.id
+      |ORDER BY dist, nation
+      """.stripMargin))
+
+  private val chi2 = QueryDef(
+    "stat_chi2_independence",
+    "Chi-square test of independence: event type × day-of-week " +
+      "contingency table, χ² = Σ (O·N − r·c)² / (N·r·c) over exact " +
+      "BIGINT cell counts (exact while N < ~9·10⁷ events ≈ sf30; " +
+      "coarser cells are the documented fallback beyond). Each cell's " +
+      "double value has one fixed shape; the 35-cell SUM is made " +
+      "order-deterministic by folding a (type, day)-SORTED array " +
+      "(Spark aggregate HOF ≡ DuckDB list_reduce over list(... ORDER " +
+      "BY)) — the cross-engine answer to float-sum reassociation that " +
+      "decimal accumulation can't give for non-decimal terms. Day " +
+      "names, not engine dow numbering (Spark and DuckDB disagree on " +
+      "week start). One count shuffle; everything after is |cells|.",
+    (s, dir) => {
+      val obs = Tables.events(s, dir)
+        .select(col("event_type").as("t"), date_format(col("ts"), "EEEE").as("d"))
+        .groupBy(col("t"), col("d")).agg(count(lit(1)).as("o"))
+      val rt = obs.groupBy(col("t")).agg(sum(col("o")).as("rt"))
+      val ct = obs.groupBy(col("d")).agg(sum(col("o")).as("ct"))
+      val nn = obs.agg(sum(col("o")).as("nn"),
+        countDistinct(col("t")).as("ntypes"), countDistinct(col("d")).as("ndays"))
+      val num = (col("o") * col("nn") - col("rt") * col("ct")).cast("double")
+      val cells = obs.join(broadcast(rt), Seq("t")).join(broadcast(ct), Seq("d"))
+        .crossJoin(broadcast(nn))
+        .withColumn("v", (num * num) /
+          (col("nn").cast("double") * col("rt").cast("double") * col("ct").cast("double")))
+      cells
+        .agg(collect_list(struct(col("t"), col("d"), col("v"))).as("arr"),
+          first(col("nn")).as("n_events"),
+          ((first(col("ntypes")) - 1) * (first(col("ndays")) - 1)).as("df"))
+        .select(col("n_events"), col("df"),
+          round(aggregate(sort_array(col("arr")), lit(0.0),
+            (acc, x) => acc + x.getField("v")), 6).as("chi2"))
+    },
+    Some("""
+      |WITH obs AS (
+      |  SELECT event_type AS t, dayname(ts::TIMESTAMP) AS d, count(*) AS o
+      |  FROM events GROUP BY 1, 2
+      |), rt AS (SELECT t, SUM(o)::BIGINT AS rt FROM obs GROUP BY 1),
+      |ct AS (SELECT d, SUM(o)::BIGINT AS ct FROM obs GROUP BY 1),
+      |nn AS (SELECT SUM(o)::BIGINT AS nn, count(DISTINCT t) AS ntypes,
+      |              count(DISTINCT d) AS ndays FROM obs),
+      |cells AS (
+      |  SELECT obs.t, obs.d,
+      |         (((obs.o * nn.nn - rt.rt * ct.ct)::DOUBLE) * ((obs.o * nn.nn - rt.rt * ct.ct)::DOUBLE)) /
+      |         (nn.nn::DOUBLE * rt.rt::DOUBLE * ct.ct::DOUBLE) AS v
+      |  FROM obs JOIN rt USING (t) JOIN ct USING (d) CROSS JOIN nn
+      |)
+      |SELECT any_value(nn.nn) AS n_events,
+      |       (any_value(nn.ntypes) - 1) * (any_value(nn.ndays) - 1) AS df,
+      |       round(list_reduce(list(v ORDER BY t, d), (a, b) -> a + b), 6) AS chi2
+      |FROM cells CROSS JOIN nn
+      """.stripMargin.trim))
+
+  private val gini = QueryDef(
+    "stat_gini_customer_value",
+    "Inequality profile of customer lifetime value: Gini coefficient " +
+      "(rank formula G = 2·Σ rank·x / (n·Σx) − (n+1)/n) and top-decile " +
+      "revenue share over exact per-customer cents. The global rank " +
+      "comes from DistributedRank — range-partitioned sort + " +
+      "per-partition offsets — NOT a single-partition window (the " +
+      "100 TB anti-pattern this query exists to avoid); ties are " +
+      "total-ordered by (cents, custkey), under which Σ rank·x is " +
+      "tie-permutation-invariant. Σ rank·x accumulates in DECIMAL(38,0) " +
+      "(exact at any scale; both engines then round ONCE to double), " +
+      "and the decile cut is the integer threshold rank > (9n) div 10.",
+    (s, dir) => {
+      val spend = Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg((sum(col("o_totalprice").cast(Queries.Money.price)).cast(dec2) * 100)
+          .cast("long").as("cents"))
+      val ranked = graft.operators.DistributedRank.byKey(
+        spend, Seq(col("cents"), col("o_custkey")))
+      val n = ranked.agg(count(lit(1)).as("n"))
+      ranked.crossJoin(broadcast(n))
+        .agg(
+          first(col("n")).as("n_customers"),
+          sum(col("cents").cast(DecimalType(38, 0))).as("s0"),
+          sum(col("rank").cast(DecimalType(19, 0)) * col("cents").cast(DecimalType(19, 0)))
+            .as("s1"),
+          sum(when(col("rank") > expr("(9 * n) div 10"),
+            col("cents").cast(DecimalType(38, 0))).otherwise(lit(0).cast(DecimalType(38, 0))))
+            .as("stop"))
+        .select(col("n_customers"),
+          round((lit(2.0) * col("s1").cast("double")) /
+              (col("n_customers").cast("double") * col("s0").cast("double")) -
+            (col("n_customers").cast("double") + lit(1.0)) / col("n_customers").cast("double"),
+            6).as("gini"),
+          round(col("stop").cast("double") / col("s0").cast("double"), 6)
+            .as("top10pct_share"))
+    },
+    Some("""
+      |WITH spend AS (
+      |  SELECT o_custkey,
+      |         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1
+      |), ranked AS (
+      |  SELECT o_custkey, cents,
+      |         row_number() OVER (ORDER BY cents, o_custkey) AS rank,
+      |         count(*) OVER () AS n
+      |  FROM spend
+      |), s AS (
+      |  SELECT any_value(n) AS n_customers,
+      |         SUM(cents::HUGEINT) AS s0,
+      |         SUM(rank::HUGEINT * cents::HUGEINT) AS s1,
+      |         SUM(CASE WHEN rank > (9 * n) // 10 THEN cents::HUGEINT
+      |                  ELSE 0::HUGEINT END) AS stop
+      |  FROM ranked
+      |)
+      |SELECT n_customers,
+      |       round((2.0::DOUBLE * s1::DOUBLE) /
+      |               (n_customers::DOUBLE * s0::DOUBLE) -
+      |             (n_customers::DOUBLE + 1.0::DOUBLE) / n_customers::DOUBLE, 6) AS gini,
+      |       round(stop::DOUBLE / s0::DOUBLE, 6) AS top10pct_share
+      |FROM s
+      """.stripMargin.trim))
+
+  private val triangles = QueryDef(
+    "graph_triangle_count",
+    "Triangle count over the undirected trade graph (the clustering/" +
+      "community-structure census next to PageRank's centrality and " +
+      "BFS's reachability): edges canonicalized to src < dst, " +
+      "triangles = the ordered 3-cycle join a<b<c — each triangle " +
+      "counted exactly once, which IS the scalable node-iterator " +
+      "algorithm (the orientation bounds join fan-out by max " +
+      "out-degree, not degree²). Exact integer counts; the heavy " +
+      "4-way relational join reduces to a ≤|V|²-row edge relation " +
+      "before any graph work.",
+    (s, dir) => {
+      val raw = Tables.orders(s, dir)
+        .join(broadcast(Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .join(Tables.lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("c_nationkey").as("a"), col("s_nationkey").as("b"))
+        .filter(col("a") =!= col("b"))
+      val edges = raw
+        .select(least(col("a"), col("b")).as("src"), greatest(col("a"), col("b")).as("dst"))
+        .distinct().cache()
+      val e1 = edges.select(col("src").as("a"), col("dst").as("b"))
+      val e2 = edges.select(col("src").as("b"), col("dst").as("c"))
+      val e3 = edges.select(col("src").as("a2"), col("dst").as("c2"))
+      val tri = e1.join(e2, Seq("b"))
+        .join(e3, col("a") === col("a2") && col("c") === col("c2"))
+      val nE = edges.agg(count(lit(1)).as("n_edges"))
+      val nT = tri.agg(count(lit(1)).as("n_triangles"))
+      nE.crossJoin(nT)
+    },
+    Some("""
+      |WITH raw AS (
+      |  SELECT DISTINCT
+      |         least(c.c_nationkey, s.s_nationkey) AS src,
+      |         greatest(c.c_nationkey, s.s_nationkey) AS dst
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  WHERE c.c_nationkey <> s.s_nationkey
+      |), tri AS (
+      |  SELECT count(*) AS n_triangles
+      |  FROM raw e1 JOIN raw e2 ON e1.dst = e2.src
+      |  JOIN raw e3 ON e3.src = e1.src AND e3.dst = e2.dst
+      |)
+      |SELECT (SELECT count(*) FROM raw) AS n_edges, n_triangles FROM tri
+      """.stripMargin.trim))
+
+  private val dowSeason = QueryDef(
+    "stat_dow_seasonality",
+    "Day-of-week seasonal index per event type: mean daily value by " +
+      "weekday ÷ overall mean daily value — the seasonal-decomposition " +
+      "readout beside stat_acf_daily's memory probe. Indices come from " +
+      "exact integer sufficient statistics (cents sums, day counts) " +
+      "with ONE fixed double shape (sd·n)/(nd·s); weekday NAMES, not " +
+      "engine dow numbers (Spark and DuckDB disagree on week start). " +
+      "Output is |types|·7 rows from two tiny aggregations over the " +
+      "daily rollup.",
+    (s, dir) => {
+      val daily = dailyCents(s, dir)
+        .withColumn("dow", date_format(to_date(col("day")), "EEEE"))
+      val byDow = daily.groupBy(col("event_type"), col("dow"))
+        .agg(sum(col("yc")).as("sd"), count(lit(1)).as("nd"))
+      val overall = daily.groupBy(col("event_type"))
+        .agg(sum(col("yc")).as("s"), count(lit(1)).as("n"))
+      byDow.join(broadcast(overall), Seq("event_type"))
+        .select(col("event_type"), col("dow"), col("nd").as("n_days"),
+          round((col("sd").cast("double") * col("n").cast("double")) /
+            (col("nd").cast("double") * col("s").cast("double")), 6).as("seasonal_idx"))
+        .orderBy(col("event_type"), col("dow"))
+    },
+    Some(s"""
+      |WITH daily AS (
+      |$dailyCentsSql
+      |), d AS (
+      |  SELECT event_type, yc, dayname(day::DATE) AS dow FROM daily
+      |), bydow AS (
+      |  SELECT event_type, dow, SUM(yc)::BIGINT AS sd, count(*) AS nd
+      |  FROM d GROUP BY 1, 2
+      |), overall AS (
+      |  SELECT event_type, SUM(yc)::BIGINT AS s, count(*) AS n
+      |  FROM d GROUP BY 1
+      |)
+      |SELECT b.event_type, b.dow, b.nd AS n_days,
+      |       round((b.sd::DOUBLE * o.n::DOUBLE) / (b.nd::DOUBLE * o.s::DOUBLE), 6)
+      |         AS seasonal_idx
+      |FROM bydow b JOIN overall o USING (event_type)
+      |ORDER BY event_type, dow
+      """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
     Seq(trendOls, dailyCorr, markov, ewma, pagerank, centroidMatrix,
-      abWelch, benford, ksTest)
+      abWelch, benford, ksTest, acf, bfs, chi2, gini, triangles, dowSeason)
 }
