@@ -45,7 +45,11 @@ object Bench {
         // csv / json gates — timed runs then measure the post-write
         // READ path like compact/zorder
         "maint_vacuum", "maint_schema_evolution",
-        "src_csv_roundtrip", "src_json_roundtrip", "src_orc_roundtrip").foreach { w =>
+        "src_csv_roundtrip", "src_json_roundtrip", "src_orc_roundtrip",
+        // stream_trending_topk's warmup runs its one-time complete-mode
+        // trending stream (TrendingStore) so the timed run measures the
+        // snapshot read + rank, not the stream replay
+        "stream_trending_topk").foreach { w =>
       try consume(SparkEntry.queries(w)(spark, sfDir))
       catch { case _: Throwable => () }
       spark.catalog.clearCache()

@@ -715,8 +715,92 @@ object EventQueries {
       |FROM w ORDER BY n_prev_10m DESC, event_id LIMIT 100
       """.stripMargin.trim))
 
+  private val trigramsQ = QueryDef(
+    "ev_journey_trigrams",
+    "Sequential-pattern mining: the 20 most frequent per-user event-type " +
+      "TRIGRAMS (the journey motifs one step beyond ev_markov_transitions' " +
+      "bigram matrix). Two leads from ONE user-keyed window pass — same " +
+      "single shuffle as the Markov estimator, (ts, event_id)-ordered so " +
+      "timestamp ties are deterministic; the |types|³-bounded count " +
+      "aggregation is a rounding error at any scale.",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("t2", lead(col("event_type"), 1).over(w))
+        .withColumn("t3", lead(col("event_type"), 2).over(w))
+        .filter(col("t3").isNotNull)
+        .select(concat_ws(">", col("event_type"), col("t2"), col("t3")).as("trigram"))
+        .groupBy(col("trigram")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("trigram"))
+        .limit(20)
+    },
+    Some("""
+      |WITH o AS (
+      |  SELECT event_type,
+      |         lead(event_type, 1) OVER w AS t2,
+      |         lead(event_type, 2) OVER w AS t3
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |)
+      |SELECT event_type || '>' || t2 || '>' || t3 AS trigram, count(*) AS n
+      |FROM o WHERE t3 IS NOT NULL
+      |GROUP BY 1 ORDER BY n DESC, trigram LIMIT 20
+      """.stripMargin.trim))
+
+  private val madQ = QueryDef(
+    "ev_anomaly_mad",
+    "Robust anomaly detection by Median Absolute Deviation per event " +
+      "type: median and MAD via the exact interpolated percentile (the " +
+      "ev_value_percentiles parity channel), then outliers = values " +
+      "with |x − med| > 3·MAD — the heavy-tail-safe alternative to the " +
+      "z-score gate in ev_value_outliers. Both downstream comparisons " +
+      "use the 6-dp-ROUNDED med/MAD so every operand is bit-identical " +
+      "cross-engine; two grouped aggregation passes + one broadcast " +
+      "join back, per-group state bounded by the type cardinality.",
+    (s, dir) => {
+      val ev = Tables.events(s, dir).select(col("event_type"), col("value"))
+      val med = ev.groupBy(col("event_type"))
+        .agg(round(expr("percentile(value, 0.5)"), 6).as("med"))
+      val dev = ev.join(broadcast(med), Seq("event_type"))
+        .withColumn("adev", abs(col("value") - col("med")))
+        .drop("med")
+      val mad = dev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(expr("percentile(adev, 0.5)"), 6).as("mad"))
+      dev.join(broadcast(mad.join(med, Seq("event_type"))), Seq("event_type"))
+        .withColumn("is_out",
+          (round(col("adev"), 6) > lit(3.0) * col("mad")).cast("long"))
+        .groupBy(col("event_type"))
+        .agg(first(col("n")).as("n"), first(col("med")).as("med"),
+          first(col("mad")).as("mad"), sum(col("is_out")).as("n_outliers"))
+        .withColumn("outlier_rate",
+          round(col("n_outliers").cast("double") / col("n").cast("double"), 6))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      |WITH med AS (
+      |  SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
+      |  FROM events GROUP BY 1
+      |), dev AS (
+      |  SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS adev
+      |  FROM events e JOIN med m USING (event_type)
+      |), mad AS (
+      |  SELECT event_type, count(*) AS n, round(quantile_cont(adev, 0.5), 6) AS mad
+      |  FROM dev GROUP BY 1
+      |), f AS (
+      |  SELECT d.event_type, a.n, d.med, a.mad,
+      |         CASE WHEN round(d.adev, 6) > 3.0 * a.mad THEN 1 ELSE 0 END AS is_out
+      |  FROM dev d JOIN mad a USING (event_type)
+      |)
+      |SELECT event_type, any_value(n) AS n, any_value(med) AS med,
+      |       any_value(mad) AS mad, SUM(is_out)::BIGINT AS n_outliers,
+      |       round(SUM(is_out)::DOUBLE / any_value(n)::DOUBLE, 6) AS outlier_rate
+      |FROM f GROUP BY event_type ORDER BY event_type
+      """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
     Seq(tumbling, sliding, sessionsQ, propsQ, firstQ, valueStats, pivotQ, asofQ,
       rangeQ, movingQ, gapsQ, funnelQ, percentilesQ, histogramQ, outliersQ,
-      cohortsQ, gapfillQ, rfmQ, rangeFrameQ)
+      cohortsQ, gapfillQ, rfmQ, rangeFrameQ, trigramsQ, madQ)
 }

@@ -369,7 +369,113 @@ object PipelineQueries {
       |FROM agg ORDER BY lang
       """.stripMargin.trim))
 
+  private val hardNegatives = QueryDef(
+    "pipeline_hard_negatives",
+    "Hard-negative mining for contrastive embedding training: for each " +
+      "of 8 anchor vectors, the nearest non-self neighbor is the " +
+      "positive and ranks 2–4 are the hard negatives, emitted as " +
+      "(anchor, pos, neg) triplets with the pos/neg distance margin — " +
+      "the triplet-loss training set. Anchors broadcast onto ONE corpus " +
+      "scan (BroadcastNestedLoopJoin, corpus never shuffles); the " +
+      "per-anchor rank filter is WindowGroupLimit-pruned map-side, so " +
+      "only |anchors|·4 rows survive to the shuffle. Ranking and " +
+      "margins use the 6-dp-rounded distances (the cross-engine " +
+      "ordering rule), id-tiebroken.",
+    (s, dir) => {
+      import graft.functions.VectorFunctions.cosineDistance
+      val emb = Tables.embeddings(s, dir)
+      val anchorIds = (1L to 8L)
+      val anchors = emb.filter(col("vec_id").isin(anchorIds: _*))
+        .select(col("vec_id").as("anchor_id"), col("embedding").as("qv"))
+      val w = Window.partitionBy(col("anchor_id")).orderBy(col("dist"), col("vec_id"))
+      val ranked = emb.crossJoin(broadcast(anchors))
+        .filter(col("vec_id") =!= col("anchor_id"))
+        .withColumn("dist", round(cosineDistance(col("embedding"), col("qv")), 6))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 4)
+      val pos = ranked.filter(col("rk") === 1)
+        .select(col("anchor_id"), col("vec_id").as("pos_id"), col("dist").as("pos_dist"))
+      val neg = ranked.filter(col("rk") >= 2)
+        .select(col("anchor_id"), col("vec_id").as("neg_id"),
+          col("dist").as("neg_dist"), (col("rk") - 1).cast("long").as("neg_rank"))
+      pos.join(neg, Seq("anchor_id"))
+        .select(col("anchor_id"), col("pos_id"), col("neg_id"), col("neg_rank"),
+          col("pos_dist"), col("neg_dist"),
+          round(col("neg_dist") - col("pos_dist"), 6).as("margin"))
+        .orderBy(col("anchor_id"), col("neg_rank"))
+    },
+    Some(s"""
+      |WITH anchors AS (
+      |  SELECT vec_id AS anchor_id, embedding::DOUBLE[] AS qv
+      |  FROM embeddings WHERE vec_id IN (1, 2, 3, 4, 5, 6, 7, 8)
+      |), d AS (
+      |  SELECT a.anchor_id, e.vec_id,
+      |         round(${Duck.cosine("e.embedding::DOUBLE[]", "a.qv")}, 6) AS dist
+      |  FROM embeddings e CROSS JOIN anchors a
+      |  WHERE e.vec_id <> a.anchor_id
+      |), r AS (
+      |  SELECT anchor_id, vec_id, dist,
+      |         row_number() OVER (PARTITION BY anchor_id ORDER BY dist, vec_id) AS rk
+      |  FROM d
+      |), pos AS (
+      |  SELECT anchor_id, vec_id AS pos_id, dist AS pos_dist FROM r WHERE rk = 1
+      |), neg AS (
+      |  SELECT anchor_id, vec_id AS neg_id, dist AS neg_dist, rk - 1 AS neg_rank
+      |  FROM r WHERE rk BETWEEN 2 AND 4
+      |)
+      |SELECT p.anchor_id, p.pos_id, n.neg_id, n.neg_rank,
+      |       p.pos_dist, n.neg_dist,
+      |       round(n.neg_dist - p.pos_dist, 6) AS margin
+      |FROM pos p JOIN neg n USING (anchor_id)
+      |ORDER BY anchor_id, neg_rank
+      """.stripMargin.trim))
+
+  private val featureHash = QueryDef(
+    "ml_feature_hash_census",
+    "Hashing-trick featurization (the fixed-dimension categorical " +
+      "encoder for training pipelines): order categoricals " +
+      "(status/priority/year) hash into a 64-dim signed feature space " +
+      "via the portable md5 hash + ±1 nibble sign (the " +
+      "Md5PortableEmbedder convention), and the query reports the " +
+      "per-dimension census — net signed weight, distinct source " +
+      "features (collision count), and row mass — the artifact that " +
+      "tells you whether 64 dims is enough BEFORE training. One " +
+      "64-row-bounded aggregation; no vocabulary state anywhere, which " +
+      "is the entire point of feature hashing at 100 TB.",
+    (s, dir) => {
+      val f = Tables.orders(s, dir).select(explode(array(
+          concat(lit("status="), col("o_orderstatus")),
+          concat(lit("pri="), col("o_orderpriority")),
+          concat(lit("year="), year(col("o_orderdate")).cast("string")))).as("f"))
+      f.select(col("f"),
+          (md5Long48(col("f")) % 64).as("dim"),
+          when(conv(substring(md5(col("f")), 13, 1), 16, 10).cast("long") < 8, lit(1L))
+            .otherwise(lit(-1L)).as("sign"))
+        .groupBy(col("dim"))
+        .agg(sum(col("sign")).as("weight"),
+          countDistinct(col("f")).as("n_features"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("dim"))
+    },
+    Some("""
+      |WITH fx AS (
+      |  SELECT unnest(['status=' || o_orderstatus,
+      |                 'pri=' || o_orderpriority,
+      |                 'year=' || year(o_orderdate)::VARCHAR]) AS f
+      |  FROM orders
+      |), h AS (
+      |  SELECT f,
+      |         ('0x' || substring(md5(f), 1, 12))::BIGINT % 64 AS dim,
+      |         CASE WHEN ('0x' || substring(md5(f), 13, 1))::BIGINT < 8
+      |              THEN 1 ELSE -1 END AS sign
+      |  FROM fx
+      |)
+      |SELECT dim, SUM(sign)::BIGINT AS weight,
+      |       count(DISTINCT f) AS n_features, count(*) AS n_rows
+      |FROM h GROUP BY dim ORDER BY dim
+      """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
     Seq(prep, split, balanced, decontaminate, decontaminateBloom, rebalance,
-      weighted, temperature, mixReport)
+      weighted, temperature, mixReport, hardNegatives, featureHash)
 }

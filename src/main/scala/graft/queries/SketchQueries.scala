@@ -123,5 +123,98 @@ object SketchQueries {
       |FROM est ORDER BY n_exact DESC, token
       """.stripMargin.trim))
 
-  val defs: Seq[QueryDef] = Seq(hll, cms)
+  private val bloom = QueryDef(
+    "sketch_bloom_membership",
+    "Deterministic Bloom filter (m=4096 bits as 128 bit_or-aggregated 32-bit-packed " +
+      "BIGINT blocks, k=3 md5 salted hashes) over the corpus document " +
+      "fingerprints, probed with 5 present fingerprints and 5 ghosts: " +
+      "per probe, the bloom verdict, the exact membership, and the " +
+      "false-positive flag — the no-false-negatives contract checked " +
+      "row by row under the hash gate (the storage-level data-skipping " +
+      "sibling of sketch_hll/cms; the production decontamination path " +
+      "via Spark's native BloomFilterAggregate is pipeline_" +
+      "decontaminate_bloom). Build = ONE bit_or shuffle bounded at 128 " +
+      "rows per upstream partition; the 128-row bitmap broadcasts to " +
+      "the probes.",
+    (s, dir) => {
+      import graft.operators.TextAnalysis
+      val fps = TextQueries.docToks(s, dir)
+        .select(col("doc_id"), TextAnalysis.md5Long48(col("norm")).as("fp"))
+      val positions = (0 until 3).map { i =>
+        TextAnalysis.md5Long48(concat_ws(":", lit(i.toString), col("fp").cast("string"))) %
+          lit(4096L)
+      }
+      val bitmap = fps
+        .select(explode(array(positions: _*)).as("p"))
+        .select((col("p") / 32).cast("long").as("block"), (col("p") % 32).as("bit"))
+        .groupBy(col("block"))
+        .agg(bit_or(TextAnalysis.shl(lit(1L), col("bit").cast("int"))).as("word"))
+      val present = fps.filter(col("doc_id").between(1, 5))
+        .select(concat(lit("doc_"), col("doc_id").cast("string")).as("probe"), col("fp"))
+      val ghosts = s.range(1, 6).toDF("g")
+        .select(concat(lit("ghost_"), col("g").cast("string")).as("probe"),
+          TextAnalysis.md5Long48(concat(lit("ghost-"), col("g").cast("string"))).as("fp"))
+      val probes = present.unionByName(ghosts)
+      val probed = probes
+        .select(col("probe"), col("fp"),
+          posexplode(array((0 until 3).map { i =>
+            TextAnalysis.md5Long48(concat_ws(":", lit(i.toString), col("fp").cast("string"))) %
+              lit(4096L)
+          }: _*)).as(Seq("i", "p")))
+        .select(col("probe"), col("fp"), (col("p") / 32).cast("long").as("block"),
+          (col("p") % 32).as("bit"))
+        .join(broadcast(bitmap), Seq("block"), "left")
+        .withColumn("hit",
+          (coalesce(col("word"), lit(0L)).bitwiseAND(
+            TextAnalysis.shl(lit(1L), col("bit").cast("int"))) =!= 0L).cast("long"))
+        .groupBy(col("probe"), col("fp"))
+        .agg((min(col("hit")) === 1L).cast("long").as("bloom_hit"))
+      val exact = fps.select(col("fp")).distinct().withColumn("present", lit(1L))
+      probed.join(broadcast(exact), Seq("fp"), "left")
+        .select(col("probe"),
+          col("bloom_hit"),
+          coalesce(col("present"), lit(0L)).as("exact_present"),
+          (col("bloom_hit") === 1L && coalesce(col("present"), lit(0L)) === 0L)
+            .cast("long").as("false_positive"))
+        .orderBy(col("probe"))
+    },
+    Some(s"""
+      |${Duck.docToks}, fps AS (
+      |  SELECT doc_id, ${Duck.md5Long48("norm")} AS fp FROM tt
+      |), pos AS (
+      |  SELECT (${Duck.md5Long48("i.i::VARCHAR || ':' || fps.fp::VARCHAR")} % 4096) AS p
+      |  FROM fps CROSS JOIN (SELECT unnest(range(3)) AS i) i
+      |), bitmap AS (
+      |  SELECT p // 32 AS block, bit_or(1::BIGINT << CAST(p % 32 AS INTEGER)) AS word
+      |  FROM pos GROUP BY 1
+      |), probes AS (
+      |  SELECT 'doc_' || doc_id::VARCHAR AS probe, fp FROM fps WHERE doc_id BETWEEN 1 AND 5
+      |  UNION ALL
+      |  SELECT 'ghost_' || g::VARCHAR AS probe,
+      |         ${Duck.md5Long48("'ghost-' || g::VARCHAR")} AS fp
+      |  FROM (SELECT unnest(range(1, 6)) AS g)
+      |), pp AS (
+      |  SELECT probe, fp,
+      |         (${Duck.md5Long48("i.i::VARCHAR || ':' || probes.fp::VARCHAR")} % 4096) AS p
+      |  FROM probes CROSS JOIN (SELECT unnest(range(3)) AS i) i
+      |), hits AS (
+      |  SELECT pp.probe, pp.fp,
+      |         CASE WHEN (COALESCE(b.word, 0) & (1::BIGINT << CAST(pp.p % 32 AS INTEGER))) <> 0
+      |              THEN 1 ELSE 0 END AS hit
+      |  FROM pp LEFT JOIN bitmap b ON b.block = pp.p // 32
+      |), verdict AS (
+      |  SELECT probe, fp, CASE WHEN min(hit) = 1 THEN 1 ELSE 0 END AS bloom_hit
+      |  FROM hits GROUP BY 1, 2
+      |), exact AS (
+      |  SELECT DISTINCT fp, 1 AS present FROM fps
+      |)
+      |SELECT v.probe, v.bloom_hit::BIGINT AS bloom_hit,
+      |       COALESCE(e.present, 0)::BIGINT AS exact_present,
+      |       CASE WHEN v.bloom_hit = 1 AND COALESCE(e.present, 0) = 0
+      |            THEN 1 ELSE 0 END::BIGINT AS false_positive
+      |FROM verdict v LEFT JOIN exact e USING (fp)
+      |ORDER BY probe
+      """.stripMargin.trim))
+
+  val defs: Seq[QueryDef] = Seq(hll, cms, bloom)
 }

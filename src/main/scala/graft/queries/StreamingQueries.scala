@@ -253,6 +253,78 @@ object StreamingQueries {
     },
     Some(MaintenanceQueries.mergedOrdersOracleSql))
 
+  /** One run-to-completion trending aggregation per (sfDir, JVM): the
+    * events fixture replays as two mtime-ordered file micro-batches
+    * (event_id parity split — batching must not matter, that's the
+    * point) through a 1-day tumbling-window count per event type in
+    * COMPLETE output mode, each micro-batch overwriting an idempotent
+    * parquet snapshot via foreachBatch. The final snapshot therefore
+    * holds the full-history aggregation state — which must equal the
+    * one-shot batch GROUP BY, the oracle.
+    */
+  private object TrendingStore {
+    def ensure(s: SparkSession, dir: String): String =
+      TmpStores.memoizedTable("graft_stream_trending", dir) { root =>
+        val ev = Tables.events(s, dir)
+        val staging = s"$root/staging"
+        TmpStores.stageFile(ev.filter(pmod(col("event_id"), lit(2)) === 0),
+          staging, "batch1", 120000L)
+        TmpStores.stageFile(ev.filter(pmod(col("event_id"), lit(2)) === 1),
+          staging, "batch2", 60000L)
+        val out = s"$root/agg"
+        val stream = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(staging)
+        val counts = stream
+          .groupBy(window(col("ts"), "1 day"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        val q = counts.writeStream
+          .outputMode("complete")
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            b.write.mode("overwrite").parquet(out); ()
+          }
+          .option("checkpointLocation", s"$root/ckpt")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        out
+      }
+  }
+
+  private val streamTrending = QueryDef(
+    "stream_trending_topk",
+    "Streaming trending-top-k run to completion: events replay as two " +
+      "file micro-batches through a 1-day tumbling count per event " +
+      "type in COMPLETE mode, foreachBatch overwriting an idempotent " +
+      "snapshot (the complete-mode aggregation pattern the other " +
+      "streaming gates don't cover). The registered query ranks the " +
+      "FINAL snapshot — top 3 types per day — and the oracle is the " +
+      "one-shot batch GROUP BY + rank SQL: a green hash proves the " +
+      "stateful streaming aggregation composes across micro-batches to " +
+      "exactly the batch answer.",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val agg = s.read.parquet(TrendingStore.ensure(s, dir))
+        .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+          col("event_type"), col("n"))
+      val w = Window.partitionBy(col("day")).orderBy(col("n").desc, col("event_type"))
+      agg.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("day"), col("rnk").cast("long").as("rnk"), col("event_type"), col("n"))
+        .orderBy(col("day"), col("rnk"))
+    },
+    Some("""
+      |WITH c AS (
+      |  SELECT strftime(ts::TIMESTAMP, '%Y-%m-%d') AS day, event_type, count(*) AS n
+      |  FROM events GROUP BY 1, 2
+      |), r AS (
+      |  SELECT day, event_type, n,
+      |         row_number() OVER (PARTITION BY day ORDER BY n DESC, event_type) AS rnk
+      |  FROM c
+      |)
+      |SELECT day, rnk, event_type, n FROM r WHERE rnk <= 3 ORDER BY day, rnk
+      """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
-    Seq(streamIngest, streamServe, streamServePq, streamCdcApply)
+    Seq(streamIngest, streamServe, streamServePq, streamCdcApply, streamTrending)
 }

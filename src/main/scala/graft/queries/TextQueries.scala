@@ -19,7 +19,7 @@ import org.apache.spark.sql.functions._
 object TextQueries {
 
   /** (doc_id, lang, …, norm, toks) over the spread documents read. */
-  private def docToks(s: SparkSession, dir: String): DataFrame =
+  private[queries] def docToks(s: SparkSession, dir: String): DataFrame =
     Tables.documentsSpread(s, dir)
       .withColumn("norm", normalize(col("text")))
       .withColumn("toks", tokensFromNorm(col("norm")))
@@ -993,8 +993,41 @@ object TextQueries {
       """.stripMargin.trim
     })
 
+  private val invIndexQ = QueryDef(
+    "txt_inverted_index",
+    "Inverted-index build (the search-engine materialization the BM25 " +
+      "family queries against): token → document frequency + the first " +
+      "50 posting doc_ids, CSV-serialized, top 20 terms by df. The " +
+      "posting cap is enforced BEFORE aggregation via a row_number " +
+      "window on the same token key (the groupBy reuses the window's " +
+      "exchange — one shuffle total), so a stopword's aggregation " +
+      "buffer holds 50 ids, not |corpus| — the cap that keeps posting " +
+      "construction viable at 100 TB. df still counts every document.",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val dtok = docToks(s, dir)
+        .select(col("doc_id"), explode(array_distinct(col("toks"))).as("token"))
+      val w = Window.partitionBy(col("token")).orderBy(col("doc_id"))
+      dtok.withColumn("rn", row_number().over(w))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("df"),
+          array_join(sort_array(collect_list(when(col("rn") <= 50, col("doc_id")))), ",")
+            .as("postings"))
+        .orderBy(col("df").desc, col("token"))
+        .limit(20)
+    },
+    Some(s"""
+      |${Duck.docToks}, dtok AS (
+      |  SELECT doc_id, unnest(list_distinct(toks)) AS token FROM tt
+      |)
+      |SELECT token, count(*) AS df,
+      |       array_to_string(list_slice(list_sort(list(doc_id)), 1, 50), ',') AS postings
+      |FROM dtok GROUP BY token
+      |ORDER BY df DESC, token LIMIT 20
+      """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
     Seq(stats, langQ, quality, fp, topTokens, bigramLift, lmQ, simhashQ,
       embedQ, embedKnnQ, bm25Q, hybridRrfQ, crossencQ, maxsimQ, tfidfQ, chunksQ, packQ,
-      tokenBudgetQ, gopherQ, dupNgramsQ, piiQ, noveltyQ)
+      tokenBudgetQ, gopherQ, dupNgramsQ, piiQ, noveltyQ, invIndexQ)
 }
