@@ -1,0 +1,188 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Feature-engineering queries for ML training prep: target encoding,
+  * equi-depth binning, and marketing attribution. Like every family in
+  * this package, each query pairs an idiomatic Spark plan with a DuckDB
+  * oracle over the same fixtures, under the cross-engine float rules
+  * documented on [[Queries]] — here every statistic is exact integer /
+  * decimal arithmetic until one final IEEE division.
+  */
+object MlQueries {
+
+  private val dec2 = DecimalType(38, 2)
+  private val dec6 = DecimalType(38, 6)
+
+  /** Per-customer lifetime spend in exact integer cents (0 for customers
+    * with no orders once left-joined).
+    */
+  private def spendCents(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg((sum(col("o_totalprice").cast(Queries.Money.price)).cast(dec2) * 100)
+        .cast("long").as("y_cents"))
+
+  private val spendCentsSql = """
+    |  SELECT o_custkey,
+    |         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) * 100 AS BIGINT) AS y_cents
+    |  FROM orders GROUP BY 1""".stripMargin.trim
+
+  private val targetEncode = QueryDef(
+    "ml_target_encode",
+    "Leave-one-out target encoding of c_mktsegment against customer " +
+      "lifetime spend — the classic high-cardinality categorical " +
+      "feature for tabular models, computed leakage-free: each row's " +
+      "own target is excluded, enc = (Σ_seg − y_c) / (n_seg − 1). " +
+      "Both sufficient statistics are exact BIGINT cents (one orders " +
+      "rollup + one segment rollup, the segment table broadcast back), " +
+      "so the single final division is the only float op and is " +
+      "IEEE-identical cross-engine. Output is a deterministic key " +
+      "sample (custkey % 97 = 0) — the encoding itself is computed for " +
+      "every row with no extra pass. nullif guards the singleton-" +
+      "segment division in both engines identically.",
+    (s, dir) => {
+      val cust = Tables.customer(s, dir)
+        .join(spendCents(s, dir),
+          col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          coalesce(col("y_cents"), lit(0L)).as("y_cents"))
+      val seg = cust.groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_seg"), sum(col("y_cents")).as("s_seg"))
+      cust.join(broadcast(seg), Seq("c_mktsegment"))
+        .filter(col("c_custkey") % 97 === 0)
+        .select(col("c_custkey"), col("c_mktsegment"), col("y_cents"),
+          round((col("s_seg") - col("y_cents")).cast("double") /
+            nullif((col("n_seg") - 1).cast("double"), lit(0.0)), 6)
+            .as("loo_enc"))
+        .orderBy(col("c_custkey"))
+    },
+    Some(s"""
+      |WITH spend AS (
+      |$spendCentsSql
+      |), cust AS (
+      |  SELECT c_custkey, c_mktsegment, COALESCE(y_cents, 0) AS y_cents
+      |  FROM customer LEFT JOIN spend ON c_custkey = o_custkey
+      |), seg AS (
+      |  SELECT c_mktsegment, count(*) AS n_seg, SUM(y_cents)::BIGINT AS s_seg
+      |  FROM cust GROUP BY 1
+      |)
+      |SELECT c_custkey, c_mktsegment, y_cents,
+      |       round((s_seg - y_cents)::DOUBLE / nullif((n_seg - 1)::DOUBLE, 0.0), 6) AS loo_enc
+      |FROM cust JOIN seg USING (c_mktsegment)
+      |WHERE c_custkey % 97 = 0
+      |ORDER BY c_custkey
+      """.stripMargin.trim))
+
+  private val quantileBins = QueryDef(
+    "ml_quantile_bins",
+    "Equi-depth decile binning of c_acctbal (the feature-discretization " +
+      "step before monotonic models / WoE encoding): global rank from " +
+      "DistributedRank (range-partitioned sort + per-partition offsets " +
+      "— NOT the single-partition row_number window), bin = " +
+      "((rank−1)·10) div n — the rank-proportional cut, which unlike " +
+      "NTILE has one closed form both engines state identically. " +
+      "Per-bin stats are exact cents; ties total-ordered by " +
+      "(cents, custkey).",
+    (s, dir) => {
+      val bal = Tables.customer(s, dir)
+        .select(col("c_custkey"),
+          (col("c_acctbal").cast(DecimalType(12, 2)) * 100).cast("long").as("cents"))
+      val ranked = graft.operators.DistributedRank.byKey(
+        bal, Seq(col("cents"), col("c_custkey")))
+      val n = ranked.agg(count(lit(1)).as("n"))
+      ranked.crossJoin(broadcast(n))
+        .withColumn("bin", expr("((rank - 1) * 10) div n"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("cents")).as("lo_cents"),
+          max(col("cents")).as("hi_cents"),
+          sum(col("cents")).as("sum_cents"))
+        .orderBy(col("bin"))
+    },
+    Some("""
+      |WITH bal AS (
+      |  SELECT c_custkey, CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      |  FROM customer
+      |), ranked AS (
+      |  SELECT cents,
+      |         row_number() OVER (ORDER BY cents, c_custkey) AS rank,
+      |         count(*) OVER () AS n
+      |  FROM bal
+      |)
+      |SELECT ((rank - 1) * 10) // n AS bin,
+      |       count(*) AS n_rows,
+      |       min(cents) AS lo_cents,
+      |       max(cents) AS hi_cents,
+      |       SUM(cents)::BIGINT AS sum_cents
+      |FROM ranked GROUP BY 1 ORDER BY bin
+      """.stripMargin.trim))
+
+  private val attribution = QueryDef(
+    "ev_attribution_linear",
+    "Linear multi-touch attribution: every purchase distributes " +
+      "1 000 000 micro-credits equally across the user's view/click " +
+      "touches in the preceding 7 days, remainder to the most recent " +
+      "touch — so per-conversion credit sums are EXACTLY 1 000 000 and " +
+      "the report is pure integer arithmetic (no 1/n floats to " +
+      "reconcile cross-engine). Time windows compare epoch-µs BIGINTs. " +
+      "One user-keyed shuffle for the join; the per-conversion window " +
+      "partitions by (user_id, conv_id), a SUBSET-preserving spec the " +
+      "join's hash partitioning already satisfies — no second exchange.",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("us", unix_micros(col("ts")))
+      val conv = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("conv_id"), col("us").as("c_us"))
+      val touch = ev.filter(col("event_type").isin("view", "click"))
+        .select(col("user_id"), col("event_id").as("touch_id"),
+          col("event_type").as("touch_type"), col("us").as("t_us"))
+      val horizon = 7L * 86400L * 1000000L
+      val joined = conv.join(touch, Seq("user_id"))
+        .filter(col("t_us") < col("c_us") && col("c_us") - col("t_us") <= horizon)
+      val w = Window.partitionBy(col("user_id"), col("conv_id"))
+      val credited = joined
+        .withColumn("n_t", count(lit(1)).over(w))
+        .withColumn("rn", row_number().over(
+          w.orderBy(col("t_us").desc, col("touch_id").desc)))
+        .withColumn("credit",
+          expr("1000000 div n_t") +
+            when(col("rn") === 1, expr("1000000 % n_t")).otherwise(lit(0L)))
+      credited.groupBy(col("touch_type"))
+        .agg(count(lit(1)).as("n_touches"),
+          countDistinct(col("conv_id")).as("n_conversions"),
+          sum(col("credit")).as("credit_micros"))
+        .orderBy(col("touch_type"))
+    },
+    Some("""
+      |WITH ev AS (
+      |  SELECT event_id, user_id, event_type, epoch_us(ts::TIMESTAMP) AS us FROM events
+      |), conv AS (
+      |  SELECT user_id, event_id AS conv_id, us AS c_us FROM ev WHERE event_type = 'purchase'
+      |), touch AS (
+      |  SELECT user_id, event_id AS touch_id, event_type AS touch_type, us AS t_us
+      |  FROM ev WHERE event_type IN ('view', 'click')
+      |), joined AS (
+      |  SELECT c.user_id, c.conv_id, t.touch_id, t.touch_type, t.t_us
+      |  FROM conv c JOIN touch t ON c.user_id = t.user_id
+      |  WHERE t.t_us < c.c_us AND c.c_us - t.t_us <= 604800000000
+      |), credited AS (
+      |  SELECT touch_type, conv_id,
+      |         1000000 // count(*) OVER (PARTITION BY user_id, conv_id) +
+      |           CASE WHEN row_number() OVER (PARTITION BY user_id, conv_id
+      |                        ORDER BY t_us DESC, touch_id DESC) = 1
+      |                THEN 1000000 % count(*) OVER (PARTITION BY user_id, conv_id)
+      |                ELSE 0 END AS credit
+      |  FROM joined
+      |)
+      |SELECT touch_type, count(*) AS n_touches,
+      |       count(DISTINCT conv_id) AS n_conversions,
+      |       SUM(credit)::BIGINT AS credit_micros
+      |FROM credited GROUP BY 1 ORDER BY touch_type
+      """.stripMargin.trim))
+
+  val defs: Seq[QueryDef] = Seq(targetEncode, quantileBins, attribution)
+}

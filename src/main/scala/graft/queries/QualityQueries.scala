@@ -190,5 +190,60 @@ object QualityQueries {
       |ORDER BY rule
       """.stripMargin.trim))
 
-  val defs: Seq[QueryDef] = Seq(profileQ, fuzzyLinkQ, expectationsQ)
+  private val kAnonymity = QueryDef(
+    "dq_k_anonymity",
+    "k-anonymity / l-diversity audit — the privacy gate a training-data " +
+      "release runs before publishing: quasi-identifier = (nation, " +
+      "market segment, $1000 balance bucket), k = equivalence-class " +
+      "size, l = distinct sensitive values (customer spend tier, " +
+      "derived from one orders rollup joined in). Classes with k < 5 " +
+      "or l < 2 are the re-identification risks. The bucket uses " +
+      "offset-shifted integer division so negative balances floor " +
+      "identically in Spark `div` (truncates toward zero) and DuckDB " +
+      "`//` (floors) — both see only positive numerators. Output is " +
+      "bounded by the QI domain, not the row count; everything is " +
+      "exact integer arithmetic.",
+    (s, dir) => {
+      val spend = Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg((sum(col("o_totalprice").cast(DecimalType(12, 2))).cast(DecimalType(38, 2)) * 100)
+          .cast("long").as("y_cents"))
+      val cust = Tables.customer(s, dir)
+        .join(spend, col("c_custkey") === col("o_custkey"), "left")
+        .join(broadcast(Tables.nation(s, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name").as("nation"), col("c_mktsegment"),
+          expr("(CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) + 1000000000) div 100000 - 10000")
+            .as("bal_kb"),
+          when(coalesce(col("y_cents"), lit(0L)) === 0L, "none")
+            .when(col("y_cents") >= 50000000L, "high")
+            .otherwise("normal").as("tier"))
+      cust.groupBy(col("nation"), col("c_mktsegment"), col("bal_kb"))
+        .agg(count(lit(1)).as("k"), countDistinct(col("tier")).as("l"))
+        .withColumn("at_risk", (col("k") < 5 || col("l") < 2).cast("long"))
+        .orderBy(col("nation"), col("c_mktsegment"), col("bal_kb"))
+    },
+    Some("""
+      |WITH spend AS (
+      |  SELECT o_custkey,
+      |         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) * 100 AS BIGINT) AS y_cents
+      |  FROM orders GROUP BY 1
+      |), cust AS (
+      |  SELECT n_name AS nation, c_mktsegment,
+      |         (CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) + 1000000000) // 100000 - 10000 AS bal_kb,
+      |         CASE WHEN COALESCE(y_cents, 0) = 0 THEN 'none'
+      |              WHEN y_cents >= 50000000 THEN 'high'
+      |              ELSE 'normal' END AS tier
+      |  FROM customer
+      |  LEFT JOIN spend ON c_custkey = o_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |)
+      |SELECT nation, c_mktsegment, bal_kb,
+      |       count(*) AS k, count(DISTINCT tier) AS l,
+      |       CAST(count(*) < 5 OR count(DISTINCT tier) < 2 AS BIGINT) AS at_risk
+      |FROM cust GROUP BY 1, 2, 3
+      |ORDER BY nation, c_mktsegment, bal_kb
+      """.stripMargin.trim))
+
+  val defs: Seq[QueryDef] = Seq(profileQ, fuzzyLinkQ, expectationsQ, kAnonymity)
 }

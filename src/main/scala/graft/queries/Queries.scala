@@ -237,7 +237,7 @@ object Queries {
       RelationalQueries.defs ++ TpchDeepQueries.defs ++ EventQueries.defs ++ VectorQueries.defs ++
       MultimodalQueries.defs ++ PipelineQueries.defs ++ StreamingQueries.defs ++
       MaintenanceQueries.defs ++ QualityQueries.defs ++ SourceQueries.defs ++ StatQueries.defs ++
-      SketchQueries.defs
+      SketchQueries.defs ++ MlQueries.defs
 
   def queriesMap: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> { (s: SparkSession, dir: String) =>

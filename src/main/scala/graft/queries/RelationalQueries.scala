@@ -463,7 +463,56 @@ object RelationalQueries {
       |GROUP BY o_orderpriority ORDER BY o_orderpriority
       """.stripMargin.trim))
 
+  private val recursiveRollup = QueryDef(
+    "sql_recursive_rollup",
+    "Recursive CTE (WITH RECURSIVE — Spark 4.x's iterative CTE " +
+      "execution, mirrored by DuckDB's): a synthetic customer " +
+      "hierarchy (parent = custkey div 10, roots are the single-digit " +
+      "keys — deterministic from the fixture, contiguous keys make " +
+      "every ancestor exist) is traversed to the root, then rolled up " +
+      "per root: descendant count, max depth, exact balance cents. " +
+      "Each recursion step is one join of the table against the " +
+      "current frontier, so the whole traversal is O(depth) = " +
+      "O(log₁₀ |customer|) shuffles regardless of data volume — the " +
+      "org-chart / BOM-explosion query shape at warehouse scale. " +
+      "Everything is exact integer arithmetic; `div` truncation equals " +
+      "DuckDB `//` flooring on the positive key domain.",
+    (s, dir) => {
+      Tables.customer(s, dir)
+        .select(col("c_custkey"),
+          (col("c_acctbal").cast(DecimalType(12, 2)) * 100).cast("long").as("cents"))
+        .createOrReplaceTempView("graft_hier_customer")
+      s.sql("""
+        WITH RECURSIVE tree(custkey, root, depth, cents) AS (
+          SELECT c_custkey, c_custkey, 0, cents
+          FROM graft_hier_customer WHERE c_custkey < 10
+          UNION ALL
+          SELECT c.c_custkey, t.root, t.depth + 1, c.cents
+          FROM graft_hier_customer c JOIN tree t
+            ON c.c_custkey div 10 = t.custkey
+          WHERE c.c_custkey >= 10
+        )
+        SELECT root, count(*) AS n_nodes, CAST(max(depth) AS BIGINT) AS max_depth,
+               sum(cents) AS total_cents
+        FROM tree GROUP BY root ORDER BY root""")
+    },
+    Some("""
+      |WITH RECURSIVE cust AS (
+      |  SELECT c_custkey, CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      |  FROM customer
+      |), tree(custkey, root, depth, cents) AS (
+      |  SELECT c_custkey, c_custkey, 0, cents FROM cust WHERE c_custkey < 10
+      |  UNION ALL
+      |  SELECT c.c_custkey, t.root, t.depth + 1, c.cents
+      |  FROM cust c JOIN tree t ON c.c_custkey // 10 = t.custkey
+      |  WHERE c.c_custkey >= 10
+      |)
+      |SELECT root, count(*) AS n_nodes, CAST(max(depth) AS BIGINT) AS max_depth,
+      |       SUM(cents)::BIGINT AS total_cents
+      |FROM tree GROUP BY root ORDER BY root
+      """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
     Seq(q3, q5, windowTop, rollupQ, cubeQ, distinctCounts, setOps, semiAnti,
-      q12, q13, q14, scalarSub, ntileQ, upsertQ, saltedJoinQ)
+      q12, q13, q14, scalarSub, ntileQ, upsertQ, saltedJoinQ, recursiveRollup)
 }

@@ -806,7 +806,121 @@ object StatQueries {
       |ORDER BY event_type, dow
       """.stripMargin.trim))
 
+  private val cusum = QueryDef(
+    "ev_cusum_changepoint",
+    "CUSUM changepoint detection on per-type daily value: the clamped " +
+      "recursion S_t = max(0, S_{t−1} + d_t) is NOT folded sequentially " +
+      "— it is re-expressed as prefix-sum minus running-min " +
+      "(S_t = P_t − min(0, min_{j≤t} P_j)), two ordinary window " +
+      "functions over the day order, so a 10⁶-key deployment is one " +
+      "keyed shuffle with no per-key iteration. Deviations are scaled " +
+      "by n (d′ = n·x − Σx) to stay in exact BIGINTs — no mean " +
+      "division inside the recursion; the only float op is the final " +
+      "normalization. Changepoint = earliest day attaining the max.",
+    (s, dir) => {
+      val daily = dailyCents(s, dir)
+      val wt = Window.partitionBy(col("event_type"))
+      val wd = wt.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val scored = daily
+        .withColumn("n", count(lit(1)).over(wt))
+        .withColumn("sx", sum(col("yc")).over(wt))
+        .withColumn("d", col("n") * col("yc") - col("sx"))
+        .withColumn("p", sum(col("d")).over(wd))
+        .withColumn("s", col("p") - least(lit(0L), min(col("p")).over(wd)))
+      scored
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("event_type")).orderBy(col("s").desc, col("day"))))
+        .filter(col("rn") === 1)
+        .select(col("event_type"), col("day").as("change_day"),
+          col("s").as("cusum_stat"),
+          round(col("s").cast("double") / col("n").cast("double"), 6)
+            .as("norm_stat"))
+        .orderBy(col("event_type"))
+    },
+    Some(s"""
+      |WITH daily AS (
+      |$dailyCentsSql
+      |), scored AS (
+      |  SELECT event_type, day,
+      |         count(*) OVER (PARTITION BY event_type) AS n,
+      |         yc * count(*) OVER (PARTITION BY event_type) -
+      |           SUM(yc) OVER (PARTITION BY event_type) AS d
+      |  FROM daily
+      |), pre AS (
+      |  SELECT event_type, day, n,
+      |         SUM(d) OVER (PARTITION BY event_type ORDER BY day
+      |                      ROWS UNBOUNDED PRECEDING) AS p
+      |  FROM scored
+      |), cu AS (
+      |  SELECT event_type, day, n,
+      |         p - least(0, min(p) OVER (PARTITION BY event_type ORDER BY day
+      |                                   ROWS UNBOUNDED PRECEDING)) AS s
+      |  FROM pre
+      |), top AS (
+      |  SELECT event_type, day, n, s,
+      |         row_number() OVER (PARTITION BY event_type ORDER BY s DESC, day) AS rn
+      |  FROM cu
+      |)
+      |SELECT event_type, day AS change_day, s AS cusum_stat,
+      |       round(s::DOUBLE / n::DOUBLE, 6) AS norm_stat
+      |FROM top WHERE rn = 1 ORDER BY event_type
+      """.stripMargin.trim))
+
+  private val theilSen = QueryDef(
+    "stat_theilsen",
+    "Theil–Sen robust trend per event type — the median of all pairwise " +
+      "slopes, the breakdown-resistant counterpart to ev_trend_ols's " +
+      "least squares. Pair slopes are single IEEE divisions of exact " +
+      "BIGINT deltas (bit-equal cross-engine); the median ELEMENT is " +
+      "rank (m+1) div 2 of the sorted double multiset — monotone " +
+      "rounding means the sorted multiset, hence the selected VALUE, is " +
+      "engine-independent even if distinct fractions collide in double. " +
+      "The O(days²) pair join is per-key and value-domain-bounded (the " +
+      "day calendar), not row-bounded: event volume grows the daily " +
+      "rollup's input, never the pair count.",
+    (s, dir) => {
+      val daily = dailyCents(s, dir)
+        .withColumn("x",
+          datediff(to_date(col("day")),
+            min(to_date(col("day"))).over(Window.partitionBy(col("event_type"))))
+            .cast("long"))
+        .select(col("event_type"), col("x"), col("yc"))
+      val a = daily.select(col("event_type"), col("x").as("xa"), col("yc").as("ya"))
+      val b = daily.select(col("event_type"), col("x").as("xb"), col("yc").as("yb"))
+      a.join(b, Seq("event_type"))
+        .filter(col("xa") < col("xb"))
+        .select(col("event_type"),
+          ((col("yb") - col("ya")).cast("double") /
+            (col("xb") - col("xa")).cast("double")).as("slope"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(element_at(array_sort(collect_list(col("slope"))),
+            ((count(lit(1)) + 1) / 2).cast("int")) / lit(100.0), 6)
+            .as("ts_slope_per_day"))
+        .orderBy(col("event_type"))
+    },
+    Some(s"""
+      |WITH daily AS (
+      |$dailyCentsSql
+      |), idx AS (
+      |  SELECT event_type, yc,
+      |         date_diff('day', min(day::DATE) OVER (PARTITION BY event_type), day::DATE) AS x
+      |  FROM daily
+      |), pairs AS (
+      |  SELECT a.event_type,
+      |         (b.yc - a.yc)::DOUBLE / (b.x - a.x)::DOUBLE AS slope
+      |  FROM idx a JOIN idx b
+      |    ON a.event_type = b.event_type AND a.x < b.x
+      |)
+      |SELECT event_type, count(*) AS n_pairs,
+      |       round(list_sort(list(slope))[CAST((count(*) + 1) // 2 AS INT)] / 100.0, 6)
+      |         AS ts_slope_per_day
+      |FROM pairs GROUP BY 1 ORDER BY event_type
+      """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
     Seq(trendOls, dailyCorr, markov, ewma, pagerank, centroidMatrix,
-      abWelch, benford, ksTest, acf, bfs, chi2, gini, triangles, dowSeason)
+      abWelch, benford, ksTest, acf, bfs, chi2, gini, triangles, dowSeason,
+      cusum, theilSen)
 }

@@ -1,0 +1,152 @@
+package graft
+
+import graft.queries.Queries
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Semantic invariants for the session-6 analytics additions — each
+  * query's defining identity re-derived independently (driver-side
+  * fold / brute force / conservation law), beyond the DuckDB hash gate.
+  */
+class MlQueriesSpec extends SparkSpec {
+
+  private def run(name: String): DataFrame =
+    Queries.queriesMap(name)(spark, sf("sf0.001"))
+
+  private def dailyCents(): Map[String, Seq[(String, Long)]] =
+    Tables.events(spark, sf("sf0.001"))
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .groupBy(col("event_type"), col("day"))
+      .agg((sum(col("value").cast(DecimalType(38, 6))).cast(DecimalType(38, 2)) * 100)
+        .cast("long").as("yc"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._1)
+      .view.mapValues(_.map(t => (t._2, t._3)).sortBy(_._1).toSeq).toMap
+
+  test("ev_attribution_linear: credits conserve exactly 1e6 per converted purchase") {
+    val out = run("ev_attribution_linear").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val totalCredit = out.map(_._4).sum
+
+    // independent recount of conversions with >=1 qualifying touch
+    val ev = Tables.events(spark, sf("sf0.001")).withColumn("us", unix_micros(col("ts")))
+    val conv = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("conv_id"), col("us").as("c_us"))
+    val touch = ev.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("us").as("t_us"))
+    val converted = conv.join(touch, Seq("user_id"))
+      .filter(col("t_us") < col("c_us") &&
+        col("c_us") - col("t_us") <= 7L * 86400L * 1000000L)
+      .select(col("conv_id")).distinct().count()
+
+    assert(totalCredit == 1000000L * converted,
+      s"micro-credits must sum to 1e6 per converted purchase: $totalCredit vs ${1000000L * converted}")
+    assert(out.map(_._1).toSeq == out.map(_._1).toSeq.sorted)
+  }
+
+  test("ev_cusum_changepoint equals the sequential clamped recursion") {
+    val out = run("ev_cusum_changepoint").collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    val daily = dailyCents()
+    assert(out.keySet == daily.keySet)
+    daily.foreach { case (tpe, series) =>
+      val n = series.size.toLong
+      val sx = series.map(_._2).sum
+      var s = 0L
+      var best = Long.MinValue
+      var bestDay = ""
+      series.foreach { case (day, yc) =>
+        s = math.max(0L, s + (n * yc - sx))
+        if (s > best) { best = s; bestDay = day } // strict: earliest day wins
+      }
+      assert(out(tpe) == ((bestDay, best)),
+        s"$tpe: window form ${out(tpe)} vs sequential ($bestDay, $best)")
+    }
+  }
+
+  test("stat_theilsen equals the brute-force pairwise-slope median") {
+    val out = run("stat_theilsen").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    dailyCents().foreach { case (tpe, series) =>
+      val pts = series.zipWithIndex // day sorted; x = day index
+      val xs = series.map(_._1).map(d => java.time.LocalDate.parse(d).toEpochDay)
+      val x0 = xs.min
+      val slopes = for {
+        i <- pts.indices; j <- pts.indices
+        if xs(i) - x0 < xs(j) - x0
+      } yield (series(j)._2 - series(i)._2).toDouble / (xs(j) - xs(i)).toDouble
+      val sorted = slopes.sorted
+      val median = sorted((sorted.size + 1) / 2 - 1) / 100.0
+      val (nPairs, got) = out(tpe)
+      assert(nPairs == slopes.size)
+      assert(math.abs(got - BigDecimal(median).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9,
+        s"$tpe: $got vs brute $median")
+    }
+  }
+
+  test("ml_quantile_bins: contiguous bins, sizes within 1, exact coverage") {
+    val out = run("ml_quantile_bins").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val nCust = Tables.customer(spark, sf("sf0.001")).count()
+    assert(out.map(_._1).toSeq == (0L to 9L))
+    assert(out.map(_._2).sum == nCust)
+    assert(out.map(_._2).max - out.map(_._2).min <= 1,
+      "rank-proportional cut keeps bin sizes within 1")
+    out.sliding(2).foreach { case Array(a, b) =>
+      assert(a._4 <= b._3, s"bin ${a._1} hi ${a._4} overlaps bin ${b._1} lo ${b._3}")
+    }
+  }
+
+  test("ml_target_encode: LOO identity enc·(n−1) + y = Σ_seg") {
+    val cust = Tables.customer(spark, sf("sf0.001"))
+      .join(Tables.orders(spark, sf("sf0.001"))
+          .groupBy(col("o_custkey"))
+          .agg((sum(col("o_totalprice").cast(DecimalType(12, 2))).cast(DecimalType(38, 2)) * 100)
+            .cast("long").as("y")),
+        col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_mktsegment"), coalesce(col("y"), lit(0L)).as("y"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("s"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val out = run("ml_target_encode").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (seg, y, enc) = (r.getString(1), r.getLong(2), r.getDouble(3))
+      val (n, s) = cust(seg)
+      val expect = (s - y).toDouble / (n - 1).toDouble
+      assert(math.abs(enc - BigDecimal(expect).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    }
+  }
+
+  test("dq_k_anonymity: classes partition the table; risk flag is k<5 or l<2") {
+    val out = run("dq_k_anonymity").collect()
+      .map(r => (r.getLong(3), r.getLong(4), r.getLong(5)))
+    val nCust = Tables.customer(spark, sf("sf0.001")).count()
+    assert(out.map(_._1).sum == nCust, "equivalence classes must partition the table")
+    out.foreach { case (k, l, atRisk) =>
+      assert(k >= 1 && l >= 1 && l <= 3)
+      assert(atRisk == (if (k < 5 || l < 2) 1L else 0L))
+    }
+    assert(out.exists(_._3 == 1L), "fixture should surface at least one risky class")
+  }
+
+  test("sql_recursive_rollup: roots are leading digits; counts and cents conserve") {
+    val out = run("sql_recursive_rollup").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val cust = Tables.customer(spark, sf("sf0.001"))
+      .select(col("c_custkey"),
+        (col("c_acctbal").cast(DecimalType(12, 2)) * 100).cast("long").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.map(_._2).sum == cust.length)
+    assert(out.map(_._4).sum == cust.map(_._2).sum)
+    val byLeadDigit = cust.groupBy(c => c._1.toString.head.asDigit.toLong)
+    out.foreach { case (root, n, maxDepth, cents) =>
+      val grp = byLeadDigit(root)
+      assert(n == grp.length, s"root $root")
+      assert(cents == grp.map(_._2).sum)
+      assert(maxDepth == grp.map(_._1.toString.length - 1).max)
+    }
+  }
+}
