@@ -919,8 +919,130 @@ object StatQueries {
       |FROM pairs GROUP BY 1 ORDER BY event_type
       """.stripMargin.trim))
 
+  private val mannWhitney = QueryDef(
+    "stat_mannwhitney_u",
+    "Mann–Whitney U (Wilcoxon rank-sum) for click vs purchase value — " +
+      "the nonparametric counterpart to stat_ab_welch, computed " +
+      "EXACTLY: doubled midranks 2·r(v) = 2·below(v) + ties(v) + 1 are " +
+      "integers, so 2R_A and 2U_A = 2R_A − n_A(n_A+1) accumulate in " +
+      "BIGINT with zero float ops until the final z normalization " +
+      "(no tie-variance correction; stated, not hidden). Like the KS " +
+      "gate, the cumulative window runs over the DISTINCT VALUE GRID " +
+      "(value-domain-bounded), never the row count — the row-sized " +
+      "work is one groupBy(vc) shuffle.",
+    (s, dir) => {
+      val st = Tables.events(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select((col("value").cast(DecimalType(12, 2)) * 100).cast("long").as("vc"),
+          when(col("event_type") === "click", 1L).otherwise(0L).as("is_a"))
+      val g = st.groupBy(col("vc"))
+        .agg(sum(col("is_a")).as("a_n"), sum(lit(1L) - col("is_a")).as("b_n"))
+      val below = Window.orderBy(col("vc"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val tot = Window.partitionBy()
+      g.select(col("a_n"), col("b_n"),
+          coalesce(sum(col("a_n") + col("b_n")).over(below), lit(0L)).as("blw"),
+          sum(col("a_n")).over(tot).as("na"), sum(col("b_n")).over(tot).as("nb"))
+        .agg(first(col("na")).as("n_a"), first(col("nb")).as("n_b"),
+          sum(col("a_n") * (lit(2L) * col("blw") + col("a_n") + col("b_n") + 1L))
+            .as("two_r_a"))
+        .select(col("n_a"), col("n_b"),
+          (col("two_r_a") - col("n_a") * (col("n_a") + 1L)).as("two_u_a"))
+        .select(col("n_a"), col("n_b"), col("two_u_a"),
+          round((col("two_u_a") - col("n_a") * col("n_b")).cast("double") /
+            (lit(2.0) * sqrt(col("n_a").cast("double") * col("n_b").cast("double") *
+              (col("n_a") + col("n_b") + 1L).cast("double") / lit(12.0))), 6)
+            .as("z_approx"))
+    },
+    Some("""
+      |WITH s AS (
+      |  SELECT CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS vc,
+      |         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_a
+      |  FROM events WHERE event_type IN ('click', 'purchase')
+      |), g AS (
+      |  SELECT vc, SUM(is_a) AS a_n, SUM(1 - is_a) AS b_n FROM s GROUP BY vc
+      |), c AS (
+      |  SELECT a_n, b_n,
+      |         COALESCE(SUM(a_n + b_n) OVER (ORDER BY vc
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS blw,
+      |         SUM(a_n) OVER () AS na, SUM(b_n) OVER () AS nb
+      |  FROM g
+      |), r AS (
+      |  SELECT any_value(na)::BIGINT AS n_a, any_value(nb)::BIGINT AS n_b,
+      |         SUM(a_n * (2 * blw + a_n + b_n + 1))::BIGINT AS two_r_a
+      |  FROM c
+      |), u AS (
+      |  SELECT n_a, n_b, two_r_a - n_a * (n_a + 1) AS two_u_a FROM r
+      |)
+      |SELECT n_a, n_b, two_u_a,
+      |       round((two_u_a - n_a * n_b)::DOUBLE /
+      |             (2.0 * sqrt(n_a::DOUBLE * n_b::DOUBLE * (n_a + n_b + 1)::DOUBLE / 12.0)), 6)
+      |         AS z_approx
+      |FROM u
+      """.stripMargin.trim))
+
+  private val holt = QueryDef(
+    "ev_holt_forecast",
+    "Holt's linear exponential smoothing (α = β = 0.5) of per-type " +
+      "daily value with a 7-day-ahead forecast — the time-series " +
+      "smoothing axis beyond ev_ewma_daily's level-only EWMA. The " +
+      "coupled (level, trend) recursion has no window-function form, " +
+      "so it runs as a sequential double fold over the day-sorted " +
+      "array (Spark aggregate HOF ≡ DuckDB list_reduce with the init " +
+      "state prepended) — the established cross-engine channel when " +
+      "exact accumulation can't apply; one fixed expression shape " +
+      "makes every intermediate double bit-equal. The oracle's " +
+      "2-component state is a DOUBLE LIST, not a struct: DuckDB 1.0's " +
+      "list_reduce with a struct_pack accumulator evaluates later " +
+      "fields against PARTIALLY-UPDATED state once the chain exceeds " +
+      "one step (probed; the list accumulator folds correctly). Init " +
+      "l = x₂, b = x₂ − x₁; per-key arrays are calendar-bounded, and " +
+      "10⁶ keys fold independently after one keyed shuffle.",
+    (s, dir) => {
+      val arr = dailyCents(s, dir)
+        .groupBy(col("event_type"))
+        .agg(transform(array_sort(collect_list(struct(col("day"), col("yc")))),
+          e => e.getField("yc").cast("double")).as("xs"))
+      val folded = arr.select(col("event_type"),
+        size(col("xs")).cast("long").as("n_days"),
+        aggregate(
+          slice(col("xs"), lit(3), greatest(size(col("xs")) - 2, lit(0))),
+          struct(element_at(col("xs"), 2).as("l"),
+            (element_at(col("xs"), 2) - element_at(col("xs"), 1)).as("b")),
+          (acc, x) => struct(
+            (lit(0.5) * x + lit(0.5) * (acc.getField("l") + acc.getField("b"))).as("l"),
+            (lit(0.5) * ((lit(0.5) * x + lit(0.5) * (acc.getField("l") + acc.getField("b"))) -
+              acc.getField("l")) + lit(0.5) * acc.getField("b")).as("b"))).as("st"))
+      folded.select(col("event_type"), col("n_days"),
+          round(col("st").getField("l") / lit(100.0), 6).as("level"),
+          round(col("st").getField("b") / lit(100.0), 6).as("trend"),
+          round((col("st").getField("l") + lit(7.0) * col("st").getField("b")) / lit(100.0), 6)
+            .as("forecast_7d"))
+        .orderBy(col("event_type"))
+    },
+    Some(s"""
+      |WITH daily AS (
+      |$dailyCentsSql
+      |), arr AS (
+      |  SELECT event_type, list(yc::DOUBLE ORDER BY day) AS xs FROM daily GROUP BY 1
+      |), folded AS (
+      |  SELECT event_type, len(xs)::BIGINT AS n_days,
+      |         list_reduce(
+      |           list_prepend([xs[2], xs[2] - xs[1]],
+      |             list_transform(xs[3:], x -> [x, 0.0::DOUBLE])),
+      |           (a, e) -> [0.5 * e[1] + 0.5 * (a[1] + a[2]),
+      |                      0.5 * ((0.5 * e[1] + 0.5 * (a[1] + a[2])) - a[1]) + 0.5 * a[2]]) AS st
+      |  FROM arr
+      |)
+      |SELECT event_type, n_days,
+      |       round(st[1] / 100.0, 6) AS level,
+      |       round(st[2] / 100.0, 6) AS trend,
+      |       round((st[1] + 7.0 * st[2]) / 100.0, 6) AS forecast_7d
+      |FROM folded ORDER BY event_type
+      """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
     Seq(trendOls, dailyCorr, markov, ewma, pagerank, centroidMatrix,
       abWelch, benford, ksTest, acf, bfs, chi2, gini, triangles, dowSeason,
-      cusum, theilSen)
+      cusum, theilSen, mannWhitney, holt)
 }

@@ -132,6 +132,54 @@ class MlQueriesSpec extends SparkSpec {
     assert(out.exists(_._3 == 1L), "fixture should surface at least one risky class")
   }
 
+  test("stat_mannwhitney_u equals brute-force doubled-midrank pair counting") {
+    val row = run("stat_mannwhitney_u").collect().head
+    val (nA, nB, twoU) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    val vals = Tables.events(spark, sf("sf0.001"))
+      .filter(col("event_type").isin("click", "purchase"))
+      .select((col("value").cast(DecimalType(12, 2)) * 100).cast("long").as("vc"),
+        (col("event_type") === "click").as("isA"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    val a = vals.filter(_._2).map(_._1)
+    val b = vals.filterNot(_._2).map(_._1)
+    assert(nA == a.length && nB == b.length)
+    // 2U_A = 2·#{(x,y): x>y} + #{ties} over A×B pairs
+    val gt = a.map(x => b.count(_ < x).toLong).sum
+    val eq = a.map(x => b.count(_ == x).toLong).sum
+    assert(twoU == 2 * gt + eq, s"$twoU vs ${2 * gt + eq}")
+  }
+
+  test("ev_holt_forecast equals the sequential coupled recursion") {
+    val out = run("ev_holt_forecast").collect()
+      .map(r => r.getString(0) -> ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    dailyCents().foreach { case (tpe, series) =>
+      val xs = series.map(_._2.toDouble)
+      var l = xs(1)
+      var tr = xs(1) - xs(0)
+      xs.drop(2).foreach { x =>
+        val ln = 0.5 * x + 0.5 * (l + tr)
+        val bn = 0.5 * ((0.5 * x + 0.5 * (l + tr)) - l) + 0.5 * tr
+        l = ln; tr = bn
+      }
+      def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(out(tpe) == ((r6(l / 100.0), r6(tr / 100.0), r6((l + 7.0 * tr) / 100.0))),
+        s"$tpe: ${out(tpe)} vs driver fold")
+    }
+  }
+
+  test("src_bucketed_join: bucketed round trip equals the plain fixture join") {
+    val got = run("src_bucketed_join").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val expect = Tables.orders(spark, sf("sf0.001"))
+      .join(Tables.customer(spark, sf("sf0.001")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("c_custkey")).as("nc"))
+      .orderBy(col("c_mktsegment"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expect)
+  }
+
   test("sql_recursive_rollup: roots are leading digits; counts and cents conserve") {
     val out = run("sql_recursive_rollup").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
