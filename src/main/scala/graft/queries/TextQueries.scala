@@ -1026,8 +1026,83 @@ object TextQueries {
       |ORDER BY df DESC, token LIMIT 20
       """.stripMargin.trim))
 
+  /** DuckDB fragment: one BPE round. Takes the name of the previous
+    * dict CTE; emits CTEs `p<r>` (pair counts), `b<r>` (best pair),
+    * `d<r>` (merged dict), `v<r>` (vocab size after).
+    */
+  private def duckBpeRound(r: Int, prev: String): String =
+    s"""p$r AS (
+       |  SELECT syms[i] AS l, syms[i+1] AS r, SUM(freq)::BIGINT AS c
+       |  FROM (SELECT freq, syms, unnest(range(1, len(syms))) AS i FROM $prev)
+       |  GROUP BY 1, 2
+       |), b$r AS (
+       |  SELECT l, r, c FROM p$r ORDER BY c DESC, l, r LIMIT 1
+       |), d$r AS (
+       |  SELECT word, freq,
+       |         list_reduce(list_transform(syms, ch -> [ch]),
+       |           (a, e) -> CASE WHEN a[len(a)] = b$r.l AND e[1] = b$r.r
+       |                          THEN list_append(a[1:len(a)-1], b$r.l || b$r.r)
+       |                          ELSE list_append(a, e[1]) END) AS syms
+       |  FROM $prev, b$r
+       |), v$r AS (
+       |  SELECT count(DISTINCT s)::BIGINT AS v
+       |  FROM (SELECT unnest(syms) AS s FROM d$r)
+       |)""".stripMargin.trim
+
+  private val bpeTrainQ = QueryDef(
+    "txt_bpe_train",
+    "BPE tokenizer training (Sennrich-style merge learning) — the " +
+      "vocabulary-construction step of an LLM data pipeline, in its " +
+      "scalable classical form: merges are learned from the word-" +
+      "frequency DICTIONARY (top-500 letter words by count — the " +
+      "corpus-size-independent working set), so the 100 TB corpus is " +
+      "touched exactly once for word counts and each of the 3 rounds " +
+      "is a job over ≤500 rows plus a one-row argmax collect (the " +
+      "fitted-centroid pattern). Pair counts are exact freq-weighted " +
+      "BIGINTs; best pair ties break (count DESC, left, right) on the " +
+      "shared binary collation; the merge is the left-to-right greedy " +
+      "fold (Bpe.mergeSyms ≡ the oracle's list_reduce over single-" +
+      "element lists). The oracle is fully STATIC — DuckDB re-learns " +
+      "the merges itself, so a green hash certifies the whole training " +
+      "loop, not just its output formatting.",
+    (s, dir) => {
+      import graft.operators.Bpe
+      val words = docToks(s, dir)
+        .select(explode(col("toks")).as("word"))
+        .filter(col("word").rlike("^[a-z]+$") && length(col("word")).between(2, 20))
+        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("word")).limit(500)
+      val (dict, merges) = Bpe.train(words, rounds = 3)
+      dict.unpersist()
+      import s.implicits._
+      merges.map(m => (m.round.toLong, m.left, m.right, m.count, m.vocabAfter))
+        .toDF("merge_round", "left_sym", "right_sym", "pair_count", "vocab_after")
+        .orderBy(col("merge_round"))
+    },
+    Some(s"""
+      |${Duck.docToks}
+      |, words AS (
+      |  SELECT w AS word, count(*) AS freq
+      |  FROM (SELECT unnest(toks) AS w FROM tt)
+      |  WHERE regexp_full_match(w, '[a-z]+') AND len(w) BETWEEN 2 AND 20
+      |  GROUP BY 1 ORDER BY freq DESC, word LIMIT 500
+      |), d0 AS (
+      |  SELECT word, freq, string_split_regex(word, '') AS syms FROM words
+      |), ${duckBpeRound(1, "d0")},
+      |${duckBpeRound(2, "d1")},
+      |${duckBpeRound(3, "d2")}
+      |SELECT * FROM (
+      |  SELECT 1::BIGINT AS merge_round, b1.l AS left_sym, b1.r AS right_sym,
+      |         b1.c AS pair_count, v1.v AS vocab_after FROM b1, v1
+      |  UNION ALL
+      |  SELECT 2::BIGINT, b2.l, b2.r, b2.c, v2.v FROM b2, v2
+      |  UNION ALL
+      |  SELECT 3::BIGINT, b3.l, b3.r, b3.c, v3.v FROM b3, v3
+      |) ORDER BY merge_round
+      """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
     Seq(stats, langQ, quality, fp, topTokens, bigramLift, lmQ, simhashQ,
       embedQ, embedKnnQ, bm25Q, hybridRrfQ, crossencQ, maxsimQ, tfidfQ, chunksQ, packQ,
-      tokenBudgetQ, gopherQ, dupNgramsQ, piiQ, noveltyQ, invIndexQ)
+      tokenBudgetQ, gopherQ, dupNgramsQ, piiQ, noveltyQ, invIndexQ, bpeTrainQ)
 }
