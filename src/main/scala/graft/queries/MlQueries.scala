@@ -38,12 +38,14 @@ object MlQueries {
       "feature for tabular models, computed leakage-free: each row's " +
       "own target is excluded, enc = (Σ_seg − y_c) / (n_seg − 1). " +
       "Both sufficient statistics are exact BIGINT cents (one orders " +
-      "rollup + one segment rollup, the segment table broadcast back), " +
-      "so the single final division is the only float op and is " +
-      "IEEE-identical cross-engine. Output is a deterministic key " +
-      "sample (custkey % 97 = 0) — the encoding itself is computed for " +
-      "every row with no extra pass. nullif guards the singleton-" +
-      "segment division in both engines identically.",
+      "rollup + one segment rollup, the segment table broadcast back). " +
+      "The encoding is presented TRUNCATED to 1/100 cent by exact " +
+      "integer division — round(·,6) on a ~1e8-magnitude double is NOT " +
+      "cross-engine-stable (double ulp there ≈ 6e-8, coarser than the " +
+      "rounding grid; caught by the sf10 decade gate as a last-digit " +
+      "split). Output is a deterministic key sample (custkey % 97 = 0) " +
+      "— the encoding itself is computed for every row with no extra " +
+      "pass. nullif guards the singleton-segment division identically.",
     (s, dir) => {
       val cust = Tables.customer(s, dir)
         .join(spendCents(s, dir),
@@ -55,9 +57,8 @@ object MlQueries {
       cust.join(broadcast(seg), Seq("c_mktsegment"))
         .filter(col("c_custkey") % 97 === 0)
         .select(col("c_custkey"), col("c_mktsegment"), col("y_cents"),
-          round((col("s_seg") - col("y_cents")).cast("double") /
-            nullif((col("n_seg") - 1).cast("double"), lit(0.0)), 6)
-            .as("loo_enc"))
+          (expr("((s_seg - y_cents) * 100) div nullif(n_seg - 1, 0)")
+            .cast("double") / lit(100.0)).as("loo_enc"))
         .orderBy(col("c_custkey"))
     },
     Some(s"""
@@ -71,7 +72,7 @@ object MlQueries {
       |  FROM cust GROUP BY 1
       |)
       |SELECT c_custkey, c_mktsegment, y_cents,
-      |       round((s_seg - y_cents)::DOUBLE / nullif((n_seg - 1)::DOUBLE, 0.0), 6) AS loo_enc
+      |       (((s_seg - y_cents) * 100) // nullif(n_seg - 1, 0))::DOUBLE / 100.0 AS loo_enc
       |FROM cust JOIN seg USING (c_mktsegment)
       |WHERE c_custkey % 97 = 0
       |ORDER BY c_custkey
@@ -129,9 +130,12 @@ object MlQueries {
       "touch — so per-conversion credit sums are EXACTLY 1 000 000 and " +
       "the report is pure integer arithmetic (no 1/n floats to " +
       "reconcile cross-engine). Time windows compare epoch-µs BIGINTs. " +
-      "One user-keyed shuffle for the join; the per-conversion window " +
-      "partitions by (user_id, conv_id), a SUBSET-preserving spec the " +
-      "join's hash partitioning already satisfies — no second exchange.",
+      "The per-conversion window partitions by (user_id, conv_id): in " +
+      "the shuffle-join regime a 100 TB run lands in, the join's " +
+      "user_id hash partitioning satisfies that spec (subset rule) and " +
+      "the window adds NO exchange (PlanShapeSpec pins this); at " +
+      "fixture scale the small conversion side broadcasts instead and " +
+      "the window pays the one keyed shuffle itself.",
     (s, dir) => {
       val ev = Tables.events(s, dir)
         .withColumn("us", unix_micros(col("ts")))

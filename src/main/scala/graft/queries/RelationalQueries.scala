@@ -478,6 +478,10 @@ object RelationalQueries {
       "Everything is exact integer arithmetic; `div` truncation equals " +
       "DuckDB `//` flooring on the positive key domain.",
     (s, dir) => {
+      // the default 1M-row recursion guardrail trips at sf10's 15M-row
+      // tree; the traversal is depth-bounded (≤ log₁₀ keys levels), so
+      // raising the ROW limit is the intended knob for a big table
+      s.conf.set("spark.sql.cteRecursionRowLimit", Int.MaxValue.toString)
       Tables.customer(s, dir)
         .select(col("c_custkey"),
           (col("c_acctbal").cast(DecimalType(12, 2)) * 100).cast("long").as("cents"))

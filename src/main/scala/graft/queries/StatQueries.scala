@@ -1041,8 +1041,89 @@ object StatQueries {
       |FROM folded ORDER BY event_type
       """.stripMargin.trim))
 
+  private val kaplanMeier = QueryDef(
+    "stat_survival_km",
+    "Kaplan–Meier survival curve for time-to-conversion (first view → " +
+      "first purchase, right-censored at the study end for users who " +
+      "never convert) — the censoring-aware answer to 'how long until " +
+      "users buy'. Per-user first-event times and the (death, censor, " +
+      "at-risk) grid are exact integers; at-risk counts come from one " +
+      "cumulative window over the DURATION GRID (value-domain-bounded " +
+      "like the KS/U gates). Ŝ(t) = Π (nᵢ−dᵢ)/nᵢ is a per-row prefix " +
+      "product of exact-fraction doubles, folded in a fixed order on " +
+      "both engines (grid² ≈ 30² scalar ops — the fold cost is " +
+      "calendar-bounded, never row-bounded).",
+    (s, dir) => {
+      val ev = Tables.events(s, dir).withColumn("day", to_date(col("ts")))
+      val perUser = ev.groupBy(col("user_id")).agg(
+        min(when(col("event_type") === "view", col("day"))).as("fv"),
+        min(when(col("event_type") === "purchase", col("day"))).as("fp"))
+      val endRow = ev.agg(max(col("day")).as("study_end"))
+      val cohort = perUser
+        .filter(col("fv").isNotNull && (col("fp").isNull || col("fp") >= col("fv")))
+        .crossJoin(broadcast(endRow))
+        .select(
+          when(col("fp").isNotNull, datediff(col("fp"), col("fv")))
+            .otherwise(datediff(col("study_end"), col("fv"))).cast("long").as("t"),
+          when(col("fp").isNotNull, 1L).otherwise(0L).as("e"))
+      val grid = cohort.groupBy(col("t"))
+        .agg(sum(col("e")).as("d"), sum(lit(1L) - col("e")).as("c"))
+      val cum = Window.orderBy(col("t")).rowsBetween(Window.unboundedPreceding, -1)
+      val tot = Window.partitionBy()
+      val g2 = grid.select(col("t"), col("d"), col("c"),
+        (sum(col("d") + col("c")).over(tot) -
+          coalesce(sum(col("d") + col("c")).over(cum), lit(0L))).as("n"))
+      val withArr = g2
+        .agg(array_sort(collect_list(struct(col("t"), col("d"), col("c"), col("n"))))
+          .as("arr"))
+        .select(col("arr"), posexplode(col("arr")))
+      withArr
+        .select(col("col").getField("t").as("t_days"),
+          col("col").getField("n").as("n_at_risk"),
+          col("col").getField("d").as("d_events"),
+          col("col").getField("c").as("c_censored"),
+          round(aggregate(slice(col("arr"), lit(1), col("pos") + 1), lit(1.0),
+            (acc, x) => acc * ((x.getField("n") - x.getField("d")).cast("double") /
+              x.getField("n").cast("double"))), 6).as("survival"))
+        .orderBy(col("t_days"))
+    },
+    Some("""
+      |WITH ev AS (
+      |  SELECT user_id, event_type, ts::TIMESTAMP::DATE AS day FROM events
+      |), pu AS (
+      |  SELECT user_id,
+      |         min(CASE WHEN event_type = 'view' THEN day END) AS fv,
+      |         min(CASE WHEN event_type = 'purchase' THEN day END) AS fp
+      |  FROM ev GROUP BY 1
+      |), se AS (SELECT max(day) AS study_end FROM ev),
+      |cohort AS (
+      |  SELECT CASE WHEN fp IS NOT NULL THEN date_diff('day', fv, fp)
+      |              ELSE date_diff('day', fv, study_end) END::BIGINT AS t,
+      |         CASE WHEN fp IS NOT NULL THEN 1 ELSE 0 END AS e
+      |  FROM pu, se WHERE fv IS NOT NULL AND (fp IS NULL OR fp >= fv)
+      |), grid AS (
+      |  SELECT t, SUM(e)::BIGINT AS d, SUM(1 - e)::BIGINT AS c FROM cohort GROUP BY 1
+      |), g2 AS (
+      |  SELECT t, d, c,
+      |         SUM(d + c) OVER () -
+      |           COALESCE(SUM(d + c) OVER (ORDER BY t
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n
+      |  FROM grid
+      |), a AS (
+      |  SELECT list(struct_pack(t := t, d := d, c := c, n := n) ORDER BY t) AS arr FROM g2
+      |), idx AS (
+      |  SELECT arr, unnest(range(1, len(arr) + 1)) AS i FROM a
+      |)
+      |SELECT arr[i].t AS t_days, arr[i].n AS n_at_risk,
+      |       arr[i].d AS d_events, arr[i].c AS c_censored,
+      |       round(list_reduce(
+      |         list_transform(arr[1:i], x -> (x.n - x.d)::DOUBLE / x.n::DOUBLE),
+      |         (p, q) -> p * q), 6) AS survival
+      |FROM idx ORDER BY t_days
+      """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
     Seq(trendOls, dailyCorr, markov, ewma, pagerank, centroidMatrix,
       abWelch, benford, ksTest, acf, bfs, chi2, gini, triangles, dowSeason,
-      cusum, theilSen, mannWhitney, holt)
+      cusum, theilSen, mannWhitney, holt, kaplanMeier)
 }

@@ -115,8 +115,8 @@ class MlQueriesSpec extends SparkSpec {
     out.foreach { r =>
       val (seg, y, enc) = (r.getString(1), r.getLong(2), r.getDouble(3))
       val (n, s) = cust(seg)
-      val expect = (s - y).toDouble / (n - 1).toDouble
-      assert(math.abs(enc - BigDecimal(expect).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+      val expect = ((s - y) * 100 / (n - 1)).toDouble / 100.0
+      assert(enc == expect, s"$enc vs $expect")
     }
   }
 
@@ -178,6 +178,41 @@ class MlQueriesSpec extends SparkSpec {
       .orderBy(col("c_mktsegment"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
     assert(got == expect)
+  }
+
+  test("stat_survival_km equals the textbook estimator computed driver-side") {
+    val out = run("stat_survival_km").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    val ev = Tables.events(spark, sf("sf0.001"))
+      .select(col("user_id"), col("event_type"), to_date(col("ts")).as("day"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDate(2).toLocalDate))
+    val end = ev.map(_._3).max
+    val cohort = ev.groupBy(_._1).values.flatMap { rows =>
+      val fv = rows.filter(_._2 == "view").map(_._3).minOption
+      val fp = rows.filter(_._2 == "purchase").map(_._3).minOption
+      fv match {
+        case Some(v) if fp.forall(!_.isBefore(v)) =>
+          val (t, e) = fp match {
+            case Some(p) => (java.time.temporal.ChronoUnit.DAYS.between(v, p), 1L)
+            case None    => (java.time.temporal.ChronoUnit.DAYS.between(v, end), 0L)
+          }
+          Some((t, e))
+        case _ => None
+      }
+    }.toSeq
+    val grid = cohort.groupBy(_._1).toSeq.sortBy(_._1).map { case (t, rs) =>
+      (t, rs.count(_._2 == 1L).toLong, rs.count(_._2 == 0L).toLong)
+    }
+    var atRisk = cohort.size.toLong
+    var surv = 1.0
+    val expect = grid.map { case (t, d, c) =>
+      surv = surv * ((atRisk - d).toDouble / atRisk.toDouble)
+      val row = (t, atRisk, d, c,
+        BigDecimal(surv).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      atRisk -= d + c
+      row
+    }
+    assert(out.toSeq == expect, s"\n${out.toSeq}\nvs\n$expect")
   }
 
   test("sql_recursive_rollup: roots are leading digits; counts and cents conserve") {

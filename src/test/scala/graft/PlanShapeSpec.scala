@@ -138,6 +138,38 @@ class PlanShapeSpec extends SparkSpec {
       s"the cohort-key exchange must sit above the window:\n$exec")
   }
 
+  test("attribution: the per-conversion window reuses the join's user_id partitioning") {
+    // shuffle-join regime (what a 100 TB run lands in): disable
+    // broadcast so conv⋈touch sort-merges on user_id; the window's
+    // (user_id, conv_id) spec is then satisfied by the subset rule and
+    // must NOT introduce its own exchange
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      GraftSession.prepare(spark)
+      val exec = Queries.queriesMap("ev_attribution_linear")(spark, sf("sf0.001"))
+        .queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      import org.apache.spark.sql.execution.window.WindowExec
+      assert(exec.collect { case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j }.nonEmpty,
+        s"expected a sort-merge join with broadcast off:\n$exec")
+      val windows = exec.collect { case w: WindowExec => w }
+      assert(windows.nonEmpty, s"expected Window nodes:\n$exec")
+      // every hash exchange below a window partitions on user_id ALONE
+      // (the join's requirement) — none on (user_id, conv_id)
+      val belowWindow = windows.flatMap(_.collect {
+        case e: ShuffleExchangeExec if e.outputPartitioning.isInstanceOf[HashPartitioning] =>
+          e.outputPartitioning.asInstanceOf[HashPartitioning].expressions.map(_.toString)
+      }).distinct
+      assert(belowWindow.nonEmpty && belowWindow.forall(_.length == 1),
+        s"the window must ride the join's single-key user_id exchange, got $belowWindow:\n$exec")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("outliers: per-type stats broadcast back onto the scan (no second data shuffle)") {
     val p = planOf("ev_value_outliers")
     assert(p.contains("BroadcastExchange"),
