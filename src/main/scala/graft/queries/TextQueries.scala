@@ -1101,8 +1101,97 @@ object TextQueries {
       |) ORDER BY merge_round
       """.stripMargin.trim))
 
+  private val rakeQ = QueryDef(
+    "txt_rake_keywords",
+    "RAKE keyword extraction (Rose et al. 2010): candidate phrases are " +
+      "maximal stopword-free token runs (the islands pattern — one " +
+      "doc-keyed window over the exploded tokens), word score = " +
+      "degree/frequency over all candidate occurrences, phrase score " +
+      "= Σ of its word scores; candidates are capped at 4 words (the " +
+      "standard RAKE cap — stopword-poor text otherwise yields " +
+      "document-length runs). Degree/frequency are exact BIGINTs; " +
+      "each word's score is a single IEEE division and the phrase sum " +
+      "folds those terms in phrase order on both engines (the fixed-" +
+      "order double channel). Top 15 selected and presented on the " +
+      "ROUNDED score + phrase tiebreak — deterministic under the " +
+      "decade gate's tie rule. Word/phrase stats are vocabulary-" +
+      "bounded; the only row-sized work is the token explode.",
+    (s, dir) => {
+      val stops = graft.operators.TextAnalysis.stopwords.values.flatten.toSeq.distinct.sorted
+      val tokPos = docToks(s, dir)
+        .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
+        .withColumn("is_stop", col("tok").isin(stops: _*).cast("long"))
+      import org.apache.spark.sql.expressions.Window
+      val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val phrases = tokPos
+        .withColumn("pid", sum(col("is_stop")).over(wDoc))
+        .filter(col("is_stop") === 0)
+        .groupBy(col("doc_id"), col("pid"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          e => e.getField("tok")).as("ws"))
+        // standard RAKE candidate cap: stopword-poor text otherwise
+        // yields document-length runs (observed on this corpus), which
+        // are not keywords and blow up the phrase vocabulary
+        .filter(size(col("ws")) <= 4)
+      val wordStats = phrases
+        .select(size(col("ws")).cast("long").as("len"), explode(col("ws")).as("w"))
+        .groupBy(col("w"))
+        .agg(count(lit(1)).as("freq"), sum(col("len")).as("deg"))
+      val phraseCounts = phrases.groupBy(col("ws")).agg(count(lit(1)).as("n_occ"))
+      val pw = phraseCounts
+        .select(col("ws"), col("n_occ"), posexplode(col("ws")).as(Seq("i", "w")))
+        .join(wordStats, Seq("w"))
+        .withColumn("term", col("deg").cast("double") / col("freq").cast("double"))
+      pw.groupBy(col("ws"), col("n_occ"))
+        .agg(aggregate(array_sort(collect_list(struct(col("i"), col("term")))), lit(0.0),
+          (acc, e) => acc + e.getField("term")).as("score"))
+        .select(array_join(col("ws"), " ").as("phrase"),
+          size(col("ws")).cast("long").as("n_words"), col("n_occ"),
+          round(col("score"), 6).as("rake_score"))
+        .orderBy(col("rake_score").desc, col("phrase")).limit(15)
+    },
+    Some(s"""
+      |${Duck.docToks}
+      |, tp AS (
+      |  SELECT doc_id, i - 1 AS pos, toks[i] AS tok,
+      |         CASE WHEN toks[i] IN (${graft.operators.TextAnalysis.stopwords.values.flatten.toSeq.distinct.sorted.map(w => s"'$w'").mkString(", ")})
+      |              THEN 1 ELSE 0 END AS is_stop
+      |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i FROM tt)
+      |), ph0 AS (
+      |  SELECT doc_id, pos, tok, is_stop,
+      |         SUM(is_stop) OVER (PARTITION BY doc_id ORDER BY pos
+      |                            ROWS UNBOUNDED PRECEDING) AS pid
+      |  FROM tp
+      |), phr AS (
+      |  SELECT doc_id, pid, ws FROM (
+      |    SELECT doc_id, pid, list(tok ORDER BY pos) AS ws
+      |    FROM ph0 WHERE is_stop = 0 GROUP BY 1, 2
+      |  ) WHERE len(ws) <= 4
+      |), wstat AS (
+      |  SELECT w, count(*) AS freq, SUM(len)::BIGINT AS deg
+      |  FROM (SELECT len(ws)::BIGINT AS len, unnest(ws) AS w FROM phr) GROUP BY 1
+      |), pc AS (
+      |  SELECT ws, count(*) AS n_occ FROM phr GROUP BY 1
+      |), pw AS (
+      |  SELECT ws, n_occ, i, ws[i] AS w
+      |  FROM (SELECT ws, n_occ, unnest(range(1, len(ws) + 1)) AS i FROM pc)
+      |), js AS (
+      |  SELECT pw.ws, pw.n_occ, pw.i, wstat.deg::DOUBLE / wstat.freq::DOUBLE AS term
+      |  FROM pw JOIN wstat ON pw.w = wstat.w
+      |), sc AS (
+      |  SELECT ws, n_occ,
+      |         list_reduce(list(term ORDER BY i), (a, b) -> a + b) AS score
+      |  FROM js GROUP BY 1, 2
+      |)
+      |SELECT list_aggregate(ws, 'string_agg', ' ') AS phrase,
+      |       len(ws)::BIGINT AS n_words, n_occ,
+      |       round(score, 6) AS rake_score
+      |FROM sc ORDER BY rake_score DESC, phrase LIMIT 15
+      """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
     Seq(stats, langQ, quality, fp, topTokens, bigramLift, lmQ, simhashQ,
       embedQ, embedKnnQ, bm25Q, hybridRrfQ, crossencQ, maxsimQ, tfidfQ, chunksQ, packQ,
-      tokenBudgetQ, gopherQ, dupNgramsQ, piiQ, noveltyQ, invIndexQ, bpeTrainQ)
+      tokenBudgetQ, gopherQ, dupNgramsQ, piiQ, noveltyQ, invIndexQ, bpeTrainQ, rakeQ)
 }

@@ -215,6 +215,37 @@ class MlQueriesSpec extends SparkSpec {
     assert(out.toSeq == expect, s"\n${out.toSeq}\nvs\n$expect")
   }
 
+  test("txt_rake_keywords equals the brute-force RAKE computation") {
+    val out = run("txt_rake_keywords").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val stops = graft.operators.TextAnalysis.stopwords.values.flatten.toSet
+    val docs = Tables.documents(spark, sf("sf0.001"))
+      .select(graft.operators.TextAnalysis.tokens(col("text")).as("toks"))
+      .collect().map(_.getSeq[String](0))
+    // islands: split each doc's token run at stopwords; keep runs <= 4
+    val phrases = docs.flatMap { toks =>
+      val runs = scala.collection.mutable.ArrayBuffer.empty[List[String]]
+      var cur = List.newBuilder[String]
+      var n = 0
+      toks.foreach { t =>
+        if (stops(t)) { val r = cur.result(); if (r.nonEmpty) runs += r; cur = List.newBuilder; n = 0 }
+        else { cur += t; n += 1 }
+      }
+      val last = cur.result(); if (last.nonEmpty) runs += last
+      runs.filter(_.size <= 4)
+    }
+    val freq = phrases.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val deg = phrases.flatMap(p => p.map(_ -> p.size.toLong))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val scored = phrases.groupBy(identity).map { case (p, occ) =>
+      var s = 0.0
+      p.foreach(w => s = s + deg(w).toDouble / freq(w).toDouble)
+      (p.mkString(" "), p.size.toLong, occ.size.toLong,
+        BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSeq.sortBy(t => (-t._4, t._1)).take(15)
+    assert(out == scored, s"\n$out\nvs\n$scored")
+  }
+
   test("sql_recursive_rollup: roots are leading digits; counts and cents conserve") {
     val out = run("sql_recursive_rollup").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
