@@ -188,5 +188,71 @@ object MlQueries {
       |FROM credited GROUP BY 1 ORDER BY touch_type
       """.stripMargin.trim))
 
-  val defs: Seq[QueryDef] = Seq(targetEncode, quantileBins, attribution)
+  private val itemCooccurrence = QueryDef(
+    "ml_item_cooccurrence",
+    "Market-basket co-occurrence mining (the item-item collaborative-" +
+      "filtering / association-rule primitive): baskets = distinct " +
+      "(order, part) pairs, candidate pairs generated WITHIN each " +
+      "basket (a < b), so the pair space is Σ basket-size² — bounded " +
+      "by order width, never |items|². Support, directed confidences " +
+      "and lift are single IEEE divisions of exact BIGINT counts " +
+      "(lift's numerator c_ab·N ≤ 2⁵³ decades past sf10). Top 25 " +
+      "pairs selected on the exact integer count with (a, b) " +
+      "tiebreaks. One orderkey shuffle for pairing; the item-count " +
+      "join keys on partkey (vocabulary-sized relation).",
+    (s, dir) => {
+      val basket = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("item"))
+        .distinct()
+      val nOrders = basket.select(col("ok")).distinct()
+        .agg(count(lit(1)).as("n_orders"))
+      val itemCounts = basket.groupBy(col("item")).agg(count(lit(1)).as("ci"))
+      val a = basket.select(col("ok"), col("item").as("ia"))
+      val b = basket.select(col("ok"), col("item").as("ib"))
+      val pairs = a.join(b, Seq("ok")).filter(col("ia") < col("ib"))
+        .groupBy(col("ia"), col("ib")).agg(count(lit(1)).as("cab"))
+      pairs
+        .join(itemCounts.select(col("item").as("ia"), col("ci").as("ca")), Seq("ia"))
+        .join(itemCounts.select(col("item").as("ib"), col("ci").as("cb")), Seq("ib"))
+        .crossJoin(broadcast(nOrders))
+        .orderBy(col("cab").desc, col("ia"), col("ib")).limit(25)
+        .select(col("ia").as("item_a"), col("ib").as("item_b"),
+          col("cab").as("n_both"), col("ca").as("n_a"), col("cb").as("n_b"),
+          round(col("cab").cast("double") / col("n_orders").cast("double"), 6)
+            .as("support"),
+          round(col("cab").cast("double") / col("ca").cast("double"), 6)
+            .as("conf_a_to_b"),
+          round(col("cab").cast("double") / col("cb").cast("double"), 6)
+            .as("conf_b_to_a"),
+          round((col("cab") * col("n_orders")).cast("double") /
+            (col("ca") * col("cb")).cast("double"), 6).as("lift"))
+        .orderBy(col("n_both").desc, col("item_a"), col("item_b"))
+    },
+    Some("""
+      |WITH basket AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS item FROM lineitem
+      |), n AS (SELECT count(DISTINCT ok) AS n_orders FROM basket),
+      |ic AS (SELECT item, count(*) AS ci FROM basket GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.item AS ia, b.item AS ib, count(*) AS cab
+      |  FROM basket a JOIN basket b ON a.ok = b.ok AND a.item < b.item
+      |  GROUP BY 1, 2
+      |), top AS (
+      |  SELECT ia, ib, cab FROM pairs ORDER BY cab DESC, ia, ib LIMIT 25
+      |)
+      |SELECT ia AS item_a, ib AS item_b, cab AS n_both,
+      |       ca.ci AS n_a, cb.ci AS n_b,
+      |       round(cab::DOUBLE / n_orders::DOUBLE, 6) AS support,
+      |       round(cab::DOUBLE / ca.ci::DOUBLE, 6) AS conf_a_to_b,
+      |       round(cab::DOUBLE / cb.ci::DOUBLE, 6) AS conf_b_to_a,
+      |       round((cab * n_orders)::DOUBLE / (ca.ci * cb.ci)::DOUBLE, 6) AS lift
+      |FROM top
+      |JOIN ic ca ON top.ia = ca.item
+      |JOIN ic cb ON top.ib = cb.item
+      |CROSS JOIN n
+      |ORDER BY n_both DESC, item_a, item_b
+      """.stripMargin.trim))
+
+  val defs: Seq[QueryDef] =
+    Seq(targetEncode, quantileBins, attribution, itemCooccurrence)
 }

@@ -516,7 +516,50 @@ object RelationalQueries {
       |FROM tree GROUP BY root ORDER BY root
       """.stripMargin.trim))
 
+  private val lateralTopk = QueryDef(
+    "sql_lateral_topk",
+    "LATERAL correlated subquery (the SQL:1999 table-valued-correlation " +
+      "surface, supported by Spark 3.2+'s lateral join and DuckDB " +
+      "alike): per nation, the top-2 customers by exact balance cents " +
+      "with a custkey tiebreak, written as `nation, LATERAL (SELECT … " +
+      "ORDER BY … LIMIT 2)`. Catalyst decorrelates the per-row " +
+      "subquery into a ranked join rather than |nation| separate " +
+      "scans — the plan-level point of gating this surface. Balances " +
+      "stay integer cents end-to-end.",
+    (s, dir) => {
+      Tables.nation(s, dir).createOrReplaceTempView("graft_lat_nation")
+      Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey"),
+          (col("c_acctbal").cast(DecimalType(12, 2)) * 100).cast("long").as("cents"))
+        .createOrReplaceTempView("graft_lat_customer")
+      s.sql("""
+        SELECT n_name AS nation, t.c_custkey, t.cents
+        FROM graft_lat_nation,
+        LATERAL (
+          SELECT c_custkey, cents FROM graft_lat_customer
+          WHERE c_nationkey = n_nationkey
+          ORDER BY cents DESC, c_custkey LIMIT 2
+        ) t
+        ORDER BY nation, cents DESC, c_custkey""")
+    },
+    Some("""
+      |WITH cust AS (
+      |  SELECT c_custkey, c_nationkey,
+      |         CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      |  FROM customer
+      |)
+      |SELECT n_name AS nation, t.c_custkey, t.cents
+      |FROM nation,
+      |LATERAL (
+      |  SELECT c_custkey, cents FROM cust
+      |  WHERE c_nationkey = n_nationkey
+      |  ORDER BY cents DESC, c_custkey LIMIT 2
+      |) t
+      |ORDER BY nation, cents DESC, c_custkey
+      """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
     Seq(q3, q5, windowTop, rollupQ, cubeQ, distinctCounts, setOps, semiAnti,
-      q12, q13, q14, scalarSub, ntileQ, upsertQ, saltedJoinQ, recursiveRollup)
+      q12, q13, q14, scalarSub, ntileQ, upsertQ, saltedJoinQ, recursiveRollup,
+      lateralTopk)
 }

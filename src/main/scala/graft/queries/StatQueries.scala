@@ -1122,8 +1122,81 @@ object StatQueries {
       |FROM idx ORDER BY t_days
       """.stripMargin.trim))
 
+  private val assortativity = QueryDef(
+    "graph_degree_assortativity",
+    "Degree assortativity of the part CO-PURCHASE graph (the do-hubs-" +
+      "connect-to-hubs metric beside PageRank's centrality, BFS's " +
+      "reachability and the triangle census): undirected deduplicated " +
+      "edges = part pairs sharing an order (generated WITHIN baskets " +
+      "— Σ basket², never |parts|²; the nation graph saturates to " +
+      "complete (zero degree variance, an undefined metric) by sf0.1, " +
+      "while this graph's node set scales with the catalog). Pearson " +
+      "r of (deg(u), deg(v)) over BOTH orientations of every edge — " +
+      "the standard symmetric form. Degrees and all five sufficient " +
+      "statistics are exact BIGINTs; one closed-form double formula " +
+      "with the dailyCorr shape; nullif returns NULL, not an error, " +
+      "on a regular graph. Degree joins key on the node id.",
+    (s, dir) => {
+      val basket = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("item"))
+        .distinct()
+      val edges = basket.select(col("ok"), col("item").as("a"))
+        .join(basket.select(col("ok"), col("item").as("b")), Seq("ok"))
+        .filter(col("a") < col("b"))
+        .select(col("a").as("src"), col("b").as("dst"))
+        .distinct()
+      val deg = edges.select(col("src").as("v")).unionAll(edges.select(col("dst").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      val both = edges.select(col("src").as("u"), col("dst").as("w"))
+        .unionAll(edges.select(col("dst").as("u"), col("src").as("w")))
+      val xy = both
+        .join(deg.select(col("v").as("u"), col("deg").as("x")), Seq("u"))
+        .join(deg.select(col("v").as("w"), col("deg").as("y")), Seq("w"))
+      val st = xy.agg(count(lit(1)).as("m"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      st.select(expr("m div 2").as("n_edges"),
+        round((col("m").cast("double") * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double")) /
+          nullif(sqrt((col("m").cast("double") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")) *
+            (col("m").cast("double") * col("syy").cast("double") -
+              col("sy").cast("double") * col("sy").cast("double"))), lit(0.0)), 6)
+          .as("assortativity"))
+    },
+    Some("""
+      |WITH basket AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS item FROM lineitem
+      |), edges AS (
+      |  SELECT DISTINCT a.item AS src, b.item AS dst
+      |  FROM basket a JOIN basket b ON a.ok = b.ok AND a.item < b.item
+      |), deg AS (
+      |  SELECT v, count(*) AS deg FROM (
+      |    SELECT src AS v FROM edges UNION ALL SELECT dst AS v FROM edges
+      |  ) GROUP BY 1
+      |), xy AS (
+      |  SELECT du.deg AS x, dw.deg AS y
+      |  FROM (SELECT src AS u, dst AS w FROM edges
+      |        UNION ALL SELECT dst AS u, src AS w FROM edges) e
+      |  JOIN deg du ON e.u = du.v
+      |  JOIN deg dw ON e.w = dw.v
+      |), st AS (
+      |  SELECT count(*) AS m, SUM(x)::BIGINT AS sx, SUM(y)::BIGINT AS sy,
+      |         SUM(x*x)::BIGINT AS sxx, SUM(y*y)::BIGINT AS syy,
+      |         SUM(x*y)::BIGINT AS sxy
+      |  FROM xy
+      |)
+      |SELECT (m // 2)::BIGINT AS n_edges,
+      |       round((m::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) /
+      |             nullif(sqrt((m::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) *
+      |                  (m::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)), 0.0), 6)
+      |         AS assortativity
+      |FROM st
+      """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
     Seq(trendOls, dailyCorr, markov, ewma, pagerank, centroidMatrix,
       abWelch, benford, ksTest, acf, bfs, chi2, gini, triangles, dowSeason,
-      cusum, theilSen, mannWhitney, holt, kaplanMeier)
+      cusum, theilSen, mannWhitney, holt, kaplanMeier, assortativity)
 }

@@ -246,6 +246,65 @@ class MlQueriesSpec extends SparkSpec {
     assert(out == scored, s"\n$out\nvs\n$scored")
   }
 
+  test("ml_item_cooccurrence equals brute-force basket pair counting") {
+    val out = run("ml_item_cooccurrence").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val baskets = Tables.lineitem(spark, sf("sf0.001"))
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val itemCounts = baskets.values.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val pairCounts = baskets.values.flatMap { items =>
+      val s = items.toSeq.sorted
+      for (i <- s.indices; j <- (i + 1) until s.size) yield (s(i), s(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expect = pairCounts.toSeq
+      .sortBy { case ((a, b), c) => (-c, a, b) }.take(25)
+      .map { case ((a, b), c) => (a, b, c, itemCounts(a), itemCounts(b)) }
+    assert(out.toSeq == expect)
+  }
+
+  test("sql_lateral_topk equals the window row_number formulation") {
+    val out = run("sql_lateral_topk").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    import org.apache.spark.sql.expressions.Window
+    val expect = Tables.customer(spark, sf("sf0.001"))
+      .select(col("c_custkey"), col("c_nationkey"),
+        (col("c_acctbal").cast(DecimalType(12, 2)) * 100).cast("long").as("cents"))
+      .join(Tables.nation(spark, sf("sf0.001")), col("c_nationkey") === col("n_nationkey"))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("n_nationkey"))
+        .orderBy(col("cents").desc, col("c_custkey"))))
+      .filter(col("rn") <= 2)
+      .select(col("n_name"), col("c_custkey"), col("cents"))
+      .orderBy(col("n_name"), col("cents").desc, col("c_custkey"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == expect)
+  }
+
+  test("graph_degree_assortativity equals the brute-force Pearson over edge endpoints") {
+    val row = run("graph_degree_assortativity").collect().head
+    val (nEdges, r) = (row.getLong(0), row.getDouble(1))
+    val baskets = Tables.lineitem(spark, sf("sf0.001"))
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val edges = baskets.values.flatMap { items =>
+      val s = items.toSeq.sorted
+      for (i <- s.indices; j <- (i + 1) until s.size) yield (s(i), s(j))
+    }.toSet
+    assert(nEdges == edges.size)
+    val deg = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val xs = edges.toSeq.flatMap(e => Seq((deg(e._1), deg(e._2)), (deg(e._2), deg(e._1))))
+    val m = xs.size.toDouble
+    val sx = xs.map(_._1).sum.toDouble; val sy = xs.map(_._2).sum.toDouble
+    val sxx = xs.map(p => p._1 * p._1).sum.toDouble
+    val syy = xs.map(p => p._2 * p._2).sum.toDouble
+    val sxy = xs.map(p => p._1 * p._2).sum.toDouble
+    val expect = (m * sxy - sx * sy) / math.sqrt((m * sxx - sx * sx) * (m * syy - sy * sy))
+    assert(math.abs(r - expect) < 1e-6, s"$r vs $expect")
+  }
+
   test("sql_recursive_rollup: roots are leading digits; counts and cents conserve") {
     val out = run("sql_recursive_rollup").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
