@@ -245,5 +245,97 @@ object QualityQueries {
       |ORDER BY nation, c_mktsegment, bal_kb
       """.stripMargin.trim))
 
-  val defs: Seq[QueryDef] = Seq(profileQ, fuzzyLinkQ, expectationsQ, kAnonymity)
+  private val tableFingerprint = QueryDef(
+    "dq_table_fingerprint",
+    "Replication-verification fingerprints: per document source, row " +
+      "count, key extrema, and an order-independent additive md5-48 " +
+      "row-set checksum (the maint_compact_roundtrip idiom promoted to " +
+      "a first-class audit query — compare these few rows across " +
+      "replicas/migrations instead of 100 TB of data). The checksum " +
+      "folds doc_id, lang, and md5(text), so content corruption, row " +
+      "loss and duplication all move it; DECIMAL(38,0) accumulation " +
+      "is exact and the string form is engine-stable. One partial-" +
+      "aggregated scan; output is |sources| rows.",
+    (s, dir) => {
+      val rowKey = concat_ws("|",
+        col("doc_id").cast("string"), col("lang"), md5(col("text")))
+      val h = conv(substring(md5(rowKey), 1, 12), 16, 10).cast(DecimalType(38, 0))
+      Tables.documents(s, dir)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(h).cast(DecimalType(38, 0)).cast("string").as("rowset_fp"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      |SELECT source, count(*) AS n_rows,
+      |       min(doc_id) AS min_id, max(doc_id) AS max_id,
+      |       SUM(n_chars)::BIGINT AS sum_chars,
+      |       CAST(CAST(SUM(CAST(('0x' || substring(md5(
+      |         doc_id::VARCHAR || '|' || lang || '|' || md5(text)), 1, 12))::BIGINT
+      |         AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS VARCHAR) AS rowset_fp
+      |FROM documents GROUP BY 1 ORDER BY source
+      """.stripMargin.trim))
+
+  private val driftTv = QueryDef(
+    "dq_drift_tv",
+    "Distribution-drift monitor: total-variation distance between the " +
+      "event-value distributions of the first 15 days and the rest of " +
+      "the window (the log-free alternative to PSI/KL — those need " +
+      "libm ln, whose cross-engine rounding is unspecified). The " +
+      "period split derives from the data's min day (no fixture date " +
+      "literal); TV = Σ|c₁n₂ − c₂n₁| / (2n₁n₂) is exact integer " +
+      "cross-multiplication over the distinct cents grid (the KS " +
+      "machinery pointed at drift), one final division. Output is one " +
+      "row; grid work is value-domain-bounded.",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir)
+        .select(to_date(col("ts")).as("day"),
+          (col("value").cast(DecimalType(12, 2)) * 100).cast("long").as("vc"))
+      val tagged = ev
+        .withColumn("mind", min(col("day")).over(Window.partitionBy()))
+        .select(col("vc"),
+          when(datediff(col("day"), col("mind")) < 15, 1L).otherwise(0L).as("is_a"))
+      val g = tagged.groupBy(col("vc"))
+        .agg(sum(col("is_a")).as("c1"), sum(lit(1L) - col("is_a")).as("c2"))
+      val tot = Window.partitionBy()
+      g.select(col("vc"), col("c1"), col("c2"),
+          sum(col("c1")).over(tot).as("n1"), sum(col("c2")).over(tot).as("n2"))
+        .agg(first(col("n1")).as("n_first15"), first(col("n2")).as("n_rest"),
+          count(lit(1)).as("n_grid"),
+          sum(abs(col("c1") * col("n2") - col("c2") * col("n1"))).as("num"))
+        .select(col("n_first15"), col("n_rest"), col("n_grid"),
+          round(col("num").cast("double") /
+            (lit(2.0) * col("n_first15").cast("double") * col("n_rest").cast("double")), 6)
+            .as("tv_distance"))
+    },
+    Some("""
+      |WITH ev AS (
+      |  SELECT ts::TIMESTAMP::DATE AS day,
+      |         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS vc
+      |  FROM events
+      |), tagged AS (
+      |  SELECT vc, CASE WHEN date_diff('day', min(day) OVER (), day) < 15
+      |                  THEN 1 ELSE 0 END AS is_a
+      |  FROM ev
+      |), g AS (
+      |  SELECT vc, SUM(is_a) AS c1, SUM(1 - is_a) AS c2 FROM tagged GROUP BY 1
+      |), c AS (
+      |  SELECT vc, c1, c2, SUM(c1) OVER () AS n1, SUM(c2) OVER () AS n2 FROM g
+      |), s AS (
+      |  SELECT any_value(n1)::BIGINT AS n_first15, any_value(n2)::BIGINT AS n_rest,
+      |         count(*) AS n_grid,
+      |         SUM(abs(c1 * n2 - c2 * n1))::BIGINT AS num
+      |  FROM c
+      |)
+      |SELECT n_first15, n_rest, n_grid,
+      |       round(num::DOUBLE / (2.0 * n_first15::DOUBLE * n_rest::DOUBLE), 6)
+      |         AS tv_distance
+      |FROM s
+      """.stripMargin.trim))
+
+  val defs: Seq[QueryDef] =
+    Seq(profileQ, fuzzyLinkQ, expectationsQ, kAnonymity, tableFingerprint, driftTv)
 }

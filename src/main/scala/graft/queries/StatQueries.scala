@@ -1195,8 +1195,70 @@ object StatQueries {
       |FROM st
       """.stripMargin.trim))
 
+  private val kendall = QueryDef(
+    "stat_kendall_tau",
+    "Kendall's τ-b between daily volume and revenue per return flag — " +
+      "the rank-based association measure beside Pearson (stat_daily_" +
+      "corr) and Theil–Sen's robust slope. Every pair of days is " +
+      "classified concordant / discordant / x-tie-only / y-tie-only " +
+      "by exact integer sign tests (no ranks materialized, no floats); " +
+      "τ-b = (C−D)/√((C+D+T_y)(C+D+T_x)) from those counts with one " +
+      "sqrt+division. The O(days²) pair join is calendar-bounded per " +
+      "key, exactly like stat_theilsen.",
+    (s, dir) => {
+      val daily = Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"), col("l_shipdate").cast("date").as("day"))
+        .agg(sum(col("l_quantity").cast(DecimalType(12, 0))).cast("long").as("x"),
+          (sum(col("l_extendedprice").cast(Queries.Money.price)).cast(dec2) * 100)
+            .cast("long").as("y"))
+      val a = daily.select(col("l_returnflag"), col("day").as("da"),
+        col("x").as("xa"), col("y").as("ya"))
+      val b = daily.select(col("l_returnflag"), col("day").as("db"),
+        col("x").as("xb"), col("y").as("yb"))
+      val pairs = a.join(b, Seq("l_returnflag")).filter(col("da") < col("db"))
+        .select(col("l_returnflag"),
+          (col("xb") - col("xa")).as("dx"), (col("yb") - col("ya")).as("dy"))
+      pairs.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("dx") * col("dy") > 0, 1L).otherwise(0L)).as("c"),
+          sum(when(col("dx") * col("dy") < 0, 1L).otherwise(0L)).as("d"),
+          sum(when(col("dx") === 0 && col("dy") =!= 0, 1L).otherwise(0L)).as("tx"),
+          sum(when(col("dy") === 0 && col("dx") =!= 0, 1L).otherwise(0L)).as("ty"))
+        .select(col("l_returnflag"), col("n_pairs"),
+          col("c").as("concordant"), col("d").as("discordant"),
+          round((col("c") - col("d")).cast("double") /
+            nullif(sqrt((col("c") + col("d") + col("ty")).cast("double") *
+              (col("c") + col("d") + col("tx")).cast("double")), lit(0.0)), 6)
+            .as("tau_b"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""
+      |WITH daily AS (
+      |  SELECT l_returnflag, l_shipdate::DATE AS day,
+      |         CAST(SUM(CAST(l_quantity AS DECIMAL(12,0))) AS BIGINT) AS x,
+      |         CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) * 100 AS BIGINT) AS y
+      |  FROM lineitem GROUP BY 1, 2
+      |), pairs AS (
+      |  SELECT a.l_returnflag, b.x - a.x AS dx, b.y - a.y AS dy
+      |  FROM daily a JOIN daily b
+      |    ON a.l_returnflag = b.l_returnflag AND a.day < b.day
+      |), cls AS (
+      |  SELECT l_returnflag, count(*) AS n_pairs,
+      |         SUM(CASE WHEN dx * dy > 0 THEN 1 ELSE 0 END)::BIGINT AS c,
+      |         SUM(CASE WHEN dx * dy < 0 THEN 1 ELSE 0 END)::BIGINT AS d,
+      |         SUM(CASE WHEN dx = 0 AND dy <> 0 THEN 1 ELSE 0 END)::BIGINT AS tx,
+      |         SUM(CASE WHEN dy = 0 AND dx <> 0 THEN 1 ELSE 0 END)::BIGINT AS ty
+      |  FROM pairs GROUP BY 1
+      |)
+      |SELECT l_returnflag, n_pairs, c AS concordant, d AS discordant,
+      |       round((c - d)::DOUBLE /
+      |             nullif(sqrt((c + d + ty)::DOUBLE * (c + d + tx)::DOUBLE), 0.0), 6)
+      |         AS tau_b
+      |FROM cls ORDER BY l_returnflag
+      """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
     Seq(trendOls, dailyCorr, markov, ewma, pagerank, centroidMatrix,
       abWelch, benford, ksTest, acf, bfs, chi2, gini, triangles, dowSeason,
-      cusum, theilSen, mannWhitney, holt, kaplanMeier, assortativity)
+      cusum, theilSen, mannWhitney, holt, kaplanMeier, assortativity, kendall)
 }

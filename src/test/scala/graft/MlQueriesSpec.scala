@@ -305,6 +305,84 @@ class MlQueriesSpec extends SparkSpec {
     assert(math.abs(r - expect) < 1e-6, s"$r vs $expect")
   }
 
+  test("stat_kendall_tau equals brute-force pair classification") {
+    val out = run("stat_kendall_tau").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val daily = Tables.lineitem(spark, sf("sf0.001"))
+      .groupBy(col("l_returnflag"), col("l_shipdate").cast("date").as("day"))
+      .agg(sum(col("l_quantity").cast(DecimalType(12, 0))).cast("long").as("x"),
+        (sum(col("l_extendedprice").cast(DecimalType(12, 2))).cast(DecimalType(38, 2)) * 100)
+          .cast("long").as("y"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    daily.foreach { case (flag, rows) =>
+      val pts = rows.sortBy(_._2).map(r => (r._3, r._4))
+      var (c, d, tx, ty) = (0L, 0L, 0L, 0L)
+      for (i <- pts.indices; j <- (i + 1) until pts.size) {
+        val dx = pts(j)._1 - pts(i)._1; val dy = pts(j)._2 - pts(i)._2
+        if (dx * dy > 0) c += 1 else if (dx * dy < 0) d += 1
+        else if (dx == 0 && dy != 0) tx += 1 else if (dy == 0 && dx != 0) ty += 1
+      }
+      val tau = (c - d).toDouble / math.sqrt((c + d + ty).toDouble * (c + d + tx).toDouble)
+      val (nPairs, gc, gd, gt) = out(flag)
+      assert(nPairs == pts.size.toLong * (pts.size - 1) / 2)
+      assert((gc, gd) == ((c, d)))
+      assert(math.abs(gt - BigDecimal(tau).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    }
+  }
+
+  test("dq_drift_tv: zero drift on identical halves; bounded in [0,1]") {
+    val row = run("dq_drift_tv").collect().head
+    val (n1, n2, grid, tv) = (row.getLong(0), row.getLong(1), row.getLong(2), row.getDouble(3))
+    assert(n1 > 0 && n2 > 0 && grid > 0)
+    assert(tv >= 0.0 && tv <= 1.0)
+    // brute-force recomputation
+    val ev = Tables.events(spark, sf("sf0.001"))
+      .select(to_date(col("ts")).as("day"),
+        (col("value").cast(DecimalType(12, 2)) * 100).cast("long").as("vc"))
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+    val minDay = ev.map(_._1).min
+    val a = ev.filter(e => java.time.temporal.ChronoUnit.DAYS.between(minDay, e._1) < 15).map(_._2)
+    val b = ev.filter(e => java.time.temporal.ChronoUnit.DAYS.between(minDay, e._1) >= 15).map(_._2)
+    assert((n1, n2) == ((a.length.toLong, b.length.toLong)))
+    val ca = a.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val cb = b.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val num = (ca.keySet ++ cb.keySet).toSeq
+      .map(v => math.abs(ca.getOrElse(v, 0L) * n2 - cb.getOrElse(v, 0L) * n1)).sum
+    val expect = num.toDouble / (2.0 * n1 * n2)
+    assert(math.abs(tv - BigDecimal(expect).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+  }
+
+  test("dq_table_fingerprint: checksums move under corruption, not reordering") {
+    val rows = run("dq_table_fingerprint").collect()
+    assert(rows.length > 1)
+    val total = rows.map(_.getLong(1)).sum
+    assert(total == Tables.documents(spark, sf("sf0.001")).count())
+    // reordering invariance: recompute one source's checksum from a
+    // shuffled read and compare
+    val src = rows.head.getString(0)
+    val fp = rows.head.getString(5)
+    val rowKey = concat_ws("|", col("doc_id").cast("string"), col("lang"), md5(col("text")))
+    val h = conv(substring(md5(rowKey), 1, 12), 16, 10).cast(DecimalType(38, 0))
+    val re = Tables.documents(spark, sf("sf0.001"))
+      .filter(col("source") === src)
+      .repartition(7) // different physical order
+      .agg(sum(h).cast(DecimalType(38, 0)).cast("string")).collect()(0).getString(0)
+    assert(re == fp)
+    // corruption detection: flipping one character changes the checksum
+    val corrupted = Tables.documents(spark, sf("sf0.001"))
+      .filter(col("source") === src)
+      .withColumn("text",
+        when(col("doc_id") === min(col("doc_id")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(lit(1))),
+          concat(col("text"), lit("x"))).otherwise(col("text")))
+      .agg(sum(conv(substring(md5(concat_ws("|",
+        col("doc_id").cast("string"), col("lang"), md5(col("text")))), 1, 12), 16, 10)
+        .cast(DecimalType(38, 0))).cast(DecimalType(38, 0)).cast("string"))
+      .collect()(0).getString(0)
+    assert(corrupted != fp)
+  }
+
   test("sql_recursive_rollup: roots are leading digits; counts and cents conserve") {
     val out = run("sql_recursive_rollup").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
