@@ -127,5 +127,84 @@ object MultimodalQueries {
       |ORDER BY n_docs DESC, fp
       """.stripMargin.trim))
 
-  val defs: Seq[QueryDef] = Seq(meta, decode, frameDedup)
+  private val audioVad = QueryDef(
+    "mm_audio_vad",
+    "Voice-activity detection over the stub-decoded audio column: the " +
+      "media's stub duration (the decode query's bit-slice contract) " +
+      "is cut into 5-second windows, per-window energy is the md5-" +
+      "derived deterministic stand-in for an RMS frame energy (the " +
+      "Spark plumbing — windows explode, islands, rollup — is what a " +
+      "real PCM decoder would plug into), active = energy ≥ 500/1000. " +
+      "Longest contiguous active run per clip via the islands pattern " +
+      "(w − row_number is the run key). Per-language rollup: clips, " +
+      "windows, activity share (one exact-integer division), longest " +
+      "run. Window explosion is duration-bounded (≤120 rows/clip); " +
+      "everything else is per-key integer work.",
+    (s, dir) => {
+      import graft.operators.TextAnalysis.md5Long48
+      import org.apache.spark.sql.expressions.Window
+      val base = Tables.documentsSpread(s, dir)
+        .select(col("doc_id"), col("lang"), md5(col("text")).as("hx"),
+          md5Long48(col("text")).as("h"))
+        .withColumn("duration_ms", expr("(h >> 22) % 600000"))
+        .withColumn("nw", expr("duration_ms div 5000 + 1"))
+      val win = base.select(col("doc_id"), col("lang"), col("hx"), col("nw"),
+          explode(sequence(lit(0L), col("nw") - 1)).as("w"))
+        .withColumn("energy",
+          md5Long48(concat(col("hx"), lit(":"), col("w").cast("string"))) % 1000)
+        .withColumn("active", (col("energy") >= 500).cast("long"))
+      val runs = win.filter(col("active") === 1)
+        .withColumn("grp", col("w") - row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("w"))))
+        .groupBy(col("doc_id"), col("grp")).agg(count(lit(1)).as("run"))
+        .groupBy(col("doc_id")).agg(max(col("run")).as("longest"))
+      val perDoc = win.groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("n_win"), sum(col("active")).as("n_act"))
+        .join(runs, Seq("doc_id"), "left")
+        .withColumn("longest", coalesce(col("longest"), lit(0L)))
+      perDoc.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_clips"),
+          sum(col("n_win")).as("n_windows"),
+          sum(col("n_act")).as("n_active"),
+          max(col("longest")).as("max_run"))
+        .withColumn("activity_share",
+          round(col("n_active").cast("double") / col("n_windows").cast("double"), 6))
+        .orderBy(col("lang"))
+    },
+    Some("""
+      |WITH base AS (
+      |  SELECT doc_id, lang, md5(text) AS hx,
+      |         ('0x' || substring(md5(text), 1, 12))::BIGINT AS h
+      |  FROM documents
+      |), dur AS (
+      |  SELECT doc_id, lang, hx, ((h >> 22) % 600000) // 5000 + 1 AS nw FROM base
+      |), win AS (
+      |  SELECT doc_id, lang, hx, nw, unnest(range(0, nw)) AS w FROM dur
+      |), scored AS (
+      |  SELECT doc_id, lang, w,
+      |         CASE WHEN ('0x' || substring(md5(hx || ':' || w::VARCHAR), 1, 12))::BIGINT % 1000 >= 500
+      |              THEN 1 ELSE 0 END AS active
+      |  FROM win
+      |), runs AS (
+      |  SELECT doc_id, max(cnt) AS longest FROM (
+      |    SELECT doc_id, grp, count(*) AS cnt FROM (
+      |      SELECT doc_id, w - row_number() OVER (PARTITION BY doc_id ORDER BY w) AS grp
+      |      FROM scored WHERE active = 1
+      |    ) GROUP BY doc_id, grp
+      |  ) GROUP BY 1
+      |), per_doc AS (
+      |  SELECT s.doc_id, s.lang, count(*) AS n_win, SUM(s.active)::BIGINT AS n_act,
+      |         COALESCE(any_value(r.longest), 0)::BIGINT AS longest
+      |  FROM scored s LEFT JOIN runs r ON s.doc_id = r.doc_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT lang, count(*) AS n_clips,
+      |       SUM(n_win)::BIGINT AS n_windows,
+      |       SUM(n_act)::BIGINT AS n_active,
+      |       max(longest) AS max_run,
+      |       round(SUM(n_act)::DOUBLE / SUM(n_win)::DOUBLE, 6) AS activity_share
+      |FROM per_doc GROUP BY 1 ORDER BY lang
+      """.stripMargin.trim))
+
+  val defs: Seq[QueryDef] = Seq(meta, decode, frameDedup, audioVad)
 }

@@ -88,4 +88,34 @@ class MultimodalSpec extends SparkSpec {
     val all = new String(frames(0).getAs[Array[Byte]]("frame"), "UTF-8")
     assert(all == "a" * 16)
   }
+
+  test("mm_audio_vad: rollup conserves windows and longest runs match a driver fold") {
+    val out = graft.queries.Queries.queriesMap("mm_audio_vad")(spark, sf("sf0.001"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // driver-side replay of the deterministic window/energy contract
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def h48(s: String): Long = java.lang.Long.parseLong(md5hex(s).take(12), 16)
+    val docs = Tables.documents(spark, sf("sf0.001"))
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val perLang = docs.groupBy(_._2).map { case (lang, rows) =>
+      var (wins, act, maxRun) = (0L, 0L, 0L)
+      rows.foreach { case (_, _, text) =>
+        val hx = md5hex(text)
+        val nw = (h48(text) >> 22) % 600000 / 5000 + 1
+        var run = 0L
+        (0L until nw).foreach { w =>
+          wins += 1
+          if (h48(s"$hx:$w") % 1000 >= 500) { act += 1; run += 1; maxRun = math.max(maxRun, run) }
+          else run = 0
+        }
+      }
+      lang -> ((rows.length.toLong, wins, act, maxRun))
+    }
+    assert(out == perLang, s"\n$out\nvs\n$perLang")
+  }
 }
