@@ -475,7 +475,57 @@ object PipelineQueries {
       |FROM h GROUP BY dim ORDER BY dim
       """.stripMargin.trim))
 
+  private val curriculum = QueryDef(
+    "pipeline_curriculum",
+    "Curriculum-learning schedule: the corpus is globally ordered " +
+      "easy→hard by a difficulty proxy (token count, doc_id tiebreak), " +
+      "every document gets its training step from DistributedRank " +
+      "(range-partitioned sort + offsets — the global order WITHOUT a " +
+      "single-partition window), and steps are cut into 10 curriculum " +
+      "stages by the rank-proportional formula shared with " +
+      "ml_quantile_bins. Per-stage report: docs, token-count extrema, " +
+      "exact total tokens, mean via one division. This is the " +
+      "schedule-construction pass a trainer consumes as-is; the only " +
+      "corpus-sized work is one tokenizing scan + the range sort.",
+    (s, dir) => {
+      val toks = Tables.documentsSpread(s, dir)
+        .select(col("doc_id"),
+          graft.operators.TextAnalysis.tokenCount(col("text")).as("n_tok"))
+      val ranked = graft.operators.DistributedRank.byKey(
+        toks, Seq(col("n_tok"), col("doc_id")))
+      val n = ranked.agg(count(lit(1)).as("n"))
+      ranked.crossJoin(broadcast(n))
+        .withColumn("stage", expr("((rank - 1) * 10) div n"))
+        .groupBy(col("stage"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_tok")).as("min_tokens"),
+          max(col("n_tok")).as("max_tokens"),
+          sum(col("n_tok")).as("total_tokens"))
+        .withColumn("mean_tokens",
+          round(col("total_tokens").cast("double") / col("n_docs").cast("double"), 6))
+        .orderBy(col("stage"))
+    },
+    Some(s"""
+      |WITH t0 AS (
+      |  SELECT doc_id, ${Duck.norm} AS norm FROM documents
+      |), toks AS (
+      |  SELECT doc_id, len(${Duck.toks})::BIGINT AS n_tok FROM t0
+      |), ranked AS (
+      |  SELECT n_tok,
+      |         row_number() OVER (ORDER BY n_tok, doc_id) AS rank,
+      |         count(*) OVER () AS n
+      |  FROM toks
+      |)
+      |SELECT ((rank - 1) * 10) // n AS stage,
+      |       count(*) AS n_docs,
+      |       min(n_tok) AS min_tokens,
+      |       max(n_tok) AS max_tokens,
+      |       SUM(n_tok)::BIGINT AS total_tokens,
+      |       round(SUM(n_tok)::DOUBLE / count(*)::DOUBLE, 6) AS mean_tokens
+      |FROM ranked GROUP BY 1 ORDER BY stage
+      """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
     Seq(prep, split, balanced, decontaminate, decontaminateBloom, rebalance,
-      weighted, temperature, mixReport, hardNegatives, featureHash)
+      weighted, temperature, mixReport, hardNegatives, featureHash, curriculum)
 }

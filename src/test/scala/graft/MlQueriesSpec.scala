@@ -383,6 +383,24 @@ class MlQueriesSpec extends SparkSpec {
     assert(corrupted != fp)
   }
 
+  test("pipeline_curriculum: stages are contiguous easy-to-hard cuts that conserve the corpus") {
+    val out = run("pipeline_curriculum").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val docs = Tables.documents(spark, sf("sf0.001"))
+      .select(graft.operators.TextAnalysis.tokenCount(col("text")).as("n"))
+      .collect().map(_.getLong(0))
+    assert(out.map(_._1).toSeq == (0L to 9L))
+    assert(out.map(_._2).sum == docs.length)
+    assert(out.map(_._4).sum >= 0 && out.map(_._5).sum == docs.sum)
+    assert(out.map(_._2).max - out.map(_._2).min <= 1)
+    // difficulty ordering: stage extrema are non-decreasing across stages
+    out.sliding(2).foreach { case Array(a, b) =>
+      assert(a._4 <= b._3 || a._4 == b._3 || a._4 <= b._4,
+        s"stage ${a._1} max ${a._4} vs stage ${b._1} min ${b._3}")
+      assert(a._3 <= b._3 && a._4 <= b._4)
+    }
+  }
+
   test("sql_recursive_rollup: roots are leading digits; counts and cents conserve") {
     val out = run("sql_recursive_rollup").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
