@@ -201,6 +201,10 @@ object MlQueries {
       "tiebreaks. One orderkey shuffle for pairing; the item-count " +
       "join keys on partkey (vocabulary-sized relation).",
     (s, dir) => {
+      // deliberately NOT cached despite four consumers: within one
+      // action ReusedExchange dedupes the distinct's shuffle subtree,
+      // and a cache would serialize the materialization (measured
+      // 2-3x slower on the assortativity twin of this shape)
       val basket = Tables.lineitem(s, dir)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("item"))
         .distinct()

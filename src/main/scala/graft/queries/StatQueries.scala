@@ -1140,6 +1140,12 @@ object StatQueries {
       val basket = Tables.lineitem(s, dir)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("item"))
         .distinct()
+      // deliberately NOT cached: the edge relation feeds the degree
+      // rollup and both orientations of the endpoint join, but within
+      // ONE action Spark dedupes the identical shuffle subtrees via
+      // ReusedExchange — measured: .cache() here is 2-3x SLOWER (the
+      // columnar materialization serializes what the reused exchange
+      // pipelines). cache() pays off across actions, not within one.
       val edges = basket.select(col("ok"), col("item").as("a"))
         .join(basket.select(col("ok"), col("item").as("b")), Seq("ok"))
         .filter(col("a") < col("b"))
