@@ -48,7 +48,7 @@ object Bench {
         // src_bucketed_join's warmup writes the one-time bucketed
         // external tables so the timed run measures the co-located join
         "src_csv_roundtrip", "src_json_roundtrip", "src_orc_roundtrip",
-        "src_bucketed_join",
+        "src_bucketed_join", "maint_mor_merge",
         // stream_trending_topk's warmup runs its one-time complete-mode
         // trending stream (TrendingStore) so the timed run measures the
         // snapshot read + rank, not the stream replay

@@ -613,7 +613,83 @@ object MaintenanceQueries {
     },
     Some(mergedOrdersOracleSql))
 
+  /** One merge-on-read store per (sfDir, JVM): the orders fixture as
+    * the base file set plus two DELTA files — a delete set (keys ≡ 7
+    * mod 10) and an update set (keys ≡ 3 mod 10, price bumped by an
+    * exact decimal 1.00) — the Iceberg/Delta MoR layout an ingest
+    * pipeline accumulates between compactions.
+    */
+  private object MorStore {
+    def ensure(s: SparkSession, dir: String): (String, String, String) = {
+      val root = TmpStores.memoizedTable("graft_mor_rt", dir) { root =>
+        val dec = org.apache.spark.sql.types.DecimalType(12, 2)
+        val base = Tables.orders(s, dir)
+          .withColumn("o_totalprice", col("o_totalprice").cast(dec))
+        base.write.parquet(s"$root/base")
+        base.filter(col("o_orderkey") % 10 === 7)
+          .select(col("o_orderkey")).write.parquet(s"$root/deletes")
+        base.filter(col("o_orderkey") % 10 === 3)
+          .withColumn("o_totalprice", col("o_totalprice") + lit(1).cast(dec))
+          .write.parquet(s"$root/updates")
+        root
+      }
+      (s"$root/base", s"$root/deletes", s"$root/updates")
+    }
+  }
+
+  private val morMerge = QueryDef(
+    "maint_mor_merge",
+    "Merge-on-read READ PATH: the logical table is reconstructed at " +
+      "query time from base + delta files — updates win via the " +
+      "latest-wins upsert (one key shuffle, WindowGroupLimit-pruned), " +
+      "deletes drop out via a broadcast-able anti-join on the key " +
+      "sliver. The registered query aggregates the LOGICAL table " +
+      "(counts, exact decimal revenue, an order-independent md5-48 " +
+      "row-set checksum folding the price so an unapplied update " +
+      "cannot hide); the oracle derives the same logical table " +
+      "directly from the fixture with the same deterministic delete/" +
+      "update rules — a green hash proves read-path merge ≡ the " +
+      "copy-on-write result. Store build is one-time (bench warmup); " +
+      "at 100 TB this is the between-compactions serving shape, with " +
+      "maint_compact_roundtrip as the rewrite that retires the deltas.",
+    (s, dir) => {
+      val (basePath, delPath, updPath) = MorStore.ensure(s, dir)
+      val base = s.read.parquet(basePath).withColumn("_commit", lit(0L))
+      val updates = s.read.parquet(updPath).withColumn("_commit", lit(1L))
+      val deletes = s.read.parquet(delPath)
+      val logical = graft.operators.Upsert
+        .latestWins(base, updates, Seq("o_orderkey"), "_commit")
+        .join(deletes, Seq("o_orderkey"), "left_anti")
+      val rowKey = concat_ws("|",
+        col("o_orderkey").cast("string"), col("o_orderstatus"),
+        col("o_orderpriority"), col("o_totalprice").cast("string"))
+      val h = conv(substring(md5(rowKey), 1, 12), 16, 10).cast("decimal(38,0)")
+      logical.groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(38, 6)))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 2)).cast("double")
+            .as("sum_price"),
+          sum(h).cast("decimal(38,0)").cast("string").as("rowset_fp"))
+        .orderBy(col("o_orderstatus"))
+    },
+    Some("""
+      |WITH logical AS (
+      |  SELECT o_orderkey, o_orderstatus, o_orderpriority,
+      |         CASE WHEN o_orderkey % 10 = 3
+      |              THEN CAST(o_totalprice AS DECIMAL(12,2)) + CAST(1 AS DECIMAL(12,2))
+      |              ELSE CAST(o_totalprice AS DECIMAL(12,2)) END AS o_totalprice
+      |  FROM orders WHERE o_orderkey % 10 <> 7
+      |)
+      |SELECT o_orderstatus, count(*) AS n_rows,
+      |       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_price,
+      |       CAST(CAST(SUM(CAST(('0x' || substring(md5(
+      |         o_orderkey::VARCHAR || '|' || o_orderstatus || '|' ||
+      |         o_orderpriority || '|' || o_totalprice::VARCHAR), 1, 12))::BIGINT
+      |         AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS VARCHAR) AS rowset_fp
+      |FROM logical GROUP BY 1 ORDER BY o_orderstatus
+      """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
     Seq(compactRoundtrip, repartitionLayout, snapshotDiffQ, zorderRoundtrip,
-      incrementalRollup, ivfAppend, scd2Q, vacuumQ, evolveQ, mergeQ)
+      incrementalRollup, ivfAppend, scd2Q, vacuumQ, evolveQ, mergeQ, morMerge)
 }

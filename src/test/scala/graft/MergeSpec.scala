@@ -55,4 +55,37 @@ class MergeSpec extends SparkSpec {
     assert(out.count() == n)
     assert(out.filter(col("status") === "t").count() == n / 2)
   }
+
+  test("maint_mor_merge: the read-path logical table equals the copy-on-write result") {
+    import org.apache.spark.sql.types.DecimalType
+    // the registered query's aggregate is hash-gated; here the ROW-LEVEL
+    // logical table is checked against the direct (copy-on-write) form
+    val dir = sf("sf0.001")
+    val dec = DecimalType(12, 2)
+    val direct = Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % 10 =!= 7)
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 10 === 3,
+          col("o_totalprice").cast(dec) + lit(1).cast(dec))
+          .otherwise(col("o_totalprice").cast(dec)).as("o_totalprice"))
+      .collect().map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+    val out = graft.queries.Queries.queriesMap("maint_mor_merge")(spark, dir).collect()
+    assert(out.map(_.getLong(1)).sum == direct.size) // n_rows conserves
+    // deleted keys really are gone and an updated key carries the bump:
+    // recompute one group's fingerprint driver-side from the direct map
+    val base = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h48(s: String): BigInt = BigInt(
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12), 16)
+    val expectFp = direct.toSeq.groupBy { case (k, _) => base(k)._1 }
+      .view.mapValues(_.map { case (k, price) =>
+        h48(s"$k|${base(k)._1}|${base(k)._2}|${price.toPlainString}")
+      }.sum.toString()).toMap
+    out.foreach { r =>
+      assert(r.getString(3) == expectFp(r.getString(0)),
+        s"fingerprint mismatch for status ${r.getString(0)}")
+    }
+  }
 }
