@@ -799,8 +799,50 @@ object EventQueries {
       |FROM f GROUP BY event_type ORDER BY event_type
       """.stripMargin.trim))
 
+  private val reachQ = QueryDef(
+    "ev_cumulative_reach",
+    "Daily active users and cumulative reach — the growth-dashboard " +
+      "pair: DAU = per-day distinct users (one day-keyed distinct " +
+      "aggregate), new users = count by each user's FIRST day (one " +
+      "user-keyed min), cumulative reach = prefix sum of new users " +
+      "over the day grid (a window over ≤|calendar| rows — the " +
+      "row-sized work is two keyed shuffles, the cumulative window is " +
+      "calendar-bounded). Exact integers throughout; the cumulative " +
+      "column's last row equals the corpus-wide distinct-user count " +
+      "by construction.",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      val dau = ev.groupBy(col("day")).agg(countDistinct(col("user_id")).as("dau"))
+      val newU = ev.groupBy(col("user_id")).agg(min(col("day")).as("day"))
+        .groupBy(col("day")).agg(count(lit(1)).as("new_users"))
+      dau.join(newU, Seq("day"), "left")
+        .withColumn("new_users", coalesce(col("new_users"), lit(0L)))
+        .withColumn("cum_reach", sum(col("new_users")).over(
+          Window.orderBy(col("day"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .orderBy(col("day"))
+    },
+    Some("""
+      |WITH ev AS (
+      |  SELECT user_id, strftime(ts::TIMESTAMP, '%Y-%m-%d') AS day FROM events
+      |), dau AS (
+      |  SELECT day, count(DISTINCT user_id) AS dau FROM ev GROUP BY 1
+      |), firsts AS (
+      |  SELECT user_id, min(day) AS day FROM ev GROUP BY 1
+      |), newu AS (
+      |  SELECT day, count(*) AS new_users FROM firsts GROUP BY 1
+      |)
+      |SELECT dau.day, dau.dau, COALESCE(newu.new_users, 0) AS new_users,
+      |       SUM(COALESCE(newu.new_users, 0)) OVER (ORDER BY dau.day
+      |         ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_reach
+      |FROM dau LEFT JOIN newu ON dau.day = newu.day
+      |ORDER BY dau.day
+      """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
     Seq(tumbling, sliding, sessionsQ, propsQ, firstQ, valueStats, pivotQ, asofQ,
       rangeQ, movingQ, gapsQ, funnelQ, percentilesQ, histogramQ, outliersQ,
-      cohortsQ, gapfillQ, rfmQ, rangeFrameQ, trigramsQ, madQ)
+      cohortsQ, gapfillQ, rfmQ, rangeFrameQ, trigramsQ, madQ, reachQ)
 }
