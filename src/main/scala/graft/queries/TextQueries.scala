@@ -1190,8 +1190,75 @@ object TextQueries {
       |FROM sc ORDER BY rake_score DESC, phrase LIMIT 15
       """.stripMargin.trim))
 
+  private val readabilityQ = QueryDef(
+    "txt_readability",
+    "Flesch–Kincaid grade level per language — the readability gate a " +
+      "curriculum/quality pipeline scores with: sentences = non-blank " +
+      "[.!?]+ segments (normalize keeps punctuation), syllables = " +
+      "vowel-group runs per token via the split-count identity " +
+      "(len(split(w, '[aeiouy]+')) − 1 — both engines keep trailing " +
+      "empties, probed), min 1 per word. All three totals are exact " +
+      "integer sums (token-level counts folded per doc, rolled up per " +
+      "language); the FK formula runs once per output row in double " +
+      "with one fixed shape. Pure projection + one lang rollup.",
+    (s, dir) => {
+      val d = docToks(s, dir)
+        .select(col("lang"), col("toks"),
+          greatest(lit(1L),
+            size(filter(split(col("norm"), "[.!?]+"), x => trim(x) =!= ""))
+              .cast("long")).as("n_sent"),
+          size(col("toks")).cast("long").as("n_words"),
+          aggregate(col("toks"), lit(0L), (acc, t) =>
+            acc + greatest(lit(1), size(split(t, "[aeiouy]+")) - 1).cast("long"))
+            .as("n_syl"))
+      d.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("n_words"),
+          sum(col("n_sent")).as("n_sentences"),
+          sum(col("n_syl")).as("n_syllables"))
+        .select(col("lang"), col("n_docs"), col("n_words"),
+          col("n_sentences"), col("n_syllables"),
+          round(col("n_words").cast("double") / col("n_sentences").cast("double"), 6)
+            .as("words_per_sentence"),
+          round(col("n_syllables").cast("double") / col("n_words").cast("double"), 6)
+            .as("syllables_per_word"),
+          round(lit(0.39) * (col("n_words").cast("double") / col("n_sentences").cast("double")) +
+            lit(11.8) * (col("n_syllables").cast("double") / col("n_words").cast("double")) -
+            lit(15.59), 6).as("fk_grade"))
+        .orderBy(col("lang"))
+    },
+    Some(s"""
+      |WITH t0 AS (
+      |  SELECT doc_id, lang, ${Duck.norm} AS norm FROM documents
+      |), tt AS (
+      |  SELECT doc_id, lang, norm, ${Duck.toks} AS toks FROM t0
+      |), d AS (
+      |  SELECT lang,
+      |         greatest(1, len(list_filter(string_split_regex(norm, '[.!?]+'),
+      |           x -> trim(x) <> '')))::BIGINT AS n_sent,
+      |         len(toks)::BIGINT AS n_words,
+      |         list_aggregate(list_transform(toks,
+      |           t -> greatest(1, len(string_split_regex(t, '[aeiouy]+')) - 1)),
+      |           'sum')::BIGINT AS n_syl
+      |  FROM tt
+      |), g AS (
+      |  SELECT lang, count(*) AS n_docs, SUM(n_words)::BIGINT AS n_words,
+      |         SUM(n_sent)::BIGINT AS n_sentences,
+      |         SUM(COALESCE(n_syl, 0))::BIGINT AS n_syllables
+      |  FROM d GROUP BY 1
+      |)
+      |SELECT lang, n_docs, n_words, n_sentences, n_syllables,
+      |       round(n_words::DOUBLE / n_sentences::DOUBLE, 6) AS words_per_sentence,
+      |       round(n_syllables::DOUBLE / n_words::DOUBLE, 6) AS syllables_per_word,
+      |       round(0.39::DOUBLE * (n_words::DOUBLE / n_sentences::DOUBLE) +
+      |             11.8::DOUBLE * (n_syllables::DOUBLE / n_words::DOUBLE) -
+      |             15.59::DOUBLE, 6) AS fk_grade
+      |FROM g ORDER BY lang
+      """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
     Seq(stats, langQ, quality, fp, topTokens, bigramLift, lmQ, simhashQ,
       embedQ, embedKnnQ, bm25Q, hybridRrfQ, crossencQ, maxsimQ, tfidfQ, chunksQ, packQ,
-      tokenBudgetQ, gopherQ, dupNgramsQ, piiQ, noveltyQ, invIndexQ, bpeTrainQ, rakeQ)
+      tokenBudgetQ, gopherQ, dupNgramsQ, piiQ, noveltyQ, invIndexQ, bpeTrainQ, rakeQ,
+      readabilityQ)
 }

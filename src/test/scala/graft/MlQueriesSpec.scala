@@ -401,6 +401,30 @@ class MlQueriesSpec extends SparkSpec {
     }
   }
 
+  test("txt_readability equals the brute-force Flesch-Kincaid computation") {
+    val out = run("txt_readability").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(7))))
+      .toMap
+    val docs = Tables.documents(spark, sf("sf0.001"))
+      .select(col("lang"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val vowelRuns = "[aeiouy]+".r
+    val perLang = docs.groupBy(_._1).map { case (lang, rows) =>
+      var (w, s, y) = (0L, 0L, 0L)
+      rows.foreach { case (_, text) =>
+        val norm = text.trim.replaceAll("\\s+", " ").toLowerCase
+        val toks = norm.split("[^a-z0-9]+").filter(_.nonEmpty)
+        w += toks.length
+        s += math.max(1, norm.split("[.!?]+", -1).count(_.trim.nonEmpty))
+        y += toks.map(t => math.max(1, vowelRuns.findAllIn(t).length).toLong).sum
+      }
+      val fk = 0.39 * (w.toDouble / s.toDouble) + 11.8 * (y.toDouble / w.toDouble) - 15.59
+      lang -> ((rows.length.toLong, w, s, y,
+        BigDecimal(fk).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }
+    assert(out == perLang, s"\n$out\nvs\n$perLang")
+  }
+
   test("sql_recursive_rollup: roots are leading digits; counts and cents conserve") {
     val out = run("sql_recursive_rollup").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
