@@ -30,6 +30,25 @@ object Knn {
   case object L2 extends Metric { def apply(a: Column, b: Column): Column = l2Distance(a, b) }
   case object NegDot extends Metric { def apply(a: Column, b: Column): Column = -dotProduct(a, b) }
 
+  /** The reference UI's k domain: the Streamlit slider pins top_k to
+    * [1, 10] (`streamlit_app.py:209` — min_value=1, max_value=10), so an
+    * out-of-range k is clamped to the domain edge, never an error.
+    */
+  val ReferenceMinK = 1
+  val ReferenceMaxK = 10
+
+  /** Clamp k into the reference UI's [1, 10] domain. */
+  def clampK(k: Int): Int = math.min(math.max(k, ReferenceMinK), ReferenceMaxK)
+
+  /** Reference-parity search: identical to [[search]] but with k clamped
+    * to the slider range the reference exposes — the API a reference user
+    * actually gets (they cannot ask Oracle for k = 10000 through the UI).
+    */
+  def referenceSearch(corpus: DataFrame, vecCol: String, idCol: String,
+                      queryVec: Array[Float], k: Int,
+                      metric: Metric = Cosine): DataFrame =
+    search(corpus, vecCol, idCol, queryVec, clampK(k), metric)
+
   /** Exact top-k under `metric` for a single query vector. */
   def search(corpus: DataFrame, vecCol: String, idCol: String,
              queryVec: Array[Float], k: Int,

@@ -711,7 +711,8 @@ object EventQueries {
       |  WINDOW fr AS (PARTITION BY user_id ORDER BY us
       |                RANGE BETWEEN 600000000 PRECEDING AND 1 PRECEDING)
       |)
-      |SELECT event_id, user_id, event_type, n_prev_10m, cents_prev_10m
+      |SELECT event_id, user_id, event_type, n_prev_10m,
+      |       cents_prev_10m::BIGINT AS cents_prev_10m
       |FROM w ORDER BY n_prev_10m DESC, event_id LIMIT 100
       """.stripMargin.trim))
 

@@ -185,7 +185,7 @@ object QualityQueries {
       |    ON o.o_custkey = c.c_custkey
       |  WHERE c.c_custkey IS NULL
       |)
-      |SELECT rule, n_violations, n.n_rows
+      |SELECT rule, n_violations::BIGINT AS n_violations, n.n_rows
       |FROM (SELECT * FROM row_local UNION ALL SELECT * FROM fk), n
       |ORDER BY rule
       """.stripMargin.trim))
@@ -257,8 +257,15 @@ object QualityQueries {
       "is exact and the string form is engine-stable. One partial-" +
       "aggregated scan; output is |sources| rows.",
     (s, dir) => {
+      // coalesce EVERY component: concat_ws silently skips NULLs while
+      // the oracle's || nulls the whole key — either way a NULL-bearing
+      // row would stop moving the checksum, which is exactly the
+      // corruption class a fingerprint must catch. '<null>' sentinels
+      // keep the two engines' keys byte-identical.
       val rowKey = concat_ws("|",
-        col("doc_id").cast("string"), col("lang"), md5(col("text")))
+        coalesce(col("doc_id").cast("string"), lit("<null>")),
+        coalesce(col("lang"), lit("<null>")),
+        coalesce(md5(col("text")), lit("<null>")))
       val h = conv(substring(md5(rowKey), 1, 12), 16, 10).cast(DecimalType(38, 0))
       Tables.documents(s, dir)
         .groupBy(col("source"))
@@ -273,7 +280,9 @@ object QualityQueries {
       |       min(doc_id) AS min_id, max(doc_id) AS max_id,
       |       SUM(n_chars)::BIGINT AS sum_chars,
       |       CAST(CAST(SUM(CAST(('0x' || substring(md5(
-      |         doc_id::VARCHAR || '|' || lang || '|' || md5(text)), 1, 12))::BIGINT
+      |         coalesce(doc_id::VARCHAR, '<null>') || '|' ||
+      |         coalesce(lang, '<null>') || '|' ||
+      |         coalesce(md5(text), '<null>')), 1, 12))::BIGINT
       |         AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS VARCHAR) AS rowset_fp
       |FROM documents GROUP BY 1 ORDER BY source
       """.stripMargin.trim))

@@ -480,8 +480,13 @@ object RelationalQueries {
     (s, dir) => {
       // the default 1M-row recursion guardrail trips at sf10's 15M-row
       // tree; the traversal is depth-bounded (≤ log₁₀ keys levels), so
-      // raising the ROW limit is the intended knob for a big table
-      s.conf.set("spark.sql.cteRecursionRowLimit", Int.MaxValue.toString)
+      // raising the ROW limit is the intended knob for a big table. The
+      // limit must still be in effect at EXECUTION time (the DF is lazy,
+      // so try/finally-restoring here would undo it before the driver
+      // runs the query) — use a bounded value sized ~6× the sf100 tree
+      // instead of Int.MaxValue so the runaway-recursion guardrail stays
+      // meaningful for every later query on the shared session.
+      s.conf.set("spark.sql.cteRecursionRowLimit", (100000000).toString)
       Tables.customer(s, dir)
         .select(col("c_custkey"),
           (col("c_acctbal").cast(DecimalType(12, 2)) * 100).cast("long").as("cents"))

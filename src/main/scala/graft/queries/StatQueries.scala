@@ -271,7 +271,7 @@ object StatQueries {
       |r0 AS (SELECT id, CAST(40000000000 AS BIGINT) AS r FROM v)
       """.stripMargin.trim +
       prIter(1, 0, 6000000000L) + prIter(2, 1, 6000000000L) + prIter(3, 2, 6000000000L) + """
-      |SELECT n.n_name AS nation, r3.r AS rank_micro
+      |SELECT n.n_name AS nation, r3.r::BIGINT AS rank_micro
       |FROM r3 JOIN nation n ON n.n_nationkey = r3.id
       |ORDER BY rank_micro DESC, nation
       """.stripMargin))
@@ -450,7 +450,7 @@ object StatQueries {
       |  SELECT vc, na, nb, abs(ca * nb - cb * na) AS num
       |  FROM c ORDER BY num DESC, vc LIMIT 1
       |)
-      |SELECT na AS n_a, nb AS n_b,
+      |SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b,
       |       round(num::DOUBLE / (na::DOUBLE * nb::DOUBLE), 6) AS ks_d,
       |       vc::DOUBLE / 100.0 AS at_value
       |FROM d
@@ -862,7 +862,7 @@ object StatQueries {
       |         row_number() OVER (PARTITION BY event_type ORDER BY s DESC, day) AS rn
       |  FROM cu
       |)
-      |SELECT event_type, day AS change_day, s AS cusum_stat,
+      |SELECT event_type, day AS change_day, s::BIGINT AS cusum_stat,
       |       round(s::DOUBLE / n::DOUBLE, 6) AS norm_stat
       |FROM top WHERE rn = 1 ORDER BY event_type
       """.stripMargin.trim))
@@ -1105,9 +1105,9 @@ object StatQueries {
       |  SELECT t, SUM(e)::BIGINT AS d, SUM(1 - e)::BIGINT AS c FROM cohort GROUP BY 1
       |), g2 AS (
       |  SELECT t, d, c,
-      |         SUM(d + c) OVER () -
+      |         (SUM(d + c) OVER () -
       |           COALESCE(SUM(d + c) OVER (ORDER BY t
-      |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))::BIGINT AS n
       |  FROM grid
       |), a AS (
       |  SELECT list(struct_pack(t := t, d := d, c := c, n := n) ORDER BY t) AS arr FROM g2
