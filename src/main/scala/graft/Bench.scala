@@ -38,6 +38,9 @@ object Bench {
     // (PcaStore) and maint_ivf_append its one-time store build+append
     Seq("knn_exact_cosine", "txt_stats", "dedup_clusters", "q1_pricing_summary",
         "ann_ivf_rule_rewrite", "ann_ivf_kmeans_rewrite", "ann_lsh_rule_rewrite",
+        // ann_nsw_beam's warmup performs the one-time sharded NSW graph
+        // build+write so the timed run measures the beam-search READ path
+        "ann_nsw_beam",
         "ann_pq_adc", "ann_ivfpq_adc", "vec_pca_knn", "maint_ivf_append",
         "vec_bq_hamming_rescore", "stream_ingest_dedup", "stream_serve_knn",
         "maint_compact_roundtrip", "maint_zorder_roundtrip",
@@ -48,6 +51,10 @@ object Bench {
         // src_bucketed_join's warmup writes the one-time bucketed
         // external tables so the timed run measures the co-located join
         "src_csv_roundtrip", "src_json_roundtrip", "src_orc_roundtrip",
+        // src_jdbc_roundtrip's warmup performs the one-time embedded-
+        // Derby database build (batched JDBC inserts) so the timed run
+        // measures the partitioned JDBC READ path
+        "src_jdbc_roundtrip",
         "src_bucketed_join", "maint_mor_merge",
         // stream_trending_topk's warmup runs its one-time complete-mode
         // trending stream (TrendingStore) so the timed run measures the

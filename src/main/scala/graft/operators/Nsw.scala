@@ -1,0 +1,232 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import scala.collection.mutable
+
+/** Graph-based ANN: sharded Navigable-Small-World beam search — the
+  * last ANN family member beside IVF/LSH/PQ (Malkov et al. 2014 NSW;
+  * HNSW 2016 adds a layer hierarchy on the same search principle).
+  *
+  * Spark-first layout: the corpus is hash-sharded (`vec_id % nShards`),
+  * and each shard gets an INDEPENDENT small-world graph built inside
+  * one `mapPartitions` task — the sanctioned per-partition imperative
+  * case: graph insertion is inherently sequential within a shard, but
+  * shards build in parallel and never communicate. At 100 TB you pick
+  * nShards so a shard (vectors + adjacency) fits one executor's memory
+  * (e.g. ~1M × 384-d ≈ 1.5 GB/shard → a few thousand shards); build
+  * cost per shard is n·log n beam searches instead of the n² of a
+  * brute-force kNN-graph.
+  *
+  * Search fans one beam per shard (each task touches O(ef·log n) nodes
+  * of its local graph, not the shard), emits ≤ efSearch candidate ids
+  * per shard, and the union (≤ nShards·efSearch ids — bounded, like
+  * IVF's probe list) is re-ranked EXACTLY by the same codegen'd cosine
+  * expression the exact-KNN path uses. That two-stage shape is what
+  * makes the result hash-gateable: the candidate set is deterministic
+  * (ascending-id insertion, id tie-breaks everywhere), so the DuckDB
+  * oracle re-ranks the identical id list with its own cosine and must
+  * agree bit-for-bit after the shared round(·,6) exit.
+  *
+  * Determinism contract (everything the oracle leans on):
+  *   - insertion order = ascending vec_id within a shard;
+  *   - entry point = smallest vec_id in the shard;
+  *   - all heap orderings break distance ties by smaller id;
+  *   - distances in Double with fixed left-to-right accumulation.
+  */
+object Nsw {
+
+  /** Build/search knobs. `m` = edges added per insertion, `maxDegree` =
+    * cap after bidirectional backlinks (2m, the usual NSW setting),
+    * `efConstruction`/`efSearch` = beam widths.
+    */
+  final case class Params(
+      nShards: Int = 4,
+      m: Int = 8,
+      efConstruction: Int = 32,
+      efSearch: Int = 32) {
+    val maxDegree: Int = 2 * m
+  }
+
+  private def cosine(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      dot += a(i).toDouble * b(i)
+      na += a(i).toDouble * a(i)
+      nb += b(i).toDouble * b(i)
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 1.0 else 1.0 - dot / denom
+  }
+
+  /** (distance, id) ordering with the id tiebreak — the ONE ordering
+    * every heap below uses, so the search is deterministic.
+    */
+  private val byDistThenId: Ordering[(Double, Long)] =
+    Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long)
+
+  /** Greedy best-first beam over one shard's graph: returns the ef
+    * closest visited nodes to `q`, ascending (distance, id). Classic
+    * NSW search — a min-heap of frontier candidates, a bounded
+    * max-heap of results; stop when the nearest frontier node is
+    * farther than the worst retained result.
+    */
+  def beamSearch(q: Array[Float], entry: Long,
+                 vecs: collection.Map[Long, Array[Float]],
+                 adj: collection.Map[Long, Array[Long]],
+                 ef: Int): Seq[(Double, Long)] = {
+    val visited = mutable.Set[Long](entry)
+    val d0 = cosine(q, vecs(entry))
+    val frontier = mutable.PriorityQueue((d0, entry))(byDistThenId.reverse) // min-heap
+    val results = mutable.PriorityQueue((d0, entry))(byDistThenId)         // max-heap
+    while (frontier.nonEmpty) {
+      val (d, node) = frontier.dequeue()
+      if (results.size >= ef && byDistThenId.gt((d, node), results.head)) {
+        frontier.clear() // nearest frontier ≥ worst result: done
+      } else {
+        adj.getOrElse(node, Array.empty).foreach { nb =>
+          if (visited.add(nb)) {
+            val dn = cosine(q, vecs(nb))
+            if (results.size < ef || byDistThenId.lt((dn, nb), results.head)) {
+              results.enqueue((dn, nb))
+              if (results.size > ef) results.dequeue()
+              frontier.enqueue((dn, nb))
+            }
+          }
+        }
+      }
+    }
+    results.dequeueAll.reverse.toSeq
+  }
+
+  /** One shard's NSW graph by incremental insertion (ascending id):
+    * each new node links to its `m` nearest among already-inserted
+    * nodes (found by a beam of width efConstruction), bidirectionally;
+    * any node exceeding maxDegree keeps its maxDegree closest edges.
+    */
+  def buildShardGraph(nodes: Array[(Long, Array[Float])],
+                      p: Params): Map[Long, Array[Long]] = {
+    val sorted = nodes.sortBy(_._1)
+    val vecs = mutable.Map.empty[Long, Array[Float]]
+    // adjacency arrays are rebuilt on append/trim — each is ≤ maxDegree+1
+    // long, so the copies are O(1); the map itself is never copied
+    val adj = mutable.Map.empty[Long, Array[Long]]
+    def trim(id: Long): Unit = {
+      val edges = adj(id)
+      if (edges.length > p.maxDegree)
+        adj(id) = edges.map(e => (cosine(vecs(id), vecs(e)), e))
+          .sorted(byDistThenId).take(p.maxDegree).map(_._2)
+    }
+    sorted.foreach { case (id, v) =>
+      if (vecs.isEmpty) { vecs(id) = v; adj(id) = Array.empty }
+      else {
+        val entry = sorted.head._1
+        val near = beamSearch(v, entry, vecs, adj,
+          math.max(p.efConstruction, p.m)).take(p.m)
+        vecs(id) = v
+        adj(id) = near.map(_._2).toArray
+        near.foreach { case (_, nb) => adj(nb) = adj(nb) :+ id; trim(nb) }
+        trim(id)
+      }
+    }
+    adj.toMap
+  }
+
+  private val graphSchema: StructType = StructType(Seq(
+    StructField("shard", IntegerType),
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("neighbors", ArrayType(LongType))))
+
+  /** Build the sharded graph store: one `mapPartitions` task per shard
+    * (shards never communicate), output rows (shard, vec_id, embedding,
+    * neighbors). Write this partitioned by `shard` so search's per-shard
+    * tasks read exactly one directory each.
+    */
+  def buildGraph(corpus: DataFrame, vecCol: String, idCol: String,
+                 p: Params): DataFrame = {
+    val spark = corpus.sparkSession
+    val sharded = corpus
+      .select(pmod(col(idCol), lit(p.nShards)).cast("int").as("shard"),
+        col(idCol).cast("long").as("vec_id"), col(vecCol).cast("array<float>").as("embedding"))
+      .repartition(p.nShards, col("shard"))
+    val out = sharded.queryExecution.toRdd.mapPartitions { it =>
+      val rows = it.map { ir =>
+        (ir.getInt(0), ir.getLong(1), ir.getArray(2).toFloatArray())
+      }.toArray
+      rows.groupBy(_._1).iterator.flatMap { case (shard, grp) =>
+        val nodes = grp.map(r => (r._2, r._3))
+        val adj = buildShardGraph(nodes, p)
+        nodes.sortBy(_._1).iterator.map { case (id, v) =>
+          Row(shard, id, v.toSeq, adj.getOrElse(id, Array.empty[Long]).toSeq)
+        }
+      }
+    }
+    spark.createDataFrame(out, graphSchema)
+  }
+
+  /** Per-shard beam candidates for one query: ≤ efSearch ids per shard
+    * (ascending (distance, id) within the shard). The scan is one pass
+    * over the graph store; each task returns a bounded row count —
+    * the same "every task returns ≤ k rows" contract as exact KNN.
+    */
+  def shardCandidates(graph: DataFrame, queryVec: Array[Float],
+                      p: Params): DataFrame = {
+    val spark = graph.sparkSession
+    val q = spark.sparkContext.broadcast(queryVec)
+    val prepared = graph
+      .select(col("shard"), col("vec_id"), col("embedding"), col("neighbors"))
+      .repartition(p.nShards, col("shard"))
+    val out = prepared.queryExecution.toRdd.mapPartitions { it =>
+      val rows = it.map { ir =>
+        (ir.getInt(0), ir.getLong(1), ir.getArray(2).toFloatArray(),
+          ir.getArray(3).toLongArray())
+      }.toArray
+      rows.groupBy(_._1).iterator.flatMap { case (shard, grp) =>
+        val vecs = grp.map(r => (r._2, r._3)).toMap
+        val adj = grp.map(r => (r._2, r._4)).toMap
+        val entry = grp.iterator.map(_._2).min
+        beamSearch(q.value, entry, vecs, adj, p.efSearch)
+          .iterator.map { case (d, id) => Row(shard, id, d) }
+      }
+    }
+    spark.createDataFrame(out, StructType(Seq(
+      StructField("shard", IntegerType),
+      StructField("vec_id", LongType),
+      StructField("beam_distance", DoubleType))))
+  }
+
+  /** Persist the graph store partitioned by `shard`: each search task
+    * then reads exactly one shard directory (static pruning if a probe
+    * policy ever restricts shards; locality either way).
+    */
+  def writeGraph(graph: DataFrame, path: String): Unit =
+    graph.write.partitionBy("shard").mode("overwrite").parquet(path)
+
+  /** Read a persisted graph store (partition column restored to int). */
+  def readGraph(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+      .select(col("shard").cast("int").as("shard"), col("vec_id"),
+        col("embedding"), col("neighbors"))
+
+  /** End-to-end search: beam per shard → bounded candidate id list
+    * (≤ nShards·efSearch, collected like IVF's probe list) → EXACT
+    * top-k over the candidates via the same codegen'd expression and
+    * TakeOrderedAndProject as exact KNN, with the `vec_id IN (...)`
+    * filter pushed into the corpus scan. Returns (result, candidates)
+    * so callers (the late oracle, recall telemetry) see the id set.
+    */
+  def search(graph: DataFrame, corpus: DataFrame, vecCol: String,
+             idCol: String, queryVec: Array[Float], k: Int,
+             p: Params, metric: Knn.Metric = Knn.Cosine): (DataFrame, Seq[Long]) = {
+    val cands = shardCandidates(graph, queryVec, p)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq.sorted
+    val result = Knn.search(
+      corpus.filter(col(idCol).isin(cands: _*)),
+      vecCol, idCol, queryVec, k, metric)
+    (result, cands)
+  }
+}

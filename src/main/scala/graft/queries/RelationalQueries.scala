@@ -480,30 +480,41 @@ object RelationalQueries {
     (s, dir) => {
       // the default 1M-row recursion guardrail trips at sf10's 15M-row
       // tree; the traversal is depth-bounded (≤ log₁₀ keys levels), so
-      // raising the ROW limit is the intended knob for a big table. The
-      // limit must still be in effect at EXECUTION time (the DF is lazy,
-      // so try/finally-restoring here would undo it before the driver
-      // runs the query) — use a bounded value sized ~6× the sf100 tree
-      // instead of Int.MaxValue so the runaway-recursion guardrail stays
-      // meaningful for every later query on the shared session.
-      s.conf.set("spark.sql.cteRecursionRowLimit", (100000000).toString)
+      // raising the ROW limit is the intended knob for a big table.
+      // Every customer key enters the frontier exactly once, so the
+      // recursion's total row volume ≈ |customer| — derive the limit
+      // from the actual table size (4× margin) instead of a fixed
+      // constant, and RESTORE the session's prior value afterwards:
+      // the raised limit must only be in effect at EXECUTION time, so
+      // the result is materialized eagerly (localCheckpoint) inside
+      // the try, leaving the runaway-recursion guard intact for every
+      // later query on the shared session. The checkpointed output is
+      // |roots| ≤ 10 rows — re-reads hit the blocks, never re-recurse.
       Tables.customer(s, dir)
         .select(col("c_custkey"),
           (col("c_acctbal").cast(DecimalType(12, 2)) * 100).cast("long").as("cents"))
         .createOrReplaceTempView("graft_hier_customer")
-      s.sql("""
-        WITH RECURSIVE tree(custkey, root, depth, cents) AS (
-          SELECT c_custkey, c_custkey, 0, cents
-          FROM graft_hier_customer WHERE c_custkey < 10
-          UNION ALL
-          SELECT c.c_custkey, t.root, t.depth + 1, c.cents
-          FROM graft_hier_customer c JOIN tree t
-            ON c.c_custkey div 10 = t.custkey
-          WHERE c.c_custkey >= 10
-        )
-        SELECT root, count(*) AS n_nodes, CAST(max(depth) AS BIGINT) AS max_depth,
-               sum(cents) AS total_cents
-        FROM tree GROUP BY root ORDER BY root""")
+      val key = "spark.sql.cteRecursionRowLimit"
+      val prev = s.conf.get(key)
+      val derived = math.min(
+        math.max(4L * Tables.customer(s, dir).count(), prev.toLong),
+        Int.MaxValue.toLong)
+      s.conf.set(key, derived.toString)
+      try {
+        s.sql("""
+          WITH RECURSIVE tree(custkey, root, depth, cents) AS (
+            SELECT c_custkey, c_custkey, 0, cents
+            FROM graft_hier_customer WHERE c_custkey < 10
+            UNION ALL
+            SELECT c.c_custkey, t.root, t.depth + 1, c.cents
+            FROM graft_hier_customer c JOIN tree t
+              ON c.c_custkey div 10 = t.custkey
+            WHERE c.c_custkey >= 10
+          )
+          SELECT root, count(*) AS n_nodes, CAST(max(depth) AS BIGINT) AS max_depth,
+                 sum(cents) AS total_cents
+          FROM tree GROUP BY root ORDER BY root""").localCheckpoint()
+      } finally s.conf.set(key, prev)
     },
     Some("""
       |WITH RECURSIVE cust AS (

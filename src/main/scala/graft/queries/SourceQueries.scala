@@ -127,6 +127,71 @@ object SourceQueries {
     },
     Some(fidelitySql))
 
+  /** One embedded-Derby database build per (fixture, JVM): documents
+    * written through the generic `df.write.format("jdbc")` path — the
+    * Spark mapping of the reference's ONLY real sink, an Oracle table
+    * loaded row-by-row with INSERT (`ingest_hotels.py:27-34`). Derby
+    * 10.16 ships in /opt/spark/jars (embedded, zero-egress), so the
+    * JDBC write/read legs exercised here are the exact code paths a
+    * reference user would point at Oracle: Spark's JdbcRelationProvider,
+    * dialect type mapping (StringType→CLOB), batched PreparedStatement
+    * inserts, and a partitioned parallel read.
+    */
+  private object JdbcStore {
+    def ensure(s: SparkSession, dir: String): String =
+      TmpStores.memoizedTable("graft_derby_docs", dir) { root =>
+        // keep derby.log out of the process cwd (it would land in the
+        // repo root on every sbt/driver run)
+        System.setProperty("derby.stream.error.file", s"$root/derby.log")
+        val url = s"jdbc:derby:$root/db;create=true"
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+          .write.format("jdbc")
+          .option("url", url)
+          .option("dbtable", "graft_docs")
+          // bounded writer parallelism: a real RDBMS sink is connection-
+          // limited — at 100 TB you size numPartitions to the DB's
+          // ingest capacity, not the cluster's task count
+          .option("numPartitions", "4")
+          .option("batchsize", "1000")
+          .mode("overwrite")
+          .save()
+        url
+      }
+  }
+
+  private val jdbcRoundtrip = QueryDef(
+    "src_jdbc_roundtrip",
+    "JDBC sink/scan fidelity gate (the reference's Oracle INSERT sink, " +
+      "ingest_hotels.py:27-34, re-expressed as Spark's generic JDBC " +
+      "source): documents written into embedded Derby via batched " +
+      "inserts with bounded writer parallelism, then read back as a " +
+      "PARTITIONED parallel scan (partitionColumn=doc_id, 8 range " +
+      "slices — the shape that makes a 100 TB JDBC read distributable; " +
+      "an unpartitioned read would serialize the whole table through " +
+      "one task). Bounds come from one min/max aggregate on the " +
+      "fixture. Same per-lang fidelity aggregate and oracle as the " +
+      "CSV/JSON/ORC gates — a green hash proves the dialect's " +
+      "type-mapped round trip (BIGINT + CLOB) dropped, duplicated, " +
+      "and corrupted nothing.",
+    (s, dir) => {
+      val url = JdbcStore.ensure(s, dir)
+      val bounds = Tables.documents(s, dir)
+        .agg(min(col("doc_id")), max(col("doc_id"))).head()
+      val readBack = s.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "graft_docs")
+        .option("partitionColumn", "doc_id")
+        .option("lowerBound", bounds.getLong(0).toString)
+        .option("upperBound", (bounds.getLong(1) + 1).toString)
+        .option("numPartitions", "8")
+        .load()
+        .select(col("doc_id").cast("long"), col("text"), col("lang"),
+          col("source"), col("n_chars").cast("long"))
+      fidelityAgg(readBack)
+    },
+    Some(fidelitySql))
+
   /** One bucketed-layout build per (session, fixture): orders and
     * customer written as external tables bucketed+sorted on the
     * customer key. Table existence is the memo (catalog is
@@ -181,5 +246,6 @@ object SourceQueries {
       |GROUP BY 1 ORDER BY c_mktsegment
       """.stripMargin.trim))
 
-  val defs: Seq[QueryDef] = Seq(csvRoundtrip, jsonRoundtrip, orcRoundtrip, bucketedJoin)
+  val defs: Seq[QueryDef] =
+    Seq(csvRoundtrip, jsonRoundtrip, orcRoundtrip, jdbcRoundtrip, bucketedJoin)
 }

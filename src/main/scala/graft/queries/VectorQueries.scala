@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.HashingEmbedder
-import graft.operators.{Ann, IvfPq, Knn, Pq}
+import graft.operators.{Ann, IvfPq, Knn, Nsw, Pq}
 import org.apache.spark.sql.functions._
 
 /** Vector-search surface beyond the flagship exact-KNN pair in
@@ -335,6 +335,71 @@ object VectorQueries {
       |FROM top ORDER BY distance, vec_id
       """.stripMargin.trim
     })
+
+  /** Sharded NSW graph store per (fixture, JVM) — the graph-ANN family
+    * member (Malkov et al. 2014; HNSW 2016 layers the same search).
+    * The build is one `mapPartitions` pass (independent per-shard
+    * graphs, ascending-id insertion — deterministic), persisted
+    * partitioned by shard. The beam-searched candidate id set is kept
+    * for the LATE oracle: graph traversal is not SQL-recomputable, so
+    * the oracle re-ranks THIS run's candidate list exactly (the same
+    * self-consistency contract as the fitted-KMeans/PQ oracles).
+    */
+  private object NswStore {
+    val params: Nsw.Params = Nsw.Params(nShards = 4, m = 8,
+      efConstruction = 32, efSearch = 32)
+    val candidates = scala.collection.concurrent.TrieMap.empty[String, Seq[Long]]
+    @volatile var lastDir: Option[String] = None
+    private val written = scala.collection.concurrent.TrieMap.empty[String, String]
+    def ensure(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+      lastDir = Some(dir)
+      written.getOrElseUpdate(dir, {
+        val p = TmpStores.pidScopedPath("graft_nsw_idx", dir)
+        Nsw.writeGraph(Nsw.buildGraph(Tables.embeddings(s, dir),
+          "embedding", "vec_id", params), p)
+        p
+      })
+    }
+  }
+
+  private val nswBeam = QueryDef(
+    "ann_nsw_beam",
+    "Graph-ANN (sharded Navigable-Small-World) beam search over the " +
+      "persisted, shard-partitioned graph store: one beam per shard " +
+      "(each task walks O(ef·log n) nodes of its LOCAL graph — no " +
+      "shuffle, no full scan), ≤ nShards·efSearch candidate ids " +
+      "collected (bounded, like IVF's probe list), then exact cosine " +
+      "top-10 over the candidates via the same codegen'd expression + " +
+      "TakeOrderedAndProject as exact KNN, with the id IN-filter " +
+      "pushed to the corpus scan. Build = ascending-id NSW insertion " +
+      "per shard (deterministic; id tie-breaks in every heap). The " +
+      "oracle re-ranks this run's candidate set in SQL — a green hash " +
+      "proves the store round trip and the exact re-rank; NswSpec + " +
+      "RECALL.md cover graph quality (recall vs exact).",
+    (s, dir) => {
+      val path = NswStore.ensure(s, dir)
+      val (res, cands) = Nsw.search(Nsw.readGraph(s, path),
+        Tables.embeddings(s, dir), "embedding", "vec_id",
+        Queries.queryVec64, k = 10, NswStore.params)
+      NswStore.candidates(dir) = cands
+      res.select(col("vec_id"), round(col("distance_score"), 6).as("distance"))
+        .orderBy(col("distance"), col("vec_id"))
+    },
+    oracle = None,
+    oracleLate = Some(() =>
+      NswStore.lastDir.flatMap(NswStore.candidates.get).map { cands =>
+        val qLit = vecLit(Queries.queryVec64)
+        s"""
+        |WITH d AS (
+        |  SELECT vec_id, ${duckCosine("embedding", qLit)} AS dist
+        |  FROM embeddings WHERE vec_id IN (${cands.mkString(", ")})
+        |), top AS (
+        |  SELECT vec_id, dist FROM d ORDER BY dist, vec_id LIMIT 10
+        |)
+        |SELECT vec_id, round(dist, 6) AS distance
+        |FROM top ORDER BY distance, vec_id
+        """.stripMargin.trim
+      }))
 
   /** KMeans-built IVF index per (fixture, JVM) — the QUALITY centroid
     * path (Spark ML k-means‖, fixed seed) on the same persisted,
@@ -1615,7 +1680,7 @@ object VectorQueries {
     })
 
   val defs: Seq[QueryDef] =
-    Seq(filtered, l2Search, batch, ragContext, ivf, lshProbe, ivfRule,
+    Seq(filtered, l2Search, batch, ragContext, ivf, lshProbe, nswBeam, ivfRule,
       lshRule, ivfKmeansRule, filteredIvfRule, mips, quantRescore, sqlApi,
       centroids, quantize, groupTopk, pqAdc, pqRescore, pqBatch, pqStoreAdc,
       matryoshka, ivfPqAdc, pcaKnn, rpKnn, bqHamming, mmrDiversify, recallEval,

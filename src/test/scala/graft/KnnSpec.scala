@@ -53,6 +53,36 @@ class KnnSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("clampK pins k into the reference UI's [1, 10] slider domain") {
+    assert(Knn.clampK(Int.MinValue) == Knn.ReferenceMinK)
+    assert(Knn.clampK(-5) == 1)
+    assert(Knn.clampK(0) == 1)
+    assert(Knn.clampK(1) == 1)
+    assert(Knn.clampK(7) == 7)
+    assert(Knn.clampK(10) == 10)
+    assert(Knn.clampK(11) == 10)
+    assert(Knn.clampK(Int.MaxValue) == Knn.ReferenceMaxK)
+  }
+
+  test("referenceSearch clamps out-of-domain k instead of throwing (slider contract)") {
+    // k=0 would be an IllegalArgumentException through search(); the
+    // reference UI cannot produce it, so referenceSearch clamps to 1
+    assert(Knn.referenceSearch(emb, "embedding", "vec_id", q, k = 0).count() == 1)
+    // k=50 is silently pinned to the slider max of 10 rows
+    assert(Knn.referenceSearch(emb, "embedding", "vec_id", q, k = 50).count() == 10)
+  }
+
+  test("referenceSearch(k) returns exactly search(clampK(k)) for k across the domain") {
+    for (k <- Seq(-3, 0, 1, 5, 10, 11, 50)) {
+      val got = Knn.referenceSearch(emb, "embedding", "vec_id", q, k)
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+      val want = Knn.search(emb, "embedding", "vec_id", q, Knn.clampK(k))
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+      assert(got == want, s"k=$k: referenceSearch != search(clampK(k))")
+      assert(got.length == Knn.clampK(k))
+    }
+  }
+
   test("NegDot metric ranks by descending inner product (MIPS ordering)") {
     val hits = Knn.search(emb, "embedding", "vec_id", q, k = 8, metric = Knn.NegDot)
       .collect()

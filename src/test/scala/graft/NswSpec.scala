@@ -1,0 +1,83 @@
+package graft
+
+import graft.operators.{Knn, Nsw}
+import graft.queries.Queries
+import org.apache.spark.sql.functions._
+
+/** Operator tests for the sharded NSW graph-ANN (the graph family
+  * member beside IVF/LSH/PQ). The registered query's hash gate covers
+  * the exact re-rank; these cover the GRAPH: build invariants, search
+  * determinism, exhaustive-beam exactness, and recall vs exact KNN.
+  */
+class NswSpec extends SparkSpec {
+
+  private lazy val emb = Tables.embeddings(spark, sf("sf0.001"))
+  private val q = Queries.queryVec64
+  private val p = Nsw.Params(nShards = 4, m = 8, efConstruction = 32, efSearch = 32)
+
+  private lazy val graph = Nsw.buildGraph(emb, "embedding", "vec_id", p).cache()
+
+  test("graph covers every corpus vector, degree-capped, no self-loops") {
+    val rows = graph.collect()
+    assert(rows.length == emb.count())
+    rows.foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      val nbrs = r.getSeq[Long](r.fieldIndex("neighbors"))
+      assert(nbrs.length <= p.maxDegree, s"node $id degree ${nbrs.length} > ${p.maxDegree}")
+      assert(!nbrs.contains(id), s"node $id has a self-loop")
+      assert(nbrs.distinct.length == nbrs.length, s"node $id has duplicate edges")
+      assert(r.getAs[Int]("shard") == (id % p.nShards).toInt)
+    }
+  }
+
+  test("every non-entry node is reachable from its shard entry (connectivity)") {
+    val byShard = graph.collect().groupBy(_.getAs[Int]("shard"))
+    byShard.foreach { case (shard, rows) =>
+      val adj = rows.map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Long](r.fieldIndex("neighbors")).toArray).toMap
+      val entry = adj.keys.min
+      val seen = collection.mutable.Set(entry)
+      val stack = collection.mutable.Stack(entry)
+      while (stack.nonEmpty)
+        adj(stack.pop()).foreach(n => if (seen.add(n)) stack.push(n))
+      assert(seen.size == adj.size,
+        s"shard $shard: ${adj.size - seen.size} nodes unreachable from entry")
+    }
+  }
+
+  test("exhaustive beam (ef >= shard size) returns the exact per-shard ranking") {
+    // with ef covering the whole shard the beam must visit everything
+    // reachable, so the candidate union contains the exact global top-10
+    val pAll = p.copy(efSearch = 1000)
+    val (res, cands) = Nsw.search(graph, emb, "embedding", "vec_id", q, 10, pAll)
+    val exact = Knn.search(emb, "embedding", "vec_id", q, 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(exact.toSet.subsetOf(cands.toSet))
+    assert(res.select("vec_id").collect().map(_.getLong(0)).toSeq == exact)
+  }
+
+  test("search is deterministic: identical candidates and results across runs") {
+    val (r1, c1) = Nsw.search(graph, emb, "embedding", "vec_id", q, 10, p)
+    val (r2, c2) = Nsw.search(graph, emb, "embedding", "vec_id", q, 10, p)
+    assert(c1 == c2)
+    assert(r1.collect().toSeq == r2.collect().toSeq)
+  }
+
+  test("default-ef beam reaches recall@10 >= 0.8 vs exact KNN on the fixture") {
+    val (res, cands) = Nsw.search(graph, emb, "embedding", "vec_id", q, 10, p)
+    assert(cands.length <= p.nShards * p.efSearch)
+    val got = res.select("vec_id").collect().map(_.getLong(0)).toSet
+    val exact = Knn.search(emb, "embedding", "vec_id", q, 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = (got & exact).size / 10.0
+    assert(recall >= 0.8, s"NSW recall@10 = $recall")
+  }
+
+  test("beam cost is sublinear: default ef visits a fraction of each shard") {
+    // the candidate list per shard is capped at efSearch = 32 of ~125
+    // shard rows — the emitted row bound that holds at any scale
+    val perShard = Nsw.shardCandidates(graph, q, p)
+      .groupBy("shard").count().collect().map(_.getAs[Long]("count"))
+    assert(perShard.nonEmpty && perShard.forall(_ <= p.efSearch))
+  }
+}

@@ -29,6 +29,19 @@ class QueriesSmokeSpec extends SparkSpec {
     }
   }
 
+  test("sql_recursive_rollup restores cteRecursionRowLimit on the shared session") {
+    // the query derives a raised recursion limit from the table size and
+    // must put the session's runaway-recursion guard back once its eager
+    // materialization completes — a leaked limit weakens the guard for
+    // every later query on the shared session
+    val key = "spark.sql.cteRecursionRowLimit"
+    val before = spark.conf.get(key)
+    val df = Queries.queriesMap("sql_recursive_rollup")(spark, sf("sf0.001"))
+    assert(spark.conf.get(key) == before,
+      s"cteRecursionRowLimit leaked: $before -> ${spark.conf.get(key)}")
+    assert(df.count() > 0) // checkpointed result stays readable post-restore
+  }
+
   // Cross-engine tie safety (the sf10 decade's regression class): a
   // top-k query's SELECTION runs at full precision (the operator's
   // TakeOrderedAndProject), but its PRESENTATION must order on the
