@@ -102,10 +102,36 @@ object Nsw {
     results.dequeueAll.reverse.toSeq
   }
 
+  /** Diverse-neighbor selection (the HNSW select-neighbors heuristic,
+    * Malkov & Yashunin 2016 Alg. 4): walking candidates in ascending
+    * (distance, id), keep one only if it is closer to the BASE than to
+    * every already-kept neighbor; unfilled slots backfill from the
+    * pruned list in order. Plain nearest-m trimming fails on clustered
+    * corpora — it severs exactly the long-range inter-cluster edges
+    * that make the graph navigable, fragmenting it into cluster
+    * islands (measured: mean recall@10 collapsed to 0.48 at ef=32 on
+    * the mixture-of-Gaussians corpus before this heuristic; see
+    * RECALL.md). Deterministic: fixed visit order, id tie-breaks.
+    */
+  def selectNeighbors(cands: Seq[(Double, Long)], m: Int,
+                      vec: Long => Array[Float]): Array[Long] = {
+    val kept = mutable.ArrayBuffer.empty[(Long, Array[Float])]
+    val pruned = mutable.ArrayBuffer.empty[Long]
+    cands.sorted(byDistThenId).foreach { case (d, id) =>
+      if (kept.size < m) {
+        val cv = vec(id)
+        if (kept.forall { case (_, kv) => cosine(cv, kv) >= d }) kept += ((id, cv))
+        else pruned += id
+      }
+    }
+    (kept.map(_._1) ++ pruned.take(m - kept.size)).toArray
+  }
+
   /** One shard's NSW graph by incremental insertion (ascending id):
-    * each new node links to its `m` nearest among already-inserted
-    * nodes (found by a beam of width efConstruction), bidirectionally;
-    * any node exceeding maxDegree keeps its maxDegree closest edges.
+    * each new node links to `m` DIVERSE nodes among its
+    * efConstruction-beam nearest (the select-neighbors heuristic),
+    * bidirectionally; any node exceeding maxDegree re-selects
+    * maxDegree diverse edges the same way.
     */
   def buildShardGraph(nodes: Array[(Long, Array[Float])],
                       p: Params): Map[Long, Array[Long]] = {
@@ -116,19 +142,21 @@ object Nsw {
     val adj = mutable.Map.empty[Long, Array[Long]]
     def trim(id: Long): Unit = {
       val edges = adj(id)
-      if (edges.length > p.maxDegree)
-        adj(id) = edges.map(e => (cosine(vecs(id), vecs(e)), e))
-          .sorted(byDistThenId).take(p.maxDegree).map(_._2)
+      if (edges.length > p.maxDegree) {
+        val base = vecs(id)
+        adj(id) = selectNeighbors(
+          edges.map(e => (cosine(base, vecs(e)), e)).toSeq, p.maxDegree, vecs)
+      }
     }
     sorted.foreach { case (id, v) =>
       if (vecs.isEmpty) { vecs(id) = v; adj(id) = Array.empty }
       else {
         val entry = sorted.head._1
         val near = beamSearch(v, entry, vecs, adj,
-          math.max(p.efConstruction, p.m)).take(p.m)
+          math.max(p.efConstruction, p.m))
         vecs(id) = v
-        adj(id) = near.map(_._2).toArray
-        near.foreach { case (_, nb) => adj(nb) = adj(nb) :+ id; trim(nb) }
+        adj(id) = selectNeighbors(near, p.m, vecs)
+        adj(id).foreach { nb => adj(nb) = adj(nb) :+ id; trim(nb) }
         trim(id)
       }
     }

@@ -260,12 +260,14 @@ object QualityQueries {
       // coalesce EVERY component: concat_ws silently skips NULLs while
       // the oracle's || nulls the whole key — either way a NULL-bearing
       // row would stop moving the checksum, which is exactly the
-      // corruption class a fingerprint must catch. '<null>' sentinels
-      // keep the two engines' keys byte-identical.
+      // corruption class a fingerprint must catch. The sentinel is the
+      // control char U+0001 (DuckDB chr(1)) — outside any plausible
+      // value domain, so a LITERAL string that spells a sentinel can't
+      // collide with a genuine NULL and hide that corruption class.
       val rowKey = concat_ws("|",
-        coalesce(col("doc_id").cast("string"), lit("<null>")),
-        coalesce(col("lang"), lit("<null>")),
-        coalesce(md5(col("text")), lit("<null>")))
+        coalesce(col("doc_id").cast("string"), lit("\u0001")),
+        coalesce(col("lang"), lit("\u0001")),
+        coalesce(md5(col("text")), lit("\u0001")))
       val h = conv(substring(md5(rowKey), 1, 12), 16, 10).cast(DecimalType(38, 0))
       Tables.documents(s, dir)
         .groupBy(col("source"))
@@ -280,9 +282,9 @@ object QualityQueries {
       |       min(doc_id) AS min_id, max(doc_id) AS max_id,
       |       SUM(n_chars)::BIGINT AS sum_chars,
       |       CAST(CAST(SUM(CAST(('0x' || substring(md5(
-      |         coalesce(doc_id::VARCHAR, '<null>') || '|' ||
-      |         coalesce(lang, '<null>') || '|' ||
-      |         coalesce(md5(text), '<null>')), 1, 12))::BIGINT
+      |         coalesce(doc_id::VARCHAR, chr(1)) || '|' ||
+      |         coalesce(lang, chr(1)) || '|' ||
+      |         coalesce(md5(text), chr(1))), 1, 12))::BIGINT
       |         AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS VARCHAR) AS rowset_fp
       |FROM documents GROUP BY 1 ORDER BY source
       """.stripMargin.trim))

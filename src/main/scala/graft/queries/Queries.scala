@@ -213,7 +213,10 @@ object Queries {
     "Reference result shaping: match_score = round((1 − distance) × 100, 2) " +
       "+ display string, score-descending (streamlit_app.py:221-234).",
     (s, dir) => {
-      val hits = Knn.search(Tables.embeddings(s, dir), "embedding", "vec_id", queryVec64, k = 5)
+      // referenceSearch = search + the UI's [1,10] k-clamp; k=5 is
+      // in-domain, so this is result-identical to plain search while
+      // keeping the reference-parity API on the flagship path
+      val hits = Knn.referenceSearch(Tables.embeddings(s, dir), "embedding", "vec_id", queryVec64, k = 5)
       Knn.withMatchScore(hits, "vec_id")
         .select(col("vec_id"), col("match_score"), col("display_score"))
     },

@@ -73,6 +73,29 @@ class NswSpec extends SparkSpec {
     assert(recall >= 0.8, s"NSW recall@10 = $recall")
   }
 
+  test("clustered corpus: diverse-neighbor selection keeps the graph navigable") {
+    // plain nearest-m trimming severs the long-range inter-cluster
+    // edges and fragments the graph (mean recall@10 was 0.48 at ef=32
+    // before the select-neighbors heuristic); this is the regression
+    // lock on the regime real embedding corpora live in
+    val emb = RecallDump.clusteredCorpus(spark, n = 2000, dim = 64,
+      nClusters = 32, sigma = 0.15, seed = 7L).cache()
+    val graph = Nsw.buildGraph(emb, "embedding", "vec_id", p).cache()
+    val qs = emb.filter(col("vec_id") % 200 === 10)
+      .orderBy("vec_id").select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    val recalls = qs.map { qv =>
+      val exact = Knn.search(emb, "embedding", "vec_id", qv, 10)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val got = Nsw.search(graph, emb, "embedding", "vec_id", qv, 10, p)
+        ._1.select("vec_id").collect().map(_.getLong(0)).toSet
+      (exact & got).size / 10.0
+    }
+    graph.unpersist(); emb.unpersist()
+    val mean = recalls.sum / recalls.length
+    assert(mean >= 0.9, s"clustered-corpus mean recall@10 = $mean (${recalls.mkString(", ")})")
+  }
+
   test("beam cost is sublinear: default ef visits a fraction of each shard") {
     // the candidate list per shard is capped at efSearch = 32 of ~125
     // shard rows — the emitted row bound that holds at any scale

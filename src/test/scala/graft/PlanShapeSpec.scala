@@ -69,6 +69,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges == 1, s"expected exactly the rank shuffle, got $exchanges:\n$p")
   }
 
+  test("NSW re-rank: candidate IN-filter pushed to the scan, top-k without global sort") {
+    val p = planOf("ann_nsw_beam")
+    // the exact stage must be the same shape as exact KNN: a bounded
+    // per-task heap over the candidate-pruned scan
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("PushedFilters: [In(vec_id") ||
+      p.contains("PushedFilters: [IsNotNull(vec_id), In(vec_id"),
+      s"candidate id IN-filter should push into parquet:\n$p")
+    assert(!p.contains("Exchange"), s"NSW re-rank must not shuffle:\n$p")
+  }
+
+  test("JDBC round-trip: the read is a partitioned parallel scan, not one task") {
+    val p = planOf("src_jdbc_roundtrip")
+    assert(p.contains("JDBCRelation"), p)
+    assert(p.contains("numPartitions=8"),
+      s"JDBC scan must carry the 8 range slices (an unpartitioned read " +
+        s"serializes the table through one task):\n$p")
+  }
+
   test("as-of join: one keyed shuffle feeds window AND aggregate (partitioning reused)") {
     val p = planOf("ev_asof_last_view")
     // the window's hash(user_id) partitioning satisfies the groupBy's
