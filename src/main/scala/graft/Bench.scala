@@ -42,7 +42,15 @@ object Bench {
         // build+write so the timed run measures the beam-search READ path
         "ann_nsw_beam",
         "ann_pq_adc", "ann_ivfpq_adc", "vec_pca_knn", "maint_ivf_append",
+        // maint_nsw_append's warmup performs the one-time base build +
+        // incremental insert + staged rewrite (NswAppendStore) so the
+        // timed run measures the appended-store READ path
+        "maint_nsw_append",
         "vec_bq_hamming_rescore", "stream_ingest_dedup", "stream_serve_knn",
+        // stream_serve_nsw's warmup drains its one-time MemoryStream
+        // serving run (NswServeStore) so the timed run measures the
+        // sink-table read, not the stream replay
+        "stream_serve_nsw",
         "maint_compact_roundtrip", "maint_zorder_roundtrip",
         // one-time store builds for the vacuum / schema-evolution /
         // csv / json gates — timed runs then measure the post-write

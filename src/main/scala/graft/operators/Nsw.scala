@@ -127,19 +127,24 @@ object Nsw {
     (kept.map(_._1) ++ pruned.take(m - kept.size)).toArray
   }
 
-  /** One shard's NSW graph by incremental insertion (ascending id):
-    * each new node links to `m` DIVERSE nodes among its
-    * efConstruction-beam nearest (the select-neighbors heuristic),
-    * bidirectionally; any node exceeding maxDegree re-selects
-    * maxDegree diverse edges the same way.
+  /** Insert `batch` (ascending id) into an existing shard graph — the
+    * ONE insertion procedure: each new node links to `m` DIVERSE nodes
+    * among its efConstruction-beam nearest (the select-neighbors
+    * heuristic), bidirectionally; any node exceeding maxDegree
+    * re-selects maxDegree diverse edges the same way. The initial
+    * build is this with an empty existing graph; incremental append is
+    * this with the persisted one — same code, so append ≡ "rebuild
+    * where the batch ids happen to insert last".
     */
-  def buildShardGraph(nodes: Array[(Long, Array[Float])],
-                      p: Params): Map[Long, Array[Long]] = {
-    val sorted = nodes.sortBy(_._1)
+  def insertIntoShardGraph(existing: Array[(Long, Array[Float], Array[Long])],
+                           batch: Array[(Long, Array[Float])],
+                           p: Params): Map[Long, Array[Long]] = {
     val vecs = mutable.Map.empty[Long, Array[Float]]
     // adjacency arrays are rebuilt on append/trim — each is ≤ maxDegree+1
     // long, so the copies are O(1); the map itself is never copied
     val adj = mutable.Map.empty[Long, Array[Long]]
+    existing.foreach { case (id, v, nbrs) => vecs(id) = v; adj(id) = nbrs }
+    var entry = if (existing.isEmpty) Long.MaxValue else existing.iterator.map(_._1).min
     def trim(id: Long): Unit = {
       val edges = adj(id)
       if (edges.length > p.maxDegree) {
@@ -148,20 +153,27 @@ object Nsw {
           edges.map(e => (cosine(base, vecs(e)), e)).toSeq, p.maxDegree, vecs)
       }
     }
-    sorted.foreach { case (id, v) =>
-      if (vecs.isEmpty) { vecs(id) = v; adj(id) = Array.empty }
+    batch.sortBy(_._1).foreach { case (id, v) =>
+      if (vecs.isEmpty) { vecs(id) = v; adj(id) = Array.empty; entry = id }
       else {
-        val entry = sorted.head._1
         val near = beamSearch(v, entry, vecs, adj,
           math.max(p.efConstruction, p.m))
         vecs(id) = v
         adj(id) = selectNeighbors(near, p.m, vecs)
         adj(id).foreach { nb => adj(nb) = adj(nb) :+ id; trim(nb) }
         trim(id)
+        entry = math.min(entry, id)
       }
     }
     adj.toMap
   }
+
+  /** One shard's NSW graph from scratch (the initial-build case of
+    * [[insertIntoShardGraph]]).
+    */
+  def buildShardGraph(nodes: Array[(Long, Array[Float])],
+                      p: Params): Map[Long, Array[Long]] =
+    insertIntoShardGraph(Array.empty, nodes, p)
 
   private val graphSchema: StructType = StructType(Seq(
     StructField("shard", IntegerType),
@@ -227,6 +239,47 @@ object Nsw {
       StructField("beam_distance", DoubleType))))
   }
 
+  /** Incremental index refresh: insert a new batch into the persisted
+    * graph without rebuilding it. Per shard, the existing (vectors,
+    * adjacency) load once and the shard's batch slice inserts through
+    * the SAME procedure as the initial build — compute cost is
+    * O(|batch|·ef·log n), not O(|corpus|). Backlinks may retouch
+    * existing nodes' edge lists, so the touched SHARDS rewrite (write
+    * amplification graph stores inherently pay where IVF append is
+    * file-append-only, maint_ivf_append); under hash sharding every
+    * shard is touched, so at 100 TB an appendy deployment shards by
+    * arrival window instead — then an append rewrites one shard and
+    * search fans over all shards exactly as here.
+    */
+  def appendToGraph(graph: DataFrame, batch: DataFrame, vecCol: String,
+                    idCol: String, p: Params): DataFrame = {
+    val spark = graph.sparkSession
+    val existing = graph
+      .select(col("shard"), col("vec_id"), col("embedding"), col("neighbors"),
+        lit(false).as("is_new"))
+    val incoming = batch
+      .select(pmod(col(idCol), lit(p.nShards)).cast("int").as("shard"),
+        col(idCol).cast("long").as("vec_id"),
+        col(vecCol).cast("array<float>").as("embedding"),
+        typedLit(Seq.empty[Long]).as("neighbors"), lit(true).as("is_new"))
+    val all = existing.union(incoming).repartition(p.nShards, col("shard"))
+    val out = all.queryExecution.toRdd.mapPartitions { it =>
+      val rows = it.map { ir =>
+        (ir.getInt(0), ir.getLong(1), ir.getArray(2).toFloatArray(),
+          ir.getArray(3).toLongArray(), ir.getBoolean(4))
+      }.toArray
+      rows.groupBy(_._1).iterator.flatMap { case (shard, grp) =>
+        val (nw, ex) = grp.partition(_._5)
+        val adj = insertIntoShardGraph(
+          ex.map(r => (r._2, r._3, r._4)), nw.map(r => (r._2, r._3)), p)
+        grp.sortBy(_._2).iterator.map { case (_, id, v, _, _) =>
+          Row(shard, id, v.toSeq, adj.getOrElse(id, Array.empty[Long]).toSeq)
+        }
+      }
+    }
+    spark.createDataFrame(out, graphSchema)
+  }
+
   /** Persist the graph store partitioned by `shard`: each search task
     * then reads exactly one shard directory (static pruning if a probe
     * policy ever restricts shards; locality either way).
@@ -239,6 +292,76 @@ object Nsw {
     spark.read.parquet(path)
       .select(col("shard").cast("int").as("shard"), col("vec_id"),
         col("embedding"), col("neighbors"))
+
+  /** Multi-query beam pass: one scan of the graph store serves a WHOLE
+    * query batch — each task builds its shard's (vecs, adj) maps once
+    * and loops the broadcast queries over them, emitting ≤ efSearch
+    * candidate rows per (shard, query). The per-batch cost is one job
+    * regardless of batch size; at 100 TB this is the serving shape
+    * (a job per query would pay the scan |batch| times).
+    */
+  def batchShardCandidates(graph: DataFrame,
+                           queries: Seq[(Int, Array[Float])],
+                           p: Params): DataFrame = {
+    val spark = graph.sparkSession
+    val qb = spark.sparkContext.broadcast(queries)
+    val prepared = graph
+      .select(col("shard"), col("vec_id"), col("embedding"), col("neighbors"))
+      .repartition(p.nShards, col("shard"))
+    val out = prepared.queryExecution.toRdd.mapPartitions { it =>
+      val rows = it.map { ir =>
+        (ir.getInt(0), ir.getLong(1), ir.getArray(2).toFloatArray(),
+          ir.getArray(3).toLongArray())
+      }.toArray
+      rows.groupBy(_._1).iterator.flatMap { case (shard, grp) =>
+        val vecs = grp.map(r => (r._2, r._3)).toMap
+        val adj = grp.map(r => (r._2, r._4)).toMap
+        val entry = grp.iterator.map(_._2).min
+        qb.value.iterator.flatMap { case (qid, qv) =>
+          beamSearch(qv, entry, vecs, adj, p.efSearch)
+            .iterator.map { case (_, id) => Row(qid, shard, id) }
+        }
+      }
+    }
+    spark.createDataFrame(out, StructType(Seq(
+      StructField("query_id", IntegerType),
+      StructField("shard", IntegerType),
+      StructField("vec_id", LongType))))
+  }
+
+  /** Batch search: beam candidates for every query in ONE graph-store
+    * pass, then per-query exact top-k over the candidate union — the
+    * candidate relation (≤ |batch|·nShards·efSearch rows) broadcasts
+    * onto the corpus scan, queries broadcast beside it, and one
+    * query-keyed rank shuffle of candidate-sized data finishes. Returns
+    * the ranked result plus the per-query candidate ids (for the
+    * late-bound oracle, which re-ranks exactly these).
+    */
+  def batchSearch(graph: DataFrame, corpus: DataFrame, vecCol: String,
+                  idCol: String, queries: Seq[(Int, Array[Float])], k: Int,
+                  p: Params, metric: Knn.Metric = Knn.Cosine)
+      : (DataFrame, Map[Int, Seq[Long]]) = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val byQ = batchShardCandidates(graph, queries, p)
+      .select("query_id", "vec_id").collect()
+      .groupBy(_.getInt(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSeq.sorted }
+    val candDf = byQ.toSeq.flatMap { case (q, ids) => ids.map(q -> _) }
+      .toDF("query_id", idCol)
+    val qDf = queries.map { case (i, v) => (i, v.toSeq) }
+      .toDF("query_id", "graft_query_vec")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("distance_score").asc, col(idCol).asc)
+    val res = corpus
+      .join(broadcast(candDf), idCol)
+      .join(broadcast(qDf), "query_id")
+      .withColumn("distance_score", metric(col(vecCol), col("graft_query_vec")))
+      .withColumn("knn_rank", row_number().over(w))
+      .filter(col("knn_rank") <= k)
+    (res, byQ)
+  }
 
   /** End-to-end search: beam per shard → bounded candidate id list
     * (≤ nShards·efSearch, collected like IVF's probe list) → EXACT

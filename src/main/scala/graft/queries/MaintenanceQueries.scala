@@ -4,6 +4,7 @@ import graft.Tables
 import graft.operators.Compact
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Driver-gate coverage for the maintenance operator: compaction was
   * spec-only (its file-level effects aren't SQL-expressible), but its
@@ -343,6 +344,69 @@ object MaintenanceQueries {
       |GROUP BY cluster_id ORDER BY cluster_id
       """.stripMargin.trim
     })
+
+  /** NSW graph store built WITHOUT the batch (vec_id ≢ 0 mod 5), then
+    * the batch inserted incrementally through the SAME per-shard
+    * insertion procedure as the initial build ([[graft.operators.Nsw
+    * .appendToGraph]]) and the store rewritten. One build+append per
+    * (fixture, JVM).
+    */
+  private object NswAppendStore {
+    val params: graft.operators.Nsw.Params =
+      graft.operators.Nsw.Params(nShards = 4, m = 8,
+        efConstruction = 32, efSearch = 32)
+    def ensure(s: SparkSession, dir: String): String =
+      TmpStores.memoizedTable("graft_nsw_append", dir) { root =>
+        import graft.operators.Nsw
+        val table = s"$root/nsw"
+        val emb = Tables.embeddings(s, dir)
+        Nsw.writeGraph(Nsw.buildGraph(emb.filter(col("vec_id") % 5 =!= 0),
+          "embedding", "vec_id", params), table)
+        val appended = Nsw.appendToGraph(Nsw.readGraph(s, table),
+          emb.filter(col("vec_id") % 5 === 0), "embedding", "vec_id", params)
+        // stage into a sibling dir then swap: appendToGraph READS the
+        // store being replaced, and overwriting a parquet dir that is
+        // an input of the running plan truncates it mid-scan
+        val staged = s"$root/nsw_appended"
+        Nsw.writeGraph(appended, staged)
+        staged
+      }
+  }
+
+  private val nswAppend = QueryDef(
+    "maint_nsw_append",
+    "Incremental GRAPH-index maintenance fidelity gate (the NSW twin " +
+      "of maint_ivf_append): the sharded small-world store is built " +
+      "without the batch (vec_id ≡ 0 mod 5), then the batch inserts " +
+      "into the persisted graphs through the same per-shard insertion " +
+      "procedure as the initial build — compute O(|batch|·ef·log n), " +
+      "never a corpus rebuild; backlinks retouch existing edge lists, " +
+      "so touched shards rewrite (the write-amplification trade graph " +
+      "stores pay where IVF appends files — documented in Nsw.scala). " +
+      "The appended store aggregates per shard — counts and an order-" +
+      "independent md5 row-set checksum over vec_id — while the oracle " +
+      "derives shard membership of the FULL corpus from vec_id " +
+      "arithmetic: a green hash proves the append lost, duplicated, " +
+      "and misplaced nothing. Graph QUALITY after append (connectivity, " +
+      "recall ≥ exact-rebuild band) is NswSpec's half of the contract.",
+    (s, dir) => {
+      val table = NswAppendStore.ensure(s, dir)
+      val h = conv(substring(md5(col("vec_id").cast("string")), 1, 12), 16, 10)
+        .cast(DecimalType(38, 0))
+      graft.operators.Nsw.readGraph(s, table)
+        .groupBy(col("shard").cast("long").as("shard"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(h).cast(DecimalType(38, 0)).cast("string").as("rowset_fp"))
+        .orderBy(col("shard"))
+    },
+    Some(s"""
+      |SELECT CAST(vec_id % ${NswAppendStore.params.nShards} AS BIGINT) AS shard,
+      |       count(*) AS n_vecs,
+      |       CAST(CAST(SUM(CAST(('0x' || substring(md5(vec_id::VARCHAR), 1, 12))::BIGINT
+      |         AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS VARCHAR) AS rowset_fp
+      |FROM embeddings
+      |GROUP BY 1 ORDER BY shard
+      """.stripMargin.trim))
 
   private val scd2Q = QueryDef(
     "cdc_scd2_history",
@@ -691,5 +755,6 @@ object MaintenanceQueries {
 
   val defs: Seq[QueryDef] =
     Seq(compactRoundtrip, repartitionLayout, snapshotDiffQ, zorderRoundtrip,
-      incrementalRollup, ivfAppend, scd2Q, vacuumQ, evolveQ, mergeQ, morMerge)
+      incrementalRollup, ivfAppend, nswAppend, scd2Q, vacuumQ, evolveQ, mergeQ,
+      morMerge)
 }

@@ -185,6 +185,72 @@ object StreamingQueries {
         .flatMap(VectorQueries.PqStore.books.get)
         .map(VectorQueries.duckPqBatchSql)))
 
+  /** One run-to-completion NSW serving stream per (sfDir, JVM): the
+    * knn_batch query vectors replay as two MemoryStream micro-batches
+    * through [[VectorServing.serveNswKnn]] over the SAME persisted
+    * graph store `ann_nsw_beam` reads (VectorQueries.NswStore). The
+    * per-query candidate ids recorded across batches feed the
+    * late-bound oracle.
+    */
+  private object NswServeStore {
+    private val done = scala.collection.concurrent.TrieMap.empty[String, String]
+    val cands = scala.collection.concurrent.TrieMap.empty[String, Map[Int, Seq[Long]]]
+    @volatile var lastDir: Option[String] = None
+
+    def ensure(s: SparkSession, dir: String): String = {
+      lastDir = Some(dir)
+      done.getOrElseUpdate(dir, {
+        val root = TmpStores.pidScopedPath("graft_stream_nswserve", dir)
+        new scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
+        val out = s"$root/results"
+        val graph = graft.operators.Nsw.readGraph(s,
+          VectorQueries.NswStore.ensure(s, dir))
+        val corpus = Tables.embeddings(s, dir)
+        import s.implicits._
+        val input = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Int, Seq[Float])](s)
+        val qvecs = VectorQueries.batchQueryVecs.map { case (i, v) => (i, v.toSeq) }
+        val q = VectorServing.serveNswKnn(
+          input.toDF().toDF("query_id", "query_vec"), graph, corpus,
+          "embedding", "vec_id", "query_vec", "query_id", k = 3,
+          VectorQueries.NswStore.params, s"$root/ckpt") { batchCands =>
+          cands(dir) = cands.getOrElse(dir, Map.empty) ++ batchCands
+        } { batchOut =>
+          batchOut.write.mode("append").parquet(out)
+        }
+        try {
+          input.addData(qvecs.take(3)); q.processAllAvailable()
+          input.addData(qvecs.drop(3)); q.processAllAvailable()
+        } finally q.stop()
+        out
+      })
+    }
+  }
+
+  private val streamServeNsw = QueryDef(
+    "stream_serve_nsw",
+    "Micro-batch graph-ANN serving run to completion: the knn_batch " +
+      "query vectors stream through VectorServing.serveNswKnn in two " +
+      "micro-batches over the SAME persisted shard-partitioned NSW " +
+      "store ann_nsw_beam reads; each batch beams candidates for all " +
+      "its queries in ONE graph-store pass, then exact-re-ranks " +
+      "candidate-sized data per query. The hashed result is the FINAL " +
+      "sink table; the late oracle re-ranks each query's recorded " +
+      "candidate set in SQL — green proves the streaming loop, the " +
+      "store round trip, and the exact re-rank, independent of how " +
+      "the query stream was batched.",
+    (s, dir) => {
+      val out = NswServeStore.ensure(s, dir)
+      s.read.parquet(out)
+        .select(col("query_id"), col("knn_rank").cast("long").as("knn_rank"),
+          col("vec_id"), col("distance"))
+        .orderBy(col("query_id"), col("knn_rank"))
+    },
+    oracle = None,
+    oracleLate = Some(() =>
+      NswServeStore.lastDir.flatMap(NswServeStore.cands.get)
+        .map(VectorQueries.duckNswBatchSql(_, k = 3))))
+
   private val streamServe = QueryDef(
     "stream_serve_knn",
     "Micro-batch KNN serving run to completion: the knn_batch query " +
@@ -326,5 +392,6 @@ object StreamingQueries {
       """.stripMargin.trim))
 
   val defs: Seq[QueryDef] =
-    Seq(streamIngest, streamServe, streamServePq, streamCdcApply, streamTrending)
+    Seq(streamIngest, streamServe, streamServeNsw, streamServePq,
+      streamCdcApply, streamTrending)
 }

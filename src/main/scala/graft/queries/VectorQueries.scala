@@ -345,7 +345,7 @@ object VectorQueries {
     * the oracle re-ranks THIS run's candidate list exactly (the same
     * self-consistency contract as the fitted-KMeans/PQ oracles).
     */
-  private object NswStore {
+  private[queries] object NswStore {
     val params: Nsw.Params = Nsw.Params(nShards = 4, m = 8,
       efConstruction = 32, efSearch = 32)
     val candidates = scala.collection.concurrent.TrieMap.empty[String, Seq[Long]]
@@ -360,6 +360,27 @@ object VectorQueries {
         p
       })
     }
+  }
+
+  /** Late-oracle builder for candidate-restricted batch re-ranks (the
+    * NSW batch/streaming serving gates): for each query, exact cosine
+    * rank over ITS recorded candidate id list — the SQL mirror of
+    * [[graft.operators.Nsw.batchSearch]]'s second stage.
+    */
+  private[queries] def duckNswBatchSql(cands: Map[Int, Seq[Long]],
+                                       k: Int): String = {
+    val qvecs = batchQueryVecs.toMap
+    val legs = cands.toSeq.sortBy(_._1).map { case (qid, ids) =>
+      val qLit = vecLit(qvecs(qid))
+      s"""|SELECT query_id, knn_rank, vec_id, round(dist, 6) AS distance FROM (
+          |  SELECT $qid AS query_id, vec_id,
+          |         ${duckCosine("embedding", qLit)} AS dist,
+          |         row_number() OVER (ORDER BY ${duckCosine("embedding", qLit)}, vec_id) AS knn_rank
+          |  FROM embeddings WHERE vec_id IN (${ids.mkString(", ")})
+          |) WHERE knn_rank <= $k""".stripMargin
+    }
+    legs.mkString("SELECT query_id, CAST(knn_rank AS BIGINT) AS knn_rank, vec_id, distance\nFROM (\n",
+      "\nUNION ALL\n", "\n) ORDER BY query_id, knn_rank")
   }
 
   private val nswBeam = QueryDef(

@@ -143,6 +143,38 @@ object VectorServing {
       }
       .start()
 
+  /** Micro-batch GRAPH-index serving: each query batch is collected to
+    * the driver (query batches are small by contract — user requests,
+    * not data) and served through [[graft.operators.Nsw.batchSearch]]:
+    * ONE pass over the shard-partitioned graph store beams candidates
+    * for the whole batch, then the exact per-query re-rank runs over
+    * candidate-sized data only. `recordCandidates` surfaces each
+    * batch's per-query candidate ids to the caller (the late-bound
+    * oracle re-ranks exactly these). Same sink contract as [[serveKnn]].
+    */
+  def serveNswKnn(queries: DataFrame, graph: DataFrame, corpus: DataFrame,
+                  corpusVecCol: String, corpusIdCol: String,
+                  queryVecCol: String, queryIdCol: String,
+                  k: Int, p: graft.operators.Nsw.Params,
+                  checkpoint: String)
+                 (recordCandidates: Map[Int, Seq[Long]] => Unit)
+                 (sink: DataFrame => Unit): StreamingQuery =
+    queries.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val qs = batch.select(col(queryIdCol), col(queryVecCol)).collect()
+            .map(r => (r.getInt(0), r.getSeq[Float](1).toArray)).toSeq
+          val (res, cands) = graft.operators.Nsw.batchSearch(
+            graph, corpus, corpusVecCol, corpusIdCol, qs, k, p)
+          recordCandidates(cands)
+          sink(res.select(col(queryIdCol), col("knn_rank"), col(corpusIdCol),
+            round(col("distance_score"), 6).as("distance")))
+        }
+      }
+      .start()
+
   /** Micro-batch PQ serving: each query batch is COLLECTED to the driver
     * (query batches are small by contract — they are user requests, not
     * data) so its per-query ADC tables can be compiled into the one

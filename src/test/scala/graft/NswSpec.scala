@@ -96,6 +96,59 @@ class NswSpec extends SparkSpec {
     assert(mean >= 0.9, s"clustered-corpus mean recall@10 = $mean (${recalls.mkString(", ")})")
   }
 
+  test("incremental append: full node set, graph stays connected, recall holds") {
+    // base = 4/5 of the corpus, batch = the held-out 1/5 inserted into
+    // the persisted-shape graph through the same insertion procedure
+    val base = emb.filter(col("vec_id") % 5 =!= 0)
+    val batch = emb.filter(col("vec_id") % 5 === 0)
+    val appended = Nsw.appendToGraph(
+      Nsw.buildGraph(base, "embedding", "vec_id", p),
+      batch, "embedding", "vec_id", p).cache()
+    // membership: append ≡ rebuild, node for node
+    val got = appended.select("vec_id").collect().map(_.getLong(0)).toSet
+    val want = emb.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(got == want)
+    // every shard still connected from its entry; degrees still capped
+    val byShard = appended.collect().groupBy(_.getAs[Int]("shard"))
+    byShard.foreach { case (shard, rows) =>
+      val adj = rows.map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Long](r.fieldIndex("neighbors")).toArray).toMap
+      adj.values.foreach(n => assert(n.length <= p.maxDegree))
+      val seen = collection.mutable.Set(adj.keys.min)
+      val stack = collection.mutable.Stack(adj.keys.min)
+      while (stack.nonEmpty)
+        adj(stack.pop()).foreach(n => if (seen.add(n)) stack.push(n))
+      assert(seen.size == adj.size, s"shard $shard disconnected after append")
+    }
+    // batch vectors are actually findable: search quality holds
+    val (res, _) = Nsw.search(appended, emb, "embedding", "vec_id", q, 10, p)
+    val exact = Knn.search(emb, "embedding", "vec_id", q, 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val gotTop = res.select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = (gotTop & exact).size / 10.0
+    appended.unpersist()
+    assert(recall >= 0.8, s"post-append recall@10 = $recall")
+  }
+
+  test("batchSearch agrees with the single-query path, query by query") {
+    val queries = graft.queries.VectorQueries.batchQueryVecs.take(3)
+    val (res, cands) = Nsw.batchSearch(graph, emb, "embedding", "vec_id",
+      queries, k = 3, p)
+    val rows = res.select("query_id", "knn_rank", "vec_id").collect()
+      .groupBy(_.getInt(0))
+    queries.foreach { case (qid, qv) =>
+      // the batch path's top-3 for this query must equal an exact rank
+      // over the SAME candidate set through the single-query machinery
+      val want = Knn.search(
+        emb.filter(col("vec_id").isin(cands(qid): _*)),
+        "embedding", "vec_id", qv, k = 3)
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+      val got = rows(qid).sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
+      assert(got == want, s"query $qid: batch=$got single=$want")
+      assert(rows(qid).map(_.getInt(1)).sorted.toSeq == Seq(1, 2, 3))
+    }
+  }
+
   test("beam cost is sublinear: default ef visits a fraction of each shard") {
     // the candidate list per shard is capped at efSearch = 32 of ~125
     // shard rows — the emitted row bound that holds at any scale
