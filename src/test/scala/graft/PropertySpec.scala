@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{CentroidBuffer, CentroidAggregator, HashingEmbedder}
-import graft.operators.Ann
+import graft.operators.{Ann, Nsw}
 import org.scalacheck.{Gen, Prop, Test => SCTest}
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -132,5 +132,60 @@ class PropertySpec extends AnyFunSuite {
       val brute = ps.flatMap(p => p until p + w).distinct.size
       lagSum == brute
     }, n = 200)
+  }
+
+  private val nodesGen: Gen[Array[(Long, Array[Float])]] = for {
+    n <- Gen.choose(1, 60)
+    seed <- Gen.choose(0L, 1000L)
+  } yield {
+    val rnd = new scala.util.Random(seed)
+    Array.tabulate(n)(i => (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat)))
+  }
+
+  test("nsw graph: for ANY corpus — degree-capped, no self-loops/dups, connected, deterministic") {
+    val p = Nsw.Params(nShards = 1, m = 4, efConstruction = 12, efSearch = 12)
+    check("nswBuild", Prop.forAll(nodesGen) { nodes =>
+      val adj = Nsw.buildShardGraph(nodes, p)
+      val sane = adj.forall { case (id, nbrs) =>
+        nbrs.length <= p.maxDegree && !nbrs.contains(id) &&
+          nbrs.distinct.length == nbrs.length &&
+          nbrs.forall(adj.contains)
+      }
+      // connectivity from the entry (min id) — the search contract
+      val entry = adj.keys.min
+      val seen = scala.collection.mutable.Set(entry)
+      val stack = scala.collection.mutable.Stack(entry)
+      while (stack.nonEmpty)
+        adj(stack.pop()).foreach(x => if (seen.add(x)) stack.push(x))
+      sane && seen.size == adj.size &&
+        adj.view.mapValues(_.toSeq).toMap ==
+          Nsw.buildShardGraph(nodes, p).view.mapValues(_.toSeq).toMap
+    }, n = 60)
+  }
+
+  test("nsw selectNeighbors: <= m unique candidates, closest always kept, subset of input") {
+    val p = 8
+    val gen = for {
+      seed <- Gen.choose(0L, 5000L)
+      k <- Gen.choose(0, 30)
+      m <- Gen.choose(1, 6)
+    } yield (seed, k, m)
+    check("nswSelect", Prop.forAll(gen) { case (seed, k, m) =>
+      val rnd = new scala.util.Random(seed)
+      val vecs = (0 until k).map(i =>
+        i.toLong -> Array.fill(p)(rnd.nextGaussian().toFloat)).toMap
+      val base = Array.fill(p)(rnd.nextGaussian().toFloat)
+      def cos(a: Array[Float], b: Array[Float]): Double = {
+        var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+        if (na == 0 || nb == 0) 1.0 else 1.0 - d / math.sqrt(na * nb)
+      }
+      val cands = vecs.toSeq.map { case (id, v) => (cos(base, v), id) }
+      val kept = Nsw.selectNeighbors(cands, m, vecs)
+      kept.length <= m && kept.distinct.length == kept.length &&
+        kept.forall(vecs.contains) &&
+        // the single closest candidate survives every diversity cut
+        (cands.isEmpty || kept.contains(cands.min._2))
+    }, n = 100)
   }
 }
