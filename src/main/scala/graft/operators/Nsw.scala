@@ -212,6 +212,16 @@ object Nsw {
     * (ascending (distance, id) within the shard). The scan is one pass
     * over the graph store; each task returns a bounded row count —
     * the same "every task returns ≤ k rows" contract as exact KNN.
+    *
+    * The repartition is a CORRECTNESS requirement, not a convenience: a
+    * shard's rows must all reach one task (a parquet file >
+    * maxPartitionBytes splits across tasks, and a beam over half a
+    * shard's graph returns wrong candidates). The exchange moves the
+    * graph store once per CALL — [[batchSearch]] amortizes it across a
+    * whole query batch (one pass serves N queries), and a serving
+    * deployment keeps the post-exchange relation cached (a resident
+    * index: the shuffle is paid once per executor lifetime, exactly
+    * like loading an HNSW index into RAM).
     */
   def shardCandidates(graph: DataFrame, queryVec: Array[Float],
                       p: Params): DataFrame = {
