@@ -272,6 +272,11 @@ object Nsw {
         col(idCol).cast("long").as("vec_id"),
         col(vecCol).cast("array<float>").as("embedding"),
         typedLit(Seq.empty[Long]).as("neighbors"), lit(true).as("is_new"))
+      // idempotence: an id already in the graph must not insert twice
+      // (a replayed batch would otherwise emit duplicate rows and wire
+      // a node to itself through its earlier copy)
+      .join(graph.select(col("vec_id")), Seq("vec_id"), "left_anti")
+      .select(existing.columns.map(col): _*)
     val all = existing.union(incoming).repartition(p.nShards, col("shard"))
     val out = all.queryExecution.toRdd.mapPartitions { it =>
       val rows = it.map { ir =>

@@ -130,6 +130,19 @@ class NswSpec extends SparkSpec {
     assert(recall >= 0.8, s"post-append recall@10 = $recall")
   }
 
+  test("append is idempotent: replaying a batch neither duplicates nor rewires") {
+    val base = emb.filter(col("vec_id") % 5 =!= 0)
+    val batch = emb.filter(col("vec_id") % 5 === 0)
+    val once = Nsw.appendToGraph(
+      Nsw.buildGraph(base, "embedding", "vec_id", p),
+      batch, "embedding", "vec_id", p).cache()
+    val twice = Nsw.appendToGraph(once, batch, "embedding", "vec_id", p)
+    val a = once.collect().map(r => (r.getLong(1), r.getSeq[Long](3))).sortBy(_._1).toSeq
+    val b = twice.collect().map(r => (r.getLong(1), r.getSeq[Long](3))).sortBy(_._1).toSeq
+    once.unpersist()
+    assert(a == b, "replaying the same batch changed the graph")
+  }
+
   test("batchSearch agrees with the single-query path, query by query") {
     val queries = graft.queries.VectorQueries.batchQueryVecs.take(3)
     val (res, cands) = Nsw.batchSearch(graph, emb, "embedding", "vec_id",
