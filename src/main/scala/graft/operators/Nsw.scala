@@ -35,6 +35,19 @@ import scala.collection.mutable
   *   - entry point = smallest vec_id in the shard;
   *   - all heap orderings break distance ties by smaller id;
   *   - distances in Double with fixed left-to-right accumulation.
+  *
+  * Why NSW has NO transparent KNN→probe rewrite (unlike IVF/LSH,
+  * plans.IvfProbeRule): those rewrites inject a probe IN-filter whose
+  * probe set is computable DRIVER-SIDE from index metadata resident in
+  * the rule (centroid array, hyperplanes) — an O(nlist·dim) closed-form
+  * step that is legitimate inside an optimizer rule. An NSW probe set
+  * IS the beam walk: deriving it requires a distributed pass over the
+  * data-sized graph store, and launching a Spark job from inside
+  * Catalyst optimization is both unsound (rules may re-fire, plans may
+  * never execute) and unbounded-latency. Graph indexes therefore serve
+  * through the explicit [[search]]/[[batchSearch]] API; the exact
+  * re-rank stage still plans identically to the rewritten IVF/LSH
+  * probes (pushed IN-filter + TakeOrderedAndProject).
   */
 object Nsw {
 
