@@ -5,6 +5,7 @@ import graft.operators.Sampling
 import graft.operators.TextAnalysis._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Composite training-data-preparation pipeline — the engine's actual
   * 100 TB use case, end to end in ONE oracle-checked query: documents →
@@ -525,7 +526,107 @@ object PipelineQueries {
       |FROM ranked GROUP BY 1 ORDER BY stage
       """.stripMargin.trim))
 
+  private val dsir = QueryDef(
+    "pipeline_dsir_select",
+    "DSIR data selection (Xie et al. 2023, 'Data Selection for Language " +
+      "Models via Importance Resampling'): raw documents are resampled " +
+      "toward a target domain (here lang='en') by importance weights " +
+      "under hashed-n-gram bag models. Features = every unigram + " +
+      "bigram occurrence, hashed into B=1024 buckets (fixed dimension " +
+      "— no vocabulary state at 100 TB, same argument as the hashing " +
+      "trick); p̂ (target) and q̂ (raw) are add-one-smoothed bucket " +
+      "unigram models, a doc's log-weight is Σ ln(p̂_b/q̂_b) over its " +
+      "feature occurrences, and selection is Gumbel top-k — key = " +
+      "log w + Gumbel(md5(doc_id)) — which IS sampling-without-" +
+      "replacement ∝ w, made deterministic by the hash (no RNG state " +
+      "to reconcile across engines or executors). Scale shape: the " +
+      "ratio table is ≤ B rows (broadcast); doc scoring is one " +
+      "doc-keyed aggregate; top-k is TakeOrderedAndProject, not a " +
+      "global sort. Float parity: each ln term rounds to 6 decimals, " +
+      "per-doc sums accumulate in exact DECIMAL(38,6) (order-" +
+      "independent), and the Gumbel perturbation joins the sum as a " +
+      "rounded decimal — the selection key is exact until one final " +
+      "cast.",
+    (s, dir) => {
+      val B = 1024L
+      val tk = TextQueries.docToks(s, dir)
+      // every unigram + bigram occurrence, hashed to a bucket
+      val bigrams = zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (a, b) => concat(a, lit(" "), b))
+      val bf = tk
+        .select(col("doc_id"), col("lang"),
+          explode(concat(col("toks"), bigrams)).as("f"))
+        .select(col("doc_id"), col("lang"), (md5Long48(col("f")) % B).as("b"))
+      val src = bf.groupBy(col("b")).agg(count(lit(1)).as("cq"))
+      val tgt = bf.filter(col("lang") === "en")
+        .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+      val tot = bf.agg(
+        count(lit(1)).as("nq"),
+        count(when(col("lang") === "en", lit(1))).as("np"))
+      // log p̂/q̂ per bucket: factors widen to double BEFORE multiplying
+      // (BIGINT products would overflow at real corpus sizes)
+      val ratio = src.join(tgt, Seq("b"), "left").crossJoin(broadcast(tot))
+        .select(col("b"), round(log(
+          ((coalesce(col("ct"), lit(0L)) + 1L).cast("double") *
+            (col("nq") + B).cast("double")) /
+            ((col("cq") + 1L).cast("double") * (col("np") + B).cast("double"))),
+          6).as("term"))
+      val docw = bf.join(broadcast(ratio), Seq("b"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_feat"),
+          sum(col("term").cast(DecimalType(38, 6))).as("lw"))
+      // deterministic Gumbel(0,1): u from the portable 48-bit doc hash
+      val u = (md5Long48(concat(lit("dsir:"), col("doc_id").cast("string")))
+        .cast("double") + lit(0.5)) / lit(281474976710656.0)
+      docw.join(tk.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .withColumn("gum", round(-log(-log(u)), 6).cast(DecimalType(38, 6)))
+        .select(col("doc_id"), col("lang"), col("n_feat"),
+          col("lw").cast("double").as("log_w"),
+          (col("lw") + col("gum")).cast("double").as("sel_key"))
+        .orderBy(col("sel_key").desc, col("doc_id")).limit(20)
+    },
+    Some(s"""
+      |${Duck.docToks},
+      |feat AS (
+      |  SELECT doc_id, lang,
+      |         unnest(list_concat(toks,
+      |           list_transform(range(len(toks) - 1),
+      |             i -> toks[i + 1] || ' ' || toks[i + 2]))) AS f
+      |  FROM tt
+      |), bf AS (
+      |  SELECT doc_id, lang,
+      |         ('0x' || substring(md5(f), 1, 12))::BIGINT % 1024 AS b
+      |  FROM feat
+      |), src AS (SELECT b, count(*) AS cq FROM bf GROUP BY 1),
+      |tgt AS (SELECT b, count(*) AS ct FROM bf WHERE lang = 'en' GROUP BY 1),
+      |tot AS (
+      |  SELECT (SELECT count(*) FROM bf) AS nq,
+      |         (SELECT count(*) FROM bf WHERE lang = 'en') AS np
+      |), ratio AS (
+      |  SELECT s.b,
+      |         round(ln((CAST(COALESCE(t.ct, 0) + 1 AS DOUBLE) * CAST(nq + 1024 AS DOUBLE)) /
+      |                  (CAST(s.cq + 1 AS DOUBLE) * CAST(np + 1024 AS DOUBLE))), 6) AS term
+      |  FROM src s LEFT JOIN tgt t ON s.b = t.b CROSS JOIN tot
+      |), docw AS (
+      |  SELECT bf.doc_id, count(*) AS n_feat,
+      |         SUM(CAST(term AS DECIMAL(38,6))) AS lw
+      |  FROM bf JOIN ratio ON bf.b = ratio.b GROUP BY 1
+      |), keyed AS (
+      |  SELECT d.doc_id, tt.lang, d.n_feat,
+      |         CAST(d.lw AS DOUBLE) AS log_w,
+      |         CAST(d.lw + CAST(round(-ln(-ln(
+      |           ((('0x' || substring(md5('dsir:' || d.doc_id), 1, 12))::BIGINT)::DOUBLE + 0.5)
+      |             / 281474976710656.0)), 6) AS DECIMAL(38,6)) AS DOUBLE) AS sel_key
+      |  FROM docw d JOIN tt ON d.doc_id = tt.doc_id
+      |)
+      |SELECT doc_id, lang, n_feat, log_w, sel_key
+      |FROM keyed ORDER BY sel_key DESC, doc_id LIMIT 20
+      """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
     Seq(prep, split, balanced, decontaminate, decontaminateBloom, rebalance,
-      weighted, temperature, mixReport, hardNegatives, featureHash, curriculum)
+      weighted, temperature, mixReport, hardNegatives, featureHash, curriculum,
+      dsir)
 }
