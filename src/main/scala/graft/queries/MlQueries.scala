@@ -257,6 +257,183 @@ object MlQueries {
       |ORDER BY n_both DESC, item_a, item_b
       """.stripMargin.trim))
 
+  private val naiveBayes = QueryDef(
+    "ml_naive_bayes",
+    "Multinomial Naive Bayes trained and evaluated in-engine — the " +
+      "canonical counts-only classifier that trains in ONE aggregation " +
+      "pass at any corpus size: docs split train/test by doc_id % 3, " +
+      "the model is per-class token counts with add-one smoothing " +
+      "(log p(w|c) = ln((c_wc+1)/(N_c+V))) plus log-priors, and every " +
+      "test doc is argmax-scored. Sufficient statistics are exact " +
+      "BIGINT counts; each log term rounds to 6 decimals and per-" +
+      "(doc, class) sums accumulate in DECIMAL(38,6), so the argmax " +
+      "compares exact decimals (ties → class asc). Scale shape: " +
+      "training = two corpus-scan aggregates; the (vocab × class) " +
+      "likelihood table joins on the token key (vocabulary-sized, " +
+      "never broadcast); scoring is one (doc, class)-keyed aggregate " +
+      "and the per-doc argmax window partitions by doc_id — a subset " +
+      "of the aggregate's partitioning, no extra exchange. Test " +
+      "tokens outside the train vocabulary drop via the inner join " +
+      "(identical in both engines). Output: the confusion matrix.",
+    (s, dir) => {
+      val tk = TextQueries.docToks(s, dir)
+        .select(col("doc_id"), col("lang"), col("toks"))
+      val train = tk.filter(col("doc_id") % 3 =!= 0)
+      val test = tk.filter(col("doc_id") % 3 === 0)
+      val trainTok = train.select(col("lang"), explode(col("toks")).as("w"))
+      val classTok = trainTok.groupBy(col("lang"), col("w"))
+        .agg(count(lit(1)).as("cwc"))
+      val classTot = trainTok.groupBy(col("lang")).agg(count(lit(1)).as("nc"))
+      val priors = train.groupBy(col("lang")).agg(count(lit(1)).as("dc"))
+      val dAll = train.agg(count(lit(1)).as("d_all"))
+      val vocab = trainTok.select(col("w")).distinct()
+      val vSize = vocab.agg(count(lit(1)).as("v"))
+      val tokLL = vocab
+        .crossJoin(broadcast(classTot).crossJoin(broadcast(vSize)))
+        .join(classTok, Seq("w", "lang"), "left")
+        .select(col("w"), col("lang").as("cls"),
+          round(log((coalesce(col("cwc"), lit(0L)) + 1L).cast("double") /
+            (col("nc") + col("v")).cast("double")), 6).as("ll"))
+      val testTok = test.select(col("doc_id"), col("lang").as("true_lang"),
+        explode(col("toks")).as("w"))
+      val parts = testTok.join(tokLL, Seq("w"))
+        .groupBy(col("doc_id"), col("true_lang"), col("cls"))
+        .agg(sum(col("ll").cast(dec6)).as("llsum"))
+      val priorLL = priors.crossJoin(broadcast(dAll))
+        .select(col("lang").as("cls"),
+          round(log(col("dc").cast("double") / col("d_all").cast("double")), 6)
+            .cast(dec6).as("lp"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("cls"))
+      parts.join(broadcast(priorLL), Seq("cls"))
+        .withColumn("score", col("llsum") + col("lp"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("true_lang"), col("cls").as("pred_lang"))
+        .groupBy(col("true_lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("true_lang"), col("pred_lang"))
+    },
+    Some(s"""
+      |${Duck.docToks},
+      |tk AS (SELECT doc_id, lang, toks FROM tt),
+      |train AS (SELECT * FROM tk WHERE doc_id % 3 <> 0),
+      |test AS (SELECT * FROM tk WHERE doc_id % 3 = 0),
+      |traintok AS (SELECT lang, unnest(toks) AS w FROM train),
+      |classtok AS (SELECT lang, w, count(*) AS cwc FROM traintok GROUP BY 1, 2),
+      |classtot AS (SELECT lang, count(*) AS nc FROM traintok GROUP BY 1),
+      |priors AS (SELECT lang, count(*) AS dc FROM train GROUP BY 1),
+      |dall AS (SELECT count(*) AS d_all FROM train),
+      |vocab AS (SELECT DISTINCT w FROM traintok),
+      |vsize AS (SELECT count(*) AS v FROM vocab),
+      |tokll AS (
+      |  SELECT vocab.w, ct.lang AS cls,
+      |         round(ln(CAST(COALESCE(k.cwc, 0) + 1 AS DOUBLE) /
+      |                  CAST(ct.nc + vsize.v AS DOUBLE)), 6) AS ll
+      |  FROM vocab CROSS JOIN classtot ct CROSS JOIN vsize
+      |  LEFT JOIN classtok k ON k.w = vocab.w AND k.lang = ct.lang
+      |), testtok AS (
+      |  SELECT doc_id, lang AS true_lang, unnest(toks) AS w FROM test
+      |), parts AS (
+      |  SELECT t.doc_id, t.true_lang, l.cls,
+      |         SUM(CAST(l.ll AS DECIMAL(38,6))) AS llsum
+      |  FROM testtok t JOIN tokll l ON t.w = l.w
+      |  GROUP BY 1, 2, 3
+      |), prll AS (
+      |  SELECT p.lang AS cls,
+      |         CAST(round(ln(CAST(p.dc AS DOUBLE) / CAST(d.d_all AS DOUBLE)), 6)
+      |              AS DECIMAL(38,6)) AS lp
+      |  FROM priors p CROSS JOIN dall d
+      |), pred AS (
+      |  SELECT doc_id, true_lang, parts.cls AS pred_lang,
+      |         row_number() OVER (PARTITION BY doc_id
+      |           ORDER BY parts.llsum + prll.lp DESC, parts.cls) AS rn
+      |  FROM parts JOIN prll ON parts.cls = prll.cls
+      |)
+      |SELECT true_lang, pred_lang, count(*) AS n_docs
+      |FROM pred WHERE rn = 1
+      |GROUP BY 1, 2 ORDER BY true_lang, pred_lang
+      """.stripMargin.trim))
+
+  private val aucRoc = QueryDef(
+    "ml_auc_roc",
+    "ROC curve + trapezoid AUC — the binary-classifier evaluation " +
+      "primitive, computed from exact counts: score = discount cents " +
+      "(11 distinct thresholds), label = returnflag 'R'. One corpus " +
+      "aggregate produces per-threshold (pos, neg) counts; cumulative " +
+      "TP/FP, TPR/FPR and the trapezoid terms all live on the " +
+      "threshold-count relation — BOUNDED by the score's distinct " +
+      "values, so the windows are single-partition by construction " +
+      "and cost nothing at any corpus size (for continuous scores, " +
+      "bin first — ml_quantile_bins is the companion). TPR/FPR round " +
+      "at 6; each trapezoid term (product of rounded doubles — IEEE-" +
+      "identical cross-engine) rounds at 10 and sums in " +
+      "DECIMAL(38,10), so the AUC is order-independent exact until " +
+      "the final cast.",
+    (s, dir) => {
+      val byThr = Tables.lineitem(s, dir)
+        .select((col("l_discount").cast(Queries.Money.rate) * 100)
+          .cast("long").as("thr_cents"), col("l_returnflag"))
+        .groupBy(col("thr_cents"))
+        .agg(count(when(col("l_returnflag") === "R", lit(1))).as("pos_d"),
+          count(when(col("l_returnflag") =!= "R", lit(1))).as("neg_d"))
+      val tot = byThr.agg(sum(col("pos_d")).cast("long").as("p_all"),
+        sum(col("neg_d")).cast("long").as("n_all"))
+      val wOrd = Window.orderBy(col("thr_cents").desc)
+      val terms = byThr.crossJoin(broadcast(tot))
+        .withColumn("tp", sum(col("pos_d")).over(wOrd))
+        .withColumn("fp", sum(col("neg_d")).over(wOrd))
+        .withColumn("tpr",
+          round(col("tp").cast("double") / col("p_all").cast("double"), 6))
+        .withColumn("fpr",
+          round(col("fp").cast("double") / col("n_all").cast("double"), 6))
+        .withColumn("term", round(
+          (col("fpr") - lag(col("fpr"), 1, 0.0).over(wOrd)) *
+            (col("tpr") + lag(col("tpr"), 1, 0.0).over(wOrd)) / lit(2.0), 10))
+      val auc = terms.agg(
+        round(sum(col("term").cast(DecimalType(38, 10))).cast("double"), 6)
+          .as("auc"))
+      terms.crossJoin(broadcast(auc))
+        .select(col("thr_cents"), col("tp"), col("fp"),
+          col("tpr"), col("fpr"), col("auc"))
+        .orderBy(col("thr_cents").desc)
+    },
+    Some("""
+      |WITH bythr AS (
+      |  SELECT CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT) AS thr_cents,
+      |         count(*) FILTER (WHERE l_returnflag = 'R') AS pos_d,
+      |         count(*) FILTER (WHERE l_returnflag <> 'R') AS neg_d
+      |  FROM lineitem GROUP BY 1
+      |), tot AS (
+      |  SELECT SUM(pos_d)::BIGINT AS p_all, SUM(neg_d)::BIGINT AS n_all FROM bythr
+      |), cum AS (
+      |  SELECT thr_cents,
+      |         CAST(SUM(pos_d) OVER w AS BIGINT) AS tp,
+      |         CAST(SUM(neg_d) OVER w AS BIGINT) AS fp,
+      |         p_all, n_all
+      |  FROM bythr CROSS JOIN tot
+      |  WINDOW w AS (ORDER BY thr_cents DESC)
+      |), rates AS (
+      |  SELECT thr_cents, tp, fp,
+      |         round(CAST(tp AS DOUBLE) / CAST(p_all AS DOUBLE), 6) AS tpr,
+      |         round(CAST(fp AS DOUBLE) / CAST(n_all AS DOUBLE), 6) AS fpr
+      |  FROM cum
+      |), terms AS (
+      |  SELECT thr_cents, tp, fp, tpr, fpr,
+      |         round((fpr - lag(fpr, 1, 0.0) OVER w) *
+      |               (tpr + lag(tpr, 1, 0.0) OVER w) / 2.0, 10) AS term
+      |  FROM rates
+      |  WINDOW w AS (ORDER BY thr_cents DESC)
+      |), auc AS (
+      |  SELECT round(CAST(SUM(CAST(term AS DECIMAL(38,10))) AS DOUBLE), 6) AS auc
+      |  FROM terms
+      |)
+      |SELECT thr_cents, tp, fp, tpr, fpr, auc
+      |FROM terms CROSS JOIN auc
+      |ORDER BY thr_cents DESC
+      """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
-    Seq(targetEncode, quantileBins, attribution, itemCooccurrence)
+    Seq(targetEncode, quantileBins, attribution, itemCooccurrence,
+      naiveBayes, aucRoc)
 }
