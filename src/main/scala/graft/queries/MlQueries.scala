@@ -433,7 +433,90 @@ object MlQueries {
       |ORDER BY thr_cents DESC
       """.stripMargin.trim))
 
+  /** Fitted k=8 KMeans centroids per fixture dir, kept for the LATE
+    * oracle (same self-consistency contract as the ANN stores: KMeans
+    * is not SQL-recomputable, so the oracle embeds THIS run's fitted
+    * centroid literals).
+    */
+  private object SilStore {
+    val cents = scala.collection.concurrent.TrieMap.empty[String, Array[Array[Float]]]
+    @volatile var lastDir: Option[String] = None
+    def ensure(s: org.apache.spark.sql.SparkSession, dir: String): Array[Array[Float]] = {
+      lastDir = Some(dir)
+      cents.getOrElseUpdate(dir, graft.operators.Ann.kmeansCentroids(
+        Tables.embeddings(s, dir), "embedding", nlist = 8))
+    }
+  }
+
+  private val silhouette = QueryDef(
+    "ml_silhouette",
+    "Clustering quality via simplified silhouette (Hruschka et al.'s " +
+      "centroid variant of Rousseeuw 1987): per vector, a = cosine " +
+      "distance to its own (nearest) centroid, b = distance to the " +
+      "second-nearest, s = (b−a)/max(a,b) — the embedding-curation " +
+      "health metric that tells you whether a clustering is tight " +
+      "enough to drive SemDeDup pruning or IVF partitioning. O(n·k) " +
+      "distance evaluations in ONE codegen'd projection (the centroid " +
+      "array is a literal; per-row sort of k (distance, id) structs " +
+      "replaces the self-join of the exact silhouette, which is O(n²) " +
+      "and off the table at 100 TB), then one cluster-keyed " +
+      "aggregate. Distances round at 6 before the per-row sort (ties " +
+      "→ lower centroid id in both engines); per-cluster means " +
+      "accumulate in DECIMAL(38,6). The oracle embeds this run's " +
+      "fitted centroids (late-bound, like the ANN stores).",
+    (s, dir) => {
+      import graft.functions.VectorFunctions.cosineDistance
+      val cents = SilStore.ensure(s, dir)
+      val centsLit = typedLit(cents.map(_.toSeq).toSeq)
+      val idxs = sequence(lit(0), lit(cents.length - 1))
+      val arr = sort_array(zip_with(centsLit, idxs, (c, i) =>
+        struct(round(cosineDistance(col("embedding"), c), 6).as("d"), i.as("k"))))
+      Tables.embeddings(s, dir)
+        .withColumn("arr", arr)
+        .select(col("vec_id"),
+          element_at(col("arr"), 1).getField("k").as("cluster"),
+          element_at(col("arr"), 1).getField("d").as("a"),
+          element_at(col("arr"), 2).getField("d").as("b"))
+        .withColumn("sil", round((col("b") - col("a")) /
+          when(greatest(col("a"), col("b")) === 0.0, lit(1.0))
+            .otherwise(greatest(col("a"), col("b"))), 6))
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n_vecs"),
+          round(sum(col("sil").cast(dec6)).cast("double") /
+            count(lit(1)).cast("double"), 6).as("mean_sil"))
+        .orderBy(col("cluster"))
+    },
+    oracle = None,
+    oracleLate = Some(() => SilStore.lastDir.flatMap(SilStore.cents.get).map { cents =>
+      val rows = cents.zipWithIndex
+        .map { case (c, k) => s"($k, ${Duck.vecLit(c)})" }.mkString(",\n    ")
+      s"""
+      |WITH cents AS (
+      |  SELECT * FROM (VALUES
+      |    $rows) AS t(k, c)
+      |), d AS (
+      |  SELECT vec_id, k, round(${Duck.cosine("embedding::DOUBLE[]", "c")}, 6) AS d
+      |  FROM embeddings CROSS JOIN cents
+      |), r AS (
+      |  SELECT vec_id, k, d,
+      |         row_number() OVER (PARTITION BY vec_id ORDER BY d, k) AS rn
+      |  FROM d
+      |), own AS (SELECT vec_id, k AS cluster, d AS a FROM r WHERE rn = 1),
+      |nb AS (SELECT vec_id, d AS b FROM r WHERE rn = 2),
+      |s AS (
+      |  SELECT own.vec_id, cluster,
+      |         round((b - a) / CASE WHEN greatest(a, b) = 0.0 THEN 1.0
+      |                              ELSE greatest(a, b) END, 6) AS sil
+      |  FROM own JOIN nb ON own.vec_id = nb.vec_id
+      |)
+      |SELECT cluster, count(*) AS n_vecs,
+      |       round(CAST(SUM(CAST(sil AS DECIMAL(38,6))) AS DOUBLE) /
+      |             CAST(count(*) AS DOUBLE), 6) AS mean_sil
+      |FROM s GROUP BY 1 ORDER BY cluster
+      """.stripMargin.trim
+    }))
+
   val defs: Seq[QueryDef] =
     Seq(targetEncode, quantileBins, attribution, itemCooccurrence,
-      naiveBayes, aucRoc)
+      naiveBayes, aucRoc, silhouette)
 }

@@ -1263,8 +1263,107 @@ object StatQueries {
       |FROM cls ORDER BY l_returnflag
       """.stripMargin.trim))
 
+  /** Poisson(1) inverse-CDF cutpoints on the 48-bit hash grid:
+    * `floor(P(X ≤ k) · 2⁴⁸)` for k = 0..8 (λ=1; draws are capped at 9,
+    * beyond the 1-in-10⁶ tail). The bootstrap weight is the first k
+    * whose cutpoint exceeds the row's 48-bit hash — pure integer
+    * comparisons, zero float ops in the draw.
+    */
+  private val poissonCuts: Seq[Long] = Seq(
+    103548857136060L, 207097714272121L, 258872142840152L, 276130285696162L,
+    280444821410164L, 281307728552965L, 281451546410098L, 281472091818260L,
+    281474659994280L)
+
+  private val poissonBootstrap = QueryDef(
+    "stat_poisson_bootstrap",
+    "Poisson bootstrap confidence interval for mean order value — the " +
+      "bootstrap that actually runs at 100 TB (Chamandy et al. 2012, " +
+      "'Estimating uncertainty for massive data streams'): instead of " +
+      "resampling n rows with replacement (which needs global " +
+      "coordination), every (row, replicate) pair draws an independent " +
+      "Poisson(1) weight, here deterministically from the portable " +
+      "48-bit hash of (replicate, orderkey) via integer inverse-CDF " +
+      "cutpoints — the draw is exact integer comparisons, " +
+      "reproducible across engines, executors and retries. B=100 " +
+      "replicates: the explode inflates scan-side compute only — the " +
+      "per-replicate sufficient statistics combine map-side, so the " +
+      "shuffle carries B rows per partition, not B×n. CI = 2.5th/" +
+      "97.5th percentile replicate means (ranks 3 and 98 of 100, " +
+      "ties → replicate id); replicate means are single divisions of " +
+      "exact BIGINT sums.",
+    (s, dir) => {
+      val B = 100
+      val o = Tables.orders(s, dir).select(col("o_orderkey"),
+        (col("o_totalprice").cast(Queries.Money.price) * 100)
+          .cast("long").as("cents"))
+      val u = graft.operators.TextAnalysis.md5Long48(concat(
+        lit("boot:"), col("r").cast("string"), lit(":"),
+        col("o_orderkey").cast("string")))
+      // first k whose cutpoint exceeds u48, else 9
+      val wExpr = poissonCuts.zipWithIndex.reverse
+        .foldLeft(lit(9L)) { case (els, (c, k)) =>
+          when(col("u48") < lit(c), lit(k.toLong)).otherwise(els)
+        }
+      val means = o
+        .select(col("o_orderkey"), col("cents"),
+          explode(sequence(lit(1), lit(B))).as("r"))
+        .withColumn("u48", u)
+        .withColumn("w", wExpr)
+        .groupBy(col("r"))
+        .agg(sum(col("w") * col("cents")).as("swc"), sum(col("w")).as("sw"))
+        .select(col("r"),
+          round(col("swc").cast("double") / col("sw").cast("double"), 6)
+            .as("bmean"))
+      val ranked = means.withColumn("rn",
+        row_number().over(Window.orderBy(col("bmean"), col("r"))))
+      val ci = ranked.agg(count(lit(1)).as("n_boot"),
+        max(when(col("rn") === 3, col("bmean"))).as("ci_lo"),
+        max(when(col("rn") === 98, col("bmean"))).as("ci_hi"))
+      val est = o.agg(
+        round(sum(col("cents")).cast("double") / count(lit(1)).cast("double"), 6)
+          .as("est_mean"))
+      ci.crossJoin(broadcast(est))
+        .select(col("n_boot"), col("est_mean"), col("ci_lo"), col("ci_hi"))
+    },
+    Some {
+      val caseW = poissonCuts.zipWithIndex
+        .map { case (c, k) => s"WHEN u48 < $c THEN $k" }
+        .mkString("CASE ", " ", " ELSE 9 END")
+      s"""
+      |WITH o AS (
+      |  SELECT o_orderkey,
+      |         CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders
+      |), rep AS (
+      |  SELECT o_orderkey, cents, unnest(range(1, 101)) AS r FROM o
+      |), h AS (
+      |  SELECT r, cents,
+      |         ('0x' || substring(md5('boot:' || r || ':' || o_orderkey), 1, 12))::BIGINT AS u48
+      |  FROM rep
+      |), wt AS (
+      |  SELECT r, cents, $caseW AS w FROM h
+      |), means AS (
+      |  SELECT r,
+      |         round(CAST(SUM(w * cents) AS DOUBLE) / CAST(SUM(w) AS DOUBLE), 6) AS bmean
+      |  FROM wt GROUP BY r
+      |), ranked AS (
+      |  SELECT r, bmean, row_number() OVER (ORDER BY bmean, r) AS rn FROM means
+      |), ci AS (
+      |  SELECT count(*) AS n_boot,
+      |         MAX(CASE WHEN rn = 3 THEN bmean END) AS ci_lo,
+      |         MAX(CASE WHEN rn = 98 THEN bmean END) AS ci_hi
+      |  FROM ranked
+      |), est AS (
+      |  SELECT round(CAST(SUM(cents)::BIGINT AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS est_mean
+      |  FROM o
+      |)
+      |SELECT n_boot, est_mean, ci_lo, ci_hi FROM ci CROSS JOIN est
+      """.stripMargin.trim
+    })
+
   val defs: Seq[QueryDef] =
     Seq(trendOls, dailyCorr, markov, ewma, pagerank, centroidMatrix,
       abWelch, benford, ksTest, acf, bfs, chi2, gini, triangles, dowSeason,
-      cusum, theilSen, mannWhitney, holt, kaplanMeier, assortativity, kendall)
+      cusum, theilSen, mannWhitney, holt, kaplanMeier, assortativity, kendall,
+      poissonBootstrap)
 }
