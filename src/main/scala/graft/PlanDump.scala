@@ -21,7 +21,8 @@ object PlanDump {
       "ev_gaps_lag_pctrank", "ev_funnel_conversion",
       "ev_retention_cohorts", "ev_value_outliers", "dq_profile_orders",
       "txt_dup_ngrams", "dedup_window_spans", "dedup_remove_spans",
-      "pipeline_decontaminate_bloom")
+      "pipeline_decontaminate_bloom", "pipeline_dsir_select",
+      "stat_poisson_bootstrap")
     val interesting = if (args.length > 1) args.drop(1).toSeq else defaultList
     interesting.foreach { name =>
       println(s"\n===== $name =====")
