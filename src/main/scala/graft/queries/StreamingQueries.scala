@@ -391,7 +391,126 @@ object StreamingQueries {
       |SELECT day, rnk, event_type, n FROM r WHERE rnk <= 3 ORDER BY day, rnk
       """.stripMargin.trim))
 
+  /** Three-batch replay with DELIBERATE late data for the watermark
+    * audit: batch1 = the first 15 days minus a deterministic straggler
+    * subset (event_id % 11 = 0), batch2 = the remaining days, batch3 =
+    * the stragglers alone — rows up to 15 days older than the
+    * watermark frontier. THREE batches, not two, because of Spark's
+    * two-watermark rule (SPARK-24634): a batch filters late input
+    * with the PREVIOUS batch's watermark and evicts state with the
+    * current one — so stragglers riding in batch2 would still meet a
+    * zero late-filter (measured: zero drops on the two-batch replay);
+    * only in batch3 has the late-filter frontier itself advanced past
+    * their windows. 48 h watermark, 1-day tumbling counts, APPEND
+    * mode straight to a parquet sink (the emission semantics none of
+    * the other streaming gates exercise: a window only reaches the
+    * sink once the watermark passes its end).
+    */
+  private object LateAuditStore {
+    val SplitOffsetUs: Long = 15L * 86400L * 1000000L
+    val DelayMs: Long = 172800000L
+
+    def ensure(s: SparkSession, dir: String): String =
+      TmpStores.memoizedTable("graft_stream_lateaudit", dir) { root =>
+        val ev = Tables.events(s, dir)
+        val minUs = ev.agg(min(unix_micros(col("ts")))).head().getLong(0)
+        val splitUs = minUs + SplitOffsetUs
+        val early = unix_micros(col("ts")) < splitUs
+        val straggler = pmod(col("event_id"), lit(11)) === 0
+        val staging = s"$root/staging"
+        TmpStores.stageFile(ev.filter(early && !straggler),
+          staging, "batch1", 180000L)
+        TmpStores.stageFile(ev.filter(!early),
+          staging, "batch2", 120000L)
+        TmpStores.stageFile(ev.filter(early && straggler),
+          staging, "batch3", 60000L)
+        val out = s"$root/agg"
+        val stream = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(staging)
+        val q = stream
+          .withWatermark("ts", "48 hours")
+          .groupBy(window(col("ts"), "1 day"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .writeStream
+          .outputMode("append")
+          .format("parquet")
+          .option("path", out)
+          .option("checkpointLocation", s"$root/ckpt")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        out
+      }
+  }
+
+  private val streamLateAudit = QueryDef(
+    "stream_late_audit",
+    "Watermark late-data accounting, run to completion in APPEND mode: " +
+      "events replay as three micro-batches where the last carries " +
+      "only stragglers up to 15 days old against a 48 h watermark and " +
+      "a 1-day tumbling aggregation writing straight to a parquet " +
+      "sink. The audit joins the sink against the one-shot batch " +
+      "counts: n_late_dropped is exactly the rows the engine refused " +
+      "because their window had already closed, and windows the final " +
+      "watermark never passed stay out of the sink (still in state at " +
+      "shutdown). The oracle restates Spark's TWO-watermark algebra " +
+      "(SPARK-24634) in SQL — a batch's late-filter frontier is the " +
+      "PREVIOUS batch's watermark, so the straggler batch is filtered " +
+      "at (max batch-1 event-time ms) − 48 h while emission runs to " +
+      "the final frontier — a green hash pins the engine's late-drop " +
+      "and emission semantics, not just its sums.",
+    (s, dir) => {
+      val sink = s.read.parquet(LateAuditStore.ensure(s, dir))
+        .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+          col("event_type"), col("n").as("n_streamed"))
+      val full = Tables.events(s, dir)
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_total"))
+      sink.join(full, Seq("day", "event_type"))
+        .select(col("day"), col("event_type"), col("n_streamed"),
+          col("n_total"),
+          (col("n_total") - col("n_streamed")).as("n_late_dropped"))
+        .orderBy(col("day"), col("event_type"))
+    },
+    Some("""
+      |WITH ev AS (
+      |  SELECT event_id, event_type, epoch_us(ts::TIMESTAMP) AS us FROM events
+      |), bounds AS (
+      |  SELECT min(us) + 1296000000000 AS split_us FROM ev
+      |), b1 AS (
+      |  SELECT ev.* FROM ev CROSS JOIN bounds
+      |  WHERE us < split_us AND event_id % 11 <> 0
+      |), wm1 AS (
+      |  SELECT (max(us) // 1000 - 172800000) * 1000 AS wm1_us FROM b1
+      |), wmf AS (
+      |  SELECT (max(us) // 1000 - 172800000) * 1000 AS wmf_us FROM ev
+      |), accepted AS (
+      |  SELECT ev.event_type, us - (us % 86400000000) AS day_start_us
+      |  FROM ev CROSS JOIN bounds CROSS JOIN wm1
+      |  WHERE (us < split_us AND event_id % 11 <> 0)
+      |     OR us >= split_us
+      |     OR (us < split_us AND event_id % 11 = 0
+      |         AND us - (us % 86400000000) + 86400000000 > wm1_us)
+      |), sink AS (
+      |  SELECT strftime(make_timestamp(day_start_us), '%Y-%m-%d') AS day,
+      |         event_type, count(*) AS n_streamed
+      |  FROM accepted CROSS JOIN wmf
+      |  WHERE day_start_us + 86400000000 <= wmf_us
+      |  GROUP BY 1, 2
+      |), total AS (
+      |  SELECT strftime(ts::TIMESTAMP, '%Y-%m-%d') AS day, event_type,
+      |         count(*) AS n_total
+      |  FROM events GROUP BY 1, 2
+      |)
+      |SELECT day, event_type, n_streamed, n_total,
+      |       n_total - n_streamed AS n_late_dropped
+      |FROM sink JOIN total USING (day, event_type)
+      |ORDER BY day, event_type
+      """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
     Seq(streamIngest, streamServe, streamServeNsw, streamServePq,
-      streamCdcApply, streamTrending)
+      streamCdcApply, streamTrending, streamLateAudit)
 }
