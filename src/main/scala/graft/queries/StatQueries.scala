@@ -748,7 +748,11 @@ object StatQueries {
       nE.crossJoin(nT)
     },
     Some("""
-      |WITH raw AS (
+      |WITH raw AS MATERIALIZED (
+      |  -- MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, so the
+      |  -- four self-references would each re-run the lineitem-sized 4-way
+      |  -- join — measured >78 GB of concurrent spill at sf10 before the
+      |  -- fix; materialized, the join runs once into a <=|V|^2-row table
       |  SELECT DISTINCT
       |         least(c.c_nationkey, s.s_nationkey) AS src,
       |         greatest(c.c_nationkey, s.s_nationkey) AS dst

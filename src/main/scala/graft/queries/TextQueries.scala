@@ -1154,10 +1154,16 @@ object TextQueries {
     Some(s"""
       |${Duck.docToks}
       |, tp AS (
-      |  SELECT doc_id, i - 1 AS pos, toks[i] AS tok,
-      |         CASE WHEN toks[i] IN (${graft.operators.TextAnalysis.stopwords.values.flatten.toSeq.distinct.sorted.map(w => s"'$w'").mkString(", ")})
+      |  -- struct-unnest, NOT "toks[i] over unnest(range(...))": the range
+      |  -- form carries the WHOLE toks list on every exploded row, so the
+      |  -- materialized intermediate is sum(len^2) elements — measured as a
+      |  -- DuckDB buffer-reservation OOM at sf10 (500k docs) with RSS at 9 GB
+      |  SELECT doc_id, u.pos AS pos, u.tok AS tok,
+      |         CASE WHEN u.tok IN (${graft.operators.TextAnalysis.stopwords.values.flatten.toSeq.distinct.sorted.map(w => s"'$w'").mkString(", ")})
       |              THEN 1 ELSE 0 END AS is_stop
-      |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i FROM tt)
+      |  FROM (SELECT doc_id,
+      |          unnest(list_transform(range(len(toks)), i -> {'pos': i, 'tok': toks[i + 1]})) AS u
+      |        FROM tt)
       |), ph0 AS (
       |  SELECT doc_id, pos, tok, is_stop,
       |         SUM(is_stop) OVER (PARTITION BY doc_id ORDER BY pos
