@@ -1291,7 +1291,13 @@ object StatQueries {
       "reproducible across engines, executors and retries. B=100 " +
       "replicates: the explode inflates scan-side compute only — the " +
       "per-replicate sufficient statistics combine map-side, so the " +
-      "shuffle carries B rows per partition, not B×n. CI = 2.5th/" +
+      "shuffle carries B rows per partition, not B×n. The hash is " +
+      "computed ONCE per row (md5 is the per-pair dominant cost — " +
+      "measured 5× on the whole query): the digest's two 48-bit " +
+      "halves (h1, h2) seed an affine per-replicate stream u_r = " +
+      "(h1 + r·h2) mod 2⁴⁸ — exact BIGINT arithmetic in both engines " +
+      "(r·h2 ≤ 100·2⁴⁸ < 2⁶³, no overflow), row-independent by the " +
+      "hash, replicate-decorrelated by the multiplier. CI = 2.5th/" +
       "97.5th percentile replicate means (ranks 3 and 98 of 100, " +
       "ties → replicate id); replicate means are single divisions of " +
       "exact BIGINT sums.",
@@ -1300,18 +1306,20 @@ object StatQueries {
       val o = Tables.orders(s, dir).select(col("o_orderkey"),
         (col("o_totalprice").cast(Queries.Money.price) * 100)
           .cast("long").as("cents"))
-      val u = graft.operators.TextAnalysis.md5Long48(concat(
-        lit("boot:"), col("r").cast("string"), lit(":"),
-        col("o_orderkey").cast("string")))
+      val digest = md5(concat(lit("boot:"), col("o_orderkey").cast("string")))
+      val h1 = conv(substring(digest, 1, 12), 16, 10).cast("long")
+      val h2 = conv(substring(digest, 13, 12), 16, 10).cast("long")
       // first k whose cutpoint exceeds u48, else 9
       val wExpr = poissonCuts.zipWithIndex.reverse
         .foldLeft(lit(9L)) { case (els, (c, k)) =>
           when(col("u48") < lit(c), lit(k.toLong)).otherwise(els)
         }
       val means = o
-        .select(col("o_orderkey"), col("cents"),
+        .withColumn("h1", h1).withColumn("h2", h2)
+        .select(col("o_orderkey"), col("cents"), col("h1"), col("h2"),
           explode(sequence(lit(1), lit(B))).as("r"))
-        .withColumn("u48", u)
+        .withColumn("u48",
+          (col("h1") + col("r") * col("h2")) % lit(281474976710656L))
         .withColumn("w", wExpr)
         .groupBy(col("r"))
         .agg(sum(col("w") * col("cents")).as("swc"), sum(col("w")).as("sw"))
@@ -1338,12 +1346,14 @@ object StatQueries {
       |  SELECT o_orderkey,
       |         CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
       |  FROM orders
-      |), rep AS (
-      |  SELECT o_orderkey, cents, unnest(range(1, 101)) AS r FROM o
+      |), seeded AS (
+      |  SELECT o_orderkey, cents,
+      |         ('0x' || substring(md5('boot:' || o_orderkey), 1, 12))::BIGINT AS h1,
+      |         ('0x' || substring(md5('boot:' || o_orderkey), 13, 12))::BIGINT AS h2
+      |  FROM o
       |), h AS (
-      |  SELECT r, cents,
-      |         ('0x' || substring(md5('boot:' || r || ':' || o_orderkey), 1, 12))::BIGINT AS u48
-      |  FROM rep
+      |  SELECT r, cents, (h1 + r * h2) % 281474976710656 AS u48
+      |  FROM (SELECT o_orderkey, cents, h1, h2, unnest(range(1, 101)) AS r FROM seeded)
       |), wt AS (
       |  SELECT r, cents, $caseW AS w FROM h
       |), means AS (
