@@ -508,4 +508,28 @@ class PlanShapeSpec extends SparkSpec {
     // float-parity contract in the querydoc)
     assert(!p.toString.contains("avg("), s"no floating avg may appear in the plan:\n$p")
   }
+
+  test("dsir: ratio table broadcasts, selection is top-k not a global sort") {
+    val p = planOf("pipeline_dsir_select")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"Gumbel top-k must plan as a per-partition heap:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the <=1024-row log-ratio table must broadcast onto the feature scan:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no corpus-sized shuffle join may appear:\n$p")
+  }
+
+  test("poisson bootstrap: replicate explode collapses map-side before the shuffle") {
+    val p = planOf("stat_poisson_bootstrap")
+    // partial aggregate sits BETWEEN the explode (Generate) and the first
+    // Exchange — the property that caps the shuffle at B rows/partition
+    val gen = p.indexOf("Generate")
+    val agg = p.indexOf("HashAggregate")
+    assert(gen >= 0 && agg >= 0, p)
+    val genToExchange = p.substring(0, gen)
+    assert(genToExchange.contains("HashAggregate"),
+      s"a partial HashAggregate must appear above the Generate (plan prints top-down):\n$p")
+    // the replicate draw stays codegen'd — no UDF black box
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
+  }
 }
