@@ -91,6 +91,34 @@ class ModelEvalSpec extends SparkSpec {
     assert(hi - lo > 0.0 && (hi - lo) / est < 0.2)
   }
 
+  test("graph_kcore equals the textbook sequential peel") {
+    val out = run("graph_kcore").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // independent driver-side peel of the same support-2 graph
+    val basket = Tables.lineitem(spark, sf("sf0.001"))
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("item"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val pairs = basket.groupBy(_._1).values.flatMap { items =>
+      val is = items.map(_._2).sorted
+      for (i <- is.indices; j <- (i + 1) until is.length) yield (is(i), is(j))
+    }
+    var edges = pairs.groupBy(identity).filter(_._2.size >= 2).keys.toSet
+    var changed = true
+    while (changed) {
+      val deg = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val keep = deg.filter(_._2 >= 3).keySet
+      val next = edges.filter(e => keep(e._1) && keep(e._2))
+      changed = next.size != edges.size
+      edges = next
+    }
+    val expect = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(out == expect,
+      s"engine core (${out.size} nodes) != sequential peel (${expect.size} nodes)")
+    assert(out.values.forall(_ >= 3L) || out.isEmpty)
+  }
+
   test("pipeline_dsir_select: keys verify against the doc's log-weight + Gumbel hash") {
     val out = run("pipeline_dsir_select").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
