@@ -625,8 +625,115 @@ object PipelineQueries {
       |FROM keyed ORDER BY sel_key DESC, doc_id LIMIT 20
       """.stripMargin.trim))
 
+  private val classifierFilter = QueryDef(
+    "pipeline_classifier_filter",
+    "Seed-rule → classifier quality filtering (the CCNet / GPT-3 " +
+      "pipeline step: label a seed set by cheap rules, train a linear " +
+      "text classifier, score EVERYTHING): training docs (doc_id % 3 " +
+      "≠ 0) are labeled positive by the engine's own quality gate " +
+      "(quality ≥ 0.45 ∧ lang = 'en' — the pipeline_training_prep " +
+      "rule), a binary Naive-Bayes log-odds model trains in ONE " +
+      "counts aggregation (add-one smoothing over the shared train " +
+      "vocabulary), and every corpus doc scores mean per-token " +
+      "log-odds ln p(w|pos) − ln p(w|neg) + the prior log-ratio — " +
+      "the length-normalized linear scorer fastText reduces to. " +
+      "Scale shape: training = two corpus-scan aggregates; the " +
+      "per-token odds table joins on the token key (vocabulary-" +
+      "sized, never broadcast); scoring is one doc-keyed aggregate; " +
+      "top-k is TakeOrderedAndProject. Float parity: each ln odds " +
+      "term and the prior round to 6 decimals, per-doc sums " +
+      "accumulate in DECIMAL(38,6), and the mean divides by the " +
+      "exact in-vocab token count. Output: the top 25 docs the " +
+      "classifier would keep, with their rule labels — the view " +
+      "showing the classifier generalizing past its seed rule.",
+    (s, dir) => {
+      val tk = TextQueries.docToks(s, dir)
+        .withColumn("pos_rule",
+          round(qualityScoreFromParts(col("toks"), col("norm")), 6) >= 0.45 &&
+            col("lang") === "en")
+        .select(col("doc_id"), col("lang"), col("toks"), col("pos_rule"))
+      val train = tk.filter(col("doc_id") % 3 =!= 0)
+      val trainTok = train.select(col("pos_rule"), explode(col("toks")).as("w"))
+      val cnt = trainTok.groupBy(col("w")).agg(
+        count(when(col("pos_rule"), lit(1))).as("cp"),
+        count(when(!col("pos_rule"), lit(1))).as("cn"))
+      val tot = trainTok.agg(
+        count(when(col("pos_rule"), lit(1))).as("np"),
+        count(when(!col("pos_rule"), lit(1))).as("nn"),
+        countDistinct(col("w")).as("v"))
+      val prior = train.agg(round(log(
+        (count(when(col("pos_rule"), lit(1))) + 1L).cast("double") /
+          (count(when(!col("pos_rule"), lit(1))) + 1L).cast("double")), 6)
+        .cast(DecimalType(38, 6)).as("lprior"))
+      val odds = cnt.crossJoin(broadcast(tot))
+        .select(col("w"), round(
+          log(((col("cp") + 1L).cast("double") / (col("np") + col("v")).cast("double")) /
+            ((col("cn") + 1L).cast("double") / (col("nn") + col("v")).cast("double"))),
+          6).as("lo"))
+      tk.select(col("doc_id"), col("lang"), col("pos_rule"),
+          explode(col("toks")).as("w"))
+        .join(odds, Seq("w"))
+        .groupBy(col("doc_id"), col("lang"), col("pos_rule"))
+        .agg(count(lit(1)).as("n_tok"),
+          sum(col("lo").cast(DecimalType(38, 6))).as("lo_sum"))
+        .crossJoin(broadcast(prior))
+        .select(col("doc_id"), col("lang"), col("pos_rule"), col("n_tok"),
+          round((col("lo_sum") + col("lprior")).cast("double") /
+            col("n_tok").cast("double"), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id")).limit(25)
+    },
+    Some(s"""
+      |${Duck.docToks},
+      |lab AS (
+      |  SELECT doc_id, lang, toks,
+      |         (round(CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+      |            0.4 * least(1.0, ${Duck.hits(stopwords("en"))}::DOUBLE * 8.0 / len(toks)::DOUBLE)
+      |            + 0.3 * least(1.0, len(toks)::DOUBLE / 50.0)
+      |            + 0.3 * (1.0 - ${Duck.punct}::DOUBLE / length(norm)::DOUBLE) END, 6) >= 0.45
+      |          AND lang = 'en') AS pos_rule
+      |  FROM tt
+      |),
+      |train AS (SELECT * FROM lab WHERE doc_id % 3 <> 0),
+      |traintok AS (SELECT pos_rule, unnest(toks) AS w FROM train),
+      |cnt AS (
+      |  SELECT w, count(*) FILTER (WHERE pos_rule) AS cp,
+      |         count(*) FILTER (WHERE NOT pos_rule) AS cn
+      |  FROM traintok GROUP BY 1
+      |),
+      |tot AS (
+      |  SELECT count(*) FILTER (WHERE pos_rule) AS np,
+      |         count(*) FILTER (WHERE NOT pos_rule) AS nn,
+      |         count(DISTINCT w) AS v
+      |  FROM traintok
+      |),
+      |prior AS (
+      |  SELECT CAST(round(ln(
+      |           (count(*) FILTER (WHERE pos_rule) + 1)::DOUBLE /
+      |           (count(*) FILTER (WHERE NOT pos_rule) + 1)::DOUBLE), 6)
+      |         AS DECIMAL(38,6)) AS lprior
+      |  FROM train
+      |),
+      |odds AS (
+      |  SELECT w, round(ln(
+      |           (CAST(cp + 1 AS DOUBLE) / CAST(np + v AS DOUBLE)) /
+      |           (CAST(cn + 1 AS DOUBLE) / CAST(nn + v AS DOUBLE))), 6) AS lo
+      |  FROM cnt CROSS JOIN tot
+      |),
+      |scored AS (
+      |  SELECT l.doc_id, l.lang, l.pos_rule, count(*) AS n_tok,
+      |         SUM(CAST(o.lo AS DECIMAL(38,6))) AS lo_sum
+      |  FROM (SELECT doc_id, lang, pos_rule, unnest(toks) AS w FROM lab) l
+      |  JOIN odds o ON l.w = o.w
+      |  GROUP BY 1, 2, 3
+      |)
+      |SELECT doc_id, lang, pos_rule, n_tok,
+      |       round(CAST(lo_sum + lprior AS DOUBLE) / CAST(n_tok AS DOUBLE), 6) AS score
+      |FROM scored CROSS JOIN prior
+      |ORDER BY score DESC, doc_id LIMIT 25
+      """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
     Seq(prep, split, balanced, decontaminate, decontaminateBloom, rebalance,
       weighted, temperature, mixReport, hardNegatives, featureHash, curriculum,
-      dsir)
+      dsir, classifierFilter)
 }
