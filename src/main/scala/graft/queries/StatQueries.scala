@@ -1381,6 +1381,43 @@ object StatQueries {
     * two results are STRUCTURALLY equal whether or not the graph
     * converges within the bound.
     */
+  /** Supported co-purchase graph shared by `graph_kcore`,
+    * `graph_label_propagation` and `graph_sssp_weighted` (single-builder
+    * rule — a parity fix to one can never strand the others): undirected
+    * part pairs sharing ≥ `support` orders, carrying the co-purchase
+    * multiplicity `n_co`. One distinct basket projection, one
+    * within-order self-join (bounded by Σ basket² per order, the
+    * market-basket shape every co-occurrence query here uses), one
+    * count rollup. Callers localCheckpoint the result so iterative
+    * consumers start from a flat materialized lineage.
+    */
+  private def coPurchaseEdges(s: SparkSession, dir: String, support: Int) = {
+    val basket = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("item"))
+      .distinct()
+    basket.select(col("ok"), col("item").as("a"))
+      .join(basket.select(col("ok"), col("item").as("b")), Seq("ok"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_co"))
+      .filter(col("n_co") >= support)
+      .select(col("a").as("src"), col("b").as("dst"), col("n_co"))
+  }
+
+  /** SQL twin of [[coPurchaseEdges]]: `basket` + `e0(src, dst, n_co)`
+    * CTEs (e0 MATERIALIZED — inlined, each self-reference would re-run
+    * the lineitem-sized join; the triangle-count lesson).
+    */
+  private def coPurchaseSql(support: Int): String =
+    s"""basket AS (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS item FROM lineitem
+       |), e0 AS MATERIALIZED (
+       |  SELECT src, dst, n_co FROM (
+       |    SELECT a.item AS src, b.item AS dst, count(*) AS n_co
+       |    FROM basket a JOIN basket b ON a.ok = b.ok AND a.item < b.item
+       |    GROUP BY 1, 2
+       |  ) WHERE n_co >= $support
+       |)""".stripMargin
+
   private val KcorePeels = 16
   private val KcoreK = 3
   private val KcoreSupport = 2
@@ -1409,18 +1446,11 @@ object StatQueries {
       "monotone and idempotent past convergence. Exact integers " +
       "end-to-end; no floats in any comparison.",
     (s, dir) => {
-      val basket = Tables.lineitem(s, dir)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("item"))
-        .distinct()
       def degrees(e: org.apache.spark.sql.DataFrame) =
         e.select(col("src").as("v")).unionAll(e.select(col("dst").as("v")))
           .groupBy(col("v")).agg(count(lit(1)).as("deg"))
-      var edges = basket.select(col("ok"), col("item").as("a"))
-        .join(basket.select(col("ok"), col("item").as("b")), Seq("ok"))
-        .filter(col("a") < col("b"))
-        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_co"))
-        .filter(col("n_co") >= KcoreSupport)
-        .select(col("a").as("src"), col("b").as("dst"))
+      var edges = coPurchaseEdges(s, dir, KcoreSupport)
+        .select(col("src"), col("dst"))
         .localCheckpoint()
       var n = edges.count()
       var done = n == 0L
@@ -1457,15 +1487,7 @@ object StatQueries {
             |)""".stripMargin
       }.mkString(",\n")
       s"""
-      |WITH basket AS (
-      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS item FROM lineitem
-      |), e0 AS MATERIALIZED (
-      |  SELECT src, dst FROM (
-      |    SELECT a.item AS src, b.item AS dst, count(*) AS n_co
-      |    FROM basket a JOIN basket b ON a.ok = b.ok AND a.item < b.item
-      |    GROUP BY 1, 2
-      |  ) WHERE n_co >= $KcoreSupport
-      |),
+      |WITH ${coPurchaseSql(KcoreSupport)},
       |$steps
       |SELECT v AS part_id, count(*) AS core_deg FROM (
       |  SELECT src AS v FROM e$KcorePeels UNION ALL SELECT dst FROM e$KcorePeels
@@ -1473,9 +1495,192 @@ object StatQueries {
       """.stripMargin.trim
     })
 
+  /** Fixed synchronous rounds for label propagation. No early exit on
+    * either engine: synchronous LPA can 2-cycle on near-bipartite
+    * structure and never reach a fixpoint, so "run exactly R rounds" is
+    * the only definition both engines can state identically (GraphFrames'
+    * LPA makes the same maxIter-only choice for the same reason).
+    */
+  private val LpaRounds = 8
+  private val LpaSupport = 2
+
+  private val labelPropagation = QueryDef(
+    "graph_label_propagation",
+    s"Community detection via synchronous label propagation (Raghavan " +
+      s"et al. 2007) on the shared supported co-purchase graph " +
+      s"(support ≥ $LpaSupport): every node starts as its own label; " +
+      s"each of exactly $LpaRounds synchronous rounds relabels every " +
+      "node to its neighbors' plurality label, ties broken by a " +
+      "round-salted md5-48 of the label (then label asc) — the " +
+      "deterministic stand-in for the randomized tie-break of the " +
+      "paper. Plain min-label ties are NOT a faithful substitute: the " +
+      "smallest label systematically wins every tie and floods " +
+      "(measured on the gate fixture: 206 communities with a " +
+      "205-node giant vs 361 communities, giant 61, under the salted " +
+      "hash — the latter matches randomized LPA's modular structure " +
+      "while staying hash-comparable cross-engine). No early exit: " +
+      "synchronous LPA can oscillate on near-bipartite regions, so a " +
+      "fixed round count is the only portable definition — the same " +
+      "maxIter-only contract GraphFrames ships. Each round is " +
+      "one edge-keyed join (labels onto the static checkpointed " +
+      "adjacency) + one (node, label) count rollup + a per-node argmax " +
+      "window partitioned by the rollup's own key — no extra exchange; " +
+      "O(R) passes over an edge relation that never grows, the same " +
+      "scale shape as the k-core peel. Exact integers end-to-end. The " +
+      s"oracle unrolls the same $LpaRounds rounds as MATERIALIZED " +
+      "CTEs. Output: per-community size + part-id extrema.",
+    (s, dir) => {
+      val edges = coPurchaseEdges(s, dir, LpaSupport)
+        .select(col("src"), col("dst"))
+      val adj = edges.select(col("src").as("v"), col("dst").as("nbr"))
+        .unionAll(edges.select(col("dst").as("v"), col("src").as("nbr")))
+        .localCheckpoint()
+      var labels = adj.select(col("v")).distinct()
+        .withColumn("lbl", col("v")).localCheckpoint()
+      for (i <- 1 to LpaRounds) {
+        val tie = graft.operators.TextAnalysis.md5Long48(
+          concat(col("lbl").cast("string"), lit(s"#$i")))
+        val w = Window.partitionBy(col("v"))
+          .orderBy(col("cnt").desc, tie, col("lbl"))
+        labels = adj
+          .join(labels.select(col("v").as("nbr"), col("lbl")), Seq("nbr"))
+          .groupBy(col("v"), col("lbl")).agg(count(lit(1)).as("cnt"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("v"), col("lbl"))
+          .localCheckpoint()
+      }
+      labels.groupBy(col("lbl"))
+        .agg(count(lit(1)).as("n_nodes"),
+          min(col("v")).as("min_part"), max(col("v")).as("max_part"))
+        .select(col("lbl").as("community"), col("n_nodes"),
+          col("min_part"), col("max_part"))
+        .orderBy(col("n_nodes").desc, col("community"))
+    },
+    Some {
+      val steps = (1 to LpaRounds).map { i =>
+        val p = i - 1
+        s"""|l$i AS MATERIALIZED (
+            |  SELECT v, lbl FROM (
+            |    SELECT v, lbl,
+            |           row_number() OVER (PARTITION BY v ORDER BY cnt DESC,
+            |             ('0x' || substring(md5(CAST(lbl AS VARCHAR) || '#$i'), 1, 12))::BIGINT,
+            |             lbl) AS rn
+            |    FROM (
+            |      SELECT a.v, l.lbl, count(*) AS cnt
+            |      FROM adj a JOIN l$p l ON l.v = a.nbr
+            |      GROUP BY 1, 2
+            |    )
+            |  ) WHERE rn = 1
+            |)""".stripMargin
+      }.mkString(",\n")
+      s"""
+      |WITH ${coPurchaseSql(LpaSupport)},
+      |adj AS MATERIALIZED (
+      |  SELECT src AS v, dst AS nbr FROM e0
+      |  UNION ALL SELECT dst, src FROM e0
+      |), l0 AS MATERIALIZED (
+      |  SELECT DISTINCT v, v AS lbl FROM adj
+      |),
+      |$steps
+      |SELECT lbl AS community, count(*) AS n_nodes,
+      |       min(v) AS min_part, max(v) AS max_part
+      |FROM l$LpaRounds GROUP BY 1
+      |ORDER BY n_nodes DESC, community
+      """.stripMargin.trim
+    })
+
+  /** Fixed relaxation sweeps for bounded Bellman-Ford: distances are
+    * exact over paths of ≤ this many edges; converged iff the weighted
+    * diameter fits the bound. Both engines run exactly this many sweeps
+    * (relaxation is monotone and idempotent past convergence, so the
+    * results are structurally equal whether or not the graph converges
+    * within the bound — the k-core argument).
+    */
+  private val SsspSweeps = 12
+  private val SsspSupport = 2
+
+  private val ssspWeighted = QueryDef(
+    "graph_sssp_weighted",
+    s"Single-source shortest paths (bounded Bellman-Ford, $SsspSweeps " +
+      s"sweeps) on the shared supported co-purchase graph: edge weight " +
+      "= 1 + 100 div n_co (strong co-purchase ties are short — the " +
+      "inverse-affinity distance recommender graphs use), source = the " +
+      "maximum-degree node (ties → min id) — the hub choice that lands " +
+      "in the giant component; the min-id source sat in a 2-node " +
+      "component at sf0.1 and produced a 2-row profile. Each sweep is " +
+      "one edge-keyed join of the frontier-so-far onto the static " +
+      "checkpointed adjacency + a min rollup on the node key; the " +
+      "distance relation " +
+      "stays SPARSE (only reached nodes carry rows — at 100 TB an " +
+      "unreachable-majority graph costs nothing). Exact integer " +
+      "weights and distances end-to-end; the oracle unrolls the same " +
+      s"$SsspSweeps sweeps as MATERIALIZED CTEs. Output: the distance " +
+      "DISTRIBUTION (per-distance node count + part-id extrema) — " +
+      "bounded by the distinct distance values (≤ sweeps × max weight) " +
+      "whatever the component size, and never empty (the source's " +
+      "dist-0 row always exists; a node-id sample would return zero " +
+      "rows whenever the source lands in a small component, as it " +
+      "does on this fragmented support-thresholded graph at sf0.1).",
+    (s, dir) => {
+      val edges = coPurchaseEdges(s, dir, SsspSupport)
+        .select(col("src"), col("dst"),
+          expr("1 + (100 div n_co)").cast("long").as("w"))
+        .localCheckpoint()
+      val adj = edges.select(col("src").as("u"), col("dst").as("v"), col("w"))
+        .unionAll(edges.select(col("dst").as("u"), col("src").as("v"), col("w")))
+        .localCheckpoint()
+      var dist = adj.groupBy(col("u")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("u")).limit(1)
+        .select(col("u").as("v"), lit(0L).as("dist"))
+        .localCheckpoint()
+      for (_ <- 1 to SsspSweeps) {
+        val relax = adj
+          .join(dist.select(col("v").as("u"), col("dist")), Seq("u"))
+          .select(col("v"), (col("dist") + col("w")).as("dist"))
+        dist = dist.unionAll(relax)
+          .groupBy(col("v")).agg(min(col("dist")).as("dist"))
+          .localCheckpoint()
+      }
+      dist.groupBy(col("dist"))
+        .agg(count(lit(1)).as("n_nodes"),
+          min(col("v")).as("min_part"), max(col("v")).as("max_part"))
+        .orderBy(col("dist"))
+    },
+    Some {
+      val steps = (1 to SsspSweeps).map { i =>
+        val p = i - 1
+        s"""|d$i AS MATERIALIZED (
+            |  SELECT v, CAST(min(dist) AS BIGINT) AS dist FROM (
+            |    SELECT v, dist FROM d$p
+            |    UNION ALL
+            |    SELECT a.v, d.dist + a.w FROM adj a JOIN d$p d ON d.v = a.u
+            |  ) GROUP BY 1
+            |)""".stripMargin
+      }.mkString(",\n")
+      s"""
+      |WITH ${coPurchaseSql(SsspSupport)},
+      |ew AS MATERIALIZED (
+      |  SELECT src, dst, CAST(1 + (100 // n_co) AS BIGINT) AS w FROM e0
+      |), adj AS MATERIALIZED (
+      |  SELECT src AS u, dst AS v, w FROM ew
+      |  UNION ALL SELECT dst, src, w FROM ew
+      |), d0 AS MATERIALIZED (
+      |  SELECT u AS v, CAST(0 AS BIGINT) AS dist FROM (
+      |    SELECT u, count(*) AS c FROM adj GROUP BY 1
+      |    ORDER BY c DESC, u LIMIT 1
+      |  )
+      |),
+      |$steps
+      |SELECT dist, count(*) AS n_nodes,
+      |       min(v) AS min_part, max(v) AS max_part
+      |FROM d$SsspSweeps GROUP BY 1 ORDER BY dist
+      """.stripMargin.trim
+    })
+
   val defs: Seq[QueryDef] =
     Seq(trendOls, dailyCorr, markov, ewma, pagerank, centroidMatrix,
       abWelch, benford, ksTest, acf, bfs, chi2, gini, triangles, dowSeason,
       cusum, theilSen, mannWhitney, holt, kaplanMeier, assortativity, kendall,
-      poissonBootstrap, kcore)
+      poissonBootstrap, kcore, labelPropagation, ssspWeighted)
 }
