@@ -516,7 +516,203 @@ object MlQueries {
       """.stripMargin.trim
     }))
 
+  /** Full-batch gradient-descent iterations for [[logregGd]]. Each is
+    * one corpus aggregate; the oracle unrolls the same count.
+    */
+  private val LogregIters = 8
+
+  /** Driver-side mirror of SQL `round(x, 8)`: BigDecimal.valueOf uses
+    * the double's shortest decimal repr then HALF_UP — verified equal
+    * to DuckDB's round(DOUBLE, n) on tie and boundary cases (2.675,
+    * 0.1234565, negatives) before this query was written.
+    */
+  private def rd8(d: Double): Double =
+    java.math.BigDecimal.valueOf(d)
+      .setScale(8, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  private val logregGd = QueryDef(
+    "ml_logreg_gd",
+    "In-engine linear-classifier training by full-batch gradient " +
+      s"descent ($LogregIters iterations, η=2): predict returnflag='R' " +
+      "from (1, discount, quantity/50). The squashing link is the " +
+      "ALGEBRAIC sigmoid σ(z) = ½ + ½·z/(1+|z|) — correctly-rounded " +
+      "IEEE +,×,÷,|·| only, so every per-row activation is " +
+      "bit-identical cross-engine with no libm exp() in the loop, " +
+      "where a 1-ulp divergence would compound through the weight " +
+      "trajectory. Each iteration is ONE map-side-combining corpus " +
+      "aggregate: per-row gradient/Brier terms round at 6 and sum in " +
+      "DECIMAL(38,6) (exact, order-independent — the scaled sum stays " +
+      "under 2⁵³ fixed-point units through sf100), then the mean " +
+      "rounds at 8 and the weight update replays in identical rounded " +
+      "double arithmetic on both engines; the driver holds only the " +
+      "3-vector of weights (the KMeans contract — bounded model state, " +
+      "data never collected). The oracle unrolls the same " +
+      s"$LogregIters aggregate+update steps as CTEs. Output: the " +
+      "(iter, w, entering-Brier) trajectory — Brier 0.25 → 0.2226 on " +
+      "the gate fixture, monotone (spec-locked).",
+    (s, dir) => {
+      import s.implicits._
+      val base = Tables.lineitem(s, dir).select(
+        when(col("l_returnflag") === "R", 1.0).otherwise(0.0).as("y"),
+        col("l_discount").cast("double").as("x1"),
+        (col("l_quantity").cast("double") / lit(50.0)).as("x2"))
+        .localCheckpoint()
+      val n = base.count().toDouble
+      var w = (0.0, 0.0, 0.0)
+      val hist =
+        scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Double, Double, Double)]
+      for (t <- 0 to LogregIters) {
+        val z = (lit(w._1) + (lit(w._2) * col("x1"))) + (lit(w._3) * col("x2"))
+        val sgm = lit(0.5) + (lit(0.5) * z) / (lit(1.0) + abs(z))
+        val err = sgm - col("y")
+        val r = base.select(
+          round(err, 6).cast(dec6).as("t0"),
+          round(err * col("x1"), 6).cast(dec6).as("t1"),
+          round(err * col("x2"), 6).cast(dec6).as("t2"),
+          round(err * err, 6).cast(dec6).as("tb"))
+          .agg(sum(col("t0")), sum(col("t1")), sum(col("t2")), sum(col("tb")))
+          .head()
+        def g(i: Int) = rd8(r.getDecimal(i).doubleValue() / n)
+        hist += ((t.toLong, w._1, w._2, w._3, g(3)))
+        if (t < LogregIters)
+          w = (rd8(w._1 - (2.0 * g(0))),
+            rd8(w._2 - (2.0 * g(1))),
+            rd8(w._3 - (2.0 * g(2))))
+      }
+      hist.toSeq.toDF("iter", "w0", "w1", "w2", "brier")
+        .orderBy(col("iter"))
+    },
+    Some {
+      val ctes = scala.collection.mutable.ArrayBuffer(
+        """base AS MATERIALIZED (
+          |  SELECT CAST(CAST(l_returnflag = 'R' AS INT) AS DOUBLE) AS y,
+          |         CAST(l_discount AS DOUBLE) AS x1,
+          |         CAST(l_quantity AS DOUBLE) / 50.0 AS x2
+          |  FROM lineitem
+          |)""".stripMargin,
+        "n AS (SELECT count(*)::DOUBLE AS n FROM base)",
+        "w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2)")
+      for (t <- 0 to LogregIters) {
+        ctes += s"""g$t AS (
+          |  SELECT
+          |    round(CAST(SUM(CAST(round(s - y, 6) AS DECIMAL(38,6))) AS DOUBLE) / max(n), 8) AS g0,
+          |    round(CAST(SUM(CAST(round((s - y) * x1, 6) AS DECIMAL(38,6))) AS DOUBLE) / max(n), 8) AS g1,
+          |    round(CAST(SUM(CAST(round((s - y) * x2, 6) AS DECIMAL(38,6))) AS DOUBLE) / max(n), 8) AS g2,
+          |    round(CAST(SUM(CAST(round((s - y) * (s - y), 6) AS DECIMAL(38,6))) AS DOUBLE) / max(n), 8) AS brier
+          |  FROM (
+          |    SELECT y, x1, x2, n, 0.5 + (0.5 * z) / (1.0 + abs(z)) AS s
+          |    FROM (SELECT y, x1, x2, n.n AS n, (w.w0 + (w.w1 * x1)) + (w.w2 * x2) AS z
+          |          FROM base CROSS JOIN w$t w CROSS JOIN n)
+          |  )
+          |)""".stripMargin
+        if (t < LogregIters)
+          ctes += s"""w${t + 1} AS (
+            |  SELECT round(w.w0 - (2.0 * g.g0), 8) AS w0,
+            |         round(w.w1 - (2.0 * g.g1), 8) AS w1,
+            |         round(w.w2 - (2.0 * g.g2), 8) AS w2
+            |  FROM w$t w CROSS JOIN g$t g
+            |)""".stripMargin
+      }
+      val sel = (0 to LogregIters).map { t =>
+        s"SELECT CAST($t AS BIGINT) AS iter, w.w0, w.w1, w.w2, g.brier " +
+          s"FROM w$t w CROSS JOIN g$t g"
+      }.mkString("\nUNION ALL\n")
+      s"""
+      |WITH ${ctes.mkString(",\n")}
+      |SELECT * FROM (
+      |$sel
+      |) ORDER BY iter
+      """.stripMargin.trim
+    })
+
+  private val calibrationEce = QueryDef(
+    "ml_calibration_ece",
+    "Reliability diagram + expected calibration error (ECE, Naeini et " +
+      "al. 2015) — the probability-quality gate beside ml_auc_roc's " +
+      "discrimination gate: a per-source empirical P(lang='en') model " +
+      "trains on documents with doc_id % 3 ≠ 0 (source is the one " +
+      "fixture feature with real signal — confidences span 0.24–0.64; " +
+      "discount→returnflag was probed first and is flat 0.33 " +
+      "everywhere, which collapses the diagram to one bin), every " +
+      "held-out doc is scored by its source's confidence, predictions " +
+      "land in 10 equal-width confidence bins (floor(conf·10), top " +
+      "bin clamped), and ECE = Σ_b (n_b/N)·|accuracy_b − " +
+      "confidence_b|. Training is one source-keyed aggregate " +
+      "broadcast back; scoring is one corpus pass + one ≤10-key " +
+      "rollup — nothing is driver-sized at any SF. Exact counts " +
+      "throughout; acc/conf round at 6, per-bin ECE terms at 10 " +
+      "summing in DECIMAL(38,10).",
+    (s, dir) => {
+      def split(pred: org.apache.spark.sql.Column) =
+        Tables.documents(s, dir).filter(pred).select(
+          col("source").as("b"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+      val conf = split(col("doc_id") % 3 =!= 0)
+        .groupBy(col("b"))
+        .agg(round(sum(col("y")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("conf"))
+      val scored = split(col("doc_id") % 3 === 0)
+        .join(broadcast(conf), Seq("b"))
+        .select(col("y"), col("conf"),
+          least(lit(9L), floor(col("conf") * lit(10.0)).cast("long")).as("bin"))
+      val bins = scored.groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("y")).as("pos_rows"),
+          round(sum(col("y")).cast("double") /
+            count(lit(1)).cast("double"), 6).as("acc"),
+          round(sum(col("conf").cast(dec6)).cast("double") /
+            count(lit(1)).cast("double"), 6).as("conf_mean"))
+      val tot = bins.agg(sum(col("n_rows")).cast("long").as("n_all"))
+      val terms = bins.crossJoin(broadcast(tot))
+        .withColumn("term", round(
+          (col("n_rows").cast("double") / col("n_all").cast("double")) *
+            abs(col("acc") - col("conf_mean")), 10))
+      val ece = terms.agg(
+        round(sum(col("term").cast(DecimalType(38, 10))).cast("double"), 6)
+          .as("ece"))
+      terms.crossJoin(broadcast(ece))
+        .select(col("bin"), col("n_rows"), col("pos_rows"),
+          col("acc"), col("conf_mean"), col("ece"))
+        .orderBy(col("bin"))
+    },
+    Some("""
+      |WITH train AS (
+      |  SELECT source AS b,
+      |         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      |  FROM documents WHERE doc_id % 3 <> 0
+      |), conf AS (
+      |  SELECT b, round(CAST(SUM(y) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS conf
+      |  FROM train GROUP BY 1
+      |), test AS (
+      |  SELECT source AS b,
+      |         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      |  FROM documents WHERE doc_id % 3 = 0
+      |), scored AS (
+      |  SELECT t.y, c.conf,
+      |         LEAST(9, CAST(floor(c.conf * 10.0) AS BIGINT)) AS bin
+      |  FROM test t JOIN conf c USING (b)
+      |), bins AS (
+      |  SELECT bin, count(*) AS n_rows, SUM(y)::BIGINT AS pos_rows,
+      |         round(CAST(SUM(y) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS acc,
+      |         round(CAST(SUM(CAST(conf AS DECIMAL(38,6))) AS DOUBLE) /
+      |               CAST(count(*) AS DOUBLE), 6) AS conf_mean
+      |  FROM scored GROUP BY 1
+      |), tot AS (
+      |  SELECT SUM(n_rows)::BIGINT AS n_all FROM bins
+      |), terms AS (
+      |  SELECT bin, n_rows, pos_rows, acc, conf_mean,
+      |         round((CAST(n_rows AS DOUBLE) / CAST(n_all AS DOUBLE)) *
+      |               abs(acc - conf_mean), 10) AS term
+      |  FROM bins CROSS JOIN tot
+      |), ece AS (
+      |  SELECT round(CAST(SUM(CAST(term AS DECIMAL(38,10))) AS DOUBLE), 6) AS ece
+      |  FROM terms
+      |)
+      |SELECT bin, n_rows, pos_rows, acc, conf_mean, ece
+      |FROM terms CROSS JOIN ece
+      |ORDER BY bin
+      """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
     Seq(targetEncode, quantileBins, attribution, itemCooccurrence,
-      naiveBayes, aucRoc, silhouette)
+      naiveBayes, aucRoc, silhouette, logregGd, calibrationEce)
 }
