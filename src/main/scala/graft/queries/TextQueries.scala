@@ -1262,9 +1262,127 @@ object TextQueries {
       |FROM g ORDER BY lang
       """.stripMargin.trim))
 
+  /** 1/log2(i+1) position discounts for nDCG@10, computed ONCE here and
+    * embedded as shortest-repr double literals in BOTH engines' queries
+    * — neither engine evaluates a transcendental, so the discounts are
+    * bit-identical cross-engine by construction.
+    */
+  private val NdcgDiscounts: Seq[Double] =
+    (1 to 10).map(i => 1.0 / (math.log(i + 1.0) / math.log(2.0)))
+
+  private val rankingNdcgQ = QueryDef(
+    "ml_ranking_ndcg",
+    "Retrieval-ranking evaluation: nDCG@10 and MRR of the BM25 system " +
+      "ranking (the SAME shared bm25Scored builder txt_bm25_topk and " +
+      "the RRF leg run) against graded relevance = least(3, total " +
+      "query-term frequency div 4) — frequency-graded, NOT presence-" +
+      "graded: presence saturates on this corpus (every BM25 top-10 " +
+      "doc contains all three terms → nDCG pinned at 1.0, measured " +
+      "and rejected), while the tf grade (163/225/88/24 docs at rel " +
+      "0/1/2/3 on the gate fixture) separates the saturating, length-" +
+      "normalized BM25 order from the ideal order. This is the metric " +
+      "layer recall telemetry (RECALL.md) lacks: recall is set " +
+      "overlap; nDCG grades POSITION. Gains (2^rel − 1) are exact " +
+      "integers; " +
+      "the 1/log2(i+1) discounts are ten constants computed once " +
+      "driver-side and embedded as identical double literals in both " +
+      "engines (no libm in either plan); DCG terms round at 10 and " +
+      "sum in DECIMAL(38,10); IDCG comes from the corpus-wide ideal " +
+      "top-10 (rel desc, doc_id — a TakeOrderedAndProject, like the " +
+      "system leg); MRR = 1/rank of the first rel ≥ 2 hit in the " +
+      "top-10, 0 if none. Output: the ranked table with the four " +
+      "scalars broadcast alongside — everything after the two top-10s " +
+      "is ≤10-row arithmetic.",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = docToks(s, dir).select(col("doc_id"), col("toks"))
+      val rel = base.select(col("doc_id"),
+        least(lit(3L),
+          bm25Terms.map(t => size(filter(col("toks"), x => x === t)).cast("long"))
+            .reduce(_ + _).divide(lit(4)).cast("long")).as("rel"))
+      val sys = bm25Scored(s, dir)
+        .orderBy(col("bm25").desc, col("doc_id")).limit(10)
+        .withColumn("rnk",
+          row_number().over(Window.orderBy(col("bm25").desc, col("doc_id")))
+            .cast("long"))
+        .join(rel, Seq("doc_id"))
+      val discCol = NdcgDiscounts.zipWithIndex.foldLeft(lit(0.0)) {
+        case (acc, (d, i)) => when(col("rnk") === (i + 1).toLong, lit(d)).otherwise(acc)
+      }
+      val gain = (shl(lit(1L), col("rel")) - 1L).cast("double")
+      val sysg = sys.withColumn("disc", discCol)
+        .withColumn("term", round(gain * col("disc"), 10))
+      val dcg = sysg.agg(
+        round(sum(col("term")
+          .cast(org.apache.spark.sql.types.DecimalType(38, 10))).cast("double"), 6)
+          .as("dcg"))
+      val ideal = rel.orderBy(col("rel").desc, col("doc_id")).limit(10)
+        .withColumn("rnk",
+          row_number().over(Window.orderBy(col("rel").desc, col("doc_id")))
+            .cast("long"))
+        .withColumn("disc", discCol)
+        .withColumn("term", round(gain * col("disc"), 10))
+      val idcg = ideal.agg(
+        round(sum(col("term")
+          .cast(org.apache.spark.sql.types.DecimalType(38, 10))).cast("double"), 6)
+          .as("idcg"))
+      val mrr = sysg.filter(col("rel") >= 2L).agg(
+        coalesce(round(lit(1.0) / min(col("rnk")).cast("double"), 6), lit(0.0))
+          .as("mrr"))
+      sysg.select(col("rnk"), col("doc_id"), col("bm25"), col("rel"))
+        .crossJoin(broadcast(dcg)).crossJoin(broadcast(idcg))
+        .crossJoin(broadcast(mrr))
+        .withColumn("ndcg", round(col("dcg") / col("idcg"), 6))
+        .select(col("rnk"), col("doc_id"), col("bm25"), col("rel"),
+          col("dcg"), col("idcg"), col("ndcg"), col("mrr"))
+        .orderBy(col("rnk"))
+    },
+    Some {
+      val relSql = "least(3, (" + bm25Terms
+        .map(t => s"len(list_filter(toks, x -> x = '$t'))")
+        .mkString(" + ") + ") // 4)"
+      val discSql = NdcgDiscounts.zipWithIndex.map { case (d, i) =>
+        s"WHEN ${i + 1} THEN ${java.math.BigDecimal.valueOf(d).toPlainString}"
+      }.mkString("CASE rnk ", " ", " END")
+      s"""
+      |${Duck.docToks}, $duckBm25Cte,
+      |rel AS (
+      |  SELECT doc_id, CAST($relSql AS BIGINT) AS rel FROM tt
+      |), sys AS (
+      |  SELECT doc_id, bm25,
+      |         CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rnk
+      |  FROM bm25sc ORDER BY bm25 DESC, doc_id LIMIT 10
+      |), sysg AS (
+      |  SELECT s.rnk, s.doc_id, s.bm25, r.rel,
+      |         round(CAST((1 << r.rel) - 1 AS DOUBLE) * ($discSql), 10) AS term
+      |  FROM sys s JOIN rel r USING (doc_id)
+      |), dcg AS (
+      |  SELECT round(CAST(SUM(CAST(term AS DECIMAL(38,10))) AS DOUBLE), 6) AS dcg
+      |  FROM sysg
+      |), ideal AS (
+      |  SELECT rel,
+      |         CAST(row_number() OVER (ORDER BY rel DESC, doc_id) AS BIGINT) AS rnk
+      |  FROM rel ORDER BY rel DESC, doc_id LIMIT 10
+      |), idealg AS (
+      |  SELECT round(CAST((1 << rel) - 1 AS DOUBLE) * ($discSql), 10) AS term
+      |  FROM ideal
+      |), idcg AS (
+      |  SELECT round(CAST(SUM(CAST(term AS DECIMAL(38,10))) AS DOUBLE), 6) AS idcg
+      |  FROM idealg
+      |), mrr AS (
+      |  SELECT COALESCE(round(1.0 / CAST(min(rnk) AS DOUBLE), 6), 0.0) AS mrr
+      |  FROM sysg WHERE rel >= 2
+      |)
+      |SELECT rnk, doc_id, bm25, rel, dcg.dcg, idcg.idcg,
+      |       round(dcg.dcg / idcg.idcg, 6) AS ndcg, mrr.mrr
+      |FROM sysg CROSS JOIN dcg CROSS JOIN idcg CROSS JOIN mrr
+      |ORDER BY rnk
+      """.stripMargin.trim
+    })
+
   val defs: Seq[QueryDef] =
     Seq(stats, langQ, quality, fp, topTokens, bigramLift, lmQ, simhashQ,
       embedQ, embedKnnQ, bm25Q, hybridRrfQ, crossencQ, maxsimQ, tfidfQ, chunksQ, packQ,
       tokenBudgetQ, gopherQ, dupNgramsQ, piiQ, noveltyQ, invIndexQ, bpeTrainQ, rakeQ,
-      readabilityQ)
+      readabilityQ, rankingNdcgQ)
 }
