@@ -119,6 +119,133 @@ class ModelEvalSpec extends SparkSpec {
     assert(out.values.forall(_ >= 3L) || out.isEmpty)
   }
 
+  test("ml_logreg_gd: trajectory starts at the exact zero-model Brier and descends") {
+    val out = run("ml_logreg_gd").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(out.map(_._1).toSeq == (0L to 8L))
+    // iter 0 is the zero model: s = 0.5 for every row, so the Brier is
+    // EXACTLY 0.25 regardless of the data
+    val first = out.head
+    assert(first._2 == 0.0 && first._3 == 0.0 && first._4 == 0.0)
+    assert(first._5 == 0.25)
+    // full-batch GD on a convex surrogate with this step size descends
+    // monotonically on the fixture
+    val briers = out.map(_._5).toSeq
+    assert(briers.zip(briers.tail).forall { case (a, b) => b < a },
+      s"Brier not strictly decreasing: $briers")
+    // the model actually moved
+    assert(out.last._2 != 0.0)
+  }
+
+  test("ml_calibration_ece: bin stats are probabilities and recompose the ECE") {
+    val out = run("ml_calibration_ece").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(out.nonEmpty)
+    assert(out.forall { case (bin, n, pos, acc, conf, _) =>
+      bin >= 0 && bin <= 9 && n > 0 && pos >= 0 && pos <= n &&
+        acc >= 0.0 && acc <= 1.0 && conf >= 0.0 && conf <= 1.0
+    })
+    val ece = out.head._6
+    assert(out.forall(_._6 == ece), "ece must be constant across rows")
+    assert(ece >= 0.0 && ece <= 1.0)
+    // recompose Σ (n_b/N)·|acc − conf| from the emitted rows
+    val nAll = out.map(_._2).sum.toDouble
+    val recomposed = out.map { case (_, n, _, acc, conf, _) =>
+      (n / nAll) * math.abs(acc - conf)
+    }.sum
+    assert(math.abs(recomposed - ece) < 1e-6,
+      s"recomposed ECE $recomposed vs emitted $ece")
+  }
+
+  test("ml_ranking_ndcg: rank table recomposes nDCG and MRR") {
+    val out = run("ml_ranking_ndcg").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7)))
+    assert(out.map(_._1).toSeq == (1L to 10L))
+    // system ranking is bm25-descending with doc_id ties
+    val scores = out.map(r => (r._3, r._2)).toSeq
+    assert(scores == scores.sortBy { case (s, id) => (-s, id) })
+    assert(out.forall(r => r._4 >= 0L && r._4 <= 3L))
+    val (dcg, idcg, ndcg, mrr) = (out.head._5, out.head._6, out.head._7, out.head._8)
+    assert(dcg <= idcg && ndcg > 0.0 && ndcg <= 1.0)
+    assert(math.abs(ndcg - BigDecimal(dcg / idcg)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+    // MRR from the emitted ranks
+    val firstHit = out.find(_._4 >= 2L).map(_._1)
+    val expectMrr = firstHit.map(r => BigDecimal(1.0 / r)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble).getOrElse(0.0)
+    assert(mrr == expectMrr, s"mrr $mrr vs recomposed $expectMrr")
+    // recompose DCG from the emitted (rnk, rel) pairs with the same
+    // closed-form discounts
+    val disc = (1 to 10).map(i => 1.0 / (math.log(i + 1.0) / math.log(2.0)))
+    val recomposed = out.map { r =>
+      BigDecimal(((1L << r._4) - 1).toDouble * disc(r._1.toInt - 1))
+        .setScale(10, BigDecimal.RoundingMode.HALF_UP)
+    }.sum.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(recomposed - dcg) < 1e-6, s"dcg $dcg vs recomposed $recomposed")
+  }
+
+  /** Driver-side rebuild of the support-2 co-purchase graph at sf0.001
+    * (the kcore test's construction, shared by the LPA/SSSP tests).
+    */
+  private def smallGraph(): Set[(Long, Long)] = {
+    val basket = Tables.lineitem(spark, sf("sf0.001"))
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("item"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val pairs = basket.groupBy(_._1).values.flatMap { items =>
+      val is = items.map(_._2).sorted
+      for (i <- is.indices; j <- (i + 1) until is.length) yield (is(i), is(j))
+    }
+    pairs.groupBy(identity).filter(_._2.size >= 2).keys.toSet
+  }
+
+  test("graph_label_propagation: communities partition the graph's node set") {
+    val out = run("graph_label_propagation").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val nodes = smallGraph().flatMap(e => Seq(e._1, e._2))
+    assert(out.map(_._2).sum == nodes.size,
+      "community sizes must sum to the node count (a partition)")
+    assert(out.forall { case (lbl, n, lo, hi) =>
+      n > 0 && lo <= hi && nodes(lbl) && nodes(lo) && nodes(hi)
+    })
+    // labels are distinct (it IS a partition keyed by label)
+    assert(out.map(_._1).distinct.length == out.length)
+  }
+
+  test("graph_sssp_weighted matches a driver-side 12-sweep Bellman-Ford") {
+    val out = run("graph_sssp_weighted").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // independent bounded Bellman-Ford over the same weighted graph
+    val support = Tables.lineitem(spark, sf("sf0.001"))
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("item"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).values.flatMap { items =>
+        val is = items.map(_._2).sorted
+        for (i <- is.indices; j <- (i + 1) until is.length) yield (is(i), is(j))
+      }.groupBy(identity).view.mapValues(_.size).filter(_._2 >= 2).toMap
+    val adj = support.toSeq.flatMap { case ((a, b), nCo) =>
+      val w = 1L + 100L / nCo
+      Seq((a, b, w), (b, a, w))
+    }
+    val deg = adj.groupBy(_._1).view.mapValues(_.size).toMap
+    val src = deg.toSeq.minBy { case (v, d) => (-d, v) }._1
+    var dist = Map(src -> 0L)
+    for (_ <- 1 to 12) {
+      val relaxed = adj.flatMap { case (u, v, w) =>
+        dist.get(u).map(du => v -> (du + w))
+      }
+      dist = (dist.toSeq ++ relaxed).groupBy(_._1).view
+        .mapValues(_.map(_._2).min).toMap
+    }
+    val expect = dist.values.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    assert(out == expect,
+      s"engine distance histogram $out != driver Bellman-Ford $expect")
+    assert(out(0L) == 1L, "exactly the source sits at distance 0")
+  }
+
   test("pipeline_dsir_select: keys verify against the doc's log-weight + Gumbel hash") {
     val out = run("pipeline_dsir_select").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
