@@ -712,7 +712,108 @@ object MlQueries {
       |ORDER BY bin
       """.stripMargin.trim))
 
+  private val kfoldCv = QueryDef(
+    "ml_kfold_cv",
+    "5-fold cross-validation of the per-source P(lang='en') model (the " +
+      "ml_calibration_ece model under the standard eval protocol) — " +
+      "computed WITHOUT five training passes: folds are assigned by " +
+      "the salted portable 48-bit hash of doc_id (doc_id % 5 is " +
+      "CONSTANT per source on this fixture — source derives from " +
+      "doc_id % 20, so modulo folding starves every leave-fold-out " +
+      "cell to zero training mass; hash folding decorrelates), one " +
+      "corpus aggregate " +
+      "produces per-(source, fold) counts, and each fold's training " +
+      "statistics are the leave-fold-out complements (Σ_src − fold_src) " +
+      "on the sources × folds table — the same algebra ml_target_encode " +
+      "uses for leave-one-out, lifted to folds. Scoring joins the " +
+      "(source, fold) confidence back on the doc's own key — model " +
+      "table is sources × 5 rows, broadcast. Per-fold accuracy at the " +
+      "0.5 threshold from exact counts; per-fold Brier from round-6 " +
+      "per-row terms in DECIMAL(38,6); the cross-fold mean/spread " +
+      "come from the 5-row relation. (source, fold) cells with zero " +
+      "leave-fold-out training mass (a source living entirely in one " +
+      "fold — it happens at sf0.001) are filtered before the " +
+      "division, so their docs drop via the inner join on both " +
+      "engines identically.",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).select(
+        col("source").as("b"),
+        (graft.operators.TextAnalysis.md5Long48(
+          concat(lit("cv:"), col("doc_id").cast("string"))) % 5).as("fold"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+      val cell = docs.groupBy(col("b"), col("fold"))
+        .agg(count(lit(1)).as("n_bf"), sum(col("y")).as("pos_bf"))
+      val src = cell.groupBy(col("b"))
+        .agg(sum(col("n_bf")).as("n_b"), sum(col("pos_bf")).as("pos_b"))
+      val conf = cell.join(broadcast(src), Seq("b"))
+        .filter(col("n_b") > col("n_bf"))
+        .select(col("b"), col("fold"),
+          round((col("pos_b") - col("pos_bf")).cast("double") /
+            (col("n_b") - col("n_bf")).cast("double"), 6).as("conf"))
+      val scored = docs.join(broadcast(conf), Seq("b", "fold"))
+        .select(col("fold"), col("y"), col("conf"),
+          when((col("conf") >= 0.5) === (col("y") === 1L), 1L)
+            .otherwise(0L).as("hit"),
+          round((col("conf") - col("y").cast("double")) *
+            (col("conf") - col("y").cast("double")), 6).cast(dec6).as("sq"))
+      val folds = scored.groupBy(col("fold"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(col("hit")).cast("double") /
+            count(lit(1)).cast("double"), 6).as("acc"),
+          round(sum(col("sq")).cast("double") /
+            count(lit(1)).cast("double"), 6).as("brier"))
+      val summ = folds.agg(
+        round(sum(col("acc").cast(dec6)).cast("double") / lit(5.0), 6)
+          .as("mean_acc"),
+        round(sum(col("brier").cast(dec6)).cast("double") / lit(5.0), 6)
+          .as("mean_brier"),
+        round(max(col("acc")) - min(col("acc")), 6).as("acc_spread"))
+      folds.crossJoin(broadcast(summ))
+        .select(col("fold"), col("n_rows"), col("acc"), col("brier"),
+          col("mean_acc"), col("mean_brier"), col("acc_spread"))
+        .orderBy(col("fold"))
+    },
+    Some("""
+      |WITH docs AS (
+      |  SELECT source AS b,
+      |         ('0x' || substring(md5('cv:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 5 AS fold,
+      |         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      |  FROM documents
+      |), cell AS (
+      |  SELECT b, fold, count(*) AS n_bf, SUM(y)::BIGINT AS pos_bf
+      |  FROM docs GROUP BY 1, 2
+      |), src AS (
+      |  SELECT b, SUM(n_bf)::BIGINT AS n_b, SUM(pos_bf)::BIGINT AS pos_b
+      |  FROM cell GROUP BY 1
+      |), conf AS (
+      |  SELECT cell.b, cell.fold,
+      |         round(CAST(pos_b - pos_bf AS DOUBLE) /
+      |               CAST(n_b - n_bf AS DOUBLE), 6) AS conf
+      |  FROM cell JOIN src USING (b)
+      |  WHERE n_b > n_bf
+      |), scored AS (
+      |  SELECT d.fold, d.y, c.conf,
+      |         CASE WHEN (c.conf >= 0.5) = (d.y = 1) THEN 1 ELSE 0 END AS hit,
+      |         CAST(round((c.conf - CAST(d.y AS DOUBLE)) *
+      |                    (c.conf - CAST(d.y AS DOUBLE)), 6) AS DECIMAL(38,6)) AS sq
+      |  FROM docs d JOIN conf c ON d.b = c.b AND d.fold = c.fold
+      |), folds AS (
+      |  SELECT fold, count(*) AS n_rows,
+      |         round(CAST(SUM(hit) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS acc,
+      |         round(CAST(SUM(sq) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS brier
+      |  FROM scored GROUP BY 1
+      |), summ AS (
+      |  SELECT round(CAST(SUM(CAST(acc AS DECIMAL(38,6))) AS DOUBLE) / 5.0, 6) AS mean_acc,
+      |         round(CAST(SUM(CAST(brier AS DECIMAL(38,6))) AS DOUBLE) / 5.0, 6) AS mean_brier,
+      |         round(max(acc) - min(acc), 6) AS acc_spread
+      |  FROM folds
+      |)
+      |SELECT fold, n_rows, acc, brier, mean_acc, mean_brier, acc_spread
+      |FROM folds CROSS JOIN summ
+      |ORDER BY fold
+      """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
     Seq(targetEncode, quantileBins, attribution, itemCooccurrence,
-      naiveBayes, aucRoc, silhouette, logregGd, calibrationEce)
+      naiveBayes, aucRoc, silhouette, logregGd, calibrationEce, kfoldCv)
 }

@@ -347,6 +347,62 @@ object QualityQueries {
       |FROM s
       """.stripMargin.trim))
 
+  private val dpCounts = QueryDef(
+    "dq_dp_counts",
+    "Differentially-private count release (Laplace mechanism, ε=1, " +
+      "sensitivity 1) over per-(lang, source) document counts — the " +
+      "aggregate-release gate beside dq_k_anonymity's re-identification " +
+      "audit. Noise is drawn by inverse-CDF on a SEEDED uniform " +
+      "(md5-48 of a release-key constant + the group key, the " +
+      "stat_poisson_bootstrap idiom): Laplace = −b·sign(u−½)·" +
+      "ln(1−2|u−½|) — the replayable common-random-numbers form " +
+      "production DP systems use so a re-run releases the SAME noise " +
+      "instead of averaging it away across retries (the privacy " +
+      "budget is spent once); with the seed a fixture constant here, " +
+      "this gates the MECHANISM, not a privacy guarantee — stated " +
+      "plainly. One group-keyed aggregate, one ln per GROUP (not per " +
+      "row); noisy counts floor at 0 and round at 2. Output bounded " +
+      "by the (lang × source) domain.",
+    (s, dir) => {
+      val eps = 1.0
+      val u = (graft.operators.TextAnalysis.md5Long48(
+        concat(lit("dp-release-1:"), col("lang"), lit("/"), col("source")))
+        .cast("double") + lit(0.5)) / lit(281474976710656.0)
+      val noise = round(
+        (lit(-1.0) / lit(eps)) * signum(u - lit(0.5)) *
+          log(lit(1.0) - lit(2.0) * abs(u - lit(0.5))), 6)
+      Tables.documents(s, dir)
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_true"))
+        .withColumn("noise", noise)
+        .withColumn("n_noisy",
+          round(greatest(col("n_true").cast("double") + col("noise"),
+            lit(0.0)), 2))
+        .select(col("lang"), col("source"), col("n_noisy"))
+        .orderBy(col("lang"), col("source"))
+    },
+    Some("""
+      |WITH g AS (
+      |  SELECT lang, source, count(*) AS n_true
+      |  FROM documents GROUP BY 1, 2
+      |), seeded AS (
+      |  SELECT lang, source, n_true,
+      |         (CAST(('0x' || substring(md5('dp-release-1:' || lang || '/' || source), 1, 12))::BIGINT
+      |               AS DOUBLE) + 0.5) / 281474976710656.0 AS u
+      |  FROM g
+      |), noised AS (
+      |  SELECT lang, source, n_true,
+      |         round((-1.0 / 1.0) * sign(u - 0.5) *
+      |               ln(1.0 - 2.0 * abs(u - 0.5)), 6) AS noise
+      |  FROM seeded
+      |)
+      |SELECT lang, source,
+      |       round(greatest(CAST(n_true AS DOUBLE) + noise, 0.0), 2) AS n_noisy
+      |FROM noised
+      |ORDER BY lang, source
+      """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
-    Seq(profileQ, fuzzyLinkQ, expectationsQ, kAnonymity, tableFingerprint, driftTv)
+    Seq(profileQ, fuzzyLinkQ, expectationsQ, kAnonymity, tableFingerprint,
+      driftTv, dpCounts)
 }

@@ -1678,9 +1678,77 @@ object StatQueries {
       """.stripMargin.trim
     })
 
+  /** Top order statistics used by the Hill estimator (k largest plus
+    * the k+1-st as the threshold).
+    */
+  private val HillK = 100
+
+  private val hillTail = QueryDef(
+    "stat_hill_tail",
+    s"Heavy-tail index of the order-value distribution via the Hill " +
+      s"estimator (Hill 1975) on the top $HillK order statistics: " +
+      s"γ̂ = mean ln(x_(i)/x_(k+1)) over the k largest values, " +
+      "α̂ = 1/γ̂ — the tail-exponent diagnostic (Zipf/Pareto health " +
+      "check) that complements stat_gini's whole-distribution " +
+      "concentration and dq_benford_prices' digit law. The ONLY " +
+      "corpus-sized step is one TakeOrderedAndProject of the top " +
+      "k+1 (cents desc, orderkey) — order statistics, not a sort; " +
+      "the estimator itself is k-row arithmetic. Values are exact " +
+      "cents; each ln ratio rounds at 6 and the mean accumulates in " +
+      "DECIMAL(38,6). Output: the top-10 tail sample with γ̂/α̂ " +
+      "broadcast alongside.",
+    (s, dir) => {
+      val cents = Tables.orders(s, dir).select(col("o_orderkey"),
+        (col("o_totalprice").cast(DecimalType(12, 2)) * 100)
+          .cast("long").as("cents"))
+      val top = cents.orderBy(col("cents").desc, col("o_orderkey"))
+        .limit(HillK + 1)
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("cents").desc, col("o_orderkey"))).cast("long"))
+        .localCheckpoint()
+      val thr = top.filter(col("rnk") === (HillK + 1))
+        .select(col("cents").as("c_thr"))
+      val tail = top.filter(col("rnk") <= HillK).crossJoin(broadcast(thr))
+      val gamma = tail.agg(
+        round(sum(round(log(col("cents").cast("double") /
+          col("c_thr").cast("double")), 6).cast(dec6)).cast("double") /
+          lit(HillK.toDouble), 6).as("gamma"))
+      tail.filter(col("rnk") <= 10).crossJoin(broadcast(gamma))
+        .withColumn("alpha", round(lit(1.0) / col("gamma"), 6))
+        .select(col("rnk"), col("o_orderkey"), col("cents"),
+          col("gamma"), col("alpha"))
+        .orderBy(col("rnk"))
+    },
+    Some(s"""
+      |WITH cents AS (
+      |  SELECT o_orderkey,
+      |         CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders
+      |), top AS MATERIALIZED (
+      |  SELECT o_orderkey, cents,
+      |         CAST(row_number() OVER (ORDER BY cents DESC, o_orderkey) AS BIGINT) AS rnk
+      |  FROM cents ORDER BY cents DESC, o_orderkey LIMIT ${HillK + 1}
+      |), thr AS (
+      |  SELECT cents AS c_thr FROM top WHERE rnk = ${HillK + 1}
+      |), tail AS (
+      |  SELECT rnk, o_orderkey, cents, c_thr
+      |  FROM top CROSS JOIN thr WHERE rnk <= $HillK
+      |), gamma AS (
+      |  SELECT round(CAST(SUM(CAST(round(ln(CAST(cents AS DOUBLE) /
+      |                  CAST(c_thr AS DOUBLE)), 6) AS DECIMAL(38,6))) AS DOUBLE) /
+      |               ${HillK}.0, 6) AS gamma
+      |  FROM tail
+      |)
+      |SELECT rnk, o_orderkey, cents, gamma.gamma,
+      |       round(1.0 / gamma.gamma, 6) AS alpha
+      |FROM tail CROSS JOIN gamma
+      |WHERE rnk <= 10
+      |ORDER BY rnk
+      """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
     Seq(trendOls, dailyCorr, markov, ewma, pagerank, centroidMatrix,
       abWelch, benford, ksTest, acf, bfs, chi2, gini, triangles, dowSeason,
       cusum, theilSen, mannWhitney, holt, kaplanMeier, assortativity, kendall,
-      poissonBootstrap, kcore, labelPropagation, ssspWeighted)
+      poissonBootstrap, kcore, labelPropagation, ssspWeighted, hillTail)
 }
