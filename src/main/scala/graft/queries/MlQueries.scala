@@ -813,7 +813,83 @@ object MlQueries {
       |ORDER BY fold
       """.stripMargin.trim))
 
+  private val prCurve = QueryDef(
+    "ml_pr_curve",
+    "Precision–recall curve + average precision (step-wise AP, the " +
+      "sklearn formulation Σ (R_i − R_{i−1})·P_i) over the same " +
+      "score/label pair as ml_auc_roc — the imbalanced-data companion " +
+      "to ROC (precision is base-rate-sensitive where FPR is not; " +
+      "gating both curves from one counts relation shows the two " +
+      "evaluation geometries agree on their shared inputs). Identical " +
+      "scale shape to the ROC gate: one corpus aggregate to " +
+      "per-threshold counts, then all windows run on the " +
+      "threshold-bounded relation. Precision/recall round at 6; AP " +
+      "terms (products of rounded doubles) round at 10 and sum in " +
+      "DECIMAL(38,10).",
+    (s, dir) => {
+      val byThr = Tables.lineitem(s, dir)
+        .select((col("l_discount").cast(Queries.Money.rate) * 100)
+          .cast("long").as("thr_cents"), col("l_returnflag"))
+        .groupBy(col("thr_cents"))
+        .agg(count(when(col("l_returnflag") === "R", lit(1))).as("pos_d"),
+          count(when(col("l_returnflag") =!= "R", lit(1))).as("neg_d"))
+      val tot = byThr.agg(sum(col("pos_d")).cast("long").as("p_all"))
+      val wOrd = Window.orderBy(col("thr_cents").desc)
+      val terms = byThr.crossJoin(broadcast(tot))
+        .withColumn("tp", sum(col("pos_d")).over(wOrd))
+        .withColumn("fp", sum(col("neg_d")).over(wOrd))
+        .withColumn("precision",
+          round(col("tp").cast("double") /
+            (col("tp") + col("fp")).cast("double"), 6))
+        .withColumn("recall",
+          round(col("tp").cast("double") / col("p_all").cast("double"), 6))
+        .withColumn("term", round(
+          (col("recall") - lag(col("recall"), 1, 0.0).over(wOrd)) *
+            col("precision"), 10))
+      val ap = terms.agg(
+        round(sum(col("term").cast(DecimalType(38, 10))).cast("double"), 6)
+          .as("ap"))
+      terms.crossJoin(broadcast(ap))
+        .select(col("thr_cents"), col("tp"), col("fp"),
+          col("precision"), col("recall"), col("ap"))
+        .orderBy(col("thr_cents").desc)
+    },
+    Some("""
+      |WITH bythr AS (
+      |  SELECT CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT) AS thr_cents,
+      |         count(*) FILTER (WHERE l_returnflag = 'R') AS pos_d,
+      |         count(*) FILTER (WHERE l_returnflag <> 'R') AS neg_d
+      |  FROM lineitem GROUP BY 1
+      |), tot AS (
+      |  SELECT SUM(pos_d)::BIGINT AS p_all FROM bythr
+      |), cum AS (
+      |  SELECT thr_cents,
+      |         CAST(SUM(pos_d) OVER w AS BIGINT) AS tp,
+      |         CAST(SUM(neg_d) OVER w AS BIGINT) AS fp,
+      |         p_all
+      |  FROM bythr CROSS JOIN tot
+      |  WINDOW w AS (ORDER BY thr_cents DESC)
+      |), rates AS (
+      |  SELECT thr_cents, tp, fp,
+      |         round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6) AS precision,
+      |         round(CAST(tp AS DOUBLE) / CAST(p_all AS DOUBLE), 6) AS recall
+      |  FROM cum
+      |), terms AS (
+      |  SELECT thr_cents, tp, fp, precision, recall,
+      |         round((recall - lag(recall, 1, 0.0) OVER w) * precision, 10) AS term
+      |  FROM rates
+      |  WINDOW w AS (ORDER BY thr_cents DESC)
+      |), ap AS (
+      |  SELECT round(CAST(SUM(CAST(term AS DECIMAL(38,10))) AS DOUBLE), 6) AS ap
+      |  FROM terms
+      |)
+      |SELECT thr_cents, tp, fp, precision, recall, ap
+      |FROM terms CROSS JOIN ap
+      |ORDER BY thr_cents DESC
+      """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
     Seq(targetEncode, quantileBins, attribution, itemCooccurrence,
-      naiveBayes, aucRoc, silhouette, logregGd, calibrationEce, kfoldCv)
+      naiveBayes, aucRoc, silhouette, logregGd, calibrationEce, kfoldCv,
+      prCurve)
 }

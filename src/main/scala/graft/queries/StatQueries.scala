@@ -1045,6 +1045,106 @@ object StatQueries {
       |FROM folded ORDER BY event_type
       """.stripMargin.trim))
 
+  private val holtWinters = QueryDef(
+    "ev_holt_winters",
+    "Holt–Winters ADDITIVE seasonal smoothing (α = β = γ = 0.5, period " +
+      "7) of per-type daily value with a full next-week forecast — the " +
+      "seasonality-aware member of the smoothing family (ev_ewma_daily " +
+      "= level; ev_holt_forecast = level+trend; this = level+trend+" +
+      "day-of-week profile, the shape retail/ops series actually " +
+      "have). The 9-component (l, b, s₀..s₆) recursion folds " +
+      "sequentially over the day-sorted array exactly like the Holt " +
+      "gate — Spark aggregate HOF ≡ DuckDB list_reduce on a LIST " +
+      "accumulator (the struct-accumulator mis-evaluation workaround " +
+      "documented there), each (x, day-index) element pre-zipped so " +
+      "the seasonal slot j = (t−1) mod 7 is data, not fold state. " +
+      "Init: l₀ = first-week mean (one fixed left-fold), b₀ = 0, " +
+      "sⱼ = xⱼ − l₀; l₀ is projected ONCE as its own column so both " +
+      "engines evaluate the init expression a single time. Per-key " +
+      "arrays are calendar-bounded; 10⁶ keys fold independently after " +
+      "one keyed shuffle. Output: 7 forecast rows per type (level + " +
+      "h·trend + the h-th day's seasonal), cents exact until the " +
+      "final /100 display division.",
+    (s, dir) => {
+      val arr = dailyCents(s, dir)
+        .groupBy(col("event_type"))
+        .agg(transform(array_sort(collect_list(struct(col("day"), col("yc")))),
+          e => e.getField("yc").cast("double")).as("xs"))
+        .filter(size(col("xs")) >= 8)
+      val l0 = (1 to 7).map(i => element_at(col("xs"), i))
+        .reduce(_ + _) / lit(7.0)
+      val withInit = arr.withColumn("l0", l0)
+      val initAcc = concat(
+        array(col("l0"), lit(0.0)),
+        transform(sequence(lit(1), lit(7)),
+          i => element_at(col("xs"), i) - col("l0")))
+      val elems = transform(sequence(lit(8), size(col("xs"))),
+        i => struct(element_at(col("xs"), i).as("x"),
+          pmod(i - 1, lit(7)).as("j")))
+      def lNew(acc: org.apache.spark.sql.Column, e: org.apache.spark.sql.Column) =
+        lit(0.5) * (e.getField("x") - element_at(acc, e.getField("j") + 3)) +
+          lit(0.5) * (element_at(acc, 1) + element_at(acc, 2))
+      val folded = withInit.select(col("event_type"),
+        size(col("xs")).cast("long").as("n_days"),
+        aggregate(elems, initAcc, (acc, e) => concat(
+          array(
+            lNew(acc, e),
+            lit(0.5) * (lNew(acc, e) - element_at(acc, 1)) +
+              lit(0.5) * element_at(acc, 2)),
+          transform(sequence(lit(0), lit(6)), k =>
+            when(k === e.getField("j"),
+              lit(0.5) * (e.getField("x") - lNew(acc, e)) +
+                lit(0.5) * element_at(acc, e.getField("j") + 3))
+              .otherwise(element_at(acc, k + 3))))).as("st"))
+      folded.select(col("event_type"), col("n_days"),
+          explode(sequence(lit(1), lit(7))).as("h"), col("st"))
+        .select(col("event_type"), col("n_days"), col("h").cast("long").as("h"),
+          round(element_at(col("st"), 1) / lit(100.0), 6).as("level"),
+          round(element_at(col("st"), 2) / lit(100.0), 6).as("trend"),
+          round((element_at(col("st"), 1) +
+            col("h").cast("double") * element_at(col("st"), 2) +
+            element_at(col("st"),
+              pmod(col("n_days") + col("h") - 1, lit(7)).cast("int") + 3)) /
+            lit(100.0), 6).as("forecast"))
+        .orderBy(col("event_type"), col("h"))
+    },
+    Some {
+      val l0Sql = "(((((((xs[1] + xs[2]) + xs[3]) + xs[4]) + xs[5]) + xs[6]) + xs[7]) / 7.0)"
+      val lNewSql =
+        "(0.5 * (e[1] - a[CAST(e[2] AS INT) + 3]) + 0.5 * (a[1] + a[2]))"
+      s"""
+      |WITH daily AS (
+      |$dailyCentsSql
+      |), arr AS (
+      |  SELECT event_type, list(yc::DOUBLE ORDER BY day) AS xs FROM daily GROUP BY 1
+      |), arr8 AS (
+      |  SELECT event_type, xs, $l0Sql AS l0 FROM arr WHERE len(xs) >= 8
+      |), folded AS (
+      |  SELECT event_type, len(xs)::BIGINT AS n_days,
+      |         list_reduce(
+      |           list_prepend(
+      |             [l0, 0.0::DOUBLE] ||
+      |               list_transform(xs[1:7], x -> x - l0),
+      |             list_transform(range(8, len(xs) + 1),
+      |               i -> [xs[i], CAST((i - 1) % 7 AS DOUBLE)])),
+      |           (a, e) -> [$lNewSql,
+      |                      0.5 * ($lNewSql - a[1]) + 0.5 * a[2]] ||
+      |                     list_transform([0, 1, 2, 3, 4, 5, 6],
+      |                       k -> CASE WHEN k = CAST(e[2] AS INT)
+      |                                 THEN 0.5 * (e[1] - $lNewSql) + 0.5 * a[CAST(e[2] AS INT) + 3]
+      |                                 ELSE a[k + 3] END)) AS st
+      |  FROM arr8
+      |)
+      |SELECT event_type, n_days, CAST(h AS BIGINT) AS h,
+      |       round(st[1] / 100.0, 6) AS level,
+      |       round(st[2] / 100.0, 6) AS trend,
+      |       round((st[1] + CAST(h AS DOUBLE) * st[2] +
+      |              st[CAST((n_days + h - 1) % 7 AS INT) + 3]) / 100.0, 6) AS forecast
+      |FROM folded CROSS JOIN unnest([1, 2, 3, 4, 5, 6, 7]) AS t(h)
+      |ORDER BY event_type, h
+      """.stripMargin.trim
+    })
+
   private val kaplanMeier = QueryDef(
     "stat_survival_km",
     "Kaplan–Meier survival curve for time-to-conversion (first view → " +
@@ -1678,6 +1778,93 @@ object StatQueries {
       """.stripMargin.trim
     })
 
+  private val PprIters = 3
+  private val PprSeeds = 3
+  private val PprMass = 1000000000000L
+  private val PprDamp = 85
+
+  private val pprParts = QueryDef(
+    "graph_ppr_parts",
+    s"Personalized PageRank (random walk with restart, $PprIters " +
+      s"deterministic integer power iterations, damping $PprDamp%) from " +
+      s"the top-$PprSeeds weighted-degree hubs of the shared supported " +
+      "co-purchase graph — the 'customers who bought these also " +
+      "bought' recommendation primitive, complementing global " +
+      "graph_pagerank_nations exactly as a query-time recommender " +
+      "complements a popularity chart. All teleport mass restarts at " +
+      "the seed set, so rank stays EXACTLY 0 outside the seeds' " +
+      "reachable neighborhood and the rank relation is effectively " +
+      "sparse at 100 TB. Same micro-unit determinism contract as " +
+      "PageRank.weighted: BIGINT mass, two-step truncating division, " +
+      "order-independent integer sums — bit-identical under any " +
+      "partitioning, so the iterative algorithm itself sits under the " +
+      "hash gate (oracle unrolls the same iterations). Output: " +
+      "top-25 related parts with seed flags.",
+    (s, dir) => {
+      val edges = coPurchaseEdges(s, dir, LpaSupport)
+      val ew = edges.select(col("src"), col("dst"), col("n_co").as("w"))
+        .unionAll(edges.select(col("dst").as("src"), col("src").as("dst"),
+          col("n_co").as("w")))
+        .localCheckpoint()
+      val verts = ew.select(col("src").as("id")).distinct()
+      val seeds = ew.groupBy(col("src"))
+        .agg(sum(col("w").cast("long")).as("totw"))
+        .orderBy(col("totw").desc, col("src")).limit(PprSeeds)
+        .select(col("src").as("id")).localCheckpoint()
+      val ranks = PageRank.personalized(verts, ew, seeds,
+        iterations = PprIters, massMicro = PprMass, dampingPct = PprDamp)
+      ranks.join(seeds.select(col("id").as("sid")),
+          ranks("id") === col("sid"), "left")
+        .select(col("id").as("part_id"), col("rank_micro"),
+          when(col("sid").isNotNull, 1L).otherwise(0L).as("is_seed"))
+        .orderBy(col("rank_micro").desc, col("part_id")).limit(25)
+    },
+    Some {
+      val share = PprMass / PprSeeds
+      val teleport = (PprMass * (100 - PprDamp) / 100) / PprSeeds
+      val iters = (1 to PprIters).map { i =>
+        val p = i - 1
+        s"""|r$i AS MATERIALIZED (
+            |  SELECT v.id,
+            |         (CASE WHEN v.id IN (SELECT sid FROM seeds) THEN CAST($teleport AS BIGINT)
+            |               ELSE CAST(0 AS BIGINT) END
+            |          + COALESCE(c.inmass, 0))::BIGINT AS r
+            |  FROM v LEFT JOIN (
+            |    SELECT e.dst,
+            |           SUM((((r.r * $PprDamp) // 100) * e.w) // e.totw)::BIGINT AS inmass
+            |    FROM ewd e JOIN r$p r ON r.id = e.src
+            |    GROUP BY 1
+            |  ) c ON c.dst = v.id
+            |)""".stripMargin
+      }.mkString(",\n")
+      s"""
+      |WITH ${coPurchaseSql(LpaSupport)},
+      |ew AS MATERIALIZED (
+      |  SELECT src, dst, n_co AS w FROM e0
+      |  UNION ALL SELECT dst, src, n_co FROM e0
+      |), deg AS MATERIALIZED (
+      |  SELECT src, SUM(w)::BIGINT AS totw FROM ew GROUP BY 1
+      |), ewd AS MATERIALIZED (
+      |  SELECT ew.src, ew.dst, ew.w, deg.totw FROM ew JOIN deg USING (src)
+      |), v AS MATERIALIZED (
+      |  SELECT DISTINCT src AS id FROM ew
+      |), seeds AS MATERIALIZED (
+      |  SELECT src AS sid FROM deg ORDER BY totw DESC, src LIMIT $PprSeeds
+      |), r0 AS MATERIALIZED (
+      |  SELECT id, CASE WHEN id IN (SELECT sid FROM seeds)
+      |                  THEN CAST($share AS BIGINT)
+      |                  ELSE CAST(0 AS BIGINT) END AS r
+      |  FROM v
+      |),
+      |$iters
+      |SELECT id AS part_id, r AS rank_micro,
+      |       CASE WHEN id IN (SELECT sid FROM seeds) THEN CAST(1 AS BIGINT)
+      |            ELSE CAST(0 AS BIGINT) END AS is_seed
+      |FROM r$PprIters
+      |ORDER BY rank_micro DESC, part_id LIMIT 25
+      """.stripMargin.trim
+    })
+
   /** Top order statistics used by the Hill estimator (k largest plus
     * the k+1-st as the threshold).
     */
@@ -1746,9 +1933,79 @@ object StatQueries {
       |ORDER BY rnk
       """.stripMargin.trim))
 
+  private val spearmanDaily = QueryDef(
+    "stat_spearman_daily",
+    "Spearman rank correlation between daily view value and daily " +
+      "purchase value — the monotone-association member of the " +
+      "correlation family (Pearson = stat_daily_corr measures " +
+      "linearity on the same grid; Kendall = stat_kendall_tau pays " +
+      "O(grid²) for pair concordance; Spearman is Pearson on ranks at " +
+      "aggregate cost). Tied values take textbook AVERAGE ranks, kept " +
+      "EXACT as integer doubled-ranks 2r = 2·|{<v}| + |{=v}| + 1 " +
+      "(integer, so no half-rank float enters the sufficient " +
+      "statistics): all five Σ terms are exact BIGINTs over the " +
+      "calendar-bounded daily grid, and one closed-form double " +
+      "formula at the end — the stat-family contract. Window counts " +
+      "run on the days-sized relation, never the event relation.",
+    (s, dir) => {
+      val daily = dailyCents(s, dir)
+      val pair = daily.filter(col("event_type") === "view")
+        .select(col("day"), col("yc").as("x"))
+        .join(daily.filter(col("event_type") === "purchase")
+          .select(col("day"), col("yc").as("y")), Seq("day"))
+      def r2(c: org.apache.spark.sql.Column, name: String) = {
+        val wLess = Window.orderBy(c).rangeBetween(Window.unboundedPreceding, -1)
+        val wEq = Window.partitionBy(c)
+        (coalesce(count(lit(1)).over(wLess), lit(0L)) * 2 +
+          count(lit(1)).over(wEq) + 1).as(name)
+      }
+      val ranked = pair.select(col("day"), r2(col("x"), "rx"), r2(col("y"), "ry"))
+      val stats = ranked.agg(
+        count(lit(1)).as("n"),
+        sum(col("rx")).as("sx"), sum(col("ry")).as("sy"),
+        sum(col("rx") * col("ry")).as("sxy"),
+        sum(col("rx") * col("rx")).as("sxx"),
+        sum(col("ry") * col("ry")).as("syy"))
+      stats.select(col("n"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+            sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))),
+          6).as("spearman_rho"))
+    },
+    Some(s"""
+      |WITH daily AS (
+      |$dailyCentsSql
+      |), pair AS (
+      |  SELECT v.day, v.yc AS x, p.yc AS y
+      |  FROM (SELECT day, yc FROM daily WHERE event_type = 'view') v
+      |  JOIN (SELECT day, yc FROM daily WHERE event_type = 'purchase') p
+      |    ON v.day = p.day
+      |), ranked AS (
+      |  SELECT day,
+      |         (2 * COALESCE(count(*) OVER (ORDER BY x RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |          + count(*) OVER (PARTITION BY x) + 1)::BIGINT AS rx,
+      |         (2 * COALESCE(count(*) OVER (ORDER BY y RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |          + count(*) OVER (PARTITION BY y) + 1)::BIGINT AS ry
+      |  FROM pair
+      |), stats AS (
+      |  SELECT count(*)::BIGINT AS n,
+      |         SUM(rx)::BIGINT AS sx, SUM(ry)::BIGINT AS sy,
+      |         SUM(rx * ry)::BIGINT AS sxy,
+      |         SUM(rx * rx)::BIGINT AS sxx,
+      |         SUM(ry * ry)::BIGINT AS syy
+      |  FROM ranked
+      |)
+      |SELECT n,
+      |       round(CAST(n * sxy - sx * sy AS DOUBLE) /
+      |             (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+      |              sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS spearman_rho
+      |FROM stats
+      """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
     Seq(trendOls, dailyCorr, markov, ewma, pagerank, centroidMatrix,
       abWelch, benford, ksTest, acf, bfs, chi2, gini, triangles, dowSeason,
       cusum, theilSen, mannWhitney, holt, kaplanMeier, assortativity, kendall,
-      poissonBootstrap, kcore, labelPropagation, ssspWeighted, hillTail)
+      poissonBootstrap, kcore, labelPropagation, ssspWeighted, hillTail,
+      pprParts, spearmanDaily, holtWinters)
 }
