@@ -246,6 +246,148 @@ class ModelEvalSpec extends SparkSpec {
     assert(out(0L) == 1L, "exactly the source sits at distance 0")
   }
 
+  test("ml_kfold_cv: folds partition the scorable docs and recompose the means") {
+    val out = run("ml_kfold_cv").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    assert(out.map(_._1).toSeq.sorted == out.map(_._1).toSeq)
+    assert(out.forall(r => r._2 > 0 && r._3 >= 0.0 && r._3 <= 1.0 &&
+      r._4 >= 0.0 && r._4 <= 1.0))
+    val k = out.length
+    assert(k >= 2 && k <= 5)
+    // the emitted means recompose from the emitted folds (mean over 5
+    // slots — missing folds contribute 0, matching the query's /5.0)
+    val meanAcc = (out.map(r => BigDecimal(r._3)).sum / 5)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(meanAcc - out.head._5) < 1e-6)
+    val spread = out.map(_._3).max - out.map(_._3).min
+    assert(math.abs(BigDecimal(spread).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      .toDouble - out.head._7) < 1e-6)
+  }
+
+  test("stat_hill_tail: tail sample descends and alpha inverts gamma") {
+    val out = run("stat_hill_tail").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(out.map(_._1).toSeq == (1L to 10L))
+    val cents = out.map(_._3).toSeq
+    assert(cents.zip(cents.tail).forall { case (a, b) => a >= b },
+      "top order statistics must descend")
+    val (gamma, alpha) = (out.head._4, out.head._5)
+    assert(gamma > 0.0, "tail values exceed the threshold, so gamma > 0")
+    assert(math.abs(alpha - BigDecimal(1.0 / gamma)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+  }
+
+  test("dq_dp_counts: release covers every (lang, source) cell with bounded noise") {
+    val out = run("dq_dp_counts").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    val truth = Tables.documents(spark, sf("sf0.001"))
+      .groupBy(col("lang"), col("source")).count().collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(out.length == truth.size)
+    for ((lang, src, noisy) <- out) {
+      val t = truth((lang, src)).toDouble
+      assert(noisy >= 0.0)
+      // Laplace(b=1) noise from a 48-bit uniform is bounded by
+      // ln(2^48) ≈ 33.3 in magnitude before the zero floor
+      assert(noisy <= t + 34.0 && (noisy >= t - 34.0 || noisy == 0.0),
+        s"($lang,$src): noisy $noisy vs true $t")
+    }
+    // the mechanism actually perturbs (not an identity release)
+    assert(out.exists { case (l, s0, noisy) => noisy != truth((l, s0)).toDouble })
+  }
+
+  test("graph_ppr_parts: seeds carry restart mass and total mass is conserved") {
+    val out = run("graph_ppr_parts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty && out.length <= 25)
+    val ranks = out.map(_._2).toSeq
+    assert(ranks.zip(ranks.tail).forall { case (a, b) => a >= b })
+    assert(out.count(_._3 == 1L) >= 1, "at least one seed in the top-25")
+    // truncating integer flow never creates mass
+    assert(ranks.sum <= 1000000000000L)
+    assert(out.forall(_._2 >= 0L))
+  }
+
+  test("ml_pr_curve: recall ascends toward 1 and AP recomposes from the rows") {
+    val out = run("ml_pr_curve").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(out.map(_._1).toSeq == out.map(_._1).toSeq.sorted.reverse)
+    val recalls = out.map(_._5).toSeq
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b })
+    assert(out.last._5 == 1.0)
+    val ap = out.head._6
+    assert(out.forall(_._6 == ap))
+    val terms = out.zip(0.0 +: out.map(_._5).init).map { case (r, prevR) =>
+      BigDecimal((r._5 - prevR) * r._4)
+        .setScale(10, BigDecimal.RoundingMode.HALF_UP)
+    }
+    val apRe = terms.sum.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(apRe - ap) < 1e-6, s"ap $ap vs recomposed $apRe")
+  }
+
+  test("stat_spearman_daily matches a driver-side tie-aware rank correlation") {
+    val out = run("stat_spearman_daily").collect()
+    assert(out.length == 1)
+    val (n, rho) = (out.head.getLong(0), out.head.getDouble(1))
+    assert(rho >= -1.0 && rho <= 1.0)
+    // independent: daily (view, purchase) cents, average ranks, Pearson
+    val daily = Tables.events(spark, sf("sf0.001"))
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .groupBy(col("event_type"), col("day"))
+      .agg((sum(col("value").cast("decimal(38,6)")).cast("decimal(38,2)") * 100)
+        .cast("long").as("yc"))
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val days = daily.keys.collect { case ("view", d) if daily.contains(("purchase", d)) => d }.toSeq.sorted
+    assert(days.size.toLong == n)
+    def ranks2(xs: Seq[Long]): Seq[Long] =
+      xs.map(v => 2L * xs.count(_ < v) + xs.count(_ == v) + 1)
+    val xs = days.map(d => daily(("view", d)))
+    val ys = days.map(d => daily(("purchase", d)))
+    val (rx, ry) = (ranks2(xs), ranks2(ys))
+    val nn = days.size.toDouble
+    def s(v: Seq[Long]) = v.map(_.toDouble).sum
+    val num = nn * rx.zip(ry).map { case (a, b) => a.toDouble * b }.sum - s(rx) * s(ry)
+    val den = math.sqrt(nn * rx.map(a => a.toDouble * a).sum - s(rx) * s(rx)) *
+      math.sqrt(nn * ry.map(a => a.toDouble * a).sum - s(ry) * s(ry))
+    assert(math.abs(rho - num / den) < 1e-5, s"rho $rho vs driver ${num / den}")
+  }
+
+  test("ev_holt_winters matches a driver-side replay of the seasonal recursion") {
+    val out = run("ev_holt_winters").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(out.nonEmpty && out.groupBy(_._1).values.forall(_.length == 7))
+    val daily = Tables.events(spark, sf("sf0.001"))
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .groupBy(col("event_type"), col("day"))
+      .agg((sum(col("value").cast("decimal(38,6)")).cast("decimal(38,2)") * 100)
+        .cast("long").as("yc"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    for ((et, rows) <- out.groupBy(_._1)) {
+      val xs = daily.filter(_._1 == et).sortBy(_._2).map(_._3.toDouble)
+      assert(xs.length >= 8)
+      val l0 = xs.take(7).reduce(_ + _) / 7.0
+      var l = l0; var b = 0.0
+      val sArr = Array.tabulate(7)(j => xs(j) - l0)
+      for (t <- 8 to xs.length) {
+        val j = (t - 1) % 7
+        val x = xs(t - 1)
+        val lNew = 0.5 * (x - sArr(j)) + 0.5 * (l + b)
+        val bNew = 0.5 * (lNew - l) + 0.5 * b
+        sArr(j) = 0.5 * (x - lNew) + 0.5 * sArr(j)
+        l = lNew; b = bNew
+      }
+      for ((_, nDays, h, _, _, fc) <- rows) {
+        assert(nDays.toInt == xs.length)
+        val expect = (l + h.toDouble * b + sArr(((xs.length + h.toInt - 1) % 7))) / 100.0
+        assert(math.abs(fc - expect) < 1e-5, s"$et h=$h: $fc vs $expect")
+      }
+    }
+  }
+
   test("pipeline_dsir_select: keys verify against the doc's log-weight + Gumbel hash") {
     val out = run("pipeline_dsir_select").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
