@@ -590,10 +590,15 @@ object MlQueries {
           |         CAST(l_quantity AS DOUBLE) / 50.0 AS x2
           |  FROM lineitem
           |)""".stripMargin,
-        "n AS (SELECT count(*)::DOUBLE AS n FROM base)",
-        "w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2)")
+        "n AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM base)",
+        "w0 AS MATERIALIZED (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2)")
+      // every g/w CTE is referenced twice (the next step + the final
+      // UNION) — MATERIALIZED, or DuckDB inlines the single-row CTEs
+      // and re-runs the upstream chain exponentially in the iteration
+      // depth (2^8 corpus scans; surfaced as a spill-to-disk-full at
+      // the sf1 gate — the triangle-count lesson again)
       for (t <- 0 to LogregIters) {
-        ctes += s"""g$t AS (
+        ctes += s"""g$t AS MATERIALIZED (
           |  SELECT
           |    round(CAST(SUM(CAST(round(s - y, 6) AS DECIMAL(38,6))) AS DOUBLE) / max(n), 8) AS g0,
           |    round(CAST(SUM(CAST(round((s - y) * x1, 6) AS DECIMAL(38,6))) AS DOUBLE) / max(n), 8) AS g1,
@@ -606,7 +611,7 @@ object MlQueries {
           |  )
           |)""".stripMargin
         if (t < LogregIters)
-          ctes += s"""w${t + 1} AS (
+          ctes += s"""w${t + 1} AS MATERIALIZED (
             |  SELECT round(w.w0 - (2.0 * g.g0), 8) AS w0,
             |         round(w.w1 - (2.0 * g.g1), 8) AS w1,
             |         round(w.w2 - (2.0 * g.g2), 8) AS w2
@@ -888,8 +893,83 @@ object MlQueries {
       |ORDER BY thr_cents DESC
       """.stripMargin.trim))
 
+  private val liftGains = QueryDef(
+    "ml_lift_gains",
+    "Decile lift and cumulative-gains chart — the campaign-targeting " +
+      "evaluation beside ROC (discrimination), PR (imbalance) and ECE " +
+      "(calibration): documents ranked by the per-source P(lang='en') " +
+      "confidence, cut into rank deciles (the ml_quantile_bins " +
+      "rank-proportional cut via DistributedRank — range-partitioned " +
+      "sort, not a single-partition window), and per decile the " +
+      "response rate, lift over the base rate, and cumulative share " +
+      "of all positives captured. Every count is exact; rates and " +
+      "lift are single rounded divisions; the cumulative window runs " +
+      "on the 10-row decile relation. Ties rank by (conf desc, " +
+      "doc_id) via exact double negation on the Spark side ≡ ORDER " +
+      "BY conf DESC in SQL.",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).select(
+        col("doc_id"), col("source").as("b"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+      val conf = docs.groupBy(col("b"))
+        .agg(round(sum(col("y")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("conf"))
+      val scored = docs.join(broadcast(conf), Seq("b"))
+      val ranked = graft.operators.DistributedRank.byKey(
+        scored, Seq(negate(col("conf")), col("doc_id")))
+      val n = ranked.agg(count(lit(1)).as("n_all"),
+        sum(col("y")).cast("long").as("pos_all"))
+      val dec = ranked.crossJoin(broadcast(n))
+        .withColumn("decile", expr("((rank - 1) * 10) div n_all"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("y")).as("pos_rows"),
+          max(col("n_all")).as("n_all"), max(col("pos_all")).as("pos_all"))
+      val wCum = Window.orderBy(col("decile"))
+      dec
+        .withColumn("rate",
+          round(col("pos_rows").cast("double") / col("n_rows").cast("double"), 6))
+        .withColumn("lift", round(
+          (col("pos_rows") * col("n_all")).cast("double") /
+            (col("n_rows") * col("pos_all")).cast("double"), 6))
+        .withColumn("cum_gain", round(
+          sum(col("pos_rows")).over(wCum).cast("double") /
+            col("pos_all").cast("double"), 6))
+        .select(col("decile"), col("n_rows"), col("pos_rows"),
+          col("rate"), col("lift"), col("cum_gain"))
+        .orderBy(col("decile"))
+    },
+    Some("""
+      |WITH docs AS (
+      |  SELECT doc_id, source AS b,
+      |         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      |  FROM documents
+      |), conf AS (
+      |  SELECT b, round(CAST(SUM(y) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS conf
+      |  FROM docs GROUP BY 1
+      |), ranked AS (
+      |  SELECT y,
+      |         row_number() OVER (ORDER BY conf DESC, doc_id) AS rank,
+      |         count(*) OVER () AS n_all,
+      |         SUM(y) OVER ()::BIGINT AS pos_all
+      |  FROM docs JOIN conf USING (b)
+      |), dec AS (
+      |  SELECT ((rank - 1) * 10) // n_all AS decile,
+      |         count(*) AS n_rows, SUM(y)::BIGINT AS pos_rows,
+      |         max(n_all)::BIGINT AS n_all, max(pos_all) AS pos_all
+      |  FROM ranked GROUP BY 1
+      |)
+      |SELECT decile, n_rows, pos_rows,
+      |       round(CAST(pos_rows AS DOUBLE) / CAST(n_rows AS DOUBLE), 6) AS rate,
+      |       round(CAST(pos_rows * n_all AS DOUBLE) /
+      |             CAST(n_rows * pos_all AS DOUBLE), 6) AS lift,
+      |       round(CAST(SUM(pos_rows) OVER (ORDER BY decile) AS DOUBLE) /
+      |             CAST(pos_all AS DOUBLE), 6) AS cum_gain
+      |FROM dec
+      |ORDER BY decile
+      """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
     Seq(targetEncode, quantileBins, attribution, itemCooccurrence,
       naiveBayes, aucRoc, silhouette, logregGd, calibrationEce, kfoldCv,
-      prCurve)
+      prCurve, liftGains)
 }

@@ -1933,6 +1933,81 @@ object StatQueries {
       |ORDER BY rnk
       """.stripMargin.trim))
 
+  private val linkPrediction = QueryDef(
+    "graph_link_prediction",
+    "Link prediction over the shared supported co-purchase graph: for " +
+      "every NON-adjacent part pair with ≥ 1 common neighbor, the two " +
+      "classic neighborhood scores — Jaccard cn/(deg_a + deg_b − cn) " +
+      "and Adamic–Adar Σ 1/ln(deg(n)) over common neighbors (Liben-" +
+      "Nowell & Kleinberg 2003) — ranked top-25 by AA. This is the " +
+      "'parts that SHOULD be co-merchandised but aren't yet' " +
+      "recommender, the inverse of graph_ppr_parts' walk from " +
+      "existing hubs. Candidate generation is the wedge join (two " +
+      "adjacency copies joined on the shared center, v < w): fan-out " +
+      "bounded by Σ deg² like the triangle census, never all-pairs; " +
+      "existing edges leave via one left-anti join on the canonical " +
+      "pair. Common-neighbor degrees are ≥ 2 by construction, so " +
+      "1/ln(deg) is always finite; per-wedge AA terms round at 6 and " +
+      "sum in DECIMAL(38,6); counts and degrees exact BIGINTs.",
+    (s, dir) => {
+      val edges = coPurchaseEdges(s, dir, LpaSupport)
+        .select(col("src"), col("dst")).localCheckpoint()
+      val adjc = edges.select(col("src").as("n"), col("dst").as("v"))
+        .unionAll(edges.select(col("dst").as("n"), col("src").as("v")))
+      val deg = adjc.groupBy(col("n")).agg(count(lit(1)).as("deg"))
+      val wedge = adjc.select(col("n"), col("v").as("u"))
+        .join(adjc.select(col("n"), col("v").as("w")), Seq("n"))
+        .filter(col("u") < col("w"))
+      val cand = wedge.join(deg, Seq("n"))
+        .groupBy(col("u"), col("w"))
+        .agg(count(lit(1)).as("cn"),
+          round(sum(round(lit(1.0) / log(col("deg").cast("double")), 6)
+            .cast(dec6)).cast("double"), 6).as("aa"))
+      val nonEdge = cand.join(edges,
+        cand("u") === edges("src") && cand("w") === edges("dst"), "left_anti")
+      nonEdge
+        .join(deg.select(col("n").as("u"), col("deg").as("deg_a")), Seq("u"))
+        .join(deg.select(col("n").as("w"), col("deg").as("deg_b")), Seq("w"))
+        .select(col("u").as("part_a"), col("w").as("part_b"), col("cn"),
+          col("deg_a"), col("deg_b"),
+          round(col("cn").cast("double") /
+            (col("deg_a") + col("deg_b") - col("cn")).cast("double"), 6)
+            .as("jaccard"),
+          col("aa"))
+        .orderBy(col("aa").desc, col("part_a"), col("part_b")).limit(25)
+    },
+    Some(s"""
+      |WITH ${coPurchaseSql(LpaSupport)},
+      |adjc AS MATERIALIZED (
+      |  SELECT src AS n, dst AS v FROM e0
+      |  UNION ALL SELECT dst, src FROM e0
+      |), deg AS MATERIALIZED (
+      |  SELECT n, count(*) AS deg FROM adjc GROUP BY 1
+      |), wedge AS MATERIALIZED (
+      |  SELECT a.n, a.v AS u, b.v AS w
+      |  FROM adjc a JOIN adjc b ON a.n = b.n AND a.v < b.v
+      |), cand AS MATERIALIZED (
+      |  SELECT u, w, count(*) AS cn,
+      |         round(CAST(SUM(CAST(round(1.0 / ln(CAST(d.deg AS DOUBLE)), 6)
+      |                            AS DECIMAL(38,6))) AS DOUBLE), 6) AS aa
+      |  FROM wedge JOIN deg d ON d.n = wedge.n
+      |  GROUP BY 1, 2
+      |), nonedge AS (
+      |  SELECT c.u, c.w, c.cn, c.aa
+      |  FROM cand c LEFT JOIN e0 ON e0.src = c.u AND e0.dst = c.w
+      |  WHERE e0.src IS NULL
+      |)
+      |SELECT ne.u AS part_a, ne.w AS part_b, ne.cn,
+      |       da.deg AS deg_a, db.deg AS deg_b,
+      |       round(CAST(ne.cn AS DOUBLE) /
+      |             CAST(da.deg + db.deg - ne.cn AS DOUBLE), 6) AS jaccard,
+      |       ne.aa
+      |FROM nonedge ne
+      |JOIN deg da ON da.n = ne.u
+      |JOIN deg db ON db.n = ne.w
+      |ORDER BY aa DESC, part_a, part_b LIMIT 25
+      """.stripMargin.trim))
+
   private val spearmanDaily = QueryDef(
     "stat_spearman_daily",
     "Spearman rank correlation between daily view value and daily " +
@@ -2007,5 +2082,5 @@ object StatQueries {
       abWelch, benford, ksTest, acf, bfs, chi2, gini, triangles, dowSeason,
       cusum, theilSen, mannWhitney, holt, kaplanMeier, assortativity, kendall,
       poissonBootstrap, kcore, labelPropagation, ssspWeighted, hillTail,
-      pprParts, spearmanDaily, holtWinters)
+      pprParts, spearmanDaily, holtWinters, linkPrediction)
 }

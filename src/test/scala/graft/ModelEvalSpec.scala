@@ -388,6 +388,51 @@ class ModelEvalSpec extends SparkSpec {
     }
   }
 
+  test("graph_link_prediction: candidates are non-edges and AA recomputes") {
+    val out = run("graph_link_prediction").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    assert(out.nonEmpty && out.length <= 25)
+    val aas = out.map(_._7).toSeq
+    assert(aas.zip(aas.tail).forall { case (a, b) => a >= b })
+    val edges = smallGraph()
+    val adj = edges.toSeq.flatMap(e => Seq((e._1, e._2), (e._2, e._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    for ((a, b, cn, degA, degB, jac, aa) <- out) {
+      assert(!edges((a, b)) && !edges((b, a)), s"($a,$b) is an existing edge")
+      val common = adj(a).intersect(adj(b))
+      assert(common.size.toLong == cn)
+      assert(adj(a).size.toLong == degA && adj(b).size.toLong == degB)
+      assert(math.abs(jac - BigDecimal(cn.toDouble / (degA + degB - cn))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+      val aaRe = common.toSeq.map(n => BigDecimal(1.0 / math.log(adj(n).size))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(aa - aaRe) < 1e-6, s"($a,$b): aa $aa vs $aaRe")
+    }
+  }
+
+  test("ml_lift_gains: deciles partition the corpus and gains end at 1") {
+    val out = run("ml_lift_gains").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(out.map(_._1).toSeq == (0L to 9L))
+    val nDocs = Tables.documents(spark, sf("sf0.001")).count()
+    assert(out.map(_._2).sum == nDocs)
+    val gains = out.map(_._6).toSeq
+    assert(gains.zip(gains.tail).forall { case (a, b) => a <= b })
+    assert(gains.last == 1.0)
+    // lift recomposes: lift_d = rate_d / base rate, via exact counts
+    val posAll = out.map(_._3).sum
+    for ((_, n, pos, rate, lift, _) <- out) {
+      assert(math.abs(rate - BigDecimal(pos.toDouble / n)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+      val liftRe = BigDecimal((pos * nDocs).toDouble / (n * posAll))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(lift - liftRe) < 1e-12, s"lift $lift vs $liftRe")
+    }
+  }
+
   test("pipeline_dsir_select: keys verify against the doc's log-weight + Gumbel hash") {
     val out = run("pipeline_dsir_select").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
