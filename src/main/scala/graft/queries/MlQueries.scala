@@ -968,8 +968,124 @@ object MlQueries {
       |ORDER BY decile
       """.stripMargin.trim))
 
+  /** Shared closed-form text for the ridge normal-equations solve: the
+    * SAME arithmetic string runs through Spark's `expr` and DuckDB
+    * verbatim, so the two engines evaluate an identical IEEE expression
+    * tree over identical doubles — the strongest form of the
+    * fixed-parenthesization rule. Column names are the symmetric 3×3
+    * system (XᵀX + λ·diag(0,1,1)) in a11..a33 / rhs b1..b3.
+    */
+  private val RidgeDet =
+    "(a11*(a22*a33 - a23*a23) - a12*(a12*a33 - a23*a13) + a13*(a12*a23 - a22*a13))"
+  private val RidgeDet0 =
+    "(b1*(a22*a33 - a23*a23) - a12*(b2*a33 - a23*b3) + a13*(b2*a23 - a22*b3))"
+  private val RidgeDet1 =
+    "(a11*(b2*a33 - a23*b3) - b1*(a12*a33 - a23*a13) + a13*(a12*b3 - b2*a13))"
+  private val RidgeDet2 =
+    "(a11*(a22*b3 - b2*a23) - a12*(a12*b3 - b2*a13) + b1*(a12*a23 - a22*a13))"
+  private val RidgeLambda = "10000.0"
+  private val RidgeR2 =
+    "1.0 - (syy - 2*(beta0*b1 + beta1*b2 + beta2*b3) + " +
+      "(beta0*beta0*a11 + beta1*beta1*r11 + beta2*beta2*r22 + " +
+      "2*beta0*beta1*a12 + 2*beta0*beta2*a13 + 2*beta1*beta2*a23)) / " +
+      "(syy - b1*b1/a11)"
+
+  private val ridge = QueryDef(
+    "ml_ridge_regression",
+    "Closed-form ridge regression (normal equations, λ=" + RidgeLambda +
+      " on the slopes only): fit extended price (integer dollars — " +
+      "cents deterministically truncated, part of the definition) on " +
+      "quantity and discount-percent across all of lineitem, entirely " +
+      "in-engine. ONE aggregation pass collects the nine sufficient " +
+      "statistics as exact order-independent BIGINT sums over integer-" +
+      "coded features (quantity, discount·100 via exact decimal " +
+      "scaling); the 3×3 system then solves by Cramer's rule in ONE " +
+      "arithmetic string shared VERBATIM between Spark expr() and the " +
+      "DuckDB oracle — both engines walk an identical IEEE expression " +
+      "tree, so the doubles are bit-equal. R² from the same statistics " +
+      "(SSE via the quadratic form — no second data pass). This is the " +
+      "how-you-fit-at-100TB shape: the data-sized work is one map-side-" +
+      "combining aggregate; the solve is O(1) on a one-row relation.",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir).select(
+        col("l_quantity").cast("long").as("x1"),
+        (col("l_discount").cast(DecimalType(12, 2)) * 100).cast("long").as("x2"),
+        expr("floor(l_extendedprice)").as("y"))
+      val st = li.agg(
+        count(lit(1)).as("n"),
+        sum(col("x1")).as("sx1"), sum(col("x2")).as("sx2"),
+        sum(col("x1") * col("x1")).as("s11"),
+        sum(col("x2") * col("x2")).as("s22"),
+        sum(col("x1") * col("x2")).as("s12"),
+        sum(col("y")).as("sy"),
+        sum(col("x1") * col("y")).as("s1y"),
+        sum(col("x2") * col("y")).as("s2y"),
+        sum(col("y") * col("y")).as("syy"))
+      val sys = st.select(
+        col("n"),
+        col("n").cast("double").as("a11"),
+        col("sx1").cast("double").as("a12"),
+        col("sx2").cast("double").as("a13"),
+        (col("s11").cast("double") + lit(RidgeLambda.toDouble)).as("a22"),
+        col("s12").cast("double").as("a23"),
+        (col("s22").cast("double") + lit(RidgeLambda.toDouble)).as("a33"),
+        col("sy").cast("double").as("b1"),
+        col("s1y").cast("double").as("b2"),
+        col("s2y").cast("double").as("b3"),
+        col("s11").cast("double").as("r11"),
+        col("s22").cast("double").as("r22"),
+        col("syy").cast("double").as("syy"))
+      val solved = sys.select(col("n"), col("a11"), col("a12"), col("a13"),
+        col("a23"), col("r11"), col("r22"), col("syy"), col("b1"), col("b2"),
+        col("b3"),
+        expr(s"$RidgeDet0 / $RidgeDet").as("beta0"),
+        expr(s"$RidgeDet1 / $RidgeDet").as("beta1"),
+        expr(s"$RidgeDet2 / $RidgeDet").as("beta2"))
+      solved.select(col("n"),
+        round(col("beta0"), 6).as("beta0"),
+        round(col("beta1"), 6).as("beta1"),
+        round(col("beta2"), 6).as("beta2"),
+        expr(s"round($RidgeR2, 6)").as("r2"))
+    },
+    Some(s"""
+      |WITH st AS (
+      |  SELECT count(*)::BIGINT AS n,
+      |         SUM(x1)::BIGINT AS sx1, SUM(x2)::BIGINT AS sx2,
+      |         SUM(x1 * x1)::BIGINT AS s11, SUM(x2 * x2)::BIGINT AS s22,
+      |         SUM(x1 * x2)::BIGINT AS s12, SUM(y)::BIGINT AS sy,
+      |         SUM(x1 * y)::BIGINT AS s1y, SUM(x2 * y)::BIGINT AS s2y,
+      |         SUM(y * y)::BIGINT AS syy
+      |  FROM (
+      |    SELECT CAST(l_quantity AS BIGINT) AS x1,
+      |           CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT) AS x2,
+      |           CAST(FLOOR(l_extendedprice) AS BIGINT) AS y
+      |    FROM lineitem
+      |  )
+      |), sys AS (
+      |  SELECT n,
+      |         n::DOUBLE AS a11, sx1::DOUBLE AS a12, sx2::DOUBLE AS a13,
+      |         s11::DOUBLE + $RidgeLambda AS a22, s12::DOUBLE AS a23,
+      |         s22::DOUBLE + $RidgeLambda AS a33,
+      |         sy::DOUBLE AS b1, s1y::DOUBLE AS b2, s2y::DOUBLE AS b3,
+      |         s11::DOUBLE AS r11, s22::DOUBLE AS r22, syy::DOUBLE AS syy
+      |  FROM st
+      |), solved AS (
+      |  SELECT n, a11, a12, a13, a23, r11, r22, syy, b1, b2, b3,
+      |         $RidgeDet0 / $RidgeDet AS beta0,
+      |         $RidgeDet1 / $RidgeDet AS beta1,
+      |         $RidgeDet2 / $RidgeDet AS beta2
+      |  FROM sys
+      |)
+      |SELECT n,
+      |       round(beta0, 6) AS beta0,
+      |       round(beta1, 6) AS beta1,
+      |       round(beta2, 6) AS beta2,
+      |       round($RidgeR2, 6) AS r2
+      |FROM solved
+      """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
     Seq(targetEncode, quantileBins, attribution, itemCooccurrence,
       naiveBayes, aucRoc, silhouette, logregGd, calibrationEce, kfoldCv,
-      prCurve, liftGains)
+      prCurve, liftGains, ridge)
 }

@@ -2077,10 +2077,154 @@ object StatQueries {
       |FROM stats
       """.stripMargin.trim))
 
+  private val HitsMass = 100000000L
+
+  /** One full HITS iteration as DuckDB CTEs — the SQL twin of the
+    * [[graft.operators.Hits]] loop body: integer weighted sum per side,
+    * then the `raw div (max div mass + 1)` L∞ quantization. MATERIALIZED
+    * throughout (every CTE is referenced twice — the triangle-count
+    * inlining lesson).
+    */
+  private def hitsIter(t: Int): String = s""",
+    |araw$t AS MATERIALIZED (
+    |  SELECT e.dst AS vid, SUM(h.s * e.w)::BIGINT AS raw
+    |  FROM edges e JOIN h${t - 1} h ON h.id = e.src GROUP BY 1
+    |), aq$t AS MATERIALIZED (
+    |  SELECT MAX(raw) // $HitsMass + 1 AS q FROM araw$t
+    |), a$t AS MATERIALIZED (
+    |  SELECT v.id, COALESCE(r.raw // q, 0)::BIGINT AS s
+    |  FROM v CROSS JOIN aq$t LEFT JOIN araw$t r ON r.vid = v.id
+    |), hraw$t AS MATERIALIZED (
+    |  SELECT e.src AS vid, SUM(a.s * e.w)::BIGINT AS raw
+    |  FROM edges e JOIN a$t a ON a.id = e.dst GROUP BY 1
+    |), hq$t AS MATERIALIZED (
+    |  SELECT MAX(raw) // $HitsMass + 1 AS q FROM hraw$t
+    |), h$t AS MATERIALIZED (
+    |  SELECT v.id, COALESCE(r.raw // q, 0)::BIGINT AS s
+    |  FROM v CROSS JOIN hq$t LEFT JOIN hraw$t r ON r.vid = v.id
+    |)""".stripMargin
+
+  private val hitsNations = QueryDef(
+    "graph_hits_nations",
+    "HITS hubs and authorities (Kleinberg 1999) over the directed " +
+      "customer-nation → supplier-nation trade graph (edge weight = " +
+      "lineitem count), 2 full iterations — the directed-centrality " +
+      "complement of graph_pagerank_nations: a hub nation BUYS from " +
+      "well-supplied nations, an authority nation SUPPLIES the big " +
+      "buyers, and on an asymmetric trade matrix the two rankings " +
+      "genuinely differ. Deterministic integer micro-unit arithmetic " +
+      "end to end (Hits scaladoc): each half-step is an exact integer " +
+      "weighted sum plus the L∞ quantization `raw div (max div mass + " +
+      "1)` — order-independent and truncating identically on both " +
+      "engines, so the iterative algorithm itself sits under the hash " +
+      "gate. Two shuffles per iteration over a cached 625-row-max edge " +
+      "relation; normalization scalars are one-row broadcasts.",
+    (s, dir) => {
+      val nation = Tables.nation(s, dir)
+      val edges = Tables.orders(s, dir)
+        .join(broadcast(Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .join(Tables.lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      val scores = graft.operators.Hits.run(
+        nation.select(col("n_nationkey").as("id")), edges,
+        iterations = 2, massMicro = HitsMass)
+      scores.join(broadcast(nation), col("id") === col("n_nationkey"))
+        .select(col("n_name").as("nation"), col("auth_micro"), col("hub_micro"))
+        .orderBy(col("auth_micro").desc, col("nation"))
+    },
+    Some(s"""
+      |WITH edges AS MATERIALIZED (
+      |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS w
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  GROUP BY 1, 2
+      |), v AS (SELECT n_nationkey AS id FROM nation),
+      |h0 AS (SELECT id, CAST($HitsMass AS BIGINT) AS s FROM v)
+      """.stripMargin.trim
+      + hitsIter(1) + hitsIter(2) + """
+      |SELECT n.n_name AS nation, a2.s AS auth_micro, h2.s AS hub_micro
+      |FROM v JOIN nation n ON n.n_nationkey = v.id
+      |JOIN a2 ON a2.id = v.id
+      |JOIN h2 ON h2.id = v.id
+      |ORDER BY auth_micro DESC, nation
+      """.stripMargin))
+
+  private val anovaF = QueryDef(
+    "stat_anova_f",
+    "One-way ANOVA F statistic — does mean order value differ across " +
+      "the five order priorities? The k-group generalization of " +
+      "stat_ab_welch's two-arm readout. Order values are " +
+      "deterministically decimated to integer hundreds of dollars " +
+      "(floor then div — truncation is rounding-mode-free and part of " +
+      "the query's definition, the stat_daily_corr discipline), so " +
+      "every per-group sufficient statistic (n, Σx, Σx²) is an exact " +
+      "order-independent BIGINT sum that stays far inside 2⁵³ decades " +
+      "past sf10. The cross-group reduction Σ_g (Σx_g)²/n_g rounds " +
+      "each per-group double term at 6 and sums in DECIMAL(38,6) " +
+      "(order-independent); SSB/SSW/F evaluate in double with one " +
+      "fixed parenthesization on both engines. One scan-side " +
+      "aggregation shuffle; everything after is O(k)=5 rows.",
+    (s, dir) => {
+      val x = Tables.orders(s, dir)
+        .select(col("o_orderpriority").as("grp"),
+          expr("floor(o_totalprice) div 100").as("x"))
+      val g = x.groupBy(col("grp")).agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sx2"))
+      val tot = g.agg(
+        count(lit(1)).as("k"),
+        sum(col("n")).as("n_total"),
+        sum(col("sx")).as("s_all"),
+        sum(col("sx2")).as("t2_all"),
+        sum(round(col("sx").cast("double") * col("sx").cast("double") /
+          col("n").cast("double"), 6).cast(dec6)).cast("double").as("a_groups"))
+      tot.select(col("k"), col("n_total"),
+          round(col("a_groups") -
+            col("s_all").cast("double") * col("s_all").cast("double") /
+              col("n_total").cast("double"), 2).as("ssb"),
+          round(col("t2_all").cast("double") - col("a_groups"), 2).as("ssw"),
+          round(((col("a_groups") -
+            col("s_all").cast("double") * col("s_all").cast("double") /
+              col("n_total").cast("double")) / (col("k").cast("double") - 1)) /
+            ((col("t2_all").cast("double") - col("a_groups")) /
+              (col("n_total").cast("double") - col("k").cast("double"))), 6)
+            .as("f_stat"))
+    },
+    Some("""
+      |WITH x AS (
+      |  SELECT o_orderpriority AS grp,
+      |         CAST(FLOOR(o_totalprice) AS BIGINT) // 100 AS x
+      |  FROM orders
+      |), g AS (
+      |  SELECT grp, count(*) AS n, SUM(x)::BIGINT AS sx,
+      |         SUM(x * x)::BIGINT AS sx2
+      |  FROM x GROUP BY 1
+      |), tot AS (
+      |  SELECT count(*)::BIGINT AS k, SUM(n)::BIGINT AS n_total,
+      |         SUM(sx)::BIGINT AS s_all, SUM(sx2)::BIGINT AS t2_all,
+      |         CAST(SUM(CAST(round(sx::DOUBLE * sx::DOUBLE / n::DOUBLE, 6)
+      |                       AS DECIMAL(38,6))) AS DOUBLE) AS a_groups
+      |  FROM g
+      |)
+      |SELECT k, n_total,
+      |       round(a_groups - s_all::DOUBLE * s_all::DOUBLE / n_total::DOUBLE, 2) AS ssb,
+      |       round(t2_all::DOUBLE - a_groups, 2) AS ssw,
+      |       round(((a_groups - s_all::DOUBLE * s_all::DOUBLE / n_total::DOUBLE) / (k::DOUBLE - 1)) /
+      |             ((t2_all::DOUBLE - a_groups) / (n_total::DOUBLE - k::DOUBLE)), 6) AS f_stat
+      |FROM tot
+      """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
     Seq(trendOls, dailyCorr, markov, ewma, pagerank, centroidMatrix,
       abWelch, benford, ksTest, acf, bfs, chi2, gini, triangles, dowSeason,
       cusum, theilSen, mannWhitney, holt, kaplanMeier, assortativity, kendall,
       poissonBootstrap, kcore, labelPropagation, ssspWeighted, hillTail,
-      pprParts, spearmanDaily, holtWinters, linkPrediction)
+      pprParts, spearmanDaily, holtWinters, linkPrediction, hitsNations,
+      anovaF)
 }

@@ -1380,9 +1380,89 @@ object TextQueries {
       """.stripMargin.trim
     })
 
+  private val ZipfTopK = 200
+
+  private val zipfQ = QueryDef(
+    "txt_zipf_fit",
+    s"Zipf's-law fit of the corpus vocabulary: OLS of log-frequency on " +
+      s"log-rank over the top $ZipfTopK tokens — the corpus-health probe " +
+      "(natural language sits near slope −1; a slope far off flags " +
+      "boilerplate or synthetic text — beside txt_stats' per-doc view " +
+      "and stat_hill_tail's value-tail twin). The data-sized work is " +
+      "the vocabulary rollup (one map-side-combining shuffle) + " +
+      s"TakeOrderedAndProject for the top $ZipfTopK; ranks/regression " +
+      s"run on the $ZipfTopK-row relation. Cross-engine float " +
+      "discipline: each ln rounds at 6 BEFORE entering any sum (the " +
+      "link-prediction channel), per-term products of rounded doubles " +
+      "round at 6 and accumulate in DECIMAL(38,6) — order-independent " +
+      "— and the closed form evaluates in double with one fixed " +
+      "parenthesization.",
+    (s, dir) => {
+      val freq = docToks(s, dir)
+        .select(explode(col("toks")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token")).limit(ZipfTopK)
+      val ranked = freq
+        .withColumn("rnk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("n").desc, col("token"))))
+        .select(round(log(col("rnk").cast("double")), 6).as("x"),
+          round(log(col("n").cast("double")), 6).as("y"))
+      val dec6 = org.apache.spark.sql.types.DecimalType(38, 6)
+      val st = ranked.agg(
+        count(lit(1)).as("k"),
+        sum(col("x").cast(dec6)).cast("double").as("sx"),
+        sum(col("y").cast(dec6)).cast("double").as("sy"),
+        sum(round(col("x") * col("y"), 6).cast(dec6)).cast("double").as("sxy"),
+        sum(round(col("x") * col("x"), 6).cast(dec6)).cast("double").as("sxx"),
+        sum(round(col("y") * col("y"), 6).cast(dec6)).cast("double").as("syy"))
+      val slope = (col("k").cast("double") * col("sxy") - col("sx") * col("sy")) /
+        (col("k").cast("double") * col("sxx") - col("sx") * col("sx"))
+      st.select(col("k").as("n_tokens"),
+        round(slope, 6).as("zipf_slope"),
+        round((col("sy") - slope * col("sx")) / col("k").cast("double"), 6)
+          .as("intercept"),
+        round((col("k").cast("double") * col("sxy") - col("sx") * col("sy")) *
+          (col("k").cast("double") * col("sxy") - col("sx") * col("sy")) /
+          ((col("k").cast("double") * col("sxx") - col("sx") * col("sx")) *
+            (col("k").cast("double") * col("syy") - col("sy") * col("sy"))), 6)
+          .as("r2"))
+    },
+    Some(s"""
+      |${Duck.docToks}, freq AS (
+      |  SELECT t AS token, count(*) AS n
+      |  FROM (SELECT unnest(toks) AS t FROM tt)
+      |  GROUP BY t ORDER BY n DESC, token LIMIT $ZipfTopK
+      |), ranked AS (
+      |  SELECT round(ln((row_number() OVER (ORDER BY n DESC, token))::DOUBLE), 6) AS x,
+      |         round(ln(n::DOUBLE), 6) AS y
+      |  FROM freq
+      |), st AS (
+      |  SELECT count(*)::BIGINT AS k,
+      |         CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+      |         CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+      |         CAST(SUM(CAST(round(x * y, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+      |         CAST(SUM(CAST(round(x * x, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+      |         CAST(SUM(CAST(round(y * y, 6) AS DECIMAL(38,6))) AS DOUBLE) AS syy
+      |  FROM ranked
+      |), f AS (
+      |  SELECT k, sx, sy, sxy, sxx, syy,
+      |         (k::DOUBLE * sxy - sx * sy) / (k::DOUBLE * sxx - sx * sx) AS slope
+      |  FROM st
+      |)
+      |SELECT k AS n_tokens,
+      |       round(slope, 6) AS zipf_slope,
+      |       round((sy - slope * sx) / k::DOUBLE, 6) AS intercept,
+      |       round((k::DOUBLE * sxy - sx * sy) *
+      |             (k::DOUBLE * sxy - sx * sy) /
+      |             ((k::DOUBLE * sxx - sx * sx) *
+      |              (k::DOUBLE * syy - sy * sy)), 6) AS r2
+      |FROM f
+      """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
     Seq(stats, langQ, quality, fp, topTokens, bigramLift, lmQ, simhashQ,
       embedQ, embedKnnQ, bm25Q, hybridRrfQ, crossencQ, maxsimQ, tfidfQ, chunksQ, packQ,
       tokenBudgetQ, gopherQ, dupNgramsQ, piiQ, noveltyQ, invIndexQ, bpeTrainQ, rakeQ,
-      readabilityQ, rankingNdcgQ)
+      readabilityQ, rankingNdcgQ, zipfQ)
 }

@@ -433,6 +433,143 @@ class ModelEvalSpec extends SparkSpec {
     }
   }
 
+  test("graph_hits_nations: exact driver replay of the integer HITS iteration") {
+    val dir = sf("sf0.001")
+    val out = run("graph_hits_nations").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == 25)
+    val auths = out.map(_._2).toSeq
+    assert(auths.zip(auths.tail).forall { case (a, b) => a >= b })
+
+    // independently rebuild the trade graph and replay both half-steps
+    // with plain Scala Longs — bit-equality is the whole claim
+    val mass = 100000000L
+    val edges = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.lineitem(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("c_nationkey").cast("long").as("src"),
+        col("s_nationkey").cast("long").as("dst"))
+      .agg(count(lit(1)).as("w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val ids = Tables.nation(spark, dir)
+      .select(col("n_nationkey").cast("long"), col("n_name"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    def norm(raw: Map[Long, Long]): Map[Long, Long] = {
+      val q = raw.values.max / mass + 1
+      ids.map { case (id, _) => id -> raw.getOrElse(id, 0L) / q }.toMap
+    }
+    var h = ids.map { case (id, _) => id -> mass }.toMap
+    var a = Map.empty[Long, Long]
+    for (_ <- 1 to 2) {
+      a = norm(edges.groupBy(_._2).map { case (d, es) =>
+        d -> es.map(e => h(e._1) * e._3).sum })
+      h = norm(edges.groupBy(_._1).map { case (s0, es) =>
+        s0 -> es.map(e => a(e._2) * e._3).sum })
+    }
+    val byName = ids.map { case (id, n) => n -> id }.toMap
+    for ((nation, auth, hub) <- out) {
+      assert(auth == a(byName(nation)), s"$nation auth $auth vs ${a(byName(nation))}")
+      assert(hub == h(byName(nation)), s"$nation hub $hub vs ${h(byName(nation))}")
+    }
+  }
+
+  test("stat_anova_f: F recomposes from independent group statistics") {
+    val r = run("stat_anova_f").collect().head
+    val (k, n, ssb, ssw, f) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    val g = Tables.orders(spark, sf("sf0.001"))
+      .select(col("o_orderpriority").as("grp"),
+        expr("floor(o_totalprice) div 100").as("x"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("cn"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sx2"))
+      .collect().map(r2 => (r2.getLong(1), r2.getLong(2), r2.getLong(3)))
+    assert(k == g.length && n == g.map(_._1).sum)
+    val aGroups = g.map { case (cn, sx, _) =>
+      BigDecimal(sx.toDouble * sx.toDouble / cn.toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP) }.sum.toDouble
+    val sAll = g.map(_._2).sum.toDouble
+    val t2All = g.map(_._3).sum.toDouble
+    val ssbRe = aGroups - sAll * sAll / n.toDouble
+    val sswRe = t2All - aGroups
+    assert(math.abs(ssb - BigDecimal(ssbRe).setScale(2,
+      BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    assert(math.abs(ssw - BigDecimal(sswRe).setScale(2,
+      BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    val fRe = (ssbRe / (k - 1).toDouble) / (sswRe / (n - k).toDouble)
+    assert(math.abs(f - BigDecimal(fRe).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    assert(f > 0 && ssw > 0)
+  }
+
+  test("ml_ridge_regression: betas satisfy the ridge normal equations") {
+    val r = run("ml_ridge_regression").collect().head
+    val (b0, b1, b2, r2v) =
+      (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    val st = Tables.lineitem(spark, sf("sf0.001")).select(
+        col("l_quantity").cast("long").as("x1"),
+        (col("l_discount").cast(org.apache.spark.sql.types.DecimalType(12, 2)) * 100)
+          .cast("long").as("x2"),
+        expr("floor(l_extendedprice)").as("y"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x1")).as("sx1"), sum(col("x2")).as("sx2"),
+        sum(col("x1") * col("x1")).as("s11"), sum(col("x2") * col("x2")).as("s22"),
+        sum(col("x1") * col("x2")).as("s12"), sum(col("y")).as("sy"),
+        sum(col("x1") * col("y")).as("s1y"), sum(col("x2") * col("y")).as("s2y"))
+      .collect().head
+    val n = st.getLong(0).toDouble
+    val Seq(sx1, sx2, s11, s22, s12, sy, s1y, s2y) =
+      (1 to 8).map(i => st.getLong(i).toDouble)
+    val lam = 10000.0
+    // residual of (XtX + λ·diag(0,1,1))·β − Xᵀy, using the ROUNDED betas:
+    // each equation must close to within the rounding-induced slack
+    // (1e-6 per beta times the row's coefficient magnitude)
+    val res = Seq(
+      (n * b0 + sx1 * b1 + sx2 * b2 - sy, n + sx1 + sx2),
+      (sx1 * b0 + (s11 + lam) * b1 + s12 * b2 - s1y, sx1 + s11 + lam + s12),
+      (sx2 * b0 + s12 * b1 + (s22 + lam) * b2 - s2y, sx2 + s12 + s22 + lam))
+    for (((resid, scale), i) <- res.zipWithIndex)
+      assert(math.abs(resid) <= 2e-6 * scale + 1e-6,
+        s"equation $i residual $resid vs scale $scale")
+    // the fixture's extendedprice is independent of quantity/discount, so
+    // the fit is honest-but-useless — the invariant is the mechanism
+    // (normal equations close), not predictive power
+    assert(r2v >= 0.0 && r2v <= 1.0, s"r2 $r2v")
+  }
+
+  test("txt_zipf_fit: slope is negative and OLS recomposes from token counts") {
+    val r = run("txt_zipf_fit").collect().head
+    val (k, slope, intercept, r2v) =
+      (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    // the sf0.001 fixture vocabulary is 31 near-uniform tokens — the
+    // probe correctly reads "not natural language" (slope ≈ −0.18,
+    // r² ≈ 0.06); the invariants are the mechanism and the sign
+    assert(k > 0 && k <= 200)
+    assert(slope < 0, s"Zipf slope must be negative: $slope")
+    assert(r2v >= 0.0 && r2v <= 1.0, s"r2 $r2v")
+    // replay: recount the vocabulary with the engine's own tokenizer,
+    // re-rank, and re-run the rounded-term OLS in BigDecimal
+    val freq = Tables.documentsSpread(spark, sf("sf0.001"))
+      .select(explode(graft.operators.TextAnalysis.tokens(col("text"))).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("t")).limit(200)
+      .collect().map(_.getLong(1))
+    def rd(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val pts = freq.zipWithIndex.map { case (nTok, i) =>
+      (rd(math.log((i + 1).toDouble)), rd(math.log(nTok.toDouble))) }
+    val kk = pts.length.toDouble
+    val sx = pts.map(_._1).sum.toDouble
+    val sy = pts.map(_._2).sum.toDouble
+    val sxy = pts.map { case (x, y) => rd(x.toDouble * y.toDouble) }.sum.toDouble
+    val sxx = pts.map { case (x, _) => rd(x.toDouble * x.toDouble) }.sum.toDouble
+    val slopeRe = (kk * sxy - sx * sy) / (kk * sxx - sx * sx)
+    assert(math.abs(slope - BigDecimal(slopeRe).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9, s"$slope vs $slopeRe")
+    assert(math.abs(intercept - BigDecimal((sy - slopeRe * sx) / kk).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+  }
+
   test("pipeline_dsir_select: keys verify against the doc's log-weight + Gumbel hash") {
     val out = run("pipeline_dsir_select").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
