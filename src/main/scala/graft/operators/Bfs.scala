@@ -54,4 +54,34 @@ object Bfs {
     }
     dist.select(col("id"), col("d").as("dist"))
   }
+
+  /** All-pairs hop distance as a SPARSE reached-pairs relation: every
+    * vertex is a source simultaneously, so one k-round loop yields
+    * d(s, v) ≤ k for all pairs — the input to closeness/eccentricity
+    * centrality. Same min-plus integer relaxation (and therefore the
+    * same cross-engine determinism contract) as [[hopDistance]], with
+    * the source id carried as data; unreached pairs are simply ABSENT
+    * (no sentinel rows — the relation stays |reached pairs|, not |V|²).
+    *
+    * Scale bound (stated, not hidden): the relation grows toward
+    * |V| · reach(k), so this is for ENTITY-DOMAIN graphs — nations,
+    * categories, labels — bounded domains like the centroid similarity
+    * matrix, not the raw part/document graph (run per-source
+    * [[hopDistance]] sweeps or hub sampling there).
+    *
+    * @return (s, id, dist) for reached pairs only, including (s, s, 0)
+    */
+  def allPairsHopDistance(vertices: DataFrame, edges: DataFrame,
+                          rounds: Int): DataFrame = {
+    require(rounds >= 0 && rounds < Unreached, s"rounds=$rounds")
+    val e = edges.select(col("src"), col("dst")).distinct().cache()
+    var dist = vertices.select(col("id").as("s"), col("id"), lit(0L).as("d"))
+    for (_ <- 1 to rounds) {
+      val relaxed = e.join(dist, e("src") === dist("id"))
+        .select(col("s"), col("dst").as("id"), (col("d") + lit(1L)).as("d"))
+      dist = dist.unionAll(relaxed)
+        .groupBy(col("s"), col("id")).agg(min(col("d")).as("d"))
+    }
+    dist.select(col("s"), col("id"), col("d").as("dist"))
+  }
 }

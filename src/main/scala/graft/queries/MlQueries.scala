@@ -1084,8 +1084,103 @@ object MlQueries {
       |FROM solved
       """.stripMargin.trim))
 
+  private val prfReport = QueryDef(
+    "ml_prf_report",
+    "Per-class precision / recall / F1 — the classification report " +
+      "that completes the evaluation family (confusion mass = " +
+      "ml_naive_bayes, threshold sweeps = ml_auc_roc / ml_pr_curve, " +
+      "calibration = ml_calibration_ece; this is the per-class " +
+      "summary a model card quotes). Model under test: the majority-" +
+      "lang-per-source classifier on the ml_kfold_cv split (train = " +
+      "doc_id % 3 != 0, majority by exact counts with deterministic " +
+      "(count desc, lang) tie-break; test = doc_id % 3 == 0). TP/FP/FN " +
+      "are exact BIGINT counts from one truth×prediction rollup; " +
+      "P, R round at 6 and F1 recombines the ROUNDED P/R in one fixed " +
+      "shape (part of the definition). Zero-denominator classes " +
+      "report 0.0 (the sklearn zero_division=0 convention).",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("lang"))
+      val maj = docs.filter(col("doc_id") % 3 =!= 0)
+        .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("cnt"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("source"))
+            .orderBy(col("cnt").desc, col("lang"))))
+        .filter(col("rk") === 1)
+        .select(col("source"), col("lang").as("pred"))
+      val test = docs.filter(col("doc_id") % 3 === 0)
+        .join(broadcast(maj), Seq("source"))
+        .select(col("lang").as("truth"), col("pred"))
+      val classes = test.select(col("truth").as("cls")).distinct()
+      val tp = test.filter(col("truth") === col("pred"))
+        .groupBy(col("truth").as("cls")).agg(count(lit(1)).as("tp"))
+      val fn = test.filter(col("truth") =!= col("pred"))
+        .groupBy(col("truth").as("cls")).agg(count(lit(1)).as("fn"))
+      val fp = test.filter(col("truth") =!= col("pred"))
+        .groupBy(col("pred").as("cls")).agg(count(lit(1)).as("fp"))
+      val m = classes
+        .join(tp, Seq("cls"), "left").join(fp, Seq("cls"), "left")
+        .join(fn, Seq("cls"), "left")
+        .select(col("cls").as("lang"),
+          coalesce(col("tp"), lit(0L)).as("tp"),
+          coalesce(col("fp"), lit(0L)).as("fp"),
+          coalesce(col("fn"), lit(0L)).as("fn"))
+      val withPr = m
+        .withColumn("precision", when(col("tp") + col("fp") === 0, lit(0.0))
+          .otherwise(round(col("tp").cast("double") /
+            (col("tp") + col("fp")).cast("double"), 6)))
+        .withColumn("recall", when(col("tp") + col("fn") === 0, lit(0.0))
+          .otherwise(round(col("tp").cast("double") /
+            (col("tp") + col("fn")).cast("double"), 6)))
+      withPr
+        .withColumn("f1", when(col("precision") + col("recall") === 0.0, lit(0.0))
+          .otherwise(round(lit(2.0) * col("precision") * col("recall") /
+            (col("precision") + col("recall")), 6)))
+        .orderBy(col("lang"))
+    },
+    Some("""
+      |WITH docs AS (
+      |  SELECT doc_id, source, lang FROM documents
+      |), maj AS (
+      |  SELECT source, lang AS pred FROM (
+      |    SELECT source, lang, count(*) AS cnt,
+      |           row_number() OVER (PARTITION BY source
+      |                              ORDER BY count(*) DESC, lang) AS rk
+      |    FROM docs WHERE doc_id % 3 != 0 GROUP BY source, lang
+      |  ) WHERE rk = 1
+      |), test AS (
+      |  SELECT d.lang AS truth, m.pred
+      |  FROM docs d JOIN maj m ON m.source = d.source
+      |  WHERE d.doc_id % 3 = 0
+      |), classes AS (SELECT DISTINCT truth AS cls FROM test),
+      |tp AS (SELECT truth AS cls, count(*) AS tp FROM test WHERE truth = pred GROUP BY 1),
+      |fn AS (SELECT truth AS cls, count(*) AS fn FROM test WHERE truth != pred GROUP BY 1),
+      |fp AS (SELECT pred AS cls, count(*) AS fp FROM test WHERE truth != pred GROUP BY 1),
+      |m AS (
+      |  SELECT c.cls AS lang,
+      |         COALESCE(tp.tp, 0)::BIGINT AS tp,
+      |         COALESCE(fp.fp, 0)::BIGINT AS fp,
+      |         COALESCE(fn.fn, 0)::BIGINT AS fn
+      |  FROM classes c
+      |  LEFT JOIN tp ON tp.cls = c.cls
+      |  LEFT JOIN fp ON fp.cls = c.cls
+      |  LEFT JOIN fn ON fn.cls = c.cls
+      |), pr AS (
+      |  SELECT lang, tp, fp, fn,
+      |         CASE WHEN tp + fp = 0 THEN 0.0
+      |              ELSE round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6) END AS precision,
+      |         CASE WHEN tp + fn = 0 THEN 0.0
+      |              ELSE round(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 6) END AS recall
+      |  FROM m
+      |)
+      |SELECT lang, tp, fp, fn, precision, recall,
+      |       CASE WHEN precision + recall = 0.0 THEN 0.0
+      |            ELSE round(2.0 * precision * recall / (precision + recall), 6) END AS f1
+      |FROM pr ORDER BY lang
+      """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
     Seq(targetEncode, quantileBins, attribution, itemCooccurrence,
       naiveBayes, aucRoc, silhouette, logregGd, calibrationEce, kfoldCv,
-      prCurve, liftGains, ridge)
+      prCurve, liftGains, ridge, prfReport)
 }

@@ -2220,11 +2220,224 @@ object StatQueries {
       |FROM tot
       """.stripMargin.trim))
 
+  /** One all-pairs min-plus relaxation round as a DuckDB CTE — the SQL
+    * twin of the [[graft.operators.Bfs.allPairsHopDistance]] loop body
+    * over the sparse reached-pairs relation.
+    */
+  private def apIter(t: Int): String = s""",
+    |p$t AS MATERIALIZED (
+    |  SELECT s, v2, MIN(d)::BIGINT AS d FROM (
+    |    SELECT p.s, e.dst AS v2, p.d + 1 AS d
+    |    FROM edges e JOIN p${t - 1} p ON p.v2 = e.src
+    |    UNION ALL SELECT s, v2, d FROM p${t - 1}
+    |  ) GROUP BY 1, 2
+    |)""".stripMargin
+
+  private val closeness = QueryDef(
+    "graph_closeness_nations",
+    "Harmonic closeness centrality (Boldi & Vigna 2014 — the " +
+      "disconnection-robust closeness: C(s) = Σ 1/d(s,v), unreached " +
+      "pairs contribute 0 instead of poisoning a mean) over the same " +
+      "selective urgent-high-quantity trade graph as graph_bfs_nations, " +
+      "4 relaxation rounds: WHO can reach the network cheaply, the " +
+      "outbound-reach complement of HITS/PageRank's inbound views. " +
+      "All-pairs distances come from ONE simultaneous multi-source " +
+      "min-plus loop over a sparse (source, vertex, d) relation " +
+      "(Bfs.allPairsHopDistance — integer min, order-independent, so " +
+      "the iteration is hash-gated with rounds unrolled as oracle " +
+      "CTEs). All-pairs is held to ENTITY-DOMAIN graphs by contract " +
+      "(|V| = 25 nations; the operator scaladoc states the |V|·reach " +
+      "bound). Per-pair 1/d rounds at 6 and sums in DECIMAL(38,6).",
+    (s, dir) => {
+      val nation = Tables.nation(s, dir)
+      val edges = Tables.orders(s, dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .join(broadcast(Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .join(Tables.lineitem(s, dir).filter(col("l_quantity") > 45),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      val ap = graft.operators.Bfs.allPairsHopDistance(
+        nation.select(col("n_nationkey").as("id")), edges, rounds = 4)
+      val per = ap.groupBy(col("s")).agg(
+        (count(lit(1)) - 1).as("n_reached"),
+        round(sum(when(col("dist") > 0,
+            round(lit(1.0) / col("dist").cast("double"), 6))
+          .otherwise(lit(0.0)).cast(dec6)).cast("double"), 6).as("harmonic"))
+      per.join(broadcast(nation), col("s") === col("n_nationkey"))
+        .select(col("n_name").as("nation"), col("n_reached"), col("harmonic"))
+        .orderBy(col("harmonic").desc, col("nation"))
+    },
+    Some("""
+      |WITH edges AS MATERIALIZED (
+      |  SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  WHERE o.o_orderpriority = '1-URGENT' AND l.l_quantity > 45
+      |), v AS (SELECT n_nationkey AS id FROM nation),
+      |p0 AS (SELECT id AS s, id AS v2, CAST(0 AS BIGINT) AS d FROM v)
+      """.stripMargin.trim
+      + apIter(1) + apIter(2) + apIter(3) + apIter(4) + """
+      |SELECT n.n_name AS nation, (count(*) - 1)::BIGINT AS n_reached,
+      |       round(CAST(SUM(CAST(CASE WHEN d > 0
+      |                 THEN round(1.0 / CAST(d AS DOUBLE), 6)
+      |                 ELSE 0.0 END AS DECIMAL(38,6))) AS DOUBLE), 6) AS harmonic
+      |FROM p4 JOIN nation n ON n.n_nationkey = p4.s
+      |GROUP BY 1
+      |ORDER BY harmonic DESC, nation
+      """.stripMargin))
+
+  private val leveneBf = QueryDef(
+    "stat_levene_bf",
+    "Brown–Forsythe test (Levene's test with the median center — the " +
+      "robust variance-homogeneity check that should ACCOMPANY " +
+      "stat_anova_f, since ANOVA assumes what this tests): does the " +
+      "SPREAD of order value differ across the five priorities? Same " +
+      "deterministic decimation as stat_anova_f (integer hundreds of " +
+      "dollars), group centers are exact LOWER medians (the value at " +
+      "sorted position (n+1) div 2 — an actual element, no float " +
+      "interpolation, deterministic under ties; the interpolated " +
+      "median's half-sum is the documented deviation), deviations " +
+      "|x − med| are exact integers, and the F machinery on them is " +
+      "the stat_anova_f reduction verbatim. Cost of exactness: one " +
+      "per-group sort for the median rank (partitioned by group — " +
+      "parallel across groups) plus the aggregation shuffle.",
+    (s, dir) => {
+      val x = Tables.orders(s, dir)
+        .select(col("o_orderpriority").as("grp"),
+          expr("floor(o_totalprice) div 100").as("x"))
+      val cnt = x.groupBy(col("grp")).agg(count(lit(1)).as("cnt"))
+      val med = x.withColumn("rn", row_number().over(
+          Window.partitionBy(col("grp")).orderBy(col("x"))))
+        .join(broadcast(cnt), Seq("grp"))
+        .filter(col("rn") === expr("(cnt + 1) div 2"))
+        .select(col("grp"), col("x").as("med"))
+      val z = x.join(broadcast(med), Seq("grp"))
+        .select(col("grp"), abs(col("x") - col("med")).as("z"))
+      val g = z.groupBy(col("grp")).agg(
+        count(lit(1)).as("n"), sum(col("z")).as("sz"),
+        sum(col("z") * col("z")).as("sz2"))
+      val tot = g.agg(
+        count(lit(1)).as("k"), sum(col("n")).as("n_total"),
+        sum(col("sz")).as("s_all"), sum(col("sz2")).as("t2_all"),
+        sum(round(col("sz").cast("double") * col("sz").cast("double") /
+          col("n").cast("double"), 6).cast(dec6)).cast("double").as("a_groups"))
+      tot.select(col("k"), col("n_total"),
+        round(((col("a_groups") -
+          col("s_all").cast("double") * col("s_all").cast("double") /
+            col("n_total").cast("double")) / (col("k").cast("double") - 1)) /
+          ((col("t2_all").cast("double") - col("a_groups")) /
+            (col("n_total").cast("double") - col("k").cast("double"))), 6)
+          .as("f_stat"))
+    },
+    Some("""
+      |WITH x AS (
+      |  SELECT o_orderpriority AS grp,
+      |         CAST(FLOOR(o_totalprice) AS BIGINT) // 100 AS x
+      |  FROM orders
+      |), c AS (
+      |  SELECT grp, count(*) AS cnt FROM x GROUP BY 1
+      |), r AS (
+      |  SELECT grp, x, row_number() OVER (PARTITION BY grp ORDER BY x) AS rn
+      |  FROM x
+      |), med AS (
+      |  SELECT r.grp, r.x AS med
+      |  FROM r JOIN c ON c.grp = r.grp AND r.rn = (c.cnt + 1) // 2
+      |), z AS (
+      |  SELECT x.grp, abs(x.x - m.med) AS z
+      |  FROM x JOIN med m ON m.grp = x.grp
+      |), g AS (
+      |  SELECT grp, count(*) AS n, SUM(z)::BIGINT AS sz,
+      |         SUM(z * z)::BIGINT AS sz2
+      |  FROM z GROUP BY 1
+      |), tot AS (
+      |  SELECT count(*)::BIGINT AS k, SUM(n)::BIGINT AS n_total,
+      |         SUM(sz)::BIGINT AS s_all, SUM(sz2)::BIGINT AS t2_all,
+      |         CAST(SUM(CAST(round(sz::DOUBLE * sz::DOUBLE / n::DOUBLE, 6)
+      |                       AS DECIMAL(38,6))) AS DOUBLE) AS a_groups
+      |  FROM g
+      |)
+      |SELECT k, n_total,
+      |       round(((a_groups - s_all::DOUBLE * s_all::DOUBLE / n_total::DOUBLE) / (k::DOUBLE - 1)) /
+      |             ((t2_all::DOUBLE - a_groups) / (n_total::DOUBLE - k::DOUBLE)), 6) AS f_stat
+      |FROM tot
+      """.stripMargin.trim))
+
+  private val stlDecompose = QueryDef(
+    "ev_stl_decompose",
+    "Classical seasonal decomposition of the daily view-value series " +
+      "(the moving-average STL ancestor: trend = centered 7-day mean, " +
+      "seasonal = per-weekday mean of the detrended series, residual = " +
+      "what's left) — the decomposition REPORT beside the forecasting " +
+      "channels (ev_holt_forecast predicts, this explains). " +
+      "Determinism: the trend window is an exact INTEGER cents sum " +
+      "over 7 days with one /700.0 at the end; detrended values are " +
+      "integer-derived doubles with one fixed shape; weekday means " +
+      "round each term at 6 into DECIMAL(38,6) (order-independent); " +
+      "weekday NAMES, not engine dow numbering (the chi2 lesson). " +
+      "Edge days without a full 7-day window are excluded (no " +
+      "partial-window trend — the textbook treatment). All windows " +
+      "run on the calendar-bounded day grid, never the event relation.",
+    (s, dir) => {
+      val d1 = dailyCents(s, dir).filter(col("event_type") === "view")
+        .select(col("day"), col("yc"))
+      val w7 = Window.orderBy(col("day")).rowsBetween(-3, 3)
+      val t = d1
+        .withColumn("s7", sum(col("yc")).over(w7))
+        .withColumn("c7", count(lit(1)).over(w7))
+        .filter(col("c7") === 7)
+        .withColumn("trend", col("s7") / lit(700.0))
+        .withColumn("detr", col("yc") / lit(100.0) - col("trend"))
+        .withColumn("dow", date_format(to_date(col("day")), "EEEE"))
+      val seas = t.groupBy(col("dow")).agg(
+        round(sum(round(col("detr"), 6).cast(dec6)).cast("double") /
+          count(lit(1)).cast("double"), 6).as("seasonal"))
+      t.join(broadcast(seas), Seq("dow"))
+        .select(col("day"), col("dow"),
+          round(col("yc") / lit(100.0), 2).as("y"),
+          round(col("trend"), 6).as("trend"),
+          col("seasonal"),
+          round(col("detr") - col("seasonal"), 6).as("residual"))
+        .orderBy(col("day"))
+    },
+    Some(s"""
+      |WITH daily AS (
+      |$dailyCentsSql
+      |), d1 AS (
+      |  SELECT day, yc FROM daily WHERE event_type = 'view'
+      |), t AS (
+      |  SELECT day, yc,
+      |         SUM(yc) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS s7,
+      |         count(*) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS c7
+      |  FROM d1
+      |), t2 AS (
+      |  SELECT day, yc, s7 / 700.0 AS trend,
+      |         yc / 100.0 - s7 / 700.0 AS detr,
+      |         dayname(day::DATE) AS dow
+      |  FROM t WHERE c7 = 7
+      |), seas AS (
+      |  SELECT dow,
+      |         round(CAST(SUM(CAST(round(detr, 6) AS DECIMAL(38,6))) AS DOUBLE) /
+      |               count(*)::DOUBLE, 6) AS seasonal
+      |  FROM t2 GROUP BY 1
+      |)
+      |SELECT t2.day, t2.dow,
+      |       round(yc / 100.0, 2) AS y,
+      |       round(trend, 6) AS trend,
+      |       seas.seasonal,
+      |       round(detr - seas.seasonal, 6) AS residual
+      |FROM t2 JOIN seas ON seas.dow = t2.dow
+      |ORDER BY t2.day
+      """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
     Seq(trendOls, dailyCorr, markov, ewma, pagerank, centroidMatrix,
       abWelch, benford, ksTest, acf, bfs, chi2, gini, triangles, dowSeason,
       cusum, theilSen, mannWhitney, holt, kaplanMeier, assortativity, kendall,
       poissonBootstrap, kcore, labelPropagation, ssspWeighted, hillTail,
       pprParts, spearmanDaily, holtWinters, linkPrediction, hitsNations,
-      anovaF)
+      anovaF, closeness, leveneBf, stlDecompose)
 }

@@ -570,6 +570,122 @@ class ModelEvalSpec extends SparkSpec {
       BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
   }
 
+  test("graph_closeness_nations: harmonic closeness replays from driver all-pairs BFS") {
+    val dir = sf("sf0.001")
+    val out = run("graph_closeness_nations").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(out.length == 25)
+    val hs = out.map(_._3).toSeq
+    assert(hs.zip(hs.tail).forall { case (a, b) => a >= b })
+    val edges = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.lineitem(spark, dir).filter(col("l_quantity") > 45),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
+      .select(col("c_nationkey").cast("long").as("src"),
+        col("s_nationkey").cast("long").as("dst"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ids = Tables.nation(spark, dir)
+      .select(col("n_nationkey").cast("long"), col("n_name"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def bfs4(s0: Long): Map[Long, Long] = {
+      var d = Map(s0 -> 0L)
+      for (k <- 1 to 4) {
+        val next = d.keys.flatMap(u => adj.getOrElse(u, Set.empty))
+          .filterNot(d.contains).map(_ -> k.toLong)
+        d = d ++ next
+      }
+      d
+    }
+    def rd6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val byName = ids.map { case (id, n) => n -> id }.toMap
+    for ((nation, nReached, harmonic) <- out) {
+      val d = bfs4(byName(nation))
+      assert(nReached == d.size - 1, s"$nation reached $nReached vs ${d.size - 1}")
+      val hRe = d.values.filter(_ > 0).map(dd => rd6(1.0 / dd)).sum
+      assert(math.abs(harmonic - rd6(hRe.toDouble).toDouble) < 1e-9,
+        s"$nation harmonic $harmonic vs $hRe")
+    }
+  }
+
+  test("stat_levene_bf: F recomposes from driver-side medians and deviations") {
+    val r = run("stat_levene_bf").collect().head
+    val (k, n, f) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val rows = Tables.orders(spark, sf("sf0.001"))
+      .select(col("o_orderpriority").as("grp"),
+        expr("floor(o_totalprice) div 100").as("x"))
+      .collect().map(rr => (rr.getString(0), rr.getLong(1)))
+    val groups = rows.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    assert(k == groups.size && n == rows.length)
+    val stats = groups.values.map { xs =>
+      val med = xs((xs.length + 1) / 2 - 1) // lower median, 1-indexed rank
+      val z = xs.map(x => math.abs(x - med))
+      (z.length.toLong, z.sum, z.map(v => v * v).sum)
+    }.toSeq
+    val aGroups = stats.map { case (cn, sz, _) =>
+      BigDecimal(sz.toDouble * sz.toDouble / cn.toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP) }.sum.toDouble
+    val sAll = stats.map(_._2).sum.toDouble
+    val t2All = stats.map(_._3).sum.toDouble
+    val fRe = ((aGroups - sAll * sAll / n.toDouble) / (k - 1).toDouble) /
+      ((t2All - aGroups) / (n - k).toDouble)
+    assert(math.abs(f - BigDecimal(fRe).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9, s"F $f vs $fRe")
+  }
+
+  test("ev_stl_decompose: components recompose to the observed series") {
+    val out = run("ev_stl_decompose").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(out.nonEmpty)
+    // days are sorted, unique, and dow matches the date
+    assert(out.map(_._1).toSeq == out.map(_._1).toSeq.sorted.distinct)
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("EEEE",
+      java.util.Locale.ENGLISH)
+    for ((day, dow, y, trend, seasonal, residual) <- out) {
+      assert(java.time.LocalDate.parse(day).format(fmt) == dow)
+      // y(2dp) = trend + seasonal + residual up to the output roundings
+      assert(math.abs(y - (trend + seasonal + residual)) < 0.006,
+        s"$day: $y vs ${trend + seasonal + residual}")
+    }
+    // per-dow seasonal is constant across the series
+    for ((_, g) <- out.groupBy(_._2))
+      assert(g.map(_._5).distinct.length == 1)
+  }
+
+  test("ml_prf_report: metrics replay from an independent majority-vote pass") {
+    val out = run("ml_prf_report").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    assert(out.nonEmpty)
+    val docs = Tables.documents(spark, sf("sf0.001"))
+      .select(col("doc_id"), col("source"), col("lang"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val maj = docs.filter(_._1 % 3 != 0).groupBy(_._2).view.mapValues { ds =>
+      ds.groupBy(_._3).view.mapValues(_.length).toSeq
+        .sortBy { case (lang, cnt) => (-cnt, lang) }.head._1
+    }.toMap
+    val test = docs.filter(_._1 % 3 == 0).map(d => (d._3, maj(d._2)))
+    def rd6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    for ((lang, tp, fp, fn, p, rc, f1) <- out) {
+      val tpRe = test.count { case (t, pr) => t == lang && pr == lang }
+      val fnRe = test.count { case (t, pr) => t == lang && pr != lang }
+      val fpRe = test.count { case (t, pr) => pr == lang && t != lang }
+      assert(tp == tpRe && fn == fnRe && fp == fpRe, s"$lang counts")
+      val pRe = if (tpRe + fpRe == 0) 0.0 else rd6(tpRe.toDouble / (tpRe + fpRe))
+      val rRe = if (tpRe + fnRe == 0) 0.0 else rd6(tpRe.toDouble / (tpRe + fnRe))
+      assert(p == pRe && rc == rRe, s"$lang p/r")
+      val f1Re = if (pRe + rRe == 0) 0.0 else rd6(2.0 * pRe * rRe / (pRe + rRe))
+      assert(math.abs(f1 - f1Re) < 1e-12, s"$lang f1 $f1 vs $f1Re")
+    }
+    // every test-truth class is reported
+    assert(out.map(_._1).toSet == test.map(_._1).toSet)
+  }
+
   test("pipeline_dsir_select: keys verify against the doc's log-weight + Gumbel hash") {
     val out = run("pipeline_dsir_select").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
