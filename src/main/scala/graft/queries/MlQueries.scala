@@ -1179,8 +1179,77 @@ object MlQueries {
       |FROM pr ORDER BY lang
       """.stripMargin.trim))
 
+  /** Weighted-Gini split impurity as SQL text shared VERBATIM between
+    * Spark expr() and DuckDB, over exact-count columns n_l/pos_l/n_r/
+    * pos_r/nn — rational arithmetic only, no transcendental.
+    */
+  private val StumpGini: String = {
+    def side(n: String, p: String) =
+      s"CAST($n AS DOUBLE) * (1.0 - " +
+        s"(CAST($p AS DOUBLE) / CAST($n AS DOUBLE)) * (CAST($p AS DOUBLE) / CAST($n AS DOUBLE)) - " +
+        s"(CAST($n - $p AS DOUBLE) / CAST($n AS DOUBLE)) * (CAST($n - $p AS DOUBLE) / CAST($n AS DOUBLE)))"
+    s"round((${side("n_l", "pos_l")} + ${side("n_r", "pos_r")}) / CAST(nn AS DOUBLE), 6)"
+  }
+
+  private val stump = QueryDef(
+    "ml_decision_stump",
+    "In-engine decision-stump training: the exhaustive split scan over " +
+      "l_quantity ≤ t thresholds for predicting returns (l_returnflag " +
+      "= 'R'), with weighted Gini impurity per split — the tree-" +
+      "induction primitive beside ml_logreg_gd's gradient channel, and " +
+      "the whole-curve view (every candidate split's impurity, argmin " +
+      "visible) rather than one opaque winner. The data-sized work is " +
+      "ONE map-side-combining rollup to per-value (n, positives); " +
+      "cumulative sums then run on the value grid (≤ 50 rows — value-" +
+      "domain-bounded, the stat_ks_two_sample argument, so the " +
+      "unpartitioned window is safe at any row scale). Counts exact " +
+      "BIGINT; the impurity is rational arithmetic (no transcendental) " +
+      "in ONE SQL string evaluated verbatim by both engines.",
+    (s, dir) => {
+      val perX = Tables.lineitem(s, dir)
+        .select(col("l_quantity").cast("long").as("x"),
+          when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+        .groupBy(col("x"))
+        .agg(count(lit(1)).as("nx"), sum(col("y")).as("px"))
+      val w = Window.orderBy(col("x"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = perX.agg(sum(col("nx")).as("nn"), sum(col("px")).as("pp"))
+      perX
+        .withColumn("n_l", sum(col("nx")).over(w))
+        .withColumn("pos_l", sum(col("px")).over(w))
+        .crossJoin(broadcast(tot))
+        .withColumn("n_r", col("nn") - col("n_l"))
+        .withColumn("pos_r", col("pp") - col("pos_l"))
+        .filter(col("n_r") > 0)
+        .withColumn("gini_split", expr(StumpGini))
+        .select(col("x").as("thr"), col("n_l").as("n_left"),
+          col("pos_l").as("pos_left"), col("n_r").as("n_right"),
+          col("pos_r").as("pos_right"), col("gini_split"))
+        .orderBy(col("thr"))
+    },
+    Some(s"""
+      |WITH perx AS (
+      |  SELECT CAST(l_quantity AS BIGINT) AS x, count(*) AS nx,
+      |         SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT AS px
+      |  FROM lineitem GROUP BY 1
+      |), tot AS (SELECT SUM(nx)::BIGINT AS nn, SUM(px)::BIGINT AS pp FROM perx),
+      |cum AS (
+      |  SELECT x,
+      |         SUM(nx) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS n_l,
+      |         SUM(px) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS pos_l
+      |  FROM perx
+      |), cells AS (
+      |  SELECT x, n_l, pos_l, nn - n_l AS n_r, pp - pos_l AS pos_r, nn
+      |  FROM cum, tot WHERE nn - n_l > 0
+      |)
+      |SELECT x AS thr, n_l AS n_left, pos_l AS pos_left,
+      |       n_r AS n_right, pos_r AS pos_right,
+      |       $StumpGini AS gini_split
+      |FROM cells ORDER BY thr
+      """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
     Seq(targetEncode, quantileBins, attribution, itemCooccurrence,
       naiveBayes, aucRoc, silhouette, logregGd, calibrationEce, kfoldCv,
-      prCurve, liftGains, ridge, prfReport)
+      prCurve, liftGains, ridge, prfReport, stump)
 }

@@ -2433,11 +2433,83 @@ object StatQueries {
       |ORDER BY t2.day
       """.stripMargin.trim))
 
+  /** Raw→central moment formulas and the JB statistic as SQL text shared
+    * VERBATIM between Spark expr() and DuckDB over exact BIGINT raw-sum
+    * columns (n, s1..s4) and the derived mean/m2/m3/m4 — only IEEE
+    * +,−,×,÷ and the correctly-rounded sqrt, no libm transcendental.
+    */
+  private val JbMean = "(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))"
+  private val JbM2 = "(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) - mean * mean)"
+  private val JbM3 = "(CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) - " +
+    "3.0 * mean * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)) + 2.0 * mean * mean * mean)"
+  private val JbM4 = "(CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) - " +
+    "4.0 * mean * (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)) + " +
+    "6.0 * mean * mean * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)) - " +
+    "3.0 * mean * mean * mean * mean)"
+  private val JbSkew = "(m3 / (m2 * sqrt(m2)))"
+  private val JbKurt = "(m4 / (m2 * m2))"
+  private val JbStat = "((CAST(n AS DOUBLE) / 6.0) * " +
+    "(skew * skew + (kurt - 3.0) * (kurt - 3.0) / 4.0))"
+
+  private val jarqueBera = QueryDef(
+    "stat_jarque_bera",
+    "Jarque–Bera normality test of the order-value distribution from " +
+      "exact raw moments: n, Σx, Σx², Σx³, Σx⁴ as order-independent " +
+      "BIGINT sums over values deterministically decimated to integer " +
+      "THOUSANDS of dollars times two (div 2000 — sized so Σx⁴ stays " +
+      "inside int64 past sf100: x ≤ ~300 ⇒ x⁴ ≤ 8.1·10⁹, ×1.5·10⁸ " +
+      "rows ≈ 1.2·10¹⁸ < 2⁶³; the decimation is part of the query's " +
+      "definition). Central moments, skewness, excess-kurtosis " +
+      "distance and JB itself evaluate in SQL strings shared VERBATIM " +
+      "between Spark expr() and DuckDB — IEEE +,−,×,÷ and the " +
+      "correctly-rounded sqrt only, no transcendental. ONE map-side-" +
+      "combining aggregate is the only data-sized work. Completes the " +
+      "distribution-shape family: Benford (digits), KS (two-sample), " +
+      "Hill (tail), Gini (concentration), JB (normality).",
+    (s, dir) => {
+      val x = Tables.orders(s, dir)
+        .select(expr("floor(o_totalprice) div 2000").as("x"))
+      val st = x.agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("s1"),
+        sum(col("x") * col("x")).as("s2"),
+        sum(col("x") * col("x") * col("x")).as("s3"),
+        sum(col("x") * col("x") * col("x") * col("x")).as("s4"))
+      st.withColumn("mean", expr(JbMean))
+        .withColumn("m2", expr(JbM2))
+        .withColumn("m3", expr(JbM3))
+        .withColumn("m4", expr(JbM4))
+        .withColumn("skew", expr(JbSkew))
+        .withColumn("kurt", expr(JbKurt))
+        .select(col("n"),
+          round(col("skew"), 6).as("skewness"),
+          round(col("kurt"), 6).as("kurtosis"),
+          expr(s"round($JbStat, 6)").as("jb_stat"))
+    },
+    Some(s"""
+      |WITH x AS (
+      |  SELECT CAST(FLOOR(o_totalprice) AS BIGINT) // 2000 AS x FROM orders
+      |), st AS (
+      |  SELECT count(*)::BIGINT AS n,
+      |         SUM(x)::BIGINT AS s1, SUM(x * x)::BIGINT AS s2,
+      |         SUM(x * x * x)::BIGINT AS s3,
+      |         SUM(x * x * x * x)::BIGINT AS s4
+      |  FROM x
+      |), d1 AS (SELECT *, $JbMean AS mean FROM st),
+      |d2 AS (SELECT *, $JbM2 AS m2, $JbM3 AS m3, $JbM4 AS m4 FROM d1),
+      |d3 AS (SELECT *, $JbSkew AS skew, $JbKurt AS kurt FROM d2)
+      |SELECT n,
+      |       round(skew, 6) AS skewness,
+      |       round(kurt, 6) AS kurtosis,
+      |       round($JbStat, 6) AS jb_stat
+      |FROM d3
+      """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
     Seq(trendOls, dailyCorr, markov, ewma, pagerank, centroidMatrix,
       abWelch, benford, ksTest, acf, bfs, chi2, gini, triangles, dowSeason,
       cusum, theilSen, mannWhitney, holt, kaplanMeier, assortativity, kendall,
       poissonBootstrap, kcore, labelPropagation, ssspWeighted, hillTail,
       pprParts, spearmanDaily, holtWinters, linkPrediction, hitsNations,
-      anovaF, closeness, leveneBf, stlDecompose)
+      anovaF, closeness, leveneBf, stlDecompose, jarqueBera)
 }

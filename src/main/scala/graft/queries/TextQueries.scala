@@ -1460,9 +1460,83 @@ object TextQueries {
       |FROM f
       """.stripMargin.trim))
 
+  /** One signed LLR contingency term as SQL text shared VERBATIM between
+    * Spark `expr` and DuckDB (the ridge-regression trick): k·ln(k·N/(a·b))
+    * rounded at 6, zero when the cell is empty.
+    */
+  private def llrTerm(k: String, a: String, b: String): String =
+    s"(CASE WHEN $k > 0 THEN round(CAST($k AS DOUBLE) * " +
+      s"ln((CAST($k AS DOUBLE) * CAST(nn AS DOUBLE)) / " +
+      s"(CAST($a AS DOUBLE) * CAST($b AS DOUBLE))), 6) ELSE 0.0 END)"
+
+  private val llrExpr: String =
+    "round(2.0 * (" +
+      llrTerm("cab", "rw", "cw") + " + " +
+      llrTerm("k12", "rw", "nn - cw") + " + " +
+      llrTerm("k21", "nn - rw", "cw") + " + " +
+      llrTerm("k22", "nn - rw", "nn - cw") + "), 6)"
+
+  private val llrQ = QueryDef(
+    "txt_collocation_llr",
+    "Dunning log-likelihood-ratio collocations (Dunning 1993): the " +
+      "statistically principled companion to txt_bigram_lift — lift " +
+      "over-rewards rare pairs, LLR weighs the full 2×2 bigram " +
+      "contingency (k, row/column margins from the bigram relation " +
+      "itself, all exact BIGINTs), so high scores need both " +
+      "association AND evidence. The four k·ln(k·N/(a·b)) terms are " +
+      "built from ONE SQL string evaluated verbatim by Spark expr() " +
+      "and DuckDB (the shared-expression-tree discipline), each term " +
+      "rounded at 6, the 4-term sum a fixed shape. Same scale shape " +
+      "as lift: bigram rollup shuffle, margin joins on the vocab key " +
+      "(never broadcast), one-row total broadcast, top-25 " +
+      "TakeOrderedAndProject on the presented (llr, bigram) key.",
+    (s, dir) => {
+      val tk = docToks(s, dir)
+      val bi = tk.select(explode(zip_with(
+          slice(col("toks"), lit(1), size(col("toks")) - 1),
+          slice(col("toks"), lit(2), size(col("toks")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("pr"))
+        .groupBy(col("pr.w1").as("w1"), col("pr.w2").as("w2"))
+        .agg(count(lit(1)).as("cab"))
+      val r = bi.groupBy(col("w1")).agg(sum(col("cab")).as("rw"))
+      val c = bi.groupBy(col("w2")).agg(sum(col("cab")).as("cw"))
+      val n = bi.agg(sum(col("cab")).as("nn"))
+      bi.filter(col("cab") >= 5)
+        .join(r, Seq("w1")).join(c, Seq("w2"))
+        .crossJoin(broadcast(n))
+        .withColumn("k12", col("rw") - col("cab"))
+        .withColumn("k21", col("cw") - col("cab"))
+        .withColumn("k22", col("nn") - col("rw") - col("cw") + col("cab"))
+        .withColumn("llr", expr(llrExpr))
+        .select(concat(col("w1"), lit(" "), col("w2")).as("bigram"),
+          col("cab").as("n_ab"), col("rw"), col("cw"), col("llr"))
+        .orderBy(col("llr").desc, col("bigram"))
+        .limit(25)
+    },
+    Some(s"""
+      |${Duck.docToks}, bi0 AS (
+      |  SELECT unnest(list_transform(range(len(toks)-1), i -> {'w1': toks[i+1], 'w2': toks[i+2]})) AS pr FROM tt
+      |), bi AS (
+      |  SELECT pr.w1 AS w1, pr.w2 AS w2, count(*) AS cab FROM bi0 GROUP BY 1, 2
+      |), r AS (SELECT w1, SUM(cab)::BIGINT AS rw FROM bi GROUP BY 1),
+      |c AS (SELECT w2, SUM(cab)::BIGINT AS cw FROM bi GROUP BY 1),
+      |n AS (SELECT SUM(cab)::BIGINT AS nn FROM bi),
+      |cells AS (
+      |  SELECT bi.w1, bi.w2, cab, rw, cw, nn,
+      |         rw - cab AS k12, cw - cab AS k21,
+      |         nn - rw - cw + cab AS k22
+      |  FROM bi JOIN r ON r.w1 = bi.w1 JOIN c ON c.w2 = bi.w2, n
+      |  WHERE cab >= 5
+      |)
+      |SELECT w1 || ' ' || w2 AS bigram, cab AS n_ab, rw, cw,
+      |       $llrExpr AS llr
+      |FROM cells
+      |ORDER BY llr DESC, bigram LIMIT 25
+      """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
     Seq(stats, langQ, quality, fp, topTokens, bigramLift, lmQ, simhashQ,
       embedQ, embedKnnQ, bm25Q, hybridRrfQ, crossencQ, maxsimQ, tfidfQ, chunksQ, packQ,
       tokenBudgetQ, gopherQ, dupNgramsQ, piiQ, noveltyQ, invIndexQ, bpeTrainQ, rakeQ,
-      readabilityQ, rankingNdcgQ, zipfQ)
+      readabilityQ, rankingNdcgQ, zipfQ, llrQ)
 }

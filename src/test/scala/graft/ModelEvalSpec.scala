@@ -686,6 +686,97 @@ class ModelEvalSpec extends SparkSpec {
     assert(out.map(_._1).toSet == test.map(_._1).toSet)
   }
 
+  test("txt_collocation_llr: LLR replays from driver-side contingency tables") {
+    val out = run("txt_collocation_llr").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(out.nonEmpty && out.length <= 25)
+    val ls = out.map(_._5).toSeq
+    assert(ls.zip(ls.tail).forall { case (a, b) => a >= b })
+    // independent bigram recount with the engine's own tokenizer
+    val toks = Tables.documentsSpread(spark, sf("sf0.001"))
+      .select(graft.operators.TextAnalysis.tokens(col("text")).as("toks"))
+      .collect().map(_.getSeq[String](0))
+    val bigrams = toks.flatMap(ts => ts.zip(ts.tail))
+    val cab = bigrams.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val rw = bigrams.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val cw = bigrams.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val nn = bigrams.length.toLong
+    def rd6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def term(k: Long, a: Long, b: Long): Double =
+      if (k > 0) rd6(k.toDouble * math.log(k.toDouble * nn / (a.toDouble * b.toDouble)))
+      else 0.0
+    for ((bg, nAb, rwOut, cwOut, llr) <- out) {
+      val Array(w1, w2) = bg.split(" ", 2)
+      val k11 = cab((w1, w2))
+      assert(nAb == k11 && rwOut == rw(w1) && cwOut == cw(w2), s"$bg counts")
+      val (k12, k21) = (rw(w1) - k11, cw(w2) - k11)
+      val k22 = nn - rw(w1) - cw(w2) + k11
+      assert(k11 + k12 + k21 + k22 == nn)
+      val llrRe = rd6(2.0 * (term(k11, rw(w1), cw(w2)) + term(k12, rw(w1), nn - cw(w2)) +
+        term(k21, nn - rw(w1), cw(w2)) + term(k22, nn - rw(w1), nn - cw(w2))))
+      assert(math.abs(llr - llrRe) < 1e-9, s"$bg llr $llr vs $llrRe")
+      assert(llr >= -1e-6, s"$bg negative LLR $llr")
+    }
+  }
+
+  test("ml_decision_stump: split curve partitions the data and Gini recomputes") {
+    val out = run("ml_decision_stump").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(out.nonEmpty)
+    val nn = out.head._2 + out.head._4
+    val pp = out.head._3 + out.head._5
+    for ((thr, nl, pl, nr, pr, g) <- out) {
+      assert(nl + nr == nn && pl + pr == pp, s"thr $thr totals")
+      assert(nl > 0 && nr > 0)
+      def side(n: Long, p: Long) =
+        n.toDouble * (1.0 - (p.toDouble / n) * (p.toDouble / n) -
+          ((n - p).toDouble / n) * ((n - p).toDouble / n))
+      val gRe = BigDecimal((side(nl, pl) + side(nr, pr)) / nn.toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(g - gRe) < 1e-9, s"thr $thr gini $g vs $gRe")
+      // split impurity never beats the theoretical floor, never exceeds
+      // the no-split baseline Gini
+      val base = 1.0 - (pp.toDouble / nn) * (pp.toDouble / nn) -
+        ((nn - pp).toDouble / nn) * ((nn - pp).toDouble / nn)
+      assert(g >= -1e-9 && g <= base + 1e-6, s"thr $thr gini $g vs base $base")
+    }
+    // thresholds ascend, cumulative left-counts strictly increase
+    val thrs = out.map(_._1).toSeq
+    assert(thrs == thrs.sorted && thrs.distinct == thrs)
+    val nls = out.map(_._2).toSeq
+    assert(nls.zip(nls.tail).forall { case (a, b) => a < b })
+  }
+
+  test("stat_jarque_bera: moments replay and JB is non-negative") {
+    val r = run("stat_jarque_bera").collect().head
+    val (n, skew, kurt, jb) =
+      (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    val xs = Tables.orders(spark, sf("sf0.001"))
+      .select(expr("floor(o_totalprice) div 2000").as("x"))
+      .collect().map(_.getLong(0))
+    assert(n == xs.length)
+    val nd = n.toDouble
+    val (s1, s2, s3, s4) = (xs.map(_.toDouble).sum, xs.map(x => x.toDouble * x).sum,
+      xs.map(x => x.toDouble * x * x).sum, xs.map(x => x.toDouble * x * x * x).sum)
+    val mean = s1 / nd
+    val m2 = s2 / nd - mean * mean
+    val m3 = s3 / nd - 3.0 * mean * (s2 / nd) + 2.0 * mean * mean * mean
+    val m4 = s4 / nd - 4.0 * mean * (s3 / nd) + 6.0 * mean * mean * (s2 / nd) -
+      3.0 * mean * mean * mean * mean
+    val skewRe = m3 / (m2 * math.sqrt(m2))
+    val kurtRe = m4 / (m2 * m2)
+    // driver sums are float (unordered) — compare within numeric slack,
+    // not bit-exactly like the integer replays
+    assert(math.abs(skew - skewRe) < 1e-6, s"skew $skew vs $skewRe")
+    assert(math.abs(kurt - kurtRe) < 1e-6, s"kurt $kurt vs $kurtRe")
+    val jbRe = (nd / 6.0) * (skewRe * skewRe + (kurtRe - 3.0) * (kurtRe - 3.0) / 4.0)
+    assert(math.abs(jb - jbRe) < 1e-4, s"jb $jb vs $jbRe")
+    assert(jb >= 0.0)
+  }
+
   test("pipeline_dsir_select: keys verify against the doc's log-weight + Gumbel hash") {
     val out = run("pipeline_dsir_select").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
