@@ -2366,6 +2366,50 @@ object StatQueries {
       |FROM tot
       """.stripMargin.trim))
 
+  /** Shared decomposition core for ev_stl_decompose and
+    * ev_seasonality_strength: the full-window day grid with exact-cents
+    * observation, centered 7-day trend, unrounded detrended value,
+    * weekday name, and the round-6 per-weekday seasonal mean — the Spark
+    * relation and its SQL twin (CTE chain through `t2` + `seas`).
+    */
+  private def stlJoined(s: SparkSession, dir: String) = {
+    val d1 = dailyCents(s, dir).filter(col("event_type") === "view")
+      .select(col("day"), col("yc"))
+    val w7 = Window.orderBy(col("day")).rowsBetween(-3, 3)
+    val t = d1
+      .withColumn("s7", sum(col("yc")).over(w7))
+      .withColumn("c7", count(lit(1)).over(w7))
+      .filter(col("c7") === 7)
+      .withColumn("trend", col("s7") / lit(700.0))
+      .withColumn("detr", col("yc") / lit(100.0) - col("trend"))
+      .withColumn("dow", date_format(to_date(col("day")), "EEEE"))
+    val seas = t.groupBy(col("dow")).agg(
+      round(sum(round(col("detr"), 6).cast(dec6)).cast("double") /
+        count(lit(1)).cast("double"), 6).as("seasonal"))
+    t.join(broadcast(seas), Seq("dow"))
+  }
+
+  private val stlSql: String = s"""WITH daily AS (
+    |$dailyCentsSql
+    |), d1 AS (
+    |  SELECT day, yc FROM daily WHERE event_type = 'view'
+    |), t AS (
+    |  SELECT day, yc,
+    |         SUM(yc) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS s7,
+    |         count(*) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS c7
+    |  FROM d1
+    |), t2 AS (
+    |  SELECT day, yc, s7 / 700.0 AS trend,
+    |         yc / 100.0 - s7 / 700.0 AS detr,
+    |         dayname(day::DATE) AS dow
+    |  FROM t WHERE c7 = 7
+    |), seas AS (
+    |  SELECT dow,
+    |         round(CAST(SUM(CAST(round(detr, 6) AS DECIMAL(38,6))) AS DOUBLE) /
+    |               count(*)::DOUBLE, 6) AS seasonal
+    |  FROM t2 GROUP BY 1
+    |)""".stripMargin
+
   private val stlDecompose = QueryDef(
     "ev_stl_decompose",
     "Classical seasonal decomposition of the daily view-value series " +
@@ -2382,20 +2426,7 @@ object StatQueries {
       "partial-window trend — the textbook treatment). All windows " +
       "run on the calendar-bounded day grid, never the event relation.",
     (s, dir) => {
-      val d1 = dailyCents(s, dir).filter(col("event_type") === "view")
-        .select(col("day"), col("yc"))
-      val w7 = Window.orderBy(col("day")).rowsBetween(-3, 3)
-      val t = d1
-        .withColumn("s7", sum(col("yc")).over(w7))
-        .withColumn("c7", count(lit(1)).over(w7))
-        .filter(col("c7") === 7)
-        .withColumn("trend", col("s7") / lit(700.0))
-        .withColumn("detr", col("yc") / lit(100.0) - col("trend"))
-        .withColumn("dow", date_format(to_date(col("day")), "EEEE"))
-      val seas = t.groupBy(col("dow")).agg(
-        round(sum(round(col("detr"), 6).cast(dec6)).cast("double") /
-          count(lit(1)).cast("double"), 6).as("seasonal"))
-      t.join(broadcast(seas), Seq("dow"))
+      stlJoined(s, dir)
         .select(col("day"), col("dow"),
           round(col("yc") / lit(100.0), 2).as("y"),
           round(col("trend"), 6).as("trend"),
@@ -2404,26 +2435,7 @@ object StatQueries {
         .orderBy(col("day"))
     },
     Some(s"""
-      |WITH daily AS (
-      |$dailyCentsSql
-      |), d1 AS (
-      |  SELECT day, yc FROM daily WHERE event_type = 'view'
-      |), t AS (
-      |  SELECT day, yc,
-      |         SUM(yc) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS s7,
-      |         count(*) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS c7
-      |  FROM d1
-      |), t2 AS (
-      |  SELECT day, yc, s7 / 700.0 AS trend,
-      |         yc / 100.0 - s7 / 700.0 AS detr,
-      |         dayname(day::DATE) AS dow
-      |  FROM t WHERE c7 = 7
-      |), seas AS (
-      |  SELECT dow,
-      |         round(CAST(SUM(CAST(round(detr, 6) AS DECIMAL(38,6))) AS DOUBLE) /
-      |               count(*)::DOUBLE, 6) AS seasonal
-      |  FROM t2 GROUP BY 1
-      |)
+      |$stlSql
       |SELECT t2.day, t2.dow,
       |       round(yc / 100.0, 2) AS y,
       |       round(trend, 6) AS trend,
@@ -2505,11 +2517,173 @@ object StatQueries {
       |FROM d3
       """.stripMargin.trim))
 
+  private val eccentricity = QueryDef(
+    "graph_eccentricity_nations",
+    "Eccentricity / radius / diameter of the selective trade graph " +
+      "(within the same 4-round reach as graph_closeness_nations — " +
+      "k-capped eccentricity over REACHED pairs, the defined quantity " +
+      "at any scale): per nation the farthest reachable peer, plus the " +
+      "graph-level radius (min ecc) and diameter (max ecc) over " +
+      "non-isolated sources — the network-topology summary beside " +
+      "closeness's per-node view. Same sparse all-pairs min-plus " +
+      "relation (one loop, hash-gated integer arithmetic), same " +
+      "entity-domain contract; the scalar radius/diameter is a " +
+      "one-row broadcast, never a data-sized reduction.",
+    (s, dir) => {
+      val nation = Tables.nation(s, dir)
+      val edges = Tables.orders(s, dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .join(broadcast(Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .join(Tables.lineitem(s, dir).filter(col("l_quantity") > 45),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      val ap = graft.operators.Bfs.allPairsHopDistance(
+        nation.select(col("n_nationkey").as("id")), edges, rounds = 4)
+      val per = ap.groupBy(col("s")).agg(
+        (count(lit(1)) - 1).as("n_reached"), max(col("dist")).as("ecc"))
+      val scal = per.filter(col("n_reached") > 0).agg(
+        min(col("ecc")).as("radius"), max(col("ecc")).as("diameter"))
+      per.join(broadcast(nation), col("s") === col("n_nationkey"))
+        .crossJoin(broadcast(scal))
+        .select(col("n_name").as("nation"), col("n_reached"), col("ecc"),
+          col("radius"), col("diameter"))
+        .orderBy(col("ecc"), col("nation"))
+    },
+    Some("""
+      |WITH edges AS MATERIALIZED (
+      |  SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  WHERE o.o_orderpriority = '1-URGENT' AND l.l_quantity > 45
+      |), v AS (SELECT n_nationkey AS id FROM nation),
+      |p0 AS (SELECT id AS s, id AS v2, CAST(0 AS BIGINT) AS d FROM v)
+      """.stripMargin.trim
+      + apIter(1) + apIter(2) + apIter(3) + apIter(4) + """
+      |, per AS MATERIALIZED (
+      |  SELECT s, (count(*) - 1)::BIGINT AS n_reached, MAX(d)::BIGINT AS ecc
+      |  FROM p4 GROUP BY 1
+      |), scal AS (
+      |  SELECT MIN(ecc)::BIGINT AS radius, MAX(ecc)::BIGINT AS diameter
+      |  FROM per WHERE n_reached > 0
+      |)
+      |SELECT n.n_name AS nation, per.n_reached, per.ecc,
+      |       scal.radius, scal.diameter
+      |FROM per JOIN nation n ON n.n_nationkey = per.s, scal
+      |ORDER BY ecc, nation
+      """.stripMargin))
+
+  private val seasonalityStrength = QueryDef(
+    "ev_seasonality_strength",
+    "Trend and seasonality strength of the daily view-value series " +
+      "(Hyndman & Athanasopoulos FPP: F_T = max(0, 1 − Var(R)/" +
+      "Var(T+R)), F_S = max(0, 1 − Var(R)/Var(S+R)) ∈ [0,1]) — the " +
+      "ONE-NUMBER readout of ev_stl_decompose's component table, the " +
+      "series-screening statistic a forecasting pipeline uses to " +
+      "route models. Shares the decomposition core verbatim " +
+      "(stlJoined/stlSql); each variance input rounds at 6 into " +
+      "DECIMAL(38,6) sums (order-independent) and Var = Σv²/n − " +
+      "(Σv/n)² evaluates in one fixed shape; greatest(0, ·) clamps " +
+      "identically on both engines.",
+    (s, dir) => {
+      val parts = stlJoined(s, dir)
+        .withColumn("r", round(col("detr") - col("seasonal"), 6))
+        .withColumn("sr", round(col("detr"), 6))
+        .withColumn("tr", round(col("yc") / lit(100.0) - col("seasonal"), 6))
+      def vr(v: String): org.apache.spark.sql.Column =
+        (sum(round(col(v) * col(v), 6).cast(dec6)).cast("double") /
+          count(lit(1)).cast("double")) -
+          (sum(col(v).cast(dec6)).cast("double") / count(lit(1)).cast("double")) *
+          (sum(col(v).cast(dec6)).cast("double") / count(lit(1)).cast("double"))
+      parts.agg(count(lit(1)).as("n_days"),
+          vr("r").as("var_r"), vr("tr").as("var_tr"), vr("sr").as("var_sr"))
+        .select(col("n_days"),
+          round(greatest(lit(0.0), lit(1.0) - col("var_r") / col("var_tr")), 6)
+            .as("f_trend"),
+          round(greatest(lit(0.0), lit(1.0) - col("var_r") / col("var_sr")), 6)
+            .as("f_seasonal"))
+    },
+    Some(s"""
+      |$stlSql, parts AS (
+      |  SELECT round(detr - seas.seasonal, 6) AS r,
+      |         round(detr, 6) AS sr,
+      |         round(yc / 100.0 - seas.seasonal, 6) AS tr
+      |  FROM t2 JOIN seas ON seas.dow = t2.dow
+      |), st AS (
+      |  SELECT count(*)::BIGINT AS n_days,
+      |         (CAST(SUM(CAST(round(r * r, 6) AS DECIMAL(38,6))) AS DOUBLE) / count(*)::DOUBLE) -
+      |         (CAST(SUM(CAST(r AS DECIMAL(38,6))) AS DOUBLE) / count(*)::DOUBLE) *
+      |         (CAST(SUM(CAST(r AS DECIMAL(38,6))) AS DOUBLE) / count(*)::DOUBLE) AS var_r,
+      |         (CAST(SUM(CAST(round(tr * tr, 6) AS DECIMAL(38,6))) AS DOUBLE) / count(*)::DOUBLE) -
+      |         (CAST(SUM(CAST(tr AS DECIMAL(38,6))) AS DOUBLE) / count(*)::DOUBLE) *
+      |         (CAST(SUM(CAST(tr AS DECIMAL(38,6))) AS DOUBLE) / count(*)::DOUBLE) AS var_tr,
+      |         (CAST(SUM(CAST(round(sr * sr, 6) AS DECIMAL(38,6))) AS DOUBLE) / count(*)::DOUBLE) -
+      |         (CAST(SUM(CAST(sr AS DECIMAL(38,6))) AS DOUBLE) / count(*)::DOUBLE) *
+      |         (CAST(SUM(CAST(sr AS DECIMAL(38,6))) AS DOUBLE) / count(*)::DOUBLE) AS var_sr
+      |  FROM parts
+      |)
+      |SELECT n_days,
+      |       round(greatest(0.0, 1.0 - var_r / var_tr), 6) AS f_trend,
+      |       round(greatest(0.0, 1.0 - var_r / var_sr), 6) AS f_seasonal
+      |FROM st
+      """.stripMargin.trim))
+
+  private val grubbs = QueryDef(
+    "stat_grubbs_outlier",
+    "Grubbs outlier statistics for the order-value distribution: " +
+      "G_max = (max − mean)/s and G_min = (mean − min)/s from ONE " +
+      "map-side-combining aggregate over the stat_anova_f decimation " +
+      "(integer hundreds of dollars) — n, Σx, Σx² exact BIGINTs plus " +
+      "integer min/max, the sample s via the correctly-rounded sqrt " +
+      "in a fixed shape. The single-point-outlier screen beside " +
+      "ev_value_outliers' per-type z-scores and ev_anomaly_mad's " +
+      "robust variant; no transcendental, no second pass.",
+    (s, dir) => {
+      val x = Tables.orders(s, dir)
+        .select(expr("floor(o_totalprice) div 100").as("x"))
+      val st = x.agg(
+        count(lit(1)).as("n"), sum(col("x")).as("s1"),
+        sum(col("x") * col("x")).as("s2"),
+        min(col("x")).as("x_min"), max(col("x")).as("x_max"))
+      st.withColumn("mean", expr("CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)"))
+        .withColumn("sd", expr(
+          "sqrt((CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) - mean * mean) * " +
+            "CAST(n AS DOUBLE) / (CAST(n AS DOUBLE) - 1.0))"))
+        .select(col("n"), col("x_min"), col("x_max"),
+          round(col("mean"), 6).as("mean_x"),
+          expr("round((CAST(x_max AS DOUBLE) - mean) / sd, 6)").as("g_max"),
+          expr("round((mean - CAST(x_min AS DOUBLE)) / sd, 6)").as("g_min"))
+    },
+    Some("""
+      |WITH x AS (
+      |  SELECT CAST(FLOOR(o_totalprice) AS BIGINT) // 100 AS x FROM orders
+      |), st AS (
+      |  SELECT count(*)::BIGINT AS n, SUM(x)::BIGINT AS s1,
+      |         SUM(x * x)::BIGINT AS s2,
+      |         MIN(x)::BIGINT AS x_min, MAX(x)::BIGINT AS x_max
+      |  FROM x
+      |), d1 AS (
+      |  SELECT *, CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean FROM st
+      |), d2 AS (
+      |  SELECT *, sqrt((CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) - mean * mean) * CAST(n AS DOUBLE) / (CAST(n AS DOUBLE) - 1.0)) AS sd
+      |  FROM d1
+      |)
+      |SELECT n, x_min, x_max,
+      |       round(mean, 6) AS mean_x,
+      |       round((CAST(x_max AS DOUBLE) - mean) / sd, 6) AS g_max,
+      |       round((mean - CAST(x_min AS DOUBLE)) / sd, 6) AS g_min
+      |FROM d2
+      """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
     Seq(trendOls, dailyCorr, markov, ewma, pagerank, centroidMatrix,
       abWelch, benford, ksTest, acf, bfs, chi2, gini, triangles, dowSeason,
       cusum, theilSen, mannWhitney, holt, kaplanMeier, assortativity, kendall,
       poissonBootstrap, kcore, labelPropagation, ssspWeighted, hillTail,
       pprParts, spearmanDaily, holtWinters, linkPrediction, hitsNations,
-      anovaF, closeness, leveneBf, stlDecompose, jarqueBera)
+      anovaF, closeness, leveneBf, stlDecompose, jarqueBera, eccentricity,
+      seasonalityStrength, grubbs)
 }

@@ -777,6 +777,108 @@ class ModelEvalSpec extends SparkSpec {
     assert(jb >= 0.0)
   }
 
+  test("graph_eccentricity_nations: ecc/radius/diameter replay from driver BFS") {
+    val dir = sf("sf0.001")
+    val out = run("graph_eccentricity_nations").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.length == 25)
+    assert(out.map(_._4).distinct.length == 1 && out.map(_._5).distinct.length == 1)
+    val edges = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.lineitem(spark, dir).filter(col("l_quantity") > 45),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
+      .select(col("c_nationkey").cast("long").as("src"),
+        col("s_nationkey").cast("long").as("dst"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val byName = Tables.nation(spark, dir)
+      .select(col("n_nationkey").cast("long"), col("n_name"))
+      .collect().map(r => (r.getString(1), r.getLong(0))).toMap
+    def bfs4(s0: Long): Map[Long, Long] = {
+      var d = Map(s0 -> 0L)
+      for (k <- 1 to 4)
+        d = d ++ d.keys.flatMap(u => adj.getOrElse(u, Set.empty))
+          .filterNot(d.contains).map(_ -> k.toLong)
+      d
+    }
+    val eccRe = out.map { case (nation, _, _, _, _) =>
+      val d = bfs4(byName(nation))
+      nation -> ((d.size - 1).toLong, d.values.max)
+    }.toMap
+    for ((nation, nReached, ecc, _, _) <- out) {
+      assert(nReached == eccRe(nation)._1 && ecc == eccRe(nation)._2, s"$nation")
+    }
+    val nonIso = out.filter(_._2 > 0).map(_._3)
+    assert(out.head._4 == nonIso.min && out.head._5 == nonIso.max)
+  }
+
+  test("ev_seasonality_strength: strengths replay from a driver decomposition") {
+    val r = run("ev_seasonality_strength").collect().head
+    val (nDays, fT, fS) = (r.getLong(0), r.getDouble(1), r.getDouble(2))
+    assert(fT >= 0.0 && fT <= 1.0 && fS >= 0.0 && fS <= 1.0)
+    // full driver replay of the shared decomposition core (daily cents →
+    // centered 7-day trend → weekday seasonal) with the same roundings
+    val daily = Tables.events(spark, sf("sf0.001"))
+      .filter(col("event_type") === "view")
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .groupBy(col("day"))
+      .agg((sum(col("value").cast(org.apache.spark.sql.types.DecimalType(38, 6)))
+        .cast(org.apache.spark.sql.types.DecimalType(38, 2)) * 100)
+        .cast("long").as("yc"))
+      .orderBy(col("day"))
+      .collect().map(rr => (rr.getString(0), rr.getLong(1)))
+    def rd6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val full = daily.indices.filter(i => i >= 3 && i < daily.length - 3).map { i =>
+      val s7 = (i - 3 to i + 3).map(j => daily(j)._2).sum
+      val trend = s7 / 700.0
+      val detr = daily(i)._2 / 100.0 - trend
+      val dow = java.time.LocalDate.parse(daily(i)._1)
+        .format(java.time.format.DateTimeFormatter.ofPattern("EEEE",
+          java.util.Locale.ENGLISH))
+      (daily(i)._1, daily(i)._2, detr, dow)
+    }
+    assert(nDays == full.length)
+    val seas = full.groupBy(_._4).view.mapValues { g =>
+      rd6(g.map(x => BigDecimal(rd6(x._3))).sum.toDouble / g.length) }.toMap
+    def vr(vs: Seq[Double]): Double = {
+      val n = vs.length.toDouble
+      val sv = vs.map(BigDecimal(_)).sum.toDouble
+      val sv2 = vs.map(v => BigDecimal(rd6(v * v))).sum.toDouble
+      sv2 / n - (sv / n) * (sv / n)
+    }
+    val varR = vr(full.map(x => rd6(x._3 - seas(x._4))))
+    val varTr = vr(full.map(x => rd6(x._2 / 100.0 - seas(x._4))))
+    val varSr = vr(full.map(x => rd6(x._3)))
+    val fTRe = rd6(math.max(0.0, 1.0 - varR / varTr))
+    val fSRe = rd6(math.max(0.0, 1.0 - varR / varSr))
+    assert(math.abs(fT - fTRe) < 1e-6, s"f_trend $fT vs $fTRe")
+    assert(math.abs(fS - fSRe) < 1e-6, s"f_seasonal $fS vs $fSRe")
+  }
+
+  test("stat_grubbs_outlier: statistics replay from collected values") {
+    val r = run("stat_grubbs_outlier").collect().head
+    val (n, xMin, xMax, meanX, gMax, gMin) = (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+    val xs = Tables.orders(spark, sf("sf0.001"))
+      .select(expr("floor(o_totalprice) div 100").as("x"))
+      .collect().map(_.getLong(0))
+    assert(n == xs.length && xMin == xs.min && xMax == xs.max)
+    val nd = n.toDouble
+    val mean = xs.sum.toDouble / nd
+    val sd = math.sqrt((xs.map(x => x.toDouble * x).sum / nd - mean * mean) *
+      nd / (nd - 1.0))
+    def rd6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(meanX - rd6(mean)) < 1e-9)
+    assert(math.abs(gMax - rd6((xMax.toDouble - mean) / sd)) < 1e-6)
+    assert(math.abs(gMin - rd6((mean - xMin.toDouble) / sd)) < 1e-6)
+    assert(gMax > 0 && gMin > 0)
+  }
+
   test("pipeline_dsir_select: keys verify against the doc's log-weight + Gumbel hash") {
     val out = run("pipeline_dsir_select").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
