@@ -402,7 +402,68 @@ object QualityQueries {
       |ORDER BY lang, source
       """.stripMargin.trim))
 
+  private val refIntegrity = QueryDef(
+    "dq_referential_integrity",
+    "Foreign-key orphan audit across the star schema — the referential " +
+      "health check a warehouse runs before trusting any join result " +
+      "(an orphan rate > 0 silently deflates every inner join " +
+      "downstream; this query makes that loss visible per FK edge). " +
+      "Four child→parent edges, each ONE left-anti join on the key " +
+      "(shuffle-partitioned by the key at scale — never a data-sized " +
+      "broadcast of the child) reduced to exact counts; orphan_rate " +
+      "is one rounded division. Zero orphans on these fixtures is the " +
+      "EXPECTED green — the gate pins the mechanism and the totals.",
+    (s, dir) => {
+      def leg(name: String, child: org.apache.spark.sql.DataFrame, key: String,
+              parent: org.apache.spark.sql.DataFrame, pkey: String) = {
+        val nChild = child.agg(count(lit(1)).as("n_child"))
+        val nOrphan = child.join(parent,
+            child(key) === parent(pkey), "left_anti")
+          .agg(count(lit(1)).as("n_orphans"))
+        nChild.crossJoin(nOrphan).select(
+          lit(name).as("fk_edge"), col("n_child"), col("n_orphans"),
+          round(col("n_orphans").cast("double") / col("n_child").cast("double"), 6)
+            .as("orphan_rate"))
+      }
+      val o = Tables.orders(s, dir)
+      val l = Tables.lineitem(s, dir)
+      leg("orders.custkey->customer", o, "o_custkey",
+          Tables.customer(s, dir), "c_custkey")
+        .unionAll(leg("lineitem.orderkey->orders", l, "l_orderkey", o, "o_orderkey"))
+        .unionAll(leg("lineitem.partkey->part", l, "l_partkey",
+          Tables.part(s, dir), "p_partkey"))
+        .unionAll(leg("lineitem.suppkey->supplier", l, "l_suppkey",
+          Tables.supplier(s, dir), "s_suppkey"))
+        .orderBy(col("fk_edge"))
+    },
+    Some("""
+      |WITH legs AS (
+      |  SELECT 'orders.custkey->customer' AS fk_edge,
+      |         (SELECT count(*) FROM orders)::BIGINT AS n_child,
+      |         (SELECT count(*) FROM orders o
+      |          WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))::BIGINT AS n_orphans
+      |  UNION ALL
+      |  SELECT 'lineitem.orderkey->orders',
+      |         (SELECT count(*) FROM lineitem)::BIGINT,
+      |         (SELECT count(*) FROM lineitem l
+      |          WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))::BIGINT
+      |  UNION ALL
+      |  SELECT 'lineitem.partkey->part',
+      |         (SELECT count(*) FROM lineitem)::BIGINT,
+      |         (SELECT count(*) FROM lineitem l
+      |          WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))::BIGINT
+      |  UNION ALL
+      |  SELECT 'lineitem.suppkey->supplier',
+      |         (SELECT count(*) FROM lineitem)::BIGINT,
+      |         (SELECT count(*) FROM lineitem l
+      |          WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))::BIGINT
+      |)
+      |SELECT fk_edge, n_child, n_orphans,
+      |       round(CAST(n_orphans AS DOUBLE) / CAST(n_child AS DOUBLE), 6) AS orphan_rate
+      |FROM legs ORDER BY fk_edge
+      """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
     Seq(profileQ, fuzzyLinkQ, expectationsQ, kAnonymity, tableFingerprint,
-      driftTv, dpCounts)
+      driftTv, dpCounts, refIntegrity)
 }

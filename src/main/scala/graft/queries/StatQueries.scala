@@ -2678,6 +2678,64 @@ object StatQueries {
       |FROM d2
       """.stripMargin.trim))
 
+  private val runsTest = QueryDef(
+    "stat_runs_test",
+    "Wald–Wolfowitz runs test for randomness of the daily view-value " +
+      "direction sequence: day-over-day moves become +/− signs (exact " +
+      "integer cents comparison; zero-change days drop, the standard " +
+      "treatment), R counts maximal same-sign runs via one lag " +
+      "comparison on the day grid, and z = (R − E[R])/σ comes from " +
+      "the closed form E[R] = 1 + 2n₁n₂/N, σ² = 2n₁n₂(2n₁n₂−N)/" +
+      "(N²(N−1)) — all counts exact BIGINTs, one fixed-shape double " +
+      "formula shared between engines. A trending series fails low " +
+      "(few long runs), an oscillating one fails high — the " +
+      "randomness diagnostic beside stat_acf_daily's lag structure. " +
+      "Windows run on the calendar-bounded day grid only.",
+    (s, dir) => {
+      val d1 = dailyCents(s, dir).filter(col("event_type") === "view")
+        .select(col("day"), col("yc"))
+      val wd = Window.orderBy(col("day"))
+      val signs = d1
+        .withColumn("prev", lag(col("yc"), 1).over(wd))
+        .filter(col("prev").isNotNull && col("yc") =!= col("prev"))
+        .withColumn("sgn", when(col("yc") > col("prev"), 1L).otherwise(-1L))
+      val runsRel = signs
+        .withColumn("psgn", lag(col("sgn"), 1).over(Window.orderBy(col("day"))))
+        .withColumn("brk", when(col("psgn").isNull || col("sgn") =!= col("psgn"),
+          1L).otherwise(0L))
+      val st = runsRel.agg(
+        sum(when(col("sgn") === 1, 1L).otherwise(0L)).as("n_up"),
+        sum(when(col("sgn") === -1, 1L).otherwise(0L)).as("n_down"),
+        sum(col("brk")).as("runs"))
+      st.withColumn("z", expr(
+        "round((CAST(runs AS DOUBLE) - (1.0 + 2.0 * CAST(n_up AS DOUBLE) * CAST(n_down AS DOUBLE) / CAST(n_up + n_down AS DOUBLE))) / " +
+          "sqrt(2.0 * CAST(n_up AS DOUBLE) * CAST(n_down AS DOUBLE) * (2.0 * CAST(n_up AS DOUBLE) * CAST(n_down AS DOUBLE) - CAST(n_up + n_down AS DOUBLE)) / " +
+          "(CAST(n_up + n_down AS DOUBLE) * CAST(n_up + n_down AS DOUBLE) * (CAST(n_up + n_down AS DOUBLE) - 1.0))), 6)"))
+        .select(col("n_up"), col("n_down"), col("runs"), col("z"))
+    },
+    Some(s"""
+      |WITH daily AS (
+      |$dailyCentsSql
+      |), d1 AS (
+      |  SELECT day, yc FROM daily WHERE event_type = 'view'
+      |), lagged AS (
+      |  SELECT day, yc, lag(yc, 1) OVER (ORDER BY day) AS prev FROM d1
+      |), signs AS (
+      |  SELECT day, CASE WHEN yc > prev THEN 1 ELSE -1 END AS sgn
+      |  FROM lagged WHERE prev IS NOT NULL AND yc != prev
+      |), runsrel AS (
+      |  SELECT sgn, lag(sgn, 1) OVER (ORDER BY day) AS psgn FROM signs
+      |), st AS (
+      |  SELECT SUM(CASE WHEN sgn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_up,
+      |         SUM(CASE WHEN sgn = -1 THEN 1 ELSE 0 END)::BIGINT AS n_down,
+      |         SUM(CASE WHEN psgn IS NULL OR sgn != psgn THEN 1 ELSE 0 END)::BIGINT AS runs
+      |  FROM runsrel
+      |)
+      |SELECT n_up, n_down, runs,
+      |       round((CAST(runs AS DOUBLE) - (1.0 + 2.0 * CAST(n_up AS DOUBLE) * CAST(n_down AS DOUBLE) / CAST(n_up + n_down AS DOUBLE))) / sqrt(2.0 * CAST(n_up AS DOUBLE) * CAST(n_down AS DOUBLE) * (2.0 * CAST(n_up AS DOUBLE) * CAST(n_down AS DOUBLE) - CAST(n_up + n_down AS DOUBLE)) / (CAST(n_up + n_down AS DOUBLE) * CAST(n_up + n_down AS DOUBLE) * (CAST(n_up + n_down AS DOUBLE) - 1.0))), 6) AS z
+      |FROM st
+      """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
     Seq(trendOls, dailyCorr, markov, ewma, pagerank, centroidMatrix,
       abWelch, benford, ksTest, acf, bfs, chi2, gini, triangles, dowSeason,
@@ -2685,5 +2743,5 @@ object StatQueries {
       poissonBootstrap, kcore, labelPropagation, ssspWeighted, hillTail,
       pprParts, spearmanDaily, holtWinters, linkPrediction, hitsNations,
       anovaF, closeness, leveneBf, stlDecompose, jarqueBera, eccentricity,
-      seasonalityStrength, grubbs)
+      seasonalityStrength, grubbs, runsTest)
 }

@@ -1534,9 +1534,58 @@ object TextQueries {
       |ORDER BY llr DESC, bigram LIMIT 25
       """.stripMargin.trim))
 
+  private val burstinessQ = QueryDef(
+    "txt_burstiness",
+    "Token burstiness via the index of dispersion (variance-to-mean " +
+      "ratio of per-document counts, zeros included — Church & Gale's " +
+      "observation that content words are bursty while function words " +
+      "are Poisson-ish): VMR ≈ 1 reads as background vocabulary, " +
+      "VMR ≫ 1 as topical/boilerplate concentration — the corpus-" +
+      "linguistics dispersion probe beside txt_zipf_fit's frequency " +
+      "shape and txt_tfidf's per-doc weighting. Zeros never " +
+      "materialize: mean = tot/D and Σc² over occurring docs give the " +
+      "full-corpus variance algebraically. Counts exact BIGINT; " +
+      "mean/VMR in one fixed shape; presented-key ordering (vmr, " +
+      "token) with df ≥ 5 evidence floor; top-25 TakeOrderedAndProject.",
+    (s, dir) => {
+      val perDoc = docToks(s, dir)
+        .select(col("doc_id"), explode(col("toks")).as("token"))
+        .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("c"))
+      val d = docToks(s, dir).agg(count(lit(1)).as("n_docs"))
+      val per = perDoc.groupBy(col("token")).agg(
+        count(lit(1)).as("df"), sum(col("c")).as("tot"),
+        sum(col("c") * col("c")).as("s2"))
+      per.filter(col("df") >= 5)
+        .crossJoin(broadcast(d))
+        .withColumn("vmr", expr(
+          "round((CAST(s2 AS DOUBLE) / CAST(n_docs AS DOUBLE) - " +
+            "(CAST(tot AS DOUBLE) / CAST(n_docs AS DOUBLE)) * (CAST(tot AS DOUBLE) / CAST(n_docs AS DOUBLE))) / " +
+            "(CAST(tot AS DOUBLE) / CAST(n_docs AS DOUBLE)), 6)"))
+        .select(col("token"), col("df"), col("tot"), col("vmr"))
+        .orderBy(col("vmr").desc, col("token"))
+        .limit(25)
+    },
+    Some(s"""
+      |${Duck.docToks}, perdoc AS (
+      |  SELECT doc_id, t AS token, count(*) AS c
+      |  FROM (SELECT doc_id, unnest(toks) AS t FROM tt)
+      |  GROUP BY 1, 2
+      |), d AS (SELECT count(*)::BIGINT AS n_docs FROM tt),
+      |per AS (
+      |  SELECT token, count(*)::BIGINT AS df, SUM(c)::BIGINT AS tot,
+      |         SUM(c * c)::BIGINT AS s2
+      |  FROM perdoc GROUP BY 1
+      |)
+      |SELECT token, df, tot,
+      |       round((CAST(s2 AS DOUBLE) / CAST(n_docs AS DOUBLE) - (CAST(tot AS DOUBLE) / CAST(n_docs AS DOUBLE)) * (CAST(tot AS DOUBLE) / CAST(n_docs AS DOUBLE))) / (CAST(tot AS DOUBLE) / CAST(n_docs AS DOUBLE)), 6) AS vmr
+      |FROM per, d
+      |WHERE df >= 5
+      |ORDER BY vmr DESC, token LIMIT 25
+      """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
     Seq(stats, langQ, quality, fp, topTokens, bigramLift, lmQ, simhashQ,
       embedQ, embedKnnQ, bm25Q, hybridRrfQ, crossencQ, maxsimQ, tfidfQ, chunksQ, packQ,
       tokenBudgetQ, gopherQ, dupNgramsQ, piiQ, noveltyQ, invIndexQ, bpeTrainQ, rakeQ,
-      readabilityQ, rankingNdcgQ, zipfQ, llrQ)
+      readabilityQ, rankingNdcgQ, zipfQ, llrQ, burstinessQ)
 }

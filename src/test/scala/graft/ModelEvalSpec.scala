@@ -879,6 +879,76 @@ class ModelEvalSpec extends SparkSpec {
     assert(gMax > 0 && gMin > 0)
   }
 
+  test("dq_referential_integrity: four FK edges, fixture orphans are zero, totals match") {
+    val out = run("dq_referential_integrity").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.length == 4)
+    val nOrders = Tables.orders(spark, sf("sf0.001")).count()
+    val nLineitem = Tables.lineitem(spark, sf("sf0.001")).count()
+    val byEdge = out.map(x => x._1 -> x).toMap
+    assert(byEdge("orders.custkey->customer")._2 == nOrders)
+    for (e <- Seq("lineitem.orderkey->orders", "lineitem.partkey->part",
+        "lineitem.suppkey->supplier"))
+      assert(byEdge(e)._2 == nLineitem, e)
+    // the fixtures are referentially closed — every edge reports zero
+    for ((edge, _, orphans, rate) <- out) {
+      assert(orphans == 0L && rate == 0.0, s"$edge has orphans")
+    }
+  }
+
+  test("txt_burstiness: VMR replays from driver per-doc counts") {
+    val out = run("txt_burstiness").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty && out.length <= 25)
+    val vs = out.map(_._4).toSeq
+    assert(vs.zip(vs.tail).forall { case (a, b) => a >= b })
+    val toks = Tables.documentsSpread(spark, sf("sf0.001"))
+      .select(graft.operators.TextAnalysis.tokens(col("text")).as("toks"))
+      .collect().map(_.getSeq[String](0))
+    val nDocs = toks.length.toDouble
+    val perTok = toks.zipWithIndex
+      .flatMap { case (ts, i) => ts.groupBy(identity).map { case (t, g) => (t, i, g.length.toLong) } }
+      .groupBy(_._1)
+    def rd6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    for ((token, df, tot, vmr) <- out) {
+      val cs = perTok(token).map(_._3)
+      assert(df == cs.length.toLong && tot == cs.sum, s"$token counts")
+      val mean = tot.toDouble / nDocs
+      val s2 = cs.map(c => c.toDouble * c).sum
+      val vmrRe = rd6((s2 / nDocs - mean * mean) / mean)
+      assert(math.abs(vmr - vmrRe) < 1e-9, s"$token vmr $vmr vs $vmrRe")
+      assert(vmr > 0)
+    }
+  }
+
+  test("stat_runs_test: runs and z replay from the driver day series") {
+    val r = run("stat_runs_test").collect().head
+    val (nUp, nDown, runs, z) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    val daily = Tables.events(spark, sf("sf0.001"))
+      .filter(col("event_type") === "view")
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .groupBy(col("day"))
+      .agg((sum(col("value").cast(org.apache.spark.sql.types.DecimalType(38, 6)))
+        .cast(org.apache.spark.sql.types.DecimalType(38, 2)) * 100)
+        .cast("long").as("yc"))
+      .orderBy(col("day")).collect().map(_.getLong(1))
+    val sgns = daily.zip(daily.tail).filter { case (a, b) => a != b }
+      .map { case (a, b) => if (b > a) 1 else -1 }
+    assert(nUp == sgns.count(_ == 1) && nDown == sgns.count(_ == -1))
+    val runsRe = if (sgns.isEmpty) 0
+      else 1 + sgns.zip(sgns.tail).count { case (a, b) => a != b }
+    assert(runs == runsRe, s"runs $runs vs $runsRe")
+    val (n1, n2) = (nUp.toDouble, nDown.toDouble)
+    val nN = n1 + n2
+    val e = 1.0 + 2.0 * n1 * n2 / nN
+    val v = 2.0 * n1 * n2 * (2.0 * n1 * n2 - nN) / (nN * nN * (nN - 1.0))
+    val zRe = BigDecimal((runs.toDouble - e) / math.sqrt(v))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(z - zRe) < 1e-9, s"z $z vs $zRe")
+  }
+
   test("pipeline_dsir_select: keys verify against the doc's log-weight + Gumbel hash") {
     val out = run("pipeline_dsir_select").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
