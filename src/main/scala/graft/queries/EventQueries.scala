@@ -842,8 +842,62 @@ object EventQueries {
       |ORDER BY dau.day
       """.stripMargin.trim))
 
+  private val entropyDaily = QueryDef(
+    "ev_type_entropy_daily",
+    "Daily Shannon entropy of the event-type mix — the behavioral-" +
+      "diversity series (entropy collapse flags a bot surge or an " +
+      "instrumentation break; complements ev_pivot_daily's raw counts " +
+      "with the one-number mix summary). H = −Σ p·ln(p) from exact " +
+      "per-(day, type) BIGINT counts: each p·ln(p) term rounds at 6 " +
+      "and accumulates in DECIMAL(38,6) (order-independent — the " +
+      "cross-engine ln discipline), normalized entropy divides by " +
+      "ln(n_types) in one fixed shape. Two scan-side shuffles (day-" +
+      "type rollup, day rollup); everything runs on the calendar-" +
+      "bounded day grid.",
+    (s, dir) => {
+      val ct = Tables.events(s, dir)
+        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+        .groupBy(col("day"), col("event_type")).agg(count(lit(1)).as("c"))
+      val nd = ct.groupBy(col("day")).agg(
+        sum(col("c")).as("n_events"), count(lit(1)).as("n_types"))
+      ct.join(nd, Seq("day"))
+        .withColumn("term", expr(
+          "round((CAST(c AS DOUBLE) / CAST(n_events AS DOUBLE)) * " +
+            "ln(CAST(c AS DOUBLE) / CAST(n_events AS DOUBLE)), 6)"))
+        .groupBy(col("day"))
+        .agg(max(col("n_events")).as("n_events"),
+          max(col("n_types")).as("n_types"),
+          round(-sum(col("term").cast(
+            org.apache.spark.sql.types.DecimalType(38, 6))).cast("double"), 6)
+            .as("entropy"))
+        .withColumn("entropy_norm", expr(
+          "CASE WHEN n_types > 1 THEN round(entropy / ln(CAST(n_types AS DOUBLE)), 6) ELSE 0.0 END"))
+        .orderBy(col("day"))
+    },
+    Some("""
+      |WITH ct AS (
+      |  SELECT strftime(ts::TIMESTAMP, '%Y-%m-%d') AS day, event_type, count(*) AS c
+      |  FROM events GROUP BY 1, 2
+      |), nd AS (
+      |  SELECT day, SUM(c)::BIGINT AS n_events, count(*)::BIGINT AS n_types
+      |  FROM ct GROUP BY 1
+      |), terms AS (
+      |  SELECT ct.day, nd.n_events, nd.n_types,
+      |         round((CAST(c AS DOUBLE) / CAST(n_events AS DOUBLE)) * ln(CAST(c AS DOUBLE) / CAST(n_events AS DOUBLE)), 6) AS term
+      |  FROM ct JOIN nd ON nd.day = ct.day
+      |), h AS (
+      |  SELECT day, MAX(n_events)::BIGINT AS n_events, MAX(n_types)::BIGINT AS n_types,
+      |         round(-CAST(SUM(CAST(term AS DECIMAL(38,6))) AS DOUBLE), 6) AS entropy
+      |  FROM terms GROUP BY 1
+      |)
+      |SELECT day, n_events, n_types, entropy,
+      |       CASE WHEN n_types > 1 THEN round(entropy / ln(CAST(n_types AS DOUBLE)), 6) ELSE 0.0 END AS entropy_norm
+      |FROM h ORDER BY day
+      """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
     Seq(tumbling, sliding, sessionsQ, propsQ, firstQ, valueStats, pivotQ, asofQ,
       rangeQ, movingQ, gapsQ, funnelQ, percentilesQ, histogramQ, outliersQ,
-      cohortsQ, gapfillQ, rfmQ, rangeFrameQ, trigramsQ, madQ, reachQ)
+      cohortsQ, gapfillQ, rfmQ, rangeFrameQ, trigramsQ, madQ, reachQ,
+      entropyDaily)
 }

@@ -1248,8 +1248,84 @@ object MlQueries {
       |FROM cells ORDER BY thr
       """.stripMargin.trim))
 
+  /** Per-dir fitted centroid sets for the elbow sweep (k ∈ ElbowKs),
+    * late-bound into the oracle exactly like SilStore.
+    */
+  private val ElbowKs = Seq(2, 4, 8, 16)
+  private object ElbowStore {
+    val cents = scala.collection.concurrent.TrieMap
+      .empty[String, Map[Int, Array[Array[Float]]]]
+    @volatile var lastDir: Option[String] = None
+    def ensure(s: org.apache.spark.sql.SparkSession, dir: String): Map[Int, Array[Array[Float]]] = {
+      lastDir = Some(dir)
+      cents.getOrElseUpdate(dir, ElbowKs.map(k =>
+        k -> graft.operators.Ann.kmeansCentroids(
+          Tables.embeddings(s, dir), "embedding", nlist = k)).toMap)
+    }
+  }
+
+  private val kmeansElbow = QueryDef(
+    "vec_kmeans_elbow",
+    "KMeans model selection by the elbow curve: inertia (Σ per-vector " +
+      "nearest-centroid cosine distance², the round-6 then decimal-sum " +
+      "discipline) for k ∈ {" + ElbowKs.mkString(", ") + "} over the " +
+      "same deterministic fits the IVF/silhouette channels use, plus " +
+      "the consecutive-k improvement ratio whose flattening IS the " +
+      "elbow — the answer to 'what nlist should the IVF index use'. " +
+      "Each k is one O(n·k) codegen'd projection over the corpus " +
+      "(centroid literals — no join, no shuffle beyond the one-row " +
+      "aggregate); the four legs union to a 4-row relation and the " +
+      "ratio window runs there. Oracle late-binds all four fitted " +
+      "centroid sets like ml_silhouette.",
+    (s, dir) => {
+      import graft.functions.VectorFunctions.cosineDistance
+      val fits = ElbowStore.ensure(s, dir)
+      val legs = ElbowKs.map { k =>
+        val cents = fits(k)
+        val centsLit = typedLit(cents.map(_.toSeq).toSeq)
+        val dmin = array_min(transform(centsLit, c =>
+          round(cosineDistance(col("embedding"), c), 6)))
+        Tables.embeddings(s, dir)
+          .select(round(dmin * dmin, 6).as("d2"))
+          .agg(lit(k.toLong).as("k"), count(lit(1)).as("n_vecs"),
+            round(sum(col("d2").cast(dec6)).cast("double"), 6).as("inertia"))
+      }
+      val curve = legs.reduce(_ unionAll _)
+      curve
+        .withColumn("improve_ratio", round(
+          col("inertia") / lag(col("inertia"), 1).over(
+            Window.orderBy(col("k"))), 6))
+        .orderBy(col("k"))
+    },
+    oracle = None,
+    oracleLate = Some(() => ElbowStore.lastDir.flatMap(ElbowStore.cents.get).map { fits =>
+      val legs = ElbowKs.map { k =>
+        val rows = fits(k).zipWithIndex
+          .map { case (c, i) => s"($i, ${Duck.vecLit(c)})" }.mkString(",\n    ")
+        s"""
+        |  SELECT CAST($k AS BIGINT) AS k, count(*)::BIGINT AS n_vecs,
+        |         round(CAST(SUM(CAST(d2 AS DECIMAL(38,6))) AS DOUBLE), 6) AS inertia
+        |  FROM (
+        |    SELECT round(dmin * dmin, 6) AS d2 FROM (
+        |      SELECT (SELECT MIN(round(${Duck.cosine("e.embedding::DOUBLE[]", "c")}, 6))
+        |              FROM (VALUES
+        |    $rows) AS t(i, c)) AS dmin
+        |      FROM embeddings e
+        |    )
+        |  )""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""
+      |WITH curve AS (
+      |$legs
+      |)
+      |SELECT k, n_vecs, inertia,
+      |       round(inertia / lag(inertia, 1) OVER (ORDER BY k), 6) AS improve_ratio
+      |FROM curve ORDER BY k
+      """.stripMargin.trim
+    }))
+
   val defs: Seq[QueryDef] =
     Seq(targetEncode, quantileBins, attribution, itemCooccurrence,
       naiveBayes, aucRoc, silhouette, logregGd, calibrationEce, kfoldCv,
-      prCurve, liftGains, ridge, prfReport, stump)
+      prCurve, liftGains, ridge, prfReport, stump, kmeansElbow)
 }

@@ -1583,9 +1583,99 @@ object TextQueries {
       |ORDER BY vmr DESC, token LIMIT 25
       """.stripMargin.trim))
 
+  /** One directional JSD half-term as SQL text shared VERBATIM between
+    * Spark expr() and DuckDB: p·ln(2p/(p+q)) when the numerator count is
+    * positive (the zero-count side contributes exactly 0).
+    */
+  private def jsdTerm(cNum: String, nNum: String, cOth: String, nOth: String): String =
+    s"(CASE WHEN $cNum > 0 THEN round((CAST($cNum AS DOUBLE) / CAST($nNum AS DOUBLE)) * " +
+      s"ln(2.0 * (CAST($cNum AS DOUBLE) / CAST($nNum AS DOUBLE)) / " +
+      s"(CAST($cNum AS DOUBLE) / CAST($nNum AS DOUBLE) + CAST($cOth AS DOUBLE) / CAST($nOth AS DOUBLE))), 8) " +
+      s"ELSE 0.0 END)"
+
+  private val jsdQ = QueryDef(
+    "txt_source_jsd",
+    "Pairwise Jensen–Shannon divergence between the source unigram " +
+      "distributions — the bounded, symmetric corpus-comparison metric " +
+      "(0 = identical mixes, ln 2 = disjoint) a data-mixing pipeline " +
+      "reads before setting sampling weights (pipeline_temperature_mix " +
+      "decides WITH it, dq_drift_tv is its single-column cousin on " +
+      "value histograms). Vocab-keyed full-outer join per source pair " +
+      "(tokens on one side only DO contribute — their term is " +
+      "p·ln 2), counts exact BIGINT, each p·ln(2p/(p+q)) term from " +
+      "ONE SQL string evaluated verbatim by both engines, rounded at " +
+      "6 into DECIMAL(38,6) sums per pair. |sources|² pairs × vocab " +
+      "keys — the join is token-partitioned, never broadcast.",
+    (s, dir) => {
+      val ct = docToks(s, dir)
+        .select(col("source"), explode(col("toks")).as("token"))
+        .groupBy(col("source"), col("token")).agg(count(lit(1)).as("c"))
+      val ns = ct.groupBy(col("source")).agg(sum(col("c")).as("n"))
+      val pairs = ns.select(col("source").as("sa"), col("n").as("na"))
+        .crossJoin(ns.select(col("source").as("sb"), col("n").as("nb")))
+        .filter(col("sa") < col("sb"))
+      val legA = pairs.join(ct, col("source") === col("sa"))
+        .select(col("sa"), col("sb"), col("na"), col("nb"),
+          col("token"), col("c").as("ca"))
+      val legB = pairs.join(ct, col("source") === col("sb"))
+        .select(col("sa"), col("sb"), col("na"), col("nb"),
+          col("token"), col("c").as("cb"))
+      val both = legA.join(legB, Seq("sa", "sb", "na", "nb", "token"), "full_outer")
+        .select(col("sa"), col("sb"), col("na"), col("nb"),
+          coalesce(col("ca"), lit(0L)).as("ca"),
+          coalesce(col("cb"), lit(0L)).as("cb"))
+      both
+        .withColumn("ta", expr(jsdTerm("ca", "na", "cb", "nb")))
+        .withColumn("tb", expr(jsdTerm("cb", "nb", "ca", "na")))
+        .groupBy(col("sa"), col("sb"))
+        .agg(count(lit(1)).as("n_tokens"),
+          (sum(col("ta").cast(org.apache.spark.sql.types.DecimalType(38, 8)))
+            .cast("double")).as("suma"),
+          (sum(col("tb").cast(org.apache.spark.sql.types.DecimalType(38, 8)))
+            .cast("double")).as("sumb"))
+        .select(col("sa").as("source_a"), col("sb").as("source_b"),
+          col("n_tokens"),
+          expr("round(0.5 * (suma + sumb), 6)").as("jsd"))
+        .orderBy(col("source_a"), col("source_b"))
+    },
+    Some(s"""
+      |${Duck.docToks}, ct AS (
+      |  SELECT source, t AS token, count(*) AS c
+      |  FROM (SELECT source, unnest(toks) AS t FROM tt)
+      |  GROUP BY 1, 2
+      |), ns AS (SELECT source, SUM(c)::BIGINT AS n FROM ct GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.source AS sa, a.n AS na, b.source AS sb, b.n AS nb
+      |  FROM ns a JOIN ns b ON a.source < b.source
+      |), lega AS (
+      |  SELECT sa, sb, na, nb, token, c AS ca
+      |  FROM pairs JOIN ct ON ct.source = pairs.sa
+      |), legb AS (
+      |  SELECT sa, sb, na, nb, token, c AS cb
+      |  FROM pairs JOIN ct ON ct.source = pairs.sb
+      |), paired AS (
+      |  SELECT sa, sb, na, nb,
+      |         COALESCE(ca, 0)::BIGINT AS ca, COALESCE(cb, 0)::BIGINT AS cb
+      |  FROM lega FULL JOIN legb USING (sa, sb, na, nb, token)
+      |), terms AS (
+      |  SELECT sa, sb,
+      |         ${jsdTerm("ca", "na", "cb", "nb")} AS ta,
+      |         ${jsdTerm("cb", "nb", "ca", "na")} AS tb
+      |  FROM paired
+      |), agg AS (
+      |  SELECT sa, sb, count(*)::BIGINT AS n_tokens,
+      |         CAST(SUM(CAST(ta AS DECIMAL(38,8))) AS DOUBLE) AS suma,
+      |         CAST(SUM(CAST(tb AS DECIMAL(38,8))) AS DOUBLE) AS sumb
+      |  FROM terms GROUP BY 1, 2
+      |)
+      |SELECT sa AS source_a, sb AS source_b, n_tokens,
+      |       round(0.5 * (suma + sumb), 6) AS jsd
+      |FROM agg ORDER BY source_a, source_b
+      """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
     Seq(stats, langQ, quality, fp, topTokens, bigramLift, lmQ, simhashQ,
       embedQ, embedKnnQ, bm25Q, hybridRrfQ, crossencQ, maxsimQ, tfidfQ, chunksQ, packQ,
       tokenBudgetQ, gopherQ, dupNgramsQ, piiQ, noveltyQ, invIndexQ, bpeTrainQ, rakeQ,
-      readabilityQ, rankingNdcgQ, zipfQ, llrQ, burstinessQ)
+      readabilityQ, rankingNdcgQ, zipfQ, llrQ, burstinessQ, jsdQ)
 }

@@ -949,6 +949,108 @@ class ModelEvalSpec extends SparkSpec {
     assert(math.abs(z - zRe) < 1e-9, s"z $z vs $zRe")
   }
 
+  test("vec_kmeans_elbow: curve is monotone and inertia replays for each k") {
+    val out = run("vec_kmeans_elbow").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    assert(out.map(_._1).toSeq == Seq(2L, 4L, 8L, 16L))
+    assert(out.head._4.isEmpty && out.tail.forall(_._4.isDefined))
+    val in = out.map(_._3)
+    assert(in.forall(_ > 0))
+    assert(in.zip(in.tail).forall { case (a, b) => b <= a },
+      s"inertia must not increase with k: $in")
+    def rd6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // ratio is self-consistent with the published inertias
+    for (((_, _, i, Some(ratio)), (_, _, prev, _)) <- out.tail.zip(out))
+      assert(math.abs(ratio - rd6(i / prev)) < 1e-9)
+    // full replay for k=4: same deterministic fit, same rounding path
+    val embs = Tables.embeddings(spark, sf("sf0.001"))
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(_.getSeq[Float](1).toArray)
+    val cents = graft.operators.Ann.kmeansCentroids(
+      Tables.embeddings(spark, sf("sf0.001")), "embedding", nlist = 4)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+      }
+      1.0 - dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val inertiaRe = embs.map { e =>
+      val dmin = cents.map(c => rd6(cos(e, c))).min
+      BigDecimal(rd6(dmin * dmin))
+    }.sum.toDouble
+    val k4 = out.find(_._1 == 4L).get
+    assert(math.abs(k4._3 - rd6(inertiaRe)) < 1e-9,
+      s"k=4 inertia ${k4._3} vs $inertiaRe")
+    assert(k4._2 == embs.length.toLong)
+  }
+
+  test("ev_type_entropy_daily: entropy replays and respects the ln(k) bound") {
+    val out = run("ev_type_entropy_daily").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(out.nonEmpty)
+    val ct = Tables.events(spark, sf("sf0.001"))
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .groupBy(col("day"), col("event_type")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    def rd6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    for ((day, nEvents, nTypes, h, hNorm) <- out) {
+      val cs = ct(day)
+      assert(nEvents == cs.sum && nTypes == cs.length.toLong)
+      val hRe = rd6(-cs.map { c =>
+        val p = c.toDouble / nEvents
+        BigDecimal(rd6(p * math.log(p)))
+      }.sum.toDouble)
+      assert(math.abs(h - hRe) < 1e-9, s"$day H $h vs $hRe")
+      assert(h >= 0.0 && h <= math.log(nTypes.toDouble) + 1e-4)
+      val normRe = if (nTypes > 1) rd6(h / math.log(nTypes.toDouble)) else 0.0
+      assert(math.abs(hNorm - normRe) < 1e-9)
+    }
+  }
+
+  test("txt_source_jsd: divergences replay and sit inside [0, ln 2]") {
+    val out = run("txt_source_jsd").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    assert(out.forall { case (a, b, _, _) => a < b })
+    for ((_, _, _, j) <- out) assert(j >= 0.0 && j <= math.log(2.0) + 1e-6)
+    // full replay of one pair from driver-side counts
+    val (sa, sb, nTok, jsd) = out.head
+    val rows = Tables.documentsSpread(spark, sf("sf0.001"))
+      .filter(col("source").isin(sa, sb))
+      .select(col("source"), graft.operators.TextAnalysis.tokens(col("text")).as("toks"))
+      .collect().map(r => (r.getString(0), r.getSeq[String](1)))
+    val cnt = rows.flatMap { case (s0, ts) => ts.map((s0, _)) }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val vocabA = cnt.keys.filter(_._1 == sa).map(_._2).toSet
+    val vocabB = cnt.keys.filter(_._1 == sb).map(_._2).toSet
+    val vocab = vocabA ++ vocabB
+    assert(nTok == vocab.size.toLong, s"pair vocab $nTok vs ${vocab.size}")
+    val na = cnt.collect { case ((s0, _), c) if s0 == sa => c }.sum.toDouble
+    val nb = cnt.collect { case ((s0, _), c) if s0 == sb => c }.sum.toDouble
+    def rd6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def rd8(x: Double) = BigDecimal(x)
+      .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // terms round at 8 (the query's boundary-hardened channel); final at 6
+    def term(c: Long, n: Double, cO: Long, nO: Double): BigDecimal =
+      if (c > 0) {
+        val p = c / n; val q = cO / nO
+        BigDecimal(rd8(p * math.log(2.0 * p / (p + q))))
+      } else BigDecimal(0)
+    val suma = vocab.toSeq.map(t =>
+      term(cnt.getOrElse((sa, t), 0L), na, cnt.getOrElse((sb, t), 0L), nb)).sum
+    val sumb = vocab.toSeq.map(t =>
+      term(cnt.getOrElse((sb, t), 0L), nb, cnt.getOrElse((sa, t), 0L), na)).sum
+    val jsdRe = rd6(0.5 * (suma.toDouble + sumb.toDouble))
+    assert(math.abs(jsd - jsdRe) < 1e-9, s"jsd $jsd vs $jsdRe")
+  }
+
   test("pipeline_dsir_select: keys verify against the doc's log-weight + Gumbel hash") {
     val out = run("pipeline_dsir_select").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
