@@ -98,18 +98,34 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // the stdout line is what the driver captures, but its capture
-    // truncates from the HEAD of long output — so ALSO write the full
-    // JSON to a file: the artifact stays parseable (all queries present)
-    // no matter what the tail capture kept
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // full per-query map → file (committed per round as bench_full.json)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
       System.err.println(s"[bench] full results written to $outPath")
     } catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
-    println(line)
+    // stdout: the driver snapshots only the LAST ~2000 chars of the run
+    // log (three rounds of `parsed: null` artifacts prove the full
+    // 240-query line never survives — it gets cut mid-JSON from the
+    // front). So the one stdout line is a COMPACT form sized to fit that
+    // window intact: the slowest queries only, 3-decimal seconds, plus
+    // the total and a pointer to the full map. Budget ~1800 chars leaves
+    // room for sbt's trailing "[success]" line inside the window.
+    def j(v: Double): String = f"$v%.3f"
+    val slowest = results.sortBy(-_._2)
+    val budget = 1800
+    val header = s"""{"metric":"total","value":${j(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"queries_full":"$outPath","queries":{"""
+    val tail = "}}"
+    var used = header.length + tail.length
+    val kept = slowest.takeWhile { case (k, v) =>
+      val frag = "\"" + k + "\":" + j(v) + ","
+      if (used + frag.length <= budget) { used += frag.length; true } else false
+    }
+    val compact = header + kept.map { case (k, v) => "\"" + k + "\":" + j(v) }
+      .mkString(",") + tail
+    println(compact)
     spark.stop()
   }
 }

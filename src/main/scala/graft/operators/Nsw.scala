@@ -271,8 +271,10 @@ object Nsw {
     * amplification graph stores inherently pay where IVF append is
     * file-append-only, maint_ivf_append); under hash sharding every
     * shard is touched, so at 100 TB an appendy deployment shards by
-    * arrival window instead — then an append rewrites one shard and
-    * search fans over all shards exactly as here.
+    * arrival window instead ([[buildGraphWindowed]] /
+    * [[appendToGraphWindowed]]) — then an append rewrites only the
+    * newest window's shard and search fans over all shards exactly as
+    * here.
     */
   def appendToGraph(graph: DataFrame, batch: DataFrame, vecCol: String,
                     idCol: String, p: Params): DataFrame = {
@@ -314,6 +316,131 @@ object Nsw {
     */
   def writeGraph(graph: DataFrame, path: String): Unit =
     graph.write.partitionBy("shard").mode("overwrite").parquet(path)
+
+  // ------------------------------------------------------------------
+  // Arrival-window sharding — the appendy-deployment layout
+  // ------------------------------------------------------------------
+
+  /** Arrival-window shard assignment: `shard = vec_id div windowSize`.
+    * Ids are assigned in arrival order, so contiguous id ranges ARE
+    * arrival windows — an append batch (all ids past the stored max)
+    * lands in the newest window's shard(s) only, and
+    * [[appendToGraphWindowed]] rewrites exactly those directories.
+    * Hash sharding ([[buildGraph]]) spreads every batch over every
+    * shard — better balanced for a static corpus, but an append
+    * rewrites the whole store; this layout is the documented
+    * mitigation. Search code is layout-agnostic: tasks group rows by
+    * the `shard` column, so [[shardCandidates]]/[[batchShardCandidates]]
+    * fan over windowed stores unchanged.
+    */
+  def windowShard(idCol: String, windowSize: Long): org.apache.spark.sql.Column =
+    // integer `div`, not `/` (double division) — exact at any id scale,
+    // and the same operator the DuckDB oracle's `//` computes
+    expr(s"CAST(CAST($idCol AS BIGINT) div ${windowSize}L AS INT)")
+
+  /** Build the sharded graph store under arrival-window sharding —
+    * the same independent per-shard NSW construction as [[buildGraph]],
+    * with `vec_id div windowSize` in place of the hash shard. Insertion
+    * order (ascending vec_id within a shard) and every other clause of
+    * the determinism contract are unchanged, so a windowed append of a
+    * strictly-newer batch is bit-identical to a windowed full rebuild
+    * (the batch ids insert last either way — NswSpec locks this).
+    */
+  def buildGraphWindowed(corpus: DataFrame, vecCol: String, idCol: String,
+                         windowSize: Long, p: Params): DataFrame = {
+    val spark = corpus.sparkSession
+    val sharded = corpus
+      .select(windowShard(idCol, windowSize).as("shard"),
+        col(idCol).cast("long").as("vec_id"),
+        col(vecCol).cast("array<float>").as("embedding"))
+      .repartition(col("shard"))
+    val out = sharded.queryExecution.toRdd.mapPartitions { it =>
+      val rows = it.map { ir =>
+        (ir.getInt(0), ir.getLong(1), ir.getArray(2).toFloatArray())
+      }.toArray
+      rows.groupBy(_._1).iterator.flatMap { case (shard, grp) =>
+        val nodes = grp.map(r => (r._2, r._3))
+        val adj = buildShardGraph(nodes, p)
+        nodes.sortBy(_._1).iterator.map { case (id, v) =>
+          Row(shard, id, v.toSeq, adj.getOrElse(id, Array.empty[Long]).toSeq)
+        }
+      }
+    }
+    spark.createDataFrame(out, graphSchema)
+  }
+
+  /** Incremental refresh of a PERSISTED arrival-window store, rewriting
+    * ONLY the shard directories the batch touches: the batch's windows
+    * are computed first (a distinct over the batch — batch-sized, not
+    * corpus-sized), the store is read WITH a pushed `shard IN (...)`
+    * partition filter (static pruning: untouched shard directories are
+    * never opened, let alone rewritten), the touched shards re-insert
+    * through the ONE insertion procedure, and the refreshed partitions
+    * are staged then atomically swapped in. Untouched shard dirs keep
+    * their exact bytes — THE property hash sharding cannot offer
+    * (every shard is touched there), and the reason an appendy
+    * deployment shards by arrival window.
+    *
+    * Backlinks stay within a shard by construction, so pruning to the
+    * touched shards loses nothing. Cost: O(touched shards), i.e.
+    * O(|batch|) when the batch is one arrival window — the IVF
+    * file-append cost shape, recovered for graph stores.
+    */
+  def appendToGraphWindowed(spark: SparkSession, storePath: String,
+                            batch: DataFrame, vecCol: String, idCol: String,
+                            windowSize: Long, p: Params): Unit = {
+    val incoming = batch
+      .select(windowShard(idCol, windowSize).as("shard"),
+        col(idCol).cast("long").as("vec_id"),
+        col(vecCol).cast("array<float>").as("embedding"))
+    val touched = incoming.select(col("shard")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    if (touched.isEmpty) return
+    val existingTouched = readGraph(spark, storePath)
+      .filter(col("shard").isin(touched.map(Integer.valueOf).toSeq: _*))
+      .select(col("shard"), col("vec_id"), col("embedding"), col("neighbors"),
+        lit(false).as("is_new"))
+    // idempotence (same clause as appendToGraph): a replayed id must not
+    // insert twice — the anti-join is against the touched slice only,
+    // which is sufficient because windowing sends an id to ONE shard
+    val fresh = incoming
+      .join(existingTouched.select(col("vec_id")), Seq("vec_id"), "left_anti")
+      .select(col("shard"), col("vec_id"), col("embedding"),
+        typedLit(Seq.empty[Long]).as("neighbors"), lit(true).as("is_new"))
+    val all = existingTouched.union(fresh).repartition(col("shard"))
+    val out = all.queryExecution.toRdd.mapPartitions { it =>
+      val rows = it.map { ir =>
+        (ir.getInt(0), ir.getLong(1), ir.getArray(2).toFloatArray(),
+          ir.getArray(3).toLongArray(), ir.getBoolean(4))
+      }.toArray
+      rows.groupBy(_._1).iterator.flatMap { case (shard, grp) =>
+        val (nw, ex) = grp.partition(_._5)
+        val adj = insertIntoShardGraph(
+          ex.map(r => (r._2, r._3, r._4)), nw.map(r => (r._2, r._3)), p)
+        grp.sortBy(_._2).iterator.map { case (_, id, v, _, _) =>
+          Row(shard, id, v.toSeq, adj.getOrElse(id, Array.empty[Long]).toSeq)
+        }
+      }
+    }
+    val refreshed = spark.createDataFrame(out, graphSchema)
+    // stage-then-swap, per TOUCHED partition only: the refresh READS the
+    // directories being replaced, so they are written to a sibling dir
+    // first and the shard dirs swapped after the job completes — the
+    // same hazard note as NswAppendStore, scoped to touched shards
+    val staging = storePath + "_windowed_staging"
+    refreshed.write.partitionBy("shard").mode("overwrite").parquet(staging)
+    val hconf = spark.sessionState.newHadoopConf()
+    val store = new org.apache.hadoop.fs.Path(storePath)
+    val staged = new org.apache.hadoop.fs.Path(staging)
+    val fs = store.getFileSystem(hconf)
+    touched.foreach { sh =>
+      val from = new org.apache.hadoop.fs.Path(staged, s"shard=$sh")
+      val to = new org.apache.hadoop.fs.Path(store, s"shard=$sh")
+      if (fs.exists(to)) fs.delete(to, true)
+      require(fs.rename(from, to), s"swap failed for shard=$sh")
+    }
+    fs.delete(staged, true)
+  }
 
   /** Read a persisted graph store (partition column restored to int). */
   def readGraph(spark: SparkSession, path: String): DataFrame =

@@ -408,6 +408,74 @@ object MaintenanceQueries {
       |GROUP BY 1 ORDER BY shard
       """.stripMargin.trim))
 
+  /** Arrival-WINDOW-sharded NSW store: built without the newest window
+    * (vec_id ≥ 3·ws withheld, ws = max(vec_id) div 4 + 1 — four equal
+    * id-range windows at every SF), then the newest window appended via
+    * [[graft.operators.Nsw.appendToGraphWindowed]], which rewrites ONLY
+    * the touched shard directory. The three cold shard dirs keep their
+    * exact bytes — NswSpec snapshots their file inventory across the
+    * append and asserts it. One build+append per (fixture, JVM).
+    */
+  private object NswWindowStore {
+    val params: graft.operators.Nsw.Params =
+      graft.operators.Nsw.Params(nShards = 4, m = 8,
+        efConstruction = 32, efSearch = 32)
+    def windowSize(s: SparkSession, dir: String): Long =
+      Tables.embeddings(s, dir).agg(max(col("vec_id"))).first().getLong(0) / 4 + 1
+    def ensure(s: SparkSession, dir: String): String =
+      TmpStores.memoizedTable("graft_nsw_window", dir) { root =>
+        import graft.operators.Nsw
+        val table = s"$root/nsw_w"
+        val emb = Tables.embeddings(s, dir)
+        val ws = windowSize(s, dir)
+        Nsw.writeGraph(Nsw.buildGraphWindowed(
+          emb.filter(col("vec_id") < 3 * ws), "embedding", "vec_id", ws, params), table)
+        Nsw.appendToGraphWindowed(s, table,
+          emb.filter(col("vec_id") >= 3 * ws), "embedding", "vec_id", ws, params)
+        table
+      }
+  }
+
+  private val nswWindowAppend = QueryDef(
+    "maint_nsw_window_append",
+    "Arrival-window-sharded NSW maintenance gate — the mitigation " +
+      "maint_nsw_append documents, built: under hash sharding every " +
+      "append touches every shard (whole-store rewrite), so the appendy " +
+      "deployment shards by ARRIVAL WINDOW (shard = vec_id div ws, ids " +
+      "arrive in order), the newest window's batch lands in one shard, " +
+      "and Nsw.appendToGraphWindowed rewrites only that directory — " +
+      "the store is read with a pushed shard IN-filter (static " +
+      "partition pruning; cold shards are never opened) and refreshed " +
+      "partitions stage-then-swap. Search fans over all shards " +
+      "unchanged. The appended store aggregates per shard — counts, " +
+      "id range, and an order-independent md5 row-set checksum — while " +
+      "the oracle derives window membership of the FULL corpus from " +
+      "vec_id div arithmetic: a green hash proves the one-shard " +
+      "rewrite lost, duplicated, and misplaced nothing. Byte-identity " +
+      "of the cold shard directories and append ≡ windowed-rebuild " +
+      "graph equality are NswSpec's half of the contract.",
+    (s, dir) => {
+      val table = NswWindowStore.ensure(s, dir)
+      val h = conv(substring(md5(col("vec_id").cast("string")), 1, 12), 16, 10)
+        .cast(DecimalType(38, 0))
+      graft.operators.Nsw.readGraph(s, table)
+        .groupBy(col("shard").cast("long").as("shard"))
+        .agg(count(lit(1)).as("n_vecs"),
+          min(col("vec_id")).as("min_id"), max(col("vec_id")).as("max_id"),
+          sum(h).cast(DecimalType(38, 0)).cast("string").as("rowset_fp"))
+        .orderBy(col("shard"))
+    },
+    Some("""
+      |WITH ws AS (SELECT (max(vec_id) // 4 + 1) AS w FROM embeddings)
+      |SELECT CAST(vec_id // (SELECT w FROM ws) AS BIGINT) AS shard,
+      |       count(*) AS n_vecs,
+      |       min(vec_id) AS min_id, max(vec_id) AS max_id,
+      |       CAST(CAST(SUM(CAST(('0x' || substring(md5(vec_id::VARCHAR), 1, 12))::BIGINT
+      |         AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS VARCHAR) AS rowset_fp
+      |FROM embeddings
+      |GROUP BY 1 ORDER BY shard
+      """.stripMargin.trim))
+
   private val scd2Q = QueryDef(
     "cdc_scd2_history",
     "SCD Type-2 history build: three orders snapshots are derived " +
@@ -755,6 +823,6 @@ object MaintenanceQueries {
 
   val defs: Seq[QueryDef] =
     Seq(compactRoundtrip, repartitionLayout, snapshotDiffQ, zorderRoundtrip,
-      incrementalRollup, ivfAppend, nswAppend, scd2Q, vacuumQ, evolveQ, mergeQ,
-      morMerge)
+      incrementalRollup, ivfAppend, nswAppend, nswWindowAppend, scd2Q, vacuumQ,
+      evolveQ, mergeQ, morMerge)
 }

@@ -530,6 +530,36 @@ object MlQueries {
     java.math.BigDecimal.valueOf(d)
       .setScale(8, java.math.RoundingMode.HALF_UP).doubleValue()
 
+  /** The checkpointed 3-column training projection for [[logregGd]] —
+    * factored with [[logregIterAgg]] so PlanShapeSpec drives the
+    * production iteration plan.
+    */
+  private[graft] def logregBase(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    Tables.lineitem(s, dir).select(
+      when(col("l_returnflag") === "R", 1.0).otherwise(0.0).as("y"),
+      col("l_discount").cast("double").as("x1"),
+      (col("l_quantity").cast("double") / lit(50.0)).as("x2"))
+      .localCheckpoint()
+
+  /** One full-batch GD iteration for [[logregGd]] — factored so
+    * PlanShapeSpec asserts the production per-iteration plan: a single
+    * map-side-combining HashAggregate pair over the checkpointed
+    * 3-column projection, the only exchange the final SinglePartition
+    * gather of 4 decimal sums (no hashpartitioning exchange anywhere).
+    */
+  private[graft] def logregIterAgg(base: org.apache.spark.sql.DataFrame,
+                                   w: (Double, Double, Double)): org.apache.spark.sql.DataFrame = {
+    val z = (lit(w._1) + (lit(w._2) * col("x1"))) + (lit(w._3) * col("x2"))
+    val sgm = lit(0.5) + (lit(0.5) * z) / (lit(1.0) + abs(z))
+    val err = sgm - col("y")
+    base.select(
+      round(err, 6).cast(dec6).as("t0"),
+      round(err * col("x1"), 6).cast(dec6).as("t1"),
+      round(err * col("x2"), 6).cast(dec6).as("t2"),
+      round(err * err, 6).cast(dec6).as("tb"))
+      .agg(sum(col("t0")), sum(col("t1")), sum(col("t2")), sum(col("tb")))
+  }
+
   private val logregGd = QueryDef(
     "ml_logreg_gd",
     "In-engine linear-classifier training by full-batch gradient " +
@@ -552,26 +582,13 @@ object MlQueries {
       "the gate fixture, monotone (spec-locked).",
     (s, dir) => {
       import s.implicits._
-      val base = Tables.lineitem(s, dir).select(
-        when(col("l_returnflag") === "R", 1.0).otherwise(0.0).as("y"),
-        col("l_discount").cast("double").as("x1"),
-        (col("l_quantity").cast("double") / lit(50.0)).as("x2"))
-        .localCheckpoint()
+      val base = logregBase(s, dir)
       val n = base.count().toDouble
       var w = (0.0, 0.0, 0.0)
       val hist =
         scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Double, Double, Double)]
       for (t <- 0 to LogregIters) {
-        val z = (lit(w._1) + (lit(w._2) * col("x1"))) + (lit(w._3) * col("x2"))
-        val sgm = lit(0.5) + (lit(0.5) * z) / (lit(1.0) + abs(z))
-        val err = sgm - col("y")
-        val r = base.select(
-          round(err, 6).cast(dec6).as("t0"),
-          round(err * col("x1"), 6).cast(dec6).as("t1"),
-          round(err * col("x2"), 6).cast(dec6).as("t2"),
-          round(err * err, 6).cast(dec6).as("tb"))
-          .agg(sum(col("t0")), sum(col("t1")), sum(col("t2")), sum(col("tb")))
-          .head()
+        val r = logregIterAgg(base, w).head()
         def g(i: Int) = rd8(r.getDecimal(i).doubleValue() / n)
         hist += ((t.toLong, w._1, w._2, w._3, g(3)))
         if (t < LogregIters)

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.operators.PageRank
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -1491,7 +1491,7 @@ object StatQueries {
     * count rollup. Callers localCheckpoint the result so iterative
     * consumers start from a flat materialized lineage.
     */
-  private def coPurchaseEdges(s: SparkSession, dir: String, support: Int) = {
+  private[graft] def coPurchaseEdges(s: SparkSession, dir: String, support: Int) = {
     val basket = Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("item"))
       .distinct()
@@ -1595,6 +1595,42 @@ object StatQueries {
       """.stripMargin.trim
     })
 
+  /** The undirected LPA adjacency, cached pre-partitioned: the
+    * adjacency is the BIG static relation every round joins on `nbr`,
+    * so it is hash-partitioned by that key and CACHED — InMemoryRelation
+    * preserves the repartition's outputPartitioning (localCheckpoint's
+    * LogicalRDD does NOT, measured: every round re-exchanged the edge
+    * relation), so each round's join re-shuffles only the node-sized
+    * label relation, never the edge relation (locked by PlanShapeSpec).
+    * The resident partitioned adjacency is the same pay-the-shuffle-once
+    * pattern as Nsw's resident graph store.
+    */
+  private[graft] def lpaAdjacency(edges: DataFrame): DataFrame =
+    edges.select(col("src").as("v"), col("dst").as("nbr"))
+      .unionAll(edges.select(col("dst").as("v"), col("src").as("nbr")))
+      .repartition(col("nbr"))
+      .cache()
+
+  /** One synchronous LPA round — factored so PlanShapeSpec asserts the
+    * production per-round plan: the checkpointed adjacency (already
+    * hash-partitioned on `nbr`) joins WITHOUT re-shuffling; the only
+    * exchanges are the node-sized label relation onto `nbr`, the
+    * (v, lbl) count rollup (map-side-combining), and the argmax window
+    * on `v`.
+    */
+  private[graft] def lpaRound(adj: DataFrame, labels: DataFrame, i: Int): DataFrame = {
+    val tie = graft.operators.TextAnalysis.md5Long48(
+      concat(col("lbl").cast("string"), lit(s"#$i")))
+    val w = Window.partitionBy(col("v"))
+      .orderBy(col("cnt").desc, tie, col("lbl"))
+    adj
+      .join(labels.select(col("v").as("nbr"), col("lbl")), Seq("nbr"))
+      .groupBy(col("v"), col("lbl")).agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("v"), col("lbl"))
+  }
+
   /** Fixed synchronous rounds for label propagation. No early exit on
     * either engine: synchronous LPA can 2-cycle on near-bipartite
     * structure and never reach a fixpoint, so "run exactly R rounds" is
@@ -1632,24 +1668,13 @@ object StatQueries {
     (s, dir) => {
       val edges = coPurchaseEdges(s, dir, LpaSupport)
         .select(col("src"), col("dst"))
-      val adj = edges.select(col("src").as("v"), col("dst").as("nbr"))
-        .unionAll(edges.select(col("dst").as("v"), col("src").as("nbr")))
-        .localCheckpoint()
+      val adj = lpaAdjacency(edges)
       var labels = adj.select(col("v")).distinct()
         .withColumn("lbl", col("v")).localCheckpoint()
-      for (i <- 1 to LpaRounds) {
-        val tie = graft.operators.TextAnalysis.md5Long48(
-          concat(col("lbl").cast("string"), lit(s"#$i")))
-        val w = Window.partitionBy(col("v"))
-          .orderBy(col("cnt").desc, tie, col("lbl"))
-        labels = adj
-          .join(labels.select(col("v").as("nbr"), col("lbl")), Seq("nbr"))
-          .groupBy(col("v"), col("lbl")).agg(count(lit(1)).as("cnt"))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .select(col("v"), col("lbl"))
-          .localCheckpoint()
-      }
+      for (i <- 1 to LpaRounds)
+        labels = lpaRound(adj, labels, i).localCheckpoint()
+      // rounds are done (eager checkpoints): release the resident adjacency
+      adj.unpersist()
       labels.groupBy(col("lbl"))
         .agg(count(lit(1)).as("n_nodes"),
           min(col("v")).as("min_part"), max(col("v")).as("max_part"))
@@ -1690,6 +1715,34 @@ object StatQueries {
       """.stripMargin.trim
     })
 
+  /** The weighted undirected SSSP adjacency, cached pre-partitioned —
+    * same static-adjacency discipline as [[lpaAdjacency]]: partition
+    * the big edge relation by its per-sweep join key `u` ONCE into the
+    * cache; every relaxation then moves only the sparse distance
+    * relation (exchanged onto `u`, or broadcast outright when the
+    * planner sees it is frontier-sized).
+    */
+  private[graft] def ssspAdjacency(edges: DataFrame): DataFrame =
+    edges.select(col("src").as("u"), col("dst").as("v"), col("w"))
+      .unionAll(edges.select(col("dst").as("u"), col("src").as("v"), col("w")))
+      .repartition(col("u"))
+      .cache()
+
+  /** One Bellman-Ford relaxation sweep — factored so PlanShapeSpec
+    * asserts the production per-sweep plan: the cached adjacency
+    * (hash-partitioned on `u`) never re-shuffles and is never the
+    * broadcast build side; only the sparse distance relation moves
+    * (broadcast or exchanged onto `u` for the join, exchanged onto `v`
+    * for the min rollup).
+    */
+  private[graft] def ssspRelax(adj: DataFrame, dist: DataFrame): DataFrame = {
+    val relax = adj
+      .join(dist.select(col("v").as("u"), col("dist")), Seq("u"))
+      .select(col("v"), (col("dist") + col("w")).as("dist"))
+    dist.unionAll(relax)
+      .groupBy(col("v")).agg(min(col("dist")).as("dist"))
+  }
+
   /** Fixed relaxation sweeps for bounded Bellman-Ford: distances are
     * exact over paths of ≤ this many edges; converged iff the weighted
     * diameter fits the bound. Both engines run exactly this many sweeps
@@ -1727,21 +1780,15 @@ object StatQueries {
         .select(col("src"), col("dst"),
           expr("1 + (100 div n_co)").cast("long").as("w"))
         .localCheckpoint()
-      val adj = edges.select(col("src").as("u"), col("dst").as("v"), col("w"))
-        .unionAll(edges.select(col("dst").as("u"), col("src").as("v"), col("w")))
-        .localCheckpoint()
+      val adj = ssspAdjacency(edges)
       var dist = adj.groupBy(col("u")).agg(count(lit(1)).as("c"))
         .orderBy(col("c").desc, col("u")).limit(1)
         .select(col("u").as("v"), lit(0L).as("dist"))
         .localCheckpoint()
-      for (_ <- 1 to SsspSweeps) {
-        val relax = adj
-          .join(dist.select(col("v").as("u"), col("dist")), Seq("u"))
-          .select(col("v"), (col("dist") + col("w")).as("dist"))
-        dist = dist.unionAll(relax)
-          .groupBy(col("v")).agg(min(col("dist")).as("dist"))
-          .localCheckpoint()
-      }
+      for (_ <- 1 to SsspSweeps)
+        dist = ssspRelax(adj, dist).localCheckpoint()
+      // sweeps are done (eager checkpoints): release the resident adjacency
+      adj.unpersist()
       dist.groupBy(col("dist"))
         .agg(count(lit(1)).as("n_nodes"),
           min(col("v")).as("min_part"), max(col("v")).as("max_part"))
@@ -2576,6 +2623,112 @@ object StatQueries {
       |ORDER BY ecc, nation
       """.stripMargin))
 
+  /** One Brandes σ layer (shortest-path counts at depth `l`) as a
+    * DuckDB CTE — the SQL twin of the
+    * [[graft.operators.Betweenness.sourceDependencies]] forward loop:
+    * layer l's σ sums layer-(l-1) predecessors' σ along edges landing
+    * exactly at distance l (the shortest-path DAG edges).
+    */
+  private def sigIter(l: Int): String = s""",
+    |s$l AS MATERIALIZED (
+    |  SELECT q.s, e.dst AS v2, SUM(q.sig)::BIGINT AS sig
+    |  FROM edges e JOIN s${l - 1} q ON q.v2 = e.src
+    |  JOIN p4 p ON p.s = q.s AND p.v2 = e.dst AND p.d = $l
+    |  GROUP BY 1, 2
+    |)""".stripMargin
+
+  /** One Brandes δ layer (backward dependency accumulation) as a
+    * DuckDB CTE: each term σ_sv/σ_sw · (1 + δ_sw) evaluates in double
+    * with the one fixed parenthesization, rounds at 6, and sums in
+    * DECIMAL(38,6) — the Spark loop body verbatim.
+    */
+  private def dltIter(l: Int): String = s""",
+    |d$l AS MATERIALIZED (
+    |  SELECT s, v2, sig,
+    |         CAST(COALESCE(SUM(term), CAST(0.0 AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS dlt
+    |  FROM (
+    |    SELECT q.s, q.v2, q.sig,
+    |           CAST(round(q.sig::DOUBLE / w.sig::DOUBLE * (1.0 + w.dlt::DOUBLE), 6)
+    |                AS DECIMAL(38,6)) AS term
+    |    FROM s$l q
+    |    LEFT JOIN edges e ON e.src = q.v2
+    |    LEFT JOIN d${l + 1} w ON w.s = q.s AND w.v2 = e.dst
+    |  ) GROUP BY 1, 2, 3
+    |)""".stripMargin
+
+  private val betweenness = QueryDef(
+    "graph_betweenness_approx",
+    "Approximate betweenness centrality by k-source Brandes (Brandes " +
+      "2001; Brandes & Pich 2007 source sampling) over the same " +
+      "selective urgent-high-quantity trade graph as closeness/" +
+      "eccentricity — WHO BROKERS the network's shortest paths, the " +
+      "one classic centrality PageRank/HITS/closeness don't measure. " +
+      "Exact betweenness is O(|V|·|E|) (every vertex a source — never " +
+      "100 TB-shaped); the estimator runs Brandes from 12 md5-sampled " +
+      "sources and scales by n/k, unbiased and O(k·|E|·rounds). " +
+      "Forward: source-restricted min-plus distances + exact BIGINT " +
+      "path counts per BFS layer; backward: per-layer dependency " +
+      "terms sigma_v/sigma_w*(1+delta_w) round at 6 into DECIMAL(38,6) " +
+      "sums (order-independent — the established iterative-parity " +
+      "channel), all within the 4-hop horizon (the same k-capped " +
+      "contract as closeness). The oracle unrolls the identical " +
+      "forward and backward layers as MATERIALIZED CTEs.",
+    (s, dir) => {
+      val nation = Tables.nation(s, dir)
+      val edges = Tables.orders(s, dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .join(broadcast(Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .join(Tables.lineitem(s, dir).filter(col("l_quantity") > 45),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      val v = nation.select(col("n_nationkey").as("id"))
+      val srcs = v.orderBy(md5(col("id").cast("string")), col("id")).limit(12)
+      val dep = graft.operators.Betweenness.sourceDependencies(srcs, edges, rounds = 4)
+      val counts = v.agg(count(lit(1)).as("nv"))
+        .crossJoin(srcs.agg(count(lit(1)).as("ns")))
+      nation.join(dep, col("n_nationkey") === col("id"), "left")
+        .crossJoin(broadcast(counts))
+        .select(col("n_name").as("nation"),
+          round(coalesce(col("dep").cast("double"), lit(0.0)) *
+            (col("nv").cast("double") / col("ns").cast("double")), 6)
+            .as("betweenness"))
+        .orderBy(col("betweenness").desc, col("nation"))
+    },
+    Some("""
+      |WITH edges AS MATERIALIZED (
+      |  SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  WHERE o.o_orderpriority = '1-URGENT' AND l.l_quantity > 45
+      |), v AS (SELECT n_nationkey AS id FROM nation),
+      |src AS MATERIALIZED (SELECT id FROM v ORDER BY md5(id::VARCHAR), id LIMIT 12),
+      |p0 AS (SELECT id AS s, id AS v2, CAST(0 AS BIGINT) AS d FROM src)
+      """.stripMargin.trim
+      + apIter(1) + apIter(2) + apIter(3) + apIter(4) + """
+      |, s0 AS (SELECT id AS s, id AS v2, CAST(1 AS BIGINT) AS sig FROM src)
+      """.stripMargin
+      + sigIter(1) + sigIter(2) + sigIter(3) + sigIter(4) + """
+      |, d4 AS (SELECT s, v2, sig, CAST(0.0 AS DECIMAL(38,6)) AS dlt FROM s4)
+      """.stripMargin
+      + dltIter(3) + dltIter(2) + dltIter(1) + """
+      |, alld AS (
+      |  SELECT v2, dlt FROM d1 UNION ALL SELECT v2, dlt FROM d2
+      |  UNION ALL SELECT v2, dlt FROM d3
+      |), tot AS (
+      |  SELECT v2, CAST(SUM(dlt) AS DECIMAL(38,6)) AS dep FROM alld GROUP BY 1
+      |)
+      |SELECT n.n_name AS nation,
+      |       round(COALESCE(t.dep::DOUBLE, 0.0) *
+      |             ((SELECT count(*) FROM v)::DOUBLE / (SELECT count(*) FROM src)::DOUBLE), 6)
+      |         AS betweenness
+      |FROM nation n LEFT JOIN tot t ON t.v2 = n.n_nationkey
+      |ORDER BY betweenness DESC, nation
+      """.stripMargin))
+
   private val seasonalityStrength = QueryDef(
     "ev_seasonality_strength",
     "Trend and seasonality strength of the daily view-value series " +
@@ -2743,5 +2896,5 @@ object StatQueries {
       poissonBootstrap, kcore, labelPropagation, ssspWeighted, hillTail,
       pprParts, spearmanDaily, holtWinters, linkPrediction, hitsNations,
       anovaF, closeness, leveneBf, stlDecompose, jarqueBera, eccentricity,
-      seasonalityStrength, grubbs, runsTest)
+      seasonalityStrength, grubbs, runsTest, betweenness)
 }

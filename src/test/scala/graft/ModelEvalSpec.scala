@@ -1072,4 +1072,70 @@ class ModelEvalSpec extends SparkSpec {
         s"doc $docId: key-logw ${selKey - logW} vs gumbel $g")
     }
   }
+
+  test("graph_betweenness_approx: exact driver replay of 12-source k-capped Brandes") {
+    val dir = sf("sf0.001")
+    val out = run("graph_betweenness_approx").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    assert(out.length == 25)
+    val bs = out.map(_._2).toSeq
+    assert(bs.zip(bs.tail).forall { case (a, b) => a >= b })
+    val edges = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.lineitem(spark, dir).filter(col("l_quantity") > 45),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
+      .select(col("c_nationkey").cast("long").as("src"),
+        col("s_nationkey").cast("long").as("dst"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ids = Tables.nation(spark, dir)
+      .select(col("n_nationkey").cast("long"), col("n_name"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val srcs = ids.map(_._1).sortBy(id => (md5hex(id.toString), id)).take(12)
+    def rd6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    // one textbook Brandes sweep per sampled source, with the SAME
+    // per-term round-at-6 the engine and the oracle share
+    val dep = collection.mutable.Map.empty[Long, BigDecimal]
+      .withDefaultValue(BigDecimal(0))
+    for (s0 <- srcs) {
+      var d = Map(s0 -> 0)
+      for (k <- 1 to 4) {
+        val next = d.filter(_._2 == k - 1).keys
+          .flatMap(u => adj.getOrElse(u, Set.empty[Long]))
+          .filterNot(d.contains).map(_ -> k)
+        d = d ++ next
+      }
+      val sig = collection.mutable.Map(s0 -> 1L)
+      for (l <- 1 to 4; v <- d.filter(_._2 == l).keys) {
+        val preds = adj.collect {
+          case (u, ns) if ns.contains(v) && d.get(u).contains(l - 1) => u
+        }
+        sig(v) = preds.map(sig).sum
+      }
+      val dlt = collection.mutable.Map.empty[Long, BigDecimal]
+        .withDefaultValue(BigDecimal(0))
+      for (l <- 3 to 1 by -1; v <- d.filter(_._2 == l).keys) {
+        val succs = adj.getOrElse(v, Set.empty[Long])
+          .filter(w => d.get(w).contains(l + 1))
+        dlt(v) = succs.toSeq.map { w =>
+          rd6(sig(v).toDouble / sig(w).toDouble * (1.0 + dlt(w).toDouble))
+        }.sum
+      }
+      for ((v, x) <- dlt if v != s0) dep(v) = dep(v) + x
+    }
+    val want = ids.map { case (id, name) =>
+      name -> rd6(dep(id).toDouble *
+        (ids.length.toDouble / srcs.length.toDouble)).toDouble
+    }.toMap
+    for ((nation, b) <- out)
+      assert(math.abs(b - want(nation)) < 1e-9,
+        s"$nation: engine $b vs driver replay ${want(nation)}")
+    // the sampled-source estimator found actual brokers on this graph
+    assert(out.map(_._2).max > 0.0, "every betweenness is zero")
+  }
 }

@@ -169,4 +169,73 @@ class NswSpec extends SparkSpec {
       .groupBy("shard").count().collect().map(_.getAs[Long]("count"))
     assert(perShard.nonEmpty && perShard.forall(_ <= p.efSearch))
   }
+
+  // ---- arrival-window sharding (the appendy-deployment layout) ----
+
+  /** (fileName → (length, contentHash)) inventory of one shard dir. */
+  private def shardInventory(store: String, shard: Int): Map[String, (Long, Int)] = {
+    val dir = new java.io.File(store, s"shard=$shard")
+    dir.listFiles().filter(f => f.isFile && !f.getName.startsWith(".")
+        && !f.getName.startsWith("_"))
+      .map { f =>
+        val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+        f.getName -> (f.length(), java.util.Arrays.hashCode(bytes))
+      }.toMap
+  }
+
+  test("windowed append rewrites ONLY the touched shard; cold dirs byte-identical") {
+    val ws = 125L // four windows over vec_id 0..499
+    val store = java.nio.file.Files
+      .createTempDirectory("nsw_window").toString + "/nsw"
+    Nsw.writeGraph(Nsw.buildGraphWindowed(
+      emb.filter(col("vec_id") < 3 * ws), "embedding", "vec_id", ws, p), store)
+    val before = (0 to 2).map(sh => sh -> shardInventory(store, sh)).toMap
+    Nsw.appendToGraphWindowed(spark, store,
+      emb.filter(col("vec_id") >= 3 * ws), "embedding", "vec_id", ws, p)
+    // the three cold shards kept their exact files — name, length, bytes
+    (0 to 2).foreach { sh =>
+      assert(shardInventory(store, sh) == before(sh),
+        s"cold shard=$sh was rewritten by a batch that never touched it")
+    }
+    // the hot shard exists and holds exactly the newest window
+    val hot = Nsw.readGraph(spark, store).filter(col("shard") === 3)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(hot == (3 * ws to 499L).toSet)
+  }
+
+  test("windowed append ≡ windowed full rebuild, edge for edge") {
+    // a strictly-newer batch inserts LAST in both paths (ascending-id
+    // insertion), so the appended store must be graph-identical to a
+    // from-scratch windowed build of the full corpus — a stronger gate
+    // than hash-shard append (where the batch interleaves) can state
+    val ws = 125L
+    val store = java.nio.file.Files
+      .createTempDirectory("nsw_window_eq").toString + "/nsw"
+    Nsw.writeGraph(Nsw.buildGraphWindowed(
+      emb.filter(col("vec_id") < 3 * ws), "embedding", "vec_id", ws, p), store)
+    Nsw.appendToGraphWindowed(spark, store,
+      emb.filter(col("vec_id") >= 3 * ws), "embedding", "vec_id", ws, p)
+    def edges(df: org.apache.spark.sql.DataFrame) = df
+      .select("shard", "vec_id", "neighbors").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Long](2).toSeq))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val appended = edges(Nsw.readGraph(spark, store))
+    val rebuilt = edges(Nsw.buildGraphWindowed(emb, "embedding", "vec_id", ws, p))
+    assert(appended == rebuilt, "windowed append diverged from windowed rebuild")
+  }
+
+  test("search over a windowed store: recall holds, per-shard candidates bounded") {
+    val ws = 125L
+    val wgraph = Nsw.buildGraphWindowed(emb, "embedding", "vec_id", ws, p).cache()
+    val perShard = Nsw.shardCandidates(wgraph, q, p)
+      .groupBy("shard").count().collect().map(_.getAs[Long]("count"))
+    assert(perShard.length == 4 && perShard.forall(_ <= p.efSearch))
+    val (res, _) = Nsw.search(wgraph, emb, "embedding", "vec_id", q, 10, p)
+    val exact = Knn.search(emb, "embedding", "vec_id", q, 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val gotTop = res.select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = (gotTop & exact).size / 10.0
+    wgraph.unpersist()
+    assert(recall >= 0.8, s"windowed-store recall@10 = $recall")
+  }
 }

@@ -532,4 +532,122 @@ class PlanShapeSpec extends SparkSpec {
     // the replicate draw stays codegen'd — no UDF black box
     assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
   }
+
+  // ---- iterative graph / ML family: the per-round plans the scaladocs
+  // claim, asserted against the PRODUCTION round builders (factored out
+  // of the query loops exactly so these asserts drive the real code) ----
+
+  private def hashExchanges(p: String): Int =
+    "Exchange hashpartitioning".r.findAllIn(p).length
+
+  /** Strip InMemoryRelation CACHED-BUILD subtrees from a plan string:
+    * the cache's one-time build lineage prints nested under the scan,
+    * and its exchanges are paid once at materialization — they must not
+    * count against the per-round plan the tests below pin down.
+    */
+  private def outerPlan(p: String): String = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var skipIndent = -1
+    p.linesIterator.foreach { ln =>
+      val indent = ln.takeWhile(c => c == ' ' || c == ':' || c == '+' || c == '-').length
+      if (!(skipIndent >= 0 && indent > skipIndent)) {
+        skipIndent = if (ln.contains("InMemoryRelation")) indent else -1
+        out += ln
+      }
+    }
+    out.mkString("\n")
+  }
+
+  test("LPA round: pre-partitioned cached adjacency never re-shuffles; labels + rollup + argmax only") {
+    GraftSession.prepare(spark)
+    val edges = graft.queries.StatQueries.coPurchaseEdges(spark, sf("sf0.001"), 2)
+      .select(col("src"), col("dst"))
+    val adj = graft.queries.StatQueries.lpaAdjacency(edges)
+    adj.count() // materialize the cache so the round plans against it
+    val labels = adj.select(col("v")).distinct()
+      .withColumn("lbl", col("v")).localCheckpoint()
+    val p = outerPlan(graft.queries.StatQueries.lpaRound(adj, labels, 1)
+      .queryExecution.executedPlan.toString)
+    // at most 3 exchanges: node-sized labels onto nbr (or broadcast),
+    // the (v,lbl) count rollup, the argmax window on v — the EDGE-sized
+    // adjacency contributes zero (the cache carries hashpartitioning(nbr))
+    assert(hashExchanges(p) <= 3,
+      s"expected <=3 exchanges (labels, rollup, window) — adjacency must not re-shuffle:\n$p")
+    // the adjacency is read from the partitioned cache
+    assert(p.contains("InMemoryTableScan"), s"adjacency must read from cache:\n$p")
+    // the rollup combines map-side before its exchange
+    val aggIdx = p.indexOf("HashAggregate")
+    assert(aggIdx >= 0 && p.indexOf("HashAggregate", aggIdx + 1) > aggIdx,
+      s"expected partial+final HashAggregate pair:\n$p")
+    adj.unpersist()
+  }
+
+  test("SSSP sweep: pre-partitioned cached adjacency never re-shuffles nor broadcasts") {
+    GraftSession.prepare(spark)
+    val edges = graft.queries.StatQueries.coPurchaseEdges(spark, sf("sf0.001"), 2)
+      .select(col("src"), col("dst"),
+        expr("1 + (100 div n_co)").cast("long").as("w"))
+      .localCheckpoint()
+    val adj = graft.queries.StatQueries.ssspAdjacency(edges)
+    adj.count() // materialize the cache so the sweep plans against it
+    val dist = adj.groupBy(col("u")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("u")).limit(1)
+      .select(col("u").as("v"), lit(0L).as("dist"))
+      .localCheckpoint()
+    val p = outerPlan(graft.queries.StatQueries.ssspRelax(adj, dist)
+      .queryExecution.executedPlan.toString)
+    // at most 2: the frontier onto u for the join (the planner may
+    // instead BROADCAST the frontier — also correct: it is sparse by
+    // construction) and the min rollup onto v. The edge-sized adjacency
+    // moves in NEITHER form: no re-exchange (its cache carries
+    // hashpartitioning(u)) and never the broadcast build side (any
+    // BroadcastExchange subtree must be the 2-column dist frontier).
+    assert(hashExchanges(p) <= 2,
+      s"expected <=2 exchanges — adjacency must not re-shuffle:\n$p")
+    assert(p.contains("InMemoryTableScan"), s"adjacency must read from cache:\n$p")
+    "BroadcastExchange[\\s\\S]{0,600}?(?=BroadcastExchange|$)".r.findAllIn(p).foreach { sub =>
+      assert(sub.contains("dist#"),
+        s"only the dist frontier may broadcast, got:\n$sub")
+    }
+    adj.unpersist()
+  }
+
+  test("logreg GD iteration: one map-side-combining aggregate, zero hashpartitioning exchanges") {
+    GraftSession.prepare(spark)
+    val base = graft.queries.MlQueries.logregBase(spark, sf("sf0.001"))
+    val p = graft.queries.MlQueries.logregIterAgg(base, (0.1, -0.2, 0.3))
+      .queryExecution.executedPlan.toString
+    assert(hashExchanges(p) == 0,
+      s"the gradient aggregate must not hash-shuffle:\n$p")
+    assert("Exchange SinglePartition".r.findAllIn(p).length == 1,
+      s"expected exactly the final 4-sum gather:\n$p")
+    val aggIdx = p.indexOf("HashAggregate")
+    assert(aggIdx >= 0 && p.indexOf("HashAggregate", aggIdx + 1) > aggIdx,
+      s"expected partial+final HashAggregate pair:\n$p")
+    // the sigmoid/gradient arithmetic stays codegen'd
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"), p)
+  }
+
+  test("HITS edge build: customer/supplier/nation dims broadcast, fact side never broadcast") {
+    val p = planOf("graph_hits_nations")
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(bhj >= 3, s"customer, supplier and nation joins must broadcast:\n$p")
+    // loop joins only as scalar Cross broadcasts (the one-row
+    // normalizer relation) — never as a data-sized fallback join
+    "BroadcastNestedLoopJoin[^\\n]*".r.findAllIn(p).foreach { line =>
+      assert(line.contains("Cross"), s"non-scalar loop join in the edge build: $line")
+    }
+    // the orders⋈lineitem fact join must NOT put a fact table in a
+    // broadcast build: every BroadcastExchange subtree stays dim-sized
+    assert(!"BroadcastExchange[\\s\\S]{0,400}?lineitem\\.parquet".r.findFirstIn(p).isDefined,
+      s"lineitem may never be a broadcast build side:\n$p")
+  }
+
+  test("eccentricity edge build: same broadcast-dim discipline as closeness") {
+    val p = planOf("graph_eccentricity_nations")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 3,
+      s"dims must broadcast in the selective trade-graph build:\n$p")
+    assert(!"BroadcastExchange[\\s\\S]{0,400}?lineitem\\.parquet".r.findFirstIn(p).isDefined,
+      s"lineitem may never be a broadcast build side:\n$p")
+  }
 }
