@@ -2211,9 +2211,12 @@ object StatQueries {
       "the query's definition, the stat_daily_corr discipline), so " +
       "every per-group sufficient statistic (n, Σx, Σx²) is an exact " +
       "order-independent BIGINT sum that stays far inside 2⁵³ decades " +
-      "past sf10. The cross-group reduction Σ_g (Σx_g)²/n_g rounds " +
-      "each per-group double term at 6 and sums in DECIMAL(38,6) " +
-      "(order-independent); SSB/SSW/F evaluate in double with one " +
+      "past sf10. The cross-group reduction Σ_g (Σx_g)²/n_g is EXACT " +
+      "truncated integer division in hundredths ((Σx)²·100 div n " +
+      "through DECIMAL(38,0) — at sf10 the term reaches ~7e12, where " +
+      "the double ulp is coarser than a round-6 grid and the engines' " +
+      "rounding paths split: the 38-query sf10 gate caught exactly " +
+      "that, ssb off by 0.02); SSB/SSW/F evaluate in double with one " +
       "fixed parenthesization on both engines. One scan-side " +
       "aggregation shuffle; everything after is O(k)=5 rows.",
     (s, dir) => {
@@ -2229,8 +2232,9 @@ object StatQueries {
         sum(col("n")).as("n_total"),
         sum(col("sx")).as("s_all"),
         sum(col("sx2")).as("t2_all"),
-        sum(round(col("sx").cast("double") * col("sx").cast("double") /
-          col("n").cast("double"), 6).cast(dec6)).cast("double").as("a_groups"))
+        (sum(expr("CAST((CAST(sx AS DECIMAL(38,0)) * CAST(sx AS DECIMAL(38,0)) * 100) " +
+          "div CAST(n AS DECIMAL(38,0)) AS BIGINT)")).cast("double") / lit(100.0))
+          .as("a_groups"))
       tot.select(col("k"), col("n_total"),
           round(col("a_groups") -
             col("s_all").cast("double") * col("s_all").cast("double") /
@@ -2255,8 +2259,8 @@ object StatQueries {
       |), tot AS (
       |  SELECT count(*)::BIGINT AS k, SUM(n)::BIGINT AS n_total,
       |         SUM(sx)::BIGINT AS s_all, SUM(sx2)::BIGINT AS t2_all,
-      |         CAST(SUM(CAST(round(sx::DOUBLE * sx::DOUBLE / n::DOUBLE, 6)
-      |                       AS DECIMAL(38,6))) AS DOUBLE) AS a_groups
+      |         CAST(SUM((sx::HUGEINT * sx::HUGEINT * 100) // n::HUGEINT)::BIGINT
+      |              AS DOUBLE) / 100.0 AS a_groups
       |  FROM g
       |)
       |SELECT k, n_total,
@@ -2349,7 +2353,10 @@ object StatQueries {
       "interpolation, deterministic under ties; the interpolated " +
       "median's half-sum is the documented deviation), deviations " +
       "|x − med| are exact integers, and the F machinery on them is " +
-      "the stat_anova_f reduction verbatim. Cost of exactness: one " +
+      "the stat_anova_f reduction verbatim (including its exact " +
+      "(Σz)²·100 div n cross-group term — the round-6 form this " +
+      "replaced sat within one double-ulp of the grid at sf10). " +
+      "Cost of exactness: one " +
       "per-group sort for the median rank (partitioned by group — " +
       "parallel across groups) plus the aggregation shuffle.",
     (s, dir) => {
@@ -2370,8 +2377,9 @@ object StatQueries {
       val tot = g.agg(
         count(lit(1)).as("k"), sum(col("n")).as("n_total"),
         sum(col("sz")).as("s_all"), sum(col("sz2")).as("t2_all"),
-        sum(round(col("sz").cast("double") * col("sz").cast("double") /
-          col("n").cast("double"), 6).cast(dec6)).cast("double").as("a_groups"))
+        (sum(expr("CAST((CAST(sz AS DECIMAL(38,0)) * CAST(sz AS DECIMAL(38,0)) * 100) " +
+          "div CAST(n AS DECIMAL(38,0)) AS BIGINT)")).cast("double") / lit(100.0))
+          .as("a_groups"))
       tot.select(col("k"), col("n_total"),
         round(((col("a_groups") -
           col("s_all").cast("double") * col("s_all").cast("double") /
@@ -2403,8 +2411,8 @@ object StatQueries {
       |), tot AS (
       |  SELECT count(*)::BIGINT AS k, SUM(n)::BIGINT AS n_total,
       |         SUM(sz)::BIGINT AS s_all, SUM(sz2)::BIGINT AS t2_all,
-      |         CAST(SUM(CAST(round(sz::DOUBLE * sz::DOUBLE / n::DOUBLE, 6)
-      |                       AS DECIMAL(38,6))) AS DOUBLE) AS a_groups
+      |         CAST(SUM((sz::HUGEINT * sz::HUGEINT * 100) // n::HUGEINT)::BIGINT
+      |              AS DOUBLE) / 100.0 AS a_groups
       |  FROM g
       |)
       |SELECT k, n_total,

@@ -487,8 +487,7 @@ class ModelEvalSpec extends SparkSpec {
       .collect().map(r2 => (r2.getLong(1), r2.getLong(2), r2.getLong(3)))
     assert(k == g.length && n == g.map(_._1).sum)
     val aGroups = g.map { case (cn, sx, _) =>
-      BigDecimal(sx.toDouble * sx.toDouble / cn.toDouble)
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP) }.sum.toDouble
+      (BigInt(sx) * BigInt(sx) * 100 / cn).toLong }.sum.toDouble / 100.0
     val sAll = g.map(_._2).sum.toDouble
     val t2All = g.map(_._3).sum.toDouble
     val ssbRe = aGroups - sAll * sAll / n.toDouble
@@ -626,8 +625,7 @@ class ModelEvalSpec extends SparkSpec {
       (z.length.toLong, z.sum, z.map(v => v * v).sum)
     }.toSeq
     val aGroups = stats.map { case (cn, sz, _) =>
-      BigDecimal(sz.toDouble * sz.toDouble / cn.toDouble)
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP) }.sum.toDouble
+      (BigInt(sz) * BigInt(sz) * 100 / cn).toLong }.sum.toDouble / 100.0
     val sAll = stats.map(_._2).sum.toDouble
     val t2All = stats.map(_._3).sum.toDouble
     val fRe = ((aGroups - sAll * sAll / n.toDouble) / (k - 1).toDouble) /
