@@ -768,6 +768,107 @@ object StatQueries {
       |SELECT (SELECT count(*) FROM raw) AS n_edges, n_triangles FROM tri
       """.stripMargin.trim))
 
+  private val clusteringCoeff = QueryDef(
+    "graph_clustering_coefficient",
+    "Local clustering coefficient per nation + global transitivity " +
+      "over the undirected trade graph — the micro-level companion to " +
+      "graph_triangle_count's census: HOW CLIQUISH is each node's " +
+      "neighborhood (C_v = 2T_v / d_v(d_v−1)), and the graph overall " +
+      "(3·triangles / wedges). Per-node triangle counts come from the " +
+      "same oriented a<b<c 3-cycle join (each triangle feeds all three " +
+      "corners once); degrees and wedges are exact BIGINTs; every " +
+      "ratio is EXACT truncated integer division in millionths " +
+      "(·10⁶ div — the decade-proof channel, no round(double) " +
+      "anywhere). Same ≤|V|²-edge reduction before any graph work; " +
+      "deg < 2 nodes read C_v = 0 by convention (stated, not hidden).",
+    (s, dir) => {
+      val nation = Tables.nation(s, dir)
+      val raw = Tables.orders(s, dir)
+        .join(broadcast(Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .join(Tables.lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("c_nationkey").as("a"), col("s_nationkey").as("b"))
+        .filter(col("a") =!= col("b"))
+      val edges = raw
+        .select(least(col("a"), col("b")).as("src"), greatest(col("a"), col("b")).as("dst"))
+        .distinct().cache()
+      val e1 = edges.select(col("src").as("a"), col("dst").as("b"))
+      val e2 = edges.select(col("src").as("b"), col("dst").as("c"))
+      val e3 = edges.select(col("src").as("a2"), col("dst").as("c2"))
+      val tri = e1.join(e2, Seq("b"))
+        .join(e3, col("a") === col("a2") && col("c") === col("c2"))
+        .select(col("a"), col("b"), col("c"))
+      val triPerNode = tri.select(col("a").as("v"))
+        .unionAll(tri.select(col("b").as("v")))
+        .unionAll(tri.select(col("c").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("tri"))
+      val deg = edges.select(col("src").as("v"))
+        .unionAll(edges.select(col("dst").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      val glob = deg.agg(sum(expr("deg * (deg - 1) div 2")).as("wedges"))
+        .crossJoin(tri.agg(count(lit(1)).as("t_total")))
+        .select(
+          (when(col("wedges") > 0,
+            expr("CAST((3 * t_total * 1000000) div wedges AS BIGINT)"))
+            .otherwise(lit(0L)).cast("double") / lit(1000000.0))
+            .as("transitivity"))
+      nation
+        .join(deg, col("n_nationkey") === deg("v"), "left")
+        .join(triPerNode, col("n_nationkey") === triPerNode("v"), "left")
+        .crossJoin(broadcast(glob))
+        .select(col("n_name").as("nation"),
+          coalesce(col("deg"), lit(0L)).as("degree"),
+          coalesce(col("tri"), lit(0L)).as("n_triangles"),
+          (when(coalesce(col("deg"), lit(0L)) >= 2,
+            expr("CAST((2 * coalesce(tri, 0L) * 1000000) div (deg * (deg - 1)) AS BIGINT)"))
+            .otherwise(lit(0L)).cast("double") / lit(1000000.0))
+            .as("local_cc"),
+          col("transitivity"))
+        .orderBy(col("local_cc").desc, col("nation"))
+    },
+    Some("""
+      |WITH raw AS MATERIALIZED (
+      |  SELECT DISTINCT
+      |         least(c.c_nationkey, s.s_nationkey) AS src,
+      |         greatest(c.c_nationkey, s.s_nationkey) AS dst
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  WHERE c.c_nationkey <> s.s_nationkey
+      |), tri AS MATERIALIZED (
+      |  SELECT e1.src AS a, e2.src AS b, e2.dst AS c
+      |  FROM raw e1 JOIN raw e2 ON e1.dst = e2.src
+      |  JOIN raw e3 ON e3.src = e1.src AND e3.dst = e2.dst
+      |), pern AS (
+      |  SELECT v, count(*) AS tri FROM (
+      |    SELECT a AS v FROM tri UNION ALL SELECT b FROM tri
+      |    UNION ALL SELECT c FROM tri
+      |  ) GROUP BY 1
+      |), deg AS (
+      |  SELECT v, count(*) AS deg FROM (
+      |    SELECT src AS v FROM raw UNION ALL SELECT dst FROM raw
+      |  ) GROUP BY 1
+      |), gl AS (
+      |  SELECT CASE WHEN (SELECT SUM(deg * (deg - 1) // 2) FROM deg) > 0
+      |              THEN ((3 * (SELECT count(*) FROM tri) * 1000000) //
+      |                    (SELECT SUM(deg * (deg - 1) // 2) FROM deg))::BIGINT
+      |              ELSE 0 END::DOUBLE / 1000000.0 AS transitivity
+      |)
+      |SELECT n.n_name AS nation,
+      |       COALESCE(d.deg, 0)::BIGINT AS degree,
+      |       COALESCE(p.tri, 0)::BIGINT AS n_triangles,
+      |       CASE WHEN COALESCE(d.deg, 0) >= 2
+      |            THEN ((2 * COALESCE(p.tri, 0) * 1000000) // (d.deg * (d.deg - 1)))::BIGINT
+      |            ELSE 0 END::DOUBLE / 1000000.0 AS local_cc,
+      |       gl.transitivity
+      |FROM nation n
+      |LEFT JOIN deg d ON d.v = n.n_nationkey
+      |LEFT JOIN pern p ON p.v = n.n_nationkey, gl
+      |ORDER BY local_cc DESC, nation
+      """.stripMargin.trim))
+
   private val dowSeason = QueryDef(
     "stat_dow_seasonality",
     "Day-of-week seasonal index per event type: mean daily value by " +
@@ -983,6 +1084,98 @@ object StatQueries {
       |             (2.0 * sqrt(n_a::DOUBLE * n_b::DOUBLE * (n_a + n_b + 1)::DOUBLE / 12.0)), 6)
       |         AS z_approx
       |FROM u
+      """.stripMargin.trim))
+
+  private val kruskal = QueryDef(
+    "stat_kruskal_wallis",
+    "Kruskal–Wallis H — the nonparametric one-way ANOVA: does event " +
+      "VALUE differ in location across ALL event types at once? " +
+      "Completes the battery: stat_anova_f assumes normality, " +
+      "stat_levene_bf checks its variance assumption, " +
+      "stat_mannwhitney_u compares two arms — this is the k-arm " +
+      "rank test. Doubled midranks 2r = 2·below + t + 1 are exact " +
+      "BIGINTs over the DISTINCT VALUE GRID (value-domain-bounded, " +
+      "the mannwhitney discipline; the row-sized work is one " +
+      "groupBy(vc, type) shuffle). Per-group (2R_g)²/n_g terms are " +
+      "doubles of EXACT integers (2R_g < 2⁵³ decades past sf10) " +
+      "summed by an ORDERED fold over the k-row group list (array " +
+      "fold ≡ list_reduce, the ev_holt_forecast channel — k terms of " +
+      "~1e21 magnitude admit no rounding grid, so order is fixed " +
+      "instead); H and the tie-corrected H' (ties via exact " +
+      "HUGEINT/DECIMAL Σ(t³−t)) evaluate in one fixed double shape.",
+    (s, dir) => {
+      val st = Tables.events(s, dir)
+        .select((col("value").cast(DecimalType(12, 2)) * 100).cast("long").as("vc"),
+          col("event_type"))
+      val cell = st.groupBy(col("vc"), col("event_type")).agg(count(lit(1)).as("c"))
+      val grid = st.groupBy(col("vc")).agg(count(lit(1)).as("t"))
+      val below = Window.orderBy(col("vc"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val ranked = grid.select(col("vc"), col("t"),
+        (lit(2L) * coalesce(sum(col("t")).over(below), lit(0L)) + col("t") + 1L)
+          .as("r2"))
+      val byGroup = cell.join(ranked, Seq("vc"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("c")).as("ng"), sum(col("c") * col("r2")).as("r2g"))
+      val ties = grid.agg(
+        sum(expr("CAST(t AS DECIMAL(38,0)) * t * t - t")).as("tie3"))
+      val agged = byGroup.agg(
+        count(lit(1)).as("k"),
+        sum(col("ng")).as("n"),
+        aggregate(
+          transform(array_sort(collect_list(struct(col("event_type"),
+            (col("r2g").cast("double") * col("r2g").cast("double") /
+              col("ng").cast("double")).as("term")))),
+            x => x.getField("term")),
+          lit(0.0), (acc, x) => acc + x).as("a4"))
+        .crossJoin(ties)
+      // doubled-rank algebra: with A = Σ_g (2R_g)²/n_g, Σ_g R_g²/n_g = A/4,
+      // so H = 12·(A/4)/(N(N+1)) − 3(N+1) = 3A/(N(N+1)) − 3(N+1)
+      val nD = col("n").cast("double")
+      val h = lit(3.0) * col("a4") / (nD * (nD + lit(1.0))) -
+        lit(3.0) * (nD + lit(1.0))
+      val corr = lit(1.0) - col("tie3").cast("double") /
+        (nD * nD * nD - nD)
+      agged.select(col("k"), col("n"),
+        round(h, 4).as("h_stat"),
+        round(h / corr, 4).as("h_tie_corrected"))
+    },
+    Some("""
+      |WITH s AS (
+      |  SELECT CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS vc, event_type
+      |  FROM events
+      |), cell AS (
+      |  SELECT vc, event_type, count(*) AS c FROM s GROUP BY 1, 2
+      |), grid AS (
+      |  SELECT vc, count(*) AS t FROM s GROUP BY 1
+      |), ranked AS (
+      |  SELECT vc, t,
+      |         2 * COALESCE(SUM(t) OVER (ORDER BY vc
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + t + 1 AS r2
+      |  FROM grid
+      |), bygroup AS (
+      |  SELECT cell.event_type, SUM(c)::BIGINT AS ng,
+      |         SUM(c * r2)::BIGINT AS r2g
+      |  FROM cell JOIN ranked USING (vc) GROUP BY 1
+      |), ties AS (
+      |  SELECT SUM(t::HUGEINT * t * t - t) AS tie3 FROM grid
+      |), agged AS (
+      |  SELECT count(*)::BIGINT AS k, SUM(ng)::BIGINT AS n,
+      |         list_reduce(
+      |           [0.0::DOUBLE] || list(r2g::DOUBLE * r2g::DOUBLE / ng::DOUBLE
+      |                                 ORDER BY event_type),
+      |           (acc, x) -> acc + x) AS a4
+      |  FROM bygroup
+      |), f AS (
+      |  SELECT k, n, a4, tie3,
+      |         3.0 * a4 / (n::DOUBLE * (n::DOUBLE + 1.0)) -
+      |           3.0 * (n::DOUBLE + 1.0) AS h,
+      |         1.0 - tie3::DOUBLE /
+      |           (n::DOUBLE * n::DOUBLE * n::DOUBLE - n::DOUBLE) AS corr
+      |  FROM agged, ties
+      |)
+      |SELECT k, n, round(h, 4) AS h_stat, round(h / corr, 4) AS h_tie_corrected
+      |FROM f
       """.stripMargin.trim))
 
   private val holt = QueryDef(
@@ -2904,5 +3097,6 @@ object StatQueries {
       poissonBootstrap, kcore, labelPropagation, ssspWeighted, hillTail,
       pprParts, spearmanDaily, holtWinters, linkPrediction, hitsNations,
       anovaF, closeness, leveneBf, stlDecompose, jarqueBera, eccentricity,
-      seasonalityStrength, grubbs, runsTest, betweenness)
+      seasonalityStrength, grubbs, runsTest, betweenness, clusteringCoeff,
+      kruskal)
 }

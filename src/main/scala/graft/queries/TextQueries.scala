@@ -1673,9 +1673,185 @@ object TextQueries {
       |FROM agg ORDER BY source_a, source_b
       """.stripMargin.trim))
 
+  private val heapsQ = QueryDef(
+    "txt_heaps_law",
+    "Heaps'-law fit of vocabulary growth: OLS of ln(distinct types) on " +
+      "ln(total tokens) across the per-source sub-corpora — V ≈ K·Nᵝ " +
+      "with β ≈ 0.4–0.6 for natural language; β near 1 flags " +
+      "boilerplate-free synthetic text, β near 0 flags template spam. " +
+      "The data-mixing companion to txt_zipf_fit (frequency shape) and " +
+      "txt_source_jsd (distribution distance): sources whose (N, V) " +
+      "point falls off the corpus line need a second look before " +
+      "their mixing weight is set. Data-sized work is ONE " +
+      "(source, token) rollup; the regression runs on |sources| rows " +
+      "with the zipf float discipline verbatim (round-6 ln's, round-6 " +
+      "term products into DECIMAL(38,6), fixed closed form).",
+    (s, dir) => {
+      val per = docToks(s, dir)
+        .select(col("source"), explode(col("toks")).as("token"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_tok"), countDistinct(col("token")).as("n_typ"))
+      val pts = per.select(
+        round(log(col("n_tok").cast("double")), 6).as("x"),
+        round(log(col("n_typ").cast("double")), 6).as("y"))
+      val dec6 = org.apache.spark.sql.types.DecimalType(38, 6)
+      val st = pts.agg(
+        count(lit(1)).as("k"),
+        sum(col("x").cast(dec6)).cast("double").as("sx"),
+        sum(col("y").cast(dec6)).cast("double").as("sy"),
+        sum(round(col("x") * col("y"), 6).cast(dec6)).cast("double").as("sxy"),
+        sum(round(col("x") * col("x"), 6).cast(dec6)).cast("double").as("sxx"),
+        sum(round(col("y") * col("y"), 6).cast(dec6)).cast("double").as("syy"))
+      val slope = (col("k").cast("double") * col("sxy") - col("sx") * col("sy")) /
+        (col("k").cast("double") * col("sxx") - col("sx") * col("sx"))
+      st.select(col("k").as("n_sources"),
+        round(slope, 6).as("heaps_beta"),
+        round((col("sy") - slope * col("sx")) / col("k").cast("double"), 6)
+          .as("heaps_logk"),
+        round((col("k").cast("double") * col("sxy") - col("sx") * col("sy")) *
+          (col("k").cast("double") * col("sxy") - col("sx") * col("sy")) /
+          ((col("k").cast("double") * col("sxx") - col("sx") * col("sx")) *
+            (col("k").cast("double") * col("syy") - col("sy") * col("sy"))), 6)
+          .as("r2"))
+    },
+    Some(s"""
+      |${Duck.docToks}, per AS (
+      |  SELECT source, count(*) AS n_tok, count(DISTINCT token) AS n_typ
+      |  FROM (SELECT source, unnest(toks) AS token FROM tt)
+      |  GROUP BY source
+      |), pts AS (
+      |  SELECT round(ln(n_tok::DOUBLE), 6) AS x,
+      |         round(ln(n_typ::DOUBLE), 6) AS y
+      |  FROM per
+      |), st AS (
+      |  SELECT count(*)::BIGINT AS k,
+      |         CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+      |         CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+      |         CAST(SUM(CAST(round(x * y, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+      |         CAST(SUM(CAST(round(x * x, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+      |         CAST(SUM(CAST(round(y * y, 6) AS DECIMAL(38,6))) AS DOUBLE) AS syy
+      |  FROM pts
+      |), f AS (
+      |  SELECT k, sx, sy, sxy, sxx, syy,
+      |         (k::DOUBLE * sxy - sx * sy) / (k::DOUBLE * sxx - sx * sx) AS slope
+      |  FROM st
+      |)
+      |SELECT k AS n_sources,
+      |       round(slope, 6) AS heaps_beta,
+      |       round((sy - slope * sx) / k::DOUBLE, 6) AS heaps_logk,
+      |       round((k::DOUBLE * sxy - sx * sy) *
+      |             (k::DOUBLE * sxy - sx * sy) /
+      |             ((k::DOUBLE * sxx - sx * sx) *
+      |              (k::DOUBLE * syy - sy * sy)), 6) AS r2
+      |FROM f
+      """.stripMargin.trim))
+
+  /** TextRank vocabulary cap: the salient-vocab subgraph the keyword
+    * PageRank runs on — bounds the graph (and the oracle's unrolled
+    * iterations) to ≤ this many nodes at every SF. The actual |V| is
+    * data-dependent (the sf0.001 synthetic corpus has only 31 distinct
+    * tokens), so the oracle derives r0 and the teleport share from
+    * count(v) exactly as PageRank.weighted does — never from the cap.
+    */
+  private val TextRankVocab = 50
+
+  /** One weighted-PageRank power iteration over the token graph as a
+    * DuckDB CTE — StatQueries.prIter with the teleport share derived
+    * from the DATA-DEPENDENT vocab size (integer division, matching
+    * PageRank.weighted's `(massMicro·15/100) / nV`).
+    */
+  private def trIter(next: Int, prev: Int): String = s""",
+    |r$next AS (
+    |  SELECT v.id,
+    |         (150000000000 // (SELECT count(*) FROM v)) +
+    |         COALESCE(SUM((((r$prev.r * 85) // 100) * e.w) // deg.totw), 0) AS r
+    |  FROM v
+    |  LEFT JOIN edges e ON e.dst = v.id
+    |  LEFT JOIN r$prev ON r$prev.id = e.src
+    |  LEFT JOIN deg ON deg.src = e.src
+    |  GROUP BY v.id
+    |)""".stripMargin
+
+  private val textrankQ = QueryDef(
+    "txt_textrank_keywords",
+    s"TextRank keyword extraction (Mihalcea & Tarau 2004): weighted " +
+      s"PageRank over the word co-occurrence graph — the global " +
+      s"graph-centrality keyword ranking beside txt_rake_keywords' " +
+      s"per-document phrase scores, and the second consumer of the " +
+      s"PageRank operator (operator reuse is the point: the SAME " +
+      s"integer micro-unit iteration that ranks trade partners ranks " +
+      s"vocabulary). Graph: top-$TextRankVocab corpus tokens by " +
+      s"frequency (deterministic (n desc, token) cut), edges = " +
+      s"adjacent-token co-occurrence counts within documents, made " +
+      s"symmetric; 3 power iterations at damping 0.85, all " +
+      s"arithmetic exact BIGINT micro-units (the graph_pagerank " +
+      s"contract — bit-identical under any partitioning, oracle " +
+      s"unrolls the same iterations as CTEs). Data-sized work: one " +
+      s"bigram rollup shuffle + the vocab rollup; the graph itself " +
+      s"is ≤$TextRankVocab² rows.",
+    (s, dir) => {
+      val tk = docToks(s, dir)
+      val vocab = tk.select(explode(col("toks")).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token")).limit(TextRankVocab)
+        .select(col("token")).cache()
+      val bi = tk.select(explode(zip_with(
+          slice(col("toks"), lit(1), size(col("toks")) - 1),
+          slice(col("toks"), lit(2), size(col("toks")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("pr"))
+        .select(col("pr.w1").as("w1"), col("pr.w2").as("w2"))
+        .filter(col("w1") =!= col("w2"))
+        .join(vocab.select(col("token").as("w1")), Seq("w1"))
+        .join(vocab.select(col("token").as("w2")), Seq("w2"))
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cw"))
+      // symmetric: TextRank's graph is undirected, PageRank.weighted
+      // walks directed edges — emit both directions and SUM (a pair
+      // seen both ways merges)
+      val edges = bi.select(col("w1").as("src"), col("w2").as("dst"), col("cw"))
+        .unionAll(bi.select(col("w2").as("src"), col("w1").as("dst"), col("cw")))
+        .groupBy(col("src"), col("dst")).agg(sum(col("cw")).as("w"))
+      val ranks = graft.operators.PageRank.weighted(
+        vocab.select(col("token").as("id")), edges, iterations = 3)
+      ranks
+        .select(col("id").as("token"), col("rank_micro"))
+        .orderBy(col("rank_micro").desc, col("token"))
+        .limit(25)
+    },
+    Some(s"""
+      |${Duck.docToks}, vocab AS MATERIALIZED (
+      |  SELECT t AS token FROM (
+      |    SELECT unnest(toks) AS t FROM tt
+      |  ) GROUP BY t ORDER BY count(*) DESC, t LIMIT $TextRankVocab
+      |), bi0 AS (
+      |  SELECT unnest(list_transform(range(len(toks)-1),
+      |           i -> {'w1': toks[i+1], 'w2': toks[i+2]})) AS pr FROM tt
+      |), bi AS (
+      |  SELECT pr.w1 AS w1, pr.w2 AS w2, count(*) AS cw
+      |  FROM bi0
+      |  WHERE pr.w1 <> pr.w2
+      |    AND pr.w1 IN (SELECT token FROM vocab)
+      |    AND pr.w2 IN (SELECT token FROM vocab)
+      |  GROUP BY 1, 2
+      |), edges AS MATERIALIZED (
+      |  SELECT src, dst, SUM(cw)::BIGINT AS w FROM (
+      |    SELECT w1 AS src, w2 AS dst, cw FROM bi
+      |    UNION ALL SELECT w2, w1, cw FROM bi
+      |  ) GROUP BY 1, 2
+      |), deg AS (
+      |  SELECT src, SUM(w) AS totw FROM edges GROUP BY 1
+      |), v AS (SELECT token AS id FROM vocab),
+      |r0 AS (SELECT id,
+      |       (1000000000000 // (SELECT count(*) FROM v))::BIGINT AS r FROM v)
+      """.stripMargin.trim
+      + trIter(1, 0) + trIter(2, 1) + trIter(3, 2) + """
+      |SELECT r3.id AS token, r3.r::BIGINT AS rank_micro
+      |FROM r3
+      |ORDER BY rank_micro DESC, token LIMIT 25
+      """.stripMargin))
+
   val defs: Seq[QueryDef] =
     Seq(stats, langQ, quality, fp, topTokens, bigramLift, lmQ, simhashQ,
       embedQ, embedKnnQ, bm25Q, hybridRrfQ, crossencQ, maxsimQ, tfidfQ, chunksQ, packQ,
       tokenBudgetQ, gopherQ, dupNgramsQ, piiQ, noveltyQ, invIndexQ, bpeTrainQ, rakeQ,
-      readabilityQ, rankingNdcgQ, zipfQ, llrQ, burstinessQ, jsdQ)
+      readabilityQ, rankingNdcgQ, zipfQ, llrQ, burstinessQ, jsdQ, heapsQ, textrankQ)
 }

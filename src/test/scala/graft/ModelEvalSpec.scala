@@ -1136,4 +1136,125 @@ class ModelEvalSpec extends SparkSpec {
     // the sampled-source estimator found actual brokers on this graph
     assert(out.map(_._2).max > 0.0, "every betweenness is zero")
   }
+
+  test("graph_clustering_coefficient: exact driver replay of triangles, degrees, ratios") {
+    val dir = sf("sf0.001")
+    val out = run("graph_clustering_coefficient").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(out.length == 25)
+    val edges = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.lineitem(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
+      .filter(col("c_nationkey") =!= col("s_nationkey"))
+      .select(least(col("c_nationkey"), col("s_nationkey")).as("src"),
+        greatest(col("c_nationkey"), col("s_nationkey")).as("dst"))
+      .distinct().collect().map(r => (r.getInt(0).toLong, r.getInt(1).toLong)).toSet
+    val names = Tables.nation(spark, dir)
+      .select(col("n_nationkey").cast("long"), col("n_name"))
+      .collect().map(r => (r.getString(1), r.getLong(0))).toMap
+    val nbrs = (edges.map(e => e._1 -> e._2) ++ edges.map(e => e._2 -> e._1))
+      .groupBy(_._1).map { case (v, ps) => v -> ps.map(_._2).toSet }
+    val triOf = nbrs.map { case (v, ns) =>
+      v -> ns.toSeq.combinations(2).count {
+        case Seq(a, b) => edges.contains((a min b, a max b)); case _ => false
+      }.toLong
+    }
+    val tTotal = triOf.values.sum / 3
+    val wedges = nbrs.values.map(ns => ns.size.toLong * (ns.size - 1) / 2).sum
+    val transRe = if (wedges > 0) (3 * tTotal * 1000000L / wedges).toDouble / 1e6 else 0.0
+    for ((nation, deg, tri, lcc, trans) <- out) {
+      val v = names(nation)
+      val d = nbrs.get(v).map(_.size.toLong).getOrElse(0L)
+      assert(deg == d, s"$nation degree $deg vs $d")
+      assert(tri == triOf.getOrElse(v, 0L), s"$nation triangles")
+      val want = if (d >= 2) (2 * tri * 1000000L / (d * (d - 1))).toDouble / 1e6 else 0.0
+      assert(lcc == want, s"$nation lcc $lcc vs $want")
+      assert(trans == transRe, s"transitivity $trans vs $transRe")
+    }
+  }
+
+  test("stat_kruskal_wallis: H replays from driver-side doubled midranks") {
+    val r = run("stat_kruskal_wallis").collect().head
+    val (k, n, h, hc) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
+    val rows = Tables.events(spark, sf("sf0.001"))
+      .select((col("value").cast(org.apache.spark.sql.types.DecimalType(12, 2)) * 100)
+        .cast("long").as("vc"), col("event_type"))
+      .collect().map(rr => (rr.getLong(0), rr.getString(1)))
+    assert(n == rows.length && k == rows.map(_._2).distinct.length)
+    // doubled midranks over the sorted distinct value grid
+    val grid = rows.groupBy(_._1).view.mapValues(_.length.toLong).toSeq.sortBy(_._1)
+    var below = 0L
+    val r2 = grid.map { case (vc, t) =>
+      val rr2 = 2 * below + t + 1; below += t; vc -> rr2 }.toMap
+    val byG = rows.groupBy(_._2).view.mapValues { vs =>
+      (vs.length.toLong, vs.map(v => r2(v._1)).sum) }.toSeq.sortBy(_._1)
+    // ordered fold in the same event_type order as the engines
+    var a4 = 0.0
+    byG.foreach { case (_, (ng, r2g)) =>
+      a4 += r2g.toDouble * r2g.toDouble / ng.toDouble }
+    val nD = n.toDouble
+    val hRe = 3.0 * a4 / (nD * (nD + 1.0)) - 3.0 * (nD + 1.0)
+    val tie3 = grid.map { case (_, t) => BigInt(t) * t * t - t }.sum
+    val corr = 1.0 - tie3.toDouble / (nD * nD * nD - nD)
+    def rd4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(h - rd4(hRe)) < 1e-9, s"H $h vs $hRe")
+    assert(math.abs(hc - rd4(hRe / corr)) < 1e-9, s"H' $hc vs ${hRe / corr}")
+    assert(hc >= h, "tie correction must not shrink H (C <= 1)")
+  }
+
+  test("txt_heaps_law: beta recomposes from per-source token/type counts") {
+    val r = run("txt_heaps_law").collect().head
+    val (k, beta, logk, r2v) =
+      (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    assert(r2v >= 0.0 && r2v <= 1.0)
+    val per = Tables.documentsSpread(spark, sf("sf0.001"))
+      .select(col("source"),
+        explode(graft.operators.TextAnalysis.tokens(col("text"))).as("t"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("nt"), countDistinct(col("t")).as("ny"))
+      .collect().map(rr => (rr.getLong(1), rr.getLong(2)))
+    assert(k == per.length)
+    def rd(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val pts = per.map { case (nt, ny) =>
+      (rd(math.log(nt.toDouble)), rd(math.log(ny.toDouble))) }
+    val kk = pts.length.toDouble
+    val sx = pts.map(_._1).sum.toDouble
+    val sy = pts.map(_._2).sum.toDouble
+    val sxy = pts.map { case (x, y) => rd(x.toDouble * y.toDouble) }.sum.toDouble
+    val sxx = pts.map { case (x, _) => rd(x.toDouble * x.toDouble) }.sum.toDouble
+    val betaRe = (kk * sxy - sx * sy) / (kk * sxx - sx * sx)
+    assert(math.abs(beta - rd(betaRe).toDouble) < 1e-9, s"$beta vs $betaRe")
+    assert(math.abs(logk - rd((sy - betaRe * sx) / kk).toDouble) < 1e-9)
+  }
+
+  test("txt_textrank_keywords: exact driver replay of the integer PageRank") {
+    val dir = sf("sf0.001")
+    val out = run("txt_textrank_keywords").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(out.nonEmpty && out.length <= 25)
+    // rebuild the capped-vocab co-occurrence graph with the engine's tokenizer
+    val toks = Tables.documentsSpread(spark, dir)
+      .select(graft.operators.TextAnalysis.tokens(col("text")).as("toks"))
+      .collect().map(_.getSeq[String](0))
+    val vocab = toks.flatten.groupBy(identity).view.mapValues(_.length).toSeq
+      .sortBy { case (t, c) => (-c, t) }.take(50).map(_._1).toSet
+    val pairs = toks.flatMap(ts => ts.zip(ts.tail))
+      .filter { case (a, b) => a != b && vocab(a) && vocab(b) }
+    val und = (pairs ++ pairs.map(_.swap)).groupBy(identity)
+      .map { case ((a, b), ps) => (a, b, ps.length.toLong) }.toSeq
+    val totw = und.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val nV = vocab.size.toLong
+    var rank = vocab.map(_ -> 1000000000000L / nV).toMap
+    val teleport = 150000000000L / nV
+    for (_ <- 1 to 3) {
+      val in = und.groupBy(_._2).view.mapValues(_.map { case (s, _, w) =>
+        (rank(s) * 85 / 100) * w / totw(s) }.sum).toMap
+      rank = vocab.map(v => v -> (teleport + in.getOrElse(v, 0L))).toMap
+    }
+    val want = rank.toSeq.sortBy { case (t, rr) => (-rr, t) }.take(25)
+    assert(out.toSeq == want, s"engine ${out.take(3).toSeq} vs replay ${want.take(3)}")
+  }
 }
