@@ -463,7 +463,65 @@ object QualityQueries {
       |FROM legs ORDER BY fk_edge
       """.stripMargin.trim))
 
+  private val pkUniqueness = QueryDef(
+    "dq_pk_uniqueness",
+    "Primary-key uniqueness + density audit across every single-key " +
+      "table — the OTHER half of referential health next to " +
+      "dq_referential_integrity's FK edges: per table, row count vs " +
+      "exact distinct-key count (duplicates = silent row explosion in " +
+      "every downstream join), typed key extrema, and key-range " +
+      "density n_keys·10⁶ div (max−min+1) in exact integer millionths " +
+      "(density ≪ 1 flags sparse/remapped id spaces before a dense-" +
+      "array assumption corrupts a build, e.g. an IVF id-partitioned " +
+      "store). Zero duplicates on the fixtures is the EXPECTED green; " +
+      "the gate pins the mechanism and the exact counts. Each table " +
+      "is ONE map-side-combining aggregate; output is 8 rows.",
+    (s, dir) => {
+      def audit(name: String, df: org.apache.spark.sql.DataFrame, key: String) =
+        df.agg(count(lit(1)).as("n_rows"),
+            countDistinct(col(key)).as("n_keys"),
+            min(col(key)).cast("long").as("min_key"),
+            max(col(key)).cast("long").as("max_key"))
+          .select(lit(name).as("table_name"), col("n_rows"), col("n_keys"),
+            (col("n_rows") - col("n_keys")).as("n_dup_keys"),
+            col("min_key"), col("max_key"),
+            (expr("CAST((n_keys * 1000000) div (max_key - min_key + 1) AS BIGINT)")
+              .cast("double") / lit(1000000.0)).as("key_density"))
+      Seq(
+        audit("customer", Tables.customer(s, dir), "c_custkey"),
+        audit("documents", Tables.documents(s, dir), "doc_id"),
+        audit("embeddings", Tables.embeddings(s, dir), "vec_id"),
+        audit("nation", Tables.nation(s, dir), "n_nationkey"),
+        audit("orders", Tables.orders(s, dir), "o_orderkey"),
+        audit("part", Tables.part(s, dir), "p_partkey"),
+        audit("region", Tables.region(s, dir), "r_regionkey"),
+        audit("supplier", Tables.supplier(s, dir), "s_suppkey"))
+        .reduce(_ unionAll _)
+        .orderBy(col("table_name"))
+    },
+    Some {
+      val tables = Seq(
+        ("customer", "customer", "c_custkey"),
+        ("documents", "documents", "doc_id"),
+        ("embeddings", "embeddings", "vec_id"),
+        ("nation", "nation", "n_nationkey"),
+        ("orders", "orders", "o_orderkey"),
+        ("part", "part", "p_partkey"),
+        ("region", "region", "r_regionkey"),
+        ("supplier", "supplier", "s_suppkey"))
+      tables.map { case (name, tbl, key) =>
+        s"""|SELECT '$name' AS table_name, count(*) AS n_rows,
+            |       count(DISTINCT $key) AS n_keys,
+            |       (count(*) - count(DISTINCT $key))::BIGINT AS n_dup_keys,
+            |       min($key)::BIGINT AS min_key, max($key)::BIGINT AS max_key,
+            |       ((count(DISTINCT $key) * 1000000) //
+            |        (max($key)::BIGINT - min($key)::BIGINT + 1))::DOUBLE / 1000000.0
+            |         AS key_density
+            |FROM $tbl""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY table_name")
+    })
+
   val defs: Seq[QueryDef] =
     Seq(profileQ, fuzzyLinkQ, expectationsQ, kAnonymity, tableFingerprint,
-      driftTv, dpCounts, refIntegrity)
+      driftTv, dpCounts, refIntegrity, pkUniqueness)
 }

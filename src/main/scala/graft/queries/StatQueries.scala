@@ -320,6 +320,60 @@ object StatQueries {
       |ORDER BY label_a, label_b
       """.stripMargin.trim))
 
+  private val centroidDrift = QueryDef(
+    "vec_centroid_drift",
+    "Embedding-distribution drift monitor: per-label cosine distance " +
+      "between the centroid of the REFERENCE half of the corpus and " +
+      "the CURRENT half (deterministic vec_id-parity split standing in " +
+      "for yesterday's-snapshot vs today's) — the check a serving " +
+      "pipeline runs before trusting an ANN index built on last week's " +
+      "geometry: a label whose centroid moved is a label whose IVF " +
+      "cells / NSW neighborhoods are stale. Same exact posexplode/" +
+      "decimal-mean centroid formulation as vec_centroid_sim_matrix " +
+      "(bit-identical means on both engines), one |labels|-row join, " +
+      "round-6 cosine; n per half reported so a thin label can't hide " +
+      "behind a noisy centroid.",
+    (s, dir) => {
+      import graft.functions.VectorFunctions.cosineDistance
+      def half(par: Int) = Tables.embeddings(s, dir)
+        .filter(pmod(col("vec_id"), lit(2)) === par)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("label"), col("pos"))
+        .agg(count(lit(1)).as("n"),
+          (sum(col("v").cast(DecimalType(38, 12))).cast("double") /
+            count(lit(1))).as("m"))
+        .groupBy(col("label"))
+        .agg(first(col("n")).as("n"),
+          transform(sort_array(collect_list(struct(col("pos"), col("m")))),
+            x => x.getField("m")).as("vv"))
+      val ref = half(0).select(col("label"), col("n").as("n_ref"), col("vv").as("vr"))
+      val cur = half(1).select(col("label"), col("n").as("n_cur"), col("vv").as("vc"))
+      ref.join(cur, Seq("label"))
+        .select(col("label"), col("n_ref"), col("n_cur"),
+          round(cosineDistance(col("vr"), col("vc")), 6).as("drift"))
+        .orderBy(col("drift").desc, col("label"))
+    },
+    Some("""
+      |WITH ex AS (
+      |  SELECT vec_id % 2 AS half, label,
+      |         generate_subscripts(embedding, 1) - 1 AS pos, unnest(embedding) AS v
+      |  FROM embeddings
+      |), m AS (
+      |  SELECT half, label, pos, count(*) AS n,
+      |         CAST(SUM(CAST(v AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS m
+      |  FROM ex GROUP BY 1, 2, 3
+      |), c AS (
+      |  SELECT half, label, any_value(n)::BIGINT AS n, list(m ORDER BY pos) AS v
+      |  FROM m GROUP BY 1, 2
+      |)
+      |SELECT r.label, r.n AS n_ref, cu.n AS n_cur,
+      |       round(1.0 - list_dot_product(r.v, cu.v) /
+      |             (sqrt(list_dot_product(r.v, r.v)) *
+      |              sqrt(list_dot_product(cu.v, cu.v))), 6) AS drift
+      |FROM c r JOIN c cu ON r.label = cu.label AND r.half = 0 AND cu.half = 1
+      |ORDER BY drift DESC, r.label
+      """.stripMargin.trim))
+
   private val abWelch = QueryDef(
     "stat_ab_welch",
     "A/B experiment readout — Welch's z for the difference in mean " +
@@ -3098,5 +3152,5 @@ object StatQueries {
       pprParts, spearmanDaily, holtWinters, linkPrediction, hitsNations,
       anovaF, closeness, leveneBf, stlDecompose, jarqueBera, eccentricity,
       seasonalityStrength, grubbs, runsTest, betweenness, clusteringCoeff,
-      kruskal)
+      kruskal, centroidDrift)
 }

@@ -1849,9 +1849,71 @@ object TextQueries {
       |ORDER BY rank_micro DESC, token LIMIT 25
       """.stripMargin))
 
+  private val codeDetectQ = QueryDef(
+    "txt_code_detect",
+    "Code-vs-prose detection per source — the corpus-routing filter an " +
+      "LLM-data pipeline runs before language-ID (code needs different " +
+      "dedup n-grams, quality thresholds, and tokenizer treatment than " +
+      "prose): per document, count code-symbol characters " +
+      "({}();=<>[]), digits, and semicolons on the normalized text; a " +
+      "document is flagged code when its symbol share exceeds 3% " +
+      "(integer comparison sym·10⁶ > 30000·len — no float threshold). " +
+      "Fixtures are synthetic prose, so 0 flags is the EXPECTED green " +
+      "(the dq_referential_integrity convention: the gate pins the " +
+      "mechanism and the exact per-source feature sums, not a " +
+      "non-zero hit). All counts exact BIGINT; shares are ·10⁶ div " +
+      "exact integer ratios. One scan, one per-source rollup shuffle.",
+    (s, dir) => {
+      val symPat = "[{}();=<>\\[\\]]"
+      val d = docToks(s, dir).select(col("source"),
+        length(col("norm")).cast("long").as("len"),
+        (length(col("norm")) -
+          length(regexp_replace(col("norm"), symPat, ""))).cast("long").as("sym"),
+        (length(col("norm")) -
+          length(regexp_replace(col("norm"), "[0-9]", ""))).cast("long").as("dig"))
+        .withColumn("is_code",
+          when(col("sym") * 1000000L > lit(30000L) * col("len"), 1L).otherwise(0L))
+      d.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("is_code")).as("n_code"),
+          sum(col("sym")).as("n_sym"), sum(col("dig")).as("n_dig"),
+          sum(col("len")).as("n_chars"))
+        .select(col("source"), col("n_docs"), col("n_code"),
+          (expr("CAST((n_code * 1000000) div n_docs AS BIGINT)").cast("double") /
+            lit(1000000.0)).as("code_rate"),
+          (expr("CAST((n_sym * 1000000) div n_chars AS BIGINT)").cast("double") /
+            lit(1000000.0)).as("symbol_share"),
+          (expr("CAST((n_dig * 1000000) div n_chars AS BIGINT)").cast("double") /
+            lit(1000000.0)).as("digit_share"))
+        .orderBy(col("symbol_share").desc, col("source"))
+    },
+    Some(s"""
+      |${Duck.docToks}, d AS (
+      |  SELECT source, length(norm)::BIGINT AS len,
+      |         (length(norm) - length(regexp_replace(norm, '[{}();=<>\\[\\]]', '', 'g')))::BIGINT AS sym,
+      |         (length(norm) - length(regexp_replace(norm, '[0-9]', '', 'g')))::BIGINT AS dig
+      |  FROM tt
+      |), f AS (
+      |  SELECT source, len, sym, dig,
+      |         CASE WHEN sym * 1000000 > 30000 * len THEN 1 ELSE 0 END AS is_code
+      |  FROM d
+      |), g AS (
+      |  SELECT source, count(*) AS n_docs, SUM(is_code)::BIGINT AS n_code,
+      |         SUM(sym)::BIGINT AS n_sym, SUM(dig)::BIGINT AS n_dig,
+      |         SUM(len)::BIGINT AS n_chars
+      |  FROM f GROUP BY 1
+      |)
+      |SELECT source, n_docs, n_code,
+      |       ((n_code * 1000000) // n_docs)::DOUBLE / 1000000.0 AS code_rate,
+      |       ((n_sym * 1000000) // n_chars)::DOUBLE / 1000000.0 AS symbol_share,
+      |       ((n_dig * 1000000) // n_chars)::DOUBLE / 1000000.0 AS digit_share
+      |FROM g
+      |ORDER BY symbol_share DESC, source
+      """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
     Seq(stats, langQ, quality, fp, topTokens, bigramLift, lmQ, simhashQ,
       embedQ, embedKnnQ, bm25Q, hybridRrfQ, crossencQ, maxsimQ, tfidfQ, chunksQ, packQ,
       tokenBudgetQ, gopherQ, dupNgramsQ, piiQ, noveltyQ, invIndexQ, bpeTrainQ, rakeQ,
-      readabilityQ, rankingNdcgQ, zipfQ, llrQ, burstinessQ, jsdQ, heapsQ, textrankQ)
+      readabilityQ, rankingNdcgQ, zipfQ, llrQ, burstinessQ, jsdQ, heapsQ, textrankQ,
+      codeDetectQ)
 }

@@ -1257,4 +1257,115 @@ class ModelEvalSpec extends SparkSpec {
     val want = rank.toSeq.sortBy { case (t, rr) => (-rr, t) }.take(25)
     assert(out.toSeq == want, s"engine ${out.take(3).toSeq} vs replay ${want.take(3)}")
   }
+
+  test("ml_frequent_triples: exact driver replay of the a-priori level-3 scan") {
+    val out = run("ml_frequent_triples").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    val baskets = Tables.lineitem(spark, sf("sf0.001"))
+      .join(Tables.part(spark, sf("sf0.001")), col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("p_brand")).distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toIndexedSeq).toMap
+    val sup = collection.mutable.Map.empty[(String, String, String), Long]
+      .withDefaultValue(0L)
+    baskets.values.foreach { items =>
+      items.combinations(3).foreach {
+        case Seq(a, b, c) => sup((a, b, c)) += 1
+        case _ =>
+      }
+    }
+    val freq = sup.filter(_._2 >= 2)
+    val top = freq.toSeq.sortBy { case ((a, b, c), s) => (-s, a, b, c) }.take(25)
+    assert(out.length == math.min(25, freq.size))
+    out.zip(top).foreach { case ((a, b, c, s, nf), ((wa, wb, wc), ws)) =>
+      assert((a, b, c, s) == (wa, wb, wc, ws), s"engine ($a,$b,$c,$s) vs ($wa,$wb,$wc,$ws)")
+      assert(nf == freq.size.toLong, s"n_frequent $nf vs ${freq.size}")
+    }
+  }
+
+  test("vec_centroid_drift: halves partition each label; drift in [0,2] and replays") {
+    val dir = sf("sf0.001")
+    val out = run("vec_centroid_drift").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val rows = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).toArray))
+    val byLabel = rows.groupBy(_._2)
+    assert(out.map(_._1).toSet == byLabel.keySet.filter { l =>
+      byLabel(l).exists(_._1 % 2 == 0) && byLabel(l).exists(_._1 % 2 == 1) })
+    def centroid(vs: Array[Array[Float]]): Array[Double] = {
+      val dim = vs.head.length
+      (0 until dim).map { i =>
+        // the engine's exact channel: DECIMAL(38,12) sum cast double,
+        // THEN one double division (not exact decimal division)
+        val s = vs.map(v => BigDecimal(v(i).toDouble)
+          .setScale(12, BigDecimal.RoundingMode.HALF_UP)).sum
+        s.toDouble / vs.length
+      }.toArray
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      1.0 - dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    for ((label, nRef, nCur, drift) <- out) {
+      val (ref, cur) = byLabel(label).partition(_._1 % 2 == 0)
+      assert(nRef == ref.length && nCur == cur.length, s"label $label halves")
+      assert(drift >= 0.0 && drift <= 2.0)
+      val want = BigDecimal(cos(centroid(ref.map(_._3)), centroid(cur.map(_._3))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(drift - want) < 2e-6, s"label $label drift $drift vs $want")
+    }
+  }
+
+  test("txt_code_detect: feature sums replay from a driver regex pass") {
+    val out = run("txt_code_detect").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    val docs = Tables.documentsSpread(spark, sf("sf0.001"))
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val sym = "[{}();=<>\\[\\]]".r
+    val dig = "[0-9]".r
+    val per = docs.groupBy(_._1).view.mapValues { ds =>
+      val feats = ds.map { case (_, text) =>
+        val norm = text.trim.replaceAll("\\s+", " ").toLowerCase
+        val s = sym.findAllIn(norm).length.toLong
+        val d = dig.findAllIn(norm).length.toLong
+        val len = norm.length.toLong
+        (len, s, d, if (s * 1000000L > 30000L * len) 1L else 0L)
+      }
+      (feats.length.toLong, feats.map(_._4).sum, feats.map(_._2).sum,
+        feats.map(_._3).sum, feats.map(_._1).sum)
+    }.toMap
+    assert(out.length == per.size)
+    for ((source, nDocs, nCode, codeRate, symShare, digShare) <- out) {
+      val (wd, wc, ws, wg, wl) = per(source)
+      assert(nDocs == wd && nCode == wc, s"$source counts")
+      assert(codeRate == (wc * 1000000L / wd).toDouble / 1e6)
+      assert(symShare == (ws * 1000000L / wl).toDouble / 1e6, s"$source sym")
+      assert(digShare == (wg * 1000000L / wl).toDouble / 1e6, s"$source dig")
+    }
+    // the synthetic prose corpus must not read as code
+    assert(out.map(_._3).max <= 0.05, "prose fixture flagged as code")
+  }
+
+  test("dq_pk_uniqueness: audits replay for a keyed table and flag injected dupes") {
+    val out = run("dq_pk_uniqueness").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))
+    assert(out.length == 8 && out.map(_._1).toSeq == out.map(_._1).toSeq.sorted)
+    // replay one table exactly
+    val keys = Tables.orders(spark, sf("sf0.001"))
+      .select(col("o_orderkey")).collect().map(_.getLong(0))
+    val o = out.find(_._1 == "orders").get
+    assert(o._2 == keys.length && o._3 == keys.distinct.length &&
+      o._4 == keys.length - keys.distinct.length)
+    assert(o._5 == keys.min && o._6 == keys.max)
+    assert(o._7 == (keys.distinct.length.toLong * 1000000L /
+      (keys.max - keys.min + 1)).toDouble / 1e6)
+    // fixtures carry no duplicate keys — the expected-green contract
+    assert(out.forall(_._4 == 0L), "fixture has duplicate primary keys")
+  }
 }
