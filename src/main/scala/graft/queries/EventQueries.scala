@@ -895,9 +895,112 @@ object EventQueries {
       |FROM h ORDER BY day
       """.stripMargin.trim))
 
+  private val retentionHalflife = QueryDef(
+    "ev_retention_halflife",
+    "Retention half-life: fit r(o) ≈ K·e^(−λo) to the day-offset " +
+      "return rates and report ln2/λ — the ONE-NUMBER summary of " +
+      "ev_retention_cohorts' matrix that product analytics actually " +
+      "tracks week over week. Rates are exact-count ratios with a " +
+      "censoring-correct denominator (a user is eligible for offset o " +
+      "only when their cohort is ≥ o days old — naive division " +
+      "understates late offsets); the log-linear OLS runs over ≤14 " +
+      "(offset, round-6 ln rate) points with the txt_zipf_fit float " +
+      "discipline (round-6 terms into DECIMAL(38,6), one fixed closed " +
+      "form). A NON-decaying series fits a slope ≥ 0 and reports a " +
+      "NEGATIVE half-life — the honest readout (the synthetic fixture " +
+      "does exactly this; spec-locked), not a clamped plausible " +
+      "number. One user-keyed shuffle + two offset-keyed rollups; the " +
+      "regression is O(14) at any scale.",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val dec6 = org.apache.spark.sql.types.DecimalType(38, 6)
+      val w = Window.partitionBy(col("user_id"))
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+      val c = ev.withColumn("cohort_day", min(col("day")).over(w))
+        .withColumn("day_offset", datediff(col("day"), col("cohort_day")))
+        .select(col("user_id"), col("cohort_day"), col("day_offset"))
+        .distinct()
+      val mxd = ev.agg(max(col("day")).as("mxd"))
+      val active = c.filter(col("day_offset").between(1, 14))
+        .groupBy(col("day_offset")).agg(count(lit(1)).as("n_active"))
+      val elig = c.filter(col("day_offset") === 0)
+        .crossJoin(broadcast(mxd))
+        .withColumn("tenure", least(lit(14), datediff(col("mxd"), col("cohort_day"))))
+        .filter(col("tenure") >= 1)
+        .select(col("user_id"), explode(sequence(lit(1), col("tenure"))).as("day_offset"))
+        .groupBy(col("day_offset")).agg(count(lit(1)).as("n_elig"))
+      val pts = active.join(elig, Seq("day_offset"))
+        .filter(col("n_active") > 0)
+        .select(col("day_offset").cast("double").as("x"),
+          round(log(col("n_active").cast("double") / col("n_elig").cast("double")), 6)
+            .as("y"))
+      val st = pts.agg(
+        count(lit(1)).as("k"),
+        sum(col("x").cast(dec6)).cast("double").as("sx"),
+        sum(col("y").cast(dec6)).cast("double").as("sy"),
+        sum(round(col("x") * col("y"), 6).cast(dec6)).cast("double").as("sxy"),
+        sum(round(col("x") * col("x"), 6).cast(dec6)).cast("double").as("sxx"),
+        sum(round(col("y") * col("y"), 6).cast(dec6)).cast("double").as("syy"))
+      val slope = (col("k").cast("double") * col("sxy") - col("sx") * col("sy")) /
+        (col("k").cast("double") * col("sxx") - col("sx") * col("sx"))
+      st.select(col("k").as("n_offsets"),
+        round(slope, 6).as("decay_rate"),
+        round(-log(lit(2.0)) / slope, 4).as("halflife_days"),
+        round((col("k").cast("double") * col("sxy") - col("sx") * col("sy")) *
+          (col("k").cast("double") * col("sxy") - col("sx") * col("sy")) /
+          ((col("k").cast("double") * col("sxx") - col("sx") * col("sx")) *
+            (col("k").cast("double") * col("syy") - col("sy") * col("sy"))), 6)
+          .as("r2"))
+    },
+    Some("""
+      |WITH e AS (
+      |  SELECT user_id, CAST(ts::TIMESTAMP AS DATE) AS day FROM events
+      |), c AS (
+      |  SELECT DISTINCT user_id,
+      |         min(day) OVER (PARTITION BY user_id) AS cohort_day,
+      |         date_diff('day', min(day) OVER (PARTITION BY user_id), day) AS day_offset
+      |  FROM e
+      |), mx AS (SELECT max(day) AS mxd FROM e),
+      |active AS (
+      |  SELECT day_offset, count(*) AS n_active FROM c
+      |  WHERE day_offset BETWEEN 1 AND 14 GROUP BY 1
+      |), elig AS (
+      |  SELECT day_offset, count(*) AS n_elig FROM (
+      |    SELECT user_id, unnest(range(1, least(14,
+      |             date_diff('day', cohort_day, mxd)) + 1)) AS day_offset
+      |    FROM (SELECT user_id, cohort_day FROM c WHERE day_offset = 0) u, mx
+      |    WHERE date_diff('day', cohort_day, mxd) >= 1
+      |  ) GROUP BY 1
+      |), pts AS (
+      |  SELECT day_offset::DOUBLE AS x,
+      |         round(ln(n_active::DOUBLE / n_elig::DOUBLE), 6) AS y
+      |  FROM active JOIN elig USING (day_offset)
+      |  WHERE n_active > 0
+      |), st AS (
+      |  SELECT count(*)::BIGINT AS k,
+      |         CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+      |         CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+      |         CAST(SUM(CAST(round(x * y, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+      |         CAST(SUM(CAST(round(x * x, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+      |         CAST(SUM(CAST(round(y * y, 6) AS DECIMAL(38,6))) AS DOUBLE) AS syy
+      |  FROM pts
+      |), f AS (
+      |  SELECT k, sx, sy, sxy, sxx, syy,
+      |         (k::DOUBLE * sxy - sx * sy) / (k::DOUBLE * sxx - sx * sx) AS slope
+      |  FROM st
+      |)
+      |SELECT k AS n_offsets,
+      |       round(slope, 6) AS decay_rate,
+      |       round(-ln(2.0) / slope, 4) AS halflife_days,
+      |       round((k::DOUBLE * sxy - sx * sy) * (k::DOUBLE * sxy - sx * sy) /
+      |             ((k::DOUBLE * sxx - sx * sx) * (k::DOUBLE * syy - sy * sy)), 6) AS r2
+      |FROM f
+      """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
     Seq(tumbling, sliding, sessionsQ, propsQ, firstQ, valueStats, pivotQ, asofQ,
       rangeQ, movingQ, gapsQ, funnelQ, percentilesQ, histogramQ, outliersQ,
       cohortsQ, gapfillQ, rfmQ, rangeFrameQ, trigramsQ, madQ, reachQ,
-      entropyDaily)
+      entropyDaily, retentionHalflife)
 }

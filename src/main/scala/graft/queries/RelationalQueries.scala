@@ -574,8 +574,46 @@ object RelationalQueries {
       |ORDER BY nation, cents DESC, c_custkey
       """.stripMargin.trim))
 
+  private val groupingSetsQ = QueryDef(
+    "sql_grouping_sets",
+    "GROUPING SETS with explicit GROUPING() flags — the third member " +
+      "of the multi-level aggregation family beside ROLLUP (prefix " +
+      "hierarchy) and CUBE (full lattice): ((flag), (status), ()) " +
+      "computes two INDEPENDENT one-dimension summaries plus the grand " +
+      "total in ONE pass, the shape a reporting layer asks for when " +
+      "the dimensions are alternatives, not a hierarchy. GROUPING() " +
+      "flags disambiguate a real NULL key from a superaggregate row " +
+      "(the correctness trap coalesce-only presentations hide); " +
+      "Spark's Dataset.groupingSets API plans the same single-shuffle " +
+      "expand as rollup/cube.",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      li.groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping(col("l_returnflag")).cast("long").as("g_flag"),
+          grouping(col("l_linestatus")).cast("long").as("g_status"),
+          dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+          col("g_flag"), col("g_status"), col("sum_qty"), col("n"))
+        .orderBy(col("g_flag"), col("g_status"),
+          col("l_returnflag"), col("l_linestatus"))
+    },
+    Some("""
+      |SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+      |       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+      |       GROUPING(l_returnflag)::BIGINT AS g_flag,
+      |       GROUPING(l_linestatus)::BIGINT AS g_status,
+      |       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty,
+      |       COUNT(*) AS n
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      |ORDER BY g_flag, g_status, l_returnflag, l_linestatus
+      """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
     Seq(q3, q5, windowTop, rollupQ, cubeQ, distinctCounts, setOps, semiAnti,
       q12, q13, q14, scalarSub, ntileQ, upsertQ, saltedJoinQ, recursiveRollup,
-      lateralTopk)
+      lateralTopk, groupingSetsQ)
 }

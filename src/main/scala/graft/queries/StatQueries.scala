@@ -374,6 +374,141 @@ object StatQueries {
       |ORDER BY drift DESC, r.label
       """.stripMargin.trim))
 
+  private val ljungBox = QueryDef(
+    "stat_ljung_box",
+    "Ljung–Box portmanteau test per event type — IS the daily value " +
+      "series white noise across lags 1–3 jointly? The formal " +
+      "follow-up to stat_acf_daily's per-lag readout (and the residual " +
+      "diagnostic run after ev_holt_winters-class fits): " +
+      "Q = n(n+2) Σ ρ_k²/(n−k), over the SAME lag-k autocorrelations " +
+      "as the acf gate (exact BIGINT sufficient statistics on the " +
+      "data-adaptively decimated series, Pearson closed form, round " +
+      "6). Each ρ_k²/(n−k) term rounds at 6 into a DECIMAL(38,6) sum; " +
+      "n is the calendar-bounded day count, so Q's magnitude is " +
+      "O(n·m) — safely inside every rounding grid at any SF. Output " +
+      "O(|types|) rows.",
+    (s, dir) => {
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val daily = dailyCents(s, dir)
+      val mx = daily.agg(max(col("yc")).as("mx"))
+      val d = daily.crossJoin(broadcast(mx))
+        .withColumn("y", expr(s"yc div ($acfScaleSql)"))
+        .withColumn("y1", lag(col("y"), 1).over(w))
+        .withColumn("y2", lag(col("y"), 2).over(w))
+        .withColumn("y3", lag(col("y"), 3).over(w))
+      val pairs = d
+        .select(col("event_type"), col("y"),
+          expr("stack(3, 1, y1, 2, y2, 3, y3) as (lag_k, x)"))
+        .filter(col("x").isNotNull)
+      val st = pairs.groupBy(col("event_type"), col("lag_k")).agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("x")).cast("double").as("sx"), sum(col("y")).cast("double").as("sy"),
+        sum(col("x") * col("x")).cast("double").as("sxx"),
+        sum(col("y") * col("y")).cast("double").as("syy"),
+        sum(col("x") * col("y")).cast("double").as("sxy"))
+      val rho = st
+        .filter((col("n") * col("sxx") - col("sx") * col("sx")) > 0 &&
+          (col("n") * col("syy") - col("sy") * col("sy")) > 0)
+        .select(col("event_type"), col("lag_k"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+              (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("rho"))
+      val nd = daily.groupBy(col("event_type")).agg(count(lit(1)).as("n_days"))
+      rho.join(nd, Seq("event_type"))
+        .select(col("event_type"), col("n_days"),
+          round(col("rho") * col("rho") /
+            (col("n_days") - col("lag_k")).cast("double"), 6).cast(dec6).as("term"))
+        .groupBy(col("event_type"), col("n_days"))
+        .agg(count(lit(1)).as("n_lags"), sum(col("term")).as("s"))
+        .select(col("event_type"), col("n_days"), col("n_lags"),
+          round(col("n_days").cast("double") *
+            (col("n_days").cast("double") + lit(2.0)) *
+            col("s").cast("double"), 6).as("q_stat"))
+        .orderBy(col("event_type"))
+    },
+    Some(s"""
+      |WITH daily AS (
+      |$dailyCentsSql
+      |), m AS (SELECT max(yc) AS mx FROM daily),
+      |d AS (
+      |  SELECT event_type, day, yc // ($acfScaleSql) AS y FROM daily CROSS JOIN m
+      |), l AS (
+      |  SELECT event_type, y,
+      |         lag(y, 1) OVER w AS y1, lag(y, 2) OVER w AS y2, lag(y, 3) OVER w AS y3
+      |  FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day)
+      |), p AS (
+      |  SELECT event_type, 1 AS lag_k, y1 AS x, y FROM l WHERE y1 IS NOT NULL
+      |  UNION ALL
+      |  SELECT event_type, 2 AS lag_k, y2 AS x, y FROM l WHERE y2 IS NOT NULL
+      |  UNION ALL
+      |  SELECT event_type, 3 AS lag_k, y3 AS x, y FROM l WHERE y3 IS NOT NULL
+      |), st AS (
+      |  SELECT event_type, lag_k,
+      |         count(*)::DOUBLE AS n,
+      |         SUM(x)::DOUBLE AS sx, SUM(y)::DOUBLE AS sy,
+      |         SUM(x * x)::DOUBLE AS sxx, SUM(y * y)::DOUBLE AS syy,
+      |         SUM(x * y)::DOUBLE AS sxy
+      |  FROM p GROUP BY 1, 2
+      |), rho AS (
+      |  SELECT event_type, lag_k,
+      |         round((n * sxy - sx * sy) /
+      |               sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS rho
+      |  FROM st
+      |  WHERE (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+      |), nd AS (
+      |  SELECT event_type, count(*) AS n_days FROM daily GROUP BY 1
+      |), terms AS (
+      |  SELECT rho.event_type, nd.n_days,
+      |         CAST(round(rho * rho / (n_days - lag_k)::DOUBLE, 6)
+      |              AS DECIMAL(38,6)) AS term
+      |  FROM rho JOIN nd ON nd.event_type = rho.event_type
+      |), q AS (
+      |  SELECT event_type, n_days, count(*)::BIGINT AS n_lags,
+      |         CAST(SUM(term) AS DECIMAL(38,6)) AS s
+      |  FROM terms GROUP BY 1, 2
+      |)
+      |SELECT event_type, n_days, n_lags,
+      |       round(n_days::DOUBLE * (n_days::DOUBLE + 2.0) * s::DOUBLE, 6) AS q_stat
+      |FROM q ORDER BY event_type
+      """.stripMargin.trim))
+
+  private val normProfile = QueryDef(
+    "vec_norm_profile",
+    "Per-label L2-norm profile of the embedding corpus (n, mean, min, " +
+      "max of round-6 vector norms) — the norm-collapse / norm-" +
+      "explosion monitor beside vec_centroid_drift's direction check: " +
+      "MIPS transforms, matryoshka truncation, and int8 quantization " +
+      "ranges all assume a known norm distribution, and an encoder " +
+      "regression shows up here first. Norms come from the codegen'd " +
+      "L2Norm Catalyst expression (fixed left-to-right accumulation — " +
+      "the same determinism contract as the cosine flagship), round at " +
+      "6, and aggregate exactly: DECIMAL(38,6) mean, integer-exact " +
+      "min/max on the rounded grid. One scan, one |labels|-row rollup.",
+    (s, dir) => {
+      import graft.functions.VectorFunctions.l2Norm
+      Tables.embeddings(s, dir)
+        .select(col("label"),
+          round(l2Norm(col("embedding")), 6).as("nrm"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          round(sum(col("nrm").cast(dec6)).cast("double") /
+            count(lit(1)).cast("double"), 6).as("mean_norm"),
+          min(col("nrm")).as("min_norm"), max(col("nrm")).as("max_norm"))
+        .orderBy(col("label"))
+    },
+    Some("""
+      |WITH n AS (
+      |  SELECT label,
+      |         round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS nrm
+      |  FROM embeddings
+      |)
+      |SELECT label, count(*) AS n_vecs,
+      |       round(CAST(SUM(CAST(nrm AS DECIMAL(38,6))) AS DOUBLE) /
+      |             count(*)::DOUBLE, 6) AS mean_norm,
+      |       min(nrm) AS min_norm, max(nrm) AS max_norm
+      |FROM n GROUP BY label ORDER BY label
+      """.stripMargin.trim))
+
   private val abWelch = QueryDef(
     "stat_ab_welch",
     "A/B experiment readout — Welch's z for the difference in mean " +
@@ -3152,5 +3287,5 @@ object StatQueries {
       pprParts, spearmanDaily, holtWinters, linkPrediction, hitsNations,
       anovaF, closeness, leveneBf, stlDecompose, jarqueBera, eccentricity,
       seasonalityStrength, grubbs, runsTest, betweenness, clusteringCoeff,
-      kruskal, centroidDrift)
+      kruskal, centroidDrift, ljungBox, normProfile)
 }

@@ -1368,4 +1368,85 @@ class ModelEvalSpec extends SparkSpec {
     // fixtures carry no duplicate keys — the expected-green contract
     assert(out.forall(_._4 == 0L), "fixture has duplicate primary keys")
   }
+
+  test("stat_ljung_box: Q recomposes from stat_acf_daily's rho and the day counts") {
+    val q = run("stat_ljung_box").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val acf = run("stat_acf_daily").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getDouble(3)))
+      .groupBy(_._1)
+    def rd6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    for ((t, nDays, nLags, qStat) <- q) {
+      val rhos = acf(t).sortBy(_._2)
+      assert(nLags == rhos.length)
+      val s = rhos.map { case (_, k, rho) =>
+        rd6(rho * rho / (nDays - k).toDouble) }.sum
+      val want = rd6(nDays.toDouble * (nDays.toDouble + 2.0) * s.toDouble).toDouble
+      assert(math.abs(qStat - want) < 1e-9, s"$t Q $qStat vs $want")
+      assert(qStat >= 0.0)
+    }
+  }
+
+  test("vec_norm_profile: stats replay from left-to-right driver norms") {
+    val out = run("vec_norm_profile").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    val rows = Tables.embeddings(spark, sf("sf0.001"))
+      .select(col("label"), col("embedding")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+    def rd6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    def norm(v: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i).toDouble * v(i); i += 1 }
+      math.sqrt(s)
+    }
+    val byLabel = rows.groupBy(_._1)
+    assert(out.map(_._1).toSet == byLabel.keySet)
+    for ((label, n, mean, mn, mx) <- out) {
+      val ns = byLabel(label).map(v => rd6(norm(v._2)))
+      assert(n == ns.length)
+      assert(mn == ns.min.toDouble && mx == ns.max.toDouble, s"label $label extrema")
+      assert(math.abs(mean - rd6(ns.sum.toDouble / ns.length).toDouble) < 1e-9)
+    }
+  }
+
+  test("sql_grouping_sets: two independent summaries + grand total partition the fact") {
+    val out = run("sql_grouping_sets").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5)))
+    val total = Tables.lineitem(spark, sf("sf0.001")).count()
+    // grand total row: both keys ALL, both grouping flags set
+    val grand = out.filter(t => t._3 == 1 && t._4 == 1)
+    assert(grand.length == 1 && grand.head._1 == "ALL" && grand.head._2 == "ALL")
+    assert(grand.head._6 == total)
+    // each one-dimension summary partitions the fact table
+    val byFlag = out.filter(t => t._3 == 0 && t._4 == 1)
+    val byStatus = out.filter(t => t._3 == 1 && t._4 == 0)
+    assert(byFlag.map(_._6).sum == total && byStatus.map(_._6).sum == total)
+    // grouping flags, not string placeholders, carry the semantics:
+    // a grouped-out dimension always presents ALL
+    assert(byFlag.forall(_._2 == "ALL") && byStatus.forall(_._1 == "ALL"))
+    // no (flag, status) two-dimension rows in this set spec
+    assert(out.forall(t => t._3 + t._4 >= 1))
+  }
+
+  test("ev_retention_halflife: halflife recomposes and retention decays") {
+    val r = run("ev_retention_halflife").collect().head
+    val (k, decay, halflife, r2v) =
+      (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    assert(k >= 3 && k <= 14, s"offsets $k")
+    assert(r2v >= 0.0 && r2v <= 1.0)
+    val want = BigDecimal(-math.log(2.0) / decay)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // the engine derives halflife from the UNROUNDED slope; recomposing
+    // from the round-6 PRESENTED slope can differ by up to the slope
+    // grain amplified by d(ln2/s)/ds = ln2/s² — tolerance scales with it
+    val tol = math.log(2.0) * 5e-7 / (decay * decay) + 1e-3
+    assert(math.abs(halflife - want) <= tol, s"halflife $halflife vs $want (tol $tol)")
+    // sign contract: decaying retention → positive half-life; the flat
+    // synthetic fixture fits a slightly POSITIVE slope, which must read
+    // as a negative half-life (a flagged non-decaying series), never as
+    // a plausible-looking positive number
+    assert(decay != 0.0 && (halflife > 0) == (decay < 0),
+      s"sign mismatch: slope $decay, halflife $halflife")
+  }
 }
