@@ -374,6 +374,133 @@ object StatQueries {
       |ORDER BY drift DESC, r.label
       """.stripMargin.trim))
 
+  private val tukeyHsd = QueryDef(
+    "stat_tukey_hsd",
+    "Tukey HSD post-hoc q statistics for every priority pair — the " +
+      "step AFTER stat_anova_f rejects 'all means equal': WHICH of " +
+      "the C(5,2)=10 pairs differ. Reuses the ANOVA machinery " +
+      "verbatim: exact BIGINT per-group (n, Σx, Σx²) on the same " +
+      "decimated values, the exact (Σx)²·100 div n cross-group term " +
+      "for MSW, unequal-n studentized range " +
+      "q = |m_a − m_b| / sqrt(MSW/2 · (1/n_a + 1/n_b)) " +
+      "(Tukey–Kramer) in one fixed double shape from exact-integer " +
+      "inputs. One scan-side aggregation shuffle; the pair join runs " +
+      "on the k-row group relation.",
+    (s, dir) => {
+      val x = Tables.orders(s, dir)
+        .select(col("o_orderpriority").as("grp"),
+          expr("floor(o_totalprice) div 100").as("x"))
+      val g = x.groupBy(col("grp")).agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sx2"))
+      val tot = g.agg(
+        count(lit(1)).as("k"), sum(col("n")).as("n_total"),
+        sum(col("sx2")).as("t2_all"),
+        (sum(expr("CAST((CAST(sx AS DECIMAL(38,0)) * CAST(sx AS DECIMAL(38,0)) * 100) " +
+          "div CAST(n AS DECIMAL(38,0)) AS BIGINT)")).cast("double") / lit(100.0))
+          .as("a_groups"))
+        .select(((col("t2_all").cast("double") - col("a_groups")) /
+          (col("n_total").cast("double") - col("k").cast("double"))).as("msw"))
+      val a = g.select(col("grp").as("grp_a"), col("n").as("n_a"), col("sx").as("sx_a"))
+      val b = g.select(col("grp").as("grp_b"), col("n").as("n_b"), col("sx").as("sx_b"))
+      a.join(b, col("grp_a") < col("grp_b"))
+        .crossJoin(broadcast(tot))
+        .select(col("grp_a"), col("grp_b"), col("n_a"), col("n_b"),
+          round(col("sx_a").cast("double") / col("n_a").cast("double") -
+            col("sx_b").cast("double") / col("n_b").cast("double"), 6).as("mean_diff"),
+          round(abs(col("sx_a").cast("double") / col("n_a").cast("double") -
+            col("sx_b").cast("double") / col("n_b").cast("double")) /
+            sqrt(col("msw") / lit(2.0) *
+              (lit(1.0) / col("n_a").cast("double") +
+                lit(1.0) / col("n_b").cast("double"))), 6).as("q_stat"))
+        .orderBy(col("grp_a"), col("grp_b"))
+    },
+    Some("""
+      |WITH x AS (
+      |  SELECT o_orderpriority AS grp,
+      |         CAST(FLOOR(o_totalprice) AS BIGINT) // 100 AS x
+      |  FROM orders
+      |), g AS (
+      |  SELECT grp, count(*) AS n, SUM(x)::BIGINT AS sx,
+      |         SUM(x * x)::BIGINT AS sx2
+      |  FROM x GROUP BY 1
+      |), tot AS (
+      |  SELECT ((SUM(sx2)::DOUBLE) -
+      |          (CAST(SUM((sx::HUGEINT * sx::HUGEINT * 100) // n::HUGEINT)::BIGINT
+      |                AS DOUBLE) / 100.0)) /
+      |         (SUM(n)::DOUBLE - count(*)::DOUBLE) AS msw
+      |  FROM g
+      |)
+      |SELECT a.grp AS grp_a, b.grp AS grp_b, a.n AS n_a, b.n AS n_b,
+      |       round(a.sx::DOUBLE / a.n::DOUBLE - b.sx::DOUBLE / b.n::DOUBLE, 6)
+      |         AS mean_diff,
+      |       round(abs(a.sx::DOUBLE / a.n::DOUBLE - b.sx::DOUBLE / b.n::DOUBLE) /
+      |             sqrt(msw / 2.0 * (1.0 / a.n::DOUBLE + 1.0 / b.n::DOUBLE)), 6)
+      |         AS q_stat
+      |FROM g a JOIN g b ON a.grp < b.grp CROSS JOIN tot
+      |ORDER BY grp_a, grp_b
+      """.stripMargin.trim))
+
+  private val cramersV = QueryDef(
+    "stat_cramers_v",
+    "Cramér's V effect size for the event-type × weekday contingency — " +
+      "the magnitude companion stat_chi2_independence's test statistic " +
+      "lacks (χ² grows with N, so at 100 TB EVERYTHING is " +
+      "'significant'; V ∈ [0,1] is what a pipeline thresholds on). " +
+      "Same exact-count contingency machinery and order-fixed cell " +
+      "fold; V = sqrt(χ²/(N·min(r−1, c−1))) computed from the " +
+      "round-6 PRESENTED χ² (parity by construction) in one fixed " +
+      "shape, round 6.",
+    (s, dir) => {
+      val obs = Tables.events(s, dir)
+        .select(col("event_type").as("t"), date_format(col("ts"), "EEEE").as("d"))
+        .groupBy(col("t"), col("d")).agg(count(lit(1)).as("o"))
+      val rt = obs.groupBy(col("t")).agg(sum(col("o")).as("rt"))
+      val ct = obs.groupBy(col("d")).agg(sum(col("o")).as("ct"))
+      val nn = obs.agg(sum(col("o")).as("nn"),
+        countDistinct(col("t")).as("ntypes"), countDistinct(col("d")).as("ndays"))
+      val num = (col("o") * col("nn") - col("rt") * col("ct")).cast("double")
+      val cells = obs.join(broadcast(rt), Seq("t")).join(broadcast(ct), Seq("d"))
+        .crossJoin(broadcast(nn))
+        .withColumn("v", (num * num) /
+          (col("nn").cast("double") * col("rt").cast("double") * col("ct").cast("double")))
+      cells
+        .agg(collect_list(struct(col("t"), col("d"), col("v"))).as("arr"),
+          first(col("nn")).as("n_events"),
+          least(first(col("ntypes")) - 1, first(col("ndays")) - 1).as("min_dim"))
+        .select(col("n_events"), col("min_dim"),
+          round(aggregate(sort_array(col("arr")), lit(0.0),
+            (acc, x) => acc + x.getField("v")), 6).as("chi2"))
+        .select(col("n_events"), col("min_dim"), col("chi2"),
+          round(sqrt(col("chi2") /
+            (col("n_events").cast("double") * col("min_dim").cast("double"))), 6)
+            .as("cramers_v"))
+    },
+    Some("""
+      |WITH obs AS (
+      |  SELECT event_type AS t, dayname(ts::TIMESTAMP) AS d, count(*) AS o
+      |  FROM events GROUP BY 1, 2
+      |), rt AS (SELECT t, SUM(o)::BIGINT AS rt FROM obs GROUP BY 1),
+      |ct AS (SELECT d, SUM(o)::BIGINT AS ct FROM obs GROUP BY 1),
+      |nn AS (SELECT SUM(o)::BIGINT AS nn, count(DISTINCT t) AS ntypes,
+      |              count(DISTINCT d) AS ndays FROM obs),
+      |cells AS (
+      |  SELECT obs.t, obs.d,
+      |         (((obs.o * nn.nn - rt.rt * ct.ct)::DOUBLE) * ((obs.o * nn.nn - rt.rt * ct.ct)::DOUBLE)) /
+      |         (nn.nn::DOUBLE * rt.rt::DOUBLE * ct.ct::DOUBLE) AS v
+      |  FROM obs JOIN rt USING (t) JOIN ct USING (d) CROSS JOIN nn
+      |), c2 AS (
+      |  SELECT any_value(nn.nn)::BIGINT AS n_events,
+      |         least(any_value(nn.ntypes) - 1, any_value(nn.ndays) - 1)::BIGINT AS min_dim,
+      |         round(list_reduce(list(v ORDER BY t, d), (a, b) -> a + b), 6) AS chi2
+      |  FROM cells CROSS JOIN nn
+      |)
+      |SELECT n_events, min_dim, chi2,
+      |       round(sqrt(chi2 / (n_events::DOUBLE * min_dim::DOUBLE)), 6) AS cramers_v
+      |FROM c2
+      """.stripMargin.trim))
+
   private val ljungBox = QueryDef(
     "stat_ljung_box",
     "Ljung–Box portmanteau test per event type — IS the daily value " +
@@ -2013,6 +2140,53 @@ object StatQueries {
       .select(col("v"), col("lbl"))
   }
 
+  /** The full LPA run shared by graph_label_propagation and
+    * graph_modularity: checkpointed pre-partitioned adjacency,
+    * [[LpaRounds]] synchronous rounds, materialized final (v, lbl).
+    */
+  private[graft] def lpaFinalLabels(s: SparkSession, dir: String): DataFrame = {
+    val edges = coPurchaseEdges(s, dir, LpaSupport)
+      .select(col("src"), col("dst"))
+    val adj = lpaAdjacency(edges)
+    var labels = adj.select(col("v")).distinct()
+      .withColumn("lbl", col("v")).localCheckpoint()
+    for (i <- 1 to LpaRounds)
+      labels = lpaRound(adj, labels, i).localCheckpoint()
+    // rounds are done (eager checkpoints): release the resident adjacency
+    adj.unpersist()
+    labels
+  }
+
+  /** The LPA WITH-chain (co-purchase edges e0 → adj → l0 → l1..lR) as
+    * oracle SQL — shared verbatim by the LPA and modularity oracles.
+    */
+  private lazy val lpaStepsSql: String = {
+    val steps = (1 to LpaRounds).map { i =>
+      val p = i - 1
+      s"""|l$i AS MATERIALIZED (
+          |  SELECT v, lbl FROM (
+          |    SELECT v, lbl,
+          |           row_number() OVER (PARTITION BY v ORDER BY cnt DESC,
+          |             ('0x' || substring(md5(CAST(lbl AS VARCHAR) || '#$i'), 1, 12))::BIGINT,
+          |             lbl) AS rn
+          |    FROM (
+          |      SELECT a.v, l.lbl, count(*) AS cnt
+          |      FROM adj a JOIN l$p l ON l.v = a.nbr
+          |      GROUP BY 1, 2
+          |    )
+          |  ) WHERE rn = 1
+          |)""".stripMargin
+    }.mkString(",\n")
+    s"""|${coPurchaseSql(LpaSupport)},
+        |adj AS MATERIALIZED (
+        |  SELECT src AS v, dst AS nbr FROM e0
+        |  UNION ALL SELECT dst, src FROM e0
+        |), l0 AS MATERIALIZED (
+        |  SELECT DISTINCT v, v AS lbl FROM adj
+        |),
+        |$steps""".stripMargin
+  }
+
   /** Fixed synchronous rounds for label propagation. No early exit on
     * either engine: synchronous LPA can 2-cycle on near-bipartite
     * structure and never reach a fixpoint, so "run exactly R rounds" is
@@ -2048,15 +2222,7 @@ object StatQueries {
       s"oracle unrolls the same $LpaRounds rounds as MATERIALIZED " +
       "CTEs. Output: per-community size + part-id extrema.",
     (s, dir) => {
-      val edges = coPurchaseEdges(s, dir, LpaSupport)
-        .select(col("src"), col("dst"))
-      val adj = lpaAdjacency(edges)
-      var labels = adj.select(col("v")).distinct()
-        .withColumn("lbl", col("v")).localCheckpoint()
-      for (i <- 1 to LpaRounds)
-        labels = lpaRound(adj, labels, i).localCheckpoint()
-      // rounds are done (eager checkpoints): release the resident adjacency
-      adj.unpersist()
+      val labels = lpaFinalLabels(s, dir)
       labels.groupBy(col("lbl"))
         .agg(count(lit(1)).as("n_nodes"),
           min(col("v")).as("min_part"), max(col("v")).as("max_part"))
@@ -2065,35 +2231,88 @@ object StatQueries {
         .orderBy(col("n_nodes").desc, col("community"))
     },
     Some {
-      val steps = (1 to LpaRounds).map { i =>
-        val p = i - 1
-        s"""|l$i AS MATERIALIZED (
-            |  SELECT v, lbl FROM (
-            |    SELECT v, lbl,
-            |           row_number() OVER (PARTITION BY v ORDER BY cnt DESC,
-            |             ('0x' || substring(md5(CAST(lbl AS VARCHAR) || '#$i'), 1, 12))::BIGINT,
-            |             lbl) AS rn
-            |    FROM (
-            |      SELECT a.v, l.lbl, count(*) AS cnt
-            |      FROM adj a JOIN l$p l ON l.v = a.nbr
-            |      GROUP BY 1, 2
-            |    )
-            |  ) WHERE rn = 1
-            |)""".stripMargin
-      }.mkString(",\n")
       s"""
-      |WITH ${coPurchaseSql(LpaSupport)},
-      |adj AS MATERIALIZED (
-      |  SELECT src AS v, dst AS nbr FROM e0
-      |  UNION ALL SELECT dst, src FROM e0
-      |), l0 AS MATERIALIZED (
-      |  SELECT DISTINCT v, v AS lbl FROM adj
-      |),
-      |$steps
+      |WITH $lpaStepsSql
       |SELECT lbl AS community, count(*) AS n_nodes,
       |       min(v) AS min_part, max(v) AS max_part
       |FROM l$LpaRounds GROUP BY 1
       |ORDER BY n_nodes DESC, community
+      """.stripMargin.trim
+    })
+
+  private val modularity = QueryDef(
+    "graph_modularity",
+    "Newman modularity of the LPA partition — the community-QUALITY " +
+      "readout graph_label_propagation's size table doesn't give: " +
+      "Q = Σ_i (e_ii/m − (a_i/2m)²), how much denser inside the found " +
+      "communities than a degree-preserving random graph (Q ≈ 0 means " +
+      "the 'communities' are noise; the metric a pipeline checks " +
+      "BEFORE acting on a clustering). Runs the SAME deterministic " +
+      s"$LpaRounds-round salted-tie LPA (shared code + shared oracle " +
+      "CTE chain), then EXACT integer arithmetic end-to-end: " +
+      "Q·4m² = Σ(4m·e_ii − a_i²) accumulates in DECIMAL(38,0) " +
+      "(HUGEINT), and Q is one ·10⁶ truncated integer division — " +
+      "both engines truncate toward zero, so the (possibly negative) " +
+      "Q is bit-stable with no rounding anywhere. Cost beyond the LPA " +
+      "run: two label joins onto the edge relation + O(|communities|) " +
+      "rollups.",
+    (s, dir) => {
+      val labels = lpaFinalLabels(s, dir)
+      val e0 = coPurchaseEdges(s, dir, LpaSupport)
+        .select(col("src"), col("dst")).localCheckpoint()
+      val em = e0
+        .join(labels.select(col("v").as("src"), col("lbl").as("ca")), Seq("src"))
+        .join(labels.select(col("v").as("dst"), col("lbl").as("cb")), Seq("dst"))
+      val m = e0.agg(count(lit(1)).as("m"))
+      val eii = em.filter(col("ca") === col("cb"))
+        .groupBy(col("ca").as("c")).agg(count(lit(1)).as("e_in"))
+      val degs = e0.select(col("src").as("v"))
+        .unionAll(e0.select(col("dst").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      val ai = degs.join(labels, Seq("v"))
+        .groupBy(col("lbl").as("c")).agg(sum(col("deg")).as("a"))
+      val parts = ai.join(eii, Seq("c"), "left")
+        .select(col("c"), coalesce(col("e_in"), lit(0L)).as("e_in"), col("a"))
+        .crossJoin(broadcast(m))
+      parts
+        .agg(count(lit(1)).as("n_communities"),
+          first(col("m")).as("m_edges"),
+          sum(expr("CAST(4 AS DECIMAL(38,0)) * m * e_in - CAST(a AS DECIMAL(38,0)) * a"))
+            .as("q_scaled"))
+        .select(col("n_communities"), col("m_edges"),
+          (expr("CAST((CAST(q_scaled AS DECIMAL(38,0)) * 1000000) div " +
+            "(CAST(4 AS DECIMAL(38,0)) * m_edges * m_edges) AS BIGINT)")
+            .cast("double") / lit(1000000.0)).as("modularity"))
+    },
+    Some {
+      s"""
+      |WITH $lpaStepsSql,
+      |lab AS MATERIALIZED (SELECT v, lbl FROM l$LpaRounds),
+      |em AS (
+      |  SELECT la.lbl AS ca, lb.lbl AS cb
+      |  FROM e0 JOIN lab la ON la.v = e0.src JOIN lab lb ON lb.v = e0.dst
+      |), mm AS (SELECT count(*)::BIGINT AS m FROM e0),
+      |eii AS (
+      |  SELECT ca AS c, count(*)::BIGINT AS e_in FROM em WHERE ca = cb GROUP BY 1
+      |), degs AS (
+      |  SELECT v, count(*)::BIGINT AS deg FROM (
+      |    SELECT src AS v FROM e0 UNION ALL SELECT dst FROM e0
+      |  ) GROUP BY 1
+      |), ai AS (
+      |  SELECT lab.lbl AS c, SUM(degs.deg)::BIGINT AS a
+      |  FROM degs JOIN lab ON lab.v = degs.v GROUP BY 1
+      |), parts AS (
+      |  SELECT ai.c, COALESCE(eii.e_in, 0)::BIGINT AS e_in, ai.a, mm.m
+      |  FROM ai LEFT JOIN eii ON eii.c = ai.c CROSS JOIN mm
+      |), q AS (
+      |  SELECT count(*)::BIGINT AS n_communities, any_value(m)::BIGINT AS m_edges,
+      |         SUM(4::HUGEINT * m * e_in - a::HUGEINT * a) AS q_scaled
+      |  FROM parts
+      |)
+      |SELECT n_communities, m_edges,
+      |       ((q_scaled * 1000000) // (4::HUGEINT * m_edges * m_edges))::BIGINT::DOUBLE
+      |         / 1000000.0 AS modularity
+      |FROM q
       """.stripMargin.trim
     })
 
@@ -3287,5 +3506,6 @@ object StatQueries {
       pprParts, spearmanDaily, holtWinters, linkPrediction, hitsNations,
       anovaF, closeness, leveneBf, stlDecompose, jarqueBera, eccentricity,
       seasonalityStrength, grubbs, runsTest, betweenness, clusteringCoeff,
-      kruskal, centroidDrift, ljungBox, normProfile)
+      kruskal, centroidDrift, ljungBox, normProfile, modularity, tukeyHsd,
+      cramersV)
 }

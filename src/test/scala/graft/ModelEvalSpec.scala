@@ -1449,4 +1449,75 @@ class ModelEvalSpec extends SparkSpec {
     assert(decay != 0.0 && (halflife > 0) == (decay < 0),
       s"sign mismatch: slope $decay, halflife $halflife")
   }
+
+  test("graph_modularity: exact BigInt replay over the engine's own LPA labels") {
+    val dir = sf("sf0.001")
+    val r = run("graph_modularity").collect().head
+    val (nComm, mEdges, q) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    assert(q >= -0.5 && q <= 1.0, s"modularity out of range: $q")
+    val labels = graft.queries.StatQueries.lpaFinalLabels(spark, dir)
+      .collect().map(rr => (rr.getLong(0), rr.getLong(1))).toMap
+    val edges = graft.queries.StatQueries.coPurchaseEdges(spark, dir, 2)
+      .select(col("src"), col("dst")).collect()
+      .map(rr => (rr.getLong(0), rr.getLong(1)))
+    val m = edges.length.toLong
+    assert(mEdges == m)
+    val comms = labels.values.toSet
+    assert(nComm == comms.size.toLong)
+    val eIn = edges.filter { case (a, b) => labels(a) == labels(b) }
+      .groupBy(c => labels(c._1)).view.mapValues(_.length.toLong).toMap
+    val deg = (edges.map(_._1) ++ edges.map(_._2))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val aI = labels.toSeq.groupBy(_._2).view
+      .mapValues(_.map(v => deg.getOrElse(v._1, 0L)).sum).toMap
+    val qScaled = comms.toSeq.map { c =>
+      BigInt(4) * BigInt(m) * BigInt(eIn.getOrElse(c, 0L)) -
+        BigInt(aI(c)) * BigInt(aI(c))
+    }.foldLeft(BigInt(0))(_ + _)
+    val want = ((qScaled * 1000000) / (BigInt(4) * m * m)).toLong.toDouble / 1e6
+    assert(q == want, s"modularity $q vs replay $want")
+  }
+
+  test("stat_tukey_hsd: q statistics recompose from independent group stats") {
+    val out = run("stat_tukey_hsd").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(out.length == 10) // C(5,2) priority pairs
+    val g = Tables.orders(spark, sf("sf0.001"))
+      .select(col("o_orderpriority").as("grp"),
+        expr("floor(o_totalprice) div 100").as("x"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("cn"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sx2"))
+      .collect().map(r2 => (r2.getString(0), r2.getLong(1), r2.getLong(2), r2.getLong(3)))
+    val n = g.map(_._2).sum
+    val k = g.length
+    val aGroups = g.map { case (_, cn, sx, _) =>
+      (BigInt(sx) * sx * 100 / cn).toLong }.sum.toDouble / 100.0
+    val msw = (g.map(_._4).sum.toDouble - aGroups) / (n - k).toDouble
+    val stats = g.map(t => t._1 -> (t._2, t._3)).toMap
+    def rd6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    for ((ga, gb, na, nb, diff, qs) <- out) {
+      val (wna, sxa) = stats(ga); val (wnb, sxb) = stats(gb)
+      assert(na == wna && nb == wnb)
+      val d = sxa.toDouble / wna - sxb.toDouble / wnb
+      assert(math.abs(diff - rd6(d)) < 1e-9)
+      val want = rd6(math.abs(d) / math.sqrt(msw / 2.0 * (1.0 / wna + 1.0 / wnb)))
+      assert(math.abs(qs - want) < 1e-9, s"$ga/$gb q $qs vs $want")
+      assert(qs >= 0)
+    }
+  }
+
+  test("stat_cramers_v: V recomposes from its chi2 and agrees with the chi2 gate") {
+    val r = run("stat_cramers_v").collect().head
+    val (n, minDim, chi2, v) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
+    assert(v >= 0.0 && v <= 1.0)
+    val want = BigDecimal(math.sqrt(chi2 / (n.toDouble * minDim.toDouble)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(v == want, s"V $v vs $want")
+    // same contingency machinery: chi2 must equal the chi2 gate's statistic
+    val c = run("stat_chi2_independence").collect().head
+    assert(c.getLong(0) == n && math.abs(c.getDouble(2) - chi2) < 1e-9)
+  }
 }
