@@ -2141,20 +2141,29 @@ object StatQueries {
   }
 
   /** The full LPA run shared by graph_label_propagation and
-    * graph_modularity: checkpointed pre-partitioned adjacency,
-    * [[LpaRounds]] synchronous rounds, materialized final (v, lbl).
+    * graph_modularity: cached pre-partitioned adjacency, [[LpaRounds]]
+    * synchronous rounds, final (v, lbl) memoized as a parquet table per
+    * (fixture, JVM) — the iteration is deterministic, so whichever of
+    * the two consumers runs first pays the rounds and the other reads
+    * the table (the TmpStores contract: fixtures must not be
+    * regenerated under the same path mid-session).
     */
   private[graft] def lpaFinalLabels(s: SparkSession, dir: String): DataFrame = {
-    val edges = coPurchaseEdges(s, dir, LpaSupport)
-      .select(col("src"), col("dst"))
-    val adj = lpaAdjacency(edges)
-    var labels = adj.select(col("v")).distinct()
-      .withColumn("lbl", col("v")).localCheckpoint()
-    for (i <- 1 to LpaRounds)
-      labels = lpaRound(adj, labels, i).localCheckpoint()
-    // rounds are done (eager checkpoints): release the resident adjacency
-    adj.unpersist()
-    labels
+    val table = TmpStores.memoizedTable("graft_lpa_labels", dir) { root =>
+      val edges = coPurchaseEdges(s, dir, LpaSupport)
+        .select(col("src"), col("dst"))
+      val adj = lpaAdjacency(edges)
+      var labels = adj.select(col("v")).distinct()
+        .withColumn("lbl", col("v")).localCheckpoint()
+      for (i <- 1 to LpaRounds)
+        labels = lpaRound(adj, labels, i).localCheckpoint()
+      // rounds are done (eager checkpoints): release the resident adjacency
+      adj.unpersist()
+      val path = s"$root/labels"
+      labels.write.parquet(path)
+      path
+    }
+    s.read.parquet(table)
   }
 
   /** The LPA WITH-chain (co-purchase edges e0 → adj → l0 → l1..lR) as
