@@ -998,9 +998,65 @@ object EventQueries {
       |FROM f
       """.stripMargin.trim))
 
+  private val interarrival = QueryDef(
+    "ev_interarrival_poisson",
+    "Poisson-process check per event type: mean and coefficient of " +
+      "variation of inter-arrival gaps — CV ≈ 1 reads as a memoryless " +
+      "(Poisson) arrival stream, CV ≫ 1 as bursty/bot traffic, CV ≪ 1 " +
+      "as scheduled/machine cadence; the arrival-PROCESS probe beside " +
+      "txt_burstiness' per-document token view. Gaps are exact integer " +
+      "epoch-second differences via one type-keyed lag window (ties " +
+      "order arbitrarily but the gap MULTISET is permutation-invariant " +
+      "under equal timestamps, and the sufficient statistics n, Σg, " +
+      "Σg² are multiset functions — deterministic without a tiebreak); " +
+      "mean and CV evaluate in one fixed double shape from exact " +
+      "BIGINTs. One keyed shuffle.",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type")).orderBy(col("sec"))
+      val g = Tables.events(s, dir)
+        .select(col("event_type"), col("ts").cast("long").as("sec"))
+        .withColumn("gap", col("sec") - lag(col("sec"), 1).over(w))
+        .filter(col("gap").isNotNull)
+      g.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_gaps"),
+          sum(col("gap")).as("sg"),
+          sum(col("gap") * col("gap")).as("sg2"))
+        .select(col("event_type"), col("n_gaps"),
+          round(col("sg").cast("double") / col("n_gaps").cast("double"), 6)
+            .as("mean_gap_s"),
+          round(sqrt(greatest(lit(0.0),
+            col("sg2").cast("double") / col("n_gaps").cast("double") -
+              (col("sg").cast("double") / col("n_gaps").cast("double")) *
+              (col("sg").cast("double") / col("n_gaps").cast("double")))) /
+            (col("sg").cast("double") / col("n_gaps").cast("double")), 6)
+            .as("cv"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      |WITH e AS (
+      |  SELECT event_type, epoch_us(ts::TIMESTAMP) // 1000000 AS sec FROM events
+      |), g AS (
+      |  SELECT event_type,
+      |         sec - lag(sec, 1) OVER (PARTITION BY event_type ORDER BY sec) AS gap
+      |  FROM e
+      |), s AS (
+      |  SELECT event_type, count(*)::BIGINT AS n_gaps,
+      |         SUM(gap)::BIGINT AS sg, SUM(gap * gap)::BIGINT AS sg2
+      |  FROM g WHERE gap IS NOT NULL GROUP BY 1
+      |)
+      |SELECT event_type, n_gaps,
+      |       round(sg::DOUBLE / n_gaps::DOUBLE, 6) AS mean_gap_s,
+      |       round(sqrt(greatest(0.0,
+      |               sg2::DOUBLE / n_gaps::DOUBLE -
+      |               (sg::DOUBLE / n_gaps::DOUBLE) * (sg::DOUBLE / n_gaps::DOUBLE))) /
+      |             (sg::DOUBLE / n_gaps::DOUBLE), 6) AS cv
+      |FROM s ORDER BY event_type
+      """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
     Seq(tumbling, sliding, sessionsQ, propsQ, firstQ, valueStats, pivotQ, asofQ,
       rangeQ, movingQ, gapsQ, funnelQ, percentilesQ, histogramQ, outliersQ,
       cohortsQ, gapfillQ, rfmQ, rangeFrameQ, trigramsQ, madQ, reachQ,
-      entropyDaily, retentionHalflife)
+      entropyDaily, retentionHalflife, interarrival)
 }

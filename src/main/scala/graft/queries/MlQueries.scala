@@ -1410,9 +1410,72 @@ object MlQueries {
       |ORDER BY support DESC, item_a, item_b, item_c
       """.stripMargin.trim))
 
+  private val bestF1 = QueryDef(
+    "ml_best_f1_threshold",
+    "Operating-point selection: the threshold maximizing F1 over the " +
+      "same score/label pair as ml_auc_roc / ml_pr_curve — the " +
+      "decision the curves inform but don't make (a deployed filter " +
+      "needs ONE cutoff). F1 = 2TP/(2TP+FP+FN) is a single exact " +
+      "rational of BIGINT counts, so the argmax key is EXACT integer " +
+      "millionths ((2TP·10⁶) div (2TP+FP+FN)) — selection and " +
+      "presentation are the same exact number, no float anywhere in " +
+      "the ranking (the decade-gate tie lesson applied to a whole " +
+      "query). One corpus aggregate to per-threshold counts; cumsums " +
+      "and the top-1 run on the threshold-bounded relation.",
+    (s, dir) => {
+      val byThr = Tables.lineitem(s, dir)
+        .select((col("l_discount").cast(Queries.Money.rate) * 100)
+          .cast("long").as("thr_cents"), col("l_returnflag"))
+        .groupBy(col("thr_cents"))
+        .agg(count(when(col("l_returnflag") === "R", lit(1))).as("pos_d"),
+          count(when(col("l_returnflag") =!= "R", lit(1))).as("neg_d"))
+      val tot = byThr.agg(sum(col("pos_d")).cast("long").as("p_all"))
+      val wOrd = Window.orderBy(col("thr_cents").desc)
+      byThr.crossJoin(broadcast(tot))
+        .withColumn("tp", sum(col("pos_d")).over(wOrd))
+        .withColumn("fp", sum(col("neg_d")).over(wOrd))
+        .withColumn("fn", col("p_all") - col("tp"))
+        .withColumn("f1_micro",
+          expr("CAST((2 * tp * 1000000) div (2 * tp + fp + fn) AS BIGINT)"))
+        .orderBy(col("f1_micro").desc, col("thr_cents"))
+        .limit(1)
+        .select(col("thr_cents"), col("tp"), col("fp"), col("fn"),
+          (col("f1_micro").cast("double") / lit(1000000.0)).as("best_f1"),
+          round(col("tp").cast("double") / (col("tp") + col("fp")).cast("double"), 6)
+            .as("precision"),
+          round(col("tp").cast("double") / col("p_all").cast("double"), 6)
+            .as("recall"))
+    },
+    Some("""
+      |WITH bythr AS (
+      |  SELECT CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT) AS thr_cents,
+      |         count(*) FILTER (WHERE l_returnflag = 'R') AS pos_d,
+      |         count(*) FILTER (WHERE l_returnflag <> 'R') AS neg_d
+      |  FROM lineitem GROUP BY 1
+      |), tot AS (SELECT SUM(pos_d)::BIGINT AS p_all FROM bythr),
+      |cum AS (
+      |  SELECT thr_cents,
+      |         CAST(SUM(pos_d) OVER w AS BIGINT) AS tp,
+      |         CAST(SUM(neg_d) OVER w AS BIGINT) AS fp,
+      |         p_all
+      |  FROM bythr CROSS JOIN tot
+      |  WINDOW w AS (ORDER BY thr_cents DESC)
+      |), f AS (
+      |  SELECT thr_cents, tp, fp, p_all - tp AS fn, p_all,
+      |         ((2 * tp * 1000000) // (2 * tp + fp + (p_all - tp)))::BIGINT AS f1_micro
+      |  FROM cum
+      |)
+      |SELECT thr_cents, tp, fp, fn,
+      |       f1_micro::DOUBLE / 1000000.0 AS best_f1,
+      |       round(tp::DOUBLE / (tp + fp)::DOUBLE, 6) AS precision,
+      |       round(tp::DOUBLE / p_all::DOUBLE, 6) AS recall
+      |FROM f
+      |ORDER BY f1_micro DESC, thr_cents LIMIT 1
+      """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
     Seq(targetEncode, quantileBins, attribution, itemCooccurrence,
       naiveBayes, aucRoc, silhouette, logregGd, calibrationEce, kfoldCv,
       prCurve, liftGains, ridge, prfReport, stump, kmeansElbow,
-      frequentTriples)
+      frequentTriples, bestF1)
 }

@@ -521,7 +521,56 @@ object QualityQueries {
       }.mkString("", "\nUNION ALL\n", "\nORDER BY table_name")
     })
 
+  private val hashBalance = QueryDef(
+    "dq_hash_balance",
+    "Hash-partition balance audit: customers bucketed by the portable " +
+      "48-bit md5 hash mod 32 (the engine's own shuffle-key shape) — " +
+      "the check run BEFORE choosing a partition key at 100 TB: a " +
+      "skewed bucket histogram here is a straggler task there, and " +
+      "the salting decision (operators.Skew) wants this number first. " +
+      "Exact BIGINT bucket counts; skew = max·B·10⁶ div n (max-to-" +
+      "mean in exact millionths) and the χ²-against-uniform statistic " +
+      "— algebraically (B·Σo² − n²)/n — as (…)·10⁶ div n, one exact " +
+      "integer division per readout, no float until the final /1e6. " +
+      "One map-side-combining rollup over 32 buckets.",
+    (s, dir) => {
+      val b = Tables.customer(s, dir)
+        .select(pmod(graft.operators.TextAnalysis.md5Long48(
+          col("c_custkey").cast("string")), lit(32)).as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("o"))
+      b.agg(count(lit(1)).as("n_buckets"),
+          sum(col("o")).as("n_rows"),
+          min(col("o")).as("min_bucket"), max(col("o")).as("max_bucket"),
+          sum(expr("CAST(o AS DECIMAL(38,0)) * o")).as("so2"))
+        .select(col("n_buckets"), col("n_rows"), col("min_bucket"),
+          col("max_bucket"),
+          (expr("CAST((max_bucket * n_buckets * 1000000) div n_rows AS BIGINT)")
+            .cast("double") / lit(1000000.0)).as("skew_ratio"),
+          (expr("CAST((CAST(n_buckets AS DECIMAL(38,0)) * so2 - " +
+            "CAST(n_rows AS DECIMAL(38,0)) * n_rows) * 1000000 div " +
+            "CAST(n_rows AS DECIMAL(38,0)) AS BIGINT)")
+            .cast("double") / lit(1000000.0)).as("chi2_uniform"))
+    },
+    Some("""
+      |WITH b AS (
+      |  SELECT ('0x' || substring(md5(c_custkey::VARCHAR), 1, 12))::BIGINT % 32 AS bucket,
+      |         count(*) AS o
+      |  FROM customer GROUP BY 1
+      |), s AS (
+      |  SELECT count(*)::BIGINT AS n_buckets, SUM(o)::BIGINT AS n_rows,
+      |         min(o)::BIGINT AS min_bucket, max(o)::BIGINT AS max_bucket,
+      |         SUM(o::HUGEINT * o) AS so2
+      |  FROM b
+      |)
+      |SELECT n_buckets, n_rows, min_bucket, max_bucket,
+      |       ((max_bucket * n_buckets * 1000000) // n_rows)::BIGINT::DOUBLE
+      |         / 1000000.0 AS skew_ratio,
+      |       (((n_buckets::HUGEINT * so2 - n_rows::HUGEINT * n_rows) * 1000000)
+      |         // n_rows::HUGEINT)::BIGINT::DOUBLE / 1000000.0 AS chi2_uniform
+      |FROM s
+      """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
     Seq(profileQ, fuzzyLinkQ, expectationsQ, kAnonymity, tableFingerprint,
-      driftTv, dpCounts, refIntegrity, pkUniqueness)
+      driftTv, dpCounts, refIntegrity, pkUniqueness, hashBalance)
 }

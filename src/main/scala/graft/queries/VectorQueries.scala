@@ -1700,10 +1700,60 @@ object VectorQueries {
       """.stripMargin.trim
     })
 
+  private val quantError = QueryDef(
+    "vec_quantization_error",
+    "Int8 reconstruction-error report per label: mean squared error of " +
+      "dequantize(quantize(v)) against the float corpus — the " +
+      "telemetry read BEFORE switching serving to vec_quantize_int8's " +
+      "4×-smaller vectors (labels whose geometry is fine-grained " +
+      "relative to their amax lose more; this is the number that says " +
+      "whether int8 or the PQ family is the right compression). Each " +
+      "per-element squared error evaluates in one fixed double shape " +
+      "(x − round(x/amax·127)·amax/127)², rounds at 12, and " +
+      "accumulates in DECIMAL(38,12) (order-independent — element sums " +
+      "never reassociate); MSE is one IEEE division. One scan-side " +
+      "explode + one |labels|-row rollup.",
+    (s, dir) => {
+      import graft.functions.VectorFunctions.quantScale
+      val dec12 = org.apache.spark.sql.types.DecimalType(38, 12)
+      val ex = Tables.embeddings(s, dir)
+        .withColumn("amax", quantScale(col("embedding")))
+        .select(col("label"), col("amax"),
+          posexplode(col("embedding")).as(Seq("pos", "x")))
+        .withColumn("xd", col("x").cast("double"))
+        .withColumn("q", when(col("amax") === 0.0, lit(0))
+          .otherwise(round(col("xd") / col("amax") * 127.0).cast("int")))
+        .withColumn("err", col("xd") - col("q").cast("double") * col("amax") / lit(127.0))
+      ex.groupBy(col("label"))
+        .agg(count(lit(1)).as("n_elems"),
+          round(sum(round(col("err") * col("err"), 12).cast(dec12)).cast("double") /
+            count(lit(1)).cast("double"), 12).as("mse"))
+        .orderBy(col("label"))
+    },
+    Some("""
+      |WITH e AS (
+      |  SELECT label, embedding::DOUBLE[] AS v,
+      |         list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS amax
+      |  FROM embeddings
+      |), ex AS (
+      |  SELECT label, amax, unnest(v) AS xd FROM e
+      |), q AS (
+      |  SELECT label,
+      |         xd - (CASE WHEN amax = 0 THEN 0
+      |               ELSE CAST(round(xd / amax * 127.0) AS INT) END)::DOUBLE
+      |              * amax / 127.0 AS err
+      |  FROM ex
+      |)
+      |SELECT label, count(*) AS n_elems,
+      |       round(CAST(SUM(CAST(round(err * err, 12) AS DECIMAL(38,12))) AS DOUBLE) /
+      |             count(*)::DOUBLE, 12) AS mse
+      |FROM q GROUP BY label ORDER BY label
+      """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
     Seq(filtered, l2Search, batch, ragContext, ivf, lshProbe, nswBeam, ivfRule,
       lshRule, ivfKmeansRule, filteredIvfRule, mips, quantRescore, sqlApi,
       centroids, quantize, groupTopk, pqAdc, pqRescore, pqBatch, pqStoreAdc,
       matryoshka, ivfPqAdc, pcaKnn, rpKnn, bqHamming, mmrDiversify, recallEval,
-      ivfRecallEvalQ)
+      ivfRecallEvalQ, quantError)
 }

@@ -1520,4 +1520,105 @@ class ModelEvalSpec extends SparkSpec {
     val c = run("stat_chi2_independence").collect().head
     assert(c.getLong(0) == n && math.abs(c.getDouble(2) - chi2) < 1e-9)
   }
+
+  test("dq_hash_balance: buckets replay from a driver md5 pass") {
+    val r = run("dq_hash_balance").collect().head
+    val (nb, n, mn, mx, skew, chi2) = (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))
+    val keys = Tables.customer(spark, sf("sf0.001"))
+      .select(col("c_custkey")).collect().map(_.getLong(0))
+    def b(k: Long): Long = {
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(k.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 12)
+      java.lang.Long.parseLong(md5, 16) % 32
+    }
+    val counts = keys.map(b).groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(nb == counts.size && n == keys.length)
+    assert(mn == counts.values.min && mx == counts.values.max)
+    assert(skew == (mx * nb * 1000000L / n).toDouble / 1e6)
+    val so2 = counts.values.map(o => BigInt(o) * o).sum
+    val want = ((BigInt(nb) * so2 - BigInt(n) * n) * 1000000 / n).toLong.toDouble / 1e6
+    assert(chi2 == want, s"chi2 $chi2 vs $want")
+  }
+
+  test("ev_interarrival_poisson: gap statistics replay from a driver pass") {
+    val out = run("ev_interarrival_poisson").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val rows = Tables.events(spark, sf("sf0.001"))
+      .select(col("event_type"), col("ts").cast("long")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    def rd6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val byType = rows.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    assert(out.map(_._1).toSet == byType.keySet.filter(byType(_).length >= 2))
+    for ((t, nGaps, mean, cv) <- out) {
+      val secs = byType(t)
+      val gaps = secs.zip(secs.tail).map { case (a, bb) => bb - a }
+      assert(nGaps == gaps.length)
+      val sg = gaps.sum.toDouble; val n = gaps.length.toDouble
+      val sg2 = gaps.map(g => g * g).sum.toDouble
+      assert(mean == rd6(sg / n), s"$t mean")
+      val wantCv = rd6(math.sqrt(math.max(0.0, sg2 / n - (sg / n) * (sg / n))) / (sg / n))
+      assert(cv == wantCv, s"$t cv $cv vs $wantCv")
+      assert(cv >= 0)
+    }
+  }
+
+  test("ml_best_f1_threshold: the argmax replays over every threshold exactly") {
+    val r = run("ml_best_f1_threshold").collect().head
+    val (thr, tp, fp, fn, f1) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+    val rows = Tables.lineitem(spark, sf("sf0.001"))
+      .select((col("l_discount").cast(org.apache.spark.sql.types.DecimalType(4, 2)) * 100)
+        .cast("long"), (col("l_returnflag") === "R").cast("int"))
+      .collect().map(rr => (rr.getLong(0), rr.getInt(1)))
+    val pAll = rows.map(_._2.toLong).sum
+    val thresholds = rows.map(_._1).distinct.sorted
+    val best = thresholds.map { t =>
+      val sel = rows.filter(_._1 >= t)
+      val wtp = sel.map(_._2.toLong).sum
+      val wfp = sel.length - wtp
+      val wfn = pAll - wtp
+      (t, wtp, wfp, wfn, 2 * wtp * 1000000L / (2 * wtp + wfp + wfn))
+    }.minBy { case (t, _, _, _, f) => (-f, t) }
+    assert((thr, tp, fp, fn) == ((best._1, best._2, best._3, best._4)),
+      s"engine ($thr,$tp,$fp,$fn) vs replay $best")
+    assert(f1 == best._5.toDouble / 1e6)
+    // the chosen point beats or ties every other threshold's exact F1
+    assert(best._5 == thresholds.map { t =>
+      val sel = rows.filter(_._1 >= t); val wtp = sel.map(_._2.toLong).sum
+      2 * wtp * 1000000L / (2 * wtp + (sel.length - wtp) + (pAll - wtp))
+    }.max)
+  }
+
+  test("vec_quantization_error: per-label MSE replays; int8 error is small but nonzero") {
+    val out = run("vec_quantization_error").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    val rows = Tables.embeddings(spark, sf("sf0.001"))
+      .select(col("label"), col("embedding")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+    def rd12(x: Double) = BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val byLabel = rows.groupBy(_._1)
+    assert(out.map(_._1).toSet == byLabel.keySet)
+    for ((label, nElems, mse) <- out) {
+      val vs = byLabel(label).map(_._2)
+      assert(nElems == vs.map(_.length.toLong).sum)
+      val terms = vs.flatMap { v =>
+        val amax = v.map(x => math.abs(x.toDouble)).max
+        v.map { x =>
+          val xd = x.toDouble
+          // HALF_UP like the engines' round(), not Math.round (which
+          // rounds negative .5 toward +inf)
+          val q = if (amax == 0.0) 0
+            else BigDecimal(xd / amax * 127.0)
+              .setScale(0, BigDecimal.RoundingMode.HALF_UP).toInt
+          val err = xd - q.toDouble * amax / 127.0
+          rd12(err * err)
+        }
+      }
+      val want = rd12(terms.sum.toDouble / nElems).toDouble
+      assert(math.abs(mse - want) < 1e-12, s"label $label mse $mse vs $want")
+      assert(mse > 0 && mse < 1e-2, s"label $label mse out of int8 band: $mse")
+    }
+  }
 }
