@@ -650,4 +650,44 @@ class PlanShapeSpec extends SparkSpec {
     assert(!"BroadcastExchange[\\s\\S]{0,400}?lineitem\\.parquet".r.findFirstIn(p).isDefined,
       s"lineitem may never be a broadcast build side:\n$p")
   }
+
+  test("frequent triples: brand dim broadcasts; scalars Cross-broadcast; top-25 heaps") {
+    val p = planOf("ml_frequent_triples")
+    // the brand lookup must never shuffle the fact side
+    assert(p.contains("BroadcastHashJoin"), s"brand dim must broadcast:\n$p")
+    // loop joins only as one-row scalar Cross broadcasts (total + n_orders)
+    "BroadcastNestedLoopJoin[^\\n]*".r.findAllIn(p).foreach { line =>
+      assert(line.contains("Cross"), s"non-scalar loop join: $line")
+    }
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-25 must be a bounded heap, not a global sort:\n$p")
+    // the triple rollup combines map-side before its exchange
+    val aggIdx = p.indexOf("HashAggregate")
+    assert(aggIdx >= 0 && p.indexOf("HashAggregate", aggIdx + 1) > aggIdx, p)
+  }
+
+  test("textrank: 50-row vocab broadcasts into both bigram legs; top-25 heaps") {
+    val p = planOf("txt_textrank_keywords")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      s"the capped vocab must broadcast into both bigram filters:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("TakeOrderedAndProject"),
+      s"keyword top-25 must be a bounded heap:\n$p")
+  }
+
+  test("quantization error: one label rollup shuffle, fully codegen'd arithmetic") {
+    val p = planOf("vec_quantization_error")
+    assert(hashExchanges(p) == 1,
+      s"expected exactly the label rollup exchange:\n$p")
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"),
+      s"the quantize/dequantize arithmetic must stay codegen'd:\n$p")
+  }
+
+  test("hash balance: bucket rollup combines map-side; single final gather") {
+    val p = planOf("dq_hash_balance")
+    assert(hashExchanges(p) <= 1, s"one bucket exchange at most:\n$p")
+    val aggIdx = p.indexOf("HashAggregate")
+    assert(aggIdx >= 0 && p.indexOf("HashAggregate", aggIdx + 1) > aggIdx,
+      s"expected partial+final HashAggregate pair:\n$p")
+  }
 }
