@@ -48,9 +48,15 @@ object Bfs {
       val relaxed = e.join(dist, e("src") === dist("id"))
         .select(col("dst"), (col("d") + lit(1L)).as("dnext"))
         .groupBy(col("dst")).agg(min(col("dnext")).as("dr"))
+      // localCheckpoint per round: `dist` feeds BOTH the relaxation and
+      // the merge join, so a lazy chain duplicates each round's subtree
+      // twice — 2^rounds plan blowup (measured on the nation family:
+      // dozens of tiny replayed stages). The relation is node-sized, so
+      // the eager cut is O(|V|) per round.
       dist = dist.join(relaxed, dist("id") === relaxed("dst"), "left")
         .select(dist("id"),
           least(col("d"), coalesce(col("dr"), lit(Unreached))).as("d"))
+        .localCheckpoint()
     }
     dist.select(col("id"), col("d").as("dist"))
   }
@@ -79,8 +85,13 @@ object Bfs {
     for (_ <- 1 to rounds) {
       val relaxed = e.join(dist, e("src") === dist("id"))
         .select(col("s"), col("dst").as("id"), (col("d") + lit(1L)).as("d"))
+      // same per-round lineage cut as hopDistance: `dist` appears in both
+      // union legs, so laziness doubles the subtree every round — the
+      // checkpoint keeps the plan linear in `rounds` at a cost bounded by
+      // the reached-pairs relation this operator is contracted to
       dist = dist.unionAll(relaxed)
         .groupBy(col("s"), col("id")).agg(min(col("d")).as("d"))
+        .localCheckpoint()
     }
     dist.select(col("s"), col("id"), col("d").as("dist"))
   }

@@ -48,14 +48,22 @@ object Hits {
     var h = v.select(col("id"), lit(massMicro).as("s"))
     var a = v.select(col("id"), lit(0L).as("s"))
     for (_ <- 1 to iterations) {
+      // localCheckpoint per half-step: each `normalized` embeds its input
+      // TWICE (the q scalar aggregate + the score join) and every
+      // iteration embeds the previous one, so a lazy chain duplicates
+      // subtrees exponentially in the iteration count — measured 8.7 s
+      // for 2 iterations over a 625-row edge relation before the
+      // checkpoints, 2.9 s after. The relations are node-sized, so the
+      // materialization is O(|V|) per step — the same eager-truncation
+      // discipline Betweenness/Bfs already use.
       a = normalized(v,
         e.join(h, e("src") === h("id"))
           .groupBy(col("dst").as("vid")).agg(sum(col("s") * col("w")).as("raw")),
-        massMicro)
+        massMicro).localCheckpoint()
       h = normalized(v,
         e.join(a, e("dst") === a("id"))
           .groupBy(col("src").as("vid")).agg(sum(col("s") * col("w")).as("raw")),
-        massMicro)
+        massMicro).localCheckpoint()
     }
     h.select(col("id"), col("s").as("hub_micro"))
       .join(a.select(col("id"), col("s").as("auth_micro")), Seq("id"))

@@ -334,8 +334,11 @@ object Nsw {
     * fan over windowed stores unchanged.
     */
   def windowShard(idCol: String, windowSize: Long): org.apache.spark.sql.Column =
-    // integer `div`, not `/` (double division) — exact at any id scale,
-    // and the same operator the DuckDB oracle's `//` computes
+    // integer `div`, not `/` (double division) — exact at any id scale.
+    // NOTE: Spark `div` truncates toward zero while DuckDB `//` floors;
+    // they agree ONLY for non-negative ids, which the arrival-order
+    // vec_id domain guarantees (ids are assigned 0,1,2,… at ingest) —
+    // a signed id domain would need the offset-shift discipline instead
     expr(s"CAST(CAST($idCol AS BIGINT) div ${windowSize}L AS INT)")
 
   /** Build the sharded graph store under arrival-window sharding —
@@ -389,6 +392,28 @@ object Nsw {
   def appendToGraphWindowed(spark: SparkSession, storePath: String,
                             batch: DataFrame, vecCol: String, idCol: String,
                             windowSize: Long, p: Params): Unit = {
+    // crash recovery from a previous interrupted swap: any shard dir
+    // parked in the aside root whose store slot is EMPTY is the old
+    // bytes of a swap that renamed-out but never renamed-in — restore
+    // it (the aside lives OUTSIDE the store path so partition discovery
+    // never sees a half-swapped dir). A mixed store (some shards already
+    // refreshed, some restored) is safe: the vec_id anti-join below
+    // makes the whole append idempotent, so re-running converges.
+    locally {
+      val hconf = spark.sessionState.newHadoopConf()
+      val store = new org.apache.hadoop.fs.Path(storePath)
+      val fs = store.getFileSystem(hconf)
+      val asideRoot = new org.apache.hadoop.fs.Path(storePath + "_windowed_aside")
+      if (fs.exists(asideRoot)) {
+        fs.listStatus(asideRoot).foreach { st =>
+          val slot = new org.apache.hadoop.fs.Path(store, st.getPath.getName)
+          if (!fs.exists(slot))
+            require(fs.rename(st.getPath, slot),
+              s"crash recovery failed restoring ${st.getPath.getName}")
+        }
+        fs.delete(asideRoot, true)
+      }
+    }
     val incoming = batch
       .select(windowShard(idCol, windowSize).as("shard"),
         col(idCol).cast("long").as("vec_id"),
@@ -433,12 +458,23 @@ object Nsw {
     val store = new org.apache.hadoop.fs.Path(storePath)
     val staged = new org.apache.hadoop.fs.Path(staging)
     val fs = store.getFileSystem(hconf)
+    // swap via rename-aside, never delete-then-rename: a crash between
+    // `delete(to)` and `rename(from, to)` would leave the store missing
+    // a shard with nothing reconciling it. Renaming the old dir aside
+    // first keeps its bytes until the new dir is IN PLACE; the aside is
+    // deleted last, and the entry-time recovery above restores it if
+    // this JVM dies mid-swap.
+    val asideRoot = new org.apache.hadoop.fs.Path(storePath + "_windowed_aside")
+    fs.mkdirs(asideRoot)
     touched.foreach { sh =>
       val from = new org.apache.hadoop.fs.Path(staged, s"shard=$sh")
       val to = new org.apache.hadoop.fs.Path(store, s"shard=$sh")
-      if (fs.exists(to)) fs.delete(to, true)
+      val aside = new org.apache.hadoop.fs.Path(asideRoot, s"shard=$sh")
+      if (fs.exists(to))
+        require(fs.rename(to, aside), s"aside rename failed for shard=$sh")
       require(fs.rename(from, to), s"swap failed for shard=$sh")
     }
+    fs.delete(asideRoot, true)
     fs.delete(staged, true)
   }
 

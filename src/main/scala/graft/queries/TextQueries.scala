@@ -1791,10 +1791,15 @@ object TextQueries {
       s"is ≤$TextRankVocab² rows.",
     (s, dir) => {
       val tk = docToks(s, dir)
+      // localCheckpoint, not cache(): eager and ≤50 rows, it reuses the
+      // materialized vocab across the three consumers WITHOUT leaving a
+      // persistent cache entry behind — ContextCleaner frees the blocks
+      // once the reference is collected, whereas a cache() here
+      // accumulated across a multi-query session (round-14 ADVICE)
       val vocab = tk.select(explode(col("toks")).as("token"))
         .groupBy(col("token")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("token")).limit(TextRankVocab)
-        .select(col("token")).cache()
+        .select(col("token")).localCheckpoint()
       val bi = tk.select(explode(zip_with(
           slice(col("toks"), lit(1), size(col("toks")) - 1),
           slice(col("toks"), lit(2), size(col("toks")) - 1),

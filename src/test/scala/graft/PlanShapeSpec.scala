@@ -628,27 +628,44 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"), p)
   }
 
-  test("HITS edge build: customer/supplier/nation dims broadcast, fact side never broadcast") {
-    val p = planOf("graph_hits_nations")
+  test("trade-graph build: customer/supplier dims broadcast, fact side never broadcast") {
+    // the six nation-graph queries now read the memoized per-(fixture,
+    // JVM) trade-graph store; the ONE shared fact join they amortize is
+    // tradeGraphAgg — assert its discipline directly
+    GraftSession.prepare(spark)
+    val p = graft.queries.StatQueries.tradeGraphAgg(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
     val bhj = "BroadcastHashJoin".r.findAllIn(p).length
-    assert(bhj >= 3, s"customer, supplier and nation joins must broadcast:\n$p")
-    // loop joins only as scalar Cross broadcasts (the one-row
-    // normalizer relation) — never as a data-sized fallback join
-    "BroadcastNestedLoopJoin[^\\n]*".r.findAllIn(p).foreach { line =>
-      assert(line.contains("Cross"), s"non-scalar loop join in the edge build: $line")
-    }
+    assert(bhj >= 2, s"customer and supplier dim joins must broadcast:\n$p")
     // the orders⋈lineitem fact join must NOT put a fact table in a
     // broadcast build: every BroadcastExchange subtree stays dim-sized
     assert(!"BroadcastExchange[\\s\\S]{0,400}?lineitem\\.parquet".r.findFirstIn(p).isDefined,
       s"lineitem may never be a broadcast build side:\n$p")
+    assert(!"BroadcastExchange[\\s\\S]{0,400}?orders\\.parquet".r.findFirstIn(p).isDefined,
+      s"orders may never be a broadcast build side:\n$p")
+    // the (src, dst) rollup combines map-side before its exchange
+    val aggIdx = p.indexOf("HashAggregate")
+    assert(aggIdx >= 0 && p.indexOf("HashAggregate", aggIdx + 1) > aggIdx,
+      s"expected partial+final HashAggregate pair:\n$p")
   }
 
-  test("eccentricity edge build: same broadcast-dim discipline as closeness") {
+  test("HITS iterations: loop joins only as scalar Cross broadcasts over the store read") {
+    val p = planOf("graph_hits_nations")
+    // loop joins only as scalar Cross broadcasts (the one-row
+    // normalizer relation) — never as a data-sized fallback join
+    "BroadcastNestedLoopJoin[^\\n]*".r.findAllIn(p).foreach { line =>
+      assert(line.contains("Cross"), s"non-scalar loop join in the iteration: $line")
+    }
+    // the edge relation is the memoized store, not a re-run fact join:
+    // no lineitem scan anywhere in the per-query plan
+    assert(!p.contains("lineitem.parquet"),
+      s"HITS must read the memoized trade-graph store, not rebuild the fact join:\n$p")
+  }
+
+  test("eccentricity: reads the memoized selective store, never the fact join") {
     val p = planOf("graph_eccentricity_nations")
-    assert("BroadcastHashJoin".r.findAllIn(p).length >= 3,
-      s"dims must broadcast in the selective trade-graph build:\n$p")
-    assert(!"BroadcastExchange[\\s\\S]{0,400}?lineitem\\.parquet".r.findFirstIn(p).isDefined,
-      s"lineitem may never be a broadcast build side:\n$p")
+    assert(!p.contains("lineitem.parquet"),
+      s"eccentricity must read the memoized trade-graph store:\n$p")
   }
 
   test("frequent triples: brand dim broadcasts; scalars Cross-broadcast; top-25 heaps") {
