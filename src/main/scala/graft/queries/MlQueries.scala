@@ -267,8 +267,10 @@ object MlQueries {
       "(doc, class) sums accumulate in DECIMAL(38,6), so the argmax " +
       "compares exact decimals (ties → class asc). Scale shape: " +
       "training = two corpus-scan aggregates; the (vocab × class) " +
-      "likelihood table joins on the token key (vocabulary-sized, " +
-      "never broadcast); scoring is one (doc, class)-keyed aggregate " +
+      "likelihood table joins on the token key with NO broadcast hint " +
+      "— the planner may size-broadcast a small side at fixture SFs, " +
+      "and at scale the same join shuffles (PlanShapeSpec locks the " +
+      "hint-free shape); scoring is one (doc, class)-keyed aggregate " +
       "and the per-doc argmax window partitions by doc_id — a subset " +
       "of the aggregate's partitioning, no extra exchange. Test " +
       "tokens outside the train vocabulary drop via the inner join " +

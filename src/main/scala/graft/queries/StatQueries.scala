@@ -2387,6 +2387,180 @@ object StatQueries {
       """.stripMargin.trim
     })
 
+  /** Greedy node-move passes for the Louvain refinement. */
+  private val LouvainPasses = 4
+
+  /** One Louvain pass as oracle CTEs: community degree sums a_p, per-node
+    * neighbor-community edge counts kvc_p, the exact-integer gain
+    * ΔQ·4m² = 4m(k_vB − k_vA) − 2d_v(a_B − a_A + d_v) for every
+    * (node, neighbor community) candidate, the single best positive-gain
+    * move (gain desc, node asc, target asc — a total order on exact
+    * integers), the label update, and the running q chain.
+    */
+  private def lvPass(p: Int): String = s""",
+    |a$p AS MATERIALIZED (
+    |  SELECT l.lbl AS c, SUM(d.deg)::BIGINT AS a
+    |  FROM deg d JOIN lp$p l ON l.v = d.v GROUP BY 1
+    |), kvc$p AS MATERIALIZED (
+    |  SELECT adj.v, l.lbl AS c, count(*)::BIGINT AS k
+    |  FROM adj JOIN lp$p l ON l.v = adj.nbr GROUP BY 1, 2
+    |), best$p AS MATERIALIZED (
+    |  SELECT v, from_c, to_c, gain FROM (
+    |    SELECT s.v, s.lbl AS from_c, k.c AS to_c,
+    |           4::BIGINT * mm.m * (k.k - COALESCE(ka.k, 0)) -
+    |           2::BIGINT * d.deg * (ab.a - aa.a + d.deg) AS gain
+    |    FROM kvc$p k
+    |    JOIN lp$p s ON s.v = k.v AND k.c <> s.lbl
+    |    LEFT JOIN kvc$p ka ON ka.v = k.v AND ka.c = s.lbl
+    |    JOIN deg d ON d.v = k.v
+    |    JOIN a$p ab ON ab.c = k.c
+    |    JOIN a$p aa ON aa.c = s.lbl
+    |    CROSS JOIN mm
+    |  ) WHERE gain > 0 ORDER BY gain DESC, v, to_c LIMIT 1
+    |), lp${p + 1} AS MATERIALIZED (
+    |  SELECT l.v, CASE WHEN l.v = (SELECT v FROM best$p)
+    |              THEN (SELECT to_c FROM best$p) ELSE l.lbl END AS lbl
+    |  FROM lp$p l
+    |), q${p + 1} AS (
+    |  SELECT (SELECT q FROM q$p) + COALESCE((SELECT gain FROM best$p), 0)::HUGEINT AS q
+    |)""".stripMargin
+
+  private val louvainRefine = QueryDef(
+    "graph_louvain_refine",
+    "One level of Louvain refinement (Blondel et al. 2008 phase 1, " +
+      s"greedy variant) over the LPA partition: $LouvainPasses " +
+      "single-best node-move passes, each relocating THE highest-gain " +
+      "node to a neighboring community — applied only when the exact " +
+      "integer gain ΔQ·4m² = 4m(k_vB − k_vA) − 2d_v(a_B − a_A + d_v) " +
+      "is strictly positive, so modularity PROVABLY increases every " +
+      "pass (the property synchronous all-node moves cannot give: " +
+      "simultaneous moves interact through shared community degrees " +
+      "and can decrease Q). Same graph, labels and Q·4m² integer " +
+      "channel as graph_modularity (shared LPA memo + co-purchase " +
+      "memo); candidate generation is one edges⋈labels rollup per " +
+      "pass — the (node, neighbor-community) relation, never |V|·|C|. " +
+      "The argmax is a total order on exact BIGINTs (gain desc, node, " +
+      "target), the single-row move is bounded driver state by " +
+      "construction, and the running modularity after each move is " +
+      "the same offset-shifted floor division as graph_modularity. " +
+      "The oracle unrolls the identical passes as MATERIALIZED CTEs. " +
+      "Output: one row per APPLIED move (pass, node, from, to, " +
+      "gain·4m², Q after).",
+    (s, dir) => {
+      import s.implicits._
+      val e0 = coPurchaseEdges(s, dir, LpaSupport)
+        .select(col("src"), col("dst"))
+      val adj = e0.select(col("src").as("v"), col("dst").as("nbr"))
+        .unionAll(e0.select(col("dst").as("v"), col("src").as("nbr")))
+        .localCheckpoint()
+      val deg = adj.groupBy(col("v")).agg(count(lit(1)).as("deg"))
+        .localCheckpoint()
+      val mEdges = e0.count()
+      var labels = lpaFinalLabels(s, dir).localCheckpoint()
+      // q0·4m² exactly as graph_modularity computes it (one bounded
+      // aggregation; DECIMAL(38,0) ≡ HUGEINT)
+      val q0 = {
+        val eii = e0
+          .join(labels.select(col("v").as("src"), col("lbl").as("ca")), Seq("src"))
+          .join(labels.select(col("v").as("dst"), col("lbl").as("cb")), Seq("dst"))
+          .filter(col("ca") === col("cb"))
+          .groupBy(col("ca").as("c")).agg(count(lit(1)).as("e_in"))
+        val ai = deg.join(labels, Seq("v"))
+          .groupBy(col("lbl").as("c")).agg(sum(col("deg")).as("a"))
+        val row = ai.join(eii, Seq("c"), "left")
+          .select(coalesce(col("e_in"), lit(0L)).as("e_in"), col("a"))
+          .agg(sum(expr(s"CAST(4 AS DECIMAL(38,0)) * ${mEdges}L * e_in - " +
+            "CAST(a AS DECIMAL(38,0)) * a")).as("q"))
+          .collect()(0)
+        BigInt(row.getDecimal(0).toBigInteger)
+      }
+      val dd = BigInt(4) * BigInt(mEdges) * BigInt(mEdges)
+      // offset-shifted floor division (the graph_modularity discipline):
+      // positive numerator, where BigInt / ≡ DuckDB // ≡ floor
+      def qMicro(q: BigInt): Double =
+        ((q * 1000000 + dd * 1000000) / dd - 1000000).toDouble / 1000000.0
+      var qc = q0
+      val moves = scala.collection.mutable.ListBuffer
+        .empty[(Long, Long, Long, Long, Long, Double)]
+      var done = false
+      for (p <- 1 to LouvainPasses if !done) {
+        val ac = labels.join(deg, Seq("v"))
+          .groupBy(col("lbl")).agg(sum(col("deg")).as("a"))
+        val kvc = adj
+          .join(labels.select(col("v").as("nbr"), col("lbl").as("c")), Seq("nbr"))
+          .groupBy(col("v"), col("c")).agg(count(lit(1)).as("k"))
+        val cand = kvc
+          .join(labels.select(col("v"), col("lbl").as("from_c")), Seq("v"))
+          .filter(col("c") =!= col("from_c"))
+          .join(kvc.select(col("v"), col("c").as("from_c"), col("k").as("k_in")),
+            Seq("v", "from_c"), "left")
+          .join(deg, Seq("v"))
+          .join(ac.select(col("lbl").as("c"), col("a").as("a_to")), Seq("c"))
+          .join(ac.select(col("lbl").as("from_c"), col("a").as("a_from")), Seq("from_c"))
+          .select(col("v"), col("from_c"), col("c").as("to_c"),
+            (lit(4L * mEdges) * (col("k") - coalesce(col("k_in"), lit(0L))) -
+              lit(2L) * col("deg") * (col("a_to") - col("a_from") + col("deg")))
+              .as("gain"))
+        // the single best move: a ONE-row collect, bounded by construction
+        val best = cand.filter(col("gain") > 0)
+          .orderBy(col("gain").desc, col("v"), col("to_c")).limit(1).collect()
+        if (best.isEmpty) done = true
+        else {
+          val b = best(0)
+          val (mv, fc, tc, g) =
+            (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+          qc += g
+          moves += ((p.toLong, mv, fc, tc, g, qMicro(qc)))
+          labels = labels.select(col("v"),
+            when(col("v") === mv, lit(tc)).otherwise(col("lbl")).as("lbl"))
+            .localCheckpoint()
+        }
+      }
+      moves.toSeq
+        .toDF("pass", "moved_node", "from_community", "to_community",
+          "gain_scaled", "q_after")
+        .orderBy(col("pass"))
+    },
+    Some {
+      val rows = (1 to LouvainPasses).map { p =>
+        s"""|  SELECT CAST($p AS BIGINT) AS pass, v AS moved_node,
+            |         from_c AS from_community, to_c AS to_community,
+            |         gain AS gain_scaled, (SELECT q FROM q$p) AS qq
+            |  FROM best${p - 1}""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""
+      |WITH $lpaStepsSql,
+      |lp0 AS MATERIALIZED (SELECT v, lbl FROM l$LpaRounds),
+      |deg AS MATERIALIZED (
+      |  SELECT v, count(*)::BIGINT AS deg FROM (
+      |    SELECT src AS v FROM e0 UNION ALL SELECT dst FROM e0
+      |  ) GROUP BY 1
+      |), mm AS (SELECT count(*)::BIGINT AS m FROM e0),
+      |q0 AS (
+      |  SELECT SUM(4::HUGEINT * m * e_in - a::HUGEINT * a) AS q FROM (
+      |    SELECT ai.a, COALESCE(eii.e_in, 0)::BIGINT AS e_in, mm.m FROM (
+      |      SELECT l.lbl AS c, SUM(d.deg)::BIGINT AS a
+      |      FROM deg d JOIN lp0 l ON l.v = d.v GROUP BY 1
+      |    ) ai LEFT JOIN (
+      |      SELECT la.lbl AS c, count(*)::BIGINT AS e_in
+      |      FROM e0 JOIN lp0 la ON la.v = e0.src JOIN lp0 lb ON lb.v = e0.dst
+      |      WHERE la.lbl = lb.lbl GROUP BY 1
+      |    ) eii ON eii.c = ai.c CROSS JOIN mm
+      |  )
+      |)
+      """.stripMargin.trim +
+      (0 until LouvainPasses).map(lvPass).mkString + s"""
+      |SELECT pass, moved_node, from_community, to_community, gain_scaled,
+      |       ((qq * 1000000 + 4::HUGEINT * mm.m * mm.m * 1000000)
+      |          // (4::HUGEINT * mm.m * mm.m) - 1000000)::BIGINT::DOUBLE
+      |         / 1000000.0 AS q_after
+      |FROM (
+      |$rows
+      |) CROSS JOIN mm
+      |ORDER BY pass
+      """.stripMargin
+    })
+
   /** The weighted undirected SSSP adjacency, cached pre-partitioned —
     * same static-adjacency discipline as [[lpaAdjacency]]: partition
     * the big edge relation by its per-sweep join key `u` ONCE into the
@@ -3554,5 +3728,5 @@ object StatQueries {
       anovaF, closeness, leveneBf, stlDecompose, jarqueBera, eccentricity,
       seasonalityStrength, grubbs, runsTest, betweenness, clusteringCoeff,
       kruskal, centroidDrift, ljungBox, normProfile, modularity, tukeyHsd,
-      cramersV)
+      cramersV, louvainRefine)
 }

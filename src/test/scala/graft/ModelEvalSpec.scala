@@ -1621,4 +1621,68 @@ class ModelEvalSpec extends SparkSpec {
       assert(mse > 0 && mse < 1e-2, s"label $label mse out of int8 band: $mse")
     }
   }
+
+  test("graph_louvain_refine: driver replay — each move is the argmax positive gain, Q strictly increases exactly") {
+    // sf0.01: the sf0.001 graph's LPA partition is already locally
+    // optimal (0 moves — verified as an empty-but-matching oracle row
+    // set), so the replay runs where moves exist
+    val dir = sf("sf0.01")
+    val out = Queries.queriesMap("graph_louvain_refine")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(out.nonEmpty, "expected at least one applied move at sf0.01")
+    assert(out.map(_._1).toSeq == (1L to out.length.toLong), "passes must be consecutive from 1")
+
+    val edges = graft.queries.StatQueries.coPurchaseEdges(spark, dir, 2)
+      .select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val labels = scala.collection.mutable.Map(
+      graft.queries.StatQueries.lpaFinalLabels(spark, dir)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)): _*)
+    val m = edges.length.toLong
+    val nbrs = (edges.map(e => e._1 -> e._2) ++ edges.map(e => e._2 -> e._1))
+      .groupBy(_._1).map { case (v, ps) => v -> ps.map(_._2) }
+    val deg = nbrs.map { case (v, ns) => v -> ns.length.toLong }
+    val dd = BigInt(4) * BigInt(m) * BigInt(m)
+    def qScaled(): BigInt = {
+      val eIn = edges.count(e => labels(e._1) == labels(e._2))
+      val aByC = deg.toSeq.groupBy { case (v, _) => labels(v) }
+        .map { case (c, ds) => c -> ds.map(_._2).sum }
+      // textbook Q·4m² = Σ_c (4m·e_cc − a_c²); communities with no
+      // intra edges still contribute −a_c²
+      aByC.map { case (c, a) =>
+        BigInt(4) * m * edges.count(e => labels(e._1) == c && labels(e._2) == c) -
+          BigInt(a) * BigInt(a)
+      }.sum
+    }
+    var q = qScaled()
+    for ((pass, node, fromC, toC, gain, qAfter) <- out) {
+      // independent candidate scan: every (node, neighbor community)
+      // gain from the textbook formula over the driver adjacency
+      val cands = nbrs.keys.toSeq.flatMap { v =>
+        val a = labels(v)
+        val kBy = nbrs(v).groupBy(labels).map { case (c, xs) => c -> xs.length.toLong }
+        val aByC = deg.toSeq.groupBy { case (u, _) => labels(u) }
+          .map { case (c, ds) => c -> ds.map(_._2).sum }
+        kBy.keys.filter(_ != a).map { b =>
+          val g = BigInt(4) * m * (kBy(b) - kBy.getOrElse(a, 0L)) -
+            BigInt(2) * deg(v) * (aByC(b) - aByC(a) + deg(v))
+          (v, a, b, g)
+        }
+      }.filter(_._4 > 0)
+      assert(cands.nonEmpty, s"pass $pass: engine moved but driver finds no positive gain")
+      val best = cands.minBy { case (v, _, b, g) => (-g, v, b) }
+      assert((best._1, best._2, best._3, best._4) == (node, fromC, toC, BigInt(gain)),
+        s"pass $pass: engine move ($node, $fromC -> $toC, $gain) != driver argmax $best")
+      assert(gain > 0, s"pass $pass: applied gain must be strictly positive")
+      labels(node) = toC
+      val qFresh = qScaled()
+      assert(qFresh == q + gain,
+        s"pass $pass: from-scratch Q ${qFresh} != incremental ${q + gain}")
+      assert(qFresh > q, s"pass $pass: Q must strictly increase")
+      q = qFresh
+      val micro = (q * 1000000 + dd * 1000000) / dd - 1000000
+      assert(qAfter == micro.toDouble / 1000000.0,
+        s"pass $pass: q_after $qAfter != replayed ${micro.toDouble / 1000000.0}")
+    }
+  }
 }

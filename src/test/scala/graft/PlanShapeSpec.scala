@@ -700,6 +700,73 @@ class PlanShapeSpec extends SparkSpec {
       s"the quantize/dequantize arithmetic must stay codegen'd:\n$p")
   }
 
+  /** Every BroadcastExchange subtree of a plan string, extracted by
+    * indentation (the subtree is every following line strictly deeper
+    * than the exchange's own indent) — for asserting what is ALLOWED
+    * to be a broadcast build side.
+    */
+  private def broadcastSubtrees(p: String): Seq[String] = {
+    val lines = p.linesIterator.toVector
+    def indent(ln: String) = ln.takeWhile(c => c == ' ' || c == ':' || c == '+' || c == '-').length
+    lines.zipWithIndex.collect { case (ln, i) if ln.contains("BroadcastExchange") =>
+      val base = indent(ln)
+      (lines.drop(i + 1).takeWhile(l => indent(l) > base) :+ ln).mkString("\n")
+    }
+  }
+
+  test("naive bayes: token-keyed likelihood join — exploded corpus relations never broadcast") {
+    // at fixture sizes the planner may legitimately broadcast the
+    // smaller (test-token) side — a size-estimate decision that
+    // REVERSES at scale. The hazard this test guards is a hard-coded
+    // broadcast() hint on a corpus/vocabulary-sized relation, which no
+    // size threshold would undo: planning with auto-broadcast OFF
+    // emulates at-scale estimates, where only explicit hints survive.
+    GraftSession.prepare(spark)
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key)
+    val p = try {
+      spark.conf.set(key, "-1")
+      graft.queries.Queries.queriesMap("ml_naive_bayes")(spark, sf("sf0.001"))
+        .queryExecution.executedPlan.toString
+    } finally spark.conf.set(key, saved)
+    // the (vocab x class) likelihood table and the test-token relation
+    // are corpus/vocabulary-sized (both descend from an explode) and
+    // join on the token KEY; only the scalar/per-class aggregates
+    // (priors, class totals, vocab size — no Generate in their lineage)
+    // carry explicit broadcast() hints in the query
+    broadcastSubtrees(p).foreach { sub =>
+      // a broadcast whose lineage contains the explode is fine ONLY if
+      // an aggregate sits between them (class totals / vocab size: the
+      // HashAggregate bounds the broadcast to |classes| rows no matter
+      // the corpus); a RAW exploded relation under a broadcast is the
+      // unbounded shape this test forbids
+      val gen = sub.indexOf("Generate")
+      val agg = sub.indexOf("HashAggregate")
+      assert(gen < 0 || (agg >= 0 && agg < gen),
+        s"an exploded (token-level) relation must never carry a broadcast hint:\n$sub")
+    }
+    // with size-based broadcasts off, the token join shuffles on w
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      s"the likelihood join must shuffle on the token key:\n$p")
+    // counts combine map-side before their exchange
+    val aggIdx = p.indexOf("HashAggregate")
+    assert(aggIdx >= 0 && p.indexOf("HashAggregate", aggIdx + 1) > aggIdx,
+      s"expected partial+final HashAggregate pair:\n$p")
+    // the log-likelihood arithmetic stays codegen'd
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"), p)
+  }
+
+  test("kmeans elbow: four centroid-literal projections, no joins, no hash shuffle") {
+    val p = planOf("vec_kmeans_elbow")
+    assert(hashExchanges(p) == 0,
+      s"each elbow leg is a projection + one-row agg — no hash shuffle anywhere:\n$p")
+    assert(!p.contains("Join"), s"centroids are literals — no join may appear:\n$p")
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"),
+      s"the distance arithmetic must stay codegen'd:\n$p")
+    // four one-row gathers (one per k), and nothing corpus-sized sorts
+    assert("Exchange SinglePartition".r.findAllIn(p).length >= 4, p)
+  }
+
   test("hash balance: bucket rollup combines map-side; single final gather") {
     val p = planOf("dq_hash_balance")
     assert(hashExchanges(p) <= 1, s"one bucket exchange at most:\n$p")
