@@ -19,6 +19,11 @@ object Bench {
     // are filtered to the same subset so a solo run stays solo.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // SPARK_GRAFT_NOWARM=1 — skip ALL warmups: for multi-minute probe
+    // runs at synthesized decades (sf100) where a generic warmup like
+    // dedup_clusters costs more than the probed queries and the few
+    // seconds of bootstrap inside the first timing are noise
+    val noWarm = sys.env.get("SPARK_GRAFT_NOWARM").contains("1")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -49,6 +54,11 @@ object Bench {
         // build+write so the timed run measures the beam-search READ path
         "ann_nsw_beam",
         "ann_pq_adc", "ann_ivfpq_adc", "vec_pca_knn", "maint_ivf_append",
+        // vec_kmeans_elbow's warmup performs its one-time per-JVM
+        // four-k KMeans fits (ElbowStore) so the timed run measures the
+        // four codegen'd inertia projections, not model fitting — the
+        // same policy as the PQ codebook and PCA moment fits above
+        "vec_kmeans_elbow",
         // maint_nsw_append's warmup performs the one-time base build +
         // incremental insert + staged rewrite (NswAppendStore) so the
         // timed run measures the appended-store READ path
@@ -81,7 +91,7 @@ object Bench {
       // codegen JIT and footer reads: measured 11.2 s vs 5.1 s on
       // ml_naive_bayes); the store-build warmups run only when their
       // query is in the subset
-      .filter(w => only.forall(o => o.contains(w) ||
+      .filter(w => !noWarm && only.forall(o => o.contains(w) ||
         Set("knn_exact_cosine", "txt_stats", "dedup_clusters",
           "q1_pricing_summary").contains(w)))
       .foreach { w =>

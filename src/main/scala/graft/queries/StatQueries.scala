@@ -3719,6 +3719,67 @@ object StatQueries {
       |FROM st
       """.stripMargin.trim))
 
+  private val cochranArmitage = QueryDef(
+    "stat_cochran_armitage",
+    "Cochran–Armitage trend test: does the fulfilled-order proportion " +
+      "TREND monotonically across the five ordered priorities? The " +
+      "ordered-groups companion to stat_chi2_independence (which only " +
+      "detects SOME association) and stat_anova_f (which compares " +
+      "means, not proportions) — the dose-response statistic an " +
+      "experiment pipeline runs on ordinal arms. Scores t = the " +
+      "priority's leading digit (1-URGENT → 1 … 5-LOW → 5, identical " +
+      "substring semantics in both engines). Every sufficient " +
+      "statistic is an exact BIGINT from ONE map-side-combining " +
+      "rollup: k, N, R, Σt·r, Σt·n, Σt²·n — all ≤ 25·N, inside 2⁵³ " +
+      "decades past sf100, so no fold channel is needed; " +
+      "Z = (Σtr − p̄·Σtn) / √(p̄(1−p̄)(Σt²n − (Σtn)²/N)) evaluates in " +
+      "double with ONE fixed parenthesization on both engines and " +
+      "rounds at 6 (|Z| is σ-scaled — far below the 1e7 rounding " +
+      "trap). A constant-status corpus reads NULL via nullif, not an " +
+      "error. Cost: one aggregation shuffle over the orders scan; " +
+      "everything after is k=5 rows.",
+    (s, dir) => {
+      val g = Tables.orders(s, dir)
+        .select(expr("CAST(substring(o_orderpriority, 1, 1) AS BIGINT)").as("t"),
+          when(col("o_orderstatus") === "F", lit(1L)).otherwise(lit(0L)).as("pos"))
+        .groupBy(col("t")).agg(count(lit(1)).as("n"), sum(col("pos")).as("r"))
+      g.agg(count(lit(1)).as("k"), sum(col("n")).as("n_total"),
+          sum(col("r")).as("n_pos"),
+          sum(col("t") * col("r")).as("str"),
+          sum(col("t") * col("n")).as("stn"),
+          sum(col("t") * col("t") * col("n")).as("snt2"))
+        .select(col("k"), col("n_total"), col("n_pos"),
+          round((col("str").cast("double") -
+              col("n_pos").cast("double") / col("n_total").cast("double") *
+                col("stn").cast("double")) /
+            nullif(sqrt(col("n_pos").cast("double") / col("n_total").cast("double") *
+              (lit(1.0) - col("n_pos").cast("double") / col("n_total").cast("double")) *
+              (col("snt2").cast("double") -
+                col("stn").cast("double") * col("stn").cast("double") /
+                  col("n_total").cast("double"))), lit(0.0)), 6).as("z_trend"))
+    },
+    Some("""
+      |WITH g AS (
+      |  SELECT CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS t,
+      |         count(*)::BIGINT AS n,
+      |         SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT AS r
+      |  FROM orders GROUP BY 1
+      |), s AS (
+      |  SELECT count(*)::BIGINT AS k, SUM(n)::BIGINT AS n_total,
+      |         SUM(r)::BIGINT AS n_pos,
+      |         SUM(t * r)::BIGINT AS str, SUM(t * n)::BIGINT AS stn,
+      |         SUM(t * t * n)::BIGINT AS snt2
+      |  FROM g
+      |)
+      |SELECT k, n_total, n_pos,
+      |       round((str::DOUBLE - n_pos::DOUBLE / n_total::DOUBLE * stn::DOUBLE) /
+      |             nullif(sqrt(n_pos::DOUBLE / n_total::DOUBLE *
+      |                  (1.0 - n_pos::DOUBLE / n_total::DOUBLE) *
+      |                  (snt2::DOUBLE - stn::DOUBLE * stn::DOUBLE / n_total::DOUBLE)), 0.0), 6)
+      |         AS z_trend
+      |FROM s
+      """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
     Seq(trendOls, dailyCorr, markov, ewma, pagerank, centroidMatrix,
       abWelch, benford, ksTest, acf, bfs, chi2, gini, triangles, dowSeason,
@@ -3728,5 +3789,5 @@ object StatQueries {
       anovaF, closeness, leveneBf, stlDecompose, jarqueBera, eccentricity,
       seasonalityStrength, grubbs, runsTest, betweenness, clusteringCoeff,
       kruskal, centroidDrift, ljungBox, normProfile, modularity, tukeyHsd,
-      cramersV, louvainRefine)
+      cramersV, louvainRefine, cochranArmitage)
 }

@@ -1622,6 +1622,26 @@ class ModelEvalSpec extends SparkSpec {
     }
   }
 
+  test("stat_cochran_armitage: z replays from brute-force group counts") {
+    val out = run("stat_cochran_armitage").collect()(0)
+    val (k, n, r, z) = (out.getLong(0), out.getLong(1), out.getLong(2), out.getDouble(3))
+    val rows = Tables.orders(spark, sf("sf0.001"))
+      .select(col("o_orderpriority"), col("o_orderstatus")).collect()
+      .map(x => (x.getString(0).substring(0, 1).toLong, x.getString(1) == "F"))
+    val byT = rows.groupBy(_._1).view.mapValues(g => (g.length.toLong, g.count(_._2).toLong)).toMap
+    assert(k == byT.size && n == rows.length && r == rows.count(_._2))
+    val str = byT.map { case (t, (_, ri)) => t * ri }.sum.toDouble
+    val stn = byT.map { case (t, (ni, _)) => t * ni }.sum.toDouble
+    val snt2 = byT.map { case (t, (ni, _)) => t * t * ni }.sum.toDouble
+    val p = r.toDouble / n.toDouble
+    val want = BigDecimal((str - p * stn) /
+      math.sqrt(p * (1.0 - p) * (snt2 - stn * stn / n.toDouble)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(z - want) <= 1e-6, s"z $z vs replay $want")
+    // the fixture's proportions genuinely vary: z is a real, finite signal
+    assert(!z.isNaN && !z.isInfinite)
+  }
+
   test("graph_louvain_refine: driver replay — each move is the argmax positive gain, Q strictly increases exactly") {
     // sf0.01: the sf0.001 graph's LPA partition is already locally
     // optimal (0 moves — verified as an empty-but-matching oracle row
