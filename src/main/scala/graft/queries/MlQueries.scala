@@ -1473,9 +1473,74 @@ object MlQueries {
       |ORDER BY f1_micro DESC, thr_cents LIMIT 1
       """.stripMargin.trim))
 
+  private val mcc = QueryDef(
+    "ml_mcc",
+    "Matthews correlation coefficient of a binary classifier — the " +
+      "single-number summary that, unlike accuracy or F1, stays " +
+      "honest under class imbalance (it is the Pearson correlation of " +
+      "the binary truth/prediction vectors), completing the " +
+      "evaluation family beside ml_prf_report's per-class view. " +
+      "Model under test: the per-source majority ENGLISH detector on " +
+      "the shared %3 split (pred = 2·n_en > n_docs on the train " +
+      "split — exact integer comparison, no ratio; test = doc_id % 3 " +
+      "= 0). TP/FP/TN/FN are exact BIGINTs from ONE truth×prediction " +
+      "rollup; the numerator TP·TN − FP·FN is an exact BIGINT " +
+      "(< 2⁵³ decades past sf100), the denominator multiplies the " +
+      "four marginal sums in double with one fixed shape, and " +
+      "MCC ∈ [−1,1] rounds at 6 (far below the rounding trap). A " +
+      "degenerate margin reads NULL via nullif. One aggregation " +
+      "shuffle over the test scan; the majority model broadcasts.",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          (col("lang") === "en").as("is_en"))
+      val maj = docs.filter(col("doc_id") % 3 =!= 0)
+        .groupBy(col("source"))
+        .agg((lit(2L) * sum(when(col("is_en"), 1L).otherwise(0L)) >
+          count(lit(1))).as("pred_en"))
+      val cm = docs.filter(col("doc_id") % 3 === 0)
+        .join(broadcast(maj), Seq("source"))
+        .agg(
+          sum(when(col("is_en") && col("pred_en"), 1L).otherwise(0L)).as("tp"),
+          sum(when(!col("is_en") && col("pred_en"), 1L).otherwise(0L)).as("fp"),
+          sum(when(!col("is_en") && !col("pred_en"), 1L).otherwise(0L)).as("tn"),
+          sum(when(col("is_en") && !col("pred_en"), 1L).otherwise(0L)).as("fn"))
+      cm.select(col("tp"), col("fp"), col("tn"), col("fn"),
+        round((col("tp") + col("tn")).cast("double") /
+          (col("tp") + col("fp") + col("tn") + col("fn")).cast("double"), 6)
+          .as("accuracy"),
+        round((col("tp") * col("tn") - col("fp") * col("fn")).cast("double") /
+          nullif(sqrt((col("tp") + col("fp")).cast("double") *
+            (col("tp") + col("fn")).cast("double") *
+            (col("tn") + col("fp")).cast("double") *
+            (col("tn") + col("fn")).cast("double")), lit(0.0)), 6).as("mcc"))
+    },
+    Some("""
+      |WITH docs AS (
+      |  SELECT doc_id, source, lang = 'en' AS is_en FROM documents
+      |), maj AS (
+      |  SELECT source,
+      |         2 * SUM(CASE WHEN is_en THEN 1 ELSE 0 END) > count(*) AS pred_en
+      |  FROM docs WHERE doc_id % 3 != 0 GROUP BY 1
+      |), cm AS (
+      |  SELECT SUM(CASE WHEN is_en AND pred_en THEN 1 ELSE 0 END)::BIGINT AS tp,
+      |         SUM(CASE WHEN NOT is_en AND pred_en THEN 1 ELSE 0 END)::BIGINT AS fp,
+      |         SUM(CASE WHEN NOT is_en AND NOT pred_en THEN 1 ELSE 0 END)::BIGINT AS tn,
+      |         SUM(CASE WHEN is_en AND NOT pred_en THEN 1 ELSE 0 END)::BIGINT AS fn
+      |  FROM docs d JOIN maj m USING (source)
+      |  WHERE d.doc_id % 3 = 0
+      |)
+      |SELECT tp, fp, tn, fn,
+      |       round((tp + tn)::DOUBLE / (tp + fp + tn + fn)::DOUBLE, 6) AS accuracy,
+      |       round((tp * tn - fp * fn)::DOUBLE /
+      |             nullif(sqrt((tp + fp)::DOUBLE * (tp + fn)::DOUBLE *
+      |                         (tn + fp)::DOUBLE * (tn + fn)::DOUBLE), 0.0), 6) AS mcc
+      |FROM cm
+      """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
     Seq(targetEncode, quantileBins, attribution, itemCooccurrence,
       naiveBayes, aucRoc, silhouette, logregGd, calibrationEce, kfoldCv,
       prCurve, liftGains, ridge, prfReport, stump, kmeansElbow,
-      frequentTriples, bestF1)
+      frequentTriples, bestF1, mcc)
 }

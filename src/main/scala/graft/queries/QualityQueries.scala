@@ -570,7 +570,71 @@ object QualityQueries {
       |FROM s
       """.stripMargin.trim))
 
+  private val idGaps = QueryDef(
+    "dq_id_gaps",
+    "Per-source ingest-id GAP audit: doc_id is a global ingest " +
+      "counter interleaved across sources, so WITHIN a source the id " +
+      "stream is legitimately gapped by other sources' writes — but " +
+      "an anomalously LARGE gap in one source means that source's " +
+      "feed stalled or a shard was dropped, visible long before any " +
+      "content check (the sequence-completeness companion to " +
+      "dq_pk_uniqueness's duplicate check). Output: the 10 largest " +
+      "(source, preceding id, next id, gap length) gaps — exact " +
+      "integers, (len desc, source, id) total order — with the " +
+      "source's doc count. Scale shape: NOT one global lag window " +
+      "(the single-partition anti-pattern) — gaps are found " +
+      "two-level: intra-bucket lag windows partitioned by (source, " +
+      "id div 2²⁰) (≤ 2²⁰ ids per window partition) plus a boundary " +
+      "pass over the per-(source, bucket) summary, whose window " +
+      "partitions by SOURCE and is bounded by keyspace/2²⁰ rows per " +
+      "source; the union is EXACTLY the flat per-source lag gap set, " +
+      "which is what the oracle computes single-node.",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val keys = Tables.documents(s, dir)
+        .select(col("source"), col("doc_id").as("k")).distinct()
+      val b = keys.withColumn("bkt", expr("k div 1048576"))
+      val wIn = Window.partitionBy(col("source"), col("bkt")).orderBy(col("k"))
+      val intra = b.withColumn("prev", lag(col("k"), 1).over(wIn))
+        .filter(col("prev").isNotNull && col("k") - col("prev") > 1)
+        .select(col("source"), col("prev").as("prev_id"), col("k").as("next_id"))
+      val bs = b.groupBy(col("source"), col("bkt"))
+        .agg(min(col("k")).as("mn"), max(col("k")).as("mx"))
+      // boundary pass: per-source window over the (source, bucket)
+      // summary — keyspace/2^20 rows per source, bounded by construction
+      val wB = Window.partitionBy(col("source")).orderBy(col("bkt"))
+      val inter = bs.withColumn("prev_mx", lag(col("mx"), 1).over(wB))
+        .filter(col("prev_mx").isNotNull && col("mn") - col("prev_mx") > 1)
+        .select(col("source"), col("prev_mx").as("prev_id"), col("mn").as("next_id"))
+      val gaps = intra.unionAll(inter)
+        .select(col("source"), col("prev_id"), col("next_id"),
+          (col("next_id") - col("prev_id") - 1).as("gap_len"))
+      val counts = keys.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      gaps.orderBy(col("gap_len").desc, col("source"), col("prev_id")).limit(10)
+        .join(broadcast(counts), Seq("source"))
+        .select(col("source"), col("n_docs"), col("prev_id"), col("next_id"),
+          col("gap_len"))
+        .orderBy(col("gap_len").desc, col("source"), col("prev_id"))
+    },
+    Some("""
+      |WITH k AS (SELECT DISTINCT source, doc_id AS k FROM documents),
+      |g AS (
+      |  SELECT source, lag(k) OVER (PARTITION BY source ORDER BY k) AS prev_id,
+      |         k AS next_id
+      |  FROM k
+      |), gaps AS (
+      |  SELECT source, prev_id, next_id, (next_id - prev_id - 1)::BIGINT AS gap_len
+      |  FROM g WHERE prev_id IS NOT NULL AND next_id - prev_id > 1
+      |), c AS (
+      |  SELECT source, count(*)::BIGINT AS n_docs FROM k GROUP BY 1
+      |)
+      |SELECT source, n_docs, prev_id, next_id, gap_len
+      |FROM (SELECT * FROM gaps ORDER BY gap_len DESC, source, prev_id LIMIT 10)
+      |JOIN c USING (source)
+      |ORDER BY gap_len DESC, source, prev_id
+      """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
     Seq(profileQ, fuzzyLinkQ, expectationsQ, kAnonymity, tableFingerprint,
-      driftTv, dpCounts, refIntegrity, pkUniqueness, hashBalance)
+      driftTv, dpCounts, refIntegrity, pkUniqueness, hashBalance, idGaps)
 }

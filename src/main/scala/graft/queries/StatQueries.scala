@@ -3719,6 +3719,103 @@ object StatQueries {
       |FROM st
       """.stripMargin.trim))
 
+  private val welchAnova = QueryDef(
+    "stat_welch_anova",
+    "Welch's heteroscedastic one-way ANOVA over the five order " +
+      "priorities — the F test to USE when stat_levene_bf rejects " +
+      "equal variances (classic ANOVA's pooled-variance denominator " +
+      "is exactly what Welch drops): group weights w_i = n_i/s_i², " +
+      "F_w = [Σw_i(x̄_i−x̄_w)²/(k−1)] / [1 + 2(k−2)/(k²−1)·Σ(1−w_i/W)²" +
+      "/(n_i−1)] with the Welch–Satterthwaite df₂. Same decimation as " +
+      "stat_anova_f (floor div 100 — part of the definition), so the " +
+      "per-group sufficient statistics (n, Σx, Σx²) are exact " +
+      "BIGINTs from ONE map-side-combining rollup; every per-group " +
+      "double (mean, variance, weight) has one fixed shape, and the " +
+      "k=5 cross-group sums fold a grp-SORTED struct array (Spark " +
+      "aggregate HOF ≡ DuckDB list_reduce over list(ORDER BY) — the " +
+      "stat_chi2_independence order-determinism channel). One " +
+      "aggregation shuffle; everything after is k rows.",
+    (s, dir) => {
+      val g = Tables.orders(s, dir)
+        .select(col("o_orderpriority").as("grp"),
+          expr("floor(o_totalprice) div 100").as("x"))
+        .groupBy(col("grp")).agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("x") * col("x")).as("sx2"))
+      def nD(x: org.apache.spark.sql.Column) = x.getField("n").cast("double")
+      def xbar(x: org.apache.spark.sql.Column) = x.getField("sx").cast("double") / nD(x)
+      def vv(x: org.apache.spark.sql.Column) = (x.getField("sx2").cast("double") -
+        x.getField("sx").cast("double") * x.getField("sx").cast("double") / nD(x)) /
+        (nD(x) - lit(1.0))
+      def w(x: org.apache.spark.sql.Column) = nD(x) / vv(x)
+      val base = g.agg(
+        count(lit(1)).as("k"), sum(col("n")).as("n_total"),
+        sort_array(collect_list(struct(col("grp"), col("n"), col("sx"), col("sx2"))))
+          .as("arr"))
+      val folded = base.select(col("k"), col("n_total"), col("arr"),
+        aggregate(col("arr"), lit(0.0), (acc, x) => acc + w(x)).as("sw"),
+        aggregate(col("arr"), lit(0.0), (acc, x) => acc + w(x) * xbar(x)).as("swx"))
+      val withXw = folded.select(col("k"), col("n_total"), col("arr"), col("sw"),
+        (col("swx") / col("sw")).as("xw"))
+      val sums = withXw.select(col("k"), col("n_total"),
+        aggregate(col("arr"), lit(0.0), (acc, x) =>
+          acc + w(x) * (xbar(x) - col("xw")) * (xbar(x) - col("xw"))).as("sa"),
+        aggregate(col("arr"), lit(0.0), (acc, x) =>
+          acc + (lit(1.0) - w(x) / col("sw")) * (lit(1.0) - w(x) / col("sw")) /
+            (nD(x) - lit(1.0))).as("sb"))
+      sums.select(col("k"), col("n_total"),
+        round((col("sa") / (col("k").cast("double") - lit(1.0))) /
+          (lit(1.0) + lit(2.0) * (col("k").cast("double") - lit(2.0)) /
+            (col("k").cast("double") * col("k").cast("double") - lit(1.0)) *
+            col("sb")), 6).as("f_welch"),
+        round((col("k").cast("double") * col("k").cast("double") - lit(1.0)) /
+          (lit(3.0) * col("sb")), 6).as("df2"))
+    },
+    Some("""
+      |WITH x AS (
+      |  SELECT o_orderpriority AS grp,
+      |         CAST(FLOOR(o_totalprice) AS BIGINT) // 100 AS x
+      |  FROM orders
+      |), g AS (
+      |  SELECT grp, count(*)::BIGINT AS n, SUM(x)::BIGINT AS sx,
+      |         SUM(x * x)::BIGINT AS sx2
+      |  FROM x GROUP BY 1
+      |), base AS (
+      |  SELECT count(*)::BIGINT AS k, SUM(n)::BIGINT AS n_total,
+      |         list(struct_pack(n := n, sx := sx, sx2 := sx2) ORDER BY grp) AS arr
+      |  FROM g
+      |), folded AS (
+      |  SELECT k, n_total, arr,
+      |         list_reduce(list_prepend(0.0, list_transform(arr, x ->
+      |           x.n::DOUBLE / ((x.sx2::DOUBLE - x.sx::DOUBLE * x.sx::DOUBLE / x.n::DOUBLE) / (x.n::DOUBLE - 1.0)))),
+      |           (a, b) -> a + b) AS sw,
+      |         list_reduce(list_prepend(0.0, list_transform(arr, x ->
+      |           x.n::DOUBLE / ((x.sx2::DOUBLE - x.sx::DOUBLE * x.sx::DOUBLE / x.n::DOUBLE) / (x.n::DOUBLE - 1.0))
+      |             * (x.sx::DOUBLE / x.n::DOUBLE))),
+      |           (a, b) -> a + b) AS swx
+      |  FROM base
+      |), withxw AS (
+      |  SELECT k, n_total, arr, sw, swx / sw AS xw FROM folded
+      |), sums AS (
+      |  SELECT k, n_total,
+      |         list_reduce(list_prepend(0.0, list_transform(arr, x ->
+      |           x.n::DOUBLE / ((x.sx2::DOUBLE - x.sx::DOUBLE * x.sx::DOUBLE / x.n::DOUBLE) / (x.n::DOUBLE - 1.0))
+      |             * ((x.sx::DOUBLE / x.n::DOUBLE) - xw) * ((x.sx::DOUBLE / x.n::DOUBLE) - xw))),
+      |           (a, b) -> a + b) AS sa,
+      |         list_reduce(list_prepend(0.0, list_transform(arr, x ->
+      |           (1.0 - (x.n::DOUBLE / ((x.sx2::DOUBLE - x.sx::DOUBLE * x.sx::DOUBLE / x.n::DOUBLE) / (x.n::DOUBLE - 1.0))) / sw)
+      |           * (1.0 - (x.n::DOUBLE / ((x.sx2::DOUBLE - x.sx::DOUBLE * x.sx::DOUBLE / x.n::DOUBLE) / (x.n::DOUBLE - 1.0))) / sw)
+      |           / (x.n::DOUBLE - 1.0))),
+      |           (a, b) -> a + b) AS sb
+      |  FROM withxw
+      |)
+      |SELECT k, n_total,
+      |       round((sa / (k::DOUBLE - 1.0)) /
+      |             (1.0 + 2.0 * (k::DOUBLE - 2.0) / (k::DOUBLE * k::DOUBLE - 1.0) * sb), 6)
+      |         AS f_welch,
+      |       round((k::DOUBLE * k::DOUBLE - 1.0) / (3.0 * sb), 6) AS df2
+      |FROM sums
+      """.stripMargin.trim))
+
   private val cochranArmitage = QueryDef(
     "stat_cochran_armitage",
     "Cochran–Armitage trend test: does the fulfilled-order proportion " +
@@ -3789,5 +3886,5 @@ object StatQueries {
       anovaF, closeness, leveneBf, stlDecompose, jarqueBera, eccentricity,
       seasonalityStrength, grubbs, runsTest, betweenness, clusteringCoeff,
       kruskal, centroidDrift, ljungBox, normProfile, modularity, tukeyHsd,
-      cramersV, louvainRefine, cochranArmitage)
+      cramersV, louvainRefine, cochranArmitage, welchAnova)
 }

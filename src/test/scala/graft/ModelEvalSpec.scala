@@ -1622,6 +1622,74 @@ class ModelEvalSpec extends SparkSpec {
     }
   }
 
+  test("ml_mcc: confusion matrix and coefficient replay from brute-force counts") {
+    val out = run("ml_mcc").collect()(0)
+    val (tp, fp, tn, fn) = (out.getLong(0), out.getLong(1), out.getLong(2), out.getLong(3))
+    val docs = Tables.documents(spark, sf("sf0.001"))
+      .select(col("doc_id"), col("source"), col("lang")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2) == "en"))
+    val pred = docs.filter(_._1 % 3 != 0).groupBy(_._2)
+      .map { case (s, g) => s -> (2L * g.count(_._3) > g.length) }
+    val test = docs.filter(_._1 % 3 == 0).filter(d => pred.contains(d._2))
+    assert(tp == test.count(d => d._3 && pred(d._2)))
+    assert(fp == test.count(d => !d._3 && pred(d._2)))
+    assert(tn == test.count(d => !d._3 && !pred(d._2)))
+    assert(fn == test.count(d => d._3 && !pred(d._2)))
+    val want = BigDecimal((tp * tn - fp * fn).toDouble /
+      math.sqrt((tp + fp).toDouble * (tp + fn).toDouble *
+        (tn + fp).toDouble * (tn + fn).toDouble))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.getDouble(5) == want, s"mcc ${out.getDouble(5)} vs replay $want")
+    // the detector must be better than chance on this fixture
+    assert(out.getDouble(5) > 0.0)
+  }
+
+  test("dq_id_gaps: two-level bucketed gap set equals the flat per-source driver lag") {
+    val out = run("dq_id_gaps").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val rows = Tables.documents(spark, sf("sf0.001"))
+      .select(col("source"), col("doc_id")).distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val bySrc = rows.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val gaps = bySrc.toSeq.flatMap { case (src, ks) =>
+      ks.sliding(2).collect {
+        case Array(a, b) if b - a > 1 => (src, a, b, b - a - 1)
+      }
+    }
+    val want = gaps.sortBy { case (s, p, _, len) => (-len, s, p) }.take(10)
+    assert(out.map(t => (t._1, t._3, t._4, t._5)).toSeq == want,
+      s"top gaps ${out.toSeq} vs driver $want")
+    assert(out.forall(t => t._2 == bySrc(t._1).length))
+    assert(out.nonEmpty, "interleaved sources are gapped by construction")
+  }
+
+  test("stat_welch_anova: F and df2 replay from brute-force group stats") {
+    val out = run("stat_welch_anova").collect()(0)
+    val xs = Tables.orders(spark, sf("sf0.001"))
+      .select(col("o_orderpriority"), expr("floor(o_totalprice) div 100").as("x"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val groups = xs.groupBy(_._1).toSeq.sortBy(_._1).map { case (_, g) =>
+      val n = g.length.toDouble
+      val sx = g.map(_._2).sum.toDouble
+      val sx2 = g.map(v => v._2 * v._2).sum.toDouble
+      (n, sx / n, (sx2 - sx * sx / n) / (n - 1.0))
+    }
+    val k = groups.length.toDouble
+    val ws = groups.map { case (n, _, v) => n / v }
+    val sw = ws.sum
+    val xw = groups.zip(ws).map { case ((_, xb, _), w) => w * xb }.sum / sw
+    val sa = groups.zip(ws).map { case ((_, xb, _), w) => w * (xb - xw) * (xb - xw) }.sum
+    val sb = groups.zip(ws).map { case ((n, _, _), w) =>
+      (1.0 - w / sw) * (1.0 - w / sw) / (n - 1.0) }.sum
+    def rd6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val f = rd6((sa / (k - 1.0)) / (1.0 + 2.0 * (k - 2.0) / (k * k - 1.0) * sb))
+    val df2 = rd6((k * k - 1.0) / (3.0 * sb))
+    assert(out.getLong(0) == groups.length && out.getLong(1) == xs.length)
+    assert(math.abs(out.getDouble(2) - f) <= 1e-6, s"F ${out.getDouble(2)} vs $f")
+    assert(math.abs(out.getDouble(3) - df2) <= 1e-6, s"df2 ${out.getDouble(3)} vs $df2")
+    assert(out.getDouble(3) > k - 1.0, "Welch df2 must exceed k-1 on real groups")
+  }
+
   test("stat_cochran_armitage: z replays from brute-force group counts") {
     val out = run("stat_cochran_armitage").collect()(0)
     val (k, n, r, z) = (out.getLong(0), out.getLong(1), out.getLong(2), out.getDouble(3))
