@@ -1384,6 +1384,84 @@ object StatQueries {
       |FROM pairs GROUP BY 1 ORDER BY event_type
       """.stripMargin.trim))
 
+  private val mannKendall = QueryDef(
+    "stat_mann_kendall",
+    "Mann–Kendall trend test per event type — the SIGNIFICANCE " +
+      "companion to stat_theilsen's slope (Theil–Sen says how steep, " +
+      "Mann–Kendall says whether the monotone trend is real): " +
+      "S = Σ_{i<j} sign(y_j − y_i) over the same day-indexed pair " +
+      "join (O(days²) per key, value-domain-bounded by the calendar — " +
+      "event volume grows the daily rollup's input, never the pair " +
+      "count). S is an exact BIGINT; the tie-corrected variance stays " +
+      "exact as 18·Var(S) = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5) over the " +
+      "per-value tie groups; the continuity-corrected " +
+      "Z = (S∓1)/√(var18/18) is the ONLY double op, one fixed shape, " +
+      "rounded at 6 (σ-scaled, far below the rounding trap). S = 0 " +
+      "reads Z = 0 by the standard definition.",
+    (s, dir) => {
+      val daily = dailyCents(s, dir)
+        .withColumn("x",
+          datediff(to_date(col("day")),
+            min(to_date(col("day"))).over(Window.partitionBy(col("event_type"))))
+            .cast("long"))
+        .select(col("event_type"), col("x"), col("yc"))
+      val a = daily.select(col("event_type"), col("x").as("xa"), col("yc").as("ya"))
+      val b = daily.select(col("event_type"), col("x").as("xb"), col("yc").as("yb"))
+      val sRel = a.join(b, Seq("event_type"))
+        .filter(col("xa") < col("xb"))
+        .groupBy(col("event_type"))
+        .agg(sum(when(col("yb") > col("ya"), 1L)
+          .when(col("yb") < col("ya"), -1L).otherwise(0L)).as("s_stat"))
+      val nRel = daily.groupBy(col("event_type")).agg(count(lit(1)).as("n_days"))
+      val ties = daily.groupBy(col("event_type"), col("yc"))
+        .agg(count(lit(1)).as("t"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("t") * (col("t") - 1) * (lit(2L) * col("t") + 5)).as("tie_term"))
+      nRel.join(sRel, Seq("event_type")).join(ties, Seq("event_type"))
+        .select(col("event_type"), col("n_days"), col("s_stat"),
+          (col("n_days") * (col("n_days") - 1) * (lit(2L) * col("n_days") + 5) -
+            col("tie_term")).as("var18"))
+        .select(col("event_type"), col("n_days"), col("s_stat"),
+          when(col("s_stat") === 0, lit(0.0))
+            .otherwise(round(
+              (col("s_stat").cast("double") -
+                when(col("s_stat") > 0, lit(1.0)).otherwise(lit(-1.0))) /
+                sqrt(col("var18").cast("double") / lit(18.0)), 6)).as("z_mk"))
+        .orderBy(col("event_type"))
+    },
+    Some(s"""
+      |WITH daily AS (
+      |$dailyCentsSql
+      |), idx AS (
+      |  SELECT event_type, yc,
+      |         date_diff('day', min(day::DATE) OVER (PARTITION BY event_type), day::DATE) AS x
+      |  FROM daily
+      |), srel AS (
+      |  SELECT a.event_type,
+      |         SUM(CASE WHEN b.yc > a.yc THEN 1
+      |                  WHEN b.yc < a.yc THEN -1 ELSE 0 END)::BIGINT AS s_stat
+      |  FROM idx a JOIN idx b
+      |    ON a.event_type = b.event_type AND a.x < b.x
+      |  GROUP BY 1
+      |), nrel AS (
+      |  SELECT event_type, count(*)::BIGINT AS n_days FROM idx GROUP BY 1
+      |), ties AS (
+      |  SELECT event_type,
+      |         SUM(t * (t - 1) * (2 * t + 5))::BIGINT AS tie_term
+      |  FROM (SELECT event_type, yc, count(*)::BIGINT AS t FROM idx GROUP BY 1, 2)
+      |  GROUP BY 1
+      |), v AS (
+      |  SELECT n.event_type, n.n_days, s.s_stat,
+      |         (n.n_days * (n.n_days - 1) * (2 * n.n_days + 5) - t.tie_term)::BIGINT AS var18
+      |  FROM nrel n JOIN srel s USING (event_type) JOIN ties t USING (event_type)
+      |)
+      |SELECT event_type, n_days, s_stat,
+      |       CASE WHEN s_stat = 0 THEN 0.0
+      |            ELSE round((s_stat::DOUBLE - CASE WHEN s_stat > 0 THEN 1.0 ELSE -1.0 END) /
+      |                       sqrt(var18::DOUBLE / 18.0), 6) END AS z_mk
+      |FROM v ORDER BY event_type
+      """.stripMargin.trim))
+
   private val mannWhitney = QueryDef(
     "stat_mannwhitney_u",
     "Mann–Whitney U (Wilcoxon rank-sum) for click vs purchase value — " +
@@ -3886,5 +3964,5 @@ object StatQueries {
       anovaF, closeness, leveneBf, stlDecompose, jarqueBera, eccentricity,
       seasonalityStrength, grubbs, runsTest, betweenness, clusteringCoeff,
       kruskal, centroidDrift, ljungBox, normProfile, modularity, tukeyHsd,
-      cramersV, louvainRefine, cochranArmitage, welchAnova)
+      cramersV, louvainRefine, cochranArmitage, welchAnova, mannKendall)
 }

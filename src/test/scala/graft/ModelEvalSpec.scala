@@ -1663,6 +1663,34 @@ class ModelEvalSpec extends SparkSpec {
     assert(out.nonEmpty, "interleaved sources are gapped by construction")
   }
 
+  test("stat_mann_kendall: S, tie-corrected variance and Z replay from the brute-force pair scan") {
+    val out = run("stat_mann_kendall").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    val daily = Tables.events(spark, sf("sf0.001"))
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .groupBy(col("event_type"), col("day"))
+      .agg((sum(col("value").cast("decimal(38,6)")).cast("decimal(38,2)") * 100)
+        .cast("long").as("yc"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    for ((et, nDays, sStat, z) <- out) {
+      val ys = daily.filter(_._1 == et).sortBy(_._2).map(_._3)
+      assert(nDays == ys.length)
+      val s = (for (i <- ys.indices; j <- i + 1 until ys.length)
+        yield java.lang.Long.signum(ys(j) - ys(i)).toLong).sum
+      assert(s == sStat, s"$et: S $sStat vs brute $s")
+      val n = ys.length.toLong
+      val tie = ys.groupBy(identity).values
+        .map(g => { val t = g.length.toLong; t * (t - 1) * (2 * t + 5) }).sum
+      val var18 = n * (n - 1) * (2 * n + 5) - tie
+      val want = if (s == 0) 0.0
+        else BigDecimal((s.toDouble - (if (s > 0) 1.0 else -1.0)) /
+          math.sqrt(var18.toDouble / 18.0))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(z - want) <= 1e-6, s"$et: z $z vs brute $want")
+    }
+  }
+
   test("stat_welch_anova: F and df2 replay from brute-force group stats") {
     val out = run("stat_welch_anova").collect()(0)
     val xs = Tables.orders(spark, sf("sf0.001"))
