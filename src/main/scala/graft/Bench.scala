@@ -59,6 +59,18 @@ object Bench {
         // four codegen'd inertia projections, not model fitting — the
         // same policy as the PQ codebook and PCA moment fits above
         "vec_kmeans_elbow",
+        // the shared edge-build memos are the same one-time-artifact
+        // class: graph_pagerank_nations builds the trade-graph store
+        // (one fact join) for the six nation-graph consumers +
+        // triangle/clustering derivations; graph_kcore builds the
+        // support-2 co-purchase store (LPA/SSSP/modularity/Louvain/
+        // link-prediction/PPR share it); ml_item_cooccurrence builds
+        // the support-1 store (assortativity shares it). Timed runs
+        // then measure each query's own algorithm over the store READ,
+        // not whichever query happened to run first alphabetically.
+        // (The LPA labels memo is deliberately NOT warmed: the 8
+        // rounds ARE graph_label_propagation's algorithm.)
+        "graph_pagerank_nations", "graph_kcore", "ml_item_cooccurrence",
         // maint_nsw_append's warmup performs the one-time base build +
         // incremental insert + staged rewrite (NswAppendStore) so the
         // timed run measures the appended-store READ path
