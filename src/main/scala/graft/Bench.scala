@@ -30,6 +30,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // a typo'd name in SPARK_GRAFT_ONLY would otherwise be silently
+    // dropped and the run would emit an empty/partial artifact that
+    // reads like a measurement — abort on unknown names instead
+    only.foreach { o =>
+      val unknown = o -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names not in SparkEntry.queries: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     // untimed warmup: session bootstrap, parquet footer reads, codegen
     // JIT — once per distinct input pipeline (vector, text projection,
     // shingle-join/cluster-loop, relational lineitem/orders join-agg).
@@ -48,6 +56,43 @@ object Bench {
     // inside the timed run before this entry existed)
     // vec_pca_knn's warmup runs the one-time moment-pass + Jacobi fit
     // (PcaStore) and maint_ivf_append its one-time store build+append
+    // the four generic pipeline warmups: session bootstrap, codegen JIT,
+    // parquet footer reads — they ALWAYS run (even under ONLY) because
+    // they are what makes a solo timing comparable to a full-run timing
+    val alwaysWarm = Set("knn_exact_cosine", "txt_stats", "dedup_clusters",
+      "q1_pricing_summary")
+    // store-build warmup → the queries that READ its store. Under
+    // SPARK_GRAFT_ONLY the warmup runs when ANY consumer is in the
+    // subset — otherwise a solo timing of e.g. graph_sssp_weighted would
+    // absorb the one-time co-purchase edge build that the full-suite
+    // timing never pays, systematically inflating exactly the solo
+    // adjudications the ONLY mode exists for. Warmups not listed here
+    // warm only themselves. (The LPA labels memo is deliberately NOT a
+    // store here: the 8 rounds ARE graph_label_propagation's algorithm,
+    // so modularity/louvain solo runs pay the labels build just as the
+    // alphabetical full run makes LPA itself pay it.)
+    val warmupConsumers: Map[String, Set[String]] = Map(
+      // trade-graph store (weighted + selective + undirected derivations)
+      "graph_pagerank_nations" -> Set("graph_pagerank_nations",
+        "graph_hits_nations", "graph_bfs_nations", "graph_closeness_nations",
+        "graph_eccentricity_nations", "graph_betweenness_approx",
+        "graph_triangle_count", "graph_clustering_coefficient"),
+      // support-2 co-purchase edge store
+      "graph_kcore" -> Set("graph_kcore", "graph_label_propagation",
+        "graph_modularity", "graph_louvain_refine", "graph_sssp_weighted",
+        "graph_ppr_parts", "graph_link_prediction"),
+      // support-1 co-purchase edge store
+      "ml_item_cooccurrence" -> Set("ml_item_cooccurrence",
+        "graph_degree_assortativity"),
+      // PQ codebook fit (PqStore) feeds every PQ consumer
+      "ann_pq_adc" -> Set("ann_pq_adc", "ann_pq_rescore", "ann_pq_batch",
+        "ann_pq_store_adc", "stream_serve_pq"),
+      // persisted IVF index + catalog registration
+      "ann_ivf_rule_rewrite" -> Set("ann_ivf_rule_rewrite",
+        "knn_filtered_ivf_rewrite"),
+      // sharded NSW graph store (the streaming serve path beams over it)
+      "ann_nsw_beam" -> Set("ann_nsw_beam", "stream_serve_nsw"))
+    val warmupTimes = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     Seq("knn_exact_cosine", "txt_stats", "dedup_clusters", "q1_pricing_summary",
         "ann_ivf_rule_rewrite", "ann_ivf_kmeans_rewrite", "ann_lsh_rule_rewrite",
         // ann_nsw_beam's warmup performs the one-time sharded NSW graph
@@ -98,17 +143,22 @@ object Bench {
         // snapshot read + rank, not the stream replay
         "stream_trending_topk")
       // under SPARK_GRAFT_ONLY: the four generic pipeline warmups ALWAYS
-      // run (they are what makes a solo timing comparable to a full-run
-      // timing — without them the solo query absorbs session bootstrap,
+      // run (without them the solo query absorbs session bootstrap,
       // codegen JIT and footer reads: measured 11.2 s vs 5.1 s on
-      // ml_naive_bayes); the store-build warmups run only when their
-      // query is in the subset
-      .filter(w => !noWarm && only.forall(o => o.contains(w) ||
-        Set("knn_exact_cosine", "txt_stats", "dedup_clusters",
-          "q1_pricing_summary").contains(w)))
+      // ml_naive_bayes); a store-build warmup runs when ANY consumer of
+      // its store is in the subset (warmupConsumers above)
+      .filter(w => !noWarm && only.forall(o => alwaysWarm.contains(w) ||
+        warmupConsumers.getOrElse(w, Set(w)).exists(o.contains)))
       .foreach { w =>
+        // each warmup is TIMED (build + one consume of the query) and
+        // reported as the "stores" map in the artifact: the per-query
+        // numbers stay clean, but the one-time builds' cost — ~4.5 s for
+        // the trade graph at sf0.1, 300-490 s at sf100 — is a line item
+        // a deployment decision needs, not prose. totals = timed + stores.
+        val w0 = System.nanoTime()
         try consume(SparkEntry.queries(w)(spark, sfDir))
         catch { case _: Throwable => () }
+        warmupTimes(w) = (System.nanoTime() - w0) / 1e9
         spark.catalog.clearCache()
       }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -139,7 +189,13 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // untimed-warmup line items: each entry is the one-time store build
+    // (plus one consume of the builder query) that the timed numbers no
+    // longer pay. Total cost of a cold run = value + stores_total.
+    val storesJson = warmupTimes.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val storesTotal = warmupTimes.values.sum
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stores":$storesJson,"stores_total":$storesTotal,"sf":"$sfDir"}"""
     // full per-query map → file (committed per round as bench_full.json)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
     try {
@@ -157,7 +213,7 @@ object Bench {
     def j(v: Double): String = f"$v%.3f"
     val slowest = results.sortBy(-_._2)
     val budget = 1800
-    val header = s"""{"metric":"total","value":${j(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"queries_full":"$outPath","queries":{"""
+    val header = s"""{"metric":"total","value":${j(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"stores_total":${j(storesTotal)},"queries_full":"$outPath","queries":{"""
     val tail = "}}"
     var used = header.length + tail.length
     val kept = slowest.takeWhile { case (k, v) =>

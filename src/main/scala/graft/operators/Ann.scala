@@ -294,6 +294,20 @@ object Ann {
     assignLshBuckets(corpus, vecCol, planes)
       .write.mode("overwrite").partitionBy("lsh_bucket").parquet(path)
 
+  /** The hybrid twin of [[writeIndexed]]/[[writeLshIndexed]]: BOTH index
+    * columns assigned, two-level `cluster_id=…/lsh_bucket=…` directory
+    * layout — so whichever probe filter [[graft.plans.IvfProbeRule]]'s
+    * cost-based branch injects prunes directories statically. One write
+    * serves two index families; the per-partition row counts the cost
+    * model needs fall out of one bounded (≤ nlist·2^nBits rows) groupBy
+    * over the written store.
+    */
+  def writeHybridIndexed(corpus: DataFrame, vecCol: String,
+                         centroids: Array[Array[Float]],
+                         planes: Array[Array[Float]], path: String): Unit =
+    assignLshBuckets(assignClusters(corpus, vecCol, centroids), vecCol, planes)
+      .write.mode("overwrite").partitionBy("cluster_id", "lsh_bucket").parquet(path)
+
   def readIndexed(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 

@@ -392,28 +392,7 @@ object Nsw {
   def appendToGraphWindowed(spark: SparkSession, storePath: String,
                             batch: DataFrame, vecCol: String, idCol: String,
                             windowSize: Long, p: Params): Unit = {
-    // crash recovery from a previous interrupted swap: any shard dir
-    // parked in the aside root whose store slot is EMPTY is the old
-    // bytes of a swap that renamed-out but never renamed-in — restore
-    // it (the aside lives OUTSIDE the store path so partition discovery
-    // never sees a half-swapped dir). A mixed store (some shards already
-    // refreshed, some restored) is safe: the vec_id anti-join below
-    // makes the whole append idempotent, so re-running converges.
-    locally {
-      val hconf = spark.sessionState.newHadoopConf()
-      val store = new org.apache.hadoop.fs.Path(storePath)
-      val fs = store.getFileSystem(hconf)
-      val asideRoot = new org.apache.hadoop.fs.Path(storePath + "_windowed_aside")
-      if (fs.exists(asideRoot)) {
-        fs.listStatus(asideRoot).foreach { st =>
-          val slot = new org.apache.hadoop.fs.Path(store, st.getPath.getName)
-          if (!fs.exists(slot))
-            require(fs.rename(st.getPath, slot),
-              s"crash recovery failed restoring ${st.getPath.getName}")
-        }
-        fs.delete(asideRoot, true)
-      }
-    }
+    recoverAside(spark, storePath)
     val incoming = batch
       .select(windowShard(idCol, windowSize).as("shard"),
         col(idCol).cast("long").as("vec_id"),
@@ -478,11 +457,45 @@ object Nsw {
     fs.delete(staged, true)
   }
 
-  /** Read a persisted graph store (partition column restored to int). */
-  def readGraph(spark: SparkSession, path: String): DataFrame =
+  /** Crash recovery from an interrupted windowed-append swap: any shard
+    * dir parked in the aside root whose store slot is EMPTY is the old
+    * bytes of a swap that renamed-out but never renamed-in — restore it
+    * (the aside lives OUTSIDE the store path so partition discovery
+    * never sees a half-swapped dir). A mixed store (some shards already
+    * refreshed, some restored) is safe: the vec_id anti-join in
+    * [[appendToGraphWindowed]] makes the whole append idempotent, so
+    * re-running converges. Runs at BOTH entry points — append AND read:
+    * without the read-side check, a readGraph between a mid-swap crash
+    * and the next append would silently see fewer rows (discovery just
+    * lists fewer shard dirs). One FS existence check when no aside
+    * exists — negligible against the parquet footer reads.
+    */
+  private def recoverAside(spark: SparkSession, storePath: String): Unit = {
+    val hconf = spark.sessionState.newHadoopConf()
+    val store = new org.apache.hadoop.fs.Path(storePath)
+    val fs = store.getFileSystem(hconf)
+    val asideRoot = new org.apache.hadoop.fs.Path(storePath + "_windowed_aside")
+    if (fs.exists(asideRoot)) {
+      fs.listStatus(asideRoot).foreach { st =>
+        val slot = new org.apache.hadoop.fs.Path(store, st.getPath.getName)
+        if (!fs.exists(slot))
+          require(fs.rename(st.getPath, slot),
+            s"crash recovery failed restoring ${st.getPath.getName}")
+      }
+      fs.delete(asideRoot, true)
+    }
+  }
+
+  /** Read a persisted graph store (partition column restored to int).
+    * Restores any half-completed windowed-swap aside first, so a read
+    * landing between a crash and the next append sees the full store.
+    */
+  def readGraph(spark: SparkSession, path: String): DataFrame = {
+    recoverAside(spark, path)
     spark.read.parquet(path)
       .select(col("shard").cast("int").as("shard"), col("vec_id"),
         col("embedding"), col("neighbors"))
+  }
 
   /** Multi-query beam pass: one scan of the graph store serves a WHOLE
     * query batch — each task builds its shard's (vecs, adj) maps once

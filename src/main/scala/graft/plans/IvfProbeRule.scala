@@ -17,15 +17,22 @@ import scala.collection.concurrent.TrieMap
   * happens implicitly).
   */
 object IvfCatalog {
-  final case class IvfIndex(centroids: Array[Array[Float]], nprobe: Int)
+  /** `clusterRows` (cluster_id → stored row count, from one bounded
+    * groupBy at index-build time) is the statistic the cost-based
+    * choice reads when a table is registered in BOTH catalogs; empty =
+    * no stats, the rule falls back to IVF precedence.
+    */
+  final case class IvfIndex(centroids: Array[Array[Float]], nprobe: Int,
+                            clusterRows: Map[Int, Long] = Map.empty)
 
   private val indexes = TrieMap.empty[String, IvfIndex]
 
   private def normalize(path: String): String =
     path.stripSuffix("/").replaceFirst("^file:", "")
 
-  def register(path: String, centroids: Array[Array[Float]], nprobe: Int): Unit =
-    indexes.put(normalize(path), IvfIndex(centroids, nprobe))
+  def register(path: String, centroids: Array[Array[Float]], nprobe: Int,
+               clusterRows: Map[Int, Long] = Map.empty): Unit =
+    indexes.put(normalize(path), IvfIndex(centroids, nprobe, clusterRows))
 
   def unregister(path: String): Unit = indexes.remove(normalize(path))
   def clear(): Unit = indexes.clear()
@@ -40,15 +47,20 @@ object IvfCatalog {
   * exactness for bucket pruning on that table.
   */
 object LshCatalog {
-  final case class LshIndex(planes: Array[Array[Float]], radius: Int)
+  /** `bucketRows` — the LSH twin of `IvfIndex.clusterRows` (lsh_bucket
+    * → stored row count); empty = no stats.
+    */
+  final case class LshIndex(planes: Array[Array[Float]], radius: Int,
+                            bucketRows: Map[Long, Long] = Map.empty)
 
   private val indexes = TrieMap.empty[String, LshIndex]
 
   private def normalize(path: String): String =
     path.stripSuffix("/").replaceFirst("^file:", "")
 
-  def register(path: String, planes: Array[Array[Float]], radius: Int): Unit =
-    indexes.put(normalize(path), LshIndex(planes, radius))
+  def register(path: String, planes: Array[Array[Float]], radius: Int,
+               bucketRows: Map[Long, Long] = Map.empty): Unit =
+    indexes.put(normalize(path), LshIndex(planes, radius, bucketRows))
 
   def unregister(path: String): Unit = indexes.remove(normalize(path))
   def clear(): Unit = indexes.clear()
@@ -69,7 +81,11 @@ object LshCatalog {
   * pruning. Tables registered in [[LshCatalog]] (sign-plane buckets,
   * `lsh_bucket` column) get the analogous
   * `lsh_bucket IN (hamming-≤radius probe set of LITERAL's bucket)`
-  * filter — one rule, two index families, same opt-in contract. The top-k semantics stay `TakeOrderedAndProject`; only the
+  * filter — one rule, two index families, same opt-in contract. A table
+  * registered in BOTH catalogs (hybrid cluster_id/lsh_bucket-partitioned
+  * store) gets the CHEAPER filter for the query at hand, by the exact
+  * per-partition row counts registered with each index ([[chooseIndex]]).
+  * The top-k semantics stay `TakeOrderedAndProject`; only the
   * scanned fraction changes (~nprobe/nlist). Applies once
   * (idempotent by construction: the injected filter is recognized on
   * re-entry).
@@ -78,6 +94,34 @@ object LshCatalog {
   * `spark.experimental.extraOptimizations` (GraftSession.prepare).
   */
 object IvfProbeRule extends Rule[LogicalPlan] {
+
+  /** Cost-based index selection when ONE table is registered in BOTH
+    * catalogs (a hybrid store partitioned by cluster_id AND lsh_bucket):
+    * estimate the rows each index would scan for THIS query vector —
+    * Σ clusterRows over the nprobe nearest lists vs Σ bucketRows over
+    * the hamming-≤radius probe set — and pick the smaller scan. The
+    * stats are exact per-partition row counts registered at build time,
+    * so the estimate IS the scanned-row count, not a heuristic; at
+    * 100 TB "transparent" means the optimizer makes this choice, not
+    * the user. Missing stats on either side (or a tie) fall back to
+    * IVF precedence — the pruning+compression default, and the
+    * pre-stats behavior. Returns (chosen, ivfProbes, lshProbes) so the
+    * registered query can surface the decision as a gated column.
+    */
+  def chooseIndex(qv: Array[Float], ivf: IvfCatalog.IvfIndex,
+                  lsh: LshCatalog.LshIndex): (String, Seq[Int], Seq[Long]) = {
+    val ivfProbes = Ann.probeIds(qv, ivf.centroids, ivf.nprobe)
+    val lshProbes = Ann.probeBuckets(
+      Ann.queryBucket(qv, lsh.planes), lsh.planes.length, lsh.radius)
+    val chosen =
+      if (ivf.clusterRows.isEmpty || lsh.bucketRows.isEmpty) "ivf"
+      else {
+        val ivfRows = ivfProbes.map(c => ivf.clusterRows.getOrElse(c, 0L)).sum
+        val lshRows = lshProbes.map(b => lsh.bucketRows.getOrElse(b, 0L)).sum
+        if (lshRows < ivfRows) "lsh" else "ivf"
+      }
+    (chosen, ivfProbes, lshProbes)
+  }
 
   /** Extract the float array of a typed array literal (query vector). */
   private def literalVector(e: Expression): Option[Array[Float]] = e match {
@@ -159,30 +203,44 @@ object IvfProbeRule extends Rule[LogicalPlan] {
         sort <- findSort(inner)
         qv <- sortQueryVector(sort.order, sort.child)
       } yield {
+        // partition discovery may have inferred the bucket column as
+        // INT (small values) — literals must match the attribute's
+        // type or the resolved plan becomes unresolved
+        def lshFilter(rel: LogicalRelation, probes: Seq[Long]): Filter = {
+          val bucketAttr = rel.output.find(_.name == "lsh_bucket").get
+          val lits = probes.map { b =>
+            bucketAttr.dataType match {
+              case org.apache.spark.sql.types.LongType    => Literal(b)
+              case org.apache.spark.sql.types.IntegerType => Literal(b.toInt)
+              case other => Cast(Literal(b), other)
+            }
+          }
+          Filter(In(bucketAttr, lits), rel)
+        }
+        def ivfFilter(rel: LogicalRelation, probes: Seq[Int]): Filter = {
+          val clusterAttr = rel.output.find(_.name == "cluster_id").get
+          Filter(In(clusterAttr, probes.map(p => Literal(p))), rel)
+        }
         limit.transformUp {
+          // hybrid store registered in BOTH catalogs: cost-based choice
+          // (must precede the single-index cases — they would match too)
+          case rel: LogicalRelation
+              if indexOf(rel).isDefined && lshIndexOf(rel).isDefined &&
+                rel.output.exists(_.name == "cluster_id") &&
+                rel.output.exists(_.name == "lsh_bucket") =>
+            val (chosen, ivfProbes, lshProbes) =
+              chooseIndex(qv, indexOf(rel).get, lshIndexOf(rel).get)
+            if (chosen == "lsh") lshFilter(rel, lshProbes)
+            else ivfFilter(rel, ivfProbes)
           case rel: LogicalRelation
               if indexOf(rel).isDefined && rel.output.exists(_.name == "cluster_id") =>
             val idx = indexOf(rel).get
-            val clusterAttr = rel.output.find(_.name == "cluster_id").get
-            val probes = Ann.probeIds(qv, idx.centroids, idx.nprobe)
-            Filter(In(clusterAttr, probes.map(p => Literal(p))), rel)
+            ivfFilter(rel, Ann.probeIds(qv, idx.centroids, idx.nprobe))
           case rel: LogicalRelation
               if lshIndexOf(rel).isDefined && rel.output.exists(_.name == "lsh_bucket") =>
             val idx = lshIndexOf(rel).get
-            val bucketAttr = rel.output.find(_.name == "lsh_bucket").get
-            val probes = Ann.probeBuckets(
-              Ann.queryBucket(qv, idx.planes), idx.planes.length, idx.radius)
-            // partition discovery may have inferred the bucket column as
-            // INT (small values) — literals must match the attribute's
-            // type or the resolved plan becomes unresolved
-            val lits = probes.map { b =>
-              bucketAttr.dataType match {
-                case org.apache.spark.sql.types.LongType    => Literal(b)
-                case org.apache.spark.sql.types.IntegerType => Literal(b.toInt)
-                case other => Cast(Literal(b), other)
-              }
-            }
-            Filter(In(bucketAttr, lits), rel)
+            lshFilter(rel, Ann.probeBuckets(
+              Ann.queryBucket(qv, idx.planes), idx.planes.length, idx.radius))
         }
       }).getOrElse(limit)
   }

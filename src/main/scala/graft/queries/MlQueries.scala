@@ -530,16 +530,33 @@ object MlQueries {
     java.math.BigDecimal.valueOf(d)
       .setScale(8, java.math.RoundingMode.HALF_UP).doubleValue()
 
-  /** The checkpointed 3-column training projection for [[logregGd]] —
-    * factored with [[logregIterAgg]] so PlanShapeSpec drives the
-    * production iteration plan.
+  /** The checkpointed training base for [[logregGd]] — factored with
+    * [[logregIterAgg]] so PlanShapeSpec drives the production iteration
+    * plan. The 9 GD iterations re-read this relation, so its RESIDENT
+    * footprint decides the eviction decade (the sf100 probe measured the
+    * 3-double base evicting at 16 GB and every iteration re-scanning):
+    * all three features are low-cardinality exact integers — y ∈ {0,1},
+    * discount ∈ {0.00..0.10 step .01} so d·100 ∈ 0..10, quantity ∈
+    * 1..50 — so the CHECKPOINTED rows pack the triple into ONE BIGINT
+    * `y·10⁴ + d100·10² + q` (16-byte UnsafeRows vs 32: null word + one
+    * field slot — halving the blocks halves the decade at which
+    * iterations fall back to re-scans). The unpack projection sits
+    * ABOVE the checkpoint: integer div/mod then the SAME divisions as
+    * before (d100/100.0 is the correctly-rounded k/100 = the parquet
+    * double; q/50.0 unchanged), so every downstream activation is
+    * bit-identical to the unpacked form and the oracle — which
+    * recomputes the base from lineitem — is untouched.
     */
   private[graft] def logregBase(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
     Tables.lineitem(s, dir).select(
-      when(col("l_returnflag") === "R", 1.0).otherwise(0.0).as("y"),
-      col("l_discount").cast("double").as("x1"),
-      (col("l_quantity").cast("double") / lit(50.0)).as("x2"))
+      (when(col("l_returnflag") === "R", 10000L).otherwise(0L) +
+        round(col("l_discount") * lit(100.0)).cast("long") * lit(100L) +
+        col("l_quantity").cast("long")).as("p"))
       .localCheckpoint()
+      .select(
+        expr("CAST(p div 10000 AS DOUBLE)").as("y"),
+        (expr("CAST((p div 100) % 100 AS DOUBLE)") / lit(100.0)).as("x1"),
+        (expr("CAST(p % 100 AS DOUBLE)") / lit(50.0)).as("x2"))
 
   /** One full-batch GD iteration for [[logregGd]] — factored so
     * PlanShapeSpec asserts the production per-iteration plan: a single
@@ -747,16 +764,23 @@ object MlQueries {
       "produces per-(source, fold) counts, and each fold's training " +
       "statistics are the leave-fold-out complements (Σ_src − fold_src) " +
       "on the sources × folds table — the same algebra ml_target_encode " +
-      "uses for leave-one-out, lifted to folds. Scoring joins the " +
-      "(source, fold) confidence back on the doc's own key — model " +
-      "table is sources × 5 rows, broadcast. Per-fold accuracy at the " +
-      "0.5 threshold from exact counts; per-fold Brier from round-6 " +
-      "per-row terms in DECIMAL(38,6); the cross-fold mean/spread " +
-      "come from the 5-row relation. (source, fold) cells with zero " +
-      "leave-fold-out training mass (a source living entirely in one " +
-      "fold — it happens at sf0.001) are filtered before the " +
-      "division, so their docs drop via the inner join on both " +
-      "engines identically.",
+      "uses for leave-one-out, lifted to folds. Scoring NEVER re-scans " +
+      "the corpus: a doc's hit and Brier term are functions of (conf, " +
+      "y) alone, so the per-fold sums collapse onto the sources × 5 " +
+      "cell table — hits = conf≥.5 ? pos : n−pos, Brier mass = " +
+      "pos·round((conf−1)²,6) + (n−pos)·round(conf²,6), exact in " +
+      "DECIMAL(38,6) because n identical round-6 terms sum to exactly " +
+      "n·term (the r16 fix for a solo-adjudicated 1.37→1.9 s mover: " +
+      "the old row-level scoring paid a SECOND documents scan, " +
+      "re-hashed every doc_id, and broadcast-joined the model back per " +
+      "row — for what is algebraically a 100-row computation; the " +
+      "oracle still scores row-level, so the gate differentially " +
+      "checks the collapse). Per-fold accuracy at the 0.5 threshold " +
+      "from exact counts; the cross-fold mean/spread come from the " +
+      "5-row relation. (source, fold) cells with zero leave-fold-out " +
+      "training mass (a source living entirely in one fold — it " +
+      "happens at sf0.001) are filtered before the division, dropping " +
+      "the same docs the oracle's inner join drops.",
     (s, dir) => {
       val docs = Tables.documents(s, dir).select(
         col("source").as("b"),
@@ -767,23 +791,25 @@ object MlQueries {
         .agg(count(lit(1)).as("n_bf"), sum(col("y")).as("pos_bf"))
       val src = cell.groupBy(col("b"))
         .agg(sum(col("n_bf")).as("n_b"), sum(col("pos_bf")).as("pos_b"))
-      val conf = cell.join(broadcast(src), Seq("b"))
+      val scoredCells = cell.join(broadcast(src), Seq("b"))
         .filter(col("n_b") > col("n_bf"))
-        .select(col("b"), col("fold"),
+        .select(col("fold"), col("n_bf"), col("pos_bf"),
           round((col("pos_b") - col("pos_bf")).cast("double") /
             (col("n_b") - col("n_bf")).cast("double"), 6).as("conf"))
-      val scored = docs.join(broadcast(conf), Seq("b", "fold"))
-        .select(col("fold"), col("y"), col("conf"),
-          when((col("conf") >= 0.5) === (col("y") === 1L), 1L)
-            .otherwise(0L).as("hit"),
-          round((col("conf") - col("y").cast("double")) *
-            (col("conf") - col("y").cast("double")), 6).cast(dec6).as("sq"))
-      val folds = scored.groupBy(col("fold"))
-        .agg(count(lit(1)).as("n_rows"),
-          round(sum(col("hit")).cast("double") /
-            count(lit(1)).cast("double"), 6).as("acc"),
-          round(sum(col("sq")).cast("double") /
-            count(lit(1)).cast("double"), 6).as("brier"))
+        .select(col("fold"), col("n_bf"),
+          when(col("conf") >= 0.5, col("pos_bf"))
+            .otherwise(col("n_bf") - col("pos_bf")).as("hits"),
+          (col("pos_bf").cast(DecimalType(38, 0)) *
+            round((col("conf") - lit(1.0)) * (col("conf") - lit(1.0)), 6)
+              .cast(dec6) +
+            (col("n_bf") - col("pos_bf")).cast(DecimalType(38, 0)) *
+              round(col("conf") * col("conf"), 6).cast(dec6)).as("sq_mass"))
+      val folds = scoredCells.groupBy(col("fold"))
+        .agg(sum(col("n_bf")).as("n_rows"),
+          round(sum(col("hits")).cast("double") /
+            sum(col("n_bf")).cast("double"), 6).as("acc"),
+          round(sum(col("sq_mass")).cast("double") /
+            sum(col("n_bf")).cast("double"), 6).as("brier"))
       val summ = folds.agg(
         round(sum(col("acc").cast(dec6)).cast("double") / lit(5.0), 6)
           .as("mean_acc"),

@@ -3811,8 +3811,10 @@ object StatQueries {
       "double (mean, variance, weight) has one fixed shape, and the " +
       "k=5 cross-group sums fold a grp-SORTED struct array (Spark " +
       "aggregate HOF ≡ DuckDB list_reduce over list(ORDER BY) — the " +
-      "stat_chi2_independence order-determinism channel). One " +
-      "aggregation shuffle; everything after is k rows.",
+      "stat_chi2_independence order-determinism channel). The weight " +
+      "denominator is nullif(s_i², 0): a zero-variance group reads " +
+      "NULL on both engines instead of Infinity-vs-engine-dependent. " +
+      "One aggregation shuffle; everything after is k rows.",
     (s, dir) => {
       val g = Tables.orders(s, dir)
         .select(col("o_orderpriority").as("grp"),
@@ -3824,7 +3826,11 @@ object StatQueries {
       def vv(x: org.apache.spark.sql.Column) = (x.getField("sx2").cast("double") -
         x.getField("sx").cast("double") * x.getField("sx").cast("double") / nD(x)) /
         (nD(x) - lit(1.0))
-      def w(x: org.apache.spark.sql.Column) = nD(x) / vv(x)
+      // nullif on the variance: a zero-variance (degenerate) group must
+      // read NULL on BOTH engines — Spark's double n/0 is Infinity while
+      // DuckDB's division-by-zero behavior is a session setting, so a
+      // constant group would break parity instead of nulling the test
+      def w(x: org.apache.spark.sql.Column) = nD(x) / nullif(vv(x), lit(0.0))
       val base = g.agg(
         count(lit(1)).as("k"), sum(col("n")).as("n_total"),
         sort_array(collect_list(struct(col("grp"), col("n"), col("sx"), col("sx2"))))
@@ -3864,10 +3870,10 @@ object StatQueries {
       |), folded AS (
       |  SELECT k, n_total, arr,
       |         list_reduce(list_prepend(0.0, list_transform(arr, x ->
-      |           x.n::DOUBLE / ((x.sx2::DOUBLE - x.sx::DOUBLE * x.sx::DOUBLE / x.n::DOUBLE) / (x.n::DOUBLE - 1.0)))),
+      |           x.n::DOUBLE / nullif((x.sx2::DOUBLE - x.sx::DOUBLE * x.sx::DOUBLE / x.n::DOUBLE) / (x.n::DOUBLE - 1.0), 0.0))),
       |           (a, b) -> a + b) AS sw,
       |         list_reduce(list_prepend(0.0, list_transform(arr, x ->
-      |           x.n::DOUBLE / ((x.sx2::DOUBLE - x.sx::DOUBLE * x.sx::DOUBLE / x.n::DOUBLE) / (x.n::DOUBLE - 1.0))
+      |           x.n::DOUBLE / nullif((x.sx2::DOUBLE - x.sx::DOUBLE * x.sx::DOUBLE / x.n::DOUBLE) / (x.n::DOUBLE - 1.0), 0.0)
       |             * (x.sx::DOUBLE / x.n::DOUBLE))),
       |           (a, b) -> a + b) AS swx
       |  FROM base
@@ -3876,12 +3882,12 @@ object StatQueries {
       |), sums AS (
       |  SELECT k, n_total,
       |         list_reduce(list_prepend(0.0, list_transform(arr, x ->
-      |           x.n::DOUBLE / ((x.sx2::DOUBLE - x.sx::DOUBLE * x.sx::DOUBLE / x.n::DOUBLE) / (x.n::DOUBLE - 1.0))
+      |           x.n::DOUBLE / nullif((x.sx2::DOUBLE - x.sx::DOUBLE * x.sx::DOUBLE / x.n::DOUBLE) / (x.n::DOUBLE - 1.0), 0.0)
       |             * ((x.sx::DOUBLE / x.n::DOUBLE) - xw) * ((x.sx::DOUBLE / x.n::DOUBLE) - xw))),
       |           (a, b) -> a + b) AS sa,
       |         list_reduce(list_prepend(0.0, list_transform(arr, x ->
-      |           (1.0 - (x.n::DOUBLE / ((x.sx2::DOUBLE - x.sx::DOUBLE * x.sx::DOUBLE / x.n::DOUBLE) / (x.n::DOUBLE - 1.0))) / sw)
-      |           * (1.0 - (x.n::DOUBLE / ((x.sx2::DOUBLE - x.sx::DOUBLE * x.sx::DOUBLE / x.n::DOUBLE) / (x.n::DOUBLE - 1.0))) / sw)
+      |           (1.0 - (x.n::DOUBLE / nullif((x.sx2::DOUBLE - x.sx::DOUBLE * x.sx::DOUBLE / x.n::DOUBLE) / (x.n::DOUBLE - 1.0), 0.0)) / sw)
+      |           * (1.0 - (x.n::DOUBLE / nullif((x.sx2::DOUBLE - x.sx::DOUBLE * x.sx::DOUBLE / x.n::DOUBLE) / (x.n::DOUBLE - 1.0), 0.0)) / sw)
       |           / (x.n::DOUBLE - 1.0))),
       |           (a, b) -> a + b) AS sb
       |  FROM withxw

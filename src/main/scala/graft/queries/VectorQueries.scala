@@ -336,6 +336,121 @@ object VectorQueries {
       """.stripMargin.trim
     })
 
+  /** One hybrid cluster_id/lsh_bucket-partitioned index write per
+    * (sfDir, JVM), plus the per-partition row-count statistics the
+    * cost-based rewrite reads: clusterRows/bucketRows marginalize one
+    * bounded (≤ nlist·2^nBits rows collected) groupBy over the store.
+    */
+  private object HybridIndexStore {
+    private val written =
+      scala.collection.concurrent.TrieMap.empty[String, (String, Map[Int, Long], Map[Long, Long])]
+    def ensure(s: org.apache.spark.sql.SparkSession, dir: String,
+               cents: Array[Array[Float]],
+               planes: Array[Array[Float]]): (String, Map[Int, Long], Map[Long, Long]) =
+      written.getOrElseUpdate(dir, {
+        val path = TmpStores.pidScopedPath("graft_hybrid_idx", dir)
+        Ann.writeHybridIndexed(Tables.embeddings(s, dir), "embedding", cents,
+          planes, path)
+        val cells = s.read.parquet(path)
+          .select(col("cluster_id").cast("int").as("c"),
+            col("lsh_bucket").cast("long").as("b"))
+          .groupBy(col("c"), col("b")).count()
+          .collect()
+          .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+        val clusterRows = cells.groupBy(_._1).map { case (c, g) => c -> g.map(_._3).sum }
+        val bucketRows = cells.groupBy(_._2).map { case (b, g) => b -> g.map(_._3).sum }
+        (path, clusterRows, bucketRows)
+      })
+  }
+
+  private val costRule = QueryDef(
+    "ann_cost_rewrite",
+    "Cost-based index selection inside the transparent rewrite: ONE " +
+      "hybrid store (partitioned cluster_id=…/lsh_bucket=…) is " +
+      "registered in BOTH IvfCatalog and LshCatalog, each with its " +
+      "exact per-partition row counts, and the plain exact-KNN API is " +
+      "run with no hint — IvfProbeRule estimates the rows each index " +
+      "would scan for THIS query vector (Σ counts over the 3 nearest " +
+      "lists vs Σ counts over the hamming-≤1 bucket probe set) and " +
+      "injects the CHEAPER filter; at 100 TB 'transparent' means the " +
+      "optimizer owns this choice. The chosen index rides the output " +
+      "as a column, and the oracle replays the ENTIRE decision in " +
+      "SQL — both assignments, both probe sets, both candidate counts, " +
+      "the argmin, then exact cosine top-10 over the chosen candidate " +
+      "set — so a green hash proves the cost model picked the same " +
+      "index over the same rows (the spec flips the choice with " +
+      "synthetic stats; this gate pins the data-derived one).",
+    (s, dir) => {
+      val q = Queries.queryVec64
+      val corpus = Tables.embeddings(s, dir)
+      val cents = Ann.seededCentroids(corpus, "embedding", "vec_id", nlist = 8)
+      val planes = Ann.signPlanes(dim = 64, nBits = 8)
+      val (path, clusterRows, bucketRows) = HybridIndexStore.ensure(s, dir, cents, planes)
+      graft.plans.IvfCatalog.register(path, cents, nprobe = 3, clusterRows)
+      graft.plans.LshCatalog.register(path, planes, radius = 1, bucketRows)
+      val (chosen, _, _) = graft.plans.IvfProbeRule.chooseIndex(q,
+        graft.plans.IvfCatalog.IvfIndex(cents, 3, clusterRows),
+        graft.plans.LshCatalog.LshIndex(planes, 1, bucketRows))
+      Knn.search(Ann.readIndexed(s, path), "embedding", "vec_id", q, k = 10)
+        .select(col("vec_id"), lit(chosen).as("chosen_index"),
+          round(col("distance_score"), 6).as("distance"))
+        .orderBy(col("distance"), col("vec_id"))
+    },
+    Some {
+      val qLit = vecLit(Queries.queryVec64)
+      s"""
+      |WITH cents AS (
+      |  SELECT vec_id AS cid, embedding::DOUBLE[] AS c FROM embeddings WHERE vec_id < 8
+      |), assigned AS (
+      |  SELECT vec_id, cid AS cluster_id FROM (
+      |    SELECT e.vec_id, c.cid,
+      |           row_number() OVER (PARTITION BY e.vec_id
+      |                              ORDER BY ${duckL2("e.embedding::DOUBLE[]", "c.c")}, c.cid) AS rn
+      |    FROM embeddings e CROSS JOIN cents c
+      |  ) WHERE rn = 1
+      |), planes AS (
+      |  SELECT b, list_transform(range(64), j ->
+      |    CASE WHEN ('0x' || substring(md5('lsh:' || b::VARCHAR || ':' || j::VARCHAR), 1, 12))::BIGINT % 2 = 0
+      |         THEN 1.0 ELSE -1.0 END) AS plane
+      |  FROM (SELECT unnest(range(8)) AS b)
+      |), bk AS (
+      |  SELECT e.vec_id,
+      |         sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], p.plane) >= 0
+      |                  THEN (1::BIGINT << p.b) ELSE 0 END)::BIGINT AS lsh_bucket
+      |  FROM embeddings e CROSS JOIN planes p GROUP BY e.vec_id
+      |), ivf_probes AS (
+      |  SELECT cid FROM cents ORDER BY ${duckL2(qLit, "c")}, cid LIMIT 3
+      |), qb AS (
+      |  SELECT sum(CASE WHEN list_dot_product($qLit, plane) >= 0
+      |                  THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS qbucket
+      |  FROM planes
+      |), ivf_cand AS (
+      |  SELECT vec_id FROM assigned
+      |  WHERE cluster_id IN (SELECT cid FROM ivf_probes)
+      |), lsh_cand AS (
+      |  SELECT bk.vec_id FROM bk, qb
+      |  WHERE len(list_filter(range(8), i ->
+      |        ((bk.lsh_bucket >> i) & 1) <> ((qb.qbucket >> i) & 1))) <= 1
+      |), choice AS (
+      |  SELECT CASE WHEN (SELECT count(*) FROM lsh_cand) <
+      |                   (SELECT count(*) FROM ivf_cand)
+      |              THEN 'lsh' ELSE 'ivf' END AS chosen
+      |), cand AS (
+      |  SELECT vec_id FROM lsh_cand WHERE (SELECT chosen FROM choice) = 'lsh'
+      |  UNION ALL
+      |  SELECT vec_id FROM ivf_cand WHERE (SELECT chosen FROM choice) = 'ivf'
+      |), d AS (
+      |  SELECT c.vec_id, ${duckCosine("e.embedding", qLit)} AS dist
+      |  FROM cand c JOIN embeddings e ON c.vec_id = e.vec_id
+      |), top AS (
+      |  SELECT vec_id, dist FROM d ORDER BY dist, vec_id LIMIT 10
+      |)
+      |SELECT vec_id, (SELECT chosen FROM choice) AS chosen_index,
+      |       round(dist, 6) AS distance
+      |FROM top ORDER BY distance, vec_id
+      """.stripMargin.trim
+    })
+
   /** Sharded NSW graph store per (fixture, JVM) — the graph-ANN family
     * member (Malkov et al. 2014; HNSW 2016 layers the same search).
     * The build is one `mapPartitions` pass (independent per-shard
@@ -1752,7 +1867,7 @@ object VectorQueries {
 
   val defs: Seq[QueryDef] =
     Seq(filtered, l2Search, batch, ragContext, ivf, lshProbe, nswBeam, ivfRule,
-      lshRule, ivfKmeansRule, filteredIvfRule, mips, quantRescore, sqlApi,
+      lshRule, costRule, ivfKmeansRule, filteredIvfRule, mips, quantRescore, sqlApi,
       centroids, quantize, groupTopk, pqAdc, pqRescore, pqBatch, pqStoreAdc,
       matryoshka, ivfPqAdc, pcaKnn, rpKnn, bqHamming, mmrDiversify, recallEval,
       ivfRecallEvalQ, quantError)

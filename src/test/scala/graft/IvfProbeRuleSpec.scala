@@ -145,4 +145,76 @@ class IvfProbeRuleSpec extends SparkSpec {
       new Directory(new java.io.File(dir)).deleteRecursively()
     }
   }
+
+  test("both-registered hybrid store: cost choice picks the cheaper index and flips with the stats") {
+    import graft.plans.LshCatalog
+    val planes = Ann.signPlanes(dim = 64, nBits = 8)
+    val cents = Ann.seededCentroids(emb, "embedding", "vec_id", nlist = 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft_hybrid_rule").toString
+    try {
+      Ann.writeHybridIndexed(emb, "embedding", cents, planes, dir)
+      // exact per-partition stats from one bounded groupBy (what the
+      // registered query computes at build time)
+      val cells = spark.read.parquet(dir)
+        .selectExpr("CAST(cluster_id AS INT) AS c", "CAST(lsh_bucket AS BIGINT) AS b")
+        .groupBy("c", "b").count().collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      val clusterRows = cells.groupBy(_._1).map { case (c, g) => c -> g.map(_._3).sum }
+      val bucketRows = cells.groupBy(_._2).map { case (b, g) => b -> g.map(_._3).sum }
+
+      // the injected probe shows up as a PartitionFilters IN-list on the
+      // index column (attributes print with exprIds — match by regex)
+      val lshProbe = "lsh_bucket#\\d+L? IN ".r
+      val ivfProbe = "cluster_id#\\d+L? IN ".r
+      def planOf(): String = {
+        spark.catalog.clearCache()
+        Knn.search(Ann.readIndexed(spark, dir), "embedding", "vec_id", q, k = 10)
+          .queryExecution.executedPlan.toString
+      }
+
+      // real stats: the hamming-≤1 LSH probe set (≤9/256 buckets) scans
+      // far fewer rows than 3/8 IVF lists — the rule must choose LSH
+      IvfCatalog.register(dir, cents, nprobe = 3, clusterRows)
+      LshCatalog.register(dir, planes, radius = 1, bucketRows)
+      val lshPlan = planOf()
+      assert(lshProbe.findFirstIn(lshPlan).isDefined &&
+        ivfProbe.findFirstIn(lshPlan).isEmpty,
+        s"with LSH scanning fewer rows the rule must inject the bucket probe:\n$lshPlan")
+      val (chosen, _, _) = graft.plans.IvfProbeRule.chooseIndex(q,
+        IvfCatalog.IvfIndex(cents, 3, clusterRows),
+        LshCatalog.LshIndex(planes, 1, bucketRows))
+      assert(chosen == "lsh")
+
+      // flipped stats: inflate every bucket count so LSH looks like a
+      // full scan — the choice must flip to the IVF probe
+      val inflated = bucketRows.map { case (b, n) => b -> (n + 1000000L) }
+      LshCatalog.register(dir, planes, radius = 1, inflated)
+      val ivfPlan = planOf()
+      assert(ivfProbe.findFirstIn(ivfPlan).isDefined &&
+        lshProbe.findFirstIn(ivfPlan).isEmpty,
+        s"with flipped stats the rule must inject the cluster probe:\n$ivfPlan")
+
+      // missing stats on one side: documented IVF-precedence fallback
+      LshCatalog.register(dir, planes, radius = 1)
+      val fallbackPlan = planOf()
+      assert(ivfProbe.findFirstIn(fallbackPlan).isDefined,
+        s"missing stats must fall back to IVF precedence:\n$fallbackPlan")
+
+      // the chosen-probe result equals the explicit LSH probe path
+      LshCatalog.register(dir, planes, radius = 1, bucketRows)
+      spark.catalog.clearCache()
+      val hits = Knn.search(Ann.readIndexed(spark, dir), "embedding", "vec_id", q, k = 10)
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+      val expect = Ann.lshSearch(
+        Ann.assignLshBuckets(emb, "embedding", planes), "embedding", "vec_id",
+        q, k = 10, planes, radius = 1)
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+      assert(hits == expect)
+    } finally {
+      IvfCatalog.clear()
+      LshCatalog.clear()
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
 }
