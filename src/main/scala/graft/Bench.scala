@@ -24,9 +24,16 @@ object Bench {
     // dedup_clusters costs more than the probed queries and the few
     // seconds of bootstrap inside the first timing are noise
     val noWarm = sys.env.get("SPARK_GRAFT_NOWARM").contains("1")
+    // SPARK_GRAFT_SHUFFLE — shuffle-partition override for synthesized-
+    // decade probes: the per-round bench pins partitions = cores (right
+    // for sf0.1), but a fixed 32 at sf100 spills (ml_frequent_triples
+    // measured 202x/3 decades from exactly this); a cluster scales
+    // partitions with data (AQE initialPartitionNum), and the probe
+    // must be able to, too
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -90,7 +90,16 @@ object Nsw {
   def beamSearch(q: Array[Float], entry: Long,
                  vecs: collection.Map[Long, Array[Float]],
                  adj: collection.Map[Long, Array[Long]],
-                 ef: Int): Seq[(Double, Long)] = {
+                 ef: Int): Seq[(Double, Long)] =
+    beamSearchFn(q, entry, vecs, adj.getOrElse(_, Array.empty), ef)
+
+  /** [[beamSearch]] over a FUNCTION adjacency — the layered (HNSW)
+    * variants walk one layer of a per-node layer stack through this.
+    */
+  private def beamSearchFn(q: Array[Float], entry: Long,
+                           vecs: collection.Map[Long, Array[Float]],
+                           adjFn: Long => Array[Long],
+                           ef: Int): Seq[(Double, Long)] = {
     val visited = mutable.Set[Long](entry)
     val d0 = cosine(q, vecs(entry))
     val frontier = mutable.PriorityQueue((d0, entry))(byDistThenId.reverse) // min-heap
@@ -100,7 +109,7 @@ object Nsw {
       if (results.size >= ef && byDistThenId.gt((d, node), results.head)) {
         frontier.clear() // nearest frontier ≥ worst result: done
       } else {
-        adj.getOrElse(node, Array.empty).foreach { nb =>
+        adjFn(node).foreach { nb =>
           if (visited.add(nb)) {
             val dn = cosine(q, vecs(nb))
             if (results.size < ef || byDistThenId.lt((dn, nb), results.head)) {
@@ -578,6 +587,240 @@ object Nsw {
              idCol: String, queryVec: Array[Float], k: Int,
              p: Params, metric: Knn.Metric = Knn.Cosine): (DataFrame, Seq[Long]) = {
     val cands = shardCandidates(graph, queryVec, p)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq.sorted
+    val result = Knn.search(
+      corpus.filter(col(idCol).isin(cands: _*)),
+      vecCol, idCol, queryVec, k, metric)
+    (result, cands)
+  }
+
+  // ------------------------------------------------------------------
+  // HNSW — log-layered entry-point descent over the same shards
+  // ------------------------------------------------------------------
+
+  /** Deterministic HNSW level draw (Malkov & Yashunin 2016 Alg. 1's
+    * `floor(-ln(U)·mL)`, mL = 1/ln(m) so P(level ≥ l) = m^(-l)) — with
+    * U derived from the portable 48-bit md5 hash of the vec_id instead
+    * of RNG state: a node's level is a pure function of its id, so an
+    * append assigns the SAME level a full rebuild would (the append ≡
+    * rebuild contract the flat NSW store already has), and two builds
+    * of one corpus are byte-identical. StrictMath.log, not Math.log:
+    * levels must not depend on the host's libm. The level only shapes
+    * the graph — gated arithmetic stays in the exact re-rank stage.
+    */
+  def hnswLevel(id: Long, m: Int, maxLevel: Int): Int = {
+    val u = (graft.functions.Md5.long48(s"hnsw:$id") + 1).toDouble / (1L << 48).toDouble
+    val mL = 1.0 / StrictMath.log(m.toDouble)
+    math.min(maxLevel, (-StrictMath.log(u) * mL).toInt)
+  }
+
+  /** Layer cap: with P(level ≥ l) = m^(-l), level 8 at m = 8 is one
+    * node in 8^8 ≈ 16M — deeper layers would be empty at any shard
+    * size an executor can hold.
+    */
+  val HnswMaxLevel = 8
+
+  /** Insert `batch` (ascending id) into an existing per-shard HNSW —
+    * the layered twin of [[insertIntoShardGraph]] and the SAME
+    * determinism contract: ascending-id insertion, id tie-breaks in
+    * every heap, diverse-neighbor selection at every layer. Entry
+    * point = the highest-level node (ties → smallest id, and a new
+    * node replaces the entry only when STRICTLY higher — insertion
+    * order never flips it on ties). Each node carries one adjacency
+    * array per layer 0..level(id); upper layers cap at m edges,
+    * layer 0 at the flat store's 2m (the M/M_max0 convention).
+    * Descent: greedy ef=1 from the entry's top layer down to
+    * level+1, then an efConstruction beam + select at each layer
+    * level..0 — the log-layered entry that replaces the flat store's
+    * smallest-id entry point, and the payoff at large shard sizes
+    * (the beam no longer walks in from an arbitrary corner of the
+    * shard).
+    */
+  def insertIntoShardHnsw(existing: Array[(Long, Array[Float], Array[Array[Long]])],
+                          batch: Array[(Long, Array[Float])],
+                          p: Params): Map[Long, Array[Array[Long]]] = {
+    val vecs = mutable.Map.empty[Long, Array[Float]]
+    val layers = mutable.Map.empty[Long, Array[Array[Long]]]
+    existing.foreach { case (id, v, ls) => vecs(id) = v; layers(id) = ls }
+    def levelOf(id: Long): Int = layers(id).length - 1
+    var entry: Long = -1L
+    layers.keysIterator.foreach { id =>
+      if (entry == -1L || levelOf(id) > levelOf(entry) ||
+        (levelOf(id) == levelOf(entry) && id < entry)) entry = id
+    }
+    def adjAt(l: Int)(id: Long): Array[Long] = {
+      val ls = layers(id); if (l < ls.length) ls(l) else Array.empty
+    }
+    def greedyAt(l: Int, q: Array[Float], start: Long): Long = {
+      var cur = start
+      var curD = cosine(q, vecs(cur))
+      var improved = true
+      while (improved) {
+        improved = false
+        adjAt(l)(cur).foreach { nb =>
+          val dn = cosine(q, vecs(nb))
+          if (byDistThenId.lt((dn, nb), (curD, cur))) {
+            cur = nb; curD = dn; improved = true
+          }
+        }
+      }
+      cur
+    }
+    def maxDegreeAt(l: Int): Int = if (l == 0) p.maxDegree else p.m
+    def trim(l: Int, id: Long): Unit = {
+      val edges = layers(id)(l)
+      if (edges.length > maxDegreeAt(l)) {
+        val base = vecs(id)
+        layers(id)(l) = selectNeighbors(
+          edges.map(e => (cosine(base, vecs(e)), e)).toSeq, maxDegreeAt(l), vecs)
+      }
+    }
+    batch.sortBy(_._1).foreach { case (id, v) =>
+      val lvl = hnswLevel(id, p.m, HnswMaxLevel)
+      vecs(id) = v
+      layers(id) = Array.fill(lvl + 1)(Array.empty[Long])
+      if (entry == -1L) entry = id
+      else {
+        val entryLvl = levelOf(entry)
+        var cur = entry
+        var l = entryLvl
+        while (l > lvl) { cur = greedyAt(l, v, cur); l -= 1 }
+        l = math.min(lvl, entryLvl)
+        while (l >= 0) {
+          val near = beamSearchFn(v, cur, vecs, adjAt(l),
+            math.max(p.efConstruction, p.m))
+          layers(id)(l) = selectNeighbors(near, p.m, vecs)
+          layers(id)(l).foreach { nb =>
+            layers(nb)(l) = layers(nb)(l) :+ id
+            trim(l, nb)
+          }
+          trim(l, id)
+          cur = near.head._2
+          l -= 1
+        }
+        if (lvl > entryLvl) entry = id
+      }
+    }
+    layers.toMap
+  }
+
+  /** One shard's HNSW from scratch. */
+  def buildShardHnsw(nodes: Array[(Long, Array[Float])],
+                     p: Params): Map[Long, Array[Array[Long]]] =
+    insertIntoShardHnsw(Array.empty, nodes, p)
+
+  private val hnswSchema: StructType = StructType(Seq(
+    StructField("shard", IntegerType),
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("level", IntegerType),
+    StructField("layers", ArrayType(ArrayType(LongType)))))
+
+  /** Build the sharded HNSW store — same hash sharding, one
+    * `mapPartitions` task per shard, rows carry the per-layer
+    * adjacency stack (`layers(l)` = neighbors at layer l).
+    */
+  def buildHnswGraph(corpus: DataFrame, vecCol: String, idCol: String,
+                     p: Params): DataFrame = {
+    val spark = corpus.sparkSession
+    val sharded = corpus
+      .select(pmod(col(idCol), lit(p.nShards)).cast("int").as("shard"),
+        col(idCol).cast("long").as("vec_id"),
+        col(vecCol).cast("array<float>").as("embedding"))
+      .repartition(p.nShards, col("shard"))
+    val out = sharded.queryExecution.toRdd.mapPartitions { it =>
+      val rows = it.map { ir =>
+        (ir.getInt(0), ir.getLong(1), ir.getArray(2).toFloatArray())
+      }.toArray
+      rows.groupBy(_._1).iterator.flatMap { case (shard, grp) =>
+        val nodes = grp.map(r => (r._2, r._3))
+        val layers = buildShardHnsw(nodes, p)
+        nodes.sortBy(_._1).iterator.map { case (id, v) =>
+          val ls = layers(id)
+          Row(shard, id, v.toSeq, ls.length - 1, ls.map(_.toSeq).toSeq)
+        }
+      }
+    }
+    spark.createDataFrame(out, hnswSchema)
+  }
+
+  def writeHnswGraph(graph: DataFrame, path: String): Unit =
+    graph.write.partitionBy("shard").mode("overwrite").parquet(path)
+
+  def readHnswGraph(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+      .select(col("shard").cast("int").as("shard"), col("vec_id"),
+        col("embedding"), col("level"), col("layers"))
+
+  /** Per-shard HNSW candidates: greedy layer descent from the shard's
+    * top-level entry (ties → smallest id, matching the build), then
+    * one efSearch beam at layer 0 — ≤ efSearch ids per shard, the
+    * same bounded-candidate contract as [[shardCandidates]].
+    */
+  def hnswShardCandidates(graph: DataFrame, queryVec: Array[Float],
+                          p: Params): DataFrame = {
+    val spark = graph.sparkSession
+    val q = spark.sparkContext.broadcast(queryVec)
+    val prepared = graph
+      .select(col("shard"), col("vec_id"), col("embedding"), col("level"),
+        col("layers"))
+      .repartition(p.nShards, col("shard"))
+    val out = prepared.queryExecution.toRdd.mapPartitions { it =>
+      val rows = it.map { ir =>
+        val layersData = ir.getArray(4)
+        val ls = Array.tabulate(layersData.numElements()) { i =>
+          layersData.getArray(i).toLongArray()
+        }
+        (ir.getInt(0), ir.getLong(1), ir.getArray(2).toFloatArray(),
+          ir.getInt(3), ls)
+      }.toArray
+      rows.groupBy(_._1).iterator.flatMap { case (shard, grp) =>
+        val vecs = grp.map(r => (r._2, r._3)).toMap
+        val layers = grp.map(r => (r._2, r._5)).toMap
+        def adjAt(l: Int)(id: Long): Array[Long] = {
+          val ls = layers(id); if (l < ls.length) ls(l) else Array.empty
+        }
+        var entry = grp.head._2
+        grp.foreach { r =>
+          val better = r._4 > layers(entry).length - 1 ||
+            (r._4 == layers(entry).length - 1 && r._2 < entry)
+          if (better) entry = r._2
+        }
+        var cur = entry
+        var curD = cosine(q.value, vecs(cur))
+        var l = layers(entry).length - 1
+        while (l > 0) {
+          var improved = true
+          while (improved) {
+            improved = false
+            adjAt(l)(cur).foreach { nb =>
+              val dn = cosine(q.value, vecs(nb))
+              if (byDistThenId.lt((dn, nb), (curD, cur))) {
+                cur = nb; curD = dn; improved = true
+              }
+            }
+          }
+          l -= 1
+        }
+        beamSearchFn(q.value, cur, vecs, adjAt(0), p.efSearch)
+          .iterator.map { case (d, id) => Row(shard, id, d) }
+      }
+    }
+    spark.createDataFrame(out, StructType(Seq(
+      StructField("shard", IntegerType),
+      StructField("vec_id", LongType),
+      StructField("beam_distance", DoubleType))))
+  }
+
+  /** End-to-end HNSW search: layered beam per shard → bounded
+    * candidate list → EXACT top-k re-rank, identical second stage to
+    * [[search]] (and the identical recorded-candidate-set late-oracle
+    * contract).
+    */
+  def hnswSearch(graph: DataFrame, corpus: DataFrame, vecCol: String,
+                 idCol: String, queryVec: Array[Float], k: Int,
+                 p: Params, metric: Knn.Metric = Knn.Cosine): (DataFrame, Seq[Long]) = {
+    val cands = hnswShardCandidates(graph, queryVec, p)
       .select("vec_id").collect().map(_.getLong(0)).toSeq.sorted
     val result = Knn.search(
       corpus.filter(col(idCol).isin(cands: _*)),

@@ -537,6 +537,70 @@ object VectorQueries {
         """.stripMargin.trim
       }))
 
+  /** Sharded HNSW store per (fixture, JVM) — the layered twin of
+    * [[NswStore]]: same hash shards, same diverse-neighbor insertion,
+    * plus the log-layered entry-point descent (deterministic md5
+    * levels). Same recorded-candidate-set late-oracle contract.
+    */
+  private[queries] object HnswStore {
+    val params: Nsw.Params = Nsw.Params(nShards = 4, m = 8,
+      efConstruction = 32, efSearch = 32)
+    val candidates = scala.collection.concurrent.TrieMap.empty[String, Seq[Long]]
+    @volatile var lastDir: Option[String] = None
+    private val written = scala.collection.concurrent.TrieMap.empty[String, String]
+    def ensure(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+      lastDir = Some(dir)
+      written.getOrElseUpdate(dir, {
+        val p = TmpStores.pidScopedPath("graft_hnsw_idx", dir)
+        Nsw.writeHnswGraph(Nsw.buildHnswGraph(Tables.embeddings(s, dir),
+          "embedding", "vec_id", params), p)
+        p
+      })
+    }
+  }
+
+  private val hnswBeam = QueryDef(
+    "ann_hnsw_beam",
+    "HNSW search over the persisted shard-partitioned LAYERED graph " +
+      "store (Malkov & Yashunin 2016 on top of the flat NSW build): " +
+      "each node draws level l with P(level ≥ l) = m^(-l) from the " +
+      "portable md5 hash of its id — a pure function of the id, so " +
+      "levels survive appends and rebuilds identically — and carries " +
+      "one diverse-neighbor adjacency per layer (m edges above, 2m at " +
+      "layer 0). Search descends greedily (ef=1) from the shard's " +
+      "top-level entry point through the upper layers, then runs the " +
+      "efSearch beam at layer 0 — the log-layered entry replaces the " +
+      "flat store's smallest-id entry, which at large shard sizes is " +
+      "an arbitrary corner the beam must walk in from. Exact cosine " +
+      "top-10 re-rank over the ≤ nShards·efSearch candidates, " +
+      "identical second stage (and late oracle: re-rank THIS run's " +
+      "recorded candidate set) to ann_nsw_beam; NswSpec locks the " +
+      "layer invariants, RECALL.md the ef sweep vs flat NSW.",
+    (s, dir) => {
+      val path = HnswStore.ensure(s, dir)
+      val (res, cands) = Nsw.hnswSearch(Nsw.readHnswGraph(s, path),
+        Tables.embeddings(s, dir), "embedding", "vec_id",
+        Queries.queryVec64, k = 10, HnswStore.params)
+      HnswStore.candidates(dir) = cands
+      res.select(col("vec_id"), round(col("distance_score"), 6).as("distance"))
+        .orderBy(col("distance"), col("vec_id"))
+    },
+    oracle = None,
+    oracleLate = Some(() =>
+      HnswStore.lastDir.flatMap(HnswStore.candidates.get).map { cands =>
+        val qLit = vecLit(Queries.queryVec64)
+        s"""
+        |WITH d AS (
+        |  SELECT vec_id, ${duckCosine("embedding", qLit)} AS dist
+        |  FROM embeddings WHERE vec_id IN (${cands.mkString(", ")})
+        |), top AS (
+        |  SELECT vec_id, dist FROM d ORDER BY dist, vec_id LIMIT 10
+        |)
+        |SELECT vec_id, round(dist, 6) AS distance
+        |FROM top ORDER BY distance, vec_id
+        """.stripMargin.trim
+      }))
+
   /** KMeans-built IVF index per (fixture, JVM) — the QUALITY centroid
     * path (Spark ML k-means‖, fixed seed) on the same persisted,
     * cluster-partitioned layout as [[IvfIndexStore]]. The fitted
@@ -1866,7 +1930,8 @@ object VectorQueries {
       """.stripMargin.trim))
 
   val defs: Seq[QueryDef] =
-    Seq(filtered, l2Search, batch, ragContext, ivf, lshProbe, nswBeam, ivfRule,
+    Seq(filtered, l2Search, batch, ragContext, ivf, lshProbe, nswBeam, hnswBeam,
+      ivfRule,
       lshRule, costRule, ivfKmeansRule, filteredIvfRule, mips, quantRescore, sqlApi,
       centroids, quantize, groupTopk, pqAdc, pqRescore, pqBatch, pqStoreAdc,
       matryoshka, ivfPqAdc, pcaKnn, rpKnn, bqHamming, mmrDiversify, recallEval,

@@ -238,4 +238,95 @@ class NswSpec extends SparkSpec {
     wgraph.unpersist()
     assert(recall >= 0.8, s"windowed-store recall@10 = $recall")
   }
+
+  // ---------------- HNSW layer hierarchy ----------------
+
+  private lazy val hnsw = Nsw.buildHnswGraph(emb, "embedding", "vec_id", p).cache()
+
+  test("hnsw: levels are the deterministic md5 draw; layer stacks sized level+1") {
+    val rows = hnsw.collect()
+    assert(rows.length == emb.count())
+    rows.foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      val lvl = r.getAs[Int]("level")
+      val layers = r.getSeq[scala.collection.Seq[Long]](r.fieldIndex("layers"))
+      assert(lvl == Nsw.hnswLevel(id, p.m, Nsw.HnswMaxLevel),
+        s"node $id level $lvl is not its id-pure draw")
+      assert(layers.length == lvl + 1, s"node $id carries ${layers.length} layers for level $lvl")
+    }
+    // geometric decay: each layer holds roughly 1/m of the one below —
+    // at fixture sizes just assert monotone non-increasing occupancy
+    // and a non-empty layer 1 (P(level>=1)=1/8 over 1000 nodes)
+    val occupancy = rows.flatMap(r => 0 to r.getAs[Int]("level"))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    assert(occupancy(0) == rows.length)
+    assert(occupancy.getOrElse(1, 0) > 0, "layer 1 unexpectedly empty")
+    occupancy.toSeq.sorted.sliding(2).foreach {
+      case Seq((_, lo), (_, hi)) => assert(hi <= lo,
+        s"layer occupancy must decay: $occupancy")
+      case _ =>
+    }
+  }
+
+  test("hnsw: upper-layer edges only reach nodes that live on that layer; degrees capped") {
+    val rows = hnsw.collect()
+    val levelOf = rows.map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("level")).toMap
+    rows.foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      val layers = r.getSeq[scala.collection.Seq[Long]](r.fieldIndex("layers"))
+      layers.zipWithIndex.foreach { case (nbrs, l) =>
+        val cap = if (l == 0) p.maxDegree else p.m
+        assert(nbrs.length <= cap, s"node $id layer $l degree ${nbrs.length} > $cap")
+        assert(!nbrs.contains(id), s"node $id self-loop at layer $l")
+        assert(nbrs.distinct.length == nbrs.length, s"node $id duplicate edges at layer $l")
+        nbrs.foreach(nb => assert(levelOf(nb) >= l,
+          s"node $id layer-$l edge to $nb which only reaches level ${levelOf(nb)}"))
+      }
+    }
+  }
+
+  test("hnsw: layer 0 stays connected from the top-level entry") {
+    val byShard = hnsw.collect().groupBy(_.getAs[Int]("shard"))
+    byShard.foreach { case (shard, rows) =>
+      val adj = rows.map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[scala.collection.Seq[Long]](r.fieldIndex("layers")).head.toArray).toMap
+      val entry = rows.minBy(r =>
+        (-r.getAs[Int]("level"), r.getAs[Long]("vec_id"))).getAs[Long]("vec_id")
+      val seen = collection.mutable.Set(entry)
+      val stack = collection.mutable.Stack(entry)
+      while (stack.nonEmpty)
+        adj(stack.pop()).foreach(n => if (seen.add(n)) stack.push(n))
+      assert(seen.size == adj.size,
+        s"shard $shard: ${adj.size - seen.size} nodes unreachable at layer 0")
+    }
+  }
+
+  test("hnsw: search is deterministic and recall@10 >= 0.8 vs exact") {
+    val (r1, c1) = Nsw.hnswSearch(hnsw, emb, "embedding", "vec_id", q, 10, p)
+    val (r2, c2) = Nsw.hnswSearch(hnsw, emb, "embedding", "vec_id", q, 10, p)
+    assert(c1 == c2)
+    assert(c1.length <= p.nShards * p.efSearch)
+    assert(r1.collect().toSeq == r2.collect().toSeq)
+    val got = r1.select("vec_id").collect().map(_.getLong(0)).toSet
+    val exact = Knn.search(emb, "embedding", "vec_id", q, 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = (got & exact).size / 10.0
+    assert(recall >= 0.8, s"HNSW recall@10 = $recall")
+  }
+
+  test("hnsw: exhaustive layer-0 beam returns the exact per-shard ranking") {
+    val pAll = p.copy(efSearch = 1000)
+    val (res, cands) = Nsw.hnswSearch(hnsw, emb, "embedding", "vec_id", q, 10, pAll)
+    val exact = Knn.search(emb, "embedding", "vec_id", q, 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(exact.toSet.subsetOf(cands.toSet))
+    assert(res.select("vec_id").collect().map(_.getLong(0)).toSeq == exact)
+  }
+
+  test("hnsw: store round trip is byte-stable (two builds identical)") {
+    val again = Nsw.buildHnswGraph(emb, "embedding", "vec_id", p)
+    val a = hnsw.orderBy("vec_id").collect().toSeq
+    val b = again.orderBy("vec_id").collect().toSeq
+    assert(a == b, "two HNSW builds of one corpus must be identical")
+  }
 }

@@ -668,6 +668,31 @@ class PlanShapeSpec extends SparkSpec {
       s"eccentricity must read the memoized trade-graph store:\n$p")
   }
 
+  test("every memoized-store consumer reads the store, never the fact join") {
+    // the HITS/eccentricity asserts above, extended to the WHOLE
+    // consumer family: a future refactor must not be able to silently
+    // re-inline the lineitem-sized edge build into a per-query plan.
+    // Co-purchase consumers (support-2 and support-1 stores) and the
+    // remaining trade-graph consumers; the store parquet is built on
+    // first access, so each per-query plan must be lineitem-scan-free.
+    val consumers = Seq(
+      // support-2 co-purchase store
+      "graph_label_propagation", "graph_sssp_weighted", "graph_modularity",
+      "graph_louvain_refine", "graph_link_prediction", "graph_ppr_parts",
+      // support-1 co-purchase store
+      "graph_degree_assortativity",
+      // trade-graph store
+      "graph_betweenness_approx", "graph_closeness_nations",
+      "graph_bfs_nations", "graph_pagerank_nations")
+    consumers.foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("lineitem.parquet"),
+        s"$q must read its memoized edge store, not rebuild the fact join:\n$p")
+      assert(!p.contains("orders.parquet"),
+        s"$q must not re-join the orders fact either:\n$p")
+    }
+  }
+
   test("frequent triples: brand dim broadcasts; scalars Cross-broadcast; top-25 heaps") {
     val p = planOf("ml_frequent_triples")
     // the brand lookup must never shuffle the fact side
