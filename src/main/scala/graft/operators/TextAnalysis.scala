@@ -188,9 +188,16 @@ object TextAnalysis {
     * 48 shift-and-test votes on the long) — inlining it into the
     * zip_with lambda would recompute the digest 48× per token.
     */
-  def simhash48FromTokens(toks: Column): Column = {
+  def simhash48FromTokens(toks: Column): Column =
+    simhash48FromHashes(transform(array_distinct(toks), t => md5Long48(t)))
+
+  /** SimHash from an already-hashed feature array (48-bit longs) — the
+    * entry point for non-token feature domains: mm_phash_near_dup
+    * sketches a video from its FRAME fingerprints through this, the
+    * text path from its distinct tokens.
+    */
+  def simhash48FromHashes(hashes: Column): Column = {
     val bitIdx = sequence(lit(0), lit(SimHashBits - 1))
-    val hashes = transform(array_distinct(toks), t => md5Long48(t))
     val votes = aggregate(
       hashes,
       transform(bitIdx, _ => lit(0L)),

@@ -127,6 +127,76 @@ object MultimodalQueries {
       |ORDER BY n_docs DESC, fp
       """.stripMargin.trim))
 
+  private val phashNearDup = QueryDef(
+    "mm_phash_near_dup",
+    "Video-level perceptual-hash near-dup over the BINARY media " +
+      "column: each asset's frame sampler output (the mm_frame_dedup " +
+      "geometry — 16-byte frames at stride 64) hashes to distinct " +
+      "48-bit frame fingerprints, and the asset's SKETCH is the " +
+      "SimHash of that fingerprint set (per-bit ±1 votes, sign) — " +
+      "assets sharing most frames land at small hamming distance, " +
+      "which is how video near-dup works when re-uploads share intros " +
+      "or stock footage but differ in a few frames (exact frame " +
+      "sharing, mm_frame_dedup, misses the asset-level relation). " +
+      "Sketches band into 4×12 bits; only band-sharing pairs are " +
+      "candidates (never all-pairs — the dedup_simhash scale " +
+      "contract); hamming ≤ 12 verify, 25 closest pairs. The sketch " +
+      "pass is a shuffle-free HOF projection over the binary column; " +
+      "the band join shuffles (band, id, sig) only. Oracle recomputes " +
+      "frames, fingerprints, votes, bands, and hamming in SQL (the " +
+      "fixture's ASCII stand-in media makes DuckDB's VARCHAR " +
+      "substring slice the same bytes Spark's BINARY substr does).",
+    (s, dir) => {
+      import graft.operators.TextAnalysis
+      val d = Multimodal.withFakeMedia(Tables.documentsSpread(s, dir), "text")
+      val frames = expr(
+        "transform(sequence(0, (octet_length(media) - 1) div 64), " +
+          "i -> substring(media, i*64 + 1, 16))")
+      val hashes = array_distinct(transform(frames,
+        f => TextAnalysis.md5Long48(f)))
+      val sk = d.select(col("doc_id"),
+        TextAnalysis.simhash48FromHashes(hashes).as("sig"))
+      val bands = sk.select(col("doc_id"), col("sig"),
+        explode(expr("transform(sequence(0, 3), " +
+          "b -> concat(CAST(b AS STRING), ':', CAST((sig >> (b*12)) & 4095 AS STRING)))"))
+          .as("band"))
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+          TextAnalysis.hammingDistance(col("x.sig"), col("y.sig")).as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 12)
+      cand.orderBy(col("hamming"), col("id_a"), col("id_b")).limit(25)
+    },
+    Some("""
+      |WITH f AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |           range(((octet_length(encode(text)) - 1) // 64) + 1),
+      |           i -> ('0x' || substring(md5(substring(text, i*64 + 1, 16)), 1, 12))::BIGINT))
+      |         AS hvs
+      |  FROM documents
+      |), h AS (
+      |  SELECT doc_id, unnest(hvs) AS hv FROM f
+      |), bits AS (
+      |  SELECT doc_id, b, sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+      |  FROM h CROSS JOIN (SELECT generate_series AS b FROM generate_series(0, 47))
+      |  GROUP BY doc_id, b
+      |), sim AS (
+      |  SELECT doc_id, sum(CASE WHEN vote > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS sig
+      |  FROM bits GROUP BY doc_id
+      |), bands AS (
+      |  SELECT doc_id, sig, unnest(list_transform(range(4),
+      |    b -> b::VARCHAR || ':' || ((sig >> (b*12)) & 4095)::VARCHAR)) AS band
+      |  FROM sim
+      |), cand AS (
+      |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+      |         bit_count(xor(x.sig, y.sig))::BIGINT AS hamming
+      |  FROM bands x JOIN bands y ON x.band = y.band AND x.doc_id < y.doc_id
+      |)
+      |SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 12
+      |ORDER BY hamming, id_a, id_b LIMIT 25
+      """.stripMargin.trim))
+
   private val audioVad = QueryDef(
     "mm_audio_vad",
     "Voice-activity detection over the stub-decoded audio column: the " +
@@ -206,5 +276,5 @@ object MultimodalQueries {
       |FROM per_doc GROUP BY 1 ORDER BY lang
       """.stripMargin.trim))
 
-  val defs: Seq[QueryDef] = Seq(meta, decode, frameDedup, audioVad)
+  val defs: Seq[QueryDef] = Seq(meta, decode, frameDedup, phashNearDup, audioVad)
 }

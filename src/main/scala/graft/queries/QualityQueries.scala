@@ -634,7 +634,87 @@ object QualityQueries {
       |ORDER BY gap_len DESC, source, prev_id
       """.stripMargin.trim))
 
+  private val volumeControl = QueryDef(
+    "dq_volume_control",
+    "Ingest-volume control chart — the first alarm a feed owner wires: " +
+      "per-day event counts (exact BIGINTs on the calendar-bounded day " +
+      "grid), a trailing-6-day integer-weight EWMA baseline (weights " +
+      "32/16/8/4/2/1 over lags 1-6, the ev_ewma_daily channel — the " +
+      "numerator is an exact BIGINT, ONE /63.0 division), and a " +
+      "3σ band where σ comes from exact day-over-day delta sufficient " +
+      "statistics (n, Σd, Σd² BIGINTs, sample σ in one fixed double " +
+      "shape). A day flags when round(|count − ewma|, 6) > " +
+      "round(3σ, 6) — both comparands rounded so the engines compare " +
+      "identical values. Only days with a FULL 6-day history score " +
+      "(the lag-completeness the baseline needs). Work = one day " +
+      "rollup + two windows on the day grid; a stalled feed or " +
+      "backfill spike reads directly off the flag column.",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, dir)
+        .select(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .groupBy(col("day")).agg(count(lit(1)).as("c"))
+      val wd = Window.orderBy(col("day"))
+      val lagged = daily.select(col("day"), col("c"),
+        lag(col("c"), 1).over(wd).as("c1"), lag(col("c"), 2).over(wd).as("c2"),
+        lag(col("c"), 3).over(wd).as("c3"), lag(col("c"), 4).over(wd).as("c4"),
+        lag(col("c"), 5).over(wd).as("c5"), lag(col("c"), 6).over(wd).as("c6"))
+      val deltas = daily.select((col("c") -
+        lag(col("c"), 1).over(wd)).as("d")).filter(col("d").isNotNull)
+      val sig = deltas.agg(count(lit(1)).as("nd"), sum(col("d")).as("sd"),
+        sum(col("d") * col("d")).as("sd2"))
+        .select(sqrt((col("sd2").cast("double") -
+          col("sd").cast("double") * col("sd").cast("double") /
+            col("nd").cast("double")) /
+          (col("nd").cast("double") - lit(1.0))).as("sigma"))
+      val scored = lagged.filter(col("c6").isNotNull)
+        .crossJoin(broadcast(sig))
+        .withColumn("ewma_num", lit(32L) * col("c1") + lit(16L) * col("c2") +
+          lit(8L) * col("c3") + lit(4L) * col("c4") + lit(2L) * col("c5") + col("c6"))
+        .withColumn("ewma", col("ewma_num").cast("double") / lit(63.0))
+        .withColumn("deviation", col("c").cast("double") - col("ewma"))
+        .withColumn("is_anomaly",
+          (round(abs(col("deviation")), 6) >
+            round(lit(3.0) * col("sigma"), 6)).cast("long"))
+      scored.select(col("day"), col("c").as("n_events"),
+        round(col("ewma"), 6).as("ewma"),
+        round(col("deviation"), 6).as("deviation"),
+        round(col("sigma"), 6).as("sigma"), col("is_anomaly"))
+        .orderBy(col("day"))
+    },
+    Some("""
+      |WITH daily AS (
+      |  SELECT strftime(ts::TIMESTAMP, '%Y-%m-%d') AS day, count(*)::BIGINT AS c
+      |  FROM events GROUP BY 1
+      |), lagged AS (
+      |  SELECT day, c,
+      |         lag(c, 1) OVER (ORDER BY day) AS c1, lag(c, 2) OVER (ORDER BY day) AS c2,
+      |         lag(c, 3) OVER (ORDER BY day) AS c3, lag(c, 4) OVER (ORDER BY day) AS c4,
+      |         lag(c, 5) OVER (ORDER BY day) AS c5, lag(c, 6) OVER (ORDER BY day) AS c6
+      |  FROM daily
+      |), deltas AS (
+      |  SELECT d FROM (SELECT c - lag(c, 1) OVER (ORDER BY day) AS d FROM daily)
+      |  WHERE d IS NOT NULL
+      |), sig AS (
+      |  SELECT sqrt((SUM(d * d)::DOUBLE - SUM(d)::DOUBLE * SUM(d)::DOUBLE / count(*)::DOUBLE) /
+      |              (count(*)::DOUBLE - 1.0)) AS sigma
+      |  FROM deltas
+      |), scored AS (
+      |  SELECT day, c,
+      |         (32 * c1 + 16 * c2 + 8 * c3 + 4 * c4 + 2 * c5 + c6)::DOUBLE / 63.0 AS ewma,
+      |         sigma
+      |  FROM lagged CROSS JOIN sig WHERE c6 IS NOT NULL
+      |)
+      |SELECT day, c AS n_events, round(ewma, 6) AS ewma,
+      |       round(c::DOUBLE - ewma, 6) AS deviation,
+      |       round(sigma, 6) AS sigma,
+      |       CASE WHEN round(abs(c::DOUBLE - ewma), 6) > round(3.0 * sigma, 6)
+      |            THEN 1 ELSE 0 END::BIGINT AS is_anomaly
+      |FROM scored ORDER BY day
+      """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
     Seq(profileQ, fuzzyLinkQ, expectationsQ, kAnonymity, tableFingerprint,
-      driftTv, dpCounts, refIntegrity, pkUniqueness, hashBalance, idGaps)
+      driftTv, dpCounts, refIntegrity, pkUniqueness, hashBalance, idGaps,
+      volumeControl)
 }

@@ -1616,6 +1616,107 @@ object StatQueries {
       |FROM f
       """.stripMargin.trim))
 
+  private val friedman = QueryDef(
+    "stat_friedman",
+    "Friedman test — the nonparametric repeated-measures ANOVA the " +
+      "rank battery still lacked: do the event TYPES differ in daily " +
+      "value when each DAY is its own block (kruskal pools all days " +
+      "into one ranking, so a day-level shift inflates it; Friedman " +
+      "ranks WITHIN each day, removing the block effect)? Blocks = " +
+      "complete calendar days (every event type present — the " +
+      "complete-block design the test requires, derived from the " +
+      "data); treatments = event types; doubled within-block midranks " +
+      "2r = 2·below + t + 1 are exact BIGINTs from one per-day window " +
+      "over the (day, value) grid. The tie-corrected statistic " +
+      "(Conover): with S2 = Σ_j (2R_j − n(k+1))², A4 = Σ_ij (2r)², " +
+      "C4 = nk(k+1)², χ²_F = (k−1)·S2/(A4 − C4) — every term an " +
+      "exact integer, ONE double division at the end (nullif on the " +
+      "all-tied degenerate corpus); Kendall's W = χ²_F/(n(k−1)) is " +
+      "the [0,1] effect size beside it. Work = the daily rollup + " +
+      "one day-keyed window on the calendar-bounded grid; the test " +
+      "itself is k rows.",
+    (s, dir) => {
+      val daily = dailyCents(s, dir)
+      val ktot = daily.agg(countDistinct(col("event_type")).as("ktot"))
+      val complete = daily.groupBy(col("day")).agg(count(lit(1)).as("nt"))
+        .crossJoin(broadcast(ktot))
+        .filter(col("nt") === col("ktot"))
+        .select(col("day"))
+      val cells = daily.join(broadcast(complete), Seq("day"))
+      val grid = cells.groupBy(col("day"), col("yc")).agg(count(lit(1)).as("t"))
+      val below = Window.partitionBy(col("day")).orderBy(col("yc"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val ranked = grid.select(col("day"), col("yc"),
+        (lit(2L) * coalesce(sum(col("t")).over(below), lit(0L)) + col("t") + 1L)
+          .as("r2"))
+      val rcells = cells.join(ranked, Seq("day", "yc"))
+      val byType = rcells.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("r2")).as("r2j"),
+          sum(col("r2") * col("r2")).as("a4j"))
+      // S2 folds the k-row type list (exact DECIMAL(38,0) squares)
+      val folded = byType.agg(
+        count(lit(1)).as("k"), max(col("n")).as("n"),
+        sum(col("a4j")).as("a4"),
+        sort_array(collect_list(struct(col("event_type"), col("r2j")))).as("arr"))
+      // deviations are calendar-bounded (≤ n·2k), so squares stay exact
+      // BIGINTs on both engines — no decimal channel needed
+      val stat = folded.select(col("k"), col("n"), col("a4"), col("arr"),
+        aggregate(col("arr"), lit(0L), (acc, x) =>
+          acc + (x.getField("r2j") - col("n") * (col("k") + lit(1L))) *
+            (x.getField("r2j") - col("n") * (col("k") + lit(1L)))).as("s2"))
+      val denom = (col("a4") - col("n") * col("k") *
+        (col("k") + 1L) * (col("k") + 1L)).cast("double")
+      val chi2 = ((col("k").cast("double") - lit(1.0)) * col("s2").cast("double")) /
+        nullif(denom, lit(0.0))
+      stat.select(col("k"), col("n").as("n_days"),
+        round(chi2, 6).as("chi2_friedman"),
+        round(chi2 / (col("n").cast("double") *
+          (col("k").cast("double") - lit(1.0))), 6).as("kendalls_w"))
+    },
+    Some(s"""
+      |WITH daily AS (
+      |$dailyCentsSql
+      |), ktot AS (
+      |  SELECT count(DISTINCT event_type)::BIGINT AS ktot FROM daily
+      |), complete AS (
+      |  SELECT day FROM (SELECT day, count(*) AS nt FROM daily GROUP BY 1), ktot
+      |  WHERE nt = ktot
+      |), cells AS (
+      |  SELECT d.day, d.event_type, d.yc FROM daily d JOIN complete USING (day)
+      |), grid AS (
+      |  SELECT day, yc, count(*) AS t FROM cells GROUP BY 1, 2
+      |), ranked AS (
+      |  SELECT day, yc,
+      |         2 * COALESCE(SUM(t) OVER (PARTITION BY day ORDER BY yc
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + t + 1 AS r2
+      |  FROM grid
+      |), rcells AS (
+      |  SELECT c.event_type, r.r2 FROM cells c JOIN ranked r USING (day, yc)
+      |), bytype AS (
+      |  SELECT event_type, count(*)::BIGINT AS n, SUM(r2)::BIGINT AS r2j,
+      |         SUM(r2 * r2)::BIGINT AS a4j
+      |  FROM rcells GROUP BY 1
+      |), folded AS (
+      |  SELECT count(*)::BIGINT AS k, max(n)::BIGINT AS n, SUM(a4j)::BIGINT AS a4,
+      |         list(r2j ORDER BY event_type) AS arr
+      |  FROM bytype
+      |), stat AS (
+      |  SELECT k, n, a4,
+      |         list_reduce(list_prepend(0::BIGINT, list_transform(arr, x ->
+      |           (x - n * (k + 1)) * (x - n * (k + 1)))),
+      |           (a, b) -> a + b) AS s2
+      |  FROM folded
+      |), f AS (
+      |  SELECT k, n,
+      |         ((k::DOUBLE - 1.0) * s2::DOUBLE) /
+      |           nullif((a4 - n * k * (k + 1) * (k + 1))::DOUBLE, 0.0) AS chi2
+      |  FROM stat
+      |)
+      |SELECT k, n AS n_days, round(chi2, 6) AS chi2_friedman,
+      |       round(chi2 / (n::DOUBLE * (k::DOUBLE - 1.0)), 6) AS kendalls_w
+      |FROM f
+      """.stripMargin.trim))
+
   private val holt = QueryDef(
     "ev_holt_forecast",
     "Holt's linear exponential smoothing (α = β = 0.5) of per-type " +
@@ -3900,6 +4001,93 @@ object StatQueries {
       |FROM sums
       """.stripMargin.trim))
 
+  private val bartlett = QueryDef(
+    "stat_bartlett",
+    "Bartlett's test of equal variances over the five order " +
+      "priorities — the classic (normality-assuming, more powerful) " +
+      "companion to stat_levene_bf's robust check: the two together " +
+      "are how a pipeline decides between stat_anova_f and " +
+      "stat_welch_anova. Same decimation and per-group exact BIGINT " +
+      "(n, Σx, Σx²) as the rest of the priority battery; each " +
+      "variance s_i² and the pooled s_p² evaluate in ONE fixed " +
+      "double shape (the (n−1)-weighted numerator sx2 − sx²/n is " +
+      "reused verbatim, never recomputed via s_i²·(n−1)); every " +
+      "ln(·) rounds at 6 before entering the k=5 statistic (the " +
+      "established zipf/jsd ln channel), cross-group sums fold " +
+      "grp-SORTED lists on both engines, and a zero-variance group " +
+      "nullif-guards to NULL rather than -Infinity. M = (N−k)ln s_p² " +
+      "− Σ(n_i−1)ln s_i², C = 1 + (Σ1/(n_i−1) − 1/(N−k))/(3(k−1)), " +
+      "χ² = M/C. One aggregation shuffle; k rows after.",
+    (s, dir) => {
+      val g = Tables.orders(s, dir)
+        .select(col("o_orderpriority").as("grp"),
+          expr("floor(o_totalprice) div 100").as("x"))
+        .groupBy(col("grp")).agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("x") * col("x")).as("sx2"))
+      def nD(x: org.apache.spark.sql.Column) = x.getField("n").cast("double")
+      def num(x: org.apache.spark.sql.Column) = x.getField("sx2").cast("double") -
+        x.getField("sx").cast("double") * x.getField("sx").cast("double") / nD(x)
+      def s2(x: org.apache.spark.sql.Column) = num(x) / (nD(x) - lit(1.0))
+      def lnS2(x: org.apache.spark.sql.Column) =
+        round(log(nullif(s2(x), lit(0.0))), 6)
+      val base = g.agg(
+        count(lit(1)).as("k"), sum(col("n")).as("n_total"),
+        sort_array(collect_list(struct(col("grp"), col("n"), col("sx"), col("sx2"))))
+          .as("arr"))
+      val folded = base.select(col("k"), col("n_total"),
+        aggregate(col("arr"), lit(0.0), (acc, x) => acc + num(x)).as("pooled_num"),
+        aggregate(col("arr"), lit(0.0), (acc, x) =>
+          acc + (nD(x) - lit(1.0)) * lnS2(x)).as("sum_ln"),
+        aggregate(col("arr"), lit(0.0), (acc, x) =>
+          acc + lit(1.0) / (nD(x) - lit(1.0))).as("sum_inv"))
+      val kD = col("k").cast("double")
+      val nkD = col("n_total").cast("double") - kD
+      val lp = round(log(nullif(col("pooled_num") / nkD, lit(0.0))), 6)
+      val m = nkD * lp - col("sum_ln")
+      val c = lit(1.0) + (col("sum_inv") - lit(1.0) / nkD) /
+        (lit(3.0) * (kD - lit(1.0)))
+      folded.select(col("k"), col("n_total"),
+        round(m / c, 6).as("chi2_bartlett"))
+    },
+    Some("""
+      |WITH x AS (
+      |  SELECT o_orderpriority AS grp,
+      |         CAST(FLOOR(o_totalprice) AS BIGINT) // 100 AS x
+      |  FROM orders
+      |), g AS (
+      |  SELECT grp, count(*)::BIGINT AS n, SUM(x)::BIGINT AS sx,
+      |         SUM(x * x)::BIGINT AS sx2
+      |  FROM x GROUP BY 1
+      |), base AS (
+      |  SELECT count(*)::BIGINT AS k, SUM(n)::BIGINT AS n_total,
+      |         list(struct_pack(n := n, sx := sx, sx2 := sx2) ORDER BY grp) AS arr
+      |  FROM g
+      |), folded AS (
+      |  SELECT k, n_total,
+      |         list_reduce(list_prepend(0.0, list_transform(arr, x ->
+      |           x.sx2::DOUBLE - x.sx::DOUBLE * x.sx::DOUBLE / x.n::DOUBLE)),
+      |           (a, b) -> a + b) AS pooled_num,
+      |         list_reduce(list_prepend(0.0, list_transform(arr, x ->
+      |           (x.n::DOUBLE - 1.0) *
+      |           round(ln(nullif((x.sx2::DOUBLE - x.sx::DOUBLE * x.sx::DOUBLE / x.n::DOUBLE) / (x.n::DOUBLE - 1.0), 0.0)), 6))),
+      |           (a, b) -> a + b) AS sum_ln,
+      |         list_reduce(list_prepend(0.0, list_transform(arr, x ->
+      |           1.0 / (x.n::DOUBLE - 1.0))),
+      |           (a, b) -> a + b) AS sum_inv
+      |  FROM base
+      |), f AS (
+      |  SELECT k, n_total,
+      |         (n_total::DOUBLE - k::DOUBLE) *
+      |           round(ln(nullif(pooled_num / (n_total::DOUBLE - k::DOUBLE), 0.0)), 6)
+      |           - sum_ln AS m,
+      |         1.0 + (sum_inv - 1.0 / (n_total::DOUBLE - k::DOUBLE)) /
+      |           (3.0 * (k::DOUBLE - 1.0)) AS c
+      |  FROM folded
+      |)
+      |SELECT k, n_total, round(m / c, 6) AS chi2_bartlett
+      |FROM f
+      """.stripMargin.trim))
+
   private val cochranArmitage = QueryDef(
     "stat_cochran_armitage",
     "Cochran–Armitage trend test: does the fulfilled-order proportion " +
@@ -3970,5 +4158,6 @@ object StatQueries {
       anovaF, closeness, leveneBf, stlDecompose, jarqueBera, eccentricity,
       seasonalityStrength, grubbs, runsTest, betweenness, clusteringCoeff,
       kruskal, centroidDrift, ljungBox, normProfile, modularity, tukeyHsd,
-      cramersV, louvainRefine, cochranArmitage, welchAnova, mannKendall)
+      cramersV, louvainRefine, cochranArmitage, welchAnova, mannKendall,
+      friedman, bartlett)
 }

@@ -13,6 +13,10 @@ class ModelEvalSpec extends SparkSpec {
   private def run(name: String): DataFrame =
     Queries.queriesMap(name)(spark, sf("sf0.001"))
 
+  /** Driver mirror of SQL round(x, 6) — HALF_UP on the shortest repr. */
+  private def rd6(x: Double): Double = BigDecimal(x)
+    .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   test("ml_naive_bayes: confusion matrix covers exactly the scorable test docs") {
     val out = run("ml_naive_bayes").collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
@@ -1799,6 +1803,102 @@ class ModelEvalSpec extends SparkSpec {
       val micro = (q * 1000000 + dd * 1000000) / dd - 1000000
       assert(qAfter == micro.toDouble / 1000000.0,
         s"pass $pass: q_after $qAfter != replayed ${micro.toDouble / 1000000.0}")
+    }
+  }
+
+  /** Exact per-(day, type) daily cents mirror of StatQueries.dailyCents,
+    * for the Friedman/volume-control driver replays.
+    */
+  private def driverDailyCents(): Map[(String, String), Long] =
+    Tables.events(spark, sf("sf0.001"))
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"),
+        col("value").cast(org.apache.spark.sql.types.DecimalType(38, 6)).as("v"))
+      .groupBy("day", "event_type")
+      .agg((sum(col("v")).cast(org.apache.spark.sql.types.DecimalType(38, 2)) * 100)
+        .cast("long").as("yc"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+
+  test("stat_friedman: chi2 and W replay from a textbook within-block midrank fold") {
+    val out = run("stat_friedman").collect().head
+    val (k, n, chi2, w) = (out.getLong(0), out.getLong(1),
+      out.getDouble(2), out.getDouble(3))
+    val daily = driverDailyCents()
+    val types = daily.keys.map(_._2).toSet
+    val complete = daily.groupBy(_._1._1).filter(_._2.size == types.size).keys.toSeq
+    assert(k == types.size && n == complete.size && n > 0)
+    // doubled midranks within each block
+    val r2 = scala.collection.mutable.Map.empty[String, Long] // type -> Σ 2r
+    var a4 = 0L
+    complete.foreach { day =>
+      val vals = types.toSeq.map(t => t -> daily((day, t)))
+      vals.foreach { case (t, v) =>
+        val below = vals.count(_._2 < v)
+        val ties = vals.count(_._2 == v)
+        val rr = 2L * below + ties + 1
+        r2(t) = r2.getOrElse(t, 0L) + rr
+        a4 += rr * rr
+      }
+    }
+    val kk = types.size.toLong; val nn = complete.size.toLong
+    val s2 = r2.values.map(r => (r - nn * (kk + 1)) * (r - nn * (kk + 1))).sum
+    val denom = (a4 - nn * kk * (kk + 1) * (kk + 1)).toDouble
+    val chi2Want = rd6((kk - 1).toDouble * s2.toDouble / denom)
+    assert(chi2 == chi2Want, s"chi2 $chi2 != replay $chi2Want")
+    assert(w == rd6(((kk - 1).toDouble * s2.toDouble / denom) /
+      (nn.toDouble * (kk - 1).toDouble)), s"W $w mismatch")
+  }
+
+  test("stat_bartlett: chi2 recomposes from per-group exact sufficient statistics") {
+    val out = run("stat_bartlett").collect().head
+    val (k, nTot, chi2) = (out.getLong(0), out.getLong(1), out.getDouble(2))
+    val g = Tables.orders(spark, sf("sf0.001"))
+      .select(col("o_orderpriority").as("grp"),
+        expr("floor(o_totalprice) div 100").as("x"))
+      .groupBy("grp").agg(count(lit(1)).as("n"), sum("x").as("sx"),
+        sum(col("x") * col("x")).as("sx2"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(k == g.length && nTot == g.map(_._2).sum)
+    def num(n: Long, sx: Long, sx2: Long) =
+      sx2.toDouble - sx.toDouble * sx.toDouble / n.toDouble
+    val pooledNum = g.map { case (_, n, sx, sx2) => num(n, sx, sx2) }.sum
+    val sumLn = g.map { case (_, n, sx, sx2) =>
+      (n - 1).toDouble * rd6(math.log(num(n, sx, sx2) / (n - 1).toDouble)) }.sum
+    val sumInv = g.map { case (_, n, _, _) => 1.0 / (n - 1).toDouble }.sum
+    val nk = nTot.toDouble - k.toDouble
+    val m = nk * rd6(math.log(pooledNum / nk)) - sumLn
+    val c = 1.0 + (sumInv - 1.0 / nk) / (3.0 * (k - 1).toDouble)
+    assert(chi2 == rd6(m / c), s"chi2 $chi2 != replay ${rd6(m / c)}")
+  }
+
+  test("dq_volume_control: ewma, sigma, and flags replay from a driver fold") {
+    val rows = run("dq_volume_control").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    val daily = Tables.events(spark, sf("sf0.001"))
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val deltas = daily.sliding(2).collect { case Array((_, a), (_, b)) => b - a }.toSeq
+    val nd = deltas.length.toDouble
+    val sigma = math.sqrt((deltas.map(d => d.toDouble * d).sum -
+      deltas.map(_.toDouble).sum * deltas.map(_.toDouble).sum / nd) / (nd - 1.0))
+    // only days with a full 6-day history score
+    assert(rows.length == daily.length - 6)
+    rows.foreach { case (day, c, ewma, dev, sg, flag) =>
+      val i = daily.indexWhere(_._1 == day)
+      assert(i >= 6)
+      assert(c == daily(i)._2)
+      val numer = 32L * daily(i - 1)._2 + 16L * daily(i - 2)._2 +
+        8L * daily(i - 3)._2 + 4L * daily(i - 4)._2 +
+        2L * daily(i - 5)._2 + daily(i - 6)._2
+      val e = numer.toDouble / 63.0
+      assert(ewma == rd6(e), s"$day: ewma $ewma != ${rd6(e)}")
+      assert(dev == rd6(c.toDouble - e))
+      assert(sg == rd6(sigma))
+      val want = if (rd6(math.abs(c.toDouble - e)) > rd6(3.0 * sigma)) 1L else 0L
+      assert(flag == want, s"$day: flag $flag != $want")
     }
   }
 }

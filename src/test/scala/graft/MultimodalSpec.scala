@@ -118,4 +118,37 @@ class MultimodalSpec extends SparkSpec {
     }
     assert(out == perLang, s"\n$out\nvs\n$perLang")
   }
+
+  test("mm_phash_near_dup: pairs replay from driver-computed frame sketches") {
+    val out = graft.queries.Queries.queriesMap("mm_phash_near_dup")(
+      spark, sf("sf0.001")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty, "the dup-bearing fixture must yield near-dup assets")
+    // driver replay: sketch = simhash over distinct 48-bit frame hashes
+    val docs = Tables.documents(spark, sf("sf0.001"))
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def sketch(text: String): Long = {
+      val bytes = text.getBytes("UTF-8")
+      val hvs = (0 to (bytes.length - 1) / 64).map { i =>
+        val frame = new String(bytes.slice(i * 64, i * 64 + 16), "UTF-8")
+        graft.functions.Md5.long48(frame)
+      }.distinct
+      (0 until 48).map { b =>
+        val vote = hvs.map(h => if (((h >> b) & 1L) == 1L) 1L else -1L).sum
+        if (vote > 0) 1L << b else 0L
+      }.sum
+    }
+    val sigs = docs.map { case (id, t) => id -> sketch(t) }.toMap
+    out.foreach { case (a, b, ham) =>
+      assert(a < b)
+      assert(ham <= 12)
+      val want = java.lang.Long.bitCount(sigs(a) ^ sigs(b)).toLong
+      assert(ham == want, s"pair ($a,$b): hamming $ham != replay $want")
+      // candidates come from band blocking: the pair must share a band
+      val shares = (0 until 4).exists(band =>
+        ((sigs(a) >> (band * 12)) & 4095L) == ((sigs(b) >> (band * 12)) & 4095L))
+      assert(shares, s"pair ($a,$b) shares no band — not a valid candidate")
+    }
+  }
 }
