@@ -928,6 +928,172 @@ object StatQueries {
     s"CASE $whens ELSE 1 END"
   }
 
+  private val periodDetect = QueryDef(
+    "ev_period_detect",
+    "Dominant-periodicity detection per event type — the automated " +
+      "read of stat_acf_daily's curve a forecasting router needs " +
+      "('is this series daily-cyclic? weekly?'): the SAME exact-cents " +
+      "daily rollup, data-adaptive power-of-10 decimation, and " +
+      "Pearson-from-BIGINT-sufficient-statistics channel as the ACF " +
+      "gate, widened to lags 1–14 in ONE window pass (14 row lags " +
+      "stacked to (lag, x) pairs — same single shuffle), then per " +
+      "type the argmax lag by (round-6 acf DESC, lag ASC) through a " +
+      "rank window on the |types|·14-row relation. A best lag of 7 " +
+      "reads as weekly seasonality; degenerate (zero-variance) lags " +
+      "are excluded before the division, exactly as in stat_acf_daily.",
+    (s, dir) => {
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val daily = dailyCents(s, dir)
+      val mx = daily.agg(max(col("yc")).as("mx"))
+      var d = daily.crossJoin(broadcast(mx))
+        .withColumn("y", expr(s"yc div ($acfScaleSql)"))
+      (1 to 14).foreach(k => d = d.withColumn(s"y$k", lag(col("y"), k).over(w)))
+      val stackArgs = (1 to 14).map(k => s"$k, y$k").mkString(", ")
+      val pairs = d
+        .select(col("event_type"), col("y"),
+          expr(s"stack(14, $stackArgs) as (lag_k, x)"))
+        .filter(col("x").isNotNull)
+      val st = pairs.groupBy(col("event_type"), col("lag_k")).agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("x")).cast("double").as("sx"), sum(col("y")).cast("double").as("sy"),
+        sum(col("x") * col("x")).cast("double").as("sxx"),
+        sum(col("y") * col("y")).cast("double").as("syy"),
+        sum(col("x") * col("y")).cast("double").as("sxy"))
+      val acfRel = st.filter((col("n") * col("sxx") - col("sx") * col("sx")) > 0 &&
+          (col("n") * col("syy") - col("sy") * col("sy")) > 0)
+        .select(col("event_type"), col("lag_k"),
+          col("n").cast("long").as("n_pairs"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+              (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("acf"))
+      val rk = Window.partitionBy(col("event_type"))
+        .orderBy(col("acf").desc, col("lag_k"))
+      acfRel.withColumn("rn", row_number().over(rk))
+        .filter(col("rn") === 1)
+        .select(col("event_type"), col("lag_k").as("best_lag"),
+          col("n_pairs"), col("acf").as("best_acf"))
+        .orderBy(col("event_type"))
+    },
+    Some {
+      val unions = (1 to 14).map(k =>
+        s"SELECT event_type, $k AS lag_k, y$k AS x, y FROM l WHERE y$k IS NOT NULL")
+        .mkString("\n  UNION ALL\n  ")
+      val lags = (1 to 14).map(k => s"lag(y, $k) OVER w AS y$k").mkString(", ")
+      s"""
+      |WITH daily AS (
+      |$dailyCentsSql
+      |), m AS (
+      |  SELECT max(yc) AS mx FROM daily
+      |), d AS (
+      |  SELECT event_type, day, yc // ($acfScaleSql) AS y FROM daily CROSS JOIN m
+      |), l AS (
+      |  SELECT event_type, y, $lags
+      |  FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day)
+      |), p AS (
+      |  $unions
+      |), s AS (
+      |  SELECT event_type, lag_k, count(*)::DOUBLE AS n,
+      |         SUM(x)::DOUBLE AS sx, SUM(y)::DOUBLE AS sy,
+      |         SUM(x*x)::DOUBLE AS sxx, SUM(y*y)::DOUBLE AS syy, SUM(x*y)::DOUBLE AS sxy
+      |  FROM p GROUP BY 1, 2
+      |), a AS (
+      |  SELECT event_type, lag_k, CAST(n AS BIGINT) AS n_pairs,
+      |         round((n * sxy - sx * sy) /
+      |               sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS acf
+      |  FROM s
+      |  WHERE (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+      |), r AS (
+      |  SELECT event_type, lag_k, n_pairs, acf,
+      |         row_number() OVER (PARTITION BY event_type
+      |                            ORDER BY acf DESC, lag_k) AS rn
+      |  FROM a
+      |)
+      |SELECT event_type, lag_k AS best_lag, n_pairs, acf AS best_acf
+      |FROM r WHERE rn = 1 ORDER BY event_type
+      """.stripMargin.trim
+    })
+
+  private val pettitt = QueryDef(
+    "stat_pettitt",
+    "Pettitt changepoint test on the daily view-value series — the " +
+      "nonparametric mate to ev_cusum_changepoint (CUSUM reads mean " +
+      "shifts in raw units; Pettitt is the rank test whose null " +
+      "distribution is distribution-free): with doubled midranks " +
+      "2r over the series' value grid, U_t = Σ_{i≤t} 2r_i − t(n+1) " +
+      "is an EXACT integer for every split day t (the tie-aware rank " +
+      "form of Σ_{i≤t}Σ_{j>t} sign(x_j−x_i)), K = max|U_t| over " +
+      "t < n, changepoint = the earliest argmax day. NO doubles " +
+      "anywhere — even the significance surrogate is the exact " +
+      "truncated integer 6K²·10⁶ div (n³+n²) (the exponent of the " +
+      "classic p ≈ 2e^(−6K²/(n³+n²)) in millionths, monotone in p, " +
+      "so thresholding it IS thresholding p without a libm exp in " +
+      "either engine; DECIMAL(38,0)/HUGEINT keeps 6K²·10⁶ exact at " +
+      "century-long calendars). One value-grid window + one " +
+      "day-ordered cumulative window, both calendar-bounded.",
+    (s, dir) => {
+      val d1 = dailyCents(s, dir).filter(col("event_type") === "view")
+        .select(col("day"), col("yc"))
+      val grid = d1.groupBy(col("yc")).agg(count(lit(1)).as("t"))
+      val below = Window.orderBy(col("yc"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val ranked = grid.select(col("yc"),
+        (lit(2L) * coalesce(sum(col("t")).over(below), lit(0L)) + col("t") + 1L)
+          .as("r2"))
+      val wd = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val n1 = d1.agg(count(lit(1)).as("n"))
+      val cum = d1.join(ranked, Seq("yc"))
+        .crossJoin(broadcast(n1))
+        .select(col("day"), col("n"),
+          (sum(col("r2")).over(wd) -
+            row_number().over(Window.orderBy(col("day"))) * (col("n") + 1L))
+            .as("u"),
+          row_number().over(Window.orderBy(col("day"))).as("tt"))
+        .filter(col("tt") < col("n"))
+      val k = cum.agg(max(abs(col("u"))).as("kk"), max(col("n")).as("n"))
+      val cp = cum.crossJoin(broadcast(k.select(col("kk"))))
+        .filter(abs(col("u")) === col("kk"))
+        .agg(min(col("day")).as("cp_day"))
+      k.crossJoin(broadcast(cp))
+        .select(col("n").as("n_days"), col("cp_day"), col("kk").as("k_stat"),
+          expr("CAST(6 AS DECIMAL(38,0)) * kk * kk * 1000000 div " +
+            "CAST(n*n*n + n*n AS DECIMAL(38,0))").cast("long")
+            .as("sig_exponent_millionths"))
+    },
+    Some(s"""
+      |WITH daily AS (
+      |$dailyCentsSql
+      |), d1 AS (
+      |  SELECT day, yc FROM daily WHERE event_type = 'view'
+      |), grid AS (
+      |  SELECT yc, count(*) AS t FROM d1 GROUP BY 1
+      |), ranked AS (
+      |  SELECT yc,
+      |         2 * COALESCE(SUM(t) OVER (ORDER BY yc
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + t + 1 AS r2
+      |  FROM grid
+      |), n1 AS (
+      |  SELECT count(*)::BIGINT AS n FROM d1
+      |), cum AS (
+      |  SELECT day, n,
+      |         SUM(r2) OVER (ORDER BY day
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |           - (row_number() OVER (ORDER BY day)) * (n + 1) AS u,
+      |         row_number() OVER (ORDER BY day) AS tt
+      |  FROM d1 JOIN ranked USING (yc) CROSS JOIN n1
+      |), cut AS (
+      |  SELECT * FROM cum WHERE tt < n
+      |), k AS (
+      |  SELECT max(abs(u))::BIGINT AS kk, max(n)::BIGINT AS n FROM cut
+      |), cp AS (
+      |  SELECT min(day) AS cp_day FROM cut, k WHERE abs(u) = kk
+      |)
+      |SELECT n AS n_days, cp_day, kk AS k_stat,
+      |       CAST((6::HUGEINT * kk * kk * 1000000) // (n::HUGEINT*n*n + n*n) AS BIGINT)
+      |         AS sig_exponent_millionths
+      |FROM k, cp
+      """.stripMargin.trim))
+
   /** One BFS relaxation round as oracle CTEs (mirrors Bfs.hopDistance). */
   private def bfsIter(k: Int, prev: Int): String = s"""
     |, r$k AS (
@@ -4159,5 +4325,5 @@ object StatQueries {
       seasonalityStrength, grubbs, runsTest, betweenness, clusteringCoeff,
       kruskal, centroidDrift, ljungBox, normProfile, modularity, tukeyHsd,
       cramersV, louvainRefine, cochranArmitage, welchAnova, mannKendall,
-      friedman, bartlett)
+      friedman, bartlett, periodDetect, pettitt)
 }

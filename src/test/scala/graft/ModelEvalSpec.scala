@@ -1871,6 +1871,61 @@ class ModelEvalSpec extends SparkSpec {
     assert(chi2 == rd6(m / c), s"chi2 $chi2 != replay ${rd6(m / c)}")
   }
 
+  test("stat_pettitt: K, changepoint, and exponent replay from a brute-force sign scan") {
+    val out = run("stat_pettitt").collect().head
+    val (n, cpDay, k, sig) = (out.getLong(0), out.getString(1),
+      out.getLong(2), out.getLong(3))
+    val series = driverDailyCents().toSeq
+      .collect { case ((day, "view"), yc) => (day, yc) }.sortBy(_._1)
+    assert(n == series.length)
+    // brute force: U_t = Σ_{i<=t} Σ_{j>t} sign(x_j - x_i), exact
+    val us = (1 until series.length).map { t =>
+      val (left, right) = series.map(_._2).splitAt(t)
+      val u = (for (a <- left; b <- right) yield java.lang.Long.signum(b - a).toLong).sum
+      (series(t - 1)._1, u)
+    }
+    val kWant = us.map(u => math.abs(u._2)).max
+    assert(k == kWant, s"K $k != brute-force $kWant")
+    assert(cpDay == us.filter(u => math.abs(u._2) == kWant).map(_._1).min)
+    val nn = BigInt(series.length)
+    assert(BigInt(sig) == BigInt(6) * k * k * 1000000 / (nn * nn * nn + nn * nn))
+  }
+
+  test("ev_period_detect: the best lag is the argmax of the full per-type ACF relation") {
+    val out = run("ev_period_detect").collect()
+      .map(r => (r.getString(0), r.getInt(1).toLong, r.getDouble(3)))
+    assert(out.nonEmpty)
+    // replay the 14-lag ACF per type from the decimated daily series
+    val daily = driverDailyCents()
+    val mx = daily.values.max
+    val scale = (18 to 4 by -1).collectFirst {
+      case p if mx >= BigInt(10).pow(p).toLong => BigInt(10).pow(p - 4).toLong
+    }.getOrElse(1L)
+    val types = daily.keys.map(_._2).toSet
+    types.foreach { et =>
+      val ys = daily.toSeq.collect { case ((d, `et`), yc) => (d, yc / scale) }
+        .sortBy(_._1).map(_._2)
+      val acfs = (1 to 14).flatMap { lagK =>
+        val pairs = ys.drop(lagK).zip(ys.dropRight(lagK)) // (y, x = lagged)
+        val nn = pairs.length.toDouble
+        if (pairs.isEmpty) None
+        else {
+          val sy = pairs.map(_._1.toDouble).sum; val sx = pairs.map(_._2.toDouble).sum
+          val syy = pairs.map(p => p._1.toDouble * p._1).sum
+          val sxx = pairs.map(p => p._2.toDouble * p._2).sum
+          val sxy = pairs.map(p => p._1.toDouble * p._2).sum
+          val vx = nn * sxx - sx * sx; val vy = nn * syy - sy * sy
+          if (vx > 0 && vy > 0)
+            Some((lagK.toLong, rd6((nn * sxy - sx * sy) / math.sqrt(vx * vy))))
+          else None
+        }
+      }
+      val best = acfs.minBy { case (l, a) => (-a, l) }
+      val got = out.find(_._1 == et).get
+      assert((got._2, got._3) == best, s"$et: got $got want $best")
+    }
+  }
+
   test("dq_volume_control: ewma, sigma, and flags replay from a driver fold") {
     val rows = run("dq_volume_control").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
