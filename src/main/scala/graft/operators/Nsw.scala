@@ -752,6 +752,55 @@ object Nsw {
       .select(col("shard").cast("int").as("shard"), col("vec_id"),
         col("embedding"), col("level"), col("layers"))
 
+  /** Incremental HNSW refresh — the layered twin of [[appendToGraph]]:
+    * per shard, the existing (vectors, layer stacks) load once and the
+    * batch inserts through the SAME procedure as the initial build.
+    * Because levels are a pure function of the id ([[hnswLevel]]) and
+    * insertion order is ascending id, a batch of strictly-newer ids
+    * replays exactly the tail of a full rebuild — append ≡ rebuild,
+    * byte for byte (NswSpec locks this), the strongest form of the
+    * flat store's append contract. Backlinks retouch existing nodes,
+    * so touched shards rewrite (the graph-store write amplification;
+    * arrival-window sharding bounds it, as for the flat store).
+    */
+  def appendToHnswGraph(graph: DataFrame, batch: DataFrame, vecCol: String,
+                        idCol: String, p: Params): DataFrame = {
+    val spark = graph.sparkSession
+    val existing = graph
+      .select(col("shard"), col("vec_id"), col("embedding"), col("level"),
+        col("layers"), lit(false).as("is_new"))
+    val incoming = batch
+      .select(pmod(col(idCol), lit(p.nShards)).cast("int").as("shard"),
+        col(idCol).cast("long").as("vec_id"),
+        col(vecCol).cast("array<float>").as("embedding"),
+        lit(0).as("level"),
+        typedLit(Seq.empty[Seq[Long]]).as("layers"), lit(true).as("is_new"))
+      // idempotence: a replayed id must not insert twice
+      .join(graph.select(col("vec_id")), Seq("vec_id"), "left_anti")
+      .select(existing.columns.map(col): _*)
+    val all = existing.union(incoming).repartition(p.nShards, col("shard"))
+    val out = all.queryExecution.toRdd.mapPartitions { it =>
+      val rows = it.map { ir =>
+        val layersData = ir.getArray(4)
+        val ls = Array.tabulate(layersData.numElements()) { i =>
+          layersData.getArray(i).toLongArray()
+        }
+        (ir.getInt(0), ir.getLong(1), ir.getArray(2).toFloatArray(), ls,
+          ir.getBoolean(5))
+      }.toArray
+      rows.groupBy(_._1).iterator.flatMap { case (shard, grp) =>
+        val (nw, ex) = grp.partition(_._5)
+        val layers = insertIntoShardHnsw(
+          ex.map(r => (r._2, r._3, r._4)), nw.map(r => (r._2, r._3)), p)
+        grp.sortBy(_._2).iterator.map { case (_, id, v, _, _) =>
+          val ls = layers(id)
+          Row(shard, id, v.toSeq, ls.length - 1, ls.map(_.toSeq).toSeq)
+        }
+      }
+    }
+    spark.createDataFrame(out, hnswSchema)
+  }
+
   /** Per-shard HNSW candidates: greedy layer descent from the shard's
     * top-level entry (ties → smallest id, matching the build), then
     * one efSearch beam at layer 0 — ≤ efSearch ids per shard, the

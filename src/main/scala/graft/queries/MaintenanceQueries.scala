@@ -408,6 +408,70 @@ object MaintenanceQueries {
       |GROUP BY 1 ORDER BY shard
       """.stripMargin.trim))
 
+  /** HNSW store built WITHOUT the newest id quarter, then the quarter
+    * appended through [[graft.operators.Nsw.appendToHnswGraph]]. A
+    * strictly-newer batch replays exactly the tail of a full rebuild
+    * (levels are a pure function of the id), so NswSpec asserts append
+    * ≡ rebuild BYTE-FOR-BYTE; this gate covers membership fidelity of
+    * the persisted store. One build+append per (fixture, JVM).
+    */
+  private object HnswAppendStore {
+    val params: graft.operators.Nsw.Params =
+      graft.operators.Nsw.Params(nShards = 4, m = 8,
+        efConstruction = 32, efSearch = 32)
+    def ensure(s: SparkSession, dir: String): String =
+      TmpStores.memoizedTable("graft_hnsw_append", dir) { root =>
+        import graft.operators.Nsw
+        val table = s"$root/hnsw"
+        val emb = Tables.embeddings(s, dir)
+        val cut = emb.agg(max(col("vec_id"))).first().getLong(0) / 4 * 3
+        Nsw.writeHnswGraph(Nsw.buildHnswGraph(
+          emb.filter(col("vec_id") < cut), "embedding", "vec_id", params), table)
+        val appended = Nsw.appendToHnswGraph(Nsw.readHnswGraph(s, table),
+          emb.filter(col("vec_id") >= cut), "embedding", "vec_id", params)
+        // stage-then-swap: the append READS the store being replaced
+        val staged = s"$root/hnsw_appended"
+        Nsw.writeHnswGraph(appended, staged)
+        staged
+      }
+  }
+
+  private val hnswAppend = QueryDef(
+    "maint_hnsw_append",
+    "Incremental LAYERED-graph-index maintenance gate (the HNSW twin " +
+      "of maint_nsw_append): the layered store is built without the " +
+      "newest id quarter, then the quarter inserts into the persisted " +
+      "per-shard graphs through the one insertion procedure — and " +
+      "because a node's LEVEL is a pure function of its id (the md5 " +
+      "draw), a strictly-newer batch replays exactly the tail of a " +
+      "full rebuild: NswSpec asserts append ≡ rebuild byte-for-byte, " +
+      "layer stacks included, the strongest form of the append " +
+      "contract (the flat store only gets node-set equality under " +
+      "interleaved batches). This gate hashes per-shard counts + an " +
+      "order-independent md5 row-set checksum of the appended store " +
+      "against vec_id arithmetic over the full corpus: green proves " +
+      "the append lost, duplicated, and misplaced nothing (levels and " +
+      "layer stacks are covered by the spec's byte-identity, which is " +
+      "stronger than any aggregate could be).",
+    (s, dir) => {
+      val table = HnswAppendStore.ensure(s, dir)
+      val h = conv(substring(md5(col("vec_id").cast("string")), 1, 12), 16, 10)
+        .cast(DecimalType(38, 0))
+      graft.operators.Nsw.readHnswGraph(s, table)
+        .groupBy(col("shard").cast("long").as("shard"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(h).cast(DecimalType(38, 0)).cast("string").as("rowset_fp"))
+        .orderBy(col("shard"))
+    },
+    Some(s"""
+      |SELECT CAST(vec_id % ${HnswAppendStore.params.nShards} AS BIGINT) AS shard,
+      |       count(*) AS n_vecs,
+      |       CAST(CAST(SUM(CAST(('0x' || substring(md5(vec_id::VARCHAR), 1, 12))::BIGINT
+      |         AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS VARCHAR) AS rowset_fp
+      |FROM embeddings
+      |GROUP BY 1 ORDER BY shard
+      """.stripMargin.trim))
+
   /** Arrival-WINDOW-sharded NSW store: built without the newest window
     * (vec_id ≥ 3·ws withheld, ws = max(vec_id) div 4 + 1 — four equal
     * id-range windows at every SF), then the newest window appended via
@@ -823,6 +887,6 @@ object MaintenanceQueries {
 
   val defs: Seq[QueryDef] =
     Seq(compactRoundtrip, repartitionLayout, snapshotDiffQ, zorderRoundtrip,
-      incrementalRollup, ivfAppend, nswAppend, nswWindowAppend, scd2Q, vacuumQ,
+      incrementalRollup, ivfAppend, nswAppend, hnswAppend, nswWindowAppend, scd2Q, vacuumQ,
       evolveQ, mergeQ, morMerge)
 }

@@ -1564,9 +1564,177 @@ object MlQueries {
       |FROM cm
       """.stripMargin.trim))
 
+  /** AdaBoost rounds for [[adaboost]]. */
+  private val AdaRounds = 3
+
+  private val adaboost = QueryDef(
+    "ml_adaboost_stumps",
+    s"In-engine AdaBoost (Freund & Schapire 1997) — $AdaRounds rounds " +
+      "of boosting over the ml_decision_stump weak learner (predict " +
+      "returnflag='R' from quantity thresholds): the ONLY data-sized " +
+      "work is ONE map-side-combining rollup to the (quantity, label) " +
+      "cell table, which is value-domain-bounded (≤ 2·50 cells — the " +
+      "stat_ks argument), because a row's boosting weight is a pure " +
+      "function of (x, y): every round's weighted stump search, ε, " +
+      "and weight update run on the bounded cells. Exactness channel: " +
+      "cell masses are EXACT decimals n·w (DECIMAL(18,0)×DECIMAL(18,6) " +
+      "— never capped), ε = round(err/tot, 6) with a deterministic " +
+      "[1e-6, 1−1e-6] clamp, re-weight factors √(ε/(1−ε)) and its " +
+      "inverse round at 6 (correctly-rounded IEEE sqrt), weights " +
+      "re-round to the 6dp grid each round, and α = round(½ln(·), 6) " +
+      "through the established ln channel. Stump argmin orders by " +
+      "(round-6 ε, θ, polarity +1 first). The output is the per-round " +
+      "(θ, polarity, ε, α) trajectory plus the ensemble's training " +
+      "accuracy as the exact integer (correct·10⁶) div total — the " +
+      "oracle replays ALL rounds as MATERIALIZED CTEs over the same " +
+      "cell relation.",
+    (s, dir) => {
+      import s.implicits._
+      val cells = Tables.lineitem(s, dir).select(
+          col("l_quantity").cast("long").as("x"),
+          when(col("l_returnflag") === "R", 1).otherwise(-1).as("y"))
+        .groupBy(col("x"), col("y")).agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        .sortBy(c => (c._1, c._2))
+      def bd(d: Double): java.math.BigDecimal = java.math.BigDecimal.valueOf(d)
+      def rd6d(d: Double): Double =
+        bd(d).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      // weights on the 6dp grid per cell; masses exact BigDecimal
+      var w = cells.map(c => (c._1, c._2) -> new java.math.BigDecimal("1.000000")).toMap
+      val thetas = cells.map(_._1).distinct.sorted
+      val hist = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Int, Double, Double)]
+      val stumps = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Double)]
+      for (r <- 1 to AdaRounds) {
+        def mass(p: ((Long, Int)) => Boolean): java.math.BigDecimal =
+          cells.filter(c => p((c._1, c._2)))
+            .map(c => java.math.BigDecimal.valueOf(c._3).multiply(w((c._1, c._2))))
+            .foldLeft(java.math.BigDecimal.ZERO)(_ add _)
+        val tot = mass(_ => true)
+        val tpos = mass(_._2 == 1); val tneg = mass(_._2 == -1)
+        // err(θ, +1) = mneg(x≤θ) + tpos − mpos(x≤θ); err(θ, −1) = tot − err(θ, +1)
+        val cand = thetas.flatMap { th =>
+          val cpos = mass(c => c._1 <= th && c._2 == 1)
+          val cneg = mass(c => c._1 <= th && c._2 == -1)
+          val errP = cneg.add(tpos).subtract(cpos)
+          val errN = cpos.add(tneg).subtract(cneg)
+          Seq((th, 1, rd6d(errP.doubleValue() / tot.doubleValue())),
+            (th, -1, rd6d(errN.doubleValue() / tot.doubleValue())))
+        }
+        val (th, pol, eps) = cand.minBy { case (t, p, e) => (e, t, -p) }
+        val ec = math.max(0.000001, math.min(0.999999, eps))
+        val fc = rd6d(math.sqrt(ec / (1.0 - ec)))
+        val fw = rd6d(math.sqrt((1.0 - ec) / ec))
+        val alpha = rd6d(0.5 * math.log((1.0 - ec) / ec))
+        hist += ((r.toLong, th, pol, eps, alpha))
+        stumps += ((th, pol, alpha))
+        w = cells.map { c =>
+          val h = if (c._1 <= th) pol else -pol
+          val f = if (h == c._2) fc else fw
+          (c._1, c._2) -> bd(rd6d(w((c._1, c._2)).doubleValue() * f))
+        }.toMap
+      }
+      // ensemble training accuracy (exact integer millionths)
+      val correct = cells.filter { c =>
+        val score = stumps.foldLeft(0.0) { case (acc, (th, pol, a)) =>
+          acc + a * (if (c._1 <= th) pol else -pol)
+        }
+        (if (score >= 0) 1 else -1) == c._2
+      }.map(_._3).sum
+      val total = cells.map(_._3).sum
+      val accM = correct * 1000000L / total
+      hist.toSeq.map { case (r, th, pol, eps, a) => (r, th, pol, eps, a, accM) }
+        .toDF("round", "theta", "polarity", "epsilon", "alpha", "acc_millionths")
+        .orderBy(col("round"))
+    },
+    Some {
+      val rounds = (1 to AdaRounds).map { r =>
+        val wDef =
+          if (r == 1) s"w$r AS MATERIALIZED (SELECT x, y, n, 1.000000::DECIMAL(18,6) AS w FROM cells)"
+          else {
+            val p = r - 1
+            s"""w$r AS MATERIALIZED (
+               |  SELECT x, y, n,
+               |         CAST(round(w::DOUBLE * CASE WHEN
+               |           (CASE WHEN x <= (SELECT theta FROM s$p) THEN (SELECT pol FROM s$p)
+               |                 ELSE -(SELECT pol FROM s$p) END) = y
+               |           THEN (SELECT fc FROM f$p) ELSE (SELECT fw FROM f$p) END, 6)
+               |           AS DECIMAL(18,6)) AS w
+               |  FROM w$p
+               |)""".stripMargin
+          }
+        s"""$wDef,
+           |g$r AS MATERIALIZED (
+           |  SELECT x,
+           |         SUM(CASE WHEN y = 1 THEN n::DECIMAL(18,0) * w ELSE 0::DECIMAL(36,6) END) AS mpos,
+           |         SUM(CASE WHEN y = -1 THEN n::DECIMAL(18,0) * w ELSE 0::DECIMAL(36,6) END) AS mneg
+           |  FROM w$r GROUP BY x
+           |),
+           |c$r AS MATERIALIZED (
+           |  SELECT x AS theta,
+           |         SUM(mpos) OVER (ORDER BY x) AS cpos,
+           |         SUM(mneg) OVER (ORDER BY x) AS cneg,
+           |         (SELECT SUM(mpos) FROM g$r) AS tpos,
+           |         (SELECT SUM(mneg) FROM g$r) AS tneg
+           |  FROM g$r
+           |),
+           |e$r AS MATERIALIZED (
+           |  SELECT theta, 1 AS pol,
+           |         round((cneg + tpos - cpos)::DOUBLE / (tpos + tneg)::DOUBLE, 6) AS eps
+           |  FROM c$r
+           |  UNION ALL
+           |  SELECT theta, -1 AS pol,
+           |         round((cpos + tneg - cneg)::DOUBLE / (tpos + tneg)::DOUBLE, 6) AS eps
+           |  FROM c$r
+           |),
+           |s$r AS MATERIALIZED (
+           |  SELECT theta, pol, eps FROM e$r ORDER BY eps, theta, pol DESC LIMIT 1
+           |),
+           |f$r AS MATERIALIZED (
+           |  SELECT theta, pol, eps,
+           |         round(sqrt(greatest(0.000001, least(0.999999, eps)) /
+           |                    (1.0 - greatest(0.000001, least(0.999999, eps)))), 6) AS fc,
+           |         round(sqrt((1.0 - greatest(0.000001, least(0.999999, eps))) /
+           |                    greatest(0.000001, least(0.999999, eps))), 6) AS fw,
+           |         round(0.5 * ln((1.0 - greatest(0.000001, least(0.999999, eps))) /
+           |                        greatest(0.000001, least(0.999999, eps))), 6) AS alpha
+           |  FROM s$r
+           |)""".stripMargin
+      }.mkString(",\n")
+      val scoreExpr = (1 to AdaRounds).map { r =>
+        s"(SELECT alpha FROM f$r) * (CASE WHEN x <= (SELECT theta FROM s$r) " +
+          s"THEN (SELECT pol FROM s$r) ELSE -(SELECT pol FROM s$r) END)"
+      }.mkString(" + ")
+      val sel = (1 to AdaRounds).map { r =>
+        s"SELECT CAST($r AS BIGINT) AS round, theta, CAST(pol AS INT) AS polarity, " +
+          s"eps AS epsilon, alpha, acc_millionths FROM f$r, acc"
+      }.mkString("\nUNION ALL\n")
+      s"""
+      |WITH cells AS MATERIALIZED (
+      |  SELECT CAST(l_quantity AS BIGINT) AS x,
+      |         CASE WHEN l_returnflag = 'R' THEN 1 ELSE -1 END AS y,
+      |         count(*)::BIGINT AS n
+      |  FROM lineitem GROUP BY 1, 2
+      |),
+      |$rounds,
+      |pred AS MATERIALIZED (
+      |  SELECT x, y, n, $scoreExpr AS score FROM cells
+      |),
+      |acc AS MATERIALIZED (
+      |  SELECT CAST((SUM(CASE WHEN (CASE WHEN score >= 0 THEN 1 ELSE -1 END) = y
+      |                        THEN n ELSE 0 END) * 1000000) // SUM(n) AS BIGINT)
+      |           AS acc_millionths
+      |  FROM pred
+      |)
+      |SELECT round, theta, polarity, epsilon, alpha, acc_millionths FROM (
+      |$sel
+      |) ORDER BY round
+      """.stripMargin.trim
+    })
+
   val defs: Seq[QueryDef] =
     Seq(targetEncode, quantileBins, attribution, itemCooccurrence,
       naiveBayes, aucRoc, silhouette, logregGd, calibrationEce, kfoldCv,
       prCurve, liftGains, ridge, prfReport, stump, kmeansElbow,
-      frequentTriples, bestF1, mcc)
+      frequentTriples, bestF1, mcc, adaboost)
 }

@@ -1871,6 +1871,48 @@ class ModelEvalSpec extends SparkSpec {
     assert(chi2 == rd6(m / c), s"chi2 $chi2 != replay ${rd6(m / c)}")
   }
 
+  test("ml_adaboost_stumps: round-1 argmin, epsilon bound, alpha identity, ensemble accuracy replay") {
+    val out = run("ml_adaboost_stumps").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3),
+        r.getDouble(4), r.getLong(5))).sortBy(_._1)
+    assert(out.length == 3)
+    val cells = Tables.lineitem(spark, sf("sf0.001")).select(
+        col("l_quantity").cast("long").as("x"),
+        when(col("l_returnflag") === "R", 1).otherwise(-1).as("y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val total = cells.map(_._3).sum
+    // round 1: unweighted argmin replays from plain integer counts
+    val thetas = cells.map(_._1).distinct.sorted
+    val cand1 = thetas.flatMap { th =>
+      Seq(1, -1).map { pol =>
+        val err = cells.filter(c =>
+          (if (c._1 <= th) pol else -pol) != c._2).map(_._3).sum
+        (th, pol, rd6(err.toDouble / total.toDouble))
+      }
+    }
+    val best1 = cand1.minBy { case (t, p, e) => (e, t, -p) }
+    assert((out.head._2, out.head._3, out.head._4) == best1,
+      s"round-1 stump ${(out.head._2, out.head._3, out.head._4)} != replay $best1")
+    out.foreach { case (r, _, _, eps, alpha, _) =>
+      // argmin over complementary polarities can never exceed chance
+      assert(eps <= 0.5 + 1e-6, s"round $r eps $eps > 0.5")
+      val ec = math.max(0.000001, math.min(0.999999, eps))
+      assert(alpha == rd6(0.5 * math.log((1.0 - ec) / ec)),
+        s"round $r alpha $alpha != identity from eps")
+      assert(alpha >= 0.0)
+    }
+    // ensemble accuracy: score raw cells with the OUTPUT stumps
+    val correct = cells.filter { c =>
+      val score = out.foldLeft(0.0) { case (acc, (_, th, pol, _, a, _)) =>
+        acc + a * (if (c._1 <= th) pol else -pol)
+      }
+      (if (score >= 0) 1 else -1) == c._2
+    }.map(_._3).sum
+    assert(out.head._6 == correct * 1000000L / total,
+      s"acc ${out.head._6} != replay ${correct * 1000000L / total}")
+  }
+
   test("stat_pettitt: K, changepoint, and exponent replay from a brute-force sign scan") {
     val out = run("stat_pettitt").collect().head
     val (n, cpDay, k, sig) = (out.getLong(0), out.getString(1),

@@ -329,4 +329,25 @@ class NswSpec extends SparkSpec {
     val b = again.orderBy("vec_id").collect().toSeq
     assert(a == b, "two HNSW builds of one corpus must be identical")
   }
+
+  test("hnsw: strictly-newer append ≡ full rebuild, byte for byte (levels are id-pure)") {
+    // a batch of strictly-newer ids replays exactly the tail of a full
+    // rebuild: ascending-id insertion + id-pure levels leave NO state
+    // the append path could diverge on — the strongest append contract
+    // in the index family (the flat NSW only asserts node-set equality
+    // under interleaved batches)
+    val cut = emb.agg(max(col("vec_id"))).first().getLong(0) / 4 * 3
+    val base = Nsw.buildHnswGraph(
+      emb.filter(col("vec_id") < cut), "embedding", "vec_id", p)
+    val appended = Nsw.appendToHnswGraph(base,
+      emb.filter(col("vec_id") >= cut), "embedding", "vec_id", p)
+    val a = appended.orderBy("vec_id").collect().toSeq
+    val b = hnsw.orderBy("vec_id").collect().toSeq
+    assert(a == b, "append of a strictly-newer batch must equal the rebuild exactly")
+    // idempotence: replaying the batch changes nothing
+    val replay = Nsw.appendToHnswGraph(appended,
+      emb.filter(col("vec_id") >= cut), "embedding", "vec_id", p)
+    assert(replay.orderBy("vec_id").collect().toSeq == b,
+      "replaying the batch must be a no-op")
+  }
 }
