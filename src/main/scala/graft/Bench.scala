@@ -87,7 +87,7 @@ object Bench {
       // support-2 co-purchase edge store
       "graph_kcore" -> Set("graph_kcore", "graph_label_propagation",
         "graph_modularity", "graph_louvain_refine", "graph_sssp_weighted",
-        "graph_ppr_parts", "graph_link_prediction"),
+        "graph_ppr_parts", "graph_link_prediction", "graph_rich_club"),
       // support-1 co-purchase edge store
       "ml_item_cooccurrence" -> Set("ml_item_cooccurrence",
         "graph_degree_assortativity"),

@@ -754,6 +754,235 @@ object StatQueries {
       |FROM m a JOIN m b ON a.grp = 0 AND b.grp = 1
       """.stripMargin.trim))
 
+  private val powerMde = QueryDef(
+    "stat_power_mde",
+    "Experiment power analysis — the minimal detectable effect the " +
+      "stat_ab_welch readout can actually resolve: MDE = " +
+      "(z_{α/2} + z_β)·SE with the 5%-α / 80%-power convention " +
+      "(1.959964 + 0.841621 — the textbook constants embedded as " +
+      "IDENTICAL double literals in both engines, the ml_ranking_ndcg " +
+      "discount trick — no inverse-normal in either plan), " +
+      "SE = √(s_a²/n_a + s_b²/n_b) from the SAME exact decimal arm " +
+      "sufficient statistics as the z gate. Reading z without MDE is " +
+      "how teams ship underpowered experiments: this is the number " +
+      "that says what the split CAN detect. One aggregate pass; " +
+      "relative MDE divides by the control mean.",
+    (s, dir) => {
+      val g = Tables.events(s, dir)
+        .select((col("user_id") % 2).as("grp"), col("value"))
+      val st = g.groupBy(col("grp")).agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(dec6)).cast(dec2).cast("double").as("sv"),
+        sum((col("value") * col("value")).cast(dec6))
+          .cast(DecimalType(38, 4)).cast("double").as("sv2"))
+      val m = st.select(col("grp"), col("n"),
+        (col("sv") / col("n")).as("mean"),
+        ((col("sv2") - col("sv") * col("sv") / col("n")) / (col("n") - 1)).as("vr"))
+      val a = m.filter(col("grp") === 0)
+        .select(col("n").as("n_a"), col("mean").as("mean_raw_a"), col("vr").as("var_a"))
+      val b = m.filter(col("grp") === 1)
+        .select(col("n").as("n_b"), col("vr").as("var_b"))
+      val se = sqrt(col("var_a") / col("n_a") + col("var_b") / col("n_b"))
+      a.crossJoin(b).select(
+        col("n_a"), col("n_b"),
+        round(se, 6).as("se"),
+        round(lit(1.959964) + lit(0.841621), 6).as("z_sum"),
+        round((lit(1.959964) + lit(0.841621)) * se, 6).as("mde"),
+        round((lit(1.959964) + lit(0.841621)) * se / col("mean_raw_a"), 6)
+          .as("mde_rel_control"))
+    },
+    Some("""
+      |WITH g AS (
+      |  SELECT user_id % 2 AS grp, value FROM events
+      |), s AS (
+      |  SELECT grp, count(*) AS n,
+      |         CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DECIMAL(38,2)) AS DOUBLE) AS sv,
+      |         CAST(CAST(SUM(CAST(value * value AS DECIMAL(38,6))) AS DECIMAL(38,4)) AS DOUBLE) AS sv2
+      |  FROM g GROUP BY 1
+      |), m AS (
+      |  SELECT grp, n, sv / n AS mean,
+      |         (sv2 - sv * sv / n) / (n - 1) AS vr
+      |  FROM s
+      |)
+      |SELECT a.n AS n_a, b.n AS n_b,
+      |       round(sqrt(a.vr / a.n + b.vr / b.n), 6) AS se,
+      |       CAST(round(1.959964 + 0.841621, 6) AS DOUBLE) AS z_sum,
+      |       round((1.959964 + 0.841621) * sqrt(a.vr / a.n + b.vr / b.n), 6) AS mde,
+      |       round((1.959964 + 0.841621) * sqrt(a.vr / a.n + b.vr / b.n) / a.mean, 6)
+      |         AS mde_rel_control
+      |FROM m a JOIN m b ON a.grp = 0 AND b.grp = 1
+      """.stripMargin.trim))
+
+  private val MarkovIters = 3
+
+  private val markovStationary = QueryDef(
+    "ev_markov_stationary",
+    s"Stationary distribution of the ev_markov_transitions chain by " +
+      s"$MarkovIters integer micro-unit power iterations — where does " +
+      "user attention settle if the observed dynamics run forever? " +
+      "The chain is restricted to its SQUARE support (states with " +
+      "outgoing transitions; next-states outside it would leak mass " +
+      "asymmetrically) and row sums renormalize on that support. " +
+      "π₀ splits 10⁶ exactly (div + remainder-to-lowest-ranked " +
+      "states); each step is π_{t+1}(j) = Σ_i (π_t(i)·n_ij) div " +
+      "rowsum_i — the PageRank truncating-division contract, exact " +
+      "BIGINT/DECIMAL(38,0) on both engines, so the ITERATION is " +
+      "hash-gated, not just the final readout. |types|²-bounded work " +
+      "after one user-keyed window shuffle; the oracle unrolls the " +
+      "iterations as MATERIALIZED CTEs.",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val pairs = Tables.events(s, dir)
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .select(col("prev_type"), col("event_type").as("next_type"))
+      val c0 = pairs.groupBy(col("prev_type"), col("next_type"))
+        .agg(count(lit(1)).as("n"))
+      val states = c0.select(col("prev_type").as("state")).distinct()
+      val cSq = c0.join(states.select(col("state").as("next_type")), Seq("next_type"))
+      val rowsum = cSq.groupBy(col("prev_type")).agg(sum(col("n")).as("rs"))
+      val cc = cSq.join(rowsum, Seq("prev_type")).localCheckpoint()
+      val sCount = states.count()
+      val ranked = states
+        .withColumn("rk", row_number().over(Window.orderBy(col("state"))))
+      var pi = ranked.select(col("state"),
+        (lit(1000000L / sCount) +
+          when(col("rk") <= (1000000L % sCount), 1L).otherwise(0L)).as("pi"))
+        .localCheckpoint()
+      for (_ <- 1 to MarkovIters) {
+        val stepped = pi.join(cc, pi("state") === cc("prev_type"))
+          .select(col("next_type").as("state"),
+            expr("CAST(CAST(pi AS DECIMAL(38,0)) * n div rs AS BIGINT)").as("term"))
+          .groupBy(col("state")).agg(sum(col("term")).as("pi"))
+        pi = ranked.select(col("state"))
+          .join(stepped, Seq("state"), "left")
+          .select(col("state"), coalesce(col("pi"), lit(0L)).as("pi"))
+          .localCheckpoint()
+      }
+      pi.select(col("state"), col("pi").as("pi_micro")).orderBy(col("state"))
+    },
+    Some {
+      val iters = (1 to MarkovIters).map { t =>
+        val p = t - 1
+        s"""p$t AS MATERIALIZED (
+           |  SELECT s.state, COALESCE(m.pi, 0)::BIGINT AS pi
+           |  FROM states s LEFT JOIN (
+           |    SELECT c.next_type AS state,
+           |           SUM(CAST((p.pi::HUGEINT * c.n) // c.rs AS BIGINT))::BIGINT AS pi
+           |    FROM p$p p JOIN cc c ON p.state = c.prev_type
+           |    GROUP BY 1
+           |  ) m ON s.state = m.state
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""
+      |WITH o AS (
+      |  SELECT user_id, event_type,
+      |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      |  FROM events
+      |), c0 AS MATERIALIZED (
+      |  SELECT prev_type, event_type AS next_type, count(*)::BIGINT AS n
+      |  FROM o WHERE prev_type IS NOT NULL GROUP BY 1, 2
+      |), states AS MATERIALIZED (
+      |  SELECT DISTINCT prev_type AS state FROM c0
+      |), csq AS MATERIALIZED (
+      |  SELECT c.prev_type, c.next_type, c.n FROM c0 c
+      |  JOIN states s ON c.next_type = s.state
+      |), cc AS MATERIALIZED (
+      |  SELECT c.prev_type, c.next_type, c.n, r.rs
+      |  FROM csq c JOIN (
+      |    SELECT prev_type, SUM(n)::BIGINT AS rs FROM csq GROUP BY 1
+      |  ) r USING (prev_type)
+      |), nst AS MATERIALIZED (SELECT count(*)::BIGINT AS s FROM states),
+      |p0 AS MATERIALIZED (
+      |  SELECT state,
+      |         (1000000 // s) + CASE WHEN row_number() OVER (ORDER BY state) <= 1000000 % s
+      |                               THEN 1 ELSE 0 END AS pi
+      |  FROM states CROSS JOIN nst
+      |),
+      |$iters
+      |SELECT state, pi AS pi_micro FROM p$MarkovIters ORDER BY state
+      """.stripMargin.trim
+    })
+
+  private val RichClubKs = Seq(2, 4, 8, 16)
+
+  /** Support for the rich-club edge store — numerically identical to
+    * KcoreSupport, but that val is declared further down the file and
+    * object init order would hand the EAGERLY-built oracle string a 0
+    * (caught by the gate: the oracle emitted `n_co >= 0` while the
+    * lazily-run Spark side read the initialized 2).
+    */
+  private val RichClubSupport = 2
+
+  private val richClub = QueryDef(
+    "graph_rich_club",
+    "Rich-club coefficient of the support-2 co-purchase graph (Zhou & " +
+      "Mondragón 2004): φ(k) = 2E_k/(N_k(N_k−1)) over the subgraph of " +
+      "nodes with degree > k, for k ∈ {2,4,8,16} — do the " +
+      "best-connected products preferentially co-purchase with each " +
+      "OTHER (the hub-interconnection question beside " +
+      "graph_degree_assortativity's global correlation)? Degrees from " +
+      "one rollup over the memoized edge store; edges join the degree " +
+      "relation on each endpoint key (node-sized, never broadcast); " +
+      "all four k-levels reduce in ONE conditional aggregate each " +
+      "side. φ is the exact truncated integer (2E_k·10⁶) div " +
+      "(N_k(N_k−1)) — NULL below two qualifying nodes.",
+    (s, dir) => {
+      val edges = coPurchaseEdges(s, dir, RichClubSupport)
+        .select(col("src"), col("dst"))
+      val deg = edges.select(col("src").as("v"))
+        .union(edges.select(col("dst").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      val ej = edges
+        .join(deg.select(col("v").as("src"), col("deg").as("dsrc")), Seq("src"))
+        .join(deg.select(col("v").as("dst"), col("deg").as("ddst")), Seq("dst"))
+      val eCols = RichClubKs.map(k => sum(when(col("dsrc") > k && col("ddst") > k, 1L)
+        .otherwise(0L)).as(s"e$k"))
+      val eAgg = ej.agg(eCols.head, eCols.tail: _*)
+      val nCols = RichClubKs.map(k => sum(when(col("deg") > k, 1L).otherwise(0L))
+        .as(s"n$k"))
+      val nAgg = deg.agg(nCols.head, nCols.tail: _*)
+      val stackExpr = RichClubKs.map(k => s"${k}L, n$k, e$k").mkString(", ")
+      eAgg.crossJoin(nAgg)
+        .select(expr(s"stack(${RichClubKs.length}, $stackExpr) as (k, n_nodes, n_edges)"))
+        .select(col("k"), col("n_nodes"), col("n_edges"),
+          when(col("n_nodes") >= 2,
+            expr("CAST(CAST(2 AS DECIMAL(38,0)) * n_edges * 1000000 div " +
+              "CAST(n_nodes * (n_nodes - 1) AS DECIMAL(38,0)) AS BIGINT)"))
+            .as("phi_millionths"))
+        .orderBy(col("k"))
+    },
+    Some {
+      val eCols = RichClubKs.map(k =>
+        s"SUM(CASE WHEN dsrc > $k AND ddst > $k THEN 1 ELSE 0 END)::BIGINT AS e$k")
+        .mkString(", ")
+      val nCols = RichClubKs.map(k =>
+        s"SUM(CASE WHEN deg > $k THEN 1 ELSE 0 END)::BIGINT AS n$k").mkString(", ")
+      val legs = RichClubKs.map(k =>
+        s"SELECT $k::BIGINT AS k, n$k AS n_nodes, e$k AS n_edges FROM ea, na")
+        .mkString("\n  UNION ALL\n  ")
+      s"""
+      |WITH ${coPurchaseSql(RichClubSupport)}, deg AS MATERIALIZED (
+      |  SELECT v, count(*)::BIGINT AS deg FROM (
+      |    SELECT src AS v FROM e0 UNION ALL SELECT dst AS v FROM e0
+      |  ) GROUP BY 1
+      |), ej AS MATERIALIZED (
+      |  SELECT ds.deg AS dsrc, dd.deg AS ddst
+      |  FROM e0 JOIN deg ds ON e0.src = ds.v JOIN deg dd ON e0.dst = dd.v
+      |), ea AS (SELECT $eCols FROM ej),
+      |na AS (SELECT $nCols FROM deg),
+      |st AS (
+      |  $legs
+      |)
+      |SELECT k, n_nodes, n_edges,
+      |       CASE WHEN n_nodes >= 2
+      |            THEN CAST((2::HUGEINT * n_edges * 1000000) //
+      |                      (n_nodes::HUGEINT * (n_nodes - 1)) AS BIGINT)
+      |            ELSE NULL END AS phi_millionths
+      |FROM st ORDER BY k
+      """.stripMargin.trim
+    })
+
   private val benford = QueryDef(
     "dq_benford_prices",
     "Benford first-digit profile of l_extendedprice — the fraud/" +
@@ -4325,5 +4554,6 @@ object StatQueries {
       seasonalityStrength, grubbs, runsTest, betweenness, clusteringCoeff,
       kruskal, centroidDrift, ljungBox, normProfile, modularity, tukeyHsd,
       cramersV, louvainRefine, cochranArmitage, welchAnova, mannKendall,
-      friedman, bartlett, periodDetect, pettitt)
+      friedman, bartlett, periodDetect, pettitt, powerMde, markovStationary,
+      richClub)
 }

@@ -1871,6 +1871,91 @@ class ModelEvalSpec extends SparkSpec {
     assert(chi2 == rd6(m / c), s"chi2 $chi2 != replay ${rd6(m / c)}")
   }
 
+  test("stat_power_mde: MDE recomposes from the arm sufficient statistics") {
+    val out = run("stat_power_mde").collect().head
+    val (na, nb, se, zs, mde, rel) = (out.getLong(0), out.getLong(1),
+      out.getDouble(2), out.getDouble(3), out.getDouble(4), out.getDouble(5))
+    assert(zs == 2.801585)
+    val arms = Tables.events(spark, sf("sf0.001"))
+      .select((col("user_id") % 2).as("grp"),
+        col("value").cast(org.apache.spark.sql.types.DecimalType(38, 6)).as("v"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n"),
+        sum(col("v")).cast(org.apache.spark.sql.types.DecimalType(38, 2))
+          .cast("double").as("sv"),
+        sum(col("v") * col("v")).cast(org.apache.spark.sql.types.DecimalType(38, 4))
+          .cast("double").as("sv2"))
+      .collect().map(r => r.getLong(1) -> r).toMap
+    def stats(grp: Long) = {
+      val r = arms.collectFirst { case (_, row) if row.getLong(0) == grp => row }.get
+      val n = r.getLong(1); val sv = r.getDouble(2); val sv2 = r.getDouble(3)
+      (n, sv / n, (sv2 - sv * sv / n) / (n - 1))
+    }
+    val (n0, mean0, v0) = stats(0); val (n1, _, v1) = stats(1)
+    assert(na == n0 && nb == n1)
+    val seWant = math.sqrt(v0 / n0 + v1 / n1)
+    assert(se == rd6(seWant))
+    assert(mde == rd6((1.959964 + 0.841621) * seWant))
+    assert(rel == rd6((1.959964 + 0.841621) * seWant / mean0))
+    assert(mde > 0.0)
+  }
+
+  test("ev_markov_stationary: iterations replay as exact truncating-division folds") {
+    val out = run("ev_markov_stationary").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    // transition pairs via the same (ts, event_id)-ordered window the
+    // oracle-gated ev_markov_transitions pins; THIS spec replays the
+    // stationary ITERATION arithmetic independently
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.events(spark, sf("sf0.001"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .select(col("prev_type"), col("event_type"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val c0 = pairs.groupBy(identity).map { case ((p, n), g) => (p, n, g.size.toLong) }
+    val states = c0.map(_._1).toSet.toSeq.sorted
+    val cSq = c0.filter(c => states.contains(c._2))
+    val rs = cSq.groupBy(_._1).map { case (p, g) => p -> g.map(_._3).sum }
+    val S = states.length
+    var pi = states.zipWithIndex.map { case (st, i) =>
+      st -> (1000000L / S + (if (i < (1000000L % S).toInt) 1L else 0L))
+    }.toMap
+    for (_ <- 1 to 3) {
+      val next = scala.collection.mutable.Map.empty[String, Long]
+        .withDefaultValue(0L)
+      cSq.foreach { case (p, n, cnt) =>
+        next(n) += pi(p) * cnt / rs(p)
+      }
+      pi = states.map(st => st -> next(st)).toMap
+    }
+    assert(out == pi, s"\n$out\nvs\n$pi")
+    // truncating divisions only lose mass, never create it
+    assert(out.values.sum <= 1000000L)
+  }
+
+  test("graph_rich_club: phi replays from driver degrees; edge/node counts consistent") {
+    val out = run("graph_rich_club").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    assert(out.map(_._1).toSeq == Seq(2L, 4L, 8L, 16L))
+    val edges = graft.queries.StatQueries.coPurchaseEdges(spark, sf("sf0.001"), 2)
+      .select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val deg = (edges.map(_._1) ++ edges.map(_._2))
+      .groupBy(identity).map { case (v, g) => v -> g.size.toLong }
+    out.foreach { case (k, nNodes, nEdges, phi) =>
+      val want = deg.count(_._2 > k).toLong
+      assert(nNodes == want, s"k=$k: n_nodes $nNodes != $want")
+      val we = edges.count(e => deg(e._1) > k && deg(e._2) > k).toLong
+      assert(nEdges == we, s"k=$k: n_edges $nEdges != $we")
+      if (nNodes >= 2)
+        assert(phi.contains(BigInt(2) * nEdges * 1000000 / (BigInt(nNodes) * (nNodes - 1)) match {
+          case b => b.toLong
+        }), s"k=$k: phi $phi mismatch")
+      else assert(phi.isEmpty)
+    }
+  }
+
   test("ml_adaboost_stumps: round-1 argmin, epsilon bound, alpha identity, ensemble accuracy replay") {
     val out = run("ml_adaboost_stumps").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3),

@@ -679,6 +679,7 @@ class PlanShapeSpec extends SparkSpec {
       // support-2 co-purchase store
       "graph_label_propagation", "graph_sssp_weighted", "graph_modularity",
       "graph_louvain_refine", "graph_link_prediction", "graph_ppr_parts",
+      "graph_rich_club",
       // support-1 co-purchase store
       "graph_degree_assortativity",
       // trade-graph store
