@@ -105,6 +105,12 @@ object Bench {
         // ann_nsw_beam's warmup performs the one-time sharded NSW graph
         // build+write so the timed run measures the beam-search READ path
         "ann_nsw_beam",
+        // ann_cost_rewrite's warmup performs the one-time hybrid
+        // cluster_id/lsh_bucket two-level-partitioned store build+write
+        // (up to nlist·2^nBits directories — measured 19.1 s inside the
+        // timed run before this entry) so the timed run measures the
+        // cost-chosen probed READ path
+        "ann_cost_rewrite",
         "ann_pq_adc", "ann_ivfpq_adc", "vec_pca_knn", "maint_ivf_append",
         // vec_kmeans_elbow's warmup performs its one-time per-JVM
         // four-k KMeans fits (ElbowStore) so the timed run measures the
