@@ -91,6 +91,9 @@ object Bench {
       // support-1 co-purchase edge store
       "ml_item_cooccurrence" -> Set("ml_item_cooccurrence",
         "graph_degree_assortativity"),
+      // shared transition-count store (one lag-window pass, two readers)
+      "ev_markov_transitions" -> Set("ev_markov_transitions",
+        "ev_markov_stationary"),
       // PQ codebook fit (PqStore) feeds every PQ consumer
       "ann_pq_adc" -> Set("ann_pq_adc", "ann_pq_rescore", "ann_pq_batch",
         "ann_pq_store_adc", "stream_serve_pq"),
@@ -129,6 +132,10 @@ object Bench {
         // (The LPA labels memo is deliberately NOT warmed: the 8
         // rounds ARE graph_label_propagation's algorithm.)
         "graph_pagerank_nations", "graph_kcore", "ml_item_cooccurrence",
+        // ev_markov_transitions' warmup builds the shared transition-
+        // count store (one user-keyed lag-window pass over every event
+        // — ~300 s at sf100) read by both markov consumers
+        "ev_markov_transitions",
         // maint_nsw_append's warmup performs the one-time base build +
         // incremental insert + staged rewrite (NswAppendStore) so the
         // timed run measures the appended-store READ path

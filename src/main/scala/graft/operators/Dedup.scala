@@ -314,16 +314,19 @@ object Dedup {
     * an earlier revision — existing callers relying on exact results
     * should pin it.
     */
-  def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
-                        shingleK: Int = 3, threshold: Double = 0.1,
-                        maxShingleDf: Option[Int] = Some(DefaultMaxShingleDf)): DataFrame = {
-    // integer-keyed inverted index — see jaccardOnPairs
+  /** The capped integer-keyed shingle inverted index shared by the
+    * Jaccard and containment pair generators: (id, n_sh, s) rows, hot
+    * shingles (df > cap) dropped via a bounded broadcast anti-join.
+    */
+  private def shingleIndex(docs: DataFrame, textCol: String, idCol: String,
+                           shingleK: Int,
+                           maxShingleDf: Option[Int]): DataFrame = {
     val sh0 = docs
       .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
       .select(col("id"), shinglesFromTokens(col("toks"), shingleK).as("sh"))
       .select(col("id"), size(col("sh")).cast("long").as("n_sh"),
         explode(transform(col("sh"), s => TextAnalysis.md5Long48(s))).as("s"))
-    val sh = maxShingleDf match {
+    maxShingleDf match {
       case Some(cap) =>
         // broadcast the HOT list (df > cap), not the keep list: hot
         // shingles are few BY CONSTRUCTION (the cap exists because they
@@ -335,15 +338,48 @@ object Dedup {
         sh0.join(broadcast(hot), Seq("s"), "left_anti")
       case None => sh0
     }
+  }
+
+  /** Shared-shingle pair counts from the inverted index: one row per
+    * (id_a < id_b) pair that shares ≥1 surviving shingle, with both
+    * set sizes and the common count — cost Σ df(shingle)², never n².
+    */
+  private def sharedShinglePairs(sh: DataFrame): DataFrame =
     sh.as("x").join(sh.as("y"), col("x.s") === col("y.s") && col("x.id") < col("y.id"))
       .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"),
         col("x.n_sh").as("na"), col("y.n_sh").as("nb"))
       .agg(count(lit(1)).as("n_common"))
+
+  def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
+                        shingleK: Int = 3, threshold: Double = 0.1,
+                        maxShingleDf: Option[Int] = Some(DefaultMaxShingleDf)): DataFrame =
+    sharedShinglePairs(shingleIndex(docs, textCol, idCol, shingleK, maxShingleDf))
       .select(col("id_a"), col("id_b"),
         round(col("n_common").cast("double") /
           (col("na") + col("nb") - col("n_common")).cast("double"), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-  }
+
+  /** Directional n-gram CONTAINMENT pairs — the asymmetric near-dup
+    * relation Jaccard systematically misses: a short document quoted
+    * whole inside a long one has containment(short in long) ≈ 1 while
+    * Jaccard ≈ |short|/|long| ≈ 0 (Broder 1997 distinguishes exactly
+    * these two resemblance measures). Same capped inverted-index
+    * blocking and Σ df² cost as [[ngramJaccardPairs]]; emits both
+    * directions per pair plus the max, filtered on the max.
+    */
+  def ngramContainmentPairs(docs: DataFrame, textCol: String, idCol: String,
+                            shingleK: Int = 3, threshold: Double = 0.5,
+                            maxShingleDf: Option[Int] = Some(DefaultMaxShingleDf)): DataFrame =
+    sharedShinglePairs(shingleIndex(docs, textCol, idCol, shingleK, maxShingleDf))
+      .select(col("id_a"), col("id_b"), col("n_common"),
+        col("na"), col("nb"),
+        round(col("n_common").cast("double") / col("na").cast("double"), 6)
+          .as("contain_a_in_b"),
+        round(col("n_common").cast("double") / col("nb").cast("double"), 6)
+          .as("contain_b_in_a"))
+      .withColumn("max_containment",
+        greatest(col("contain_a_in_b"), col("contain_b_in_a")))
+      .filter(col("max_containment") >= threshold)
 
   /** SimHash near-dup pairs: 48-bit signatures, banded into 4×12-bit
     * chunks for blocking (hamming-close pairs almost surely share a

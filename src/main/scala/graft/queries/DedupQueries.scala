@@ -77,6 +77,46 @@ object DedupQueries {
       |ORDER BY jaccard DESC, id_a, id_b
       """.stripMargin.trim))
 
+  private val containment = QueryDef(
+    "dedup_ngram_containment",
+    "Directional n-gram CONTAINMENT near-dup pairs (Broder 1997's " +
+      "second resemblance measure) — the asymmetric relation " +
+      "dedup_ngram_jaccard systematically misses: a short document " +
+      "quoted whole inside a long one has containment(short→long) ≈ 1 " +
+      "while Jaccard ≈ |short|/|long| ≈ 0, and quote-inclusion / " +
+      "boilerplate-wrapper pages are exactly what a training-data " +
+      "pipeline needs to catch beside symmetric dups. Same capped " +
+      "shingle inverted-index blocking (Σ df² cost, hot shingles " +
+      "dropped via the bounded hot-list broadcast — oracle mirrors " +
+      "the cap); both directions + the max per pair, max ≥ 0.5, " +
+      "top-30 by (max desc, id_a, id_b).",
+    (s, dir) => {
+      val d = Tables.documentsSpread(s, dir)
+      Dedup.ngramContainmentPairs(d, "text", "doc_id", shingleK = 3,
+          threshold = 0.5, maxShingleDf = Some(Dedup.DefaultMaxShingleDf))
+        .orderBy(col("max_containment").desc, col("id_a"), col("id_b"))
+        .limit(30)
+    },
+    Some(s"""
+      |$duckShingles, $duckCappedIndex, pairs AS (
+      |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, x.n_sh AS na, y.n_sh AS nb, count(*) AS n_common
+      |  FROM ex x JOIN ex y ON x.s = y.s AND x.doc_id < y.doc_id
+      |  GROUP BY 1, 2, 3, 4
+      |), c AS (
+      |  SELECT id_a, id_b, n_common, na, nb,
+      |         round(n_common::DOUBLE / na::DOUBLE, 6) AS contain_a_in_b,
+      |         round(n_common::DOUBLE / nb::DOUBLE, 6) AS contain_b_in_a
+      |  FROM pairs
+      |), m AS (
+      |  SELECT *, greatest(contain_a_in_b, contain_b_in_a) AS max_containment
+      |  FROM c
+      |)
+      |SELECT id_a, id_b, n_common, na, nb, contain_a_in_b, contain_b_in_a,
+      |       max_containment
+      |FROM m WHERE max_containment >= 0.5
+      |ORDER BY max_containment DESC, id_a, id_b LIMIT 30
+      """.stripMargin.trim))
+
   /** Shared DuckDB CTE chain mirroring `Dedup.minhashSignatures` +
     * `minhashCandidatePairsFromShingles` (12 hashes, 4×3 bands): `sig`
     * holds the signatures, `cand` the distinct LSH candidate pairs —
@@ -718,6 +758,6 @@ object DedupQueries {
       """.stripMargin.trim))
 
   val defs: Seq[QueryDef] =
-    Seq(exact, ngram, minhash, minhashEstimate, simhash, embCos, semPrune,
+    Seq(exact, ngram, containment, minhash, minhashEstimate, simhash, embCos, semPrune,
       clusters, canonical, incremental, sourceMatrix, windowSpans, removeSpans)
 }

@@ -692,6 +692,14 @@ class PlanShapeSpec extends SparkSpec {
       assert(!p.contains("orders.parquet"),
         s"$q must not re-join the orders fact either:\n$p")
     }
+    // the markov pair reads the shared transition-count store — the
+    // one user-keyed lag-window pass over events is paid once per
+    // session, not once per consumer
+    Seq("ev_markov_transitions", "ev_markov_stationary").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("events.parquet"),
+        s"$q must read the memoized transition-count store, not re-scan events:\n$p")
+    }
   }
 
   test("frequent triples: brand dim broadcasts; scalars Cross-broadcast; top-25 heaps") {

@@ -101,6 +101,45 @@ class TextDedupSpec extends SparkSpec {
     assert(!m.contains((1L, 4L)))
   }
 
+  test("ngram containment catches the asymmetric inclusion Jaccard misses") {
+    // doc 7 is doc 6 quoted whole inside a much longer page: containment
+    // (6 in 7) must read ~1.0 while Jaccard stays low — the wrapper-page
+    // relation this operator exists for
+    val docs = dupDocs.union(Seq(
+      (6L, "the quick brown fox jumps over the lazy dog"),
+      (7L, "header boilerplate navigation menu item " +
+        "the quick brown fox jumps over the lazy dog " +
+        "footer copyright legal terms privacy contact about careers")).
+      toDF("doc_id", "text"))
+    val pairs = Dedup.ngramContainmentPairs(docs, "text", "doc_id",
+      shingleK = 3, threshold = 0.5, maxShingleDf = None)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(5), r.getDouble(6), r.getDouble(7)))
+      .toMap
+    val (aInB, bInA, mx) = pairs((6L, 7L))
+    assert(aInB == 1.0, s"doc 6 is fully contained in 7: $aInB")
+    assert(bInA < 0.5, s"doc 7 is NOT contained in 6: $bInA")
+    assert(mx == 1.0)
+    // and the corresponding Jaccard is far below the containment —
+    // the exact asymmetry claim
+    val j = Dedup.ngramJaccardPairs(docs, "text", "doc_id", shingleK = 3,
+      threshold = 0.0, maxShingleDf = None)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(j((6L, 7L)) < 0.5 && j((6L, 7L)) > 0.0)
+    // directional values replay: common/na and common/nb exactly
+    val (c67, na, nb) = {
+      val row = Dedup.ngramContainmentPairs(docs, "text", "doc_id",
+        shingleK = 3, threshold = 0.0, maxShingleDf = None)
+        .filter(col("id_a") === 6 && col("id_b") === 7).collect().head
+      (row.getLong(2), row.getLong(3), row.getLong(4))
+    }
+    assert(aInB == BigDecimal(c67.toDouble / na.toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(bInA == BigDecimal(c67.toDouble / nb.toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("minhash LSH candidates include true near-dups (recall on this corpus)") {
     val cands = Dedup.minhashCandidatePairs(dupDocs, "text", "doc_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
