@@ -127,6 +127,45 @@ object MultimodalQueries {
       |ORDER BY n_docs DESC, fp
       """.stripMargin.trim))
 
+  /** Frame-sketch near-dup pairs over a media DataFrame — factored so
+    * MultimodalSpec can drive the hot-band cap on a synthetic pileup.
+    * Sketch = SimHash of the asset's distinct 48-bit frame
+    * fingerprints; 4×12-bit banding; band buckets above
+    * `maxBandSize` drop (the dedup_simhash cap, same bounded
+    * hot-list broadcast).
+    */
+  private[graft] def phashPairs(d: org.apache.spark.sql.DataFrame,
+                                  maxHamming: Int,
+                                  maxBandSize: Option[Int] =
+                                    Some(graft.operators.Dedup.DefaultMaxBandSize)): org.apache.spark.sql.DataFrame = {
+    import graft.operators.TextAnalysis
+    val frames = expr(
+      "transform(sequence(0, (octet_length(media) - 1) div 64), " +
+        "i -> substring(media, i*64 + 1, 16))")
+    val hashes = array_distinct(transform(frames,
+      f => TextAnalysis.md5Long48(f)))
+    val sk = d.select(col("doc_id"),
+      TextAnalysis.simhash48FromHashes(hashes).as("sig"))
+    val bands = sk.select(col("doc_id"), col("sig"),
+      explode(expr("transform(sequence(0, 3), " +
+        "b -> concat(CAST(b AS STRING), ':', CAST((sig >> (b*12)) & 4095 AS STRING)))"))
+        .as("band"))
+      .cache()
+    val pruned = maxBandSize match {
+      case Some(cap) =>
+        val hot = bands.groupBy(col("band"))
+          .agg(count(lit(1)).as("n")).filter(col("n") > cap).select("band")
+        bands.join(broadcast(hot), Seq("band"), "left_anti")
+      case None => bands
+    }
+    pruned.as("x").join(pruned.as("y"),
+        col("x.band") === col("y.band") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        TextAnalysis.hammingDistance(col("x.sig"), col("y.sig")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   private val phashNearDup = QueryDef(
     "mm_phash_near_dup",
     "Video-level perceptual-hash near-dup over the BINARY media " +
@@ -140,34 +179,21 @@ object MultimodalQueries {
       "sharing, mm_frame_dedup, misses the asset-level relation). " +
       "Sketches band into 4×12 bits; only band-sharing pairs are " +
       "candidates (never all-pairs — the dedup_simhash scale " +
-      "contract); hamming ≤ 12 verify, 25 closest pairs. The sketch " +
+      "contract, INCLUDING its default-on hot-band cap: band buckets " +
+      "above " + graft.operators.Dedup.DefaultMaxBandSize + " assets " +
+      "drop via a bounded hot-list broadcast anti-join, so a " +
+      "pathological single-sketch pileup cannot put Σ bucket² pairs " +
+      "in one task; like dedup_simhash, the cap never fires on the " +
+      "tested fixtures, so the oracle omits it by the same contract); " +
+      "hamming ≤ 12 verify, 25 closest pairs. The sketch " +
       "pass is a shuffle-free HOF projection over the binary column; " +
       "the band join shuffles (band, id, sig) only. Oracle recomputes " +
       "frames, fingerprints, votes, bands, and hamming in SQL (the " +
       "fixture's ASCII stand-in media makes DuckDB's VARCHAR " +
       "substring slice the same bytes Spark's BINARY substr does).",
-    (s, dir) => {
-      import graft.operators.TextAnalysis
-      val d = Multimodal.withFakeMedia(Tables.documentsSpread(s, dir), "text")
-      val frames = expr(
-        "transform(sequence(0, (octet_length(media) - 1) div 64), " +
-          "i -> substring(media, i*64 + 1, 16))")
-      val hashes = array_distinct(transform(frames,
-        f => TextAnalysis.md5Long48(f)))
-      val sk = d.select(col("doc_id"),
-        TextAnalysis.simhash48FromHashes(hashes).as("sig"))
-      val bands = sk.select(col("doc_id"), col("sig"),
-        explode(expr("transform(sequence(0, 3), " +
-          "b -> concat(CAST(b AS STRING), ':', CAST((sig >> (b*12)) & 4095 AS STRING)))"))
-          .as("band"))
-      val cand = bands.as("x").join(bands.as("y"),
-          col("x.band") === col("y.band") && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
-          TextAnalysis.hammingDistance(col("x.sig"), col("y.sig")).as("hamming"))
-        .distinct()
-        .filter(col("hamming") <= 12)
-      cand.orderBy(col("hamming"), col("id_a"), col("id_b")).limit(25)
-    },
+    (s, dir) => phashPairs(Multimodal.withFakeMedia(
+        Tables.documentsSpread(s, dir), "text"), maxHamming = 12)
+      .orderBy(col("hamming"), col("id_a"), col("id_b")).limit(25),
     Some("""
       |WITH f AS (
       |  SELECT doc_id, list_distinct(list_transform(

@@ -119,6 +119,31 @@ class MultimodalSpec extends SparkSpec {
     assert(out == perLang, s"\n$out\nvs\n$perLang")
   }
 
+  test("phash hot-band cap drops a synthetic mega-bucket, keeps normal pairs") {
+    import spark.implicits._
+    // 30 byte-identical assets share every band (one bucket of 30);
+    // two distinct near-dup assets live in small buckets. cap=10 must
+    // drop the pileup's pairs and keep the honest pair reachable.
+    val boiler = "identical boilerplate asset body repeated verbatim " * 3
+    val docs = ((1L to 30L).map(i => (i, boiler)) ++ Seq(
+      (101L, "a distinctive body about spark vector engines and parquet"),
+      (102L, "a distinctive body about spark vector engines and parquet files")))
+      .toDF("doc_id", "text")
+    val d = graft.operators.Multimodal.withFakeMedia(docs, "text")
+    val capped = graft.queries.MultimodalQueries.phashPairs(d,
+      maxHamming = 48, maxBandSize = Some(10))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!capped.exists { case (a, b) => a <= 30 && b <= 30 },
+      s"mega-bucket pairs must drop under the cap: $capped")
+    assert(capped.contains((101L, 102L)),
+      "small-bucket near-dup pair must survive the cap")
+    // without the cap the pileup pairs come back
+    val uncapped = graft.queries.MultimodalQueries.phashPairs(d,
+      maxHamming = 48, maxBandSize = None)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.exists { case (a, b) => a <= 30 && b <= 30 })
+  }
+
   test("mm_phash_near_dup: pairs replay from driver-computed frame sketches") {
     val out = graft.queries.Queries.queriesMap("mm_phash_near_dup")(
       spark, sf("sf0.001")).collect()
