@@ -83,7 +83,8 @@ object Bench {
       "graph_pagerank_nations" -> Set("graph_pagerank_nations",
         "graph_hits_nations", "graph_bfs_nations", "graph_closeness_nations",
         "graph_eccentricity_nations", "graph_betweenness_approx",
-        "graph_triangle_count", "graph_clustering_coefficient"),
+        "graph_triangle_count", "graph_clustering_coefficient",
+        "graph_reciprocity"),
       // support-2 co-purchase edge store
       "graph_kcore" -> Set("graph_kcore", "graph_label_propagation",
         "graph_modularity", "graph_louvain_refine", "graph_sssp_weighted",

@@ -834,6 +834,102 @@ object StatQueries {
       |FROM m a JOIN m b ON a.grp = 0 AND b.grp = 1
       """.stripMargin.trim))
 
+  private val cohensD = QueryDef(
+    "stat_cohens_d",
+    "Cohen's d effect size for the A/B split — the STANDARDIZED " +
+      "companion to stat_ab_welch's significance and stat_power_mde's " +
+      "detectability (at 100 TB every difference is 'significant'; d " +
+      "is the thresholdable magnitude, the stat_cramers_v argument " +
+      "applied to means): d = (mean_b − mean_a)/s_pooled with the " +
+      "pooled SD from the SAME exact decimal arm sufficient " +
+      "statistics, s_pooled² = ((n_a−1)s_a² + (n_b−1)s_b²)/(n_a+n_b−2) " +
+      "where each (n−1)s² is the raw numerator sv2 − sv²/n evaluated " +
+      "in ONE fixed shape (never recomputed via s²·(n−1) — the " +
+      "stat_bartlett discipline). One aggregate pass; 2 rows after.",
+    (s, dir) => {
+      val g = Tables.events(s, dir)
+        .select((col("user_id") % 2).as("grp"), col("value"))
+      val st = g.groupBy(col("grp")).agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(dec6)).cast(dec2).cast("double").as("sv"),
+        sum((col("value") * col("value")).cast(dec6))
+          .cast(DecimalType(38, 4)).cast("double").as("sv2"))
+      val m = st.select(col("grp"), col("n"),
+        (col("sv") / col("n")).as("mean"),
+        (col("sv2") - col("sv") * col("sv") / col("n")).as("num"))
+      val a = m.filter(col("grp") === 0)
+        .select(col("n").as("n_a"), col("mean").as("mean_raw_a"), col("num").as("num_a"))
+      val b = m.filter(col("grp") === 1)
+        .select(col("n").as("n_b"), col("mean").as("mean_raw_b"), col("num").as("num_b"))
+      val sp = sqrt((col("num_a") + col("num_b")) /
+        (col("n_a") + col("n_b") - lit(2)).cast("double"))
+      a.crossJoin(b).select(
+        col("n_a"), col("n_b"),
+        round(sp, 6).as("s_pooled"),
+        round((col("mean_raw_b") - col("mean_raw_a")) / sp, 6).as("cohens_d"))
+    },
+    Some("""
+      |WITH g AS (
+      |  SELECT user_id % 2 AS grp, value FROM events
+      |), s AS (
+      |  SELECT grp, count(*) AS n,
+      |         CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DECIMAL(38,2)) AS DOUBLE) AS sv,
+      |         CAST(CAST(SUM(CAST(value * value AS DECIMAL(38,6))) AS DECIMAL(38,4)) AS DOUBLE) AS sv2
+      |  FROM g GROUP BY 1
+      |), m AS (
+      |  SELECT grp, n, sv / n AS mean, sv2 - sv * sv / n AS num
+      |  FROM s
+      |)
+      |SELECT a.n AS n_a, b.n AS n_b,
+      |       round(sqrt((a.num + b.num) / CAST(a.n + b.n - 2 AS DOUBLE)), 6) AS s_pooled,
+      |       round((b.mean - a.mean) / sqrt((a.num + b.num) / CAST(a.n + b.n - 2 AS DOUBLE)), 6) AS cohens_d
+      |FROM m a JOIN m b ON a.grp = 0 AND b.grp = 1
+      """.stripMargin.trim))
+
+  private val reciprocity = QueryDef(
+    "graph_reciprocity",
+    "Edge reciprocity of the DIRECTED weighted trade graph — do " +
+      "nation pairs trade both ways? r = |{(u,v): (v,u) also an " +
+      "edge}| / |edges| (self-loops excluded from both sides — they " +
+      "are trivially reciprocal), the directed-graph health metric " +
+      "beside graph_degree_assortativity; a left-semi self-join on " +
+      "the swapped key over the memoized store (entity-domain-sized, " +
+      "one shuffle), reciprocity as the exact truncated integer " +
+      "r·10⁶ = (n_recip·10⁶) div n_edges.",
+    (s, dir) => {
+      val e = nationTradeWeighted(s, dir)
+        .filter(col("src") =!= col("dst"))
+        .select(col("src"), col("dst"))
+      val recip = e.join(
+        e.select(col("dst").as("src"), col("src").as("dst")),
+        Seq("src", "dst"), "left_semi")
+      val tot = e.agg(count(lit(1)).as("n_edges"))
+      recip.agg(count(lit(1)).as("n_reciprocal"))
+        .crossJoin(broadcast(tot))
+        .select(col("n_edges"), col("n_reciprocal"),
+          expr("CAST(n_reciprocal * 1000000 div n_edges AS BIGINT)")
+            .as("reciprocity_millionths"))
+    },
+    Some(s"""
+      |WITH edges AS MATERIALIZED (
+      |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS w
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  GROUP BY 1, 2
+      |), e AS MATERIALIZED (
+      |  SELECT src, dst FROM edges WHERE src <> dst
+      |), r AS (
+      |  SELECT count(*)::BIGINT AS n_reciprocal FROM e
+      |  WHERE EXISTS (SELECT 1 FROM e e2 WHERE e2.src = e.dst AND e2.dst = e.src)
+      |), t AS (
+      |  SELECT count(*)::BIGINT AS n_edges FROM e
+      |)
+      |SELECT n_edges, n_reciprocal,
+      |       CAST((n_reciprocal * 1000000) // n_edges AS BIGINT) AS reciprocity_millionths
+      |FROM r, t
+      """.stripMargin.trim))
+
   private val MarkovIters = 3
 
   private val markovStationary = QueryDef(
@@ -4572,5 +4668,5 @@ object StatQueries {
       kruskal, centroidDrift, ljungBox, normProfile, modularity, tukeyHsd,
       cramersV, louvainRefine, cochranArmitage, welchAnova, mannKendall,
       friedman, bartlett, periodDetect, pettitt, powerMde, markovStationary,
-      richClub)
+      richClub, cohensD, reciprocity)
 }

@@ -1900,6 +1900,44 @@ class ModelEvalSpec extends SparkSpec {
     assert(mde > 0.0)
   }
 
+  test("stat_cohens_d: d recomposes from the arm sufficient statistics") {
+    val out = run("stat_cohens_d").collect().head
+    val (na, nb, sp, d) = (out.getLong(0), out.getLong(1),
+      out.getDouble(2), out.getDouble(3))
+    val arms = Tables.events(spark, sf("sf0.001"))
+      .select((col("user_id") % 2).as("grp"),
+        col("value").cast(org.apache.spark.sql.types.DecimalType(38, 6)).as("v"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n"),
+        sum(col("v")).cast(org.apache.spark.sql.types.DecimalType(38, 2))
+          .cast("double").as("sv"),
+        sum(col("v") * col("v")).cast(org.apache.spark.sql.types.DecimalType(38, 4))
+          .cast("double").as("sv2"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    val (n0, sv0, sv20) = arms(0L); val (n1, sv1, sv21) = arms(1L)
+    assert(na == n0 && nb == n1)
+    val num0 = sv20 - sv0 * sv0 / n0; val num1 = sv21 - sv1 * sv1 / n1
+    val spWant = math.sqrt((num0 + num1) / (n0 + n1 - 2).toDouble)
+    assert(sp == rd6(spWant))
+    assert(d == rd6((sv1 / n1 - sv0 / n0) / spWant))
+  }
+
+  test("graph_reciprocity: ratio replays from the collected edge set") {
+    val out = run("graph_reciprocity").collect().head
+    val (ne, nr, rm) = (out.getLong(0), out.getLong(1), out.getLong(2))
+    val edges = graft.queries.StatQueries
+      .nationTradeWeighted(spark, sf("sf0.001"))
+      .select("src", "dst").collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue))
+      .filter(e => e._1 != e._2).toSet
+    assert(ne == edges.size)
+    val recip = edges.count(e => edges.contains((e._2, e._1))).toLong
+    assert(nr == recip)
+    assert(rm == recip * 1000000L / edges.size)
+    assert(nr <= ne)
+  }
+
   test("ev_markov_stationary: iterations replay as exact truncating-division folds") {
     val out = run("ev_markov_stationary").collect()
       .map(r => (r.getString(0), r.getLong(1))).toMap

@@ -684,7 +684,7 @@ class PlanShapeSpec extends SparkSpec {
       "graph_degree_assortativity",
       // trade-graph store
       "graph_betweenness_approx", "graph_closeness_nations",
-      "graph_bfs_nations", "graph_pagerank_nations")
+      "graph_bfs_nations", "graph_pagerank_nations", "graph_reciprocity")
     consumers.foreach { q =>
       val p = planOf(q)
       assert(!p.contains("lineitem.parquet"),
