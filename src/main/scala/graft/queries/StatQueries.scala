@@ -930,6 +930,59 @@ object StatQueries {
       |FROM r, t
       """.stripMargin.trim))
 
+  private val peakHour = QueryDef(
+    "ev_peak_hour_profile",
+    "Hour-of-day load profile per event type — the capacity-planning " +
+      "readout beside dq_volume_control's day-level alarm: exact " +
+      "BIGINT counts per (type, hour) bucket (hour as the UTC " +
+      "date_format/strftime STRING both engines render identically — " +
+      "the day-grid discipline applied to hours), each hour's share " +
+      "of its type as the exact truncated integer (n·10⁶) div " +
+      "n_type, and the type's PEAK hour via an argmax window on the " +
+      "≤24-row per-type relation (count desc, hour asc tiebreak). " +
+      "One rollup shuffle; the profile is 24·|types| rows at any SF.",
+    (s, dir) => {
+      val hourly = Tables.events(s, dir)
+        .select(col("event_type"), date_format(col("ts"), "HH").as("hour"))
+        .groupBy(col("event_type"), col("hour")).agg(count(lit(1)).as("n"))
+      val byType = Window.partitionBy(col("event_type"))
+      val rk = Window.partitionBy(col("event_type"))
+        .orderBy(col("n").desc, col("hour"))
+      hourly
+        .withColumn("n_type", sum(col("n")).over(byType))
+        .withColumn("share_millionths",
+          expr("CAST(n * 1000000 div n_type AS BIGINT)"))
+        .withColumn("peak_hour", first(col("hour")).over(
+          rk.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .withColumn("is_peak", (col("hour") === col("peak_hour")).cast("long"))
+        .select(col("event_type"), col("hour"), col("n"),
+          col("share_millionths"), col("peak_hour"), col("is_peak"))
+        .orderBy(col("event_type"), col("hour"))
+    },
+    Some("""
+      |WITH hourly AS (
+      |  SELECT event_type, strftime(ts::TIMESTAMP, '%H') AS hour, count(*)::BIGINT AS n
+      |  FROM events GROUP BY 1, 2
+      |), t AS (
+      |  SELECT event_type, hour, n,
+      |         SUM(n) OVER (PARTITION BY event_type) AS n_type
+      |  FROM hourly
+      |), pk AS (
+      |  SELECT event_type, hour AS peak_hour FROM (
+      |    SELECT event_type, hour,
+      |           row_number() OVER (PARTITION BY event_type
+      |                              ORDER BY n DESC, hour) AS rn
+      |    FROM hourly
+      |  ) WHERE rn = 1
+      |)
+      |SELECT t.event_type, t.hour, t.n,
+      |       CAST((t.n * 1000000) // t.n_type AS BIGINT) AS share_millionths,
+      |       pk.peak_hour,
+      |       CASE WHEN t.hour = pk.peak_hour THEN 1 ELSE 0 END::BIGINT AS is_peak
+      |FROM t JOIN pk USING (event_type)
+      |ORDER BY t.event_type, t.hour
+      """.stripMargin.trim))
+
   private val MarkovIters = 3
 
   private val markovStationary = QueryDef(
@@ -4668,5 +4721,5 @@ object StatQueries {
       kruskal, centroidDrift, ljungBox, normProfile, modularity, tukeyHsd,
       cramersV, louvainRefine, cochranArmitage, welchAnova, mannKendall,
       friedman, bartlett, periodDetect, pettitt, powerMde, markovStationary,
-      richClub, cohensD, reciprocity)
+      richClub, cohensD, reciprocity, peakHour)
 }

@@ -1900,6 +1900,23 @@ class ModelEvalSpec extends SparkSpec {
     assert(mde > 0.0)
   }
 
+  test("ev_peak_hour_profile: shares partition each type; peak is the argmax hour") {
+    val out = run("ev_peak_hour_profile").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getLong(5)))
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (et, rows) =>
+      val total = rows.map(_._3).sum
+      rows.foreach { case (_, _, n, share, _, _) =>
+        assert(share == n * 1000000L / total)
+      }
+      val peak = rows.minBy(r => (-r._3, r._2))
+      assert(rows.forall(_._5 == peak._2), s"$et: peak hour must be the argmax")
+      assert(rows.count(_._6 == 1L) == 1 && peak._6 == 1L,
+        s"$et: exactly the peak row flags is_peak")
+    }
+  }
+
   test("stat_cohens_d: d recomposes from the arm sufficient statistics") {
     val out = run("stat_cohens_d").collect().head
     val (na, nb, sp, d) = (out.getLong(0), out.getLong(1),
