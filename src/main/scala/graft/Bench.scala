@@ -102,8 +102,22 @@ object Bench {
       "ann_ivf_rule_rewrite" -> Set("ann_ivf_rule_rewrite",
         "knn_filtered_ivf_rewrite"),
       // sharded NSW graph store (the streaming serve path beams over it)
-      "ann_nsw_beam" -> Set("ann_nsw_beam", "stream_serve_nsw"))
+      "ann_nsw_beam" -> Set("ann_nsw_beam", "stream_serve_nsw"),
+      // sharded HNSW store (beam + routed + filtered + the serving
+      // router's hnsw branch all read it)
+      "ann_hnsw_beam" -> Set("ann_hnsw_beam", "ann_hnsw_routed",
+        "knn_filtered_hnsw", "ann_cost_serving"),
+      // per-shard router centroids (one bounded rollup over the store)
+      "ann_hnsw_routed" -> Set("ann_hnsw_routed", "ann_cost_serving"),
+      // hybrid two-level store + its per-partition stats
+      "ann_cost_rewrite" -> Set("ann_cost_rewrite", "ann_cost_serving"))
     val warmupTimes = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // a warmup that THREW did not build its store: its elapsed time must
+    // not be reported as a normal-looking cost line (the artifact would
+    // read "store built" when it wasn't, and the downstream timed queries
+    // would silently pay the build inside their timings) — failed builds
+    // are excluded from the stores map/total and named in stores_failed
+    val warmupFailed = scala.collection.mutable.ArrayBuffer.empty[String]
     Seq("knn_exact_cosine", "txt_stats", "dedup_clusters", "q1_pricing_summary",
         "ann_ivf_rule_rewrite", "ann_ivf_kmeans_rewrite", "ann_lsh_rule_rewrite",
         // ann_nsw_beam's warmup performs the one-time sharded NSW graph
@@ -115,6 +129,12 @@ object Bench {
         // timed run before this entry) so the timed run measures the
         // cost-chosen probed READ path
         "ann_cost_rewrite",
+        // ann_hnsw_beam's warmup performs the one-time sharded layered-
+        // graph build+write (HnswStore — now read by four queries);
+        // ann_hnsw_routed's additionally runs the one-time per-shard
+        // centroid rollup (HnswRouterStore) the router and the serving
+        // choice both read
+        "ann_hnsw_beam", "ann_hnsw_routed",
         "ann_pq_adc", "ann_ivfpq_adc", "vec_pca_knn", "maint_ivf_append",
         // vec_kmeans_elbow's warmup performs its one-time per-JVM
         // four-k KMeans fits (ElbowStore) so the timed run measures the
@@ -177,11 +197,16 @@ object Bench {
         // the trade graph at sf0.1, 300-490 s at sf100 — is a line item
         // a deployment decision needs, not prose. totals = timed + stores.
         val w0 = System.nanoTime()
-        try consume(SparkEntry.queries(w)(spark, sfDir))
-        catch { case _: Throwable => () }
-        warmupTimes(w) = (System.nanoTime() - w0) / 1e9
+        try {
+          consume(SparkEntry.queries(w)(spark, sfDir))
+          warmupTimes(w) = (System.nanoTime() - w0) / 1e9
+        } catch { case e: Throwable =>
+          warmupFailed += w
+          System.err.println(s"[bench] WARMUP FAILED $w: ${e.getMessage}")
+        }
         spark.catalog.clearCache()
       }
+    val queryFailed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -192,7 +217,12 @@ object Bench {
       require(!spark.sparkContext.isStopped,
         s"SparkContext died before $name — benchmark run is invalid")
       val t0 = System.nanoTime()
-      try consume(fn(spark, sfDir)) catch { case _: Throwable => () }
+      try consume(fn(spark, sfDir)) catch { case e: Throwable =>
+        // same policy as warmups: a crashed query must be NAMED in the
+        // artifact, not pass off its fast-fail elapsed as a timing
+        queryFailed += name
+        System.err.println(s"[bench] QUERY FAILED $name: ${e.getMessage}")
+      }
       val sec = (System.nanoTime() - t0) / 1e9
       // drop every cache the query left behind — retained blocks would
       // build memory pressure across the 40+ query session and turn
@@ -216,7 +246,16 @@ object Bench {
     val storesJson = warmupTimes.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val storesTotal = warmupTimes.values.sum
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stores":$storesJson,"stores_total":$storesTotal,"sf":"$sfDir"}"""
+    val failedJson = (warmupFailed.map("\"" + _ + "\"") ++
+      queryFailed.map("\"" + _ + "\"")).mkString("[", ",", "]")
+    // coverage lock (round-16 drift: a query landed after the final bench
+    // and shipped unbenched): a full run's artifact must cover EXACTLY
+    // the registered surface — if it can't, the run aborts rather than
+    // emitting an artifact that underreports the query set
+    if (only.isEmpty)
+      require(results.size == SparkEntry.queries.size,
+        s"bench covered ${results.size} of ${SparkEntry.queries.size} registered queries")
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","n_registered":${SparkEntry.queries.size},"queries":$qs,"stores":$storesJson,"stores_total":$storesTotal,"failed":$failedJson,"sf":"$sfDir"}"""
     // full per-query map → file (committed per round as bench_full.json)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
     try {

@@ -15,6 +15,16 @@ import org.apache.spark.sql.functions._
   */
 object RecallDump {
 
+  /** Bound on every query-workload collect in this file: the sweep
+    * measures a SAMPLE of queries, and the sample size is a contract of
+    * the telemetry (not a function of corpus size) — `.limit(MaxQueries)`
+    * keeps each collect ≤ MaxQueries rows at ANY SF, the same
+    * bounded-collect discipline the gated queries follow (probe lists,
+    * candidate sets). At the artifact SF (sf0.1: 500 sampled vectors)
+    * the cap is not binding, so the published tables are unchanged.
+    */
+  private val MaxQueries = 512
+
   case class Point(nprobe: Int, fraction: Double, meanRecall: Double,
                    minRecall: Double, scannedFraction: Double)
 
@@ -31,7 +41,7 @@ object RecallDump {
     Ann.writeIndexed(emb, "embedding", cents, path)
     val indexed = Ann.readIndexed(spark, path)
     val corpusQs = emb.filter(col("vec_id") % 100 === 10)
-      .orderBy("vec_id").select("embedding").collect()
+      .orderBy("vec_id").limit(MaxQueries).select("embedding").collect()
       .map(_.getSeq[Float](0).toArray)
     val points = curveOver(emb, indexed, cents, corpusQs :+ Queries.queryVec64, nlist, k)
     emb.unpersist()
@@ -50,7 +60,7 @@ object RecallDump {
     val cents = Ann.kmeansCentroids(emb, "embedding", nlist, seed = 42L, maxIter = 20)
     val indexed = Ann.assignClusters(emb, "embedding", cents).cache()
     val qs = emb.filter(col("vec_id") % 100 === 10)
-      .orderBy("vec_id").select("embedding").collect()
+      .orderBy("vec_id").limit(MaxQueries).select("embedding").collect()
       .map(_.getSeq[Float](0).toArray)
     val points = curveOver(emb, indexed, cents, qs, nlist, k)
     indexed.unpersist(); emb.unpersist()
@@ -118,7 +128,7 @@ object RecallDump {
     val sizes = bucketed.groupBy("lsh_bucket").count()
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val qs = emb.filter(col("vec_id") % 100 === 10)
-      .orderBy("vec_id").select("embedding").collect()
+      .orderBy("vec_id").limit(MaxQueries).select("embedding").collect()
       .map(_.getSeq[Float](0).toArray) :+ Queries.queryVec64
     val exactByQ = qs.map(qv => Knn.search(emb, "embedding", "vec_id", qv, k))
     val pts = Seq(0, 1, 2).map { r =>
@@ -150,7 +160,7 @@ object RecallDump {
     val cb = graft.operators.Pq.fitCodebooks(emb, "embedding", dim = 64, m = 8, ksub = 16)
     val enc = graft.operators.Pq.encode(emb, "embedding", cb).cache()
     val qs = emb.filter(col("vec_id") % 100 === 10)
-      .orderBy("vec_id").select("embedding").collect()
+      .orderBy("vec_id").limit(MaxQueries).select("embedding").collect()
       .map(_.getSeq[Float](0).toArray) :+ Queries.queryVec64
     val exactByQ = qs.map(qv => Knn.search(emb, "embedding", "vec_id", qv, k))
     val pts = sweep(emb, enc, cb, qs, k)
@@ -169,7 +179,7 @@ object RecallDump {
     val cb = graft.operators.Pq.fitCodebooks(emb, "embedding", dim = 64, m = 8, ksub = 16)
     val enc = graft.operators.Pq.encode(emb, "embedding", cb).cache()
     val qs = emb.filter(col("vec_id") % 100 === 10)
-      .orderBy("vec_id").select("embedding").collect()
+      .orderBy("vec_id").limit(MaxQueries).select("embedding").collect()
       .map(_.getSeq[Float](0).toArray)
     val pts = sweep(emb, enc, cb, qs, k)
     enc.unpersist(); emb.unpersist()
@@ -214,7 +224,7 @@ object RecallDump {
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val n = emb.count()
     val qs = emb.filter(col("vec_id") % 100 === 10)
-      .orderBy("vec_id").select("embedding").collect()
+      .orderBy("vec_id").limit(MaxQueries).select("embedding").collect()
       .map(_.getSeq[Float](0).toArray)
     val exactByQ = qs.map(qv => Knn.search(emb, "embedding", "vec_id", qv, k))
     val pts = Seq(1, 2, 4, 8, nlist).map { np =>
@@ -254,7 +264,7 @@ object RecallDump {
     graph.count()
     val n = emb.count()
     val qs0 = emb.filter(col("vec_id") % 100 === 10)
-      .orderBy("vec_id").select("embedding").collect()
+      .orderBy("vec_id").limit(MaxQueries).select("embedding").collect()
       .map(_.getSeq[Float](0).toArray)
     val qs = if (includeFlagship) qs0 :+ Queries.queryVec64 else qs0
     val exactByQ = qs.map(qv => Knn.search(emb, "embedding", "vec_id", qv, k))
@@ -274,6 +284,56 @@ object RecallDump {
     }
     graph.unpersist(); emb.unpersist()
     pts
+  }
+
+  /** Routed-HNSW fan-out sweep: recall@k vs nprobe (shards beamed) on
+    * the shard-routed read path (ann_hnsw_routed). The router's cost is
+    * the fan-out — nprobe beams instead of nShards — so this table IS
+    * the recall/fan-out trade the router buys corpus-size-independent
+    * queries with. nprobe = nShards reproduces the full fan exactly.
+    */
+  case class RoutedPoint(nprobe: Int, candFraction: Double,
+                         meanRecall: Double, minRecall: Double)
+
+  def routedCurve(spark: org.apache.spark.sql.SparkSession,
+                  corpus: org.apache.spark.sql.DataFrame, k: Int,
+                  includeFlagship: Boolean): Seq[RoutedPoint] = {
+    val emb = corpus.cache()
+    val p = graft.operators.Nsw.Params(nShards = 4, m = 8,
+      efConstruction = 32, efSearch = 32)
+    val graph = graft.operators.Nsw
+      .buildHnswGraph(emb, "embedding", "vec_id", p).cache()
+    graph.count()
+    // bounded: nShards·dim rows — the router's whole driver footprint
+    val cents = graft.operators.Nsw.shardCentroids(graph)
+    val n = emb.count()
+    val qs0 = emb.filter(col("vec_id") % 100 === 10)
+      .orderBy("vec_id").limit(MaxQueries).select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    val qs = if (includeFlagship) qs0 :+ Queries.queryVec64 else qs0
+    val exactByQ = qs.map(qv => Knn.search(emb, "embedding", "vec_id", qv, k))
+    val pts = (1 to p.nShards).map { np =>
+      var cand = 0L
+      val rs = qs.toSeq.lazyZip(exactByQ).map { (qv, exact) =>
+        val (res, cs, _) = graft.operators.Nsw.hnswRoutedSearch(
+          graph, emb, "embedding", "vec_id", qv, k, cents, np, p)
+        cand += cs.length
+        Ann.recallAtK(res, exact, "vec_id")
+      }
+      RoutedPoint(np, cand.toDouble / (n * qs.length), rs.sum / rs.size, rs.min)
+    }
+    graph.unpersist(); emb.unpersist()
+    pts
+  }
+
+  private def routedTable(pts: Seq[RoutedPoint]): String = {
+    val sb = new StringBuilder
+    sb ++= "| nprobe (beams) | candidates re-ranked | mean recall@10 | min recall@10 |\n"
+    sb ++= "|---|---|---|---|\n"
+    pts.foreach { p =>
+      sb ++= f"| ${p.nprobe} | ${p.candFraction * 100}%.1f%% | ${p.meanRecall}%.3f | ${p.minRecall}%.3f |\n"
+    }
+    sb.toString
   }
 
   private def nswTable(pts: Seq[NswPoint]): String = {
@@ -462,6 +522,32 @@ object RecallDump {
     sb ++= nswTable(nswCurve(spark,
       clusteredCorpus(spark, n = 2000, dim = 64, nClusters = 32,
         sigma = 0.15, seed = 7L), k, includeFlagship = false, layered = true))
+    sb ++= "\n## Routed HNSW fan-out sweep (ann_hnsw_routed's read path)\n\n"
+    sb ++= "The shard router: each shard keeps one centroid (a bounded " +
+      "build-time aggregate), a query beams only its nprobe " +
+      "centroid-nearest shards, and per-query cost becomes " +
+      "O(nprobe·ef·log shardSize) — constant in corpus size where the " +
+      "full fan grows linearly with nShards. nprobe = 4 (= nShards) " +
+      "reproduces the full fan exactly. Fixture corpus first:\n\n"
+    sb ++= routedTable(routedCurve(spark, Tables.embeddings(spark, sfDir), k,
+      includeFlagship = true))
+    sb ++= "\nClustered corpus (same mixture; cluster c lands on shard " +
+      "c mod 4 under the hash sharding, so shards carry disjoint " +
+      "cluster subsets — a locality-bearing layout):\n\n"
+    sb ++= routedTable(routedCurve(spark,
+      clusteredCorpus(spark, n = 2000, dim = 64, nClusters = 32,
+        sigma = 0.15, seed = 7L), k, includeFlagship = false))
+    sb ++= "\nReading the trade: on the NEAR-UNIFORM fixture every " +
+      "shard sees the same distribution, centroids nearly coincide, " +
+      "and routing approximates a uniform shard sample — recall ≈ " +
+      "(nprobe/nShards)·full-fan, the documented worst case. On the " +
+      "locality-bearing layout the router sends each query to the " +
+      "shards that actually hold its cluster, buying most of the full " +
+      "fan's recall at a quarter of its beams — the routed deployment " +
+      "therefore shards by a locality-bearing key (arrival window when " +
+      "drift gives windows structure, or a coarse k-means assignment — " +
+      "the IVF-of-graphs layout), and that is what makes graph-ANN " +
+      "query cost independent of corpus size at 100 TB.\n"
     sb ++= "\nUnlike IVF/LSH (which prune by a coarse quantizer) and PQ " +
       "(which compresses), the graph walk adapts its scanned set to " +
       "each query's neighborhood, so recall per candidate re-ranked is " +

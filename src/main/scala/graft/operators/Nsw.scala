@@ -298,8 +298,12 @@ object Nsw {
         typedLit(Seq.empty[Long]).as("neighbors"), lit(true).as("is_new"))
       // idempotence: an id already in the graph must not insert twice
       // (a replayed batch would otherwise emit duplicate rows and wire
-      // a node to itself through its earlier copy)
+      // a node to itself through its earlier copy) — and neither must a
+      // vec_id duplicated WITHIN the batch (the second insert would
+      // reset the node's adjacency while backlinks from the first
+      // persist in other nodes' edge lists)
       .join(graph.select(col("vec_id")), Seq("vec_id"), "left_anti")
+      .dropDuplicates("vec_id")
       .select(existing.columns.map(col): _*)
     val all = existing.union(incoming).repartition(p.nShards, col("shard"))
     val out = all.queryExecution.toRdd.mapPartitions { it =>
@@ -406,6 +410,13 @@ object Nsw {
       .select(windowShard(idCol, windowSize).as("shard"),
         col(idCol).cast("long").as("vec_id"),
         col(vecCol).cast("array<float>").as("embedding"))
+      // batch-internal idempotence (the cross-store anti-join below only
+      // covers ids ALREADY in the store): duplicate vec_ids within one
+      // batch would insert twice — the second insert resets the node's
+      // adjacency while backlinks from the first persist, corrupting the
+      // graph invariants. Equal-id rows are replays of one logical row,
+      // so keeping any single one is correct.
+      .dropDuplicates("vec_id")
     val touched = incoming.select(col("shard")).distinct()
       .collect().map(_.getInt(0)).sorted
     if (touched.isEmpty) return
@@ -453,6 +464,21 @@ object Nsw {
     // deleted last, and the entry-time recovery above restores it if
     // this JVM dies mid-swap.
     val asideRoot = new org.apache.hadoop.fs.Path(storePath + "_windowed_aside")
+    // writer-liveness sentinel, created BEFORE the first rename: a
+    // reader that lands mid-swap sees the transient empty-slot+aside
+    // state, and without the fence its recovery would rename the OLD
+    // shard back into the slot (failing this appender's rename-in) and
+    // delete asideRoot out from under the swap — if the appender then
+    // died before renaming the staged shard in, the old bytes would
+    // already be gone, reopening exactly the data-loss window the aside
+    // exists to close. The pid-stamped marker lets recoverAside
+    // distinguish a crashed swap (owner pid dead → recover) from an
+    // in-flight one (owner alive → leave the swap alone).
+    val marker = swapMarker(storePath)
+    val out2 = fs.create(marker, true)
+    out2.write(ProcessHandle.current().pid().toString
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out2.close()
     fs.mkdirs(asideRoot)
     touched.foreach { sh =>
       val from = new org.apache.hadoop.fs.Path(staged, s"shard=$sh")
@@ -464,7 +490,25 @@ object Nsw {
     }
     fs.delete(asideRoot, true)
     fs.delete(staged, true)
+    fs.delete(marker, false)
   }
+
+  private def swapMarker(storePath: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(storePath + "_windowed_swap_inprogress")
+
+  /** True if the swap marker names a live process — the fence that keeps
+    * a concurrent reader's recovery from destroying an in-flight swap.
+    * An unreadable/garbled marker reads as "owner dead" (the crash left
+    * it half-written; recovery is then the right move).
+    */
+  private def swapOwnerAlive(fs: org.apache.hadoop.fs.FileSystem,
+                             marker: org.apache.hadoop.fs.Path): Boolean =
+    try {
+      val in = fs.open(marker)
+      val bytes = try in.readAllBytes() finally in.close()
+      new String(bytes, java.nio.charset.StandardCharsets.UTF_8).trim
+        .toLongOption.exists(p => ProcessHandle.of(p).isPresent)
+    } catch { case _: java.io.IOException => false }
 
   /** Crash recovery from an interrupted windowed-append swap: any shard
     * dir parked in the aside root whose store slot is EMPTY is the old
@@ -478,21 +522,34 @@ object Nsw {
     * and the next append would silently see fewer rows (discovery just
     * lists fewer shard dirs). One FS existence check when no aside
     * exists — negligible against the parquet footer reads.
+    *
+    * FENCED behind the writer-liveness sentinel: recovery only proceeds
+    * when no live appender owns the swap (marker absent, or its pid is
+    * dead). A reader concurrent with a LIVE appendToGraphWindowed swap
+    * must not "recover" it — doing so renames old bytes back into slots
+    * the appender is about to fill and deletes the aside out from under
+    * it. The restore also tolerates a slot that became non-empty between
+    * the existence check and the rename (two recoverers racing after a
+    * genuine crash): the slot being occupied IS the recovered state.
     */
   private def recoverAside(spark: SparkSession, storePath: String): Unit = {
     val hconf = spark.sessionState.newHadoopConf()
     val store = new org.apache.hadoop.fs.Path(storePath)
     val fs = store.getFileSystem(hconf)
     val asideRoot = new org.apache.hadoop.fs.Path(storePath + "_windowed_aside")
+    val marker = swapMarker(storePath)
+    val markerExists = fs.exists(marker)
+    if (markerExists && swapOwnerAlive(fs, marker)) return // in-flight swap
     if (fs.exists(asideRoot)) {
       fs.listStatus(asideRoot).foreach { st =>
         val slot = new org.apache.hadoop.fs.Path(store, st.getPath.getName)
         if (!fs.exists(slot))
-          require(fs.rename(st.getPath, slot),
+          require(fs.rename(st.getPath, slot) || fs.exists(slot),
             s"crash recovery failed restoring ${st.getPath.getName}")
       }
       fs.delete(asideRoot, true)
     }
+    if (markerExists) fs.delete(marker, false)
   }
 
   /** Read a persisted graph store (partition column restored to int).
@@ -775,8 +832,14 @@ object Nsw {
         col(vecCol).cast("array<float>").as("embedding"),
         lit(0).as("level"),
         typedLit(Seq.empty[Seq[Long]]).as("layers"), lit(true).as("is_new"))
-      // idempotence: a replayed id must not insert twice
+      // idempotence: a replayed id must not insert twice — the anti-join
+      // covers ids already in the graph; dropDuplicates covers a vec_id
+      // duplicated WITHIN the batch (the second insertIntoShardHnsw
+      // insert would reset layers(id) while backlinks from the first
+      // persist in other nodes' adjacency, silently breaking the
+      // advertised append ≡ rebuild byte-for-byte contract)
       .join(graph.select(col("vec_id")), Seq("vec_id"), "left_anti")
+      .dropDuplicates("vec_id")
       .select(existing.columns.map(col): _*)
     val all = existing.union(incoming).repartition(p.nShards, col("shard"))
     val out = all.queryExecution.toRdd.mapPartitions { it =>
@@ -875,5 +938,139 @@ object Nsw {
       corpus.filter(col(idCol).isin(cands: _*)),
       vecCol, idCol, queryVec, k, metric)
     (result, cands)
+  }
+
+  /** Hybrid predicate + HNSW search: the beams run unchanged (the graph
+    * is predicate-agnostic — dropping nodes DURING traversal would
+    * disconnect the small-world routing), and the predicate applies in
+    * the exact re-rank stage, composing with the candidate IN-filter on
+    * one corpus scan (both push to the parquet scan). Only
+    * predicate-survivors can place, so the efSearch beam is the
+    * oversampling budget: a deployment sizes efSearch ∝ 1/selectivity
+    * (the standard filtered-ANN contract — same trade as IVF's
+    * knn_filtered_ivf_rewrite, where probes oversample instead).
+    */
+  def hnswFilteredSearch(graph: DataFrame, corpus: DataFrame,
+                         predicate: org.apache.spark.sql.Column,
+                         vecCol: String, idCol: String,
+                         queryVec: Array[Float], k: Int, p: Params,
+                         metric: Knn.Metric = Knn.Cosine): (DataFrame, Seq[Long]) = {
+    val cands = hnswShardCandidates(graph, queryVec, p)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq.sorted
+    val result = Knn.search(
+      corpus.filter(predicate && col(idCol).isin(cands: _*)),
+      vecCol, idCol, queryVec, k, metric)
+    (result, cands)
+  }
+
+  // ------------------------------------------------------------------
+  // Shard routing — graph-ANN query cost independent of corpus size
+  // ------------------------------------------------------------------
+  //
+  // The full-fan searches above launch one beam per shard, and nShards
+  // must grow with the corpus (a shard's graph has to fit one executor),
+  // so per-query work is LINEAR in corpus size where monolithic HNSW is
+  // logarithmic — the documented trade of the sharded layout. The
+  // router closes it: each shard keeps one centroid (a bounded
+  // build-time aggregate, the IvfCatalog-stats pattern), a query beams
+  // only its nprobe nearest shards, and per-query cost becomes
+  // O(nShards·dim) driver-side routing + O(nprobe·ef·log shardSize)
+  // beams — constant in corpus size once nprobe is fixed, exactly how
+  // IVF keeps probe cost flat while nlist grows. Recall now depends on
+  // the router sending the query to the right shards: under HASH
+  // sharding every shard sees the same distribution (centroids nearly
+  // coincide — routing is a coin flip and recall degrades ∝
+  // nprobe/nShards), so a routed deployment shards by a locality-
+  // bearing key (arrival window when drift gives windows structure, or
+  // a coarse k-means assignment — the IVF-of-graphs layout). The
+  // recall/fan-out trade is measured in RECALL.md.
+
+  /** Per-shard centroids of a graph store: ONE bounded aggregate —
+    * nShards·dim rows collected, the same "driver holds index metadata,
+    * never data" contract as IVF's centroid array. Element sums
+    * accumulate in exact DECIMAL so the centroid is a pure function of
+    * the shard's vector SET (shuffle-order-independent) and routing is
+    * reproducible across runs. Works for flat-NSW and HNSW stores alike
+    * (both carry (shard, embedding)).
+    */
+  def shardCentroids(graph: DataFrame): Array[(Int, Array[Double])] = {
+    val rows = graph
+      .select(col("shard"), posexplode(col("embedding")))
+      .groupBy(col("shard"), col("pos"))
+      .agg(sum(col("col").cast("decimal(28,10)")).as("s"),
+        count(lit(1)).as("n"))
+      .collect()
+    rows.groupBy(_.getInt(0)).toArray.sortBy(_._1).map { case (sh, rs) =>
+      val arr = new Array[Double](rs.map(_.getInt(1)).max + 1)
+      rs.foreach { r =>
+        arr(r.getInt(1)) = r.getDecimal(2).doubleValue() / r.getLong(3)
+      }
+      (sh, arr)
+    }
+  }
+
+  private def cosineDbl(a: Array[Float], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      dot += a(i).toDouble * b(i)
+      na += a(i).toDouble * a(i)
+      nb += b(i) * b(i)
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 1.0 else 1.0 - dot / denom
+  }
+
+  /** The nprobe shards whose centroids are cosine-nearest the query
+    * (ties → smaller shard id), ascending shard id — an O(nShards·dim)
+    * driver-side closed form, the graph twin of `Ann.probeIds`.
+    */
+  def routeShards(centroids: Array[(Int, Array[Double])],
+                  queryVec: Array[Float], nprobe: Int): Seq[Int] =
+    centroids.map { case (sh, c) => (cosineDbl(queryVec, c), sh) }
+      .sortBy(t => (t._1, t._2)).take(nprobe).map(_._2).sorted
+
+  /** Routed HNSW search: route to the nprobe centroid-nearest shards,
+    * beam ONLY those (the shard filter is a pushed partition filter on
+    * the shard-partitioned store — unrouted shard directories are never
+    * opened), then the identical exact re-rank + recorded-candidate-set
+    * contract as [[hnswSearch]]. Returns (result, candidates, routed
+    * shards). Candidates are by construction the full fan's candidates
+    * restricted to the routed shards (per-shard beams are independent).
+    */
+  def hnswRoutedSearch(graph: DataFrame, corpus: DataFrame, vecCol: String,
+                       idCol: String, queryVec: Array[Float], k: Int,
+                       centroids: Array[(Int, Array[Double])], nprobe: Int,
+                       p: Params, metric: Knn.Metric = Knn.Cosine)
+      : (DataFrame, Seq[Long], Seq[Int]) = {
+    val routed = routeShards(centroids, queryVec, nprobe)
+    val pruned = graph.filter(col("shard")
+      .isin(routed.map(Integer.valueOf): _*))
+    val cands = hnswShardCandidates(pruned, queryVec, p)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq.sorted
+    val result = Knn.search(
+      corpus.filter(col(idCol).isin(cands: _*)),
+      vecCol, idCol, queryVec, k, metric)
+    (result, cands, routed)
+  }
+
+  /** Routed flat-NSW search — the same router over [[shardCandidates]]'
+    * store shape (the two stores share (shard, embedding), so one
+    * centroid relation serves both).
+    */
+  def routedSearch(graph: DataFrame, corpus: DataFrame, vecCol: String,
+                   idCol: String, queryVec: Array[Float], k: Int,
+                   centroids: Array[(Int, Array[Double])], nprobe: Int,
+                   p: Params, metric: Knn.Metric = Knn.Cosine)
+      : (DataFrame, Seq[Long], Seq[Int]) = {
+    val routed = routeShards(centroids, queryVec, nprobe)
+    val pruned = graph.filter(col("shard")
+      .isin(routed.map(Integer.valueOf): _*))
+    val cands = shardCandidates(pruned, queryVec, p)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq.sorted
+    val result = Knn.search(
+      corpus.filter(col(idCol).isin(cands: _*)),
+      vecCol, idCol, queryVec, k, metric)
+    (result, cands, routed)
   }
 }

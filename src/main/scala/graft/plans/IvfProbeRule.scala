@@ -123,6 +123,44 @@ object IvfProbeRule extends Rule[LogicalPlan] {
     (chosen, ivfProbes, lshProbes)
   }
 
+  /** Three-way serving-layer cost choice: [[chooseIndex]]'s scanned-row
+    * estimates for IVF and LSH, extended with the graph family. A
+    * routed HNSW's cost unit is the same — rows reaching the exact
+    * re-rank — and it is a CLOSED FORM of the search knobs:
+    * ≤ min(nShards, nprobe)·efSearch candidates regardless of corpus
+    * size (each routed shard's beam emits ≤ efSearch ids). The graph
+    * path never gets a transparent Catalyst rewrite (deriving its probe
+    * set requires a distributed beam — the documented no-rewrite
+    * rationale at Nsw.scala), so this choice lives in the SERVING
+    * layer, above the optimizer: a query router calls it per query and
+    * dispatches to the IVF/LSH probe filter or the HNSW beam API.
+    * Decision: HNSW when its bound is STRICTLY below both row
+    * estimates, else LSH when strictly below IVF, else IVF — the same
+    * IVF-precedence tie rule as [[chooseIndex]], and the same
+    * missing-stats fallback (no stats → IVF). Returns
+    * (chosen, ivfRows, lshRows, hnswCands) so the registered query can
+    * gate all three estimates, not just the winner.
+    */
+  def chooseServing(qv: Array[Float], ivf: IvfCatalog.IvfIndex,
+                    lsh: LshCatalog.LshIndex, hnswShards: Int,
+                    hnswNprobe: Int, efSearch: Int): (String, Long, Long, Long) = {
+    val ivfProbes = Ann.probeIds(qv, ivf.centroids, ivf.nprobe)
+    val lshProbes = Ann.probeBuckets(
+      Ann.queryBucket(qv, lsh.planes), lsh.planes.length, lsh.radius)
+    val hnswCands = math.min(hnswShards, hnswNprobe).toLong * efSearch
+    if (ivf.clusterRows.isEmpty || lsh.bucketRows.isEmpty)
+      ("ivf", -1L, -1L, hnswCands)
+    else {
+      val ivfRows = ivfProbes.map(c => ivf.clusterRows.getOrElse(c, 0L)).sum
+      val lshRows = lshProbes.map(b => lsh.bucketRows.getOrElse(b, 0L)).sum
+      val chosen =
+        if (hnswCands < ivfRows && hnswCands < lshRows) "hnsw"
+        else if (lshRows < ivfRows) "lsh"
+        else "ivf"
+      (chosen, ivfRows, lshRows, hnswCands)
+    }
+  }
+
   /** Extract the float array of a typed array literal (query vector). */
   private def literalVector(e: Expression): Option[Array[Float]] = e match {
     case Literal(data: ArrayData, ArrayType(FloatType, _)) => Some(data.toFloatArray())

@@ -601,6 +601,276 @@ object VectorQueries {
         """.stripMargin.trim
       }))
 
+  /** Per-shard centroids of the HNSW store — the shard ROUTER's index
+    * metadata: one bounded aggregate per (fixture, JVM), nShards rows
+    * held on the driver exactly like IVF's centroid array. Exact
+    * DECIMAL element sums make the centroids a pure function of each
+    * shard's vector set (shuffle-order-independent), so routing is
+    * reproducible across runs.
+    */
+  private[queries] object HnswRouterStore {
+    val nprobe = 2
+    val cents = scala.collection.concurrent.TrieMap
+      .empty[String, Array[(Int, Array[Double])]]
+    val candidates = scala.collection.concurrent.TrieMap.empty[String, Seq[Long]]
+    val routed = scala.collection.concurrent.TrieMap.empty[String, Seq[Int]]
+    @volatile var lastDir: Option[String] = None
+    def ensure(s: org.apache.spark.sql.SparkSession,
+               dir: String): Array[(Int, Array[Double])] =
+      cents.getOrElseUpdate(dir,
+        Nsw.shardCentroids(Nsw.readHnswGraph(s, HnswStore.ensure(s, dir))))
+  }
+
+  private val hnswRouted = QueryDef(
+    "ann_hnsw_routed",
+    "Shard-ROUTED HNSW search — the scale fix for the sharded graph " +
+      "family's one remaining gap: full-fan search launches one beam " +
+      "per shard and nShards grows with the corpus, so per-query cost " +
+      "is linear in corpus size where monolithic HNSW is logarithmic. " +
+      "Each shard keeps one centroid (a bounded build-time aggregate, " +
+      "the IvfCatalog-stats pattern; exact DECIMAL sums so the " +
+      "centroid is shuffle-order-independent), the query routes to its " +
+      "nprobe=2 cosine-nearest shards driver-side (O(nShards·dim), the " +
+      "graph twin of Ann.probeIds), and ONLY those shards beam — the " +
+      "shard filter is a pushed partition filter on the " +
+      "shard-partitioned store, so unrouted shard directories are " +
+      "never opened. Per-query cost is then O(nprobe·ef·log shardSize) " +
+      "— constant in corpus size, exactly how IVF keeps probe cost " +
+      "flat as nlist grows. Exact cosine top-10 re-rank over the " +
+      "≤ nprobe·efSearch candidates; the late oracle re-ranks THIS " +
+      "run's recorded candidate set (identical contract to " +
+      "ann_hnsw_beam), with the routed shard list riding the output. " +
+      "NswSpec asserts routed candidates ≡ the full fan's restricted " +
+      "to the routed shards; RECALL.md measures the recall/fan-out " +
+      "trade per nprobe.",
+    (s, dir) => {
+      val path = HnswStore.ensure(s, dir)
+      val cents = HnswRouterStore.ensure(s, dir)
+      val (res, cands, routed) = Nsw.hnswRoutedSearch(
+        Nsw.readHnswGraph(s, path), Tables.embeddings(s, dir),
+        "embedding", "vec_id", Queries.queryVec64, k = 10,
+        cents, HnswRouterStore.nprobe, HnswStore.params)
+      HnswRouterStore.candidates(dir) = cands
+      HnswRouterStore.routed(dir) = routed
+      HnswRouterStore.lastDir = Some(dir)
+      res.select(col("vec_id"), lit(routed.mkString(",")).as("routed_shards"),
+          round(col("distance_score"), 6).as("distance"))
+        .orderBy(col("distance"), col("vec_id"))
+    },
+    oracle = None,
+    oracleLate = Some(() =>
+      HnswRouterStore.lastDir.flatMap { d =>
+        for {
+          cands <- HnswRouterStore.candidates.get(d)
+          routed <- HnswRouterStore.routed.get(d)
+        } yield {
+          val qLit = vecLit(Queries.queryVec64)
+          s"""
+          |WITH d AS (
+          |  SELECT vec_id, ${duckCosine("embedding", qLit)} AS dist
+          |  FROM embeddings WHERE vec_id IN (${cands.mkString(", ")})
+          |), top AS (
+          |  SELECT vec_id, dist FROM d ORDER BY dist, vec_id LIMIT 10
+          |)
+          |SELECT vec_id, '${routed.mkString(",")}' AS routed_shards,
+          |       round(dist, 6) AS distance
+          |FROM top ORDER BY distance, vec_id
+          """.stripMargin.trim
+        }
+      }))
+
+  private val filteredHnsw = QueryDef(
+    "knn_filtered_hnsw",
+    "Hybrid predicate + graph-ANN — the retrieval composition the IVF " +
+      "family already gates (knn_filtered_ivf_rewrite) applied to the " +
+      "graph index: the HNSW beams run unchanged (the graph is " +
+      "predicate-agnostic; filtering nodes DURING traversal would " +
+      "disconnect it), and the relational predicate applies inside the " +
+      "exact candidate re-rank, composing with the candidate IN-filter " +
+      "on ONE corpus scan (both reach the parquet scan as " +
+      "PushedFilters — PlanShapeSpec asserts it). The beam oversamples " +
+      "for the filter by construction: efSearch candidates per shard " +
+      "are re-ranked but only predicate-survivors can place, so a " +
+      "deployment raises efSearch ∝ 1/selectivity (documented; at " +
+      "~30% selectivity here, 4·32 candidates comfortably cover " +
+      "top-10). Late oracle: the same predicate + exact re-rank over " +
+      "THIS run's recorded candidate set.",
+    (s, dir) => {
+      val path = HnswStore.ensure(s, dir)
+      val (res, cands) = Nsw.hnswFilteredSearch(Nsw.readHnswGraph(s, path),
+        Tables.embeddings(s, dir), col("label").isin(2, 5, 8),
+        "embedding", "vec_id", Queries.queryVec64, k = 10, HnswStore.params)
+      FilteredHnswState.candidates(dir) = cands
+      FilteredHnswState.lastDir = Some(dir)
+      res.select(col("vec_id"), col("label"),
+          round(col("distance_score"), 6).as("distance"))
+        .orderBy(col("distance"), col("vec_id"))
+    },
+    oracle = None,
+    oracleLate = Some(() =>
+      FilteredHnswState.lastDir.flatMap(FilteredHnswState.candidates.get).map { cands =>
+        val qLit = vecLit(Queries.queryVec64)
+        s"""
+        |WITH d AS (
+        |  SELECT vec_id, label, ${duckCosine("embedding", qLit)} AS dist
+        |  FROM embeddings
+        |  WHERE label IN (2, 5, 8) AND vec_id IN (${cands.mkString(", ")})
+        |), top AS (
+        |  SELECT vec_id, label, dist FROM d ORDER BY dist, vec_id LIMIT 10
+        |)
+        |SELECT vec_id, label, round(dist, 6) AS distance
+        |FROM top ORDER BY distance, vec_id
+        """.stripMargin.trim
+      }))
+
+  private object FilteredHnswState {
+    val candidates = scala.collection.concurrent.TrieMap.empty[String, Seq[Long]]
+    @volatile var lastDir: Option[String] = None
+  }
+
+  private object CostServingState {
+    val chosen = scala.collection.concurrent.TrieMap.empty[String, String]
+    val hnswCands = scala.collection.concurrent.TrieMap.empty[String, Seq[Long]]
+    @volatile var lastDir: Option[String] = None
+  }
+
+  private val costServing = QueryDef(
+    "ann_cost_serving",
+    "THREE-way cost-based index selection — the serving-layer router " +
+      "that completes ann_cost_rewrite's IVF-vs-LSH optimizer choice " +
+      "with the graph family: IvfProbeRule.chooseServing estimates the " +
+      "rows each index sends to the exact re-rank for THIS query — " +
+      "Σ cluster rows over the 3 nearest lists, Σ bucket rows over the " +
+      "hamming-≤1 probe set, and the routed-HNSW CLOSED FORM " +
+      "min(nShards,nprobe)·efSearch (constant in corpus size — the " +
+      "whole point of the router) — and dispatches to the cheapest: " +
+      "probe filters for IVF/LSH, the routed beam API for HNSW (the " +
+      "graph path never gets a Catalyst rewrite, the documented " +
+      "no-rewrite rationale, so this choice lives ABOVE the optimizer). " +
+      "All three estimates ride the output and the oracle replays the " +
+      "ENTIRE decision in SQL — both assignments, both probe sets, " +
+      "both candidate counts, the literal HNSW bound, the argmin, then " +
+      "exact cosine top-10 over the chosen candidate set (the HNSW " +
+      "branch re-ranks THIS run's recorded beam candidates). The " +
+      "decision is data-derived and flips across the decade gate: tiny " +
+      "fixtures pick a probe index, larger ones the corpus-size-" +
+      "independent graph path. IvfProbeRuleSpec flips all three " +
+      "choices with synthetic stats.",
+    (s, dir) => {
+      val q = Queries.queryVec64
+      val corpus = Tables.embeddings(s, dir)
+      val cents = Ann.seededCentroids(corpus, "embedding", "vec_id", nlist = 8)
+      val planes = Ann.signPlanes(dim = 64, nBits = 8)
+      val (path, clusterRows, bucketRows) =
+        HybridIndexStore.ensure(s, dir, cents, planes)
+      val p = HnswStore.params
+      val (chosen, estIvf, estLsh, estHnsw) =
+        graft.plans.IvfProbeRule.chooseServing(q,
+          graft.plans.IvfCatalog.IvfIndex(cents, 3, clusterRows),
+          graft.plans.LshCatalog.LshIndex(planes, 1, bucketRows),
+          p.nShards, HnswRouterStore.nprobe, p.efSearch)
+      CostServingState.chosen(dir) = chosen
+      CostServingState.lastDir = Some(dir)
+      val ranked = chosen match {
+        case "hnsw" =>
+          val hnswPath = HnswStore.ensure(s, dir)
+          val (res, cands, _) = Nsw.hnswRoutedSearch(
+            Nsw.readHnswGraph(s, hnswPath), corpus, "embedding", "vec_id",
+            q, k = 10, HnswRouterStore.ensure(s, dir),
+            HnswRouterStore.nprobe, p)
+          CostServingState.hnswCands(dir) = cands
+          res
+        case "lsh" =>
+          CostServingState.hnswCands(dir) = Seq.empty
+          val probes = Ann.probeBuckets(
+            Ann.queryBucket(q, planes), planes.length, radius = 1)
+          Knn.search(Ann.readIndexed(s, path)
+              .filter(col("lsh_bucket").isin(probes: _*)),
+            "embedding", "vec_id", q, k = 10)
+        case _ =>
+          CostServingState.hnswCands(dir) = Seq.empty
+          val probes = Ann.probeIds(q, cents, nprobe = 3)
+          Knn.search(Ann.readIndexed(s, path)
+              .filter(col("cluster_id").isin(probes: _*)),
+            "embedding", "vec_id", q, k = 10)
+      }
+      ranked.select(col("vec_id"), lit(chosen).as("chosen_index"),
+          lit(estIvf).as("est_ivf"), lit(estLsh).as("est_lsh"),
+          lit(estHnsw).as("est_hnsw"),
+          round(col("distance_score"), 6).as("distance"))
+        .orderBy(col("distance"), col("vec_id"))
+    },
+    oracle = None,
+    oracleLate = Some(() =>
+      CostServingState.lastDir.map { d =>
+        val hnswIds = CostServingState.hnswCands.getOrElse(d, Seq.empty)
+        val hnswList =
+          if (hnswIds.isEmpty) "[]::BIGINT[]" else hnswIds.mkString("[", ", ", "]")
+        val estHnsw = math.min(HnswStore.params.nShards,
+          HnswRouterStore.nprobe).toLong * HnswStore.params.efSearch
+        val qLit = vecLit(Queries.queryVec64)
+        s"""
+        |WITH cents AS (
+        |  SELECT vec_id AS cid, embedding::DOUBLE[] AS c FROM embeddings WHERE vec_id < 8
+        |), assigned AS (
+        |  SELECT vec_id, cid AS cluster_id FROM (
+        |    SELECT e.vec_id, c.cid,
+        |           row_number() OVER (PARTITION BY e.vec_id
+        |                              ORDER BY ${duckL2("e.embedding::DOUBLE[]", "c.c")}, c.cid) AS rn
+        |    FROM embeddings e CROSS JOIN cents c
+        |  ) WHERE rn = 1
+        |), planes AS (
+        |  SELECT b, list_transform(range(64), j ->
+        |    CASE WHEN ('0x' || substring(md5('lsh:' || b::VARCHAR || ':' || j::VARCHAR), 1, 12))::BIGINT % 2 = 0
+        |         THEN 1.0 ELSE -1.0 END) AS plane
+        |  FROM (SELECT unnest(range(8)) AS b)
+        |), bk AS (
+        |  SELECT e.vec_id,
+        |         sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], p.plane) >= 0
+        |                  THEN (1::BIGINT << p.b) ELSE 0 END)::BIGINT AS lsh_bucket
+        |  FROM embeddings e CROSS JOIN planes p GROUP BY e.vec_id
+        |), ivf_probes AS (
+        |  SELECT cid FROM cents ORDER BY ${duckL2(qLit, "c")}, cid LIMIT 3
+        |), qb AS (
+        |  SELECT sum(CASE WHEN list_dot_product($qLit, plane) >= 0
+        |                  THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS qbucket
+        |  FROM planes
+        |), ivf_cand AS (
+        |  SELECT vec_id FROM assigned
+        |  WHERE cluster_id IN (SELECT cid FROM ivf_probes)
+        |), lsh_cand AS (
+        |  SELECT bk.vec_id FROM bk, qb
+        |  WHERE len(list_filter(range(8), i ->
+        |        ((bk.lsh_bucket >> i) & 1) <> ((qb.qbucket >> i) & 1))) <= 1
+        |), est AS (
+        |  SELECT (SELECT count(*) FROM ivf_cand)::BIGINT AS est_ivf,
+        |         (SELECT count(*) FROM lsh_cand)::BIGINT AS est_lsh,
+        |         ${estHnsw}::BIGINT AS est_hnsw
+        |), choice AS (
+        |  SELECT CASE WHEN est_hnsw < est_ivf AND est_hnsw < est_lsh THEN 'hnsw'
+        |              WHEN est_lsh < est_ivf THEN 'lsh'
+        |              ELSE 'ivf' END AS chosen
+        |  FROM est
+        |), cand AS (
+        |  SELECT vec_id FROM lsh_cand WHERE (SELECT chosen FROM choice) = 'lsh'
+        |  UNION ALL
+        |  SELECT vec_id FROM ivf_cand WHERE (SELECT chosen FROM choice) = 'ivf'
+        |  UNION ALL
+        |  SELECT unnest($hnswList) AS vec_id
+        |  WHERE (SELECT chosen FROM choice) = 'hnsw'
+        |), dd AS (
+        |  SELECT c.vec_id, ${duckCosine("e.embedding", qLit)} AS dist
+        |  FROM cand c JOIN embeddings e ON c.vec_id = e.vec_id
+        |), top AS (
+        |  SELECT vec_id, dist FROM dd ORDER BY dist, vec_id LIMIT 10
+        |)
+        |SELECT t.vec_id, (SELECT chosen FROM choice) AS chosen_index,
+        |       e.est_ivf, e.est_lsh, e.est_hnsw,
+        |       round(t.dist, 6) AS distance
+        |FROM top t CROSS JOIN est e ORDER BY distance, vec_id
+        """.stripMargin.trim
+      }))
+
   /** KMeans-built IVF index per (fixture, JVM) — the QUALITY centroid
     * path (Spark ML k-means‖, fixed seed) on the same persisted,
     * cluster-partitioned layout as [[IvfIndexStore]]. The fitted
@@ -1931,6 +2201,7 @@ object VectorQueries {
 
   val defs: Seq[QueryDef] =
     Seq(filtered, l2Search, batch, ragContext, ivf, lshProbe, nswBeam, hnswBeam,
+      hnswRouted, filteredHnsw, costServing,
       ivfRule,
       lshRule, costRule, ivfKmeansRule, filteredIvfRule, mips, quantRescore, sqlApi,
       centroids, quantize, groupTopk, pqAdc, pqRescore, pqBatch, pqStoreAdc,

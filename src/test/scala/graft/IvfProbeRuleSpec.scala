@@ -217,4 +217,44 @@ class IvfProbeRuleSpec extends SparkSpec {
       new Directory(new java.io.File(dir)).deleteRecursively()
     }
   }
+
+  test("chooseServing: synthetic stats flip the three-way choice; missing stats fall back to IVF") {
+    import graft.plans.{IvfCatalog, LshCatalog, IvfProbeRule}
+    val planes = Ann.signPlanes(dim = 64, nBits = 8)
+    val cents = Ann.seededCentroids(emb, "embedding", "vec_id", nlist = 8)
+    val ivfProbes = Ann.probeIds(q, cents, nprobe = 3)
+    val lshProbes = Ann.probeBuckets(
+      Ann.queryBucket(q, planes), planes.length, radius = 1)
+    // synthetic stats targeting exactly the probed partitions: each map
+    // below fixes the rows THIS query's probe set would scan, so each
+    // scenario pins one argmin winner (hnsw bound = min(4,2)·32 = 64)
+    def ivfStats(rowsPerProbe: Long): Map[Int, Long] =
+      ivfProbes.map(_ -> rowsPerProbe).toMap
+    def lshStats(rowsPerProbe: Long): Map[Long, Long] =
+      lshProbes.map(_ -> rowsPerProbe).toMap
+    def choose(ivfRows: Long, lshRows: Long) =
+      IvfProbeRule.chooseServing(q,
+        IvfCatalog.IvfIndex(cents, 3, ivfStats(ivfRows)),
+        LshCatalog.LshIndex(planes, 1, lshStats(lshRows)),
+        hnswShards = 4, hnswNprobe = 2, efSearch = 32)
+    // hnsw: its 64-candidate bound strictly under both row estimates
+    assert(choose(1000, 1000)._1 == "hnsw")
+    // lsh: cheapest probe set (1 row/bucket, ≤ 9 rows) beats both
+    assert(choose(1000, 1)._1 == "lsh")
+    // ivf: cheapest lists (1 row/list, 3 rows) beat lsh and the bound
+    assert(choose(1, 1000)._1 == "ivf")
+    // tie discipline: equal estimates keep IVF precedence (hnsw only on
+    // STRICT <, lsh only when strictly under ivf) — 3 lists × 3 rows ≡
+    // 9 buckets × 1 row ≡ 9, both under the 64 bound
+    assert(lshProbes.length == 9)
+    val (tieChosen, ivfRows, lshRows, bound) = choose(3, 1)
+    assert(ivfRows == 9 && lshRows == 9 && bound == 64)
+    assert(tieChosen == "ivf")
+    // missing stats on either side: documented IVF fallback, estimates -1
+    val (fb, fbIvf, fbLsh, _) = IvfProbeRule.chooseServing(q,
+      IvfCatalog.IvfIndex(cents, 3, Map.empty),
+      LshCatalog.LshIndex(planes, 1, lshStats(1)),
+      hnswShards = 4, hnswNprobe = 2, efSearch = 32)
+    assert(fb == "ivf" && fbIvf == -1L && fbLsh == -1L)
+  }
 }

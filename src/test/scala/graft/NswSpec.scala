@@ -350,4 +350,115 @@ class NswSpec extends SparkSpec {
     assert(replay.orderBy("vec_id").collect().toSeq == b,
       "replaying the batch must be a no-op")
   }
+
+  test("append: duplicate vec_ids WITHIN one batch insert once (≡ dedup'd batch)") {
+    // a batch that carries the same vec_id twice must not insert twice —
+    // the second insert would reset the node's layer stack while
+    // backlinks from the first persist in other nodes' adjacency,
+    // silently breaking append ≡ rebuild
+    val cut = emb.agg(max(col("vec_id"))).first().getLong(0) / 4 * 3
+    val base = Nsw.buildHnswGraph(
+      emb.filter(col("vec_id") < cut), "embedding", "vec_id", p)
+    val batch = emb.filter(col("vec_id") >= cut)
+    val dup = Nsw.appendToHnswGraph(base, batch.union(batch),
+      "embedding", "vec_id", p)
+    assert(dup.orderBy("vec_id").collect().toSeq ==
+      hnsw.orderBy("vec_id").collect().toSeq,
+      "a batch with internal duplicates must append like its dedup'd self")
+    val flatBase = Nsw.buildGraph(
+      emb.filter(col("vec_id") < cut), "embedding", "vec_id", p)
+    val flatDup = Nsw.appendToGraph(flatBase, batch.union(batch),
+      "embedding", "vec_id", p)
+    val flatOnce = Nsw.appendToGraph(flatBase, batch,
+      "embedding", "vec_id", p)
+    assert(flatDup.orderBy("vec_id").collect().toSeq ==
+      flatOnce.orderBy("vec_id").collect().toSeq)
+  }
+
+  // ------------------------------------------------------------------
+  // Shard router
+  // ------------------------------------------------------------------
+
+  private lazy val routerCents = Nsw.shardCentroids(hnsw)
+
+  test("router: centroids cover every shard and are shuffle-order-independent") {
+    assert(routerCents.map(_._1).toSeq == (0 until p.nShards))
+    val again = Nsw.shardCentroids(hnsw.repartition(13))
+    assert(routerCents.map { case (s, a) => (s, a.toSeq) }.toSeq ==
+      again.map { case (s, a) => (s, a.toSeq) }.toSeq,
+      "exact DECIMAL sums must make centroids partitioning-independent")
+  }
+
+  test("router: routed candidates ≡ the full fan's restricted to the routed shards") {
+    val (_, candsR, routed) = Nsw.hnswRoutedSearch(hnsw, emb, "embedding",
+      "vec_id", q, 10, routerCents, nprobe = 2, p)
+    assert(routed.length == 2 && routed == routed.sorted)
+    val restricted = Nsw.hnswShardCandidates(hnsw, q, p)
+      .filter(col("shard").isin(routed.map(Integer.valueOf): _*))
+      .select("vec_id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(candsR == restricted,
+      "per-shard beams are independent — routing must only drop shards")
+  }
+
+  test("router: nprobe = nShards ≡ the full fan; recall degrades gracefully at nprobe 2") {
+    val (resFull, candsFull) = Nsw.hnswSearch(hnsw, emb, "embedding",
+      "vec_id", q, 10, p)
+    val (resAll, candsAll, _) = Nsw.hnswRoutedSearch(hnsw, emb, "embedding",
+      "vec_id", q, 10, routerCents, nprobe = p.nShards, p)
+    assert(candsAll == candsFull)
+    assert(resAll.collect().toSeq == resFull.collect().toSeq)
+    val exact = Knn.search(emb, "embedding", "vec_id", q, 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    def recall(res: org.apache.spark.sql.DataFrame): Double = {
+      val got = res.select("vec_id").collect().map(_.getLong(0)).toSet
+      (got & exact).size / 10.0
+    }
+    val (res2, _, _) = Nsw.hnswRoutedSearch(hnsw, emb, "embedding",
+      "vec_id", q, 10, routerCents, nprobe = 2, p)
+    val r2 = recall(res2); val rf = recall(resFull)
+    // under HASH sharding every shard sees the same distribution, so
+    // routing approximates a uniform shard sample: recall ≈ rf·nprobe/n
+    // is the expected FLOOR (a locality-bearing shard key is the routed
+    // deployment's layout — scaladoc'd); full fan is the ceiling
+    assert(r2 <= rf + 1e-9, s"routed recall $r2 cannot beat the full fan $rf")
+    assert(r2 >= 0.2, s"routed recall collapsed: $r2")
+  }
+
+  // ------------------------------------------------------------------
+  // Windowed-swap writer-liveness sentinel
+  // ------------------------------------------------------------------
+
+  test("swap sentinel: a live writer's marker fences read-side recovery; a dead one recovers") {
+    val root = java.nio.file.Files.createTempDirectory("graft_nsw_sentinel").toString
+    val store = s"$root/store"
+    val ws = 128L
+    Nsw.writeGraph(
+      Nsw.buildGraphWindowed(emb, "embedding", "vec_id", ws, p), store)
+    val total = Nsw.readGraph(spark, store).count()
+    val victim = new java.io.File(store).list().filter(_.startsWith("shard=")).sorted.head
+    // manufacture the mid-swap state a reader can land on: the victim
+    // shard renamed out to the aside, not yet renamed back in
+    val asideDir = new java.io.File(s"${store}_windowed_aside/$victim")
+    asideDir.getParentFile.mkdirs()
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(store, victim), asideDir.toPath)
+    val marker = java.nio.file.Paths.get(s"${store}_windowed_swap_inprogress")
+    // live writer: the reader must NOT "recover" — restoring the old
+    // bytes would fail the writer's rename-in and deleting the aside
+    // reopens the data-loss window
+    java.nio.file.Files.writeString(marker,
+      ProcessHandle.current().pid().toString)
+    val fenced = Nsw.readGraph(spark, store).count()
+    assert(fenced < total, "reader sees the transient state, untouched")
+    assert(asideDir.exists, "a fenced read must leave the aside alone")
+    assert(java.nio.file.Files.exists(marker))
+    // dead writer: the same state is now a crashed swap — recover it
+    val deadPid = (200000L to 400000L)
+      .find(pid => !ProcessHandle.of(pid).isPresent).get
+    java.nio.file.Files.writeString(marker, deadPid.toString)
+    assert(Nsw.readGraph(spark, store).count() == total)
+    assert(!asideDir.exists && !java.nio.file.Files.exists(marker),
+      "recovery must restore the shard and clear aside + marker")
+    new scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
+  }
 }

@@ -80,6 +80,43 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"NSW re-rank must not shuffle:\n$p")
   }
 
+  test("filtered HNSW: predicate AND candidate IN-filter compose on ONE re-rank scan") {
+    val p = planOf("knn_filtered_hnsw")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("In(label"),
+      s"relational predicate must push into the re-rank scan:\n$p")
+    assert(p.contains("In(vec_id"),
+      s"beam candidate IN-filter must push into the re-rank scan:\n$p")
+    assert(!p.contains("Exchange"), s"filtered re-rank must not shuffle:\n$p")
+  }
+
+  test("routed HNSW: the shard filter prunes the store to the routed partitions") {
+    import graft.operators.Nsw
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val params = Nsw.Params(nShards = 4, m = 8, efConstruction = 32, efSearch = 32)
+    val dir = java.nio.file.Files.createTempDirectory("graft_hnsw_route").toString
+    try {
+      Nsw.writeHnswGraph(
+        Nsw.buildHnswGraph(emb, "embedding", "vec_id", params), dir)
+      val store = Nsw.readHnswGraph(spark, dir)
+      val cents = Nsw.shardCentroids(store)
+      val routed = Nsw.routeShards(cents, Queries.queryVec64, nprobe = 2)
+      // the exact relation hnswRoutedSearch beams over: unrouted shard
+      // DIRECTORIES must never be opened (static partition pruning on
+      // the shard-partitioned store — the IVF probe-pruning shape)
+      val pruned = store.filter(
+        org.apache.spark.sql.functions.col("shard")
+          .isin(routed.map(Integer.valueOf): _*))
+      val scan = fileScanOf(pruned)
+      assert(scan.nonEmpty, pruned.queryExecution.executedPlan.toString)
+      assert(scan.get.selectedPartitions.partitionCount == routed.length,
+        s"expected ${routed.length} routed shard dirs, scanned " +
+          s"${scan.get.selectedPartitions.partitionCount}")
+    } finally {
+      new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
   test("JDBC round-trip: the read is a partitioned parallel scan, not one task") {
     val p = planOf("src_jdbc_roundtrip")
     assert(p.contains("JDBCRelation"), p)
