@@ -885,8 +885,81 @@ object MaintenanceQueries {
       |FROM logical GROUP BY 1 ORDER BY o_orderstatus
       """.stripMargin.trim))
 
+  /** One versioned-table build per (fixture, JVM): v1 = the even
+    * doc_ids, v2 = v1 + the odd batch appended through a second commit.
+    */
+  private object TimeTravelStore {
+    def ensure(s: SparkSession, dir: String): String =
+      TmpStores.memoizedTable("graft_ttravel", dir) { root =>
+        val path = s"$root/table"
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        graft.operators.TimeTravel.commitAppend(s, path,
+          docs.filter(col("doc_id") % 2 === 0))
+        graft.operators.TimeTravel.commitAppend(s, path,
+          docs.filter(col("doc_id") % 2 =!= 0))
+        path
+      }
+  }
+
+  private val timeTravelQ = QueryDef(
+    "maint_time_travel",
+    "Snapshot-isolated time travel over a manifest-versioned table " +
+      "(operators.TimeTravel — the Iceberg/Delta core mechanic at " +
+      "operator size): v1 commits the even doc_ids, v2 appends the " +
+      "odd ones, and the query reads BOTH versions back AFTER the " +
+      "second commit — read-as-of(1) must still be exactly the even " +
+      "half, because a version's file set is frozen in its manifest " +
+      "and data files are immutable (readers never list directories, " +
+      "so later commits are invisible to them: snapshot isolation " +
+      "without locks). Each version reports row count + the " +
+      "order-independent additive md5-48 row-set checksum (the " +
+      "dq_table_fingerprint channel), so row loss, duplication, or " +
+      "content corruption in either snapshot moves the hash. The " +
+      "oracle recomputes both snapshots' fingerprints from the raw " +
+      "fixture: green = the versioned store round-tripped BOTH " +
+      "snapshots losslessly. Commit point = one manifest rename " +
+      "(crash before it leaves the previous version intact — " +
+      "TimeTravelSpec); at 100 TB this layout is why a decade-lived " +
+      "corpus can serve reproducible historical data mixes.",
+    (s, dir) => {
+      val path = TimeTravelStore.ensure(s, dir)
+      def snap(v: Int) = {
+        val rowKey = concat_ws("|",
+          coalesce(col("doc_id").cast("string"), lit("\u0001")),
+          coalesce(md5(col("text")), lit("\u0001")))
+        graft.operators.TimeTravel.readAsOf(s, path, v)
+          .select(conv(substring(md5(rowKey), 1, 12), 16, 10)
+            .cast(DecimalType(38, 0)).as("h"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("h")).cast(DecimalType(38, 0)).cast("string").as("rowset_fp"))
+          .select(lit(v).as("version"), col("n_rows"), col("rowset_fp"))
+      }
+      snap(1).union(snap(2)).orderBy(col("version"))
+    },
+    Some("""
+      |WITH fp AS (
+      |  SELECT doc_id,
+      |         ('0x' || substring(md5(
+      |            coalesce(doc_id::VARCHAR, chr(1)) || '|' ||
+      |            coalesce(md5(text), chr(1))), 1, 12))::BIGINT AS h
+      |  FROM documents
+      |), v1 AS (
+      |  SELECT 1 AS version, count(*)::BIGINT AS n_rows,
+      |         CAST(CAST(SUM(CAST(h AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS VARCHAR) AS rowset_fp
+      |  FROM fp WHERE doc_id % 2 = 0
+      |), v2 AS (
+      |  SELECT 2 AS version, count(*)::BIGINT AS n_rows,
+      |         CAST(CAST(SUM(CAST(h AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS VARCHAR) AS rowset_fp
+      |  FROM fp
+      |)
+      |SELECT version, n_rows, rowset_fp FROM v1
+      |UNION ALL
+      |SELECT version, n_rows, rowset_fp FROM v2
+      |ORDER BY version
+      """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
     Seq(compactRoundtrip, repartitionLayout, snapshotDiffQ, zorderRoundtrip,
       incrementalRollup, ivfAppend, nswAppend, hnswAppend, nswWindowAppend, scd2Q, vacuumQ,
-      evolveQ, mergeQ, morMerge)
+      evolveQ, mergeQ, morMerge, timeTravelQ)
 }

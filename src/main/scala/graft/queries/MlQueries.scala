@@ -1732,9 +1732,239 @@ object MlQueries {
       """.stripMargin.trim
     })
 
+  private val mcnemar = QueryDef(
+    "ml_mcnemar",
+    "McNemar's test — the PAIRED model comparison the eval family " +
+      "lacked: ml_mcc/ml_prf_report score ONE classifier, but 'is " +
+      "model A actually better than model B' on the SAME test set is " +
+      "a marginal-homogeneity question that only the discordant pairs " +
+      "answer (documents both get right or both get wrong carry zero " +
+      "evidence). A = the per-source majority-English detector, B = " +
+      "the GLOBAL majority baseline, both trained on the shared %3 " +
+      "train split, compared per test doc: n01 = A right & B wrong, " +
+      "n10 = A wrong & B right, χ² = (n01−n10)²/(n01+n10) presented " +
+      "as the exact truncated integer ((n01−n10)²·10⁶) div (n01+n10) " +
+      "— zero doubles anywhere; per-model accuracies ride along as " +
+      "exact millionths. One truth×A×B rollup over the test scan; " +
+      "both models broadcast.",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          (col("lang") === "en").as("is_en"))
+      val train = docs.filter(col("doc_id") % 3 =!= 0)
+      val maj = train.groupBy(col("source"))
+        .agg((lit(2L) * sum(when(col("is_en"), 1L).otherwise(0L)) >
+          count(lit(1))).as("pred_a"))
+      val glob = train.agg((lit(2L) * sum(when(col("is_en"), 1L).otherwise(0L)) >
+        count(lit(1))).as("pred_b"))
+      val cm = docs.filter(col("doc_id") % 3 === 0)
+        .join(broadcast(maj), Seq("source"))
+        .crossJoin(broadcast(glob))
+        .agg(count(lit(1)).as("n_test"),
+          sum(when((col("pred_a") === col("is_en")) &&
+            (col("pred_b") =!= col("is_en")), 1L).otherwise(0L)).as("n01"),
+          sum(when((col("pred_a") =!= col("is_en")) &&
+            (col("pred_b") === col("is_en")), 1L).otherwise(0L)).as("n10"),
+          sum(when(col("pred_a") === col("is_en"), 1L).otherwise(0L)).as("ok_a"),
+          sum(when(col("pred_b") === col("is_en"), 1L).otherwise(0L)).as("ok_b"))
+      cm.select(col("n_test"), col("n01"), col("n10"),
+        expr("ok_a * 1000000 div n_test").as("acc_a_millionths"),
+        expr("ok_b * 1000000 div n_test").as("acc_b_millionths"),
+        expr("CASE WHEN n01 + n10 > 0 THEN " +
+          "(n01 - n10) * (n01 - n10) * 1000000 div (n01 + n10) END")
+          .as("chi2_millionths"))
+    },
+    Some("""
+      |WITH docs AS (
+      |  SELECT doc_id, source, lang = 'en' AS is_en FROM documents
+      |), maj AS (
+      |  SELECT source,
+      |         2 * SUM(CASE WHEN is_en THEN 1 ELSE 0 END) > count(*) AS pred_a
+      |  FROM docs WHERE doc_id % 3 != 0 GROUP BY 1
+      |), gmaj AS (
+      |  SELECT 2 * SUM(CASE WHEN is_en THEN 1 ELSE 0 END) > count(*) AS pred_b
+      |  FROM docs WHERE doc_id % 3 != 0
+      |), cm AS (
+      |  SELECT count(*)::BIGINT AS n_test,
+      |         SUM(CASE WHEN pred_a = is_en AND pred_b != is_en THEN 1 ELSE 0 END)::BIGINT AS n01,
+      |         SUM(CASE WHEN pred_a != is_en AND pred_b = is_en THEN 1 ELSE 0 END)::BIGINT AS n10,
+      |         SUM(CASE WHEN pred_a = is_en THEN 1 ELSE 0 END)::BIGINT AS ok_a,
+      |         SUM(CASE WHEN pred_b = is_en THEN 1 ELSE 0 END)::BIGINT AS ok_b
+      |  FROM docs d JOIN maj m USING (source) CROSS JOIN gmaj
+      |  WHERE d.doc_id % 3 = 0
+      |)
+      |SELECT n_test, n01, n10,
+      |       (ok_a * 1000000) // n_test AS acc_a_millionths,
+      |       (ok_b * 1000000) // n_test AS acc_b_millionths,
+      |       CASE WHEN n01 + n10 > 0 THEN
+      |         ((n01 - n10) * (n01 - n10) * 1000000) // (n01 + n10) END AS chi2_millionths
+      |FROM cm
+      """.stripMargin.trim))
+
+  private val cohensKappa = QueryDef(
+    "ml_cohens_kappa",
+    "Cohen's κ — chance-corrected AGREEMENT between two classifiers " +
+      "(the inter-annotator statistic; ml_mcnemar asks which model is " +
+      "RIGHT more often, κ asks whether they are even measuring the " +
+      "same thing — high-agreement models make ensembling pointless, " +
+      "low-agreement ones make it profitable): the per-source majority " +
+      "detector vs the global-majority baseline on the shared %3 test " +
+      "split. κ = (p_o − p_e)/(1 − p_e) kept EXACT end to end: with " +
+      "d = agreements, row/col marginals r_i/c_i, " +
+      "κ = (n·d − Σr_ic_i)/(n² − Σr_ic_i), presented as the exact " +
+      "truncated integer κ·10⁶ — zero doubles. One rollup of the " +
+      "2×2 pred_a×pred_b table over the test scan.",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          (col("lang") === "en").as("is_en"))
+      val train = docs.filter(col("doc_id") % 3 =!= 0)
+      val maj = train.groupBy(col("source"))
+        .agg((lit(2L) * sum(when(col("is_en"), 1L).otherwise(0L)) >
+          count(lit(1))).as("pred_a"))
+      val glob = train.agg((lit(2L) * sum(when(col("is_en"), 1L).otherwise(0L)) >
+        count(lit(1))).as("pred_b"))
+      val st = docs.filter(col("doc_id") % 3 === 0)
+        .join(broadcast(maj), Seq("source"))
+        .crossJoin(broadcast(glob))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("pred_a") === col("pred_b"), 1L).otherwise(0L)).as("d"),
+          sum(when(col("pred_a"), 1L).otherwise(0L)).as("ra"),
+          sum(when(col("pred_b"), 1L).otherwise(0L)).as("rb"))
+      st.select(col("n"), col("d").as("n_agree"),
+        (col("ra") * col("rb") + (col("n") - col("ra")) * (col("n") - col("rb")))
+          .as("s_chance"),
+        expr("CASE WHEN n * n != ra * rb + (n - ra) * (n - rb) THEN " +
+          "(n * d - (ra * rb + (n - ra) * (n - rb))) * 1000000 div " +
+          "(n * n - (ra * rb + (n - ra) * (n - rb))) END")
+          .as("kappa_millionths"))
+    },
+    Some("""
+      |WITH docs AS (
+      |  SELECT doc_id, source, lang = 'en' AS is_en FROM documents
+      |), maj AS (
+      |  SELECT source,
+      |         2 * SUM(CASE WHEN is_en THEN 1 ELSE 0 END) > count(*) AS pred_a
+      |  FROM docs WHERE doc_id % 3 != 0 GROUP BY 1
+      |), gmaj AS (
+      |  SELECT 2 * SUM(CASE WHEN is_en THEN 1 ELSE 0 END) > count(*) AS pred_b
+      |  FROM docs WHERE doc_id % 3 != 0
+      |), st AS (
+      |  SELECT count(*)::BIGINT AS n,
+      |         SUM(CASE WHEN pred_a = pred_b THEN 1 ELSE 0 END)::BIGINT AS d,
+      |         SUM(CASE WHEN pred_a THEN 1 ELSE 0 END)::BIGINT AS ra,
+      |         SUM(CASE WHEN pred_b THEN 1 ELSE 0 END)::BIGINT AS rb
+      |  FROM docs dd JOIN maj m USING (source) CROSS JOIN gmaj
+      |  WHERE dd.doc_id % 3 = 0
+      |)
+      |SELECT n, d AS n_agree,
+      |       (ra * rb + (n - ra) * (n - rb))::BIGINT AS s_chance,
+      |       CASE WHEN n * n != ra * rb + (n - ra) * (n - rb) THEN
+      |         ((n * d - (ra * rb + (n - ra) * (n - rb))) * 1000000) //
+      |         (n * n - (ra * rb + (n - ra) * (n - rb))) END AS kappa_millionths
+      |FROM st
+      """.stripMargin.trim))
+
+  private val infoGain = QueryDef(
+    "ml_feature_infogain",
+    "Information-gain feature ranking — the feature-selection pass " +
+      "run before training anything (ml_decision_stump exhausts ONE " +
+      "feature's thresholds; this ranks CANDIDATE features): " +
+      "IG(f) = H(y) − Σ_v p(v)·H(y|v) for predicting returnflag='R' " +
+      "from four integer-coded candidates (quantity, discount·100, " +
+      "ship month, linenumber), ALL evaluated in ONE corpus scan via " +
+      "a tagged stack to (feature, value, y) counts — each feature's " +
+      "cell table is value-domain-bounded (≤50 values × 2 labels), so " +
+      "everything after the rollup is O(Σ|domains|). Entropy terms " +
+      "through the established ln channel: each p·ln(p) rounds at 6 " +
+      "into DECIMAL(38,6) order-independent sums; IG recombines the " +
+      "two rounded entropies. Output ranked by IG descending — the " +
+      "split-variable order a tree inducer would take.",
+    (s, dir) => {
+      val cells = Tables.lineitem(s, dir)
+        .select((col("l_returnflag") === "R").cast("int").as("y"),
+          col("l_quantity").cast("long").as("quantity"),
+          (col("l_discount").cast(Queries.Money.rate) * 100).cast("long")
+            .as("discount_pct"),
+          month(col("l_shipdate")).cast("long").as("ship_month"),
+          col("l_linenumber").cast("long").as("linenumber"))
+        .select(col("y"), expr("stack(4, 'quantity', quantity, " +
+          "'discount_pct', discount_pct, 'ship_month', ship_month, " +
+          "'linenumber', linenumber) as (feat, v)"))
+        .groupBy(col("feat"), col("v"), col("y"))
+        .agg(count(lit(1)).as("c"))
+      val byFeat = cells.groupBy(col("feat")).agg(sum(col("c")).as("n"))
+      val hy = cells.groupBy(col("feat"), col("y"))
+        .agg(sum(col("c")).as("cy"))
+        .join(byFeat, Seq("feat"))
+        .withColumn("term", expr(
+          "round((CAST(cy AS DOUBLE) / CAST(n AS DOUBLE)) * " +
+            "ln(CAST(cy AS DOUBLE) / CAST(n AS DOUBLE)), 6)"))
+        .groupBy(col("feat"))
+        .agg(round(-sum(col("term").cast(dec6)).cast("double"), 6).as("h_y"))
+      val byVal = cells.groupBy(col("feat"), col("v"))
+        .agg(sum(col("c")).as("cv"))
+      val hcond = cells.join(byVal, Seq("feat", "v"))
+        .join(byFeat, Seq("feat"))
+        .withColumn("term", expr(
+          "round((CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * " +
+            "ln(CAST(c AS DOUBLE) / CAST(cv AS DOUBLE)), 6)"))
+        .groupBy(col("feat"))
+        .agg(count(lit(1)).as("n_cells"),
+          round(-sum(col("term").cast(dec6)).cast("double"), 6).as("h_y_given"))
+      hy.join(hcond, Seq("feat"))
+        .select(col("feat"), col("n_cells"), col("h_y"), col("h_y_given"),
+          round(col("h_y") - col("h_y_given"), 6).as("info_gain"))
+        .orderBy(col("info_gain").desc, col("feat"))
+    },
+    Some("""
+      |WITH rows_t AS (
+      |  SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+      |         CAST(l_quantity AS BIGINT) AS quantity,
+      |         CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT) AS discount_pct,
+      |         CAST(date_part('month', l_shipdate) AS BIGINT) AS ship_month,
+      |         CAST(l_linenumber AS BIGINT) AS linenumber
+      |  FROM lineitem
+      |), stacked AS (
+      |  SELECT y, 'quantity' AS feat, quantity AS v FROM rows_t
+      |  UNION ALL SELECT y, 'discount_pct', discount_pct FROM rows_t
+      |  UNION ALL SELECT y, 'ship_month', ship_month FROM rows_t
+      |  UNION ALL SELECT y, 'linenumber', linenumber FROM rows_t
+      |), cells AS (
+      |  SELECT feat, v, y, count(*)::BIGINT AS c FROM stacked GROUP BY 1, 2, 3
+      |), byfeat AS (
+      |  SELECT feat, SUM(c)::BIGINT AS n FROM cells GROUP BY 1
+      |), hy AS (
+      |  SELECT feat,
+      |         round(-CAST(SUM(CAST(term AS DECIMAL(38,6))) AS DOUBLE), 6) AS h_y
+      |  FROM (
+      |    SELECT cy.feat,
+      |           round((CAST(cy.cy AS DOUBLE) / CAST(f.n AS DOUBLE)) *
+      |                 ln(CAST(cy.cy AS DOUBLE) / CAST(f.n AS DOUBLE)), 6) AS term
+      |    FROM (SELECT feat, y, SUM(c)::BIGINT AS cy FROM cells GROUP BY 1, 2) cy
+      |    JOIN byfeat f USING (feat)
+      |  ) GROUP BY 1
+      |), byval AS (
+      |  SELECT feat, v, SUM(c)::BIGINT AS cv FROM cells GROUP BY 1, 2
+      |), hcond AS (
+      |  SELECT feat, count(*)::BIGINT AS n_cells,
+      |         round(-CAST(SUM(CAST(term AS DECIMAL(38,6))) AS DOUBLE), 6) AS h_y_given
+      |  FROM (
+      |    SELECT c.feat,
+      |           round((CAST(c.c AS DOUBLE) / CAST(f.n AS DOUBLE)) *
+      |                 ln(CAST(c.c AS DOUBLE) / CAST(bv.cv AS DOUBLE)), 6) AS term
+      |    FROM cells c JOIN byval bv USING (feat, v) JOIN byfeat f USING (feat)
+      |  ) GROUP BY 1
+      |)
+      |SELECT feat, n_cells, h_y, h_y_given,
+      |       round(h_y - h_y_given, 6) AS info_gain
+      |FROM hy JOIN hcond USING (feat)
+      |ORDER BY info_gain DESC, feat
+      """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
     Seq(targetEncode, quantileBins, attribution, itemCooccurrence,
       naiveBayes, aucRoc, silhouette, logregGd, calibrationEce, kfoldCv,
       prCurve, liftGains, ridge, prfReport, stump, kmeansElbow,
-      frequentTriples, bestF1, mcc, adaboost)
+      frequentTriples, bestF1, mcc, adaboost, mcnemar, cohensKappa, infoGain)
 }

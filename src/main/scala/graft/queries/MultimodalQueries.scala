@@ -302,5 +302,191 @@ object MultimodalQueries {
       |FROM per_doc GROUP BY 1 ORDER BY lang
       """.stripMargin.trim))
 
-  val defs: Seq[QueryDef] = Seq(meta, decode, frameDedup, phashNearDup, audioVad)
+  private val shotBoundaries = QueryDef(
+    "mm_shot_boundaries",
+    "Video shot-boundary detection over the stub-decoded media column " +
+      "— the pre-processing cut a video-training pipeline runs before " +
+      "sampling frames (one keyframe PER SHOT beats uniform sampling " +
+      "that lands five frames in one static shot): per clip, the stub " +
+      "frame count (bit-slice of the content hash) explodes into a " +
+      "frame index, per-frame energy is the md5-derived deterministic " +
+      "stand-in for a real frame histogram, and a boundary fires when " +
+      "the frame-to-frame energy jump exceeds 700/1000 (the classic " +
+      "absolute-difference detector). shot_id = running sum of " +
+      "boundaries (one per-clip window pass — the CUSUM prefix-sum " +
+      "shape), shot lengths from one (clip, shot) rollup. Per-language " +
+      "rollup: clips, frames, shots, longest shot, mean shot length " +
+      "as the exact truncated integer (frames·10⁶) div shots. Frame " +
+      "explosion is duration-bounded (≤241 rows/clip); everything " +
+      "downstream is per-key integer work.",
+    (s, dir) => {
+      import graft.operators.TextAnalysis.md5Long48
+      import org.apache.spark.sql.expressions.Window
+      val base = Tables.documentsSpread(s, dir)
+        .select(col("doc_id"), col("lang"), md5(col("text")).as("hx"),
+          md5Long48(col("text")).as("h"))
+        .withColumn("nf", expr("(h >> 20) % 240 + 2"))
+      val frames = base.select(col("doc_id"), col("lang"), col("hx"), col("nf"),
+          explode(sequence(lit(0L), col("nf") - 1)).as("f"))
+        .withColumn("energy",
+          md5Long48(concat(col("hx"), lit(":f:"), col("f").cast("string"))) % 1000)
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("f"))
+      val shots = frames
+        .withColumn("prev", lag(col("energy"), 1).over(w))
+        .withColumn("boundary",
+          when(col("prev").isNotNull &&
+            abs(col("energy") - col("prev")) > 700, 1L).otherwise(0L))
+        .withColumn("shot_id", sum(col("boundary")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val perShot = shots.groupBy(col("doc_id"), col("lang"), col("shot_id"))
+        .agg(count(lit(1)).as("len"))
+      val perDoc = perShot.groupBy(col("doc_id"), col("lang"))
+        .agg(sum(col("len")).as("n_frames"),
+          count(lit(1)).as("n_shots"), max(col("len")).as("longest"))
+      perDoc.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_clips"),
+          sum(col("n_frames")).as("n_frames"),
+          sum(col("n_shots")).as("n_shots"),
+          max(col("longest")).as("longest_shot"))
+        .withColumn("mean_shot_len_millionths",
+          expr("n_frames * 1000000 div n_shots"))
+        .orderBy(col("lang"))
+    },
+    Some("""
+      |WITH base AS (
+      |  SELECT doc_id, lang, md5(text) AS hx,
+      |         ('0x' || substring(md5(text), 1, 12))::BIGINT AS h
+      |  FROM documents
+      |), nf AS (
+      |  SELECT doc_id, lang, hx, (h >> 20) % 240 + 2 AS nf FROM base
+      |), frames AS (
+      |  SELECT doc_id, lang, unnest(range(0, nf)) AS f, hx FROM nf
+      |), scored AS (
+      |  SELECT doc_id, lang, f,
+      |         ('0x' || substring(md5(hx || ':f:' || f::VARCHAR), 1, 12))::BIGINT % 1000 AS energy
+      |  FROM frames
+      |), marked AS (
+      |  SELECT doc_id, lang, f, energy,
+      |         CASE WHEN lag(energy) OVER w IS NOT NULL
+      |               AND abs(energy - lag(energy) OVER w) > 700 THEN 1 ELSE 0 END AS boundary
+      |  FROM scored WINDOW w AS (PARTITION BY doc_id ORDER BY f)
+      |), shotted AS (
+      |  SELECT doc_id, lang,
+      |         SUM(boundary) OVER (PARTITION BY doc_id ORDER BY f
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS shot_id
+      |  FROM marked
+      |), per_shot AS (
+      |  SELECT doc_id, lang, shot_id, count(*) AS len FROM shotted GROUP BY 1, 2, 3
+      |), per_doc AS (
+      |  SELECT doc_id, lang, SUM(len)::BIGINT AS n_frames,
+      |         count(*)::BIGINT AS n_shots, max(len)::BIGINT AS longest
+      |  FROM per_shot GROUP BY 1, 2
+      |)
+      |SELECT lang, count(*) AS n_clips,
+      |       SUM(n_frames)::BIGINT AS n_frames,
+      |       SUM(n_shots)::BIGINT AS n_shots,
+      |       max(longest) AS longest_shot,
+      |       (SUM(n_frames)::BIGINT * 1000000) // SUM(n_shots)::BIGINT AS mean_shot_len_millionths
+      |FROM per_doc GROUP BY 1 ORDER BY lang
+      """.stripMargin.trim))
+
+  private val audioNearDup = QueryDef(
+    "mm_audio_near_dup",
+    "Audio fingerprint near-dup — the chromaprint-core shape: where " +
+      "mm_phash_near_dup SimHashes an ORDER-FREE frame set, an audio " +
+      "fingerprint is ORDER-SENSITIVE (the same sounds in a different " +
+      "sequence are a different recording): per clip, the VAD window " +
+      "energies (same stub seam, 'fp' salt) quantize to their " +
+      "DELTA SIGNS — bit w = energy(w+1) > energy(w), the actual " +
+      "chromaprint primitive — packed into a 48-bit sequence " +
+      "fingerprint (first 49 windows; shorter clips keep leading " +
+      "zeros). Re-encodes and exact re-uploads collide at hamming 0; " +
+      "near-versions land within the hamming-≤6 verify. Banding is " +
+      "the established 4×12-bit blocking (never all-pairs — the " +
+      "dedup_simhash scale contract, INCLUDING its default-on " +
+      "hot-band cap: short clips all pack near-zero fingerprints, so " +
+      "without the cap a popular band bucket would put \u03a3 bucket\u00b2 " +
+      "pairs in one task; like the phash gate, the cap never fires " +
+      "on the tested fixtures, so the oracle omits it by the same " +
+      "contract); the band join shuffles (band, id, fp) only; 25 " +
+      "closest pairs by (hamming, ids).",
+    (s, dir) => {
+      import graft.operators.TextAnalysis.md5Long48
+      import org.apache.spark.sql.expressions.Window
+      val base = Tables.documentsSpread(s, dir)
+        .select(col("doc_id"), md5(col("text")).as("hx"),
+          md5Long48(col("text")).as("h"))
+        .withColumn("nw", least(expr("(h >> 22) % 600000 div 5000 + 1"), lit(49L)))
+      val win = base.select(col("doc_id"), col("hx"),
+          explode(sequence(lit(0L), col("nw") - 1)).as("w"))
+        .withColumn("energy",
+          md5Long48(concat(col("hx"), lit(":fp:"), col("w").cast("string"))) % 1000)
+      val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("w"))
+      val fp = win
+        .withColumn("nxt", lead(col("energy"), 1).over(wOrd))
+        .filter(col("nxt").isNotNull)
+        .withColumn("bit", when(col("nxt") > col("energy"), 1L).otherwise(0L))
+        .groupBy(col("doc_id"))
+        .agg(sum(expr("shiftleft(bit, CAST(w AS INT))")).as("fp"))
+      val bands = fp.select(col("doc_id"), col("fp"),
+        explode(expr("transform(sequence(0, 3), " +
+          "b -> concat(CAST(b AS STRING), ':', CAST((fp >> (b*12)) & 4095 AS STRING)))"))
+          .as("band"))
+        .cache()
+      // default-on hot-band cap (the dedup_simhash contract): short
+      // clips pack few delta bits, so near-zero fingerprints pile into
+      // shared bands — the cap drops buckets above the bound via a
+      // bounded hot-list broadcast anti-join
+      val hot = bands.groupBy(col("band"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") > graft.operators.Dedup.DefaultMaxBandSize)
+        .select("band")
+      val pruned = bands.join(broadcast(hot), Seq("band"), "left_anti")
+      val cand = pruned.as("x").join(pruned.as("y"),
+          col("x.band") === col("y.band") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+          expr("CAST(bit_count(x.fp ^ y.fp) AS BIGINT)").as("hamming"))
+        .distinct()
+      cand.filter(col("hamming") <= 6)
+        .orderBy(col("hamming"), col("id_a"), col("id_b")).limit(25)
+    },
+    Some("""
+      |WITH base AS (
+      |  SELECT doc_id, md5(text) AS hx,
+      |         ('0x' || substring(md5(text), 1, 12))::BIGINT AS h
+      |  FROM documents
+      |), nw AS (
+      |  SELECT doc_id, hx,
+      |         least(((h >> 22) % 600000) // 5000 + 1, 49) AS nw
+      |  FROM base
+      |), win AS (
+      |  SELECT doc_id, hx, unnest(range(0, nw)) AS w FROM nw
+      |), scored AS (
+      |  SELECT doc_id, w,
+      |         ('0x' || substring(md5(hx || ':fp:' || w::VARCHAR), 1, 12))::BIGINT % 1000 AS energy
+      |  FROM win
+      |), bits AS (
+      |  SELECT doc_id, w,
+      |         CASE WHEN lead(energy) OVER (PARTITION BY doc_id ORDER BY w) > energy
+      |              THEN 1::BIGINT ELSE 0::BIGINT END AS bit,
+      |         lead(energy) OVER (PARTITION BY doc_id ORDER BY w) AS nxt
+      |  FROM scored
+      |), fp AS (
+      |  SELECT doc_id, SUM(bit << CAST(w AS INTEGER))::BIGINT AS fp
+      |  FROM bits WHERE nxt IS NOT NULL GROUP BY 1
+      |), bands AS (
+      |  SELECT doc_id, fp, unnest(list_transform(range(4),
+      |    b -> b::VARCHAR || ':' || ((fp >> (b*12)) & 4095)::VARCHAR)) AS band
+      |  FROM fp
+      |), cand AS (
+      |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+      |         bit_count(xor(x.fp, y.fp))::BIGINT AS hamming
+      |  FROM bands x JOIN bands y ON x.band = y.band AND x.doc_id < y.doc_id
+      |)
+      |SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 6
+      |ORDER BY hamming, id_a, id_b LIMIT 25
+      """.stripMargin.trim))
+
+  val defs: Seq[QueryDef] = Seq(meta, decode, frameDedup, phashNearDup, audioVad,
+    shotBoundaries, audioNearDup)
 }

@@ -4710,6 +4710,462 @@ object StatQueries {
       |FROM s
       """.stripMargin.trim))
 
+  private val wilcoxonSigned = QueryDef(
+    "stat_wilcoxon_signed",
+    "Wilcoxon signed-rank test — the PAIRED two-sample member the " +
+      "rank battery lacked (stat_mannwhitney_u is unpaired, " +
+      "stat_friedman needs k≥3 treatments): are daily purchase and " +
+      "click value totals drawn from the same distribution, pairing " +
+      "BY DAY so day-level volume shifts cancel? d = exact-cents " +
+      "difference per day, zeros dropped (the textbook convention), " +
+      "doubled midranks 2r = 2·|{<|d|}| + ties + 1 over the distinct " +
+      "|d| grid (exact BIGINTs — the mannwhitney channel), " +
+      "2W⁺ = Σ_{d>0} 2r, E[2W⁺] = n(n+1)/2 exact, and the " +
+      "tie-corrected 12·Var(2W⁺) = 2n(n+1)(2n+1) − Σ(t³−t) exact; " +
+      "z = (2W⁺ − E)/√(V12/12) is the ONE double op. Calendar-bounded " +
+      "everywhere: n = paired days.",
+    (s, dir) => {
+      val daily = dailyCents(s, dir)
+      val a = daily.filter(col("event_type") === "purchase")
+        .select(col("day"), col("yc").as("ya"))
+      val b = daily.filter(col("event_type") === "click")
+        .select(col("day"), col("yc").as("yb"))
+      val d = a.join(b, "day")
+        .select((col("ya") - col("yb")).as("d"))
+        .filter(col("d") =!= 0)
+      val grid = d.groupBy(abs(col("d")).as("ad"))
+        .agg(count(lit(1)).as("t"),
+          sum(when(col("d") > 0, 1L).otherwise(0L)).as("npos"))
+      val w = Window.orderBy(col("ad"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val ranked = grid.withColumn("below",
+        coalesce(sum(col("t")).over(w), lit(0L)))
+        .withColumn("r2", lit(2) * col("below") + col("t") + 1)
+      ranked.agg(
+          sum(col("t")).as("n_pairs"),
+          sum(col("npos") * col("r2")).as("w2_plus"),
+          sum(col("t") * col("t") * col("t") - col("t")).as("tiesum"))
+        .select(col("n_pairs"), col("w2_plus"),
+          expr("n_pairs * (n_pairs + 1) div 2").as("e2w"),
+          (lit(2) * col("n_pairs") * (col("n_pairs") + 1) *
+            (lit(2) * col("n_pairs") + 1) - col("tiesum")).as("v12"),
+          round((col("w2_plus") - expr("n_pairs * (n_pairs + 1) div 2"))
+              .cast("double") /
+            sqrt((lit(2) * col("n_pairs") * (col("n_pairs") + 1) *
+              (lit(2) * col("n_pairs") + 1) - col("tiesum")).cast("double") / 12.0),
+            6).as("z_score"))
+    },
+    Some(s"""
+      |WITH daily AS (
+      |$dailyCentsSql
+      |), d AS (
+      |  SELECT a.yc - b.yc AS d
+      |  FROM (SELECT day, yc FROM daily WHERE event_type = 'purchase') a
+      |  JOIN (SELECT day, yc FROM daily WHERE event_type = 'click') b USING (day)
+      |  WHERE a.yc - b.yc <> 0
+      |), grid AS (
+      |  SELECT abs(d) AS ad, count(*) AS t,
+      |         SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END)::BIGINT AS npos
+      |  FROM d GROUP BY 1
+      |), ranked AS (
+      |  SELECT t, npos,
+      |         2 * COALESCE(SUM(t) OVER (ORDER BY ad
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + t + 1 AS r2
+      |  FROM grid
+      |), st AS (
+      |  SELECT SUM(t)::BIGINT AS n_pairs,
+      |         SUM(npos * r2)::BIGINT AS w2_plus,
+      |         SUM(t * t * t - t)::BIGINT AS tiesum
+      |  FROM ranked
+      |)
+      |SELECT n_pairs, w2_plus,
+      |       n_pairs * (n_pairs + 1) // 2 AS e2w,
+      |       2 * n_pairs * (n_pairs + 1) * (2 * n_pairs + 1) - tiesum AS v12,
+      |       round((w2_plus - n_pairs * (n_pairs + 1) // 2)::DOUBLE /
+      |             sqrt((2 * n_pairs * (n_pairs + 1) * (2 * n_pairs + 1) - tiesum)::DOUBLE / 12.0),
+      |             6) AS z_score
+      |FROM st
+      """.stripMargin.trim))
+
+  /** Durbin–Levinson φ formulas on the ROUND-6 acf columns r1..r3 — ONE
+    * SQL string family evaluated verbatim by both engines (inputs are
+    * the hash-gated round-6 autocorrelations, so the doubles walking
+    * these trees are bit-identical). nullif guards the lag-1-degenerate
+    * (|r1| = 1) and singular-denominator cases.
+    */
+  private val pacf2Sql =
+    "(r2 - r1 * r1) / nullif(1.0 - r1 * r1, 0.0)"
+  private val phi21Sql =
+    "r1 * (1.0 - r2) / nullif(1.0 - r1 * r1, 0.0)"
+  private lazy val pacf3Sql =
+    s"(r3 - ($phi21Sql) * r2 - ($pacf2Sql) * r1) / " +
+      s"nullif(1.0 - ($phi21Sql) * r1 - ($pacf2Sql) * r2, 0.0)"
+
+  private val pacfDaily = QueryDef(
+    "stat_pacf_daily",
+    "Partial autocorrelation (lags 1–3) of the daily value series per " +
+      "event type — the AR-order probe that completes the " +
+      "stat_acf_daily / stat_ljung_box / ev_period_detect series " +
+      "toolkit (ACF of an AR(1) decays forever; PACF cuts off at the " +
+      "true order, which is what picks p in an AR(p) fit): " +
+      "Durbin–Levinson on the SAME round-6 autocorrelations the ACF " +
+      "gate hashes — φ11 = ρ1, φ22 = (ρ2 − ρ1²)/(1 − ρ1²), φ33 from " +
+      "the level-2 coefficients — each φ from ONE SQL string " +
+      "evaluated verbatim by both engines on the rounded inputs, so " +
+      "the doubles are bit-identical; nullif guards singular " +
+      "denominators. Cost = the ACF rollup + an O(|types|) pivot.",
+    (s, dir) => {
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val daily = dailyCents(s, dir)
+      val mx = daily.agg(max(col("yc")).as("mx"))
+      val d = daily.crossJoin(broadcast(mx))
+        .withColumn("y", expr(s"yc div ($acfScaleSql)"))
+        .withColumn("y1", lag(col("y"), 1).over(w))
+        .withColumn("y2", lag(col("y"), 2).over(w))
+        .withColumn("y3", lag(col("y"), 3).over(w))
+      val pairs = d
+        .select(col("event_type"), col("y"),
+          expr("stack(3, 1, y1, 2, y2, 3, y3) as (lag_k, x)"))
+        .filter(col("x").isNotNull)
+      val st = pairs.groupBy(col("event_type"), col("lag_k")).agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("x")).cast("double").as("sx"), sum(col("y")).cast("double").as("sy"),
+        sum(col("x") * col("x")).cast("double").as("sxx"),
+        sum(col("y") * col("y")).cast("double").as("syy"),
+        sum(col("x") * col("y")).cast("double").as("sxy"))
+      val acf = st.filter((col("n") * col("sxx") - col("sx") * col("sx")) > 0 &&
+          (col("n") * col("syy") - col("sy") * col("sy")) > 0)
+        .select(col("event_type"), col("lag_k"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+              (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("acf"))
+      acf.groupBy(col("event_type"))
+        .agg(max(when(col("lag_k") === 1, col("acf"))).as("r1"),
+          max(when(col("lag_k") === 2, col("acf"))).as("r2"),
+          max(when(col("lag_k") === 3, col("acf"))).as("r3"))
+        .filter(col("r1").isNotNull && col("r2").isNotNull && col("r3").isNotNull)
+        .select(col("event_type"), col("r1").as("acf_1"), col("r2").as("acf_2"),
+          col("r3").as("acf_3"),
+          col("r1").as("pacf_1"),
+          expr(s"round($pacf2Sql, 6)").as("pacf_2"),
+          expr(s"round($pacf3Sql, 6)").as("pacf_3"))
+        .orderBy(col("event_type"))
+    },
+    Some(s"""
+      |WITH daily AS (
+      |$dailyCentsSql
+      |), m AS (
+      |  SELECT max(yc) AS mx FROM daily
+      |), d AS (
+      |  SELECT event_type, day, yc // ($acfScaleSql) AS y FROM daily CROSS JOIN m
+      |), l AS (
+      |  SELECT event_type, y,
+      |         lag(y, 1) OVER w AS y1, lag(y, 2) OVER w AS y2, lag(y, 3) OVER w AS y3
+      |  FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day)
+      |), p AS (
+      |  SELECT event_type, 1 AS lag_k, y1 AS x, y FROM l WHERE y1 IS NOT NULL
+      |  UNION ALL
+      |  SELECT event_type, 2 AS lag_k, y2 AS x, y FROM l WHERE y2 IS NOT NULL
+      |  UNION ALL
+      |  SELECT event_type, 3 AS lag_k, y3 AS x, y FROM l WHERE y3 IS NOT NULL
+      |), s AS (
+      |  SELECT event_type, lag_k, count(*)::DOUBLE AS n,
+      |         SUM(x)::DOUBLE AS sx, SUM(y)::DOUBLE AS sy,
+      |         SUM(x*x)::DOUBLE AS sxx, SUM(y*y)::DOUBLE AS syy, SUM(x*y)::DOUBLE AS sxy
+      |  FROM p GROUP BY 1, 2
+      |), acf AS (
+      |  SELECT event_type, lag_k,
+      |         round((n * sxy - sx * sy) /
+      |               sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS acf
+      |  FROM s
+      |  WHERE (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+      |), piv AS (
+      |  SELECT event_type,
+      |         MAX(CASE WHEN lag_k = 1 THEN acf END) AS r1,
+      |         MAX(CASE WHEN lag_k = 2 THEN acf END) AS r2,
+      |         MAX(CASE WHEN lag_k = 3 THEN acf END) AS r3
+      |  FROM acf GROUP BY 1
+      |)
+      |SELECT event_type, r1 AS acf_1, r2 AS acf_2, r3 AS acf_3,
+      |       r1 AS pacf_1,
+      |       round($pacf2Sql, 6) AS pacf_2,
+      |       round($pacf3Sql, 6) AS pacf_3
+      |FROM piv
+      |WHERE r1 IS NOT NULL AND r2 IS NOT NULL AND r3 IS NOT NULL
+      |ORDER BY event_type
+      """.stripMargin.trim))
+
+  private val wilsonCi = QueryDef(
+    "stat_wilson_ci",
+    "Wilson score interval for a proportion — the CI that stays " +
+      "honest at small n and extreme p̂ where the naive normal " +
+      "interval escapes [0,1] (the reason production dashboards use " +
+      "Wilson): per event type, p̂ = share of high-value events " +
+      "(value ≥ 100, an exact compare on the 2-decimal grid), 95% " +
+      "bounds from the closed form with z = 1.959964 embedded as the " +
+      "IDENTICAL double literal in both engines (the stat_power_mde " +
+      "channel — no inverse-normal anywhere); counts are exact " +
+      "BIGINTs from ONE rollup, the bound formula is one fixed " +
+      "shape, round 6.",
+    (s, dir) => {
+      val st = Tables.events(s, dir).groupBy(col("event_type")).agg(
+        count(lit(1)).as("n"),
+        sum(when(col("value") >= 100.0, 1L).otherwise(0L)).as("k"))
+      val z = lit(1.959964)
+      val nD = col("n").cast("double"); val p = col("k").cast("double") / nD
+      val denom = lit(1.0) + z * z / nD
+      val center = (p + z * z / (lit(2.0) * nD)) / denom
+      val half = z * sqrt(p * (lit(1.0) - p) / nD +
+        z * z / (lit(4.0) * nD * nD)) / denom
+      st.select(col("event_type"), col("n"), col("k"),
+          round(p, 6).as("p_hat"),
+          round(center - half, 6).as("wilson_lo"),
+          round(center + half, 6).as("wilson_hi"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      |WITH s AS (
+      |  SELECT event_type, count(*)::BIGINT AS n,
+      |         SUM(CASE WHEN value >= 100.0 THEN 1 ELSE 0 END)::BIGINT AS k
+      |  FROM events GROUP BY 1
+      |)
+      |SELECT event_type, n, k,
+      |       round(k::DOUBLE / n::DOUBLE, 6) AS p_hat,
+      |       round((k::DOUBLE / n::DOUBLE + 1.959964 * 1.959964 / (2.0 * n::DOUBLE)) /
+      |               (1.0 + 1.959964 * 1.959964 / n::DOUBLE) -
+      |             1.959964 * sqrt(k::DOUBLE / n::DOUBLE * (1.0 - k::DOUBLE / n::DOUBLE) / n::DOUBLE +
+      |                 1.959964 * 1.959964 / (4.0 * n::DOUBLE * n::DOUBLE)) /
+      |               (1.0 + 1.959964 * 1.959964 / n::DOUBLE), 6) AS wilson_lo,
+      |       round((k::DOUBLE / n::DOUBLE + 1.959964 * 1.959964 / (2.0 * n::DOUBLE)) /
+      |               (1.0 + 1.959964 * 1.959964 / n::DOUBLE) +
+      |             1.959964 * sqrt(k::DOUBLE / n::DOUBLE * (1.0 - k::DOUBLE / n::DOUBLE) / n::DOUBLE +
+      |                 1.959964 * 1.959964 / (4.0 * n::DOUBLE * n::DOUBLE)) /
+      |               (1.0 + 1.959964 * 1.959964 / n::DOUBLE), 6) AS wilson_hi
+      |FROM s ORDER BY event_type
+      """.stripMargin.trim))
+
+  private val trimmedMean = QueryDef(
+    "stat_trimmed_mean",
+    "10%-trimmed and winsorized means of customer order value — the " +
+      "robust location estimates between the mean (outlier-fragile) " +
+      "and the median (throws away 98% of the data), the standard " +
+      "monitoring statistic for heavy-tailed revenue series " +
+      "(stat_hill_tail measures the tail; this summarizes the body). " +
+      "Global order statistics via DistributedRank (range-partitioned " +
+      "sort + offsets — never a single-partition window), k = n div " +
+      "10 cut from each side; trimmed mean averages ranks (k, n−k], " +
+      "winsorized clamps to the order statistics at ranks k+1 and " +
+      "n−k (k·lo + middle + k·hi — exact BIGINT cents throughout, " +
+      "one double division each, round 6).",
+    (s, dir) => {
+      val cents = Tables.orders(s, dir)
+        .select(col("o_orderkey"),
+          (col("o_totalprice").cast(Queries.Money.price).cast(dec2) * 100)
+            .cast("long").as("cents"))
+      val ranked = graft.operators.DistributedRank.byKey(
+        cents, Seq(col("cents"), col("o_orderkey")))
+      val n = ranked.agg(count(lit(1)).as("n"))
+      val withN = ranked.crossJoin(broadcast(n))
+        .withColumn("k", expr("n div 10"))
+      withN.agg(
+          first(col("n")).as("n_orders"),
+          first(col("k")).as("k_cut"),
+          sum(when(col("rank") > col("k") && col("rank") <= col("n") - col("k"),
+            col("cents").cast(DecimalType(38, 0))).otherwise(lit(0).cast(DecimalType(38, 0))))
+            .as("mid_sum"),
+          max(when(col("rank") === col("k") + 1, col("cents"))).as("lo"),
+          max(when(col("rank") === col("n") - col("k"), col("cents"))).as("hi"))
+        .select(col("n_orders"), col("k_cut"),
+          round(col("lo").cast("double") / 100.0, 2).as("winsor_lo"),
+          round(col("hi").cast("double") / 100.0, 2).as("winsor_hi"),
+          round(col("mid_sum").cast("double") /
+            (col("n_orders") - lit(2) * col("k_cut")).cast("double") / 100.0, 6)
+            .as("trimmed_mean"),
+          round((col("mid_sum").cast("double") +
+              col("k_cut").cast("double") * (col("lo") + col("hi")).cast("double")) /
+            col("n_orders").cast("double") / 100.0, 6).as("winsorized_mean"))
+    },
+    Some("""
+      |WITH cents AS (
+      |  SELECT o_orderkey,
+      |         CAST(CAST(o_totalprice AS DECIMAL(38,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders
+      |), ranked AS (
+      |  SELECT cents,
+      |         row_number() OVER (ORDER BY cents, o_orderkey) AS rank,
+      |         count(*) OVER () AS n
+      |  FROM cents
+      |), s AS (
+      |  SELECT any_value(n)::BIGINT AS n_orders,
+      |         any_value(n // 10)::BIGINT AS k_cut,
+      |         SUM(CASE WHEN rank > n // 10 AND rank <= n - n // 10
+      |                  THEN cents::HUGEINT ELSE 0::HUGEINT END) AS mid_sum,
+      |         MAX(CASE WHEN rank = n // 10 + 1 THEN cents END) AS lo,
+      |         MAX(CASE WHEN rank = n - n // 10 THEN cents END) AS hi
+      |  FROM ranked
+      |)
+      |SELECT n_orders, k_cut,
+      |       round(lo::DOUBLE / 100.0, 2) AS winsor_lo,
+      |       round(hi::DOUBLE / 100.0, 2) AS winsor_hi,
+      |       round(mid_sum::DOUBLE / (n_orders - 2 * k_cut)::DOUBLE / 100.0, 6) AS trimmed_mean,
+      |       round((mid_sum::DOUBLE + k_cut::DOUBLE * (lo + hi)::DOUBLE) /
+      |             n_orders::DOUBLE / 100.0, 6) AS winsorized_mean
+      |FROM s
+      """.stripMargin.trim))
+
+  private val katz = QueryDef(
+    "graph_katz_centrality",
+    "Katz centrality over the directed trade graph — the walk-counting " +
+      "centrality between degree (walks of length 1) and PageRank " +
+      "(normalized random walks): x ← β + α·Aᵀx counts ALL incoming " +
+      "walks damped by length, so a nation is central when many " +
+      "nations trade into it THROUGH other central nations, without " +
+      "PageRank's out-degree normalization (a hub's endorsement is " +
+      "not diluted by its fan-out). 3 power iterations in exact " +
+      "integer micro-units from x₀ = 10⁶: each step " +
+      "x' = 10⁶ + Σ_in (x div 4) (α = 1/4 as truncating integer " +
+      "division — the PageRank bit-stability contract, so the " +
+      "ITERATION is hash-gated); one edge-keyed join + dst rollup per " +
+      "step over the memoized entity-domain store. Oracle unrolls the " +
+      "3 steps as MATERIALIZED CTEs.",
+    (s, dir) => {
+      val e = nationTradeWeighted(s, dir)
+        .filter(col("src") =!= col("dst"))
+        .select(col("src"), col("dst")).distinct()
+      val nodes = e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct()
+      var x = nodes.withColumn("katz", lit(1000000L))
+      for (_ <- 1 to 3) {
+        val contrib = e.join(x, col("src") === col("node"))
+          .groupBy(col("dst")).agg(sum(expr("katz div 4")).as("c"))
+          .withColumnRenamed("dst", "cn")
+        x = nodes.join(contrib, col("node") === col("cn"), "left")
+          .select(col("node"),
+            (lit(1000000L) + coalesce(col("c"), lit(0L))).as("katz"))
+      }
+      x.select(col("node"), col("katz").as("katz_micros"))
+        .orderBy(col("katz_micros").desc, col("node"))
+    },
+    Some("""
+      |WITH edges AS MATERIALIZED (
+      |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS w
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  GROUP BY 1, 2
+      |), e AS MATERIALIZED (
+      |  SELECT DISTINCT src, dst FROM edges WHERE src <> dst
+      |), nodes AS MATERIALIZED (
+      |  SELECT DISTINCT node FROM (
+      |    SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+      |), x0 AS MATERIALIZED (
+      |  SELECT node, 1000000::BIGINT AS katz FROM nodes
+      |), x1 AS MATERIALIZED (
+      |  SELECT n.node,
+      |         1000000 + COALESCE(SUM(x.katz // 4), 0)::BIGINT AS katz
+      |  FROM nodes n
+      |  LEFT JOIN e ON e.dst = n.node
+      |  LEFT JOIN x0 x ON x.node = e.src
+      |  GROUP BY 1
+      |), x2 AS MATERIALIZED (
+      |  SELECT n.node,
+      |         1000000 + COALESCE(SUM(x.katz // 4), 0)::BIGINT AS katz
+      |  FROM nodes n
+      |  LEFT JOIN e ON e.dst = n.node
+      |  LEFT JOIN x1 x ON x.node = e.src
+      |  GROUP BY 1
+      |), x3 AS (
+      |  SELECT n.node,
+      |         1000000 + COALESCE(SUM(x.katz // 4), 0)::BIGINT AS katz
+      |  FROM nodes n
+      |  LEFT JOIN e ON e.dst = n.node
+      |  LEFT JOIN x2 x ON x.node = e.src
+      |  GROUP BY 1
+      |)
+      |SELECT node, katz AS katz_micros
+      |FROM x3 ORDER BY katz_micros DESC, node
+      """.stripMargin.trim))
+
+  private val pageTrend = QueryDef(
+    "stat_page_trend",
+    "Page's L test for ORDERED alternatives — the directional member " +
+      "completing the within-block rank family (stat_friedman asks " +
+      "'do the k treatments differ at all'; Page asks 'do they " +
+      "increase in a HYPOTHESIZED order', which is what a dose/" +
+      "version/stage comparison actually wants, and it has far more " +
+      "power against monotone trends): blocks = complete days, " +
+      "treatments = the event types in their deterministic " +
+      "alphabetical order (the stated hypothesis ordering), " +
+      "L = Σ_j j·R_j from doubled within-day midranks — 2r = " +
+      "2·|{<}| + ties + 1 via one integer-RANGE window over the " +
+      "(day, cents) grid, exact BIGINT throughout. E[2L] = " +
+      "b·k(k+1)²/2 exact; 36·Var(2L) = b·k²(k+1)(k²−1) exact " +
+      "(no-tie variance — the stat_mannwhitney stated-convention " +
+      "precedent; cents ties across types within a day are " +
+      "essentially impossible); z is the ONE double op.",
+    (s, dir) => {
+      val daily = dailyCents(s, dir)
+      val kTypes = daily.select(col("event_type")).distinct()
+        .agg(count(lit(1)).as("k"))
+      val complete = daily
+        .withColumn("nty", count(lit(1)).over(Window.partitionBy(col("day"))))
+        .crossJoin(broadcast(kTypes))
+        .filter(col("nty") === col("k"))
+      val wd = Window.partitionBy(col("day")).orderBy(col("yc"))
+      val ranked = complete
+        .withColumn("lt", coalesce(count(lit(1)).over(
+          wd.rangeBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("ties", count(lit(1)).over(
+          Window.partitionBy(col("day"), col("yc"))))
+        .withColumn("r2", lit(2) * col("lt") + col("ties") + 1)
+      val wj = Window.orderBy(col("event_type"))
+      val byType = ranked.groupBy(col("event_type"))
+        .agg(sum(col("r2")).as("r2sum"), count(lit(1)).as("b"))
+        .withColumn("j", row_number().over(wj))
+      byType.agg(
+          first(col("b")).as("b_days"),
+          count(lit(1)).as("k_types"),
+          sum(col("j") * col("r2sum")).as("l2"))
+        .select(col("b_days"), col("k_types"), col("l2"),
+          expr("b_days * k_types * (k_types + 1) * (k_types + 1) div 2").as("e2l"),
+          expr("b_days * k_types * k_types * (k_types + 1) * " +
+            "(k_types * k_types - 1)").as("v36"),
+          round(expr("CAST(l2 - b_days * k_types * (k_types + 1) * (k_types + 1) div 2 AS DOUBLE)") /
+            sqrt(expr("CAST(b_days * k_types * k_types * (k_types + 1) * " +
+              "(k_types * k_types - 1) AS DOUBLE)") / 36.0), 6).as("z_score"))
+    },
+    Some(s"""
+      |WITH daily AS (
+      |$dailyCentsSql
+      |), k AS (
+      |  SELECT count(DISTINCT event_type)::BIGINT AS k FROM daily
+      |), complete AS (
+      |  SELECT d.* FROM daily d CROSS JOIN k
+      |  QUALIFY count(*) OVER (PARTITION BY day) = k.k
+      |), ranked AS (
+      |  SELECT event_type, day,
+      |         2 * COALESCE(count(*) OVER (PARTITION BY day ORDER BY yc
+      |             RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) +
+      |         count(*) OVER (PARTITION BY day, yc) + 1 AS r2
+      |  FROM complete
+      |), bytype AS (
+      |  SELECT event_type, SUM(r2)::BIGINT AS r2sum, count(*)::BIGINT AS b,
+      |         row_number() OVER (ORDER BY event_type) AS j
+      |  FROM ranked GROUP BY 1
+      |), st AS (
+      |  SELECT any_value(b)::BIGINT AS b_days, count(*)::BIGINT AS k_types,
+      |         SUM(j * r2sum)::BIGINT AS l2
+      |  FROM bytype
+      |)
+      |SELECT b_days, k_types, l2,
+      |       b_days * k_types * (k_types + 1) * (k_types + 1) // 2 AS e2l,
+      |       b_days * k_types * k_types * (k_types + 1) * (k_types * k_types - 1) AS v36,
+      |       round(CAST(l2 - b_days * k_types * (k_types + 1) * (k_types + 1) // 2 AS DOUBLE) /
+      |             sqrt(CAST(b_days * k_types * k_types * (k_types + 1) *
+      |                  (k_types * k_types - 1) AS DOUBLE) / 36.0), 6) AS z_score
+      |FROM st
+      """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
     Seq(trendOls, dailyCorr, markov, ewma, pagerank, centroidMatrix,
       abWelch, benford, ksTest, acf, bfs, chi2, gini, triangles, dowSeason,
@@ -4721,5 +5177,6 @@ object StatQueries {
       kruskal, centroidDrift, ljungBox, normProfile, modularity, tukeyHsd,
       cramersV, louvainRefine, cochranArmitage, welchAnova, mannKendall,
       friedman, bartlett, periodDetect, pettitt, powerMde, markovStationary,
-      richClub, cohensD, reciprocity, peakHour)
+      richClub, cohensD, reciprocity, peakHour,
+      wilcoxonSigned, pacfDaily, wilsonCi, trimmedMean, katz, pageTrend)
 }

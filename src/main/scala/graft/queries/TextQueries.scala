@@ -1915,10 +1915,62 @@ object TextQueries {
       |ORDER BY symbol_share DESC, source
       """.stripMargin.trim))
 
+  private val langidConfusion = QueryDef(
+    "txt_langid_confusion",
+    "Language-ID confusion matrix — the EVALUATION of txt_lang_id's " +
+      "heuristic against the fixture's true labels (a model that ships " +
+      "without its confusion matrix ships untested; the routing " +
+      "decisions pipeline_rebalance_langs and txt_source_jsd make are " +
+      "only as good as this table): per (true lang, detected lang) " +
+      "cell counts from ONE rollup over the per-doc predictions, each " +
+      "cell's share of its true-language row as the exact truncated " +
+      "integer (n·10⁶) div n_true, plus the correct flag. The output " +
+      "is |langs|²-bounded at any scale; the only row-sized work is " +
+      "the prediction projection the txt_lang_id gate already pins.",
+    (s, dir) => {
+      val pred = docToks(s, dir)
+        .select(col("lang"), langIdFromTokens(col("toks")).as("detected_lang"))
+      val cells = pred.groupBy(col("lang"), col("detected_lang"))
+        .agg(count(lit(1)).as("n"))
+      val totals = cells.groupBy(col("lang")).agg(sum(col("n")).as("n_true"))
+      cells.join(totals, Seq("lang"))
+        .select(col("lang"), col("detected_lang"), col("n"), col("n_true"),
+          expr("n * 1000000 div n_true").as("share_millionths"),
+          (col("lang") === col("detected_lang")).as("is_correct"))
+        .orderBy(col("lang"), col("detected_lang"))
+    },
+    Some {
+      val langs = stopwords.keys.toSeq.sorted
+      val hitSel = langs.map(l => s"${Duck.hits(stopwords(l))} AS hits_$l").mkString(",\n       ")
+      val m = langs.map(l => s"hits_$l").mkString("greatest(", ", ", ")")
+      val caseChain = langs.map(l => s"WHEN hits_$l = $m THEN '$l'").mkString("\n         ")
+      s"""
+      |${Duck.docToks}, h AS (
+      |  SELECT doc_id, lang, $hitSel
+      |  FROM tt
+      |), p AS (
+      |  SELECT lang,
+      |         CASE WHEN $m = 0 THEN 'und'
+      |           $caseChain
+      |         END AS detected_lang
+      |  FROM h
+      |), cells AS (
+      |  SELECT lang, detected_lang, count(*)::BIGINT AS n FROM p GROUP BY 1, 2
+      |), totals AS (
+      |  SELECT lang, SUM(n)::BIGINT AS n_true FROM cells GROUP BY 1
+      |)
+      |SELECT c.lang, c.detected_lang, c.n, t.n_true,
+      |       (c.n * 1000000) // t.n_true AS share_millionths,
+      |       c.lang = c.detected_lang AS is_correct
+      |FROM cells c JOIN totals t USING (lang)
+      |ORDER BY lang, detected_lang
+      """.stripMargin.trim
+    })
+
   val defs: Seq[QueryDef] =
     Seq(stats, langQ, quality, fp, topTokens, bigramLift, lmQ, simhashQ,
       embedQ, embedKnnQ, bm25Q, hybridRrfQ, crossencQ, maxsimQ, tfidfQ, chunksQ, packQ,
       tokenBudgetQ, gopherQ, dupNgramsQ, piiQ, noveltyQ, invIndexQ, bpeTrainQ, rakeQ,
       readabilityQ, rankingNdcgQ, zipfQ, llrQ, burstinessQ, jsdQ, heapsQ, textrankQ,
-      codeDetectQ)
+      codeDetectQ, langidConfusion)
 }

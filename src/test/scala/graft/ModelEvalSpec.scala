@@ -2138,4 +2138,272 @@ class ModelEvalSpec extends SparkSpec {
       assert(flag == want, s"$day: flag $flag != $want")
     }
   }
+
+  // ------------------------------------------------------------------
+  // Round-17 additions
+  // ------------------------------------------------------------------
+
+  /** Daily exact-cents totals per event type, driver-side. */
+  private def dailyCentsMap(): Map[(String, String), Long] =
+    Tables.events(spark, sf("sf0.001"))
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .groupBy(col("event_type"), col("day"))
+      .agg((sum(col("value").cast("decimal(38,6)")).cast("decimal(38,2)") * 100)
+        .cast("long").as("yc"))
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+
+  test("stat_wilcoxon_signed matches a brute-force driver replay") {
+    val out = run("stat_wilcoxon_signed").collect()
+    assert(out.length == 1)
+    val r = out.head
+    val daily = dailyCentsMap()
+    val days = daily.keys.collect {
+      case ("purchase", d) if daily.contains(("click", d)) => d
+    }.toSeq.sorted
+    val ds = days.map(d => daily(("purchase", d)) - daily(("click", d)))
+      .filter(_ != 0L)
+    val n = ds.length.toLong
+    def r2(ad: Long): Long =
+      2L * ds.count(x => math.abs(x) < ad) + ds.count(x => math.abs(x) == ad) + 1
+    val w2 = ds.filter(_ > 0).map(d => r2(math.abs(d))).sum
+    val tiesum = ds.map(math.abs).groupBy(identity).values
+      .map(g => g.size.toLong).map(t => t * t * t - t).sum
+    val e2w = n * (n + 1) / 2
+    val v12 = 2 * n * (n + 1) * (2 * n + 1) - tiesum
+    assert(r.getLong(0) == n)
+    assert(r.getLong(1) == w2)
+    assert(r.getLong(2) == e2w)
+    assert(r.getLong(3) == v12)
+    assert(math.abs(r.getDouble(4) -
+      rd6((w2 - e2w).toDouble / math.sqrt(v12.toDouble / 12.0))) < 1e-9)
+  }
+
+  test("stat_pacf_daily: Durbin-Levinson recomposes from the row's own acf values") {
+    val out = run("stat_pacf_daily").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (r1, r2v, r3) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(r.getDouble(4) == r1) // pacf_1 = acf_1
+      val phi22 = (r2v - r1 * r1) / (1.0 - r1 * r1)
+      assert(math.abs(r.getDouble(5) - rd6(phi22)) < 1e-9)
+      val phi21 = r1 * (1.0 - r2v) / (1.0 - r1 * r1)
+      val phi33 = (r3 - phi21 * r2v - phi22 * r1) /
+        (1.0 - phi21 * r1 - phi22 * r2v)
+      assert(math.abs(r.getDouble(6) - rd6(phi33)) < 1e-9)
+      Seq(r.getDouble(4), r.getDouble(5), r.getDouble(6)).foreach(p =>
+        assert(p >= -1.0 - 1e-6 && p <= 1.0 + 1e-6))
+    }
+  }
+
+  test("stat_wilson_ci: bounds recompose from (n, k), are ordered, and stay in [0,1]") {
+    run("stat_wilson_ci").collect().foreach { r =>
+      val (n, k) = (r.getLong(1).toDouble, r.getLong(2).toDouble)
+      val (p, lo, hi) = (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(p == rd6(k / n))
+      val z = 1.959964
+      val den = 1.0 + z * z / n
+      val c = (k / n + z * z / (2.0 * n)) / den
+      val h = z * math.sqrt(k / n * (1.0 - k / n) / n + z * z / (4.0 * n * n)) / den
+      assert(math.abs(lo - rd6(c - h)) < 1e-9 && math.abs(hi - rd6(c + h)) < 1e-9)
+      assert(lo >= 0.0 && lo <= p && p <= hi && hi <= 1.0)
+    }
+  }
+
+  test("stat_trimmed_mean matches a driver-side sort replay") {
+    val out = run("stat_trimmed_mean").collect()
+    assert(out.length == 1)
+    val r = out.head
+    val cents = Tables.orders(spark, sf("sf0.001"))
+      .select((col("o_totalprice").cast("decimal(12,2)").cast("decimal(38,2)") * 100)
+        .cast("long")).collect().map(_.getLong(0)).sorted
+    val n = cents.length
+    val k = n / 10
+    val mid = cents.slice(k, n - k)
+    assert(r.getLong(0) == n && r.getLong(1) == k)
+    val lo = cents(k); val hi = cents(n - k - 1)
+    assert(r.getDouble(2) == rd6(lo / 100.0) && r.getDouble(3) == rd6(hi / 100.0))
+    assert(math.abs(r.getDouble(4) -
+      rd6(mid.map(BigDecimal(_)).sum.toDouble / mid.length / 100.0)) < 1e-6)
+    assert(math.abs(r.getDouble(5) -
+      rd6((mid.map(BigDecimal(_)).sum.toDouble + k.toDouble * (lo + hi)) / n / 100.0)) < 1e-6)
+  }
+
+  test("graph_katz_centrality matches a driver-side 3-step power iteration") {
+    val out = run("graph_katz_centrality").collect()
+      .map(r => r.getAs[Number](0).longValue -> r.getAs[Number](1).longValue).toMap
+    val edges = graft.queries.StatQueries
+      .nationTradeWeighted(spark, sf("sf0.001"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst")).distinct()
+      .collect().map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue)).toSeq
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    var x = nodes.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 3) {
+      val inc = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map(e => x(e._1) / 4).sum
+      }
+      x = nodes.map(v => v -> (1000000L + inc.getOrElse(v, 0L))).toMap
+    }
+    assert(out == x, s"katz mismatch: $out vs $x")
+  }
+
+  test("ml_mcnemar matches a driver replay of both models' discordant counts") {
+    val out = run("ml_mcnemar").collect()
+    assert(out.length == 1)
+    val r = out.head
+    val docs = Tables.documents(spark, sf("sf0.001"))
+      .select(col("doc_id"), col("source"), (col("lang") === "en").as("e"))
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getBoolean(2)))
+    val train = docs.filter(_._1 % 3 != 0)
+    val predA = train.groupBy(_._2).map { case (s, g) =>
+      s -> (2L * g.count(_._3) > g.length) }
+    val predB = 2L * train.count(_._3) > train.length
+    val test0 = docs.filter(_._1 % 3 == 0)
+    val n01 = test0.count(d => (predA(d._2) == d._3) && (predB != d._3)).toLong
+    val n10 = test0.count(d => (predA(d._2) != d._3) && (predB == d._3)).toLong
+    assert(r.getLong(0) == test0.length.toLong)
+    assert(r.getLong(1) == n01 && r.getLong(2) == n10)
+    if (n01 + n10 > 0)
+      assert(r.getLong(5) == (n01 - n10) * (n01 - n10) * 1000000L / (n01 + n10))
+  }
+
+  test("ml_cohens_kappa: kappa recomposes from the exact integer identity") {
+    val out = run("ml_cohens_kappa").collect()
+    assert(out.length == 1)
+    val r = out.head
+    val (n, d, sc) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(d <= n && sc <= n * n)
+    if (n * n != sc)
+      assert(r.getLong(3) == (n * d - sc) * 1000000L / (n * n - sc))
+    // kappa of a model against ITSELF would be 1; against an independent
+    // one it sits in [-1, 1] scaled by 1e6
+    assert(r.getLong(3) >= -1000000L && r.getLong(3) <= 1000000L)
+  }
+
+  test("ml_feature_infogain: entropies recompose and a driver IG agrees for one feature") {
+    val out = run("ml_feature_infogain").collect()
+    assert(out.length == 4)
+    val hY = out.map(_.getDouble(2)).distinct
+    assert(hY.length == 1, "H(y) is feature-independent by construction")
+    out.foreach { r =>
+      assert(r.getDouble(4) == rd6(r.getDouble(2) - r.getDouble(3)))
+      assert(r.getDouble(4) >= -1e-6, "information gain is non-negative")
+    }
+    // independent replay for linenumber (smallest domain)
+    val cells = Tables.lineitem(spark, sf("sf0.001"))
+      .select((col("l_returnflag") === "R").cast("int").as("y"),
+        col("l_linenumber").cast("long").as("v"))
+      .groupBy("v", "y").count().collect()
+      .map(r => ((r.getLong(0), r.getInt(1)), r.getLong(2))).toMap
+    val nTot = cells.values.sum.toDouble
+    def h(groups: Map[Int, Long]): Double = {
+      val terms = groups.values.map { c =>
+        rd6((c / nTot) * math.log(c / nTot)) }
+      -BigDecimal(terms.map(BigDecimal(_)).sum.toDouble).toDouble
+    }
+    val hy = rd6(h(cells.groupBy(_._1._2).map { case (y, g) => y -> g.values.sum }))
+    val byV = cells.groupBy(_._1._1)
+    val hcond = rd6(-byV.values.flatMap { g =>
+      val cv = g.values.sum.toDouble
+      g.values.map(c => rd6((c / nTot) * math.log(c / cv)))
+    }.map(BigDecimal(_)).sum.toDouble)
+    val row = out.find(_.getString(0) == "linenumber").get
+    assert(math.abs(row.getDouble(2) - hy) < 1e-6)
+    assert(math.abs(row.getDouble(3) - hcond) < 1e-6)
+  }
+
+  test("sketch_hll_sliding: merged registers equal the driver max over the window") {
+    // the MERGE property is the query's whole point: register-wise max
+    // over the trailing window ≡ registers of the unioned key set
+    val ev = Tables.events(spark, sf("sf0.001"))
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("user_id"))
+      .distinct().collect().map(r => (r.getString(0), r.getLong(1)))
+    def reg(keys: Seq[Long]): Map[Long, Int] =
+      keys.map { k =>
+        val h = graft.functions.Md5.long48(k.toString)
+        val bucket = h & 511L
+        val w = h >> 9
+        val rk = if (w == 0) 40 else java.lang.Long.numberOfTrailingZeros(w) + 1
+        (bucket, rk)
+      }.groupBy(_._1).map { case (b, g) => b -> g.map(_._2).max }
+    val days = ev.map(_._1).distinct.sorted
+    val lastDay = days.last
+    val window = days.filter(d => d >= days(days.length - 7) && d <= lastDay)
+    val merged = window.map(d => reg(ev.filter(_._1 == d).map(_._2).toSeq))
+      .reduce((a, b) => (a.keySet ++ b.keySet).map(k =>
+        k -> math.max(a.getOrElse(k, 0), b.getOrElse(k, 0))).toMap)
+    val unioned = reg(ev.filter(e => window.contains(e._1)).map(_._2).toSeq.distinct)
+    assert(merged == unioned, "daily-register max must equal union-of-keys registers")
+    // and the gate row for the last day reports the exact trailing count
+    val out = run("sketch_hll_sliding").collect()
+    val last = out.maxBy(_.getString(0))
+    assert(last.getLong(1) ==
+      ev.filter(e => window.contains(e._1)).map(_._2).distinct.length.toLong)
+  }
+
+  test("mm_shot_boundaries matches a driver replay of the energy-jump detector") {
+    val out = run("mm_shot_boundaries").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val docs = Tables.documents(spark, sf("sf0.001"))
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    import graft.functions.Md5
+    val perLang = docs.groupBy(_._2).map { case (lang, g) =>
+      val stats = g.map { case (_, _, text) =>
+        val hx = Md5.hex(text)
+        val h = Md5.long48(text)
+        val nf = ((h >> 20) % 240 + 2).toInt
+        val energies = (0 until nf).map(f => Md5.long48(s"$hx:f:$f") % 1000)
+        val shots = 1 + energies.sliding(2).count(p => math.abs(p(1) - p(0)) > 700)
+        val lens = {
+          val bs = energies.sliding(2).map(p =>
+            if (math.abs(p(1) - p(0)) > 700) 1 else 0).toSeq
+          // scanLeft's seed 0 is frame 0's shot id; cumulative sums
+          // assign every later frame to its shot
+          val ids = bs.scanLeft(0)(_ + _)
+          ids.groupBy(identity).values.map(_.size)
+        }
+        (nf.toLong, shots.toLong, lens.max.toLong)
+      }
+      lang -> ((g.length.toLong, stats.map(_._1).sum, stats.map(_._2).sum,
+        stats.map(_._3).max))
+    }
+    perLang.foreach { case (lang, (nc, nf, ns, longest)) =>
+      val got = out(lang)
+      assert(got._1 == nc && got._2 == nf && got._3 == ns,
+        s"$lang: ${got} vs ($nc, $nf, $ns)")
+      assert(got._4 == longest, s"$lang longest: ${got._4} vs $longest")
+    }
+  }
+
+  test("mm_audio_near_dup: driver fingerprint replay and pair verification") {
+    import graft.functions.Md5
+    val docs = Tables.documents(spark, sf("sf0.001"))
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def fp(text: String): Option[Long] = {
+      val hx = Md5.hex(text)
+      val h = Md5.long48(text)
+      val nw = math.min((h >> 22) % 600000 / 5000 + 1, 49L).toInt
+      if (nw < 2) None
+      else {
+        val e = (0 until nw).map(w => Md5.long48(s"$hx:fp:$w") % 1000)
+        Some((0 until nw - 1).map(w =>
+          if (e(w + 1) > e(w)) 1L << w else 0L).sum)
+      }
+    }
+    val fps = docs.flatMap { case (id, t) => fp(t).map(id -> _) }.toMap
+    val out = run("mm_audio_near_dup").collect()
+    assert(out.nonEmpty, "the fixture's exact-dup texts must collide")
+    out.foreach { r =>
+      val (a, b, ham) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(a < b && ham <= 6)
+      assert(java.lang.Long.bitCount(fps(a) ^ fps(b)) == ham,
+        s"pair ($a,$b) hamming $ham disagrees with the driver fingerprints")
+      // band blocking soundness: a reported pair must share a 12-bit band
+      assert((0 until 4).exists(band =>
+        ((fps(a) >> (band * 12)) & 4095L) == ((fps(b) >> (band * 12)) & 4095L)))
+    }
+  }
 }
