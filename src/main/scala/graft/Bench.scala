@@ -84,7 +84,7 @@ object Bench {
         "graph_hits_nations", "graph_bfs_nations", "graph_closeness_nations",
         "graph_eccentricity_nations", "graph_betweenness_approx",
         "graph_triangle_count", "graph_clustering_coefficient",
-        "graph_reciprocity"),
+        "graph_reciprocity", "graph_random_walks", "graph_walk_skipgrams"),
       // support-2 co-purchase edge store
       "graph_kcore" -> Set("graph_kcore", "graph_label_propagation",
         "graph_modularity", "graph_louvain_refine", "graph_sssp_weighted",
@@ -182,7 +182,11 @@ object Bench {
         // stream_trending_topk's warmup runs its one-time complete-mode
         // trending stream (TrendingStore) so the timed run measures the
         // snapshot read + rank, not the stream replay
-        "stream_trending_topk")
+        "stream_trending_topk",
+        // stream_hll_daily's warmup runs the one-time register stream
+        // (HllStreamStore) so the timed run measures the estimate over
+        // the final register snapshot, not the two-batch replay
+        "stream_hll_daily")
       // under SPARK_GRAFT_ONLY: the four generic pipeline warmups ALWAYS
       // run (without them the solo query absorbs session bootstrap,
       // codegen JIT and footer reads: measured 11.2 s vs 5.1 s on

@@ -168,4 +168,32 @@ object Multimodal {
     df.select(col(idCol), posexplode(slices).as(Seq("pos", "f")))
       .select(col(idCol), col("f.frame_no").as("frame_no"), col("f.frame").as("frame"))
   }
+
+  /** Align sampled frames to the caption cue active at each frame's
+    * timestamp — the (image, text) pair construction of a multimodal
+    * training pipeline, as the GENERAL union-window as-of: cues
+    * (doc_id, cue_idx, ts, cap) and frames (doc_id, frame_idx, ts)
+    * union into one doc-keyed stream, and a running max of the cue
+    * struct over (ts, kind, idx) order carries the latest cue
+    * at-or-before each row (a cue at exactly the frame's ts matches —
+    * kind orders cues first). ONE doc-keyed shuffle, never a per-key
+    * range join, so hot assets stay linear at scale. Frames before the
+    * first cue get a null cue_idx/cap — callers decide the policy.
+    */
+  def alignFramesToCues(frames: DataFrame, cues: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val f = frames.select(col("doc_id"), col("ts"), lit(1).as("kind"),
+      col("frame_idx").cast("long").as("idx"), lit(null).cast("string").as("cap"))
+    val c = cues.select(col("doc_id"), col("ts"), lit(0).as("kind"),
+      col("cue_idx").cast("long").as("idx"), col("cap"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("ts"), col("kind"), col("idx"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c.unionByName(f)
+      .withColumn("cue", max(when(col("kind") === 0,
+        struct(col("idx").as("cue_idx"), col("cap").as("cue_cap")))).over(w))
+      .filter(col("kind") === 1)
+      .select(col("doc_id"), col("idx").as("frame_idx"),
+        col("cue.cue_idx").as("cue_idx"), col("cue.cue_cap").as("cap"))
+  }
 }

@@ -118,4 +118,23 @@ object Sketches {
       .groupBy(keyCols: _*)
       .agg(min(col("cnt")).as("cms_estimate"))
   }
+
+  /** K-Minimum-Values (bottom-k) distinct sketch of `key`: the k
+    * smallest DISTINCT md5-derived 48-bit hash values (Bar-Yossef et
+    * al. 2002). One column `h`, ≤ k rows. Mergeable — union sketch =
+    * bottom-k of the concatenated sketches — and, unlike HLL, it
+    * supports SET-EXPRESSION estimates (Beyer et al. 2007): with
+    * K = bottom-k(A ∪ B) and θ = max(K),
+    *   |A ∪ B| ≈ (k−1) · 2^48 / θ,
+    *   |A ∩ B| ≈ (|K ∩ A ∩ B| / |K|) · |A ∪ B|,
+    * because K is a uniform size-k sample of A ∪ B. Distributed shape:
+    * the distinct is one map-side-combining shuffle on h, the bottom-k
+    * is TakeOrdered (per-partition top-k, never a global sort) — the
+    * sketch costs one pass and ships k longs regardless of input size.
+    */
+  def kmv(df: DataFrame, key: Column, k: Int): DataFrame = {
+    require(k >= 2, s"k=$k must be >= 2")
+    df.select(TextAnalysis.md5Long48(key.cast("string")).as("h"))
+      .distinct().orderBy(col("h")).limit(k)
+  }
 }

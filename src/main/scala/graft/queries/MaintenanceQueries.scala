@@ -958,8 +958,100 @@ object MaintenanceQueries {
       |ORDER BY version
       """.stripMargin.trim))
 
+  private val analyzeStats = QueryDef(
+    "maint_analyze_stats",
+    "ANALYZE-style table statistics collection — the maintenance pass " +
+      "that feeds a cost-based optimizer (Spark CBO's `ANALYZE TABLE … " +
+      "COMPUTE STATISTICS FOR COLUMNS`, re-expressed as a query so the " +
+      "stats themselves sit under the hash gate): per column of " +
+      "lineitem, row count, non-null count, exact NDV, and min/max, " +
+      "all from ONE scan — Spark expands the multi-column DISTINCT " +
+      "into a single grouped aggregate (one shuffle, map-side " +
+      "partials), and the 1-row wide result unpivots to the long " +
+      "(column_name, stats) catalog shape via stack(). Min/max are " +
+      "serialized through DECIMAL(18,2)/date_format so both engines " +
+      "print identical strings (the established temporal/decimal " +
+      "channel). At 100 TB the exact NDV legs flip to " +
+      "approx_count_distinct (HLL±2%, no expand) and the scan piggy-" +
+      "backs on a maintenance rewrite — the plan shape (single pass, " +
+      "O(columns) output) is the part that must survive scale.",
+    (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val wide = li.agg(
+        count(lit(1)).as("n_rows"),
+        count(col("l_quantity")).as("nn_qty"),
+        countDistinct(col("l_quantity")).as("nd_qty"),
+        min(col("l_quantity")).as("mn_qty"), max(col("l_quantity")).as("mx_qty"),
+        count(col("l_extendedprice")).as("nn_price"),
+        countDistinct(col("l_extendedprice")).as("nd_price"),
+        min(col("l_extendedprice")).as("mn_price"), max(col("l_extendedprice")).as("mx_price"),
+        count(col("l_discount")).as("nn_disc"),
+        countDistinct(col("l_discount")).as("nd_disc"),
+        min(col("l_discount")).as("mn_disc"), max(col("l_discount")).as("mx_disc"),
+        count(col("l_returnflag")).as("nn_flag"),
+        countDistinct(col("l_returnflag")).as("nd_flag"),
+        // min/max over a STRING buffer is not hash-aggregable — one
+        // string leg demotes the WHOLE Expand aggregate to
+        // SortAggregate (measured 7.9 s vs 1.6 s at sf0.1: the sort is
+        // over the 5×-expanded rows). The flag is a single char, so
+        // aggregate its codepoint (fixed-width int buffer) and decode
+        // after — the plan stays HashAggregate end to end.
+        min(ascii(col("l_returnflag"))).as("mn_flag"),
+        max(ascii(col("l_returnflag"))).as("mx_flag"),
+        count(col("l_shipdate")).as("nn_ship"),
+        countDistinct(col("l_shipdate")).as("nd_ship"),
+        min(col("l_shipdate")).as("mn_ship"), max(col("l_shipdate")).as("mx_ship"))
+      val d2s = (c: String) => s"cast(cast($c as decimal(18,2)) as string)"
+      val t2s = (c: String) => s"date_format($c, 'yyyy-MM-dd HH:mm:ss')"
+      wide.select(col("n_rows"), expr(s"""stack(5,
+        'l_quantity',      nn_qty,   nd_qty,   ${d2s("mn_qty")},   ${d2s("mx_qty")},
+        'l_extendedprice', nn_price, nd_price, ${d2s("mn_price")}, ${d2s("mx_price")},
+        'l_discount',      nn_disc,  nd_disc,  ${d2s("mn_disc")},  ${d2s("mx_disc")},
+        'l_returnflag',    nn_flag,  nd_flag,  char(mn_flag),      char(mx_flag),
+        'l_shipdate',      nn_ship,  nd_ship,  ${t2s("mn_ship")},  ${t2s("mx_ship")}
+        ) as (column_name, n_nonnull, n_distinct, min_str, max_str)"""))
+        .select(col("column_name"), col("n_rows"),
+          (col("n_rows") - col("n_nonnull")).as("n_null"),
+          col("n_distinct"), col("min_str"), col("max_str"))
+        .orderBy(col("column_name"))
+    },
+    Some("""
+      |WITH w AS (
+      |  SELECT count(*) AS n_rows,
+      |         count(l_quantity) AS nn_qty, count(DISTINCT l_quantity) AS nd_qty,
+      |         (min(l_quantity)::DECIMAL(18,2))::VARCHAR AS mn_qty,
+      |         (max(l_quantity)::DECIMAL(18,2))::VARCHAR AS mx_qty,
+      |         count(l_extendedprice) AS nn_price, count(DISTINCT l_extendedprice) AS nd_price,
+      |         (min(l_extendedprice)::DECIMAL(18,2))::VARCHAR AS mn_price,
+      |         (max(l_extendedprice)::DECIMAL(18,2))::VARCHAR AS mx_price,
+      |         count(l_discount) AS nn_disc, count(DISTINCT l_discount) AS nd_disc,
+      |         (min(l_discount)::DECIMAL(18,2))::VARCHAR AS mn_disc,
+      |         (max(l_discount)::DECIMAL(18,2))::VARCHAR AS mx_disc,
+      |         count(l_returnflag) AS nn_flag, count(DISTINCT l_returnflag) AS nd_flag,
+      |         min(l_returnflag) AS mn_flag, max(l_returnflag) AS mx_flag,
+      |         count(l_shipdate) AS nn_ship, count(DISTINCT l_shipdate) AS nd_ship,
+      |         strftime(min(l_shipdate)::TIMESTAMP, '%Y-%m-%d %H:%M:%S') AS mn_ship,
+      |         strftime(max(l_shipdate)::TIMESTAMP, '%Y-%m-%d %H:%M:%S') AS mx_ship
+      |  FROM lineitem
+      |), long AS (
+      |  SELECT 'l_quantity' AS column_name, n_rows, n_rows - nn_qty AS n_null,
+      |         nd_qty AS n_distinct, mn_qty AS min_str, mx_qty AS max_str FROM w
+      |  UNION ALL
+      |  SELECT 'l_extendedprice', n_rows, n_rows - nn_price, nd_price, mn_price, mx_price FROM w
+      |  UNION ALL
+      |  SELECT 'l_discount', n_rows, n_rows - nn_disc, nd_disc, mn_disc, mx_disc FROM w
+      |  UNION ALL
+      |  SELECT 'l_returnflag', n_rows, n_rows - nn_flag, nd_flag, mn_flag, mx_flag FROM w
+      |  UNION ALL
+      |  SELECT 'l_shipdate', n_rows, n_rows - nn_ship, nd_ship, mn_ship, mx_ship FROM w
+      |)
+      |SELECT column_name, n_rows::BIGINT AS n_rows, n_null::BIGINT AS n_null,
+      |       n_distinct::BIGINT AS n_distinct, min_str, max_str
+      |FROM long ORDER BY column_name
+      """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
     Seq(compactRoundtrip, repartitionLayout, snapshotDiffQ, zorderRoundtrip,
       incrementalRollup, ivfAppend, nswAppend, hnswAppend, nswWindowAppend, scd2Q, vacuumQ,
-      evolveQ, mergeQ, morMerge, timeTravelQ)
+      evolveQ, mergeQ, morMerge, timeTravelQ, analyzeStats)
 }

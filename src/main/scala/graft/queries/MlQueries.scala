@@ -1962,9 +1962,83 @@ object MlQueries {
       |ORDER BY info_gain DESC, feat
       """.stripMargin.trim))
 
+  private val knnLabelAccuracy = QueryDef(
+    "ml_knn_label_accuracy",
+    "k-NN classifier evaluation over the embedding space — the " +
+      "standard embedding-quality probe (does cosine neighborhood " +
+      "structure predict the label?) a training-data pipeline runs " +
+      "before trusting embeddings for clustering, dedup, or curation: " +
+      "50 fixed leave-one-out queries (vec_id < 50 — a CONSTANT query " +
+      "budget, so cost is 50·|corpus| scored rows at any scale, the " +
+      "recall-eval discipline), each classified by majority vote of " +
+      "its 10 cosine-nearest neighbors (self excluded; distance " +
+      "rounds at 6 before ranking; vote ties break on the smaller " +
+      "label — fully deterministic). Both top-k passes are row_number " +
+      "≤ k over the broadcast-query cross score (WindowGroupLimit — " +
+      "map tasks forward ≤ k rows per query, the corpus never " +
+      "shuffles). Output: per-class query count, correct count, " +
+      "accuracy — the confusion summary that says which classes the " +
+      "embedding separates. The oracle replays scoring, ranking, " +
+      "voting, and the accuracy rollup in SQL.",
+    (s, dir) => {
+      import graft.functions.VectorFunctions
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          col("label").as("true_label"))
+      val scored = emb.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("true_label"), col("vec_id"), col("label"),
+          round(VectorFunctions.cosineDistance(col("embedding"), col("qv")), 6)
+            .as("dist"))
+      val wq = Window.partitionBy(col("qid")).orderBy(col("dist"), col("vec_id"))
+      val votes = scored.withColumn("rn", row_number().over(wq))
+        .filter(col("rn") <= 10)
+        .groupBy(col("qid"), col("true_label"), col("label"))
+        .agg(count(lit(1)).as("n_votes"))
+      val wv = Window.partitionBy(col("qid")).orderBy(col("n_votes").desc, col("label"))
+      val pred = votes.withColumn("vr", row_number().over(wv)).filter(col("vr") === 1)
+        .select(col("qid"), col("true_label"), col("label").as("pred_label"))
+      pred.groupBy(col("true_label").cast("long").as("true_label"))
+        .agg(count(lit(1)).as("n_queries"),
+          sum(when(col("pred_label") === col("true_label"), 1L).otherwise(0L))
+            .as("n_correct"))
+        .withColumn("accuracy",
+          round(col("n_correct").cast("double") / col("n_queries").cast("double"), 6))
+        .orderBy(col("true_label"))
+    },
+    Some(s"""
+      |WITH q AS (
+      |  SELECT vec_id AS qid, embedding::DOUBLE[] AS qv, label AS true_label
+      |  FROM embeddings WHERE vec_id < 50
+      |), scored AS (
+      |  SELECT q.qid, q.true_label, e.vec_id, e.label,
+      |         round(${Duck.cosine("e.embedding::DOUBLE[]", "q.qv")}, 6) AS dist
+      |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid
+      |), topk AS (
+      |  SELECT qid, true_label, label FROM (
+      |    SELECT qid, true_label, label,
+      |           row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rn
+      |    FROM scored) WHERE rn <= 10
+      |), votes AS (
+      |  SELECT qid, true_label, label, count(*) AS n_votes FROM topk GROUP BY 1, 2, 3
+      |), pred AS (
+      |  SELECT qid, true_label, label AS pred_label FROM (
+      |    SELECT qid, true_label, label,
+      |           row_number() OVER (PARTITION BY qid ORDER BY n_votes DESC, label) AS vr
+      |    FROM votes) WHERE vr = 1
+      |)
+      |SELECT true_label::BIGINT AS true_label, count(*)::BIGINT AS n_queries,
+      |       SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)::BIGINT AS n_correct,
+      |       round(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)::DOUBLE
+      |             / count(*)::DOUBLE, 6) AS accuracy
+      |FROM pred GROUP BY 1 ORDER BY 1
+      """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
     Seq(targetEncode, quantileBins, attribution, itemCooccurrence,
       naiveBayes, aucRoc, silhouette, logregGd, calibrationEce, kfoldCv,
       prCurve, liftGains, ridge, prfReport, stump, kmeansElbow,
-      frequentTriples, bestF1, mcc, adaboost, mcnemar, cohensKappa, infoGain)
+      frequentTriples, bestF1, mcc, adaboost, mcnemar, cohensKappa, infoGain,
+      knnLabelAccuracy)
 }

@@ -487,6 +487,72 @@ object MultimodalQueries {
       |ORDER BY hamming, id_a, id_b LIMIT 25
       """.stripMargin.trim))
 
-  val defs: Seq[QueryDef] = Seq(meta, decode, frameDedup, phashNearDup, audioVad,
+  private val captionAlign = QueryDef(
+    "mm_caption_align",
+    "Frame↔caption alignment — the multimodal sample-construction step " +
+      "that turns (video, subtitle track) into the (image, text) pairs " +
+      "a multimodal pretraining pipeline feeds the model: every " +
+      "sampled frame (the 64-byte-stride sampler, one frame per 2000 " +
+      "ms) is paired with the caption cue active at its timestamp " +
+      "(token j of the document is a cue starting at j·1500 ms — the " +
+      "deterministic stand-in subtitle track). The alignment is the " +
+      "GENERAL union-window as-of (cues and frames union into one " +
+      "doc-keyed stream; running max of the cue struct over (ts, kind) " +
+      "order picks the latest cue at-or-before each frame — ONE " +
+      "shuffle, never a per-key range join, hot assets stay linear), " +
+      "while the oracle replays the alignment in CLOSED FORM " +
+      "(cue_idx = min(⌊4i/3⌋, n_cues−1)) — a green hash proves the " +
+      "generic as-of machinery reproduces the arithmetic ground " +
+      "truth. Per asset: frame/cue counts, distinct captions used, " +
+      "and an order-independent md5 checksum over the aligned " +
+      "(frame, cue, caption) triples, so every single pairing is " +
+      "inside the gate.",
+    (s, dir) => {
+      val d = Multimodal.withFakeMedia(TextQueries.docToks(s, dir), "text")
+        .filter(size(col("toks")) >= 1)
+      val frames = d.select(col("doc_id"),
+          explode(expr("sequence(0, (octet_length(media) - 1) div 64)")).as("frame_idx"))
+        .select(col("doc_id"), col("frame_idx"),
+          (col("frame_idx").cast("long") * 2000L).as("ts"))
+      val cues = d.select(col("doc_id"),
+          posexplode(col("toks")).as(Seq("cue_idx", "cap")))
+        .select(col("doc_id"), col("cue_idx"),
+          (col("cue_idx").cast("long") * 1500L).as("ts"), col("cap"))
+      val aligned = Multimodal.alignFramesToCues(frames, cues)
+      val h = conv(substring(md5(concat_ws("|",
+        col("frame_idx").cast("string"), col("cue_idx").cast("string"),
+        col("cap"))), 1, 12), 16, 10).cast("decimal(38,0)")
+      val nCues = d.select(col("doc_id"), size(col("toks")).cast("long").as("n_cues"))
+      aligned.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_frames"),
+          countDistinct(col("cap")).as("n_caps_used"),
+          sum(h).cast("decimal(38,0)").cast("string").as("align_fp"))
+        .join(nCues, Seq("doc_id"))
+        .select(col("doc_id"), col("n_frames"), col("n_cues"),
+          col("n_caps_used"), col("align_fp"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      |${Duck.docToks}
+      |, b AS (
+      |  SELECT t.doc_id, t.toks, len(t.toks)::BIGINT AS n_cues,
+      |         ((octet_length(encode(d.text)) - 1) // 64) + 1 AS nf
+      |  FROM tt t JOIN documents d USING (doc_id)
+      |  WHERE len(t.toks) >= 1
+      |), f AS (
+      |  SELECT doc_id, n_cues, i,
+      |         least((4 * i) // 3, n_cues - 1) AS cue_idx,
+      |         toks[CAST(least((4 * i) // 3, n_cues - 1) + 1 AS INTEGER)] AS cap
+      |  FROM (SELECT doc_id, toks, n_cues, unnest(range(nf)) AS i FROM b)
+      |)
+      |SELECT doc_id, count(*)::BIGINT AS n_frames, min(n_cues)::BIGINT AS n_cues,
+      |       count(DISTINCT cap)::BIGINT AS n_caps_used,
+      |       CAST(CAST(SUM(CAST(('0x' || substring(md5(
+      |         i::VARCHAR || '|' || cue_idx::VARCHAR || '|' || cap), 1, 12))::BIGINT
+      |         AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS VARCHAR) AS align_fp
+      |FROM f GROUP BY doc_id ORDER BY doc_id
+      """.stripMargin.trim))
+
+  val defs: Seq[QueryDef] = Seq(meta, decode, frameDedup, phashNearDup, audioVad, captionAlign,
     shotBoundaries, audioNearDup)
 }

@@ -732,8 +732,74 @@ object PipelineQueries {
       |ORDER BY score DESC, doc_id LIMIT 25
       """.stripMargin.trim))
 
+  private val epochShuffle = QueryDef(
+    "pipeline_epoch_shuffle",
+    "Deterministic per-epoch dataset shuffle — the between-epochs " +
+      "reordering every training run needs, with the RNG replaced by " +
+      "the portable hash so shards, resumes, and re-runs agree on the " +
+      "exact order: epoch e ranks every document by md5_48(e:doc_id) " +
+      "via the distributed rank operator (range exchange + per-" +
+      "partition offsets — NEVER the single-task global row_number, " +
+      "the canonical 100 TB anti-pattern). The gate pins the " +
+      "permutation itself: each epoch's first-5 head, Σrank = " +
+      "n(n+1)/2 (proves every rank appears exactly once), and the " +
+      "Σ rank·doc_id permutation fingerprint in exact DECIMAL (a " +
+      "swapped pair changes it; different epochs — different " +
+      "fingerprints — prove the reshuffle actually reorders). Three " +
+      "epochs = three range exchanges over (hash, id); no driver " +
+      "state, no sampled boundaries leaking into ranks (the total " +
+      "order makes range placement irrelevant).",
+    (s, dir) => {
+      import graft.operators.{DistributedRank, TextAnalysis}
+      val dec19 = DecimalType(19, 0)
+      val dec38 = DecimalType(38, 0)
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val ranked = (1 to 3).map { e =>
+        val keyed = docs
+          .withColumn("epoch", lit(e.toLong))
+          .withColumn("k", TextAnalysis.md5Long48(
+            concat_ws(":", lit(e.toString), col("doc_id").cast("string"))))
+        DistributedRank.byKey(keyed, Seq(col("k"), col("doc_id")))
+      }.reduce(_ unionByName _)
+      val per = ranked.groupBy(col("epoch")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("rank").cast(dec19)).cast(dec38).cast("string").as("sum_rank"),
+        sum(col("rank").cast(dec19) * col("doc_id").cast(dec19))
+          .cast(dec38).cast("string").as("perm_fp"))
+      ranked.filter(col("rank") <= 5)
+        .select(col("epoch"), col("rank").as("rnk"), col("doc_id"))
+        .join(per, Seq("epoch"))
+        .select(col("epoch"), col("rnk"), col("doc_id"),
+          col("n_docs"), col("sum_rank"), col("perm_fp"))
+        .orderBy(col("epoch"), col("rnk"))
+    },
+    Some("""
+      |WITH e AS (
+      |  SELECT unnest([1, 2, 3]) AS epoch
+      |), k AS (
+      |  SELECT e.epoch, d.doc_id,
+      |         ('0x' || substring(md5(e.epoch::VARCHAR || ':' || d.doc_id::VARCHAR), 1, 12))::BIGINT AS k
+      |  FROM documents d CROSS JOIN e
+      |), r AS (
+      |  SELECT epoch, doc_id,
+      |         row_number() OVER (PARTITION BY epoch ORDER BY k, doc_id) AS rnk
+      |  FROM k
+      |), per AS (
+      |  SELECT epoch, count(*) AS n_docs,
+      |         CAST(CAST(SUM(CAST(rnk AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS VARCHAR) AS sum_rank,
+      |         CAST(CAST(SUM(CAST(rnk AS DECIMAL(19,0)) * CAST(doc_id AS DECIMAL(19,0)))
+      |              AS DECIMAL(38,0)) AS VARCHAR) AS perm_fp
+      |  FROM r GROUP BY 1
+      |)
+      |SELECT r.epoch::BIGINT AS epoch, r.rnk::BIGINT AS rnk, r.doc_id,
+      |       per.n_docs::BIGINT AS n_docs, per.sum_rank, per.perm_fp
+      |FROM r JOIN per USING (epoch)
+      |WHERE r.rnk <= 5
+      |ORDER BY epoch, rnk
+      """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
     Seq(prep, split, balanced, decontaminate, decontaminateBloom, rebalance,
       weighted, temperature, mixReport, hardNegatives, featureHash, curriculum,
-      dsir, classifierFilter)
+      dsir, classifierFilter, epochShuffle)
 }

@@ -305,5 +305,110 @@ object SketchQueries {
       |ORDER BY day
       """.stripMargin.trim))
 
-  val defs: Seq[QueryDef] = Seq(hll, cms, bloom, hllSliding)
+  private val kmvIntersect = QueryDef(
+    "sketch_kmv_intersect",
+    "K-Minimum-Values (bottom-k, k=256) distinct sketch with a SET-" +
+      "INTERSECTION estimate (Bar-Yossef et al. 2002; Beyer et al. " +
+      "2007) — the set-overlap question HLL registers cannot answer: " +
+      "how many customers placed BOTH a 1-URGENT and a 5-LOW order. " +
+      "Each side's sketch is the 256 smallest distinct md5-48 hashes " +
+      "(one map-side-combining distinct + TakeOrdered — k longs " +
+      "shipped regardless of corpus size); the union sketch is the " +
+      "bottom-k of their concatenation, θ its max, and |A∪B| ≈ " +
+      "(k−1)·2^48/θ, |A∩B| ≈ (matches in the union sketch / k)·|A∪B| " +
+      "— the union sketch is a uniform k-sample of A∪B. Everything is " +
+      "exact BIGINT until the two final fixed-shape divisions; the " +
+      "exact distinct counts sit beside the estimates as the accuracy " +
+      "yardstick (at 100 TB the exact legs are the unaffordable part " +
+      "— the sketches ship 2·k longs to the driver of a 1000-executor " +
+      "job; sub-k inputs degrade to the exact counts by construction).",
+    (s, dir) => {
+      val k = 256
+      val ords = Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderpriority"))
+      val aKeys = ords.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
+      val bKeys = ords.filter(col("o_orderpriority") === "5-LOW")
+        .select(col("o_custkey"))
+      val ka = Sketches.kmv(aKeys, col("o_custkey"), k)
+      val kb = Sketches.kmv(bKeys, col("o_custkey"), k)
+      val ku = ka.union(kb).distinct().orderBy(col("h")).limit(k)
+      val u = ku.agg(count(lit(1)).as("nu"), max(col("h")).as("theta"))
+      val m = ku.join(ka, Seq("h"), "left_semi")
+        .join(kb, Seq("h"), "left_semi")
+        .agg(count(lit(1)).as("n_match"))
+      val ad = aKeys.distinct()
+      val bd = bKeys.distinct()
+      val xu = ad.union(bd).distinct().agg(count(lit(1)).as("n_union_exact"))
+      val xi = ad.join(bd, Seq("o_custkey"), "left_semi")
+        .agg(count(lit(1)).as("n_inter_exact"))
+      val estU = when(col("nu") < k, col("nu").cast("double"))
+        .otherwise(lit((k - 1).toDouble) * lit(281474976710656.0) /
+          col("theta").cast("double"))
+      u.crossJoin(m).crossJoin(xu).crossJoin(xi)
+        .withColumn("est_u", estU)
+        .withColumn("est_i",
+          (col("n_match").cast("double") / col("nu").cast("double")) * col("est_u"))
+        .select(lit(k.toLong).as("k_sketch"),
+          col("n_union_exact"), col("n_inter_exact"),
+          round(col("est_u"), 4).as("kmv_union_est"),
+          round(col("est_i"), 4).as("kmv_inter_est"),
+          round((col("est_u") - col("n_union_exact").cast("double")) /
+            col("n_union_exact").cast("double"), 6).as("rel_err_union"),
+          when(col("n_inter_exact") > 0,
+            round((col("est_i") - col("n_inter_exact").cast("double")) /
+              col("n_inter_exact").cast("double"), 6)).as("rel_err_inter"))
+    },
+    Some("""
+      |WITH a AS (
+      |  SELECT DISTINCT ('0x' || substring(md5(o_custkey::VARCHAR), 1, 12))::BIGINT AS h
+      |  FROM orders WHERE o_orderpriority = '1-URGENT'
+      |), ka AS (
+      |  SELECT h FROM a ORDER BY h LIMIT 256
+      |), b AS (
+      |  SELECT DISTINCT ('0x' || substring(md5(o_custkey::VARCHAR), 1, 12))::BIGINT AS h
+      |  FROM orders WHERE o_orderpriority = '5-LOW'
+      |), kb AS (
+      |  SELECT h FROM b ORDER BY h LIMIT 256
+      |), ku AS (
+      |  SELECT DISTINCT h FROM (SELECT h FROM ka UNION ALL SELECT h FROM kb)
+      |  ORDER BY h LIMIT 256
+      |), u AS (
+      |  SELECT count(*) AS nu, max(h) AS theta FROM ku
+      |), m AS (
+      |  SELECT count(*) AS n_match FROM ku
+      |  WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb)
+      |), xa AS (
+      |  SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      |), xb AS (
+      |  SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+      |), xu AS (
+      |  SELECT count(*) AS n_union_exact
+      |  FROM (SELECT o_custkey FROM xa UNION SELECT o_custkey FROM xb)
+      |), xi AS (
+      |  SELECT count(*) AS n_inter_exact FROM xa
+      |  WHERE o_custkey IN (SELECT o_custkey FROM xb)
+      |), e AS (
+      |  SELECT u.nu, m.n_match,
+      |         CASE WHEN u.nu < 256 THEN u.nu::DOUBLE
+      |              ELSE (255.0::DOUBLE * 281474976710656.0::DOUBLE) / u.theta::DOUBLE
+      |         END AS est_u
+      |  FROM u, m
+      |), f AS (
+      |  SELECT est_u, (n_match::DOUBLE / nu::DOUBLE) * est_u AS est_i FROM e
+      |)
+      |SELECT 256::BIGINT AS k_sketch,
+      |       xu.n_union_exact::BIGINT AS n_union_exact,
+      |       xi.n_inter_exact::BIGINT AS n_inter_exact,
+      |       round(f.est_u, 4) AS kmv_union_est,
+      |       round(f.est_i, 4) AS kmv_inter_est,
+      |       round((f.est_u - xu.n_union_exact::DOUBLE) / xu.n_union_exact::DOUBLE, 6)
+      |         AS rel_err_union,
+      |       CASE WHEN xi.n_inter_exact > 0
+      |            THEN round((f.est_i - xi.n_inter_exact::DOUBLE) / xi.n_inter_exact::DOUBLE, 6)
+      |       END AS rel_err_inter
+      |FROM f, xu, xi
+      """.stripMargin.trim))
+
+  val defs: Seq[QueryDef] = Seq(hll, cms, bloom, hllSliding, kmvIntersect)
 }

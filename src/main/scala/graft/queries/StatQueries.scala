@@ -5166,8 +5166,276 @@ object StatQueries {
       |FROM st
       """.stripMargin.trim))
 
+  /** One random-walk step as a DuckDB CTE: walks at w{t-1} advance to
+    * w{t} by the deterministic weighted pick (md5(walk:t) mod out-
+    * weight landing in an edge's cumulative-weight interval).
+    */
+  private def duckWalkStep(t: Int): String =
+    s"""w$t AS (
+       |  SELECT w.walk_id, e.dst AS cur, w.path || '>' || e.dst::VARCHAR AS path
+       |  FROM w${t - 1} w JOIN ei e ON e.src = w.cur
+       |   AND (('0x' || substring(md5(w.walk_id::VARCHAR || ':$t'), 1, 12))::BIGINT % e.totw) >= e.lo
+       |   AND (('0x' || substring(md5(w.walk_id::VARCHAR || ':$t'), 1, 12))::BIGINT % e.totw) < e.hi
+       |)""".stripMargin.trim
+
+  private val randomWalks = QueryDef(
+    "graph_random_walks",
+    "Weighted random-walk corpus sampling over the nation trade graph " +
+      "— the walk-generation stage of DeepWalk / node2vec (p=q=1) " +
+      "that turns a graph into skip-gram training sequences for " +
+      "embedding training: one 8-step walk per nation, each step a " +
+      "WEIGHTED pick among the current node's out-edges, made " +
+      "deterministic (and oracle-replayable) by drawing r = " +
+      "md5(walk_id:step) mod Σw(cur) and stepping along the edge " +
+      "whose cumulative-weight interval [lo, hi) contains r — the " +
+      "inverse-CDF pick that replaces an RNG with a portable hash. " +
+      "Each step is ONE src-keyed join of the walk frontier against " +
+      "the interval-annotated edge store (intervals precomputed once " +
+      "via a per-src window): at production scale (millions of walks " +
+      "× a partitioned edge table) the frontier is data-parallel and " +
+      "the per-step shuffle is the whole cost — T bounded, never " +
+      "corpus-sized driver state. Walks reaching a sink vanish from " +
+      "every later frontier on BOTH engines (inner-join semantics), " +
+      "so the gate covers the termination path too.",
+    (s, dir) => {
+      import graft.operators.RandomWalks
+      val nation = Tables.nation(s, dir)
+      val ei = RandomWalks.withIntervals(nationTradeWeighted(s, dir))
+      val starts = nation.select(
+        col("n_nationkey").cast("long").as("walk_id"),
+        col("n_nationkey").cast("long").as("cur"),
+        col("n_nationkey").cast("string").as("path"))
+      RandomWalks.walk(starts, ei, steps = 8)
+        .join(broadcast(nation), col("walk_id") === col("n_nationkey"))
+        .select(col("n_name").as("start_nation"), col("path"),
+          size(array_distinct(split(col("path"), ">"))).cast("long")
+            .as("n_distinct_nodes"))
+        .orderBy(col("start_nation"))
+    },
+    Some(("""
+      |WITH edges AS MATERIALIZED (
+      |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS w
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  GROUP BY 1, 2
+      |), ei AS (
+      |  SELECT src, dst, w,
+      |         SUM(w) OVER (PARTITION BY src ORDER BY dst
+      |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi,
+      |         SUM(w) OVER (PARTITION BY src ORDER BY dst
+      |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - w AS lo,
+      |         SUM(w) OVER (PARTITION BY src) AS totw
+      |  FROM edges
+      |), w0 AS (
+      |  SELECT n_nationkey::BIGINT AS walk_id, n_nationkey::BIGINT AS cur,
+      |         n_nationkey::VARCHAR AS path
+      |  FROM nation
+      |), """.stripMargin.trim + "\n" +
+      (1 to 8).map(duckWalkStep).mkString(",\n") + "\n" + """
+      |SELECT n.n_name AS start_nation, w8.path,
+      |       len(list_distinct(string_split(w8.path, '>')))::BIGINT AS n_distinct_nodes
+      |FROM w8 JOIN nation n ON n.n_nationkey = w8.walk_id
+      |ORDER BY start_nation
+      """.stripMargin.trim)))
+
+  private val walkSkipgrams = QueryDef(
+    "graph_walk_skipgrams",
+    "Skip-gram pair extraction from the random-walk corpus — the " +
+      "stage that turns graph_random_walks' sequences into the " +
+      "(center, context) training pairs a DeepWalk/node2vec embedding " +
+      "actually trains on: window ±2 over each walk's node sequence, " +
+      "pairs materialized INSIDE the array via one HOF projection " +
+      "(flatten ∘ transform — zero shuffle until the final count " +
+      "rollup), then (center, context) co-occurrence counts. At " +
+      "production scale this is the map-side-combining aggregation " +
+      "over |walks|·T·window pairs — the output is |nodes|²-bounded " +
+      "regardless of walk volume, the same boundedness argument as " +
+      "the Markov transition store. The oracle replays the walks " +
+      "(the full md5 inverse-CDF chain) AND the pair window in SQL, " +
+      "so the gate covers sequence → skip-gram end-to-end.",
+    (s, dir) => {
+      import graft.operators.RandomWalks
+      val nation = Tables.nation(s, dir)
+      val ei = RandomWalks.withIntervals(nationTradeWeighted(s, dir))
+      val starts = nation.select(
+        col("n_nationkey").cast("long").as("walk_id"),
+        col("n_nationkey").cast("long").as("cur"),
+        col("n_nationkey").cast("string").as("path"))
+      RandomWalks.walk(starts, ei, steps = 8)
+        .select(split(col("path"), ">").as("nodes"))
+        .select(explode(expr(
+          "flatten(transform(sequence(0, size(nodes) - 1), i -> " +
+            "transform(filter(sequence(greatest(0, i - 2), least(size(nodes) - 1, i + 2)), " +
+            "j -> j != i), j -> struct(nodes[i] AS center, nodes[j] AS context))))"))
+          .as("p"))
+        .select(col("p.center").cast("long").as("center"),
+          col("p.context").cast("long").as("context"))
+        .groupBy(col("center"), col("context"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("center"), col("context"))
+    },
+    Some(("""
+      |WITH edges AS MATERIALIZED (
+      |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS w
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  GROUP BY 1, 2
+      |), ei AS (
+      |  SELECT src, dst, w,
+      |         SUM(w) OVER (PARTITION BY src ORDER BY dst
+      |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi,
+      |         SUM(w) OVER (PARTITION BY src ORDER BY dst
+      |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - w AS lo,
+      |         SUM(w) OVER (PARTITION BY src) AS totw
+      |  FROM edges
+      |), w0 AS (
+      |  SELECT n_nationkey::BIGINT AS walk_id, n_nationkey::BIGINT AS cur,
+      |         n_nationkey::VARCHAR AS path
+      |  FROM nation
+      |), """.stripMargin.trim + "\n" +
+      (1 to 8).map(duckWalkStep).mkString(",\n") + "\n" + """
+      |, pairs AS (
+      |  SELECT u.center AS center, u.context AS context FROM (
+      |    SELECT unnest(flatten(list_transform(range(len(nodes)), i ->
+      |      list_transform(list_filter(range(greatest(0, i - 2), least(len(nodes), i + 3)),
+      |        j -> j != i), j -> {'center': nodes[i + 1], 'context': nodes[j + 1]})))) AS u
+      |    FROM (SELECT string_split(path, '>') AS nodes FROM w8)
+      |  )
+      |)
+      |SELECT center::BIGINT AS center, context::BIGINT AS context,
+      |       count(*)::BIGINT AS n_pairs
+      |FROM pairs GROUP BY 1, 2 ORDER BY center, context
+      """.stripMargin.trim)))
+
+  private val fdrBh = QueryDef(
+    "stat_fdr_bh",
+    "Benjamini–Hochberg FDR control over a FAMILY of hypothesis tests " +
+      "— the multiple-testing step every per-segment test battery " +
+      "(stat_ks_two_sample, stat_ab_welch, …) needs before anyone acts " +
+      "on 'nation X looks different': 25 simultaneous two-sample KS " +
+      "tests (each nation's customer acctbal distribution vs all other " +
+      "nations), asymptotic p = min(1, 2·exp(−2·n_e·D²)) with n_e = " +
+      "n_a·n_b/N, then BH at α=0.10 — rank p ascending, reject ranks ≤ " +
+      "k* = max{r : p_(r) ≤ r·α/m}. Every D is the integer argmax " +
+      "|ca·nb − cb·na| over the pooled cents grid, computed for ALL 25 " +
+      "nations from ONE dense (nation × grid) cumulative window — the " +
+      "window rows are |nations| × |distinct cents values|, value-" +
+      "domain × segment-count bounded, never row-count bounded; the " +
+      "row-sized work is one (nation, cents) groupBy. D rounds at 6 " +
+      "BEFORE the p-value so both engines exponentiate bit-identical " +
+      "arguments; p and the BH thresholds round at 6 before every " +
+      "comparison (the fixed-shape double channel). At 100 TB the " +
+      "family is segments, not rows — the BH pass itself is O(m log m) " +
+      "on m=25 rows.",
+    (s, dir) => {
+      val alpha = 0.10
+      val c = Tables.customer(s, dir).select(col("c_nationkey"),
+        (col("c_acctbal").cast(DecimalType(12, 2)) * 100).cast("long").as("vc"))
+      val g1 = c.groupBy(col("c_nationkey"), col("vc")).agg(count(lit(1)).as("cnt"))
+      val wg = Window.orderBy(col("vc"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val gridC = g1.groupBy(col("vc")).agg(sum(col("cnt")).as("tcnt"))
+        .select(col("vc"), sum(col("tcnt")).over(wg).as("cg"))
+      val nat = g1.groupBy(col("c_nationkey")).agg(sum(col("cnt")).as("na"))
+      val tot = c.agg(count(lit(1)).as("n_total"))
+      val wn = Window.partitionBy(col("c_nationkey")).orderBy(col("vc"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val dense = gridC.crossJoin(broadcast(nat))
+        .join(g1, Seq("c_nationkey", "vc"), "left")
+        .select(col("c_nationkey"), col("vc"), col("cg"), col("na"),
+          coalesce(col("cnt"), lit(0L)).as("cnt"))
+      val dmax = dense
+        .select(col("c_nationkey"), col("na"), col("cg"),
+          sum(col("cnt")).over(wn).as("ca"))
+        .crossJoin(broadcast(tot))
+        .select(col("c_nationkey"), col("na"), col("n_total"),
+          abs(col("ca") * (col("n_total") - col("na")) -
+            (col("cg") - col("ca")) * col("na")).as("num"))
+        .groupBy(col("c_nationkey"), col("na"), col("n_total"))
+        .agg(max(col("num")).as("nummax"))
+      val wr = Window.orderBy(col("p6"), col("c_nationkey"))
+      val wAll = Window.partitionBy()
+      val ranked = dmax
+        .withColumn("nb", col("n_total") - col("na"))
+        .withColumn("d6", round(col("nummax").cast("double") /
+          (col("na").cast("double") * col("nb").cast("double")), 6))
+        .withColumn("ne", col("na").cast("double") * col("nb").cast("double") /
+          col("n_total").cast("double"))
+        .withColumn("p6", round(least(
+          lit(2.0) * exp(lit(-2.0) * col("ne") * col("d6") * col("d6")),
+          lit(1.0)), 6))
+        .withColumn("bh_rank", row_number().over(wr).cast("long"))
+        .withColumn("m_tests", count(lit(1)).over(wAll))
+        .withColumn("thr6", round(col("bh_rank").cast("double") * lit(alpha) /
+          col("m_tests").cast("double"), 6))
+        .withColumn("okr", when(col("p6") <= col("thr6"), col("bh_rank")).otherwise(lit(0L)))
+        .withColumn("kstar", max(col("okr")).over(wAll))
+      ranked
+        .join(Tables.nation(s, dir).select(col("n_nationkey"), col("n_name")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), col("na").as("n_cust"),
+          col("d6").as("ks_d"), col("p6").as("p_value"),
+          col("bh_rank"), col("thr6").as("bh_threshold"),
+          (col("bh_rank") <= col("kstar")).cast("long").as("significant"))
+        .orderBy(col("bh_rank"))
+    },
+    Some("""
+      |WITH c AS (
+      |  SELECT c_nationkey, CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS vc
+      |  FROM customer
+      |), g1 AS (
+      |  SELECT c_nationkey, vc, count(*) AS cnt FROM c GROUP BY 1, 2
+      |), grid AS (
+      |  SELECT vc,
+      |         SUM(tcnt) OVER (ORDER BY vc ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cg
+      |  FROM (SELECT vc, SUM(cnt) AS tcnt FROM g1 GROUP BY 1)
+      |), nat AS (
+      |  SELECT c_nationkey, SUM(cnt) AS na FROM g1 GROUP BY 1
+      |), tot AS (
+      |  SELECT count(*) AS n_total FROM c
+      |), dense AS (
+      |  SELECT n.c_nationkey, g.vc, g.cg, n.na, COALESCE(g1.cnt, 0) AS cnt
+      |  FROM grid g CROSS JOIN nat n
+      |  LEFT JOIN g1 ON g1.c_nationkey = n.c_nationkey AND g1.vc = g.vc
+      |), cum AS (
+      |  SELECT c_nationkey, na, cg,
+      |         SUM(cnt) OVER (PARTITION BY c_nationkey ORDER BY vc
+      |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca
+      |  FROM dense
+      |), dmax AS (
+      |  SELECT c_nationkey, na, n_total, max(abs(ca * (n_total - na) - (cg - ca) * na)) AS nummax
+      |  FROM cum CROSS JOIN tot
+      |  GROUP BY 1, 2, 3
+      |), st AS (
+      |  SELECT c_nationkey, na, n_total - na AS nb,
+      |         round(nummax::DOUBLE / (na::DOUBLE * (n_total - na)::DOUBLE), 6) AS d6,
+      |         na::DOUBLE * (n_total - na)::DOUBLE / n_total::DOUBLE AS ne
+      |  FROM dmax
+      |), pv AS (
+      |  SELECT c_nationkey, na,
+      |         d6, round(least(2.0::DOUBLE * exp(-2.0::DOUBLE * ne * d6 * d6), 1.0::DOUBLE), 6) AS p6
+      |  FROM st
+      |), rk AS (
+      |  SELECT c_nationkey, na, d6, p6,
+      |         row_number() OVER (ORDER BY p6, c_nationkey) AS bh_rank,
+      |         count(*) OVER () AS m_tests
+      |  FROM pv
+      |), th AS (
+      |  SELECT *, round(bh_rank::DOUBLE * 0.1::DOUBLE / m_tests::DOUBLE, 6) AS thr6 FROM rk
+      |), ks AS (
+      |  SELECT *, max(CASE WHEN p6 <= thr6 THEN bh_rank ELSE 0 END) OVER () AS kstar FROM th
+      |)
+      |SELECT n.n_name, ks.na::BIGINT AS n_cust, ks.d6 AS ks_d, ks.p6 AS p_value,
+      |       ks.bh_rank::BIGINT AS bh_rank, ks.thr6 AS bh_threshold,
+      |       (CASE WHEN ks.bh_rank <= ks.kstar THEN 1 ELSE 0 END)::BIGINT AS significant
+      |FROM ks JOIN nation n ON n.n_nationkey = ks.c_nationkey
+      |ORDER BY bh_rank
+      """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
-    Seq(trendOls, dailyCorr, markov, ewma, pagerank, centroidMatrix,
+    Seq(trendOls, dailyCorr, markov, ewma, pagerank, centroidMatrix, fdrBh,
       abWelch, benford, ksTest, acf, bfs, chi2, gini, triangles, dowSeason,
       cusum, theilSen, mannWhitney, holt, kaplanMeier, assortativity, kendall,
       poissonBootstrap, kcore, labelPropagation, ssspWeighted, hillTail,
@@ -5178,5 +5446,6 @@ object StatQueries {
       cramersV, louvainRefine, cochranArmitage, welchAnova, mannKendall,
       friedman, bartlett, periodDetect, pettitt, powerMde, markovStationary,
       richClub, cohensD, reciprocity, peakHour,
-      wilcoxonSigned, pacfDaily, wilsonCi, trimmedMean, katz, pageTrend)
+      wilcoxonSigned, pacfDaily, wilsonCi, trimmedMean, katz, pageTrend,
+      randomWalks, walkSkipgrams)
 }

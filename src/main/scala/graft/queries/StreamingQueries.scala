@@ -510,7 +510,107 @@ object StreamingQueries {
       |ORDER BY day, event_type
       """.stripMargin.trim))
 
+  /** Two-batch replay through the streaming HLL register aggregation —
+    * the constant-state streaming-cardinality pattern (complete-mode
+    * max per (day, bucket); state is bounded at |days|·m registers no
+    * matter how many events stream through, where exact streaming
+    * distinct-count state grows with the key cardinality itself).
+    */
+  private object HllStreamStore {
+    def ensure(s: SparkSession, dir: String): String =
+      TmpStores.memoizedTable("graft_stream_hll", dir) { root =>
+        val ev = Tables.events(s, dir)
+          .select(col("event_id"), col("ts"), col("user_id"))
+        val staging = s"$root/staging"
+        TmpStores.stageFile(ev.filter(pmod(col("event_id"), lit(2)) === 0),
+          staging, "batch1", 120000L)
+        TmpStores.stageFile(ev.filter(pmod(col("event_id"), lit(2)) === 1),
+          staging, "batch2", 60000L)
+        val out = s"$root/regs"
+        val stream = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(staging)
+          .select(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("user_id"))
+        val regs = graft.operators.Sketches.hllRegisters(
+          stream, "day", col("user_id"), p = 9)
+        val q = regs.writeStream
+          .outputMode("complete")
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            b.write.mode("overwrite").parquet(out); ()
+          }
+          .option("checkpointLocation", s"$root/ckpt")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        out
+      }
+  }
+
+  private val streamHllDaily = QueryDef(
+    "stream_hll_daily",
+    "Streaming daily-cardinality telemetry at CONSTANT state: events " +
+      "replay as two file micro-batches through a complete-mode " +
+      "max-per-(day, register) aggregation of the deterministic HLL " +
+      "sketch (p=9 — state is |days|·512 BIGINTs regardless of event " +
+      "or user volume, where a streaming count(DISTINCT) would hold " +
+      "every user id in state; at 100 TB/day THIS is the affordable " +
+      "shape of the DAU dashboard). Register max is order- and " +
+      "batch-split-insensitive, so the streamed registers must equal " +
+      "the batch registers EXACTLY — the registered query estimates " +
+      "from the final streamed store next to the exact batch distinct, " +
+      "and the oracle recomputes registers and estimate from scratch " +
+      "in SQL: a green hash proves the cross-micro-batch streaming " +
+      "state composed to the batch answer, register for register.",
+    (s, dir) => {
+      val regs = s.read.parquet(HllStreamStore.ensure(s, dir))
+      val est = graft.operators.Sketches.hllEstimate(regs, "day", p = 9)
+      val exact = Tables.events(s, dir)
+        .select(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("user_id"))
+        .groupBy(col("day")).agg(countDistinct(col("user_id")).as("n_exact"))
+      exact.join(est, Seq("day"))
+        .select(col("day"), col("n_exact"),
+          round(col("hll_estimate"), 4).as("hll_estimate"),
+          round((col("hll_estimate") - col("n_exact").cast("double")) /
+            col("n_exact").cast("double"), 6).as("rel_err"))
+        .orderBy(col("day"))
+    },
+    Some("""
+      |WITH ev AS (
+      |  SELECT strftime(ts::TIMESTAMP, '%Y-%m-%d') AS day, user_id FROM events
+      |), h AS (
+      |  SELECT day, ('0x' || substring(md5(user_id::VARCHAR), 1, 12))::BIGINT AS h
+      |  FROM ev
+      |), b AS (
+      |  SELECT day, h & 511 AS bucket, h >> 9 AS w FROM h
+      |), r AS (
+      |  SELECT day, bucket,
+      |         CASE WHEN w = 0 THEN 40 ELSE bit_count((w & -w) - 1) + 1 END AS rk
+      |  FROM b
+      |), regs AS (
+      |  SELECT day, bucket, max(rk) AS reg FROM r GROUP BY 1, 2
+      |), s AS (
+      |  SELECT day,
+      |         SUM(1::BIGINT << CAST(40 - reg AS INTEGER)) AS s_present,
+      |         count(*) AS nb
+      |  FROM regs GROUP BY 1
+      |), f AS (
+      |  SELECT day, s_present + (512 - nb) * 1099511627776 AS s_total FROM s
+      |), e AS (
+      |  SELECT day,
+      |         (0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 512.0::DOUBLE))
+      |           * 262144.0::DOUBLE * 1099511627776.0::DOUBLE / s_total::DOUBLE AS est
+      |  FROM f
+      |), x AS (
+      |  SELECT day, count(DISTINCT user_id) AS n_exact FROM ev GROUP BY 1
+      |)
+      |SELECT x.day, x.n_exact,
+      |       round(e.est, 4) AS hll_estimate,
+      |       round((e.est - x.n_exact::DOUBLE) / x.n_exact::DOUBLE, 6) AS rel_err
+      |FROM e JOIN x USING (day)
+      |ORDER BY day
+      """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
     Seq(streamIngest, streamServe, streamServeNsw, streamServePq,
-      streamCdcApply, streamTrending, streamLateAudit)
+      streamCdcApply, streamTrending, streamLateAudit, streamHllDaily)
 }

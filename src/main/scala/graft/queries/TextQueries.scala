@@ -1967,10 +1967,162 @@ object TextQueries {
       """.stripMargin.trim
     })
 
+  private val sourceOutliersQ = QueryDef(
+    "txt_source_outliers",
+    "Per-source document outlier detection — the curation pass that " +
+      "surfaces documents unlike the rest of their source (mislabeled " +
+      "scrapes, boilerplate, wrong-language leakage) for review before " +
+      "training: each doc becomes a 256-bucket hashed term-frequency " +
+      "vector (md5-bucketed — the fixed-width feature trick that keeps " +
+      "the representation vocabulary-independent at 100 TB), its " +
+      "source's centroid direction is the source's total bucket-count " +
+      "vector (the mean scales out of cosine, so NO per-source " +
+      "division ever happens), and outlier score = 1 − cos(doc, " +
+      "source). All sufficient statistics (dot, ‖doc‖², ‖source‖²) " +
+      "are exact BIGINTs from bucket-keyed joins — per-doc work is " +
+      "bounded by 256 buckets, the doc×centroid join is (source, " +
+      "bucket)-keyed, and only the final 1 − dot/(√·√) runs in double " +
+      "(IEEE sqrt is correctly rounded — bit-equal cross-engine). " +
+      "Top-20 by rounded score via TakeOrdered; self-inclusion in the " +
+      "centroid is the standard convention (a true outlier still " +
+      "scores high — it is 1/n of its own centroid).",
+    (s, dir) => {
+      import graft.operators.TextAnalysis
+      val tf = docToks(s, dir)
+        .select(col("doc_id"), col("source"), explode(col("toks")).as("tok"))
+        .withColumn("b", TextAnalysis.md5Long48(col("tok")) % 256)
+        .groupBy(col("doc_id"), col("source"), col("b"))
+        .agg(count(lit(1)).as("tf"))
+      val src = tf.groupBy(col("source"), col("b")).agg(sum(col("tf")).as("cnt"))
+      val dn = tf.groupBy(col("doc_id"))
+        .agg(sum(col("tf") * col("tf")).as("d2"), sum(col("tf")).as("n_toks"))
+      val sn = src.groupBy(col("source")).agg(sum(col("cnt") * col("cnt")).as("s2"))
+      val dot = tf.join(src, Seq("source", "b"))
+        .groupBy(col("doc_id"), col("source"))
+        .agg(sum(col("tf") * col("cnt")).as("dot"))
+      dot.join(dn, Seq("doc_id")).join(sn, Seq("source"))
+        .select(col("doc_id"), col("source"), col("n_toks"),
+          round(lit(1.0) - col("dot").cast("double") /
+            (sqrt(col("d2").cast("double")) * sqrt(col("s2").cast("double"))), 6)
+            .as("outlier_score"))
+        .orderBy(col("outlier_score").desc, col("doc_id")).limit(20)
+    },
+    Some(s"""
+      |${Duck.docToks}
+      |, tok AS (
+      |  SELECT doc_id, source, unnest(toks) AS tok FROM tt
+      |), tf AS (
+      |  SELECT doc_id, source,
+      |         ('0x' || substring(md5(tok), 1, 12))::BIGINT % 256 AS b,
+      |         count(*) AS tf
+      |  FROM tok GROUP BY 1, 2, 3
+      |), src AS (
+      |  SELECT source, b, SUM(tf) AS cnt FROM tf GROUP BY 1, 2
+      |), dn AS (
+      |  SELECT doc_id, SUM(tf * tf) AS d2, SUM(tf) AS n_toks FROM tf GROUP BY 1
+      |), sn AS (
+      |  SELECT source, SUM(cnt * cnt) AS s2 FROM src GROUP BY 1
+      |), dt AS (
+      |  SELECT f.doc_id, f.source, SUM(f.tf * c.cnt) AS dot
+      |  FROM tf f JOIN src c ON c.source = f.source AND c.b = f.b
+      |  GROUP BY 1, 2
+      |)
+      |SELECT d.doc_id, d.source, n.n_toks::BIGINT AS n_toks,
+      |       round(1.0::DOUBLE - d.dot::DOUBLE /
+      |             (sqrt(n.d2::DOUBLE) * sqrt(s.s2::DOUBLE)), 6) AS outlier_score
+      |FROM dt d JOIN dn n USING (doc_id) JOIN sn s USING (source)
+      |ORDER BY outlier_score DESC, doc_id LIMIT 20
+      """.stripMargin.trim))
+
+  private val bpeEncodeQ = QueryDef(
+    "txt_bpe_encode",
+    "BPE tokenizer APPLICATION — the encode half that turns " +
+      "txt_bpe_train's learned merges into corpus tokenization, closing " +
+      "the train→apply loop an LLM data pipeline runs at scale: the 3 " +
+      "merges are learned from the top-500 dictionary exactly as in " +
+      "txt_bpe_train, then applied (the same left-to-right greedy fold, " +
+      "Bpe.mergeSyms, chained in merge order) to the ENTIRE corpus " +
+      "vocabulary — on DISTINCT words weighted by corpus frequency, " +
+      "the production trick that makes encoding vocabulary-bounded " +
+      "instead of token-bounded (the 100 TB corpus is scanned once for " +
+      "word counts; the merge folds run over |vocab| rows). Output: " +
+      "the 15 words whose encoding saves the most corpus-weighted " +
+      "symbols (freq · (chars − symbols)) — the telemetry that shows " +
+      "which merges pay for themselves. The oracle re-learns the " +
+      "merges AND re-applies them in SQL (list_reduce over single-" +
+      "element lists), so a green hash certifies train and encode " +
+      "end-to-end; exact BIGINT arithmetic throughout, ties break on " +
+      "the word.",
+    (s, dir) => {
+      import graft.operators.Bpe
+      val allWords = docToks(s, dir)
+        .select(explode(col("toks")).as("word"))
+        .filter(col("word").rlike("^[a-z]+$") && length(col("word")).between(2, 20))
+        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      val dictWords = allWords
+        .orderBy(col("freq").desc, col("word")).limit(500)
+      val (dict, merges) = Bpe.train(dictWords, rounds = 3)
+      dict.unpersist()
+      val encoded = merges.foldLeft(
+        allWords.withColumn("syms", Bpe.chars(col("word")))) { (df, m) =>
+        df.withColumn("syms", Bpe.mergeSyms(col("syms"), m.left, m.right))
+      }
+      encoded
+        .select(col("word"), col("freq"),
+          length(col("word")).cast("long").as("n_chars"),
+          size(col("syms")).cast("long").as("n_syms"))
+        .withColumn("saved_total", col("freq") * (col("n_chars") - col("n_syms")))
+        .orderBy(col("saved_total").desc, col("word")).limit(15)
+    },
+    Some(s"""
+      |${Duck.docToks}
+      |, words_all AS (
+      |  SELECT w AS word, count(*) AS freq
+      |  FROM (SELECT unnest(toks) AS w FROM tt)
+      |  WHERE regexp_full_match(w, '[a-z]+') AND len(w) BETWEEN 2 AND 20
+      |  GROUP BY 1
+      |), words AS (
+      |  SELECT word, freq FROM words_all ORDER BY freq DESC, word LIMIT 500
+      |), d0 AS (
+      |  SELECT word, freq, string_split_regex(word, '') AS syms FROM words
+      |), ${duckBpeRound(1, "d0")},
+      |${duckBpeRound(2, "d1")},
+      |${duckBpeRound(3, "d2")},
+      |enc0 AS (
+      |  SELECT word, freq, string_split_regex(word, '') AS syms FROM words_all
+      |), enc1 AS (
+      |  SELECT word, freq,
+      |         list_reduce(list_transform(syms, ch -> [ch]),
+      |           (a, e) -> CASE WHEN a[len(a)] = b1.l AND e[1] = b1.r
+      |                          THEN list_append(a[1:len(a)-1], b1.l || b1.r)
+      |                          ELSE list_append(a, e[1]) END) AS syms
+      |  FROM enc0, b1
+      |), enc2 AS (
+      |  SELECT word, freq,
+      |         list_reduce(list_transform(syms, ch -> [ch]),
+      |           (a, e) -> CASE WHEN a[len(a)] = b2.l AND e[1] = b2.r
+      |                          THEN list_append(a[1:len(a)-1], b2.l || b2.r)
+      |                          ELSE list_append(a, e[1]) END) AS syms
+      |  FROM enc1, b2
+      |), enc3 AS (
+      |  SELECT word, freq,
+      |         list_reduce(list_transform(syms, ch -> [ch]),
+      |           (a, e) -> CASE WHEN a[len(a)] = b3.l AND e[1] = b3.r
+      |                          THEN list_append(a[1:len(a)-1], b3.l || b3.r)
+      |                          ELSE list_append(a, e[1]) END) AS syms
+      |  FROM enc2, b3
+      |)
+      |SELECT word, freq::BIGINT AS freq, len(word)::BIGINT AS n_chars,
+      |       len(syms)::BIGINT AS n_syms,
+      |       (freq * (len(word) - len(syms)))::BIGINT AS saved_total
+      |FROM enc3
+      |ORDER BY saved_total DESC, word LIMIT 15
+      """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
     Seq(stats, langQ, quality, fp, topTokens, bigramLift, lmQ, simhashQ,
       embedQ, embedKnnQ, bm25Q, hybridRrfQ, crossencQ, maxsimQ, tfidfQ, chunksQ, packQ,
-      tokenBudgetQ, gopherQ, dupNgramsQ, piiQ, noveltyQ, invIndexQ, bpeTrainQ, rakeQ,
+      tokenBudgetQ, gopherQ, dupNgramsQ, piiQ, noveltyQ, invIndexQ, bpeTrainQ, bpeEncodeQ, rakeQ,
       readabilityQ, rankingNdcgQ, zipfQ, llrQ, burstinessQ, jsdQ, heapsQ, textrankQ,
-      codeDetectQ, langidConfusion)
+      codeDetectQ, langidConfusion, sourceOutliersQ)
 }

@@ -45,4 +45,29 @@ class BpeSpec extends SparkSpec {
     d.unpersist()
     assert(merges.head.left == "a" && merges.head.right == "b")
   }
+
+  test("encode ≡ train: re-applying the merge list reproduces the trained dict") {
+    // the txt_bpe_encode differential: folding the learned merges over
+    // raw characters must land exactly on the symbols train produced —
+    // on the SAME words, apply is a pure replay of training's folds
+    val words = dict("the" -> 10L, "then" -> 3L, "he" -> 5L, "tent" -> 2L)
+    val (finalDict, merges) = Bpe.train(words, rounds = 3)
+    val replayed = merges.foldLeft(
+      words.withColumn("syms", Bpe.chars(col("word")))) { (df, m) =>
+      df.withColumn("syms", Bpe.mergeSyms(col("syms"), m.left, m.right))
+    }
+    val got = replayed.collect()
+      .map(r => r.getString(0) -> r.getSeq[String](2).toList).toMap
+    val want = finalDict.collect()
+      .map(r => r.getString(0) -> r.getSeq[String](2).toList).toMap
+    finalDict.unpersist()
+    assert(got == want)
+    // and an out-of-dict word still encodes deterministically
+    import spark.implicits._
+    val novel = merges.foldLeft(
+      Seq("thethe").toDF("word").withColumn("syms", Bpe.chars(col("word")))) {
+      (df, m) => df.withColumn("syms", Bpe.mergeSyms(col("syms"), m.left, m.right))
+    }.head().getSeq[String](1).toList
+    assert(novel == List("the", "the"))
+  }
 }

@@ -176,4 +176,28 @@ class MultimodalSpec extends SparkSpec {
       assert(shares, s"pair ($a,$b) shares no band — not a valid candidate")
     }
   }
+
+  test("frame↔cue as-of alignment: ties, leading frames, per-doc isolation") {
+    import spark.implicits._
+    val frames = Seq(
+      (1L, 0L, 0L), (1L, 1L, 10L), (1L, 2L, 20L), // doc 1: cues at 0/10
+      (2L, 0L, 5L),                               // doc 2: before any cue
+      (2L, 1L, 15L)                               // doc 2: after cue 0 at 10
+    ).toDF("doc_id", "frame_idx", "ts")
+    val cues = Seq(
+      (1L, 0L, 0L, "a"), (1L, 1L, 10L, "b"),
+      (2L, 0L, 10L, "z")
+    ).toDF("doc_id", "cue_idx", "ts", "cap")
+    val out = graft.operators.Multimodal.alignFramesToCues(frames, cues)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (Option(r.get(2)).map(_.asInstanceOf[Long]), Option(r.getString(3))))
+      .toMap
+    assert(out((1L, 0L)) == (Some(0L), Some("a"))) // cue at exactly frame ts matches
+    assert(out((1L, 1L)) == (Some(1L), Some("b"))) // tie at ts=10 prefers the cue
+    assert(out((1L, 2L)) == (Some(1L), Some("b"))) // latest at-or-before carries
+    assert(out((2L, 0L)) == (None, None))          // frame before any cue: null
+    assert(out((2L, 1L)) == (Some(0L), Some("z"))) // doc 1's cue 'b' must not leak
+    assert(out.size == 5)
+  }
 }

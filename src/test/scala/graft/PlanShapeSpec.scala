@@ -268,6 +268,33 @@ class PlanShapeSpec extends SparkSpec {
     assert(planOf("txt_tfidf_top_terms").contains("WindowGroupLimit"))
   }
 
+  test("knn label accuracy: queries broadcast; per-query top-k caps map-side") {
+    val p = planOf("ml_knn_label_accuracy")
+    // the 50-query side rides a broadcast loop join — the corpus never
+    // shuffles for scoring
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the fixed query set must broadcast onto the corpus:\n$p")
+    // the rank ≤ 10 must cap rows before the qid exchange
+    assert(p.contains("WindowGroupLimit"),
+      s"top-k must run as WindowGroupLimit, not a full per-query sort:\n$p")
+  }
+
+  test("analyze stats: one lineitem scan feeds every column's statistics") {
+    val p = planOf("maint_analyze_stats")
+    assert("lineitem\\.parquet".r.findAllIn(p).length == 1,
+      s"multi-column stats must come from ONE scan:\n$p")
+    // the multi-column distinct runs through Spark's Expand rewrite —
+    // the single-pass shape ANALYZE relies on
+    assert(p.contains("Expand"), s"expected the Expand-based multi-distinct:\n$p")
+    // every min/max buffer is fixed-width (the string flag aggregates
+    // its codepoint), so the whole pass is hash-based: a SortAggregate
+    // here means someone reintroduced a string/variable-width buffer
+    // and the 5×-expanded rows are being sorted (measured 7.9 s vs
+    // 1.6 s at sf0.1)
+    assert(!p.contains("SortAggregate"),
+      s"the Expand aggregate must stay hash-based:\n$p")
+  }
+
   test("decontaminate: benchmark gram set broadcasts; corpus never sort-merge-joins on grams") {
     val p = planOf("pipeline_decontaminate")
     assert(p.contains("BroadcastHashJoin"), s"gram join must broadcast the bench side:\n$p")
@@ -721,7 +748,8 @@ class PlanShapeSpec extends SparkSpec {
       "graph_degree_assortativity",
       // trade-graph store
       "graph_betweenness_approx", "graph_closeness_nations",
-      "graph_bfs_nations", "graph_pagerank_nations", "graph_reciprocity")
+      "graph_bfs_nations", "graph_pagerank_nations", "graph_reciprocity",
+      "graph_random_walks", "graph_walk_skipgrams")
     consumers.foreach { q =>
       val p = planOf(q)
       assert(!p.contains("lineitem.parquet"),

@@ -68,4 +68,34 @@ class SketchesSpec extends SparkSpec {
     val total = counters.agg(sum("cnt")).head().getLong(0)
     assert(total == 4L * 500)
   }
+
+  test("KMV is exact below k and duplicate-insensitive") {
+    val small = (1 to 100).flatMap(i => Seq.fill(3)(i.toLong)).toDF("k")
+    val sk = Sketches.kmv(small, col("k"), k = 256)
+    // 100 distinct < k: the sketch holds every distinct hash
+    assert(sk.count() == 100L)
+    val noDup = Sketches.kmv((1 to 100).map(_.toLong).toDF("k"), col("k"), 256)
+    assert(sk.orderBy("h").collect().toSeq == noDup.orderBy("h").collect().toSeq)
+  }
+
+  test("KMV union sketch is mergeable: bottom-k of concatenated sketches") {
+    val a = (1 to 3000).map(_.toLong).toDF("k")
+    val b = (2000 to 5000).map(_.toLong).toDF("k")
+    val ka = Sketches.kmv(a, col("k"), 256)
+    val kb = Sketches.kmv(b, col("k"), 256)
+    val merged = ka.union(kb).distinct().orderBy("h").limit(256)
+      .collect().map(_.getLong(0)).toSeq
+    val direct = Sketches.kmv(a.union(b), col("k"), 256)
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(merged.sorted == direct)
+  }
+
+  test("KMV cardinality estimate lands within 3σ of a known cardinality") {
+    // (k−1)·2^48/θ with k=256: σ ≈ 1/√(k−2) ≈ 6.3%
+    val df = (1 to 20000).map(_.toLong).toDF("k")
+    val sk = Sketches.kmv(df, col("k"), 256)
+    val theta = sk.agg(max("h")).head().getLong(0)
+    val est = 255.0 * 281474976710656.0 / theta.toDouble
+    assert(math.abs(est - 20000.0) / 20000.0 < 0.19, s"estimate $est")
+  }
 }
