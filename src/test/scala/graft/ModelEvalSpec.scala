@@ -2406,4 +2406,98 @@ class ModelEvalSpec extends SparkSpec {
         ((fps(a) >> (band * 12)) & 4095L) == ((fps(b) >> (band * 12)) & 4095L)))
     }
   }
+
+  test("stat_fdr_bh matches a driver replay of all 25 KS tests and the BH step-up") {
+    val out = run("stat_fdr_bh").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getLong(4), r.getDouble(5), r.getLong(6))).toMap
+    val names = Tables.nation(spark, sf("sf0.001"))
+      .select("n_nationkey", "n_name").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    val cust = Tables.customer(spark, sf("sf0.001"))
+      .select("c_nationkey", "c_acctbal").collect()
+      .map(r => (r.getInt(0), (BigDecimal(r.getDouble(1))
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toLong))
+    val n = cust.length.toLong
+    val grid = cust.map(_._2).distinct.sorted
+    val byNation = cust.groupBy(_._1)
+    val stats = byNation.toSeq.map { case (nat, rows) =>
+      val na = rows.length.toLong
+      val nb = n - na
+      val cnt = rows.groupBy(_._2).map { case (v, g) => v -> g.length.toLong }
+      var ca = 0L; var cg = 0L; var num = 0L
+      val global = cust.groupBy(_._2).map { case (v, g) => v -> g.length.toLong }
+      grid.foreach { v =>
+        ca += cnt.getOrElse(v, 0L); cg += global(v)
+        num = math.max(num, math.abs(ca * nb - (cg - ca) * na))
+      }
+      val d6 = rd6(num.toDouble / (na.toDouble * nb.toDouble))
+      val ne = na.toDouble * nb.toDouble / n.toDouble
+      val p6 = rd6(math.min(2.0 * math.exp(-2.0 * ne * d6 * d6), 1.0))
+      (nat, na, d6, p6)
+    }
+    val m = stats.length
+    val ranked = stats.sortBy(s => (s._4, s._1)).zipWithIndex
+      .map { case ((nat, na, d6, p6), i) =>
+        (nat, na, d6, p6, (i + 1).toLong, rd6((i + 1) * 0.10 / m)) }
+    val kstar = ranked.filter(r => r._4 <= r._6).map(_._5).foldLeft(0L)(math.max)
+    ranked.foreach { case (nat, na, d6, p6, rnk, thr) =>
+      val got = out(names(nat))
+      assert(got == ((na, d6, p6, rnk, thr, if (rnk <= kstar) 1L else 0L)),
+        s"nation $nat: got $got want ($na,$d6,$p6,$rnk,$thr,${rnk <= kstar})")
+    }
+    assert(out.size == m)
+  }
+
+  test("pipeline_epoch_shuffle: heads, Σrank, and fingerprints replay; epochs differ") {
+    val out = run("pipeline_epoch_shuffle").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5)))
+    val ids = Tables.documents(spark, sf("sf0.001"))
+      .select("doc_id").collect().map(_.getLong(0))
+    val n = ids.length.toLong
+    val perEpoch = (1 to 3).map { e =>
+      val ranked = ids.map(id => (graft.functions.Md5.long48(s"$e:$id"), id))
+        .sorted.map(_._2)
+      val fp = ranked.zipWithIndex
+        .map { case (id, i) => BigInt(i + 1) * BigInt(id) }.sum
+      e.toLong -> (ranked.take(5).toSeq, fp.toString)
+    }.toMap
+    out.foreach { case (e, rnk, docId, nDocs, sumRank, permFp) =>
+      assert(nDocs == n)
+      assert(sumRank == (BigInt(n) * BigInt(n + 1) / 2).toString)
+      assert(permFp == perEpoch(e)._2, s"epoch $e fingerprint")
+      assert(perEpoch(e)._1(rnk.toInt - 1) == docId, s"epoch $e head rank $rnk")
+    }
+    assert(out.map(_._1).toSet == Set(1L, 2L, 3L) && out.length == 15)
+    // the reshuffle must actually reorder: fingerprints pairwise differ
+    assert(perEpoch.values.map(_._2).toSet.size == 3)
+  }
+
+  test("txt_source_outliers matches a driver replay of the hashed-TF cosine") {
+    val out = run("txt_source_outliers").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val docs = Tables.documents(spark, sf("sf0.001"))
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def toks(t: String): Seq[String] =
+      t.toLowerCase.trim.replaceAll("\\s+", " ")
+        .split("[^a-z0-9]+").toSeq.filter(_.nonEmpty)
+    val tf = docs.map { case (id, src, t) =>
+      (id, src, toks(t).groupBy(w => graft.functions.Md5.long48(w) % 256)
+        .map { case (b, g) => b -> g.length.toLong }) }
+      .filter(_._3.nonEmpty)
+    val srcVec = tf.groupBy(_._2).map { case (s, g) =>
+      s -> g.flatMap(_._3).groupBy(_._1)
+        .map { case (b, vs) => b -> vs.map(_._2).sum } }
+    val scores = tf.map { case (id, src, v) =>
+      val sv = srcVec(src)
+      val dot = v.map { case (b, c) => c * sv.getOrElse(b, 0L) }.sum
+      val d2 = v.values.map(c => c * c).sum
+      val s2 = sv.values.map(c => c * c).sum
+      (id, src, v.values.sum,
+        rd6(1.0 - dot.toDouble / (math.sqrt(d2.toDouble) * math.sqrt(s2.toDouble))))
+    }.sortBy(s => (-s._4, s._1)).take(20)
+    assert(out.toSeq == scores.toSeq)
+  }
 }
