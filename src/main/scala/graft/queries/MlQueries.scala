@@ -1962,6 +1962,83 @@ object MlQueries {
       |ORDER BY info_gain DESC, feat
       """.stripMargin.trim))
 
+  private val learningCurve = QueryDef(
+    "ml_learning_curve",
+    "Learning curve — accuracy vs training-set size, the scaling-law " +
+      "readout that answers 'how much data does this model need' " +
+      "before anyone pays for more: the per-source majority language " +
+      "detector (ml_mcnemar's model A) is trained on md5-selected " +
+      "{1, 3, 10, 30, 100}% fractions of the train split (h = " +
+      "md5₄₈(doc_id) mod 100 < pct — nested fractions, each a " +
+      "superset of the previous, exactly how a scaling study holds " +
+      "the data distribution fixed) and every fraction is evaluated " +
+      "on the SAME fixed %3 test split; sources unseen at a small " +
+      "fraction fall back to that fraction's global majority (the " +
+      "backoff a production model ships with). ONE pass builds all " +
+      "five models (train × fraction-grid cross with map-side " +
+      "combine); accuracy is exact truncated integer millionths — " +
+      "zero doubles anywhere. At 100 TB the fraction hash IS the " +
+      "sampling operator (no shuffled sample materialization) and " +
+      "each model is |sources| rows.",
+    (s, dir) => {
+      import graft.operators.TextAnalysis
+      import s.implicits._
+      val pcts = Seq(1, 3, 10, 30, 100).toDF("pct")
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), (col("lang") === "en").as("e"))
+      val train = docs.filter(col("doc_id") % 3 =!= 0)
+        .withColumn("h", TextAnalysis.md5Long48(col("doc_id").cast("string")) % 100)
+      val sel = train.crossJoin(broadcast(pcts)).filter(col("h") < col("pct"))
+      val srcModel = sel.groupBy(col("pct"), col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("e").cast("long")).as("ne"))
+        .select(col("pct"), col("source"), (lit(2) * col("ne") > col("n")).as("pred_s"))
+      val globModel = sel.groupBy(col("pct"))
+        .agg(count(lit(1)).as("n_train"), sum(col("e").cast("long")).as("ne"))
+        .select(col("pct"), col("n_train"), (lit(2) * col("ne") > col("n_train")).as("pred_g"))
+      val test = docs.filter(col("doc_id") % 3 === 0)
+      test.crossJoin(broadcast(globModel))
+        .join(broadcast(srcModel), Seq("pct", "source"), "left")
+        .withColumn("pred", coalesce(col("pred_s"), col("pred_g")))
+        .groupBy(col("pct").cast("long").as("pct"), col("n_train"))
+        .agg(count(lit(1)).as("n_test"),
+          sum(when(col("pred") === col("e"), 1L).otherwise(0L)).as("n_correct"))
+        .select(col("pct"), col("n_train"), col("n_test"),
+          expr("(n_correct * 1000000) div n_test").as("accuracy_ppm"))
+        .orderBy(col("pct"))
+    },
+    Some("""
+      |WITH p AS (
+      |  SELECT unnest([1, 3, 10, 30, 100]) AS pct
+      |), d AS (
+      |  SELECT doc_id, source, (lang = 'en') AS e FROM documents
+      |), tr AS (
+      |  SELECT *, ('0x' || substring(md5(doc_id::VARCHAR), 1, 12))::BIGINT % 100 AS h
+      |  FROM d WHERE doc_id % 3 <> 0
+      |), sel AS (
+      |  SELECT p.pct, tr.source, tr.e FROM tr, p WHERE tr.h < p.pct
+      |), sm AS (
+      |  SELECT pct, source,
+      |         (2 * SUM(CASE WHEN e THEN 1 ELSE 0 END) > count(*)) AS pred_s
+      |  FROM sel GROUP BY 1, 2
+      |), gm AS (
+      |  SELECT pct, count(*) AS n_train,
+      |         (2 * SUM(CASE WHEN e THEN 1 ELSE 0 END) > count(*)) AS pred_g
+      |  FROM sel GROUP BY 1
+      |), te AS (
+      |  SELECT doc_id, source, e FROM d WHERE doc_id % 3 = 0
+      |), sc AS (
+      |  SELECT gm.pct, gm.n_train, te.e,
+      |         COALESCE(sm.pred_s, gm.pred_g) AS pred
+      |  FROM te CROSS JOIN gm
+      |  LEFT JOIN sm ON sm.pct = gm.pct AND sm.source = te.source
+      |)
+      |SELECT pct::BIGINT AS pct, n_train::BIGINT AS n_train,
+      |       count(*)::BIGINT AS n_test,
+      |       ((SUM(CASE WHEN pred = e THEN 1 ELSE 0 END) * 1000000) // count(*))::BIGINT
+      |         AS accuracy_ppm
+      |FROM sc GROUP BY 1, 2 ORDER BY pct
+      """.stripMargin.trim))
+
   private val knnLabelAccuracy = QueryDef(
     "ml_knn_label_accuracy",
     "k-NN classifier evaluation over the embedding space — the " +
@@ -2040,5 +2117,5 @@ object MlQueries {
       naiveBayes, aucRoc, silhouette, logregGd, calibrationEce, kfoldCv,
       prCurve, liftGains, ridge, prfReport, stump, kmeansElbow,
       frequentTriples, bestF1, mcc, adaboost, mcnemar, cohensKappa, infoGain,
-      knnLabelAccuracy)
+      knnLabelAccuracy, learningCurve)
 }

@@ -2199,6 +2199,61 @@ object VectorQueries {
       |FROM q GROUP BY label ORDER BY label
       """.stripMargin.trim))
 
+  private val dimStatsQ = QueryDef(
+    "vec_dim_stats",
+    "Per-DIMENSION embedding statistics — the QC pass run before " +
+      "trusting a vector column for ANN/PCA/dedup: mean, variance, " +
+      "and extremes for each of the 64 dimensions surface dead dims " +
+      "(zero variance — wasted storage and a degenerate PQ subspace), " +
+      "mean offsets (un-centered spaces skew IVF centroids), and " +
+      "runaway dims that dominate L2. One posexplode + one " +
+      "dimension-keyed rollup — 64 output rows at any corpus size, " +
+      "map-side combining carries 64 partials per task. Float " +
+      "discipline: per-element terms round at 12 into DECIMAL(38,12) " +
+      "sums (the vec_quantization_error channel), variance = " +
+      "E[x²] − E[x]² evaluated in ONE fixed double shape on both " +
+      "engines, presentation rounds at 6.",
+    (s, dir) => {
+      val dec12 = org.apache.spark.sql.types.DecimalType(38, 12)
+      val ex = Tables.embeddings(s, dir)
+        .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+        .withColumn("xd", col("x").cast("double"))
+      ex.groupBy(col("pos").cast("long").as("pos"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("xd"), 12).cast(dec12)).as("sx"),
+          sum(round(col("xd") * col("xd"), 12).cast(dec12)).as("sxx"),
+          min(col("xd")).as("mn"), max(col("xd")).as("mx"))
+        .select(col("pos"), col("n"),
+          round(col("sx").cast("double") / col("n").cast("double"), 6).as("dim_mean"),
+          round(col("sxx").cast("double") / col("n").cast("double") -
+            (col("sx").cast("double") / col("n").cast("double")) *
+            (col("sx").cast("double") / col("n").cast("double")), 6).as("dim_var"),
+          round(col("mn"), 6).as("min_v"), round(col("mx"), 6).as("max_v"))
+        .orderBy(col("pos"))
+    },
+    Some("""
+      |WITH ex AS (
+      |  SELECT u.pos AS pos, u.xd AS xd FROM (
+      |    SELECT unnest(list_transform(range(len(v)), i ->
+      |      {'pos': i, 'xd': v[i + 1]})) AS u
+      |    FROM (SELECT embedding::DOUBLE[] AS v FROM embeddings)
+      |  )
+      |), g AS (
+      |  SELECT pos, count(*) AS n,
+      |         SUM(CAST(round(xd, 12) AS DECIMAL(38,12))) AS sx,
+      |         SUM(CAST(round(xd * xd, 12) AS DECIMAL(38,12))) AS sxx,
+      |         min(xd) AS mn, max(xd) AS mx
+      |  FROM ex GROUP BY 1
+      |)
+      |SELECT pos::BIGINT AS pos, n::BIGINT AS n,
+      |       round(CAST(sx AS DOUBLE) / n::DOUBLE, 6) AS dim_mean,
+      |       round(CAST(sxx AS DOUBLE) / n::DOUBLE -
+      |             (CAST(sx AS DOUBLE) / n::DOUBLE) * (CAST(sx AS DOUBLE) / n::DOUBLE), 6)
+      |         AS dim_var,
+      |       round(mn, 6) AS min_v, round(mx, 6) AS max_v
+      |FROM g ORDER BY pos
+      """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
     Seq(filtered, l2Search, batch, ragContext, ivf, lshProbe, nswBeam, hnswBeam,
       hnswRouted, filteredHnsw, costServing,
@@ -2206,5 +2261,5 @@ object VectorQueries {
       lshRule, costRule, ivfKmeansRule, filteredIvfRule, mips, quantRescore, sqlApi,
       centroids, quantize, groupTopk, pqAdc, pqRescore, pqBatch, pqStoreAdc,
       matryoshka, ivfPqAdc, pcaKnn, rpKnn, bqHamming, mmrDiversify, recallEval,
-      ivfRecallEvalQ, quantError)
+      ivfRecallEvalQ, quantError, dimStatsQ)
 }
