@@ -2759,6 +2759,109 @@ object StatQueries {
       """.stripMargin.trim
     })
 
+  private val bootstrapAccCi = QueryDef(
+    "ml_bootstrap_acc_ci",
+    "Bootstrap confidence interval on CLASSIFIER ACCURACY — the error " +
+      "bar every eval table should carry before anyone compares two " +
+      "models on a point estimate (ml_mcnemar asks if a difference is " +
+      "significant; this asks how uncertain each number is by " +
+      "itself): the per-source majority detector's per-test-doc " +
+      "correctness resamples through the same deterministic Poisson " +
+      "bootstrap as stat_poisson_bootstrap (B=100 md5-affine weight " +
+      "streams, Poisson(1) inverse-CDF cutpoints, ONE md5 per row), " +
+      "and the 2.5th/97.5th percentile replicate accuracies (ranks " +
+      "3/98, ties → replicate id) become the CI beside the point " +
+      "estimate. Replicate accuracies are single divisions of exact " +
+      "BIGINT weighted sums; map-side combine ships B rows per " +
+      "partition regardless of test-set size.",
+    (s, dir) => {
+      val B = 100
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), (col("lang") === "en").as("is_en"))
+      val train = docs.filter(col("doc_id") % 3 =!= 0)
+      val maj = train.groupBy(col("source"))
+        .agg((lit(2L) * sum(when(col("is_en"), 1L).otherwise(0L)) >
+          count(lit(1))).as("pred"))
+      val test = docs.filter(col("doc_id") % 3 === 0)
+        .join(broadcast(maj), Seq("source"))
+        .select(col("doc_id"),
+          when(col("pred") === col("is_en"), 1L).otherwise(0L).as("ok"))
+      val digest = md5(concat(lit("bacc:"), col("doc_id").cast("string")))
+      val h1 = conv(substring(digest, 1, 12), 16, 10).cast("long")
+      val h2 = conv(substring(digest, 13, 12), 16, 10).cast("long")
+      val wExpr = poissonCuts.zipWithIndex.reverse
+        .foldLeft(lit(9L)) { case (els, (c, k)) =>
+          when(col("u48") < lit(c), lit(k.toLong)).otherwise(els)
+        }
+      val reps = test
+        .withColumn("h1", h1).withColumn("h2", h2)
+        .select(col("ok"), col("h1"), col("h2"),
+          explode(sequence(lit(1), lit(B))).as("r"))
+        .withColumn("u48",
+          (col("h1") + col("r") * col("h2")) % lit(281474976710656L))
+        .withColumn("w", wExpr)
+        .groupBy(col("r"))
+        .agg(sum(col("w") * col("ok")).as("swo"), sum(col("w")).as("sw"))
+        .select(col("r"),
+          round(col("swo").cast("double") / col("sw").cast("double"), 6).as("bacc"))
+      val ranked = reps.withColumn("rn",
+        row_number().over(Window.orderBy(col("bacc"), col("r"))))
+      val ci = ranked.agg(count(lit(1)).as("n_boot"),
+        max(when(col("rn") === 3, col("bacc"))).as("ci_lo"),
+        max(when(col("rn") === 98, col("bacc"))).as("ci_hi"))
+      val pt = test.agg(count(lit(1)).as("n_test"),
+        round(sum(col("ok")).cast("double") / count(lit(1)).cast("double"), 6)
+          .as("acc_point"))
+      pt.crossJoin(broadcast(ci))
+        .select(col("n_test"), col("n_boot"), col("acc_point"),
+          col("ci_lo"), col("ci_hi"))
+    },
+    Some {
+      val caseW = poissonCuts.zipWithIndex
+        .map { case (c, k) => s"WHEN u48 < $c THEN $k" }
+        .mkString("CASE ", " ", " ELSE 9 END")
+      s"""
+      |WITH docs AS (
+      |  SELECT doc_id, source, lang = 'en' AS is_en FROM documents
+      |), maj AS (
+      |  SELECT source,
+      |         2 * SUM(CASE WHEN is_en THEN 1 ELSE 0 END) > count(*) AS pred
+      |  FROM docs WHERE doc_id % 3 != 0 GROUP BY 1
+      |), te AS (
+      |  SELECT d.doc_id,
+      |         CASE WHEN m.pred = d.is_en THEN 1 ELSE 0 END AS ok
+      |  FROM docs d JOIN maj m USING (source) WHERE d.doc_id % 3 = 0
+      |), seeded AS (
+      |  SELECT doc_id, ok,
+      |         ('0x' || substring(md5('bacc:' || doc_id), 1, 12))::BIGINT AS h1,
+      |         ('0x' || substring(md5('bacc:' || doc_id), 13, 12))::BIGINT AS h2
+      |  FROM te
+      |), h AS (
+      |  SELECT r, ok, (h1 + r * h2) % 281474976710656 AS u48
+      |  FROM (SELECT doc_id, ok, h1, h2, unnest(range(1, 101)) AS r FROM seeded)
+      |), wt AS (
+      |  SELECT r, ok, $caseW AS w FROM h
+      |), reps AS (
+      |  SELECT r,
+      |         round(CAST(SUM(w * ok) AS DOUBLE) / CAST(SUM(w) AS DOUBLE), 6) AS bacc
+      |  FROM wt GROUP BY r
+      |), ranked AS (
+      |  SELECT r, bacc, row_number() OVER (ORDER BY bacc, r) AS rn FROM reps
+      |), ci AS (
+      |  SELECT count(*)::BIGINT AS n_boot,
+      |         MAX(CASE WHEN rn = 3 THEN bacc END) AS ci_lo,
+      |         MAX(CASE WHEN rn = 98 THEN bacc END) AS ci_hi
+      |  FROM ranked
+      |), pt AS (
+      |  SELECT count(*)::BIGINT AS n_test,
+      |         round(CAST(SUM(ok)::BIGINT AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+      |           AS acc_point
+      |  FROM te
+      |)
+      |SELECT n_test, n_boot, acc_point, ci_lo, ci_hi FROM pt CROSS JOIN ci
+      """.stripMargin.trim
+    })
+
   /** Peel rounds both engines run: the Spark loop breaks early once the
     * edge count stops changing (each further round is a no-op on a
     * fixpoint), the oracle unrolls exactly this many CTE steps — so the
@@ -5447,5 +5550,5 @@ object StatQueries {
       friedman, bartlett, periodDetect, pettitt, powerMde, markovStationary,
       richClub, cohensD, reciprocity, peakHour,
       wilcoxonSigned, pacfDaily, wilsonCi, trimmedMean, katz, pageTrend,
-      randomWalks, walkSkipgrams)
+      randomWalks, walkSkipgrams, bootstrapAccCi)
 }
