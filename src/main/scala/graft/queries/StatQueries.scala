@@ -41,6 +41,62 @@ object StatQueries {
     |         CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DECIMAL(38,2)) * 100 AS BIGINT) AS yc
     |  FROM events GROUP BY 1, 2""".stripMargin.trim
 
+  private val forecastMase = QueryDef(
+    "ev_forecast_mase",
+    "Forecast-baseline selection via scaled absolute error — the " +
+      "one-number answer to 'does weekly seasonality help' that " +
+      "routes between ev_holt_forecast and ev_holt_winters before " +
+      "either model is fit: per event type, the one-step naive " +
+      "(lag-1) and seasonal-naive (lag-7) baselines score on their " +
+      "COMMON support (days with both lags defined — same count, so " +
+      "the MASE-style ratio is a pure Σ|error| ratio and the day " +
+      "counts cancel), MAE in exact BIGINT cents, ratio < 1 ⟹ " +
+      "yesterday beats last-week ⟹ the seasonal component is not " +
+      "earning its keep. ONE type-keyed window pass (both lags share " +
+      "the shuffle, the stat_acf_daily discipline); output is " +
+      "|types| rows at any scale; the only doubles are the two " +
+      "fixed-shape presentation divisions.",
+    (s, dir) => {
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val d = dailyCents(s, dir)
+        .withColumn("y1", lag(col("yc"), 1).over(w))
+        .withColumn("y7", lag(col("yc"), 7).over(w))
+        .filter(col("y7").isNotNull)
+      d.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(abs(col("yc") - col("y1"))).as("sae1"),
+          sum(abs(col("yc") - col("y7"))).as("sae7"))
+        .select(col("event_type"), col("n_days"),
+          round(col("sae1").cast("double") / col("n_days").cast("double") / lit(100.0), 6)
+            .as("mae_naive1"),
+          round(col("sae7").cast("double") / col("n_days").cast("double") / lit(100.0), 6)
+            .as("mae_seasonal7"),
+          when(col("sae7") > 0,
+            round(col("sae1").cast("double") / col("sae7").cast("double"), 6))
+            .as("mase_1_vs_7"))
+        .orderBy(col("event_type"))
+    },
+    Some(s"""
+      |WITH daily AS (
+      |$dailyCentsSql
+      |), l AS (
+      |  SELECT event_type, yc,
+      |         lag(yc, 1) OVER (PARTITION BY event_type ORDER BY day) AS y1,
+      |         lag(yc, 7) OVER (PARTITION BY event_type ORDER BY day) AS y7
+      |  FROM daily
+      |), g AS (
+      |  SELECT event_type, count(*) AS n_days,
+      |         SUM(abs(yc - y1)) AS sae1, SUM(abs(yc - y7)) AS sae7
+      |  FROM l WHERE y7 IS NOT NULL GROUP BY 1
+      |)
+      |SELECT event_type, n_days::BIGINT AS n_days,
+      |       round(sae1::DOUBLE / n_days::DOUBLE / 100.0, 6) AS mae_naive1,
+      |       round(sae7::DOUBLE / n_days::DOUBLE / 100.0, 6) AS mae_seasonal7,
+      |       CASE WHEN sae7 > 0 THEN round(sae1::DOUBLE / sae7::DOUBLE, 6) END
+      |         AS mase_1_vs_7
+      |FROM g ORDER BY event_type
+      """.stripMargin.trim))
+
   private val trendOls = QueryDef(
     "ev_trend_ols",
     "Per-type linear trend of daily event value: closed-form OLS " +
@@ -5550,5 +5606,5 @@ object StatQueries {
       friedman, bartlett, periodDetect, pettitt, powerMde, markovStationary,
       richClub, cohensD, reciprocity, peakHour,
       wilcoxonSigned, pacfDaily, wilsonCi, trimmedMean, katz, pageTrend,
-      randomWalks, walkSkipgrams, bootstrapAccCi)
+      randomWalks, walkSkipgrams, bootstrapAccCi, forecastMase)
 }
