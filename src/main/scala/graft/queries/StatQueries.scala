@@ -2713,7 +2713,7 @@ object StatQueries {
     * whose cutpoint exceeds the row's 48-bit hash — pure integer
     * comparisons, zero float ops in the draw.
     */
-  private val poissonCuts: Seq[Long] = Seq(
+  private[graft] val poissonCuts: Seq[Long] = Seq(
     103548857136060L, 207097714272121L, 258872142840152L, 276130285696162L,
     280444821410164L, 281307728552965L, 281451546410098L, 281472091818260L,
     281474659994280L)

@@ -2474,6 +2474,71 @@ class ModelEvalSpec extends SparkSpec {
     assert(perEpoch.values.map(_._2).toSet.size == 3)
   }
 
+  test("ml_bootstrap_acc_ci: point accuracy, CI ordering, and a weight-stream replay") {
+    val r = run("ml_bootstrap_acc_ci").head()
+    val (nTest, nBoot, acc, lo, hi) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    assert(nBoot == 100L)
+    assert(lo <= hi, s"CI inverted: [$lo, $hi]")
+    assert(lo <= acc + 0.05 && hi >= acc - 0.05,
+      s"point $acc far outside [$lo, $hi]")
+    // driver replay of the point accuracy (model + test split)
+    val docs = Tables.documents(spark, sf("sf0.001"))
+      .select(col("doc_id"), col("source"), (col("lang") === "en").as("e"))
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getBoolean(2)))
+    val train = docs.filter(_._1 % 3 != 0)
+    val pred = train.groupBy(_._2).map { case (s, g) =>
+      s -> (2L * g.count(_._3) > g.length) }
+    val test0 = docs.filter(_._1 % 3 == 0).filter(d => pred.contains(d._2))
+    assert(nTest == test0.length.toLong)
+    val ok = test0.count(d => pred(d._2) == d._3)
+    assert(acc == rd6(ok.toDouble / test0.length))
+    // replicate 1's accuracy via the same md5-affine Poisson stream:
+    // it must land inside the reported CI's convex hull with the point
+    val cuts = graft.queries.StatQueries.poissonCuts
+    def w(id: Long, rrep: Int): Long = {
+      val hx = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"bacc:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val h1 = java.lang.Long.parseLong(hx.substring(0, 12), 16)
+      val h2 = java.lang.Long.parseLong(hx.substring(12, 24), 16)
+      val u = (h1 + rrep * h2) % 281474976710656L
+      cuts.indexWhere(u < _) match { case -1 => 9L; case k => k.toLong }
+    }
+    val num = test0.map(d => w(d._1, 1) * (if (pred(d._2) == d._3) 1L else 0L)).sum
+    val den = test0.map(d => w(d._1, 1)).sum
+    val b1 = rd6(num.toDouble / den.toDouble)
+    assert(b1 >= lo - 0.25 && b1 <= hi + 0.25, s"replicate-1 acc $b1 vs CI [$lo,$hi]")
+  }
+
+  test("ev_forecast_mase matches a driver replay of both baselines") {
+    val out = run("ev_forecast_mase").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    val daily = Tables.events(spark, sf("sf0.001"))
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"),
+        col("value"))
+      .collect().map(r => (r.getString(1), r.getString(0), r.getDouble(2)))
+      .groupBy(t => (t._1, t._2))
+      .map { case ((ty, day), g) =>
+        (ty, day, (g.map(x => BigDecimal(x._3).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP)).sum
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toLong) }
+      .toSeq
+    daily.groupBy(_._1).foreach { case (ty, rows) =>
+      val ys = rows.sortBy(_._2).map(_._3)
+      if (ys.length > 7) {
+        val idx = 7 until ys.length
+        val sae1 = idx.map(i => math.abs(ys(i) - ys(i - 1))).sum
+        val sae7 = idx.map(i => math.abs(ys(i) - ys(i - 7))).sum
+        val (n, mae1, mae7) = out(ty)
+        assert(n == idx.length.toLong, s"$ty n")
+        assert(mae1 == rd6(sae1.toDouble / n / 100.0), s"$ty mae1")
+        assert(mae7 == rd6(sae7.toDouble / n / 100.0), s"$ty mae7")
+      }
+    }
+    assert(out.nonEmpty)
+  }
+
   test("txt_source_outliers matches a driver replay of the hashed-TF cosine") {
     val out = run("txt_source_outliers").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
