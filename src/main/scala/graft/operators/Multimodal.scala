@@ -174,24 +174,40 @@ object Multimodal {
     * training pipeline, as the GENERAL union-window as-of: cues
     * (doc_id, cue_idx, ts, cap) and frames (doc_id, frame_idx, ts)
     * union into one doc-keyed stream, and a running max of the cue
-    * struct over (ts, kind, idx) order carries the latest cue
-    * at-or-before each row (a cue at exactly the frame's ts matches —
-    * kind orders cues first). ONE doc-keyed shuffle, never a per-key
-    * range join, so hot assets stay linear at scale. Frames before the
-    * first cue get a null cue_idx/cap — callers decide the policy.
+    * struct carries the latest cue at-or-before each row (a cue at
+    * exactly the frame's ts matches — kind orders cues first). ONE
+    * doc-keyed shuffle, never a per-key range join, so hot assets stay
+    * linear at scale. Frames before the first cue get a null
+    * cue_idx/cap — callers decide the policy.
     */
   def alignFramesToCues(frames: DataFrame, cues: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val f = frames.select(col("doc_id"), col("ts"), lit(1).as("kind"),
       col("frame_idx").cast("long").as("idx"), lit(null).cast("string").as("cap"))
     val c = cues.select(col("doc_id"), col("ts"), lit(0).as("kind"),
       col("cue_idx").cast("long").as("idx"), col("cap"))
+    alignTagged(c.unionByName(f))
+  }
+
+  /** The as-of core over a PRE-TAGGED (doc_id, ts, kind, idx, cap)
+    * stream — kind 0 = cue (carries cap), kind 1 = frame. Callers that
+    * can emit both event kinds from ONE generator (e.g. per-doc frame
+    * AND cue arrays exploded together, the `mm_caption_align` shape)
+    * skip the second corpus scan [[alignFramesToCues]]'s two-input
+    * signature costs. The running-max cue struct is ordered by ts
+    * FIRST (then cue_idx), so the carried cue is the latest
+    * at-or-before BY TIMESTAMP — correct even when cue_idx is not
+    * monotone in ts; among cues tied on ts the higher cue_idx wins
+    * (ADVICE r17).
+    */
+  def alignTagged(tagged: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("ts"), col("kind"), col("idx"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    c.unionByName(f)
+    tagged
       .withColumn("cue", max(when(col("kind") === 0,
-        struct(col("idx").as("cue_idx"), col("cap").as("cue_cap")))).over(w))
+        struct(col("ts").as("cue_ts"), col("idx").as("cue_idx"),
+          col("cap").as("cue_cap")))).over(w))
       .filter(col("kind") === 1)
       .select(col("doc_id"), col("idx").as("frame_idx"),
         col("cue.cue_idx").as("cue_idx"), col("cue.cue_cap").as("cap"))

@@ -611,12 +611,24 @@ object Nsw {
                   idCol: String, queries: Seq[(Int, Array[Float])], k: Int,
                   p: Params, metric: Knn.Metric = Knn.Cosine)
       : (DataFrame, Map[Int, Seq[Long]]) = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
     val byQ = batchShardCandidates(graph, queries, p)
       .select("query_id", "vec_id").collect()
       .groupBy(_.getInt(0))
       .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSeq.sorted }
+    (exactBatchRerank(corpus, vecCol, idCol, queries, k, metric, byQ), byQ)
+  }
+
+  /** The exact second stage shared by [[batchSearch]] and
+    * [[routedBatchSearch]]: per-query exact top-k over the recorded
+    * candidate sets — candidates and queries broadcast onto ONE corpus
+    * scan, one query-keyed rank shuffle of candidate-sized data.
+    */
+  private def exactBatchRerank(corpus: DataFrame, vecCol: String,
+                               idCol: String, queries: Seq[(Int, Array[Float])],
+                               k: Int, metric: Knn.Metric,
+                               byQ: Map[Int, Seq[Long]]): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val candDf = byQ.toSeq.flatMap { case (q, ids) => ids.map(q -> _) }
       .toDF("query_id", idCol)
     val qDf = queries.map { case (i, v) => (i, v.toSeq) }
@@ -624,13 +636,85 @@ object Nsw {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("distance_score").asc, col(idCol).asc)
-    val res = corpus
+    corpus
       .join(broadcast(candDf), idCol)
       .join(broadcast(qDf), "query_id")
       .withColumn("distance_score", metric(col(vecCol), col("graft_query_vec")))
       .withColumn("knn_rank", row_number().over(w))
       .filter(col("knn_rank") <= k)
-    (res, byQ)
+  }
+
+  /** Routed multi-query beam pass — [[batchShardCandidates]] with the
+    * shard ROUTER applied per query (the r17 batch-serving scale gap:
+    * the single-query router existed but batch serving still beamed
+    * EVERY shard for every query). Each query routes driver-side to
+    * its nprobe centroid-nearest shards, the graph scan prunes to the
+    * UNION of routed shards (a pushed partition filter — shards no
+    * query in the batch routed to are never opened), and within a
+    * shard's task only the queries routed THERE beam. Per-query cost
+    * is ≤ min(nShards, nprobe)·efSearch candidates — the single-query
+    * router's constant-in-corpus bound, now batch-wide.
+    */
+  def routedBatchShardCandidates(graph: DataFrame,
+                                 queries: Seq[(Int, Array[Float])],
+                                 centroids: Array[(Int, Array[Double])],
+                                 nprobe: Int, p: Params)
+      : (DataFrame, Map[Int, Seq[Int]]) = {
+    val routes = queries.map { case (qid, qv) =>
+      qid -> routeShards(centroids, qv, nprobe)
+    }.toMap
+    val unionShards = routes.values.flatten.toSet.toSeq.sorted
+    val spark = graph.sparkSession
+    val qb = spark.sparkContext.broadcast(queries)
+    val rb = spark.sparkContext.broadcast(
+      routes.map { case (q, shs) => (q, shs.toSet) })
+    val prepared = graph
+      .filter(col("shard").isin(unionShards.map(Integer.valueOf): _*))
+      .select(col("shard"), col("vec_id"), col("embedding"), col("neighbors"))
+      .repartition(p.nShards, col("shard"))
+    val out = prepared.queryExecution.toRdd.mapPartitions { it =>
+      val rows = it.map { ir =>
+        (ir.getInt(0), ir.getLong(1), ir.getArray(2).toFloatArray(),
+          ir.getArray(3).toLongArray())
+      }.toArray
+      rows.groupBy(_._1).iterator.flatMap { case (shard, grp) =>
+        val vecs = grp.map(r => (r._2, r._3)).toMap
+        val adj = grp.map(r => (r._2, r._4)).toMap
+        val entry = grp.iterator.map(_._2).min
+        qb.value.iterator
+          .filter { case (qid, _) => rb.value(qid).contains(shard) }
+          .flatMap { case (qid, qv) =>
+            beamSearch(qv, entry, vecs, adj, p.efSearch)
+              .iterator.map { case (_, id) => Row(qid, shard, id) }
+          }
+      }
+    }
+    (spark.createDataFrame(out, StructType(Seq(
+      StructField("query_id", IntegerType),
+      StructField("shard", IntegerType),
+      StructField("vec_id", LongType)))), routes)
+  }
+
+  /** Routed batch search: [[batchSearch]]'s exact second stage over
+    * [[routedBatchShardCandidates]]' per-query candidate sets. Returns
+    * (ranked result, per-query candidate ids, per-query routed shards)
+    * — the candidate map feeds the recorded-candidate late oracle, the
+    * route map rides gated output.
+    */
+  def routedBatchSearch(graph: DataFrame, corpus: DataFrame, vecCol: String,
+                        idCol: String, queries: Seq[(Int, Array[Float])],
+                        k: Int, centroids: Array[(Int, Array[Double])],
+                        nprobe: Int, p: Params,
+                        metric: Knn.Metric = Knn.Cosine)
+      : (DataFrame, Map[Int, Seq[Long]], Map[Int, Seq[Int]]) = {
+    val (candDf, routes) =
+      routedBatchShardCandidates(graph, queries, centroids, nprobe, p)
+    val byQ = candDf
+      .select("query_id", "vec_id").collect()
+      .groupBy(_.getInt(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSeq.sorted }
+    (exactBatchRerank(corpus, vecCol, idCol, queries, k, metric, byQ),
+      byQ, routes)
   }
 
   /** End-to-end search: beam per shard → bounded candidate id list

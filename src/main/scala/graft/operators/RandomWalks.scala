@@ -33,11 +33,20 @@ object RandomWalks {
     * intervals: lo/hi = cumulative weight before/after this edge in
     * dst order, totw = the node's total out-weight. Adjacent intervals
     * tile [0, totw) exactly — every draw lands on exactly one edge.
+    *
+    * Precondition (enforced): w > 0. A non-positive weight breaks the
+    * tiling invariant silently — an empty or inverted interval, and
+    * totw ≤ 0 flips `md5 % totw` negative so every walk at that node
+    * dies with no error — so the guard raises per-row instead of
+    * dropping (ADVICE r17; one codegen'd CASE, no extra pass).
     */
   def withIntervals(edges: DataFrame): DataFrame = {
     val wCum = Window.partitionBy(col("src")).orderBy(col("dst"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     edges
+      .withColumn("w", when(col("w") > 0, col("w")).otherwise(raise_error(
+        concat(lit("RandomWalks.withIntervals: edge weight must be > 0, got "),
+          col("w").cast("string")))))
       .withColumn("hi", sum(col("w")).over(wCum))
       .withColumn("lo", col("hi") - col("w"))
       .withColumn("totw", sum(col("w")).over(Window.partitionBy(col("src"))))

@@ -161,6 +161,53 @@ object IvfProbeRule extends Rule[LogicalPlan] {
     }
   }
 
+  /** FOUR-way serving cost choice — [[chooseServing]] extended with the
+    * PQ/ADC path (r17 verdict #1a). Rows are no longer comparable
+    * across all four families (PQ scans EVERY row but at m code bytes
+    * instead of dim·4 vector bytes), so the unit becomes BYTES READ
+    * FROM STORES, the thing a 100 TB scan actually pays:
+    *   - IVF / LSH: probed rows × dim·4 (full-precision vector scan of
+    *     the probe partitions);
+    *   - routed HNSW: the closed-form candidate bound
+    *     min(nShards, nprobe)·efSearch × dim·4 (the exact re-rank
+    *     reads; constant in corpus size);
+    *   - PQ/ADC: corpusRows × m codes bytes + shortlist × dim·4
+    *     rescore bytes — linear in corpus size but at a 4·dim/m byte
+    *     discount, so it wins exactly the regime where probe
+    *     selectivity is poor and the graph's constant bound has not
+    *     yet paid off.
+    * Ties keep the established precedence (ivf default, lsh must be
+    * strictly cheaper, hnsw strictly cheaper than both probe paths, pq
+    * strictly cheaper than all three); missing probe stats fall back
+    * to IVF exactly like [[chooseServing]]. Returns
+    * (chosen, ivfBytes, lshBytes, hnswBytes, pqBytes) so a gated query
+    * can replay the whole decision.
+    */
+  def chooseServing4(qv: Array[Float], ivf: IvfCatalog.IvfIndex,
+                     lsh: LshCatalog.LshIndex, hnswShards: Int,
+                     hnswNprobe: Int, efSearch: Int, dim: Int,
+                     pqCorpusRows: Long, pqM: Int, pqShortlist: Int)
+      : (String, Long, Long, Long, Long) = {
+    val vecBytes = dim.toLong * 4
+    val hnswBytes = math.min(hnswShards, hnswNprobe).toLong * efSearch * vecBytes
+    val pqBytes = pqCorpusRows * pqM + pqShortlist.toLong * vecBytes
+    if (ivf.clusterRows.isEmpty || lsh.bucketRows.isEmpty)
+      ("ivf", -1L, -1L, hnswBytes, pqBytes)
+    else {
+      val ivfProbes = Ann.probeIds(qv, ivf.centroids, ivf.nprobe)
+      val lshProbes = Ann.probeBuckets(
+        Ann.queryBucket(qv, lsh.planes), lsh.planes.length, lsh.radius)
+      val ivfBytes = ivfProbes.map(c => ivf.clusterRows.getOrElse(c, 0L)).sum * vecBytes
+      val lshBytes = lshProbes.map(b => lsh.bucketRows.getOrElse(b, 0L)).sum * vecBytes
+      val chosen =
+        if (pqBytes < ivfBytes && pqBytes < lshBytes && pqBytes < hnswBytes) "pq"
+        else if (hnswBytes < ivfBytes && hnswBytes < lshBytes) "hnsw"
+        else if (lshBytes < ivfBytes) "lsh"
+        else "ivf"
+      (chosen, ivfBytes, lshBytes, hnswBytes, pqBytes)
+    }
+  }
+
   /** Extract the float array of a typed array literal (query vector). */
   private def literalVector(e: Expression): Option[Array[Float]] = e match {
     case Literal(data: ArrayData, ArrayType(FloatType, _)) => Some(data.toFloatArray())

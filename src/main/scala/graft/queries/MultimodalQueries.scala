@@ -496,10 +496,13 @@ object MultimodalQueries {
       "ms) is paired with the caption cue active at its timestamp " +
       "(token j of the document is a cue starting at j·1500 ms — the " +
       "deterministic stand-in subtitle track). The alignment is the " +
-      "GENERAL union-window as-of (cues and frames union into one " +
-      "doc-keyed stream; running max of the cue struct over (ts, kind) " +
-      "order picks the latest cue at-or-before each frame — ONE " +
-      "shuffle, never a per-key range join, hot assets stay linear), " +
+      "GENERAL union-window as-of, with both event kinds emitted from " +
+      "ONE generator (per-doc cue + frame arrays concatenated and " +
+      "exploded once — one corpus scan, half the pre-shuffle " +
+      "intermediate of separate explodes; running max of the cue " +
+      "struct over (ts, kind) order picks the latest cue at-or-before " +
+      "each frame — ONE shuffle, never a per-key range join, hot " +
+      "assets stay linear), " +
       "while the oracle replays the alignment in CLOSED FORM " +
       "(cue_idx = min(⌊4i/3⌋, n_cues−1)) — a green hash proves the " +
       "generic as-of machinery reproduces the arithmetic ground " +
@@ -510,15 +513,24 @@ object MultimodalQueries {
     (s, dir) => {
       val d = Multimodal.withFakeMedia(TextQueries.docToks(s, dir), "text")
         .filter(size(col("toks")) >= 1)
-      val frames = d.select(col("doc_id"),
-          explode(expr("sequence(0, (octet_length(media) - 1) div 64)")).as("frame_idx"))
-        .select(col("doc_id"), col("frame_idx"),
-          (col("frame_idx").cast("long") * 2000L).as("ts"))
-      val cues = d.select(col("doc_id"),
-          posexplode(col("toks")).as(Seq("cue_idx", "cap")))
-        .select(col("doc_id"), col("cue_idx"),
-          (col("cue_idx").cast("long") * 1500L).as("ts"), col("cap"))
-      val aligned = Multimodal.alignFramesToCues(frames, cues)
+      // ONE generator emits cues AND frames as a tagged union (the
+      // txt_dup_ngrams pattern) — the fused replacement for the two
+      // separate explodes, which scanned the corpus twice and doubled
+      // the corpus-sized pre-shuffle intermediate (r17 verdict #5).
+      // Field order/names/types must match across the two branches for
+      // array concat: (ts long, kind int, idx long, cap string).
+      val cueEvents = transform(col("toks"), (cap, i) =>
+        struct((i.cast("long") * lit(1500L)).as("ts"), lit(0).as("kind"),
+          i.cast("long").as("idx"), cap.as("cap")))
+      val frameEvents = transform(
+        sequence(lit(0), expr("(octet_length(media) - 1) div 64")),
+        i => struct((i.cast("long") * lit(2000L)).as("ts"), lit(1).as("kind"),
+          i.cast("long").as("idx"), lit(null).cast("string").as("cap")))
+      val tagged = d.select(col("doc_id"),
+          explode(concat(cueEvents, frameEvents)).as("e"))
+        .select(col("doc_id"), col("e.ts").as("ts"), col("e.kind").as("kind"),
+          col("e.idx").as("idx"), col("e.cap").as("cap"))
+      val aligned = Multimodal.alignTagged(tagged)
       val h = conv(substring(md5(concat_ws("|",
         col("frame_idx").cast("string"), col("cue_idx").cast("string"),
         col("cap"))), 1, 12), 16, 10).cast("decimal(38,0)")

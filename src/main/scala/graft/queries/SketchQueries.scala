@@ -347,14 +347,18 @@ object SketchQueries {
           col("theta").cast("double"))
       u.crossJoin(m).crossJoin(xu).crossJoin(xi)
         .withColumn("est_u", estU)
-        .withColumn("est_i",
-          (col("n_match").cast("double") / col("nu").cast("double")) * col("est_u"))
+        // empty-input guards (ADVICE r17): an empty priority class makes
+        // nu / n_union_exact 0 — the estimate columns go NULL instead of
+        // NaN, the same convention rel_err_inter already uses.
+        .withColumn("est_i", when(col("nu") > 0,
+          (col("n_match").cast("double") / col("nu").cast("double")) * col("est_u")))
         .select(lit(k.toLong).as("k_sketch"),
           col("n_union_exact"), col("n_inter_exact"),
           round(col("est_u"), 4).as("kmv_union_est"),
           round(col("est_i"), 4).as("kmv_inter_est"),
-          round((col("est_u") - col("n_union_exact").cast("double")) /
-            col("n_union_exact").cast("double"), 6).as("rel_err_union"),
+          when(col("n_union_exact") > 0,
+            round((col("est_u") - col("n_union_exact").cast("double")) /
+              col("n_union_exact").cast("double"), 6)).as("rel_err_union"),
           when(col("n_inter_exact") > 0,
             round((col("est_i") - col("n_inter_exact").cast("double")) /
               col("n_inter_exact").cast("double"), 6)).as("rel_err_inter"))
@@ -395,15 +399,18 @@ object SketchQueries {
       |         END AS est_u
       |  FROM u, m
       |), f AS (
-      |  SELECT est_u, (n_match::DOUBLE / nu::DOUBLE) * est_u AS est_i FROM e
+      |  SELECT est_u,
+      |         CASE WHEN nu > 0 THEN (n_match::DOUBLE / nu::DOUBLE) * est_u END AS est_i
+      |  FROM e
       |)
       |SELECT 256::BIGINT AS k_sketch,
       |       xu.n_union_exact::BIGINT AS n_union_exact,
       |       xi.n_inter_exact::BIGINT AS n_inter_exact,
       |       round(f.est_u, 4) AS kmv_union_est,
       |       round(f.est_i, 4) AS kmv_inter_est,
-      |       round((f.est_u - xu.n_union_exact::DOUBLE) / xu.n_union_exact::DOUBLE, 6)
-      |         AS rel_err_union,
+      |       CASE WHEN xu.n_union_exact > 0
+      |            THEN round((f.est_u - xu.n_union_exact::DOUBLE) / xu.n_union_exact::DOUBLE, 6)
+      |       END AS rel_err_union,
       |       CASE WHEN xi.n_inter_exact > 0
       |            THEN round((f.est_i - xi.n_inter_exact::DOUBLE) / xi.n_inter_exact::DOUBLE, 6)
       |       END AS rel_err_inter

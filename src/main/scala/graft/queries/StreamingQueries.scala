@@ -210,10 +210,16 @@ object StreamingQueries {
         val input = org.apache.spark.sql.execution.streaming.runtime
           .MemoryStream[(Int, Seq[Float])](s)
         val qvecs = VectorQueries.batchQueryVecs.map { case (i, v) => (i, v.toSeq) }
+        // shard centroids = the router's index metadata, computed ONCE
+        // per store (nShards·dim doubles), exactly like IVF centroids —
+        // every micro-batch then routes per query instead of beaming
+        // all shards (r17 verdict #1b).
+        val cents = graft.operators.Nsw.shardCentroids(graph)
         val q = VectorServing.serveNswKnn(
           input.toDF().toDF("query_id", "query_vec"), graph, corpus,
           "embedding", "vec_id", "query_vec", "query_id", k = 3,
-          VectorQueries.NswStore.params, s"$root/ckpt") { batchCands =>
+          VectorQueries.NswStore.params, s"$root/ckpt",
+          route = Some((cents, 2))) { batchCands =>
           cands(dir) = cands.getOrElse(dir, Map.empty) ++ batchCands
         } { batchOut =>
           batchOut.write.mode("append").parquet(out)
@@ -229,16 +235,20 @@ object StreamingQueries {
 
   private val streamServeNsw = QueryDef(
     "stream_serve_nsw",
-    "Micro-batch graph-ANN serving run to completion: the knn_batch " +
-      "query vectors stream through VectorServing.serveNswKnn in two " +
-      "micro-batches over the SAME persisted shard-partitioned NSW " +
-      "store ann_nsw_beam reads; each batch beams candidates for all " +
-      "its queries in ONE graph-store pass, then exact-re-ranks " +
-      "candidate-sized data per query. The hashed result is the FINAL " +
-      "sink table; the late oracle re-ranks each query's recorded " +
-      "candidate set in SQL — green proves the streaming loop, the " +
-      "store round trip, and the exact re-rank, independent of how " +
-      "the query stream was batched.",
+    "Micro-batch graph-ANN serving run to completion, now ROUTED: the " +
+      "knn_batch query vectors stream through VectorServing.serveNswKnn " +
+      "in two micro-batches over the SAME persisted shard-partitioned " +
+      "NSW store ann_nsw_beam reads; each query in a batch beams only " +
+      "its 2 centroid-nearest shards (shard centroids computed once per " +
+      "store — index metadata, the IVF-centroid contract), the scan " +
+      "prunes to the batch's routed-shard union, and the exact re-rank " +
+      "runs over candidate-sized data per query — per-query serving " +
+      "cost is the router's constant-in-corpus bound where the r17 " +
+      "path beamed every shard per batch. The hashed result is the " +
+      "FINAL sink table; the late oracle re-ranks each query's " +
+      "recorded candidate set in SQL — green proves the streaming " +
+      "loop, the store round trip, the router wiring, and the exact " +
+      "re-rank, independent of how the query stream was batched.",
     (s, dir) => {
       val out = NswServeStore.ensure(s, dir)
       s.read.parquet(out)
@@ -517,18 +527,23 @@ object StreamingQueries {
     * distinct-count state grows with the key cardinality itself).
     */
   private object HllStreamStore {
+    // 16 files per staged batch: staging writes run 16-way parallel
+    // (stageFile's coalesce(1) funneled ~500M rows/batch through ONE
+    // task at sf100 — r17 verdict #6) and maxFilesPerTrigger = 16
+    // still consumes exactly one staged batch per trigger.
+    private val FilesPerBatch = 16
     def ensure(s: SparkSession, dir: String): String =
       TmpStores.memoizedTable("graft_stream_hll", dir) { root =>
         val ev = Tables.events(s, dir)
           .select(col("event_id"), col("ts"), col("user_id"))
         val staging = s"$root/staging"
-        TmpStores.stageFile(ev.filter(pmod(col("event_id"), lit(2)) === 0),
-          staging, "batch1", 120000L)
-        TmpStores.stageFile(ev.filter(pmod(col("event_id"), lit(2)) === 1),
-          staging, "batch2", 60000L)
+        TmpStores.stageFiles(ev.filter(pmod(col("event_id"), lit(2)) === 0),
+          staging, "batch1", 120000L, FilesPerBatch)
+        TmpStores.stageFiles(ev.filter(pmod(col("event_id"), lit(2)) === 1),
+          staging, "batch2", 60000L, FilesPerBatch)
         val out = s"$root/regs"
         val stream = s.readStream.schema(ev.schema)
-          .option("maxFilesPerTrigger", 1)
+          .option("maxFilesPerTrigger", FilesPerBatch)
           .parquet(staging)
           .select(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("user_id"))
         val regs = graft.operators.Sketches.hllRegisters(

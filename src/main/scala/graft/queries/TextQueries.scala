@@ -2096,21 +2096,21 @@ object TextQueries {
       |           (a, e) -> CASE WHEN a[len(a)] = b1.l AND e[1] = b1.r
       |                          THEN list_append(a[1:len(a)-1], b1.l || b1.r)
       |                          ELSE list_append(a, e[1]) END) AS syms
-      |  FROM enc0, b1
+      |  FROM enc0 LEFT JOIN b1 ON TRUE
       |), enc2 AS (
       |  SELECT word, freq,
       |         list_reduce(list_transform(syms, ch -> [ch]),
       |           (a, e) -> CASE WHEN a[len(a)] = b2.l AND e[1] = b2.r
       |                          THEN list_append(a[1:len(a)-1], b2.l || b2.r)
       |                          ELSE list_append(a, e[1]) END) AS syms
-      |  FROM enc1, b2
+      |  FROM enc1 LEFT JOIN b2 ON TRUE
       |), enc3 AS (
       |  SELECT word, freq,
       |         list_reduce(list_transform(syms, ch -> [ch]),
       |           (a, e) -> CASE WHEN a[len(a)] = b3.l AND e[1] = b3.r
       |                          THEN list_append(a[1:len(a)-1], b3.l || b3.r)
       |                          ELSE list_append(a, e[1]) END) AS syms
-      |  FROM enc2, b3
+      |  FROM enc2 LEFT JOIN b3 ON TRUE
       |)
       |SELECT word, freq::BIGINT AS freq, len(word)::BIGINT AS n_chars,
       |       len(syms)::BIGINT AS n_syms,

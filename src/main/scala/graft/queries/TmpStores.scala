@@ -55,6 +55,37 @@ private[queries] object TmpStores {
     * first, so staged ages define the micro-batch order exactly.
     * (Shared by the streaming ingest and CDC-apply stores.)
     */
+  /** Stage `df` as `nFiles` parquet files `stagingDir/name_NNN.parquet`
+    * sharing one mtime `ageMs` in the past — the PARALLEL variant of
+    * [[stageFile]] for corpus-sized replay batches (stageFile's
+    * coalesce(1) funnels the whole batch through ONE write task; at
+    * sf100 that single-threaded staging pass dominated
+    * stream_hll_daily's NOWARM probe — r17 verdict #6). All of a
+    * batch's files share an mtime strictly older than the next
+    * batch's, so a file-source stream with maxFilesPerTrigger = nFiles
+    * consumes exactly one staged batch per trigger, preserving the
+    * deterministic micro-batch order.
+    */
+  def stageFiles(df: org.apache.spark.sql.DataFrame, stagingDir: String,
+                 name: String, ageMs: Long, nFiles: Int): Unit = {
+    val scratch = s"$stagingDir/_scratch_$name"
+    df.repartition(nFiles).write.mode("overwrite").parquet(scratch)
+    val parts = new java.io.File(scratch).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+    require(parts.length == nFiles,
+      s"staged ${parts.length} files under $scratch, expected $nFiles")
+    new java.io.File(stagingDir).mkdirs()
+    val mtime = System.currentTimeMillis() - ageMs
+    parts.zipWithIndex.foreach { case (part, i) =>
+      val dest = new java.io.File(f"$stagingDir/${name}_$i%03d.parquet")
+      java.nio.file.Files.move(part.toPath, dest.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      dest.setLastModified(mtime)
+    }
+    new scala.reflect.io.Directory(new java.io.File(scratch)).deleteRecursively()
+  }
+
   def stageFile(df: org.apache.spark.sql.DataFrame, stagingDir: String,
                 name: String, ageMs: Long): Unit = {
     val scratch = s"$stagingDir/_scratch_$name"

@@ -151,12 +151,23 @@ object VectorServing {
     * candidate-sized data only. `recordCandidates` surfaces each
     * batch's per-query candidate ids to the caller (the late-bound
     * oracle re-ranks exactly these). Same sink contract as [[serveKnn]].
+    *
+    * `route` = Some((shardCentroids, nprobe)) turns on the per-query
+    * shard ROUTER (r17 verdict #1b): each query in the micro-batch
+    * beams only its nprobe centroid-nearest shards, so per-query
+    * serving cost is the router's constant-in-corpus bound instead of
+    * one beam per shard — at 100 TB nShards grows with the corpus and
+    * the unrouted batch pass is linear in it. The centroid array is
+    * index METADATA (nShards·dim doubles), computed once per store
+    * like IVF's centroids, never per batch. None = full fan (kept for
+    * recall-telemetry callers that need the unpruned candidate set).
     */
   def serveNswKnn(queries: DataFrame, graph: DataFrame, corpus: DataFrame,
                   corpusVecCol: String, corpusIdCol: String,
                   queryVecCol: String, queryIdCol: String,
                   k: Int, p: graft.operators.Nsw.Params,
-                  checkpoint: String)
+                  checkpoint: String,
+                  route: Option[(Array[(Int, Array[Double])], Int)] = None)
                  (recordCandidates: Map[Int, Seq[Long]] => Unit)
                  (sink: DataFrame => Unit): StreamingQuery =
     queries.writeStream
@@ -166,8 +177,16 @@ object VectorServing {
         if (!batch.isEmpty) {
           val qs = batch.select(col(queryIdCol), col(queryVecCol)).collect()
             .map(r => (r.getInt(0), r.getSeq[Float](1).toArray)).toSeq
-          val (res, cands) = graft.operators.Nsw.batchSearch(
-            graph, corpus, corpusVecCol, corpusIdCol, qs, k, p)
+          val (res, cands) = route match {
+            case Some((cents, nprobe)) =>
+              val (r, c, _) = graft.operators.Nsw.routedBatchSearch(
+                graph, corpus, corpusVecCol, corpusIdCol, qs, k, cents,
+                nprobe, p)
+              (r, c)
+            case None =>
+              graft.operators.Nsw.batchSearch(
+                graph, corpus, corpusVecCol, corpusIdCol, qs, k, p)
+          }
           recordCandidates(cands)
           sink(res.select(col(queryIdCol), col("knn_rank"), col(corpusIdCol),
             round(col("distance_score"), 6).as("distance")))
