@@ -871,6 +871,248 @@ object VectorQueries {
         """.stripMargin.trim
       }))
 
+  private object RoutedBatchState {
+    val cands = scala.collection.concurrent.TrieMap.empty[String, Map[Int, Seq[Long]]]
+    val routes = scala.collection.concurrent.TrieMap.empty[String, Map[Int, Seq[Int]]]
+    @volatile var lastDir: Option[String] = None
+  }
+
+  /** Flat-NSW shard centroids per (fixture, JVM) — same one-bounded-
+    * aggregate contract as [[HnswRouterStore]], over the flat store.
+    */
+  private object NswRouterStore {
+    val nprobe = 2
+    private val cents = scala.collection.concurrent.TrieMap
+      .empty[String, Array[(Int, Array[Double])]]
+    def ensure(s: org.apache.spark.sql.SparkSession,
+               dir: String): Array[(Int, Array[Double])] =
+      cents.getOrElseUpdate(dir,
+        Nsw.shardCentroids(Nsw.readGraph(s, NswStore.ensure(s, dir))))
+  }
+
+  /** duckNswBatchSql with each query's routed shard list riding the
+    * output as a literal column — the routed-batch late oracle.
+    */
+  private def duckRoutedBatchSql(cands: Map[Int, Seq[Long]],
+                                 routes: Map[Int, Seq[Int]], k: Int): String = {
+    val qvecs = batchQueryVecs.toMap
+    val legs = cands.toSeq.sortBy(_._1).map { case (qid, ids) =>
+      val qLit = vecLit(qvecs(qid))
+      val routed = routes(qid).mkString(",")
+      s"""|SELECT query_id, knn_rank, vec_id, routed_shards, round(dist, 6) AS distance FROM (
+          |  SELECT $qid AS query_id, vec_id, '$routed' AS routed_shards,
+          |         ${duckCosine("embedding", qLit)} AS dist,
+          |         row_number() OVER (ORDER BY ${duckCosine("embedding", qLit)}, vec_id) AS knn_rank
+          |  FROM embeddings WHERE vec_id IN (${ids.mkString(", ")})
+          |) WHERE knn_rank <= $k""".stripMargin
+    }
+    legs.mkString(
+      "SELECT query_id, CAST(knn_rank AS BIGINT) AS knn_rank, vec_id, routed_shards, distance\nFROM (\n",
+      "\nUNION ALL\n", "\n) ORDER BY query_id, knn_rank")
+  }
+
+  private val nswRoutedBatch = QueryDef(
+    "ann_nsw_routed_batch",
+    "Shard-ROUTED batch graph-ANN — the router applied to the BATCH " +
+      "serving shape (r17's one residual scale note: the single-query " +
+      "router existed but batch serving still beamed every shard per " +
+      "query): all five knn_batch query vectors route driver-side to " +
+      "their 2 centroid-nearest shards (shard centroids = one bounded " +
+      "exact-DECIMAL aggregate per store, the IVF-centroid metadata " +
+      "contract), the graph scan prunes to the batch's routed-shard " +
+      "UNION (a pushed partition filter — shards no query routed to " +
+      "are never opened), and within a shard's task only the queries " +
+      "routed THERE beam — per-query cost is the router's " +
+      "constant-in-corpus bound, batch-wide, in ONE graph-store pass. " +
+      "Exact per-query top-3 re-rank over candidate-sized data; each " +
+      "query's routed shard list rides the output, and the late " +
+      "oracle re-ranks THIS run's per-query recorded candidate sets. " +
+      "NswSpec asserts routed-batch candidates ≡ the full batch fan's " +
+      "restricted to each query's routed shards.",
+    (s, dir) => {
+      val graph = Nsw.readGraph(s, NswStore.ensure(s, dir))
+      val cents = NswRouterStore.ensure(s, dir)
+      val (res, cands, routes) = Nsw.routedBatchSearch(
+        graph, Tables.embeddings(s, dir), "embedding", "vec_id",
+        batchQueryVecs, k = 3, cents, NswRouterStore.nprobe, NswStore.params)
+      RoutedBatchState.cands(dir) = cands
+      RoutedBatchState.routes(dir) = routes
+      RoutedBatchState.lastDir = Some(dir)
+      import s.implicits._
+      val routesDf = routes.toSeq
+        .map { case (q, shs) => (q, shs.mkString(",")) }
+        .toDF("query_id", "routed_shards")
+      res.join(broadcast(routesDf), "query_id")
+        .select(col("query_id"), col("knn_rank").cast("long").as("knn_rank"),
+          col("vec_id"), col("routed_shards"),
+          round(col("distance_score"), 6).as("distance"))
+        .orderBy(col("query_id"), col("knn_rank"))
+    },
+    oracle = None,
+    oracleLate = Some(() =>
+      RoutedBatchState.lastDir.flatMap { d =>
+        for {
+          cands <- RoutedBatchState.cands.get(d)
+          routes <- RoutedBatchState.routes.get(d)
+        } yield duckRoutedBatchSql(cands, routes, k = 3)
+      }))
+
+  private object CostServing4State {
+    val chosen = scala.collection.concurrent.TrieMap.empty[String, String]
+    val recorded = scala.collection.concurrent.TrieMap.empty[String, Seq[Long]]
+    @volatile var lastDir: Option[String] = None
+  }
+
+  private val costServing4 = QueryDef(
+    "ann_cost_serving4",
+    "FOUR-way cost-based serving choice — ann_cost_serving's router " +
+      "extended with the PQ/ADC path (r17 verdict #1a). Rows are not " +
+      "comparable across all four families (PQ scans EVERY row but at " +
+      "m=8 code bytes, not dim·4=256 vector bytes), so the cost unit " +
+      "becomes BYTES READ: probed rows ×256 for IVF (3 nearest lists) " +
+      "and LSH (hamming-≤2 probe set — the wider radius is the poor-" +
+      "selectivity regime where PQ earns its keep), the routed-HNSW " +
+      "closed form min(nShards,nprobe)·efSearch ×256, and N·8 + " +
+      "shortlist·256 for PQ (corpus-linear at a 32× byte discount — " +
+      "exactly the ann_pq_store_adc measurement, as a cost model). N " +
+      "comes free as Σ clusterRows (store stats, no extra scan). All " +
+      "four estimates ride the output; the oracle replays the ENTIRE " +
+      "decision in SQL — both probe sets, all four byte formulas " +
+      "(PQ's recomputes N via count(*)), the strict-dominance argmin " +
+      "with IVF-precedence ties — then exact cosine top-10 over the " +
+      "chosen candidate set (the HNSW/PQ branches re-rank THIS run's " +
+      "recorded candidate/shortlist ids). The choice is data-derived " +
+      "and flips across the decade gate; IvfProbeRuleSpec flips all " +
+      "FOUR ways with synthetic stats.",
+    (s, dir) => {
+      val q = Queries.queryVec64
+      val corpus = Tables.embeddings(s, dir)
+      val cents = Ann.seededCentroids(corpus, "embedding", "vec_id", nlist = 8)
+      val planes = Ann.signPlanes(dim = 64, nBits = 8)
+      val (path, clusterRows, bucketRows) =
+        HybridIndexStore.ensure(s, dir, cents, planes)
+      val p = HnswStore.params
+      val corpusRows = clusterRows.values.sum
+      val shortlist = 16
+      val (chosen, estIvfB, estLshB, estHnswB, estPqB) =
+        graft.plans.IvfProbeRule.chooseServing4(q,
+          graft.plans.IvfCatalog.IvfIndex(cents, 3, clusterRows),
+          graft.plans.LshCatalog.LshIndex(planes, 2, bucketRows),
+          p.nShards, HnswRouterStore.nprobe, p.efSearch,
+          dim = 64, corpusRows, pqM = PqStore.M, pqShortlist = shortlist)
+      CostServing4State.chosen(dir) = chosen
+      CostServing4State.lastDir = Some(dir)
+      val ranked = chosen match {
+        case "pq" =>
+          val cb = PqStore.ensure(s, dir)
+          val codes = Pq.readEncoded(s, PqCodeStore.ensure(s, dir))
+          val sl = Pq.search(codes, "vec_id", q, cb, k = shortlist)
+            .select("vec_id").collect().map(_.getLong(0)).toSeq.sorted
+          CostServing4State.recorded(dir) = sl
+          Knn.search(corpus.filter(col("vec_id").isin(sl: _*)),
+            "embedding", "vec_id", q, k = 10)
+        case "hnsw" =>
+          val hnswPath = HnswStore.ensure(s, dir)
+          val (res, cands, _) = Nsw.hnswRoutedSearch(
+            Nsw.readHnswGraph(s, hnswPath), corpus, "embedding", "vec_id",
+            q, k = 10, HnswRouterStore.ensure(s, dir),
+            HnswRouterStore.nprobe, p)
+          CostServing4State.recorded(dir) = cands
+          res
+        case "lsh" =>
+          CostServing4State.recorded(dir) = Seq.empty
+          val probes = Ann.probeBuckets(
+            Ann.queryBucket(q, planes), planes.length, radius = 2)
+          Knn.search(Ann.readIndexed(s, path)
+              .filter(col("lsh_bucket").isin(probes: _*)),
+            "embedding", "vec_id", q, k = 10)
+        case _ =>
+          CostServing4State.recorded(dir) = Seq.empty
+          val probes = Ann.probeIds(q, cents, nprobe = 3)
+          Knn.search(Ann.readIndexed(s, path)
+              .filter(col("cluster_id").isin(probes: _*)),
+            "embedding", "vec_id", q, k = 10)
+      }
+      ranked.select(col("vec_id"), lit(chosen).as("chosen_index"),
+          lit(estIvfB).as("est_ivf_b"), lit(estLshB).as("est_lsh_b"),
+          lit(estHnswB).as("est_hnsw_b"), lit(estPqB).as("est_pq_b"),
+          round(col("distance_score"), 6).as("distance"))
+        .orderBy(col("distance"), col("vec_id"))
+    },
+    oracle = None,
+    oracleLate = Some(() =>
+      CostServing4State.lastDir.map { d =>
+        val recIds = CostServing4State.recorded.getOrElse(d, Seq.empty)
+        val recList =
+          if (recIds.isEmpty) "[]::BIGINT[]" else recIds.mkString("[", ", ", "]")
+        val estHnswB = math.min(HnswStore.params.nShards,
+          HnswRouterStore.nprobe).toLong * HnswStore.params.efSearch * 256L
+        val qLit = vecLit(Queries.queryVec64)
+        s"""
+        |WITH cents AS (
+        |  SELECT vec_id AS cid, embedding::DOUBLE[] AS c FROM embeddings WHERE vec_id < 8
+        |), assigned AS (
+        |  SELECT vec_id, cid AS cluster_id FROM (
+        |    SELECT e.vec_id, c.cid,
+        |           row_number() OVER (PARTITION BY e.vec_id
+        |                              ORDER BY ${duckL2("e.embedding::DOUBLE[]", "c.c")}, c.cid) AS rn
+        |    FROM embeddings e CROSS JOIN cents c
+        |  ) WHERE rn = 1
+        |), planes AS (
+        |  SELECT b, list_transform(range(64), j ->
+        |    CASE WHEN ('0x' || substring(md5('lsh:' || b::VARCHAR || ':' || j::VARCHAR), 1, 12))::BIGINT % 2 = 0
+        |         THEN 1.0 ELSE -1.0 END) AS plane
+        |  FROM (SELECT unnest(range(8)) AS b)
+        |), bk AS (
+        |  SELECT e.vec_id,
+        |         sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], p.plane) >= 0
+        |                  THEN (1::BIGINT << p.b) ELSE 0 END)::BIGINT AS lsh_bucket
+        |  FROM embeddings e CROSS JOIN planes p GROUP BY e.vec_id
+        |), ivf_probes AS (
+        |  SELECT cid FROM cents ORDER BY ${duckL2(qLit, "c")}, cid LIMIT 3
+        |), qb AS (
+        |  SELECT sum(CASE WHEN list_dot_product($qLit, plane) >= 0
+        |                  THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS qbucket
+        |  FROM planes
+        |), ivf_cand AS (
+        |  SELECT vec_id FROM assigned
+        |  WHERE cluster_id IN (SELECT cid FROM ivf_probes)
+        |), lsh_cand AS (
+        |  SELECT bk.vec_id FROM bk, qb
+        |  WHERE len(list_filter(range(8), i ->
+        |        ((bk.lsh_bucket >> i) & 1) <> ((qb.qbucket >> i) & 1))) <= 2
+        |), est AS (
+        |  SELECT (SELECT count(*) FROM ivf_cand)::BIGINT * 256 AS est_ivf_b,
+        |         (SELECT count(*) FROM lsh_cand)::BIGINT * 256 AS est_lsh_b,
+        |         ${estHnswB}::BIGINT AS est_hnsw_b,
+        |         ((SELECT count(*) FROM embeddings)::BIGINT * 8 + 16 * 256) AS est_pq_b
+        |), choice AS (
+        |  SELECT CASE WHEN est_pq_b < est_ivf_b AND est_pq_b < est_lsh_b
+        |                   AND est_pq_b < est_hnsw_b THEN 'pq'
+        |              WHEN est_hnsw_b < est_ivf_b AND est_hnsw_b < est_lsh_b THEN 'hnsw'
+        |              WHEN est_lsh_b < est_ivf_b THEN 'lsh'
+        |              ELSE 'ivf' END AS chosen
+        |  FROM est
+        |), cand AS (
+        |  SELECT vec_id FROM lsh_cand WHERE (SELECT chosen FROM choice) = 'lsh'
+        |  UNION ALL
+        |  SELECT vec_id FROM ivf_cand WHERE (SELECT chosen FROM choice) = 'ivf'
+        |  UNION ALL
+        |  SELECT unnest($recList) AS vec_id
+        |  WHERE (SELECT chosen FROM choice) IN ('hnsw', 'pq')
+        |), dd AS (
+        |  SELECT c.vec_id, ${duckCosine("e.embedding", qLit)} AS dist
+        |  FROM cand c JOIN embeddings e ON c.vec_id = e.vec_id
+        |), top AS (
+        |  SELECT vec_id, dist FROM dd ORDER BY dist, vec_id LIMIT 10
+        |)
+        |SELECT t.vec_id, (SELECT chosen FROM choice) AS chosen_index,
+        |       e.est_ivf_b, e.est_lsh_b, e.est_hnsw_b, e.est_pq_b,
+        |       round(t.dist, 6) AS distance
+        |FROM top t CROSS JOIN est e ORDER BY distance, vec_id
+        """.stripMargin.trim
+      }))
+
   /** KMeans-built IVF index per (fixture, JVM) — the QUALITY centroid
     * path (Spark ML k-means‖, fixed seed) on the same persisted,
     * cluster-partitioned layout as [[IvfIndexStore]]. The fitted
@@ -2256,7 +2498,7 @@ object VectorQueries {
 
   val defs: Seq[QueryDef] =
     Seq(filtered, l2Search, batch, ragContext, ivf, lshProbe, nswBeam, hnswBeam,
-      hnswRouted, filteredHnsw, costServing,
+      hnswRouted, filteredHnsw, costServing, costServing4, nswRoutedBatch,
       ivfRule,
       lshRule, costRule, ivfKmeansRule, filteredIvfRule, mips, quantRescore, sqlApi,
       centroids, quantize, groupTopk, pqAdc, pqRescore, pqBatch, pqStoreAdc,
