@@ -257,4 +257,46 @@ class IvfProbeRuleSpec extends SparkSpec {
       hnswShards = 4, hnswNprobe = 2, efSearch = 32)
     assert(fb == "ivf" && fbIvf == -1L && fbLsh == -1L)
   }
+
+  test("chooseServing4: synthetic stats flip the four-way choice; byte unit and tie discipline hold") {
+    import graft.plans.{IvfCatalog, LshCatalog, IvfProbeRule}
+    val planes = Ann.signPlanes(dim = 64, nBits = 8)
+    val cents = Ann.seededCentroids(emb, "embedding", "vec_id", nlist = 8)
+    val ivfProbes = Ann.probeIds(q, cents, nprobe = 3)
+    val lshProbes = Ann.probeBuckets(
+      Ann.queryBucket(q, planes), planes.length, radius = 1)
+    def ivfStats(rowsPerProbe: Long): Map[Int, Long] =
+      ivfProbes.map(_ -> rowsPerProbe).toMap
+    def lshStats(rowsPerProbe: Long): Map[Long, Long] =
+      lshProbes.map(_ -> rowsPerProbe).toMap
+    // hnsw bound = min(4,2)·32·256 = 16384 bytes; pq = N·8 + 16·256
+    def choose(ivfRows: Long, lshRows: Long, corpusRows: Long) =
+      IvfProbeRule.chooseServing4(q,
+        IvfCatalog.IvfIndex(cents, 3, ivfStats(ivfRows)),
+        LshCatalog.LshIndex(planes, 1, lshStats(lshRows)),
+        hnswShards = 4, hnswNprobe = 2, efSearch = 32,
+        dim = 64, pqCorpusRows = corpusRows, pqM = 8, pqShortlist = 16)
+    // pq: 500·8 + 4096 = 8096 B strictly under probes AND the hnsw bound
+    assert(choose(1000, 1000, 500)._1 == "pq")
+    // hnsw: a big corpus prices pq out (1e6·8 ≫ 16384), probes still bad
+    assert(choose(1000, 1000, 1000000)._1 == "hnsw")
+    // lsh: 9 buckets × 1 row × 256 B = 2304 B beats everything
+    assert(choose(1000, 1, 500)._1 == "lsh")
+    // ivf: 3 lists × 1 row × 256 B = 768 B beats everything
+    assert(choose(1, 1000, 500)._1 == "ivf")
+    // byte unit: estimates are rows×256 for the probe paths
+    val (_, ivfB, lshB, hnswB, pqB) = choose(10, 10, 500)
+    assert(ivfB == 3L * 10 * 256 && lshB == 9L * 10 * 256)
+    assert(hnswB == 64L * 256 && pqB == 500L * 8 + 16L * 256)
+    // tie discipline: pq must be STRICTLY under all three — at exactly
+    // the hnsw bound (N·8 + 4096 = 16384 → N = 1536) hnsw keeps the win
+    assert(choose(1000, 1000, 1536)._1 == "hnsw")
+    // missing stats: documented IVF fallback with -1 probe estimates
+    val (fb4, a, b, _, _) = IvfProbeRule.chooseServing4(q,
+      IvfCatalog.IvfIndex(cents, 3, Map.empty),
+      LshCatalog.LshIndex(planes, 1, lshStats(1)),
+      hnswShards = 4, hnswNprobe = 2, efSearch = 32,
+      dim = 64, pqCorpusRows = 500, pqM = 8, pqShortlist = 16)
+    assert(fb4 == "ivf" && a == -1L && b == -1L)
+  }
 }

@@ -424,6 +424,42 @@ class NswSpec extends SparkSpec {
     assert(r2 >= 0.2, s"routed recall collapsed: $r2")
   }
 
+  test("routed batch: per-query candidates ≡ the full batch fan restricted to that query's routed shards") {
+    val queries = Queries.queryVec64 match {
+      case base =>
+        // five deterministic perturbations of the flagship query — the
+        // routes must differ across queries for the test to bite
+        (0 until 5).map(i => i -> base.zipWithIndex.map {
+          case (v, j) => if (j % 5 == i) v + 0.35f else v
+        })
+    }
+    val flatCents = Nsw.shardCentroids(graph)
+    val (res, byQ, routes) = Nsw.routedBatchSearch(graph, emb, "embedding",
+      "vec_id", queries, k = 3, flatCents, nprobe = 2, p)
+    assert(routes.keySet == queries.map(_._1).toSet)
+    routes.values.foreach(r => assert(r.length == 2 && r == r.sorted))
+    assert(routes.values.toSet.size > 1,
+      "perturbed queries should route differently; widen the perturbation if not")
+    // full fan per query, restricted to that query's routed shards
+    queries.foreach { case (qid, qv) =>
+      val restricted = Nsw.shardCandidates(graph, qv, p)
+        .filter(col("shard").isin(routes(qid).map(Integer.valueOf): _*))
+        .select("vec_id").collect().map(_.getLong(0)).toSeq.sorted
+      assert(byQ(qid) == restricted,
+        s"query $qid: routed-batch candidates must be the full fan's restricted set")
+    }
+    // the ranked output re-ranks exactly the recorded candidates
+    val got = res.orderBy(col("query_id"), col("knn_rank")).collect()
+      .map(r => (r.getAs[Int]("query_id"), r.getAs[Long]("vec_id")))
+    queries.foreach { case (qid, qv) =>
+      val exact = Knn.search(
+        emb.filter(col("vec_id").isin(byQ(qid).map(java.lang.Long.valueOf): _*)),
+        "embedding", "vec_id", qv, 3)
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+      assert(got.filter(_._1 == qid).map(_._2).toSeq == exact)
+    }
+  }
+
   // ------------------------------------------------------------------
   // Windowed-swap writer-liveness sentinel
   // ------------------------------------------------------------------

@@ -873,4 +873,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(aggIdx >= 0 && p.indexOf("HashAggregate", aggIdx + 1) > aggIdx,
       s"expected partial+final HashAggregate pair:\n$p")
   }
+
+  test("caption align: ONE Generate emits both event kinds; one documents scan; no join before the window") {
+    val p = planOf("mm_caption_align")
+    // the fused tagged-union generator (r17 verdict #5): cue and frame
+    // events explode from one concat'd array — a second Generate would
+    // mean the two-scan shape regressed
+    assert("Generate ".r.findAllIn(p).length == 1,
+      s"cues and frames must come from ONE generator:\n$p")
+    // one corpus-sized scan feeds the generator; the only other scan is
+    // the n_cues side, which joins AFTER the per-doc aggregate
+    // (doc-count-sized, broadcast — the plan shows BroadcastHashJoin
+    // above the final HashAggregate)
+    assert("FileScan parquet".r.findAllIn(p).length <= 2,
+      s"at most the generator scan + the bounded n_cues scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the n_cues join must broadcast the doc-count-sized side:\n$p")
+  }
 }
