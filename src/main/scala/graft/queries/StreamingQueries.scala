@@ -625,7 +625,96 @@ object StreamingQueries {
       |ORDER BY day
       """.stripMargin.trim))
 
+  /** Two-batch time-split replay through the CEP matcher — batches cut
+    * at day 15 so batch2's events all sit at-or-after batch1's
+    * watermark frontier (no late drops; the stream ≡ batch contract
+    * holds exactly). view→purchase within 6 h is the funnel-alert
+    * pattern over the fixture's event mix.
+    */
+  private object CepStore {
+    val WithinMs: Long = 6L * 3600L * 1000L
+    def ensure(s: SparkSession, dir: String): String =
+      TmpStores.memoizedTable("graft_stream_cep", dir) { root =>
+        val ev = Tables.events(s, dir)
+          .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+        val minUs = ev.agg(min(unix_micros(col("ts")))).head().getLong(0)
+        val splitUs = minUs + 15L * 86400L * 1000000L
+        val staging = s"$root/staging"
+        TmpStores.stageFile(ev.filter(unix_micros(col("ts")) < splitUs),
+          staging, "batch1", 120000L)
+        TmpStores.stageFile(ev.filter(unix_micros(col("ts")) >= splitUs),
+          staging, "batch2", 60000L)
+        val out = s"$root/matches"
+        val stream = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(staging)
+        import s.implicits._
+        val matches = graft.streaming.PatternMatch.matchAThenB(
+          stream.withWatermark("ts", "0 seconds")
+            .as[graft.streaming.PatternMatch.EventIn],
+          aType = "view", bType = "purchase", withinMs = WithinMs)
+        val q = matches.writeStream
+          .outputMode("append")
+          .format("parquet")
+          .option("path", out)
+          .option("checkpointLocation", s"$root/ckpt")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        out
+      }
+  }
+
+  private val streamPatternMatch = QueryDef(
+    "stream_pattern_match",
+    "Streaming CEP pattern match run to completion: view-then-purchase " +
+      "within 6 h per user via flatMapGroupsWithState (the fraud/" +
+      "funnel-alert shape windowed aggregation cannot express — the " +
+      "condition relates two individual EVENTS), replayed as two " +
+      "time-split file micro-batches. State is ONE (ts, id) pair per " +
+      "user — constant per key at any event volume — evicted by " +
+      "event-time timeout once the watermark passes a.ts + 6 h (an " +
+      "expired partial match emits NOTHING; the timeout only bounds " +
+      "state). Match semantics are deliberately SQL-replayable — each " +
+      "purchase pairs with the LATEST preceding view in window, views " +
+      "are not consumed, ms precision with event_id tie-break — so " +
+      "the oracle is the one-shot batch join with an argmax window: a " +
+      "green hash proves the incremental matcher reproduces the batch " +
+      "answer across the batch boundary (pending views from batch 1 " +
+      "matching purchases in batch 2). PatternMatchSpec covers " +
+      "timeout-expired partials and the state-eviction metrics.",
+    (s, dir) => {
+      s.read.parquet(CepStore.ensure(s, dir))
+        .select(col("user_id"), col("a_event_id"),
+          unix_millis(col("a_ts")).as("a_ts_ms"),
+          col("b_event_id"), unix_millis(col("b_ts")).as("b_ts_ms"),
+          col("gap_ms"))
+        .orderBy(col("user_id"), col("b_ts_ms"), col("b_event_id"),
+          col("a_event_id"))
+    },
+    Some(s"""
+      |WITH a AS (
+      |  SELECT user_id, epoch_ms(ts::TIMESTAMP) AS a_ms, event_id FROM events
+      |  WHERE event_type = 'view'
+      |), b AS (
+      |  SELECT user_id, epoch_ms(ts::TIMESTAMP) AS b_ms, event_id FROM events
+      |  WHERE event_type = 'purchase'
+      |), m AS (
+      |  SELECT b.user_id, a.event_id AS a_event_id, a.a_ms,
+      |         b.event_id AS b_event_id, b.b_ms, b.b_ms - a.a_ms AS gap_ms,
+      |         row_number() OVER (PARTITION BY b.user_id, b.event_id
+      |                            ORDER BY a.a_ms DESC, a.event_id DESC) AS rn
+      |  FROM b JOIN a ON a.user_id = b.user_id
+      |   AND b.b_ms - a.a_ms BETWEEN 1 AND ${CepStore.WithinMs}
+      |)
+      |SELECT user_id, a_event_id, a_ms AS a_ts_ms, b_event_id,
+      |       b_ms AS b_ts_ms, gap_ms
+      |FROM m WHERE rn = 1
+      |ORDER BY user_id, b_ts_ms, b_event_id, a_event_id
+      """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
     Seq(streamIngest, streamServe, streamServeNsw, streamServePq,
-      streamCdcApply, streamTrending, streamLateAudit, streamHllDaily)
+      streamCdcApply, streamTrending, streamLateAudit, streamHllDaily,
+      streamPatternMatch)
 }
