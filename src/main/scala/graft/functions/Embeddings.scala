@@ -124,6 +124,38 @@ final case class HashingEmbedder(dim: Int = 384, seed: Int = 42) extends Embeddi
   }
 }
 
+/** Calibrated-scale INT8 quantization wrapped around ANY
+  * [[EmbeddingModel]] — the seam an ONNX-int8 model swap-in lands on
+  * (r17 verdict #7): the pipeline keeps calling the same
+  * `embedDataFrame(…, model)` and only the model VALUE changes. Encode
+  * = base encode → symmetric int8 quantize at the CALIBRATED scale
+  * (`amax`, the max |component| observed on a calibration corpus —
+  * static post-training quantization's standard calibration) →
+  * dequantize back to float32, so downstream operators see the same
+  * Array[Float] contract and the quantization ERROR is exactly what a
+  * deployed int8 model would exhibit. Arithmetic is SQL-replayable
+  * half-up rounding (`floor(x·127/amax + 0.5)` clamped to ±127), so
+  * the quantized seam gets the same bit-level DuckDB oracle as the
+  * float seam (`txt_embed_quantized` hash-checks the error telemetry).
+  */
+final case class QuantizedEmbedder(base: EmbeddingModel, amax: Double)
+    extends EmbeddingModel {
+  require(amax > 0.0, s"calibrated scale amax=$amax must be > 0")
+  override def dim: Int = base.dim
+  override def encode(text: String): Array[Float] = {
+    val x = base.encode(text)
+    val out = new Array[Float](x.length)
+    var i = 0
+    while (i < x.length) {
+      val q = math.floor(x(i).toDouble * 127.0 / amax + 0.5)
+      val qc = math.max(-127.0, math.min(127.0, q))
+      out(i) = (qc * amax / 127.0).toFloat
+      i += 1
+    }
+    out
+  }
+}
+
 object Embeddings {
   /** Column-level embedding (Scala UDF — fine for moderate widths; the
     * batched path below is the 100 TB shape).

@@ -331,6 +331,79 @@ object TextQueries {
       |FROM vecs ORDER BY doc_id
       """.stripMargin.trim))
 
+  private val embedQuantQ = QueryDef(
+    "txt_embed_quantized",
+    "Calibrated-scale INT8 embedding seam (the ONNX-int8 swap-in " +
+      "contract): the SAME embedDataFrame pipeline runs with " +
+      "QuantizedEmbedder(base, amax) — base encode → symmetric int8 " +
+      "quantize at the calibrated scale (amax = max |component| over " +
+      "the corpus, ONE bounded aggregate; static post-training " +
+      "quantization's calibration step) → dequantize to float32 — so " +
+      "swapping a real int8 model in is a model-VALUE change, not a " +
+      "pipeline change. The gate hash-checks the error-vs-float " +
+      "telemetry itself (vec_quantization_error's contract, pushed " +
+      "through the embed path): per-doc cosine error and max " +
+      "component error between the float and quantized seams, rolled " +
+      "up with DECIMAL sums. The oracle recomputes BOTH seams in SQL — " +
+      "the portable embedder bit-for-bit, the calibration max, the " +
+      "half-up clamped quantization arithmetic — so a green hash pins " +
+      "every quantized component, not just the summary.",
+    (s, dir) => {
+      import graft.functions.{Embeddings, Md5PortableEmbedder, QuantizedEmbedder}
+      import graft.functions.VectorFunctions._
+      val base = Md5PortableEmbedder(dim = 64)
+      val d = Tables.documentsSpread(s, dir).select("doc_id", "text")
+      val emb = Embeddings.embedDataFrame(d, "text", "vec", base)
+      // calibration: one bounded aggregate — a single double leaves the
+      // cluster, exactly like an index's stats
+      val amax = emb
+        .agg(max(array_max(transform(col("vec"), x => abs(x)))))
+        .head().getFloat(0).toDouble
+      val qemb = Embeddings.embedDataFrame(d, "text", "qvec",
+        QuantizedEmbedder(base, amax))
+      emb.join(qemb.select("doc_id", "qvec"), "doc_id")
+        .select(
+          round(cosineDistance(col("vec"), col("qvec")), 6).as("cos_err"),
+          array_max(zip_with(col("vec"), col("qvec"),
+            (a, b) => abs(a.cast("double") - b.cast("double")))).as("abs_err"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          round(lit(amax), 6).as("amax"),
+          round(sum(col("cos_err").cast("decimal(38,6)")).cast("double") /
+            count(lit(1)).cast("double"), 6).as("mean_cos_err"),
+          round(max(col("cos_err")), 6).as("max_cos_err"),
+          round(max(col("abs_err")), 6).as("max_abs_err"))
+    },
+    Some(s"""
+      |${Duck.docToks}, ${Duck.md5EmbedVecs(64)},
+      |am AS (
+      |  SELECT max(abs(c)) AS amax FROM comp
+      |), qcomp AS (
+      |  SELECT c.doc_id, c.bucket, c.c,
+      |         CAST(CAST(greatest(-127.0, least(127.0,
+      |                floor(c.c * 127.0 / am.amax + 0.5)))
+      |              * am.amax / 127.0 AS FLOAT) AS DOUBLE) AS qc
+      |  FROM comp c CROSS JOIN am
+      |), pairs AS (
+      |  -- ORDERED lists so the dot products accumulate in bucket order,
+      |  -- exactly like the Spark expression's index-order pass
+      |  SELECT doc_id, list(c ORDER BY bucket) AS v,
+      |         list(qc ORDER BY bucket) AS qv,
+      |         max(abs(c - qc)) AS abs_err
+      |  FROM qcomp GROUP BY doc_id
+      |), per_doc AS (
+      |  SELECT doc_id, round(${Duck.cosine("v", "qv")}, 6) AS cos_err, abs_err
+      |  FROM pairs
+      |)
+      |SELECT count(*)::BIGINT AS n_docs,
+      |       (SELECT round(amax, 6) FROM am) AS amax,
+      |       round(CAST(sum(CAST(cos_err AS DECIMAL(38,6))) AS DOUBLE)
+      |             / count(*)::DOUBLE, 6) AS mean_cos_err,
+      |       round(max(cos_err), 6) AS max_cos_err,
+      |       round(max(abs_err), 6) AS max_abs_err
+      |FROM per_doc
+      """.stripMargin.trim))
+
   /** Driver-side embedding of the e2e query text — the reference's
     * search entry point embeds the user query exactly once on the
     * client (`streamlit_app.py:45-52`); here the same portable model
@@ -2121,7 +2194,7 @@ object TextQueries {
 
   val defs: Seq[QueryDef] =
     Seq(stats, langQ, quality, fp, topTokens, bigramLift, lmQ, simhashQ,
-      embedQ, embedKnnQ, bm25Q, hybridRrfQ, crossencQ, maxsimQ, tfidfQ, chunksQ, packQ,
+      embedQ, embedQuantQ, embedKnnQ, bm25Q, hybridRrfQ, crossencQ, maxsimQ, tfidfQ, chunksQ, packQ,
       tokenBudgetQ, gopherQ, dupNgramsQ, piiQ, noveltyQ, invIndexQ, bpeTrainQ, bpeEncodeQ, rakeQ,
       readabilityQ, rankingNdcgQ, zipfQ, llrQ, burstinessQ, jsdQ, heapsQ, textrankQ,
       codeDetectQ, langidConfusion, sourceOutliersQ)
