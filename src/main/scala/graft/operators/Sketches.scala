@@ -41,6 +41,33 @@ object Sketches {
     when(w === 0, lit(maxRank.toLong))
       .otherwise((bit_count(w.bitwiseAND(-w) - lit(1L)) + lit(1)).cast("long"))
 
+  /** HdrHistogram-style log2/linear bucketing of a POSITIVE long value
+    * column — the mergeable quantile sketch (Tene's HdrHistogram;
+    * DDSketch is the log-γ cousin): octave = exact floor(log2(c)), `k`
+    * linear sub-buckets per octave, so the bucket table is ≤ 64·k rows
+    * regardless of row count, counts merge by addition (map-side
+    * combine, streaming, cross-partition — all free), and a bucket
+    * midpoint estimates any quantile with relative error ≤ 1/(2k).
+    * At 100 TB this replaces the total-sort exact percentile the same
+    * way HLL replaces count(DISTINCT).
+    *
+    * Exactness contract: floor(log2) via the binary-string length
+    * (`conv(c,10,2)` / DuckDB `bin(c)` — both unpadded), never the
+    * host's floating log, so the bucket id is a pure integer function
+    * of the value on both engines; 2^exp via shiftleft; the sub-bucket
+    * an exact integer div. Adds hdr_exp / hdr_pow / hdr_sub /
+    * hdr_bucket columns.
+    */
+  def hdrBuckets(df: DataFrame, valueCol: String, k: Int): DataFrame = {
+    require(k >= 2 && Integer.bitCount(k) == 1, s"k=$k must be a power of two >= 2")
+    df.withColumn("hdr_exp",
+        (length(conv(col(valueCol), 10, 2)) - 1).cast("int"))
+      .withColumn("hdr_pow", expr("shiftleft(cast(1 as bigint), hdr_exp)"))
+      .withColumn("hdr_sub", expr(s"(($valueCol - hdr_pow) * $k) div hdr_pow"))
+      .withColumn("hdr_bucket",
+        col("hdr_exp").cast("long") * k + col("hdr_sub"))
+  }
+
   /** HLL registers per group: (groupCol, bucket, reg) with bucket ∈
     * [0, 2^p) and reg = max rank observed in the bucket. Buckets with no
     * observations are absent (the estimate step accounts for them).

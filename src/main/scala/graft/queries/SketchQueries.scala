@@ -305,6 +305,118 @@ object SketchQueries {
       |ORDER BY day
       """.stripMargin.trim))
 
+  private val hdrQuantiles = QueryDef(
+    "sketch_hdr_quantiles",
+    "Mergeable log2/linear histogram quantiles (HdrHistogram; " +
+      "DDSketch's fixed-base cousin) — the percentile that is " +
+      "AFFORDABLE at 100 TB: lineitem prices (exact cents) bucket into " +
+      "octave × 16 linear sub-buckets (≤ 64·16 counts per group, " +
+      "counts merge by ADDITION — map-side combine, cross-partition, " +
+      "streaming all free), and p50/p90/p99 read off the cumulative " +
+      "bucket walk with relative error ≤ 1/32 — where the exact " +
+      "percentile needs a total sort per group. Every step is exact " +
+      "integer arithmetic: floor(log2) via the binary-string length " +
+      "(never the host's floating log — the exact-bucket trick), 2^e " +
+      "via shiftleft, targets ceil(q·n) in BIGINT, the midpoint " +
+      "estimate's ONE double division at the end. The exact type-1 " +
+      "percentile sits beside each estimate as the yardstick (the " +
+      "unaffordable leg at scale); the oracle replays buckets, " +
+      "cumulative walk, targets, midpoints, and the exact leg in SQL.",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val k = 16
+      val base = Tables.lineitem(s, dir)
+        .select(col("l_returnflag").as("flag"),
+          (col("l_extendedprice") * 100).cast("long").as("c"))
+      val counts = Sketches.hdrBuckets(base, "c", k)
+        .groupBy(col("flag"), col("hdr_bucket"), col("hdr_pow"), col("hdr_sub"))
+        .agg(count(lit(1)).as("cnt"))
+      val wCum = Window.partitionBy(col("flag")).orderBy(col("hdr_bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col("flag"))
+      val withCum = counts
+        .withColumn("cum", sum(col("cnt")).over(wCum))
+        .withColumn("n", sum(col("cnt")).over(wAll))
+      val qDf = Seq(("p50", 1L, 2L), ("p90", 9L, 10L), ("p99", 99L, 100L))
+        .toDF("q", "qnum", "qden")
+      val est = withCum.crossJoin(broadcast(qDf))
+        .withColumn("target", expr("(n * qnum + qden - 1) div qden"))
+        .filter(col("cum") >= col("target"))
+        .groupBy(col("flag"), col("q"))
+        .agg(min(struct(col("hdr_bucket"), col("hdr_pow"), col("hdr_sub"),
+          col("n"))).as("m"))
+        .select(col("flag"), col("q"), col("m.n").as("n"),
+          (col("m.hdr_pow") * (col("m.hdr_sub") * 2 + lit(2 * k + 1)) /
+            lit((2 * k).toDouble)).as("est"))
+      val exactVals = base.groupBy(col("flag"), col("c"))
+        .agg(count(lit(1)).as("vc"))
+        .withColumn("vcum", sum(col("vc")).over(
+          Window.partitionBy(col("flag")).orderBy(col("c"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("n", sum(col("vc")).over(wAll))
+      val exact = exactVals.crossJoin(broadcast(qDf))
+        .withColumn("target", expr("(n * qnum + qden - 1) div qden"))
+        .filter(col("vcum") >= col("target"))
+        .groupBy(col("flag"), col("q"))
+        .agg(min(col("c")).as("exact_cents"))
+      est.join(exact, Seq("flag", "q"))
+        .select(col("flag"), col("q"), col("n"),
+          round(col("est"), 4).as("est_cents"), col("exact_cents"),
+          round((col("est") - col("exact_cents").cast("double")) /
+            col("exact_cents").cast("double"), 6).as("rel_err"))
+        .orderBy(col("flag"), col("q"))
+    },
+    Some("""
+      |WITH v AS (
+      |  SELECT l_returnflag AS flag, CAST(l_extendedprice * 100 AS BIGINT) AS c
+      |  FROM lineitem
+      |), b AS (
+      |  SELECT flag, c, (length(bin(c)) - 1) AS e,
+      |         (1::BIGINT << (length(bin(c)) - 1)) AS pow
+      |  FROM v
+      |), bk AS (
+      |  SELECT flag, e::BIGINT * 16 + ((c - pow) * 16) // pow AS bucket,
+      |         pow, ((c - pow) * 16) // pow AS sub, count(*) AS cnt
+      |  FROM b GROUP BY 1, 2, 3, 4
+      |), cum AS (
+      |  SELECT flag, bucket, pow, sub, cnt,
+      |         sum(cnt) OVER (PARTITION BY flag ORDER BY bucket
+      |                        ROWS UNBOUNDED PRECEDING) AS cum,
+      |         sum(cnt) OVER (PARTITION BY flag) AS n
+      |  FROM bk
+      |), qs AS (
+      |  SELECT * FROM (VALUES ('p50', 1::BIGINT, 2::BIGINT),
+      |                        ('p90', 9::BIGINT, 10::BIGINT),
+      |                        ('p99', 99::BIGINT, 100::BIGINT)) t(q, qnum, qden)
+      |), est AS (
+      |  SELECT flag, q, min(n) AS n,
+      |         min_by(pow * (sub * 2 + 33), bucket) / 32.0 AS est
+      |  FROM cum CROSS JOIN qs
+      |  WHERE cum >= (n * qnum + qden - 1) // qden
+      |  GROUP BY 1, 2
+      |), ex AS (
+      |  SELECT flag, c, count(*) AS vc FROM v GROUP BY 1, 2
+      |), excum AS (
+      |  SELECT flag, c,
+      |         sum(vc) OVER (PARTITION BY flag ORDER BY c
+      |                       ROWS UNBOUNDED PRECEDING) AS vcum,
+      |         sum(vc) OVER (PARTITION BY flag) AS n
+      |  FROM ex
+      |), exact AS (
+      |  SELECT flag, q, min(c) AS exact_cents
+      |  FROM excum CROSS JOIN qs
+      |  WHERE vcum >= (n * qnum + qden - 1) // qden
+      |  GROUP BY 1, 2
+      |)
+      |SELECT e.flag, e.q, e.n::BIGINT AS n, round(e.est, 4) AS est_cents,
+      |       x.exact_cents,
+      |       round((e.est - x.exact_cents::DOUBLE) / x.exact_cents::DOUBLE, 6)
+      |         AS rel_err
+      |FROM est e JOIN exact x USING (flag, q)
+      |ORDER BY flag, q
+      """.stripMargin.trim))
+
   private val kmvIntersect = QueryDef(
     "sketch_kmv_intersect",
     "K-Minimum-Values (bottom-k, k=256) distinct sketch with a SET-" +
@@ -417,5 +529,6 @@ object SketchQueries {
       |FROM f, xu, xi
       """.stripMargin.trim))
 
-  val defs: Seq[QueryDef] = Seq(hll, cms, bloom, hllSliding, kmvIntersect)
+  val defs: Seq[QueryDef] =
+    Seq(hll, cms, bloom, hllSliding, kmvIntersect, hdrQuantiles)
 }

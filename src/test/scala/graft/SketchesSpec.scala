@@ -98,4 +98,58 @@ class SketchesSpec extends SparkSpec {
     val est = 255.0 * 281474976710656.0 / theta.toDouble
     assert(math.abs(est - 20000.0) / 20000.0 < 0.19, s"estimate $est")
   }
+
+  test("HDR buckets: exact octave/sub assignment, boundary values, bounded table") {
+    val vals = Seq(1L, 2L, 3L, 15L, 16L, 17L, 31L, 32L, 1000000L,
+      (1L << 40) - 1, 1L << 40)
+    vals.foreach { c =>
+      val e = 63 - java.lang.Long.numberOfLeadingZeros(c)
+      val pow = 1L << e
+      val sub = (c - pow) * 16 / pow
+      val got = Sketches.hdrBuckets(Seq(c).toDF("c"), "c", 16)
+        .select("hdr_exp", "hdr_pow", "hdr_sub", "hdr_bucket").head()
+      assert(got.getInt(0) == e && got.getLong(1) == pow &&
+        got.getLong(2) == sub && got.getLong(3) == e.toLong * 16 + sub,
+        s"c=$c: got $got expected ($e, $pow, $sub)")
+    }
+  }
+
+  test("HDR quantile estimate: midpoint within 1/(2k) relative error; counts merge by addition") {
+    val k = 16
+    // deterministic skewed values (md5-derived so no RNG)
+    val vals = (1 to 4000).map { i =>
+      1L + (graft.functions.Md5.long48(s"hdr:$i") % 1000000L)
+    }
+    val df = vals.toDF("c")
+    val counts = Sketches.hdrBuckets(df, "c", k)
+      .groupBy("hdr_bucket", "hdr_pow", "hdr_sub").count()
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .sortBy(_._1)
+    // table is bounded: far fewer buckets than rows
+    assert(counts.length <= 64 * k && counts.length < vals.length)
+    // counts merge by addition: two halves re-bucketed sum to the whole
+    val h1 = Sketches.hdrBuckets(vals.take(2000).toDF("c"), "c", k)
+      .groupBy("hdr_bucket").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val h2 = Sketches.hdrBuckets(vals.drop(2000).toDF("c"), "c", k)
+      .groupBy("hdr_bucket").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    counts.foreach { case (b, (_, _, cnt)) =>
+      assert(h1.getOrElse(b, 0L) + h2.getOrElse(b, 0L) == cnt,
+        s"bucket $b: halves must sum to the whole")
+    }
+    // estimate error bound at p50/p90/p99
+    val sorted = vals.sorted
+    Seq(0.5, 0.9, 0.99).foreach { q =>
+      val target = math.ceil(q * vals.length).toLong
+      var cum = 0L
+      val (pow, sub) = counts.collectFirst {
+        case (_, (p, sb, cnt)) if { cum += cnt; cum >= target } => (p, sb)
+      }.get
+      val est = pow.toDouble * (2 * sub + 2 * k + 1) / (2.0 * k)
+      val exact = sorted(target.toInt - 1).toDouble
+      assert(math.abs(est - exact) / exact <= 1.0 / (2 * k) + 1e-9,
+        s"q=$q est=$est exact=$exact")
+    }
+  }
 }
