@@ -111,6 +111,38 @@ object Sketches {
       .select(col(groupCol), col("hll_estimate"))
   }
 
+  /** [[hllEstimate]] with Flajolet et al.'s SMALL-RANGE correction:
+    * when the raw estimate is ≤ 2.5·m and empty registers exist,
+    * linear counting m·ln(m/V) (V = empty registers) replaces it — the
+    * regime a PER-NODE counter lives in (HyperANF's balls are tiny
+    * against m even when the graph is huge), where the raw harmonic
+    * estimator overshoots by ~m/cardinality. The large-range path is
+    * bit-identical to [[hllEstimate]], so large-cardinality consumers
+    * see the same numbers.
+    */
+  def hllEstimateCorrected(registers: DataFrame, groupCol: String,
+                           p: Int = 9): DataFrame = {
+    val m = 1 << p
+    val maxRank = 48 - p + 1
+    val pow2R = 1L << maxRank
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
+    registers
+      .groupBy(col(groupCol))
+      .agg(
+        sum(TextAnalysis.shl(lit(1L), (lit(maxRank) - col("reg")).cast("int"))).as("s_present"),
+        count(lit(1)).as("nb"))
+      .withColumn("s_total",
+        col("s_present") + (lit(m.toLong) - col("nb")) * lit(pow2R))
+      .withColumn("raw",
+        alpha * lit(m.toDouble * m) * lit(pow2R.toDouble) / col("s_total").cast("double"))
+      .withColumn("hll_estimate",
+        when(col("raw") <= lit(2.5 * m) && col("nb") < lit(m.toLong),
+          lit(m.toDouble) * log(lit(m.toDouble) /
+            (lit(m.toLong) - col("nb")).cast("double")))
+          .otherwise(col("raw")))
+      .select(col(groupCol), col("hll_estimate"))
+  }
+
   /** The d bucket indices of an item in a (depth × width) Count-Min
     * sketch: row i hashes md5(i ‖ ':' ‖ item) — independent rows via the
     * salt prefix, identical in the oracle's SQL.

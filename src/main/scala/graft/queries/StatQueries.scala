@@ -1555,6 +1555,138 @@ object StatQueries {
     |  FROM d$prev p LEFT JOIN r$k r ON p.id = r.id
     |)""".stripMargin
 
+  private def anfRegRound(t: Int): String = s"""
+    |, h$t AS (
+    |  SELECT id, bucket, max(reg) AS reg FROM (
+    |    SELECT id, bucket, reg FROM h${t - 1}
+    |    UNION ALL
+    |    SELECT e.src::BIGINT AS id, h.bucket, h.reg
+    |    FROM h${t - 1} h JOIN edges e ON h.id = e.dst
+    |  ) GROUP BY 1, 2
+    |)""".stripMargin
+
+  private def anfEstRound(t: Int): String = s"""
+    |, agg$t AS (
+    |  SELECT id, sum(1::BIGINT << CAST(40 - reg AS INTEGER)) AS s_present,
+    |         count(*) AS nb
+    |  FROM h$t GROUP BY 1
+    |), raw$t AS (
+    |  SELECT id, nb,
+    |         (0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 512.0::DOUBLE))
+    |           * 262144.0::DOUBLE * 1099511627776.0::DOUBLE
+    |           / (s_present + (512 - nb) * 1099511627776)::DOUBLE AS raw
+    |  FROM agg$t
+    |), est$t AS (
+    |  SELECT $t::BIGINT AS t,
+    |         CAST(sum(CAST(round(
+    |           CASE WHEN raw <= 1280.0 AND nb < 512
+    |                THEN 512.0 * ln(512.0 / (512 - nb)::DOUBLE)
+    |                ELSE raw END, 6)
+    |           AS DECIMAL(38,6))) AS DOUBLE) AS nf_est
+    |  FROM raw$t
+    |)""".stripMargin
+
+  private def anfReachRound(t: Int): String = s"""
+    |, r$t AS (
+    |  SELECT DISTINCT v, u FROM (
+    |    SELECT v, u FROM r${t - 1}
+    |    UNION ALL
+    |    SELECT p.v, e.dst::BIGINT AS u FROM r${t - 1} p JOIN edges e ON p.u = e.src
+    |  )
+    |), x$t AS (SELECT $t::BIGINT AS t, count(*)::BIGINT AS nf_exact FROM r$t)""".stripMargin
+
+  private val hyperAnf = QueryDef(
+    "graph_hyperanf_nf",
+    "HyperANF neighborhood function + effective diameter (Boldi, Rosa " +
+      "& Vigna 2011) — the distance-distribution machinery for graphs " +
+      "where all-pairs reachability is unaffordable: one portable-md5 " +
+      "HLL counter per node (the sketch_hll_distinct registers), " +
+      "advanced per round by register max-merge over out-edges — one " +
+      "edge join + one (id, bucket) groupBy(max) per round over " +
+      "nodes×512 sparse rows, where the exact t-ball needs O(n²) pairs " +
+      "re-distincted every round. The merge is associative/idempotent, " +
+      "so a round-t counter IS the HLL of the exact t-ball " +
+      "(HyperAnfSpec asserts register equality); N(t) = Σ_v estimate " +
+      "(per-node estimates rounded at 6 then DECIMAL-summed — the " +
+      "order-independent float-sum channel), the exact all-pairs N(t) " +
+      "rides beside it as the yardstick, and reaches_90pct marks the " +
+      "effective-diameter threshold t (smallest t with N(t) ≥ 0.9 of " +
+      "the final round). The oracle replays every round's registers " +
+      "bit-for-bit AND the exact reach sets in unrolled CTEs.",
+    (s, dir) => {
+      val T = 3
+      val nation = Tables.nation(s, dir)
+        .select(col("n_nationkey").cast("long").as("id"))
+      val edges = nationTradeSelective(s, dir)
+        .select(col("src").cast("long").as("src"),
+          col("dst").cast("long").as("dst"))
+      val regRounds = (1 to T).scanLeft(
+        graft.operators.HyperAnf.initRegisters(nation, "id")) { (r, _) =>
+        graft.operators.HyperAnf.advance(r, edges)
+      }
+      val nfEst = regRounds.zipWithIndex.map { case (r, t) =>
+        graft.operators.Sketches.hllEstimateCorrected(r, "id")
+          .agg(sum(round(col("hll_estimate"), 6).cast("decimal(38,6)"))
+            .cast("double").as("nf_est"))
+          .select(lit(t.toLong).as("t"), col("nf_est"))
+      }.reduce(_ unionByName _)
+      val pairs0 = nation.select(col("id").as("v"), col("id").as("u"))
+      // unqualified names (u/src unique across the two sides) — df("col")
+      // refs trip the ambiguous-self-join check on iterated reuse of the
+      // same edges plan
+      val reachRounds = (1 to T).scanLeft(pairs0) { (pr, _) =>
+        pr.unionByName(pr.join(edges, col("u") === col("src"))
+          .select(col("v"), col("dst").as("u"))).distinct()
+      }
+      val nfExact = reachRounds.zipWithIndex.map { case (r, t) =>
+        r.agg(count(lit(1)).as("nf_exact"))
+          .select(lit(t.toLong).as("t"), col("nf_exact"))
+      }.reduce(_ unionByName _)
+      val fin = nfEst.filter(col("t") === T)
+        .select(col("nf_est").as("nf_final"))
+      nfEst.join(nfExact, Seq("t")).crossJoin(broadcast(fin))
+        .select(col("t"), round(col("nf_est"), 4).as("nf_est"),
+          col("nf_exact"),
+          round((col("nf_est") - col("nf_exact").cast("double")) /
+            col("nf_exact").cast("double"), 6).as("rel_err"),
+          when(col("nf_est") >= lit(0.9) * col("nf_final"), lit(1L))
+            .otherwise(lit(0L)).as("reaches_90pct"))
+        .orderBy(col("t"))
+    },
+    Some(("""
+      |WITH edges AS (
+      |  SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  WHERE o.o_orderpriority = '1-URGENT' AND l.l_quantity > 45
+      |), v AS (SELECT n_nationkey::BIGINT AS id FROM nation),
+      |hh AS (
+      |  SELECT id, ('0x' || substring(md5(id::VARCHAR), 1, 12))::BIGINT AS h FROM v
+      |), h0 AS (
+      |  SELECT id, h & 511 AS bucket,
+      |         CASE WHEN (h >> 9) = 0 THEN 40::BIGINT
+      |              ELSE bit_count(((h >> 9) & -(h >> 9)) - 1) + 1 END AS reg
+      |  FROM hh
+      |), r0 AS (SELECT id AS v, id AS u FROM v),
+      |x0 AS (SELECT 0::BIGINT AS t, count(*)::BIGINT AS nf_exact FROM r0)
+      """.stripMargin.trim
+      + anfRegRound(1) + anfRegRound(2) + anfRegRound(3)
+      + anfEstRound(0) + anfEstRound(1) + anfEstRound(2) + anfEstRound(3)
+      + anfReachRound(1) + anfReachRound(2) + anfReachRound(3) + """
+      |, est AS (SELECT * FROM est0 UNION ALL SELECT * FROM est1
+      |          UNION ALL SELECT * FROM est2 UNION ALL SELECT * FROM est3)
+      |, ex AS (SELECT * FROM x0 UNION ALL SELECT * FROM x1
+      |         UNION ALL SELECT * FROM x2 UNION ALL SELECT * FROM x3)
+      |SELECT e.t, round(e.nf_est, 4) AS nf_est, x.nf_exact,
+      |       round((e.nf_est - x.nf_exact::DOUBLE) / x.nf_exact::DOUBLE, 6)
+      |         AS rel_err,
+      |       CASE WHEN e.nf_est >= 0.9 * (SELECT nf_est FROM est3)
+      |            THEN 1::BIGINT ELSE 0::BIGINT END AS reaches_90pct
+      |FROM est e JOIN ex x USING (t)
+      |ORDER BY t
+      """.stripMargin)))
+
   private val bfs = QueryDef(
     "graph_bfs_nations",
     "Single-source BFS (hop-count shortest path, 3 relaxation rounds) " +
@@ -5606,5 +5738,5 @@ object StatQueries {
       friedman, bartlett, periodDetect, pettitt, powerMde, markovStationary,
       richClub, cohensD, reciprocity, peakHour,
       wilcoxonSigned, pacfDaily, wilsonCi, trimmedMean, katz, pageTrend,
-      randomWalks, walkSkipgrams, bootstrapAccCi, forecastMase)
+      randomWalks, walkSkipgrams, bootstrapAccCi, forecastMase, hyperAnf)
 }
