@@ -220,11 +220,14 @@ object IvfProbeRule extends Rule[LogicalPlan] {
     * intervening Project if the distance is a projected alias.
     */
   private def sortQueryVector(order: Seq[SortOrder], child: LogicalPlan): Option[Array[Float]] = {
+    // try BOTH argument positions: users write cosine_distance(col, q)
+    // and cosine_distance(q, col) interchangeably (the metric is
+    // symmetric). The previous two-case form was unreachable for the
+    // second pattern (the first matched every node), so a literal-first
+    // call silently never got the index rewrite.
     def fromExpr(e: Expression): Option[Array[Float]] = e match {
-      case CosineDistance(_, r) => literalVector(r)
-      case CosineDistance(l, _) => literalVector(l)
-      case L2Distance(_, r)     => literalVector(r)
-      case L2Distance(l, _)     => literalVector(l)
+      case CosineDistance(l, r) => literalVector(r).orElse(literalVector(l))
+      case L2Distance(l, r)     => literalVector(r).orElse(literalVector(l))
       case _                    => None
     }
     order.headOption.filter(_.direction == Ascending).flatMap { so =>

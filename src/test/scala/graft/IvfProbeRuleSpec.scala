@@ -44,6 +44,31 @@ class IvfProbeRuleSpec extends SparkSpec {
     }
   }
 
+  test("rewrite fires with the query vector in EITHER argument position (metric symmetry)") {
+    import org.apache.spark.sql.functions._
+    withIndexDir { (dir, cents) =>
+      IvfCatalog.register(dir, cents, nprobe = 3)
+      spark.catalog.clearCache()
+      // literal-FIRST distance — the argument order the unreachable
+      // second match arm silently dropped before the r18 fix
+      val hits = Ann.readIndexed(spark, dir)
+        .withColumn("distance_score",
+          graft.functions.VectorFunctions.cosineDistance(
+            typedLit(q), col("embedding")))
+        .orderBy(col("distance_score").asc, col("vec_id").asc)
+        .limit(10)
+      val scan = hits.queryExecution.executedPlan.collectLeaves()
+        .collectFirst { case s: FileSourceScanExec => s }.get
+      assert(scan.selectedPartitions.partitionCount == 3,
+        s"literal-first call must get the same probe pruning, scanned " +
+          s"${scan.selectedPartitions.partitionCount}")
+      val expect = Knn.search(Ann.readIndexed(spark, dir), "embedding",
+        "vec_id", q, k = 10).select("vec_id").collect().map(_.getLong(0)).toSeq
+      assert(hits.select("vec_id").collect().map(_.getLong(0)).toSeq == expect,
+        "metric symmetry: both argument orders rank identically")
+    }
+  }
+
   test("hybrid search through the rule: label predicate AND probe pruning compose") {
     import org.apache.spark.sql.functions.col
     withIndexDir { (dir, cents) =>
