@@ -92,6 +92,32 @@ object VectorFunctions {
   def dequantizeInt8(q: Column, amax: Column): Column =
     transform(q, x => (x.cast("double") * amax / 127.0).cast("float"))
 
+  /** [[quantizeInt8]] with SATURATION — for calibrated scales that do
+    * not dominate the data (a SAMPLED amax: components above the
+    * calibration max must clip to ±127, exactly what a deployed int8
+    * model does). Same half-up arithmetic as `QuantizedEmbedder`
+    * (floor(x·127/amax + 0.5), clamp) so the encode-time and
+    * backfill-time seams are bit-identical and share one oracle form.
+    * Same O(d) contract as [[quantizeInt8]]: `amax` must be a
+    * materialized column or literal.
+    */
+  def quantizeInt8Clamped(v: Column, amax: Column): Column =
+    transform(v, x =>
+      when(amax === 0.0, lit(0))
+        .otherwise(greatest(lit(-127.0),
+          least(lit(127.0),
+            floor(x.cast("double") * 127.0 / amax + lit(0.5)))).cast("int")))
+
+  /** Per-vector count of components [[quantizeInt8Clamped]] SATURATES
+    * at the given scale — the calibration-quality telemetry (0 under a
+    * dominating full-corpus amax by construction).
+    */
+  def clippedCount(v: Column, amax: Column): Column =
+    size(filter(v, x => {
+      val raw = floor(x.cast("double") * 127.0 / amax + lit(0.5))
+      raw > 127.0 || raw < -127.0
+    }))
+
   /** First 15 hex chars of md5 as a non-negative BIGINT — a portable,
     * SQL-reproducible 60-bit hash (DuckDB: `('0x' ||
     * substring(md5(x),1,15))::BIGINT`). Used for minhash/fingerprints so

@@ -60,8 +60,17 @@ object Sketches {
     */
   def hdrBuckets(df: DataFrame, valueCol: String, k: Int): DataFrame = {
     require(k >= 2 && Integer.bitCount(k) == 1, s"k=$k must be a power of two >= 2")
+    // enforce the POSITIVE precondition per row (same codegen'd guard
+    // as RandomWalks.withIntervals, ADVICE r18): c = 0 would silently
+    // yield the garbage bucket (hdr_exp=0, hdr_sub=-k), and negative
+    // values diverge between Spark conv (unsigned two's complement)
+    // and DuckDB bin — fail loudly instead of bucketing nonsense.
     df.withColumn("hdr_exp",
-        (length(conv(col(valueCol), 10, 2)) - 1).cast("int"))
+        when(col(valueCol) > 0,
+          (length(conv(col(valueCol), 10, 2)) - 1).cast("int"))
+          .otherwise(raise_error(concat(
+            lit(s"Sketches.hdrBuckets: $valueCol must be > 0, got "),
+            col(valueCol).cast("string")))))
       .withColumn("hdr_pow", expr("shiftleft(cast(1 as bigint), hdr_exp)"))
       .withColumn("hdr_sub", expr(s"(($valueCol - hdr_pow) * $k) div hdr_pow"))
       .withColumn("hdr_bucket",
@@ -111,6 +120,27 @@ object Sketches {
       .select(col(groupCol), col("hll_estimate"))
   }
 
+  /** Linear-counting lookup m·ln(m/(m−nb)) for nb ∈ [1, m−1], computed
+    * ONCE driver-side and shipped as an array literal — the correction
+    * value is a function of nb alone, so pre-tabulating removes libm
+    * `ln` from the gated channel entirely (ADVICE r18: Spark log vs
+    * DuckDB ln last-ulp rounding is unspecified; [[hllEstimate]]'s doc
+    * rejects libm for bit-gated channels). Oracles embed the SAME
+    * literals via [[lcLookupSqlArray]] (Double.toString round-trips
+    * exactly and DuckDB's parse is correctly rounded, so both engines
+    * read identical doubles by construction).
+    */
+  private[graft] def lcTable(p: Int): Seq[Double] = {
+    val m = 1 << p
+    (1 until m).map(nb => m.toDouble * math.log(m.toDouble / (m - nb).toDouble))
+  }
+
+  /** The [[lcTable]] literals as a DuckDB `[…]::DOUBLE[]` array literal
+    * (1-indexed by nb, like Spark's `element_at`).
+    */
+  private[graft] def lcLookupSqlArray(p: Int): String =
+    lcTable(p).mkString("[", ", ", "]::DOUBLE[]")
+
   /** [[hllEstimate]] with Flajolet et al.'s SMALL-RANGE correction:
     * when the raw estimate is ≤ 2.5·m and empty registers exist,
     * linear counting m·ln(m/V) (V = empty registers) replaces it — the
@@ -118,7 +148,10 @@ object Sketches {
     * against m even when the graph is huge), where the raw harmonic
     * estimator overshoots by ~m/cardinality. The large-range path is
     * bit-identical to [[hllEstimate]], so large-cardinality consumers
-    * see the same numbers.
+    * see the same numbers. The LC value comes from the pre-tabulated
+    * [[lcTable]] literal (one `element_at` on a broadcast-const array),
+    * never a runtime `ln` — see [[lcTable]] for the cross-engine
+    * rationale.
     */
   def hllEstimateCorrected(registers: DataFrame, groupCol: String,
                            p: Int = 9): DataFrame = {
@@ -137,8 +170,7 @@ object Sketches {
         alpha * lit(m.toDouble * m) * lit(pow2R.toDouble) / col("s_total").cast("double"))
       .withColumn("hll_estimate",
         when(col("raw") <= lit(2.5 * m) && col("nb") < lit(m.toLong),
-          lit(m.toDouble) * log(lit(m.toDouble) /
-            (lit(m.toLong) - col("nb")).cast("double")))
+          element_at(typedLit(lcTable(p)), col("nb").cast("int")))
           .otherwise(col("raw")))
       .select(col(groupCol), col("hll_estimate"))
   }

@@ -179,9 +179,16 @@ object IvfProbeRule extends Rule[LogicalPlan] {
     * Ties keep the established precedence (ivf default, lsh must be
     * strictly cheaper, hnsw strictly cheaper than both probe paths, pq
     * strictly cheaper than all three); missing probe stats fall back
-    * to IVF exactly like [[chooseServing]]. Returns
-    * (chosen, ivfBytes, lshBytes, hnswBytes, pqBytes) so a gated query
-    * can replay the whole decision.
+    * to IVF exactly like [[chooseServing]]. The fallback stays IVF even
+    * though the HNSW and PQ bounds are computable without probe stats
+    * (ADVICE r18, deliberate): with the probe paths unpriceable the
+    * router cannot certify that pq/hnsw actually beat them, IVF
+    * degrades gracefully (bounded by the nprobe/nlist fraction of the
+    * corpus), and a stats hiccup must not flip the serving family —
+    * index choice stays sticky under partial information, matching
+    * [[chooseIndex]]/[[chooseServing]] precedent (IvfProbeRuleSpec pins
+    * this). Returns (chosen, ivfBytes, lshBytes, hnswBytes, pqBytes) so
+    * a gated query can replay the whole decision.
     */
   def chooseServing4(qv: Array[Float], ivf: IvfCatalog.IvfIndex,
                      lsh: LshCatalog.LshIndex, hnswShards: Int,
@@ -199,6 +206,63 @@ object IvfProbeRule extends Rule[LogicalPlan] {
         Ann.queryBucket(qv, lsh.planes), lsh.planes.length, lsh.radius)
       val ivfBytes = ivfProbes.map(c => ivf.clusterRows.getOrElse(c, 0L)).sum * vecBytes
       val lshBytes = lshProbes.map(b => lsh.bucketRows.getOrElse(b, 0L)).sum * vecBytes
+      val chosen =
+        if (pqBytes < ivfBytes && pqBytes < lshBytes && pqBytes < hnswBytes) "pq"
+        else if (hnswBytes < ivfBytes && hnswBytes < lshBytes) "hnsw"
+        else if (lshBytes < ivfBytes) "lsh"
+        else "ivf"
+      (chosen, ivfBytes, lshBytes, hnswBytes, pqBytes)
+    }
+  }
+
+  /** BATCH-aware serving cost choice — [[chooseServing4]] priced for a
+    * whole query batch instead of a single query (r18 verdict #1),
+    * because the economics INVERT with batch size: PQ's corpus scan is
+    * ONE ADC pass over the codes column no matter how many queries ride
+    * it (each row's per-query distance is a table lookup — CPU, not
+    * bytes), so its N·m scan bytes AMORTIZE across the batch, while the
+    * probe paths and the graph router pay per query. Total bytes for a
+    * batch of B queries:
+    *   - IVF / LSH: Σ over the batch's per-query probe sets × dim·4
+    *     (each query scans its own probe partitions);
+    *   - routed HNSW: B × min(nShards, nprobe)·efSearch × dim·4
+    *     (the closed-form re-rank bound, per query);
+    *   - PQ/ADC: corpusRows × m  +  B × shortlist × dim·4 (one shared
+    *     code scan + per-query shortlist rescores).
+    * Consequence: hnsw wins the SMALL-batch regime once the corpus is
+    * large enough that one code scan costs more than a few routed
+    * beams, and pq wins the LARGE-batch regime where the shared scan
+    * amortizes below B beams — the decision must flip on batch size
+    * alone, which `ann_cost_serving_batch` gates and
+    * IvfProbeRuleSpec pins on synthetic stats. Tie/fallback discipline
+    * is [[chooseServing4]]'s verbatim (ivf default; missing probe stats
+    * → ivf with -1 probe estimates — same stickiness rationale).
+    * Returns (chosen, ivfBytes, lshBytes, hnswBytes, pqBytes) — TOTAL
+    * batch bytes per family, so a gated query can replay the decision.
+    */
+  def chooseServingBatch(qvs: Seq[Array[Float]], ivf: IvfCatalog.IvfIndex,
+                         lsh: LshCatalog.LshIndex, hnswShards: Int,
+                         hnswNprobe: Int, efSearch: Int, dim: Int,
+                         pqCorpusRows: Long, pqM: Int, pqShortlist: Int)
+      : (String, Long, Long, Long, Long) = {
+    require(qvs.nonEmpty, "chooseServingBatch needs at least one query")
+    val vecBytes = dim.toLong * 4
+    val b = qvs.length.toLong
+    val hnswBytes =
+      b * math.min(hnswShards, hnswNprobe).toLong * efSearch * vecBytes
+    val pqBytes = pqCorpusRows * pqM + b * pqShortlist.toLong * vecBytes
+    if (ivf.clusterRows.isEmpty || lsh.bucketRows.isEmpty)
+      ("ivf", -1L, -1L, hnswBytes, pqBytes)
+    else {
+      val ivfBytes = qvs.map { qv =>
+        Ann.probeIds(qv, ivf.centroids, ivf.nprobe)
+          .map(c => ivf.clusterRows.getOrElse(c, 0L)).sum
+      }.sum * vecBytes
+      val lshBytes = qvs.map { qv =>
+        Ann.probeBuckets(Ann.queryBucket(qv, lsh.planes),
+            lsh.planes.length, lsh.radius)
+          .map(bk => lsh.bucketRows.getOrElse(bk, 0L)).sum
+      }.sum * vecBytes
       val chosen =
         if (pqBytes < ivfBytes && pqBytes < lshBytes && pqBytes < hnswBytes) "pq"
         else if (hnswBytes < ivfBytes && hnswBytes < lshBytes) "hnsw"

@@ -44,7 +44,7 @@ object DedupQueries {
     * `Dedup.DefaultMaxShingleDf` — the Σ df² guard; n_sh keeps the FULL
     * set size, the cap only prunes pair generation).
     */
-  private val duckCappedIndex =
+  private[queries] val duckCappedIndex =
     s"""ex0 AS (
        |  SELECT doc_id, len(shingles)::BIGINT AS n_sh,
        |         unnest(list_transform(shingles, x -> ('0x' || substring(md5(x), 1, 12))::BIGINT)) AS s FROM sh

@@ -11,10 +11,13 @@ import org.apache.spark.sql.types.{DataType, DecimalType, DoubleType, TimestampT
   * blocked fuzzy record linkage (edit-distance matching that dedupes
   * the key space BEFORE the quadratic comparison step).
   *
-  * Reference behavior anchor: the reference validates its hotel corpus
-  * shape before indexing (TripGoGo-Vector-Search gvsplay.py:34-58 —
-  * schema + row-count sanity on the CSV before vectorization); these
-  * operators are that validation step re-expressed as engine queries.
+  * Reference behavior anchor: the reference's pre-index validation is
+  * only IMPLICIT — ingest_hotels.py:9 reads the fixed-schema CSV and
+  * the INSERT at ingest_hotels.py:28-36 assumes the nine expected
+  * columns exist and are well-typed, crashing on any drift. These
+  * operators are the explicit, engine-native form of that sanity step,
+  * required by the driver's 100 TB training-data-pipeline mandate (no
+  * direct reference counterpart beyond the implicit schema contract).
   */
 object QualityQueries {
 

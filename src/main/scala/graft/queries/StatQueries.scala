@@ -1565,6 +1565,10 @@ object StatQueries {
     |  ) GROUP BY 1, 2
     |)""".stripMargin
 
+  /** Per-round estimate CTEs. The linear-counting branch reads the SAME
+    * pre-tabulated literal array as `Sketches.hllEstimateCorrected`
+    * (`lc` CTE below) — no libm ln in the gated channel (ADVICE r18).
+    */
   private def anfEstRound(t: Int): String = s"""
     |, agg$t AS (
     |  SELECT id, sum(1::BIGINT << CAST(40 - reg AS INTEGER)) AS s_present,
@@ -1580,11 +1584,16 @@ object StatQueries {
     |  SELECT $t::BIGINT AS t,
     |         CAST(sum(CAST(round(
     |           CASE WHEN raw <= 1280.0 AND nb < 512
-    |                THEN 512.0 * ln(512.0 / (512 - nb)::DOUBLE)
+    |                THEN arr[nb]
     |                ELSE raw END, 6)
     |           AS DECIMAL(38,6))) AS DOUBLE) AS nf_est
-    |  FROM raw$t
+    |  FROM raw$t CROSS JOIN lc
     |)""".stripMargin
+
+  /** The shared linear-counting literal CTE (append once per oracle). */
+  private def anfLcCte: String =
+    s"\n|, lc AS (SELECT ${graft.operators.Sketches.lcLookupSqlArray(9)} AS arr)"
+      .stripMargin
 
   private def anfReachRound(t: Int): String = s"""
     |, r$t AS (
@@ -1671,7 +1680,7 @@ object StatQueries {
       |), r0 AS (SELECT id AS v, id AS u FROM v),
       |x0 AS (SELECT 0::BIGINT AS t, count(*)::BIGINT AS nf_exact FROM r0)
       """.stripMargin.trim
-      + anfRegRound(1) + anfRegRound(2) + anfRegRound(3)
+      + anfRegRound(1) + anfRegRound(2) + anfRegRound(3) + anfLcCte
       + anfEstRound(0) + anfEstRound(1) + anfEstRound(2) + anfEstRound(3)
       + anfReachRound(1) + anfReachRound(2) + anfReachRound(3) + """
       |, est AS (SELECT * FROM est0 UNION ALL SELECT * FROM est1
@@ -1684,6 +1693,107 @@ object StatQueries {
       |       CASE WHEN e.nf_est >= 0.9 * (SELECT nf_est FROM est3)
       |            THEN 1::BIGINT ELSE 0::BIGINT END AS reaches_90pct
       |FROM est e JOIN ex x USING (t)
+      |ORDER BY t
+      """.stripMargin)))
+
+  private val hyperAnfDocs = QueryDef(
+    "graph_hyperanf_docs",
+    "HyperANF at CORPUS cardinality (r18 verdict #5) — the register " +
+      "machinery pointed at a document-sized graph: nodes are the " +
+      "documents table, edges the Jaccard ≥ 0.3 near-dup pair graph " +
+      "(both directions — the dedup_clusters edge set), so the " +
+      "register relation runs at nodes×512 sparse rows over the " +
+      "corpus itself, which is the operator's whole point vs exact " +
+      "reachability (per-round state nodes×m, never O(n²) pairs). " +
+      "Per-node counters live deep in the small-range regime (near-dup " +
+      "balls are tiny against m=512), so every estimate rides the " +
+      "linear-counting branch — through the pre-tabulated lc literal " +
+      "lookup, the same literals the oracle reads (no libm ln in the " +
+      "channel; ADVICE r18). Two max-merge rounds (near-dup clusters " +
+      "are shallow), N(t) = per-node estimates rounded at 6 and " +
+      "DECIMAL-summed, exact all-pairs reach beside it as the " +
+      "yardstick (affordable ONLY because balls are cluster-bounded — " +
+      "Σ ball sizes, not n²), reaches_90pct marking the effective-" +
+      "diameter threshold. The oracle replays shingles → capped " +
+      "inverted index → edge set → every round's registers " +
+      "bit-for-bit → lc-lookup estimates → exact reach closures in " +
+      "unrolled CTEs.",
+    (s, dir) => {
+      val T = 2
+      val d = Tables.documentsSpread(s, dir)
+      val nodes = d.select(col("doc_id").cast("long").as("id"))
+      val pairs = graft.operators.Dedup.ngramJaccardPairs(d, "text",
+        "doc_id", shingleK = 3, threshold = 0.3,
+        maxShingleDf = Some(graft.operators.Dedup.DefaultMaxShingleDf))
+      val edges = pairs
+        .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
+        .unionByName(pairs
+          .select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
+      val regRounds = (1 to T).scanLeft(
+        graft.operators.HyperAnf.initRegisters(nodes, "id")) { (r, _) =>
+        graft.operators.HyperAnf.advance(r, edges)
+      }
+      val nfEst = regRounds.zipWithIndex.map { case (r, t) =>
+        graft.operators.Sketches.hllEstimateCorrected(r, "id")
+          .agg(sum(round(col("hll_estimate"), 6).cast("decimal(38,6)"))
+            .cast("double").as("nf_est"))
+          .select(lit(t.toLong).as("t"), col("nf_est"))
+      }.reduce(_ unionByName _)
+      val pairs0 = nodes.select(col("id").as("v"), col("id").as("u"))
+      val reachRounds = (1 to T).scanLeft(pairs0) { (pr, _) =>
+        pr.unionByName(pr.join(edges, col("u") === col("src"))
+          .select(col("v"), col("dst").as("u"))).distinct()
+      }
+      val nfExact = reachRounds.zipWithIndex.map { case (r, t) =>
+        r.agg(count(lit(1)).as("nf_exact"))
+          .select(lit(t.toLong).as("t"), col("nf_exact"))
+      }.reduce(_ unionByName _)
+      val fin = nfEst.filter(col("t") === T)
+        .select(col("nf_est").as("nf_final"))
+      nfEst.join(nfExact, Seq("t")).crossJoin(broadcast(fin))
+        .select(col("t"), round(col("nf_est"), 4).as("nf_est"),
+          col("nf_exact"),
+          round((col("nf_est") - col("nf_exact").cast("double")) /
+            col("nf_exact").cast("double"), 6).as("rel_err"),
+          when(col("nf_est") >= lit(0.9) * col("nf_final"), lit(1L))
+            .otherwise(lit(0L)).as("reaches_90pct"))
+        .orderBy(col("t"))
+    },
+    Some((s"""
+      |${DedupQueries.duckShingles}, ${DedupQueries.duckCappedIndex}, jpairs AS (
+      |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, x.n_sh AS na, y.n_sh AS nb, count(*) AS common
+      |  FROM ex x JOIN ex y ON x.s = y.s AND x.doc_id < y.doc_id
+      |  GROUP BY 1, 2, 3, 4
+      |), edges0 AS (
+      |  SELECT id_a, id_b FROM jpairs
+      |  WHERE round(common::DOUBLE / (na + nb - common)::DOUBLE, 6) >= 0.3
+      |), edges AS (
+      |  SELECT id_a::BIGINT AS src, id_b::BIGINT AS dst FROM edges0
+      |  UNION SELECT id_b::BIGINT, id_a::BIGINT FROM edges0
+      |), v AS (SELECT doc_id::BIGINT AS id FROM documents),
+      |hh AS (
+      |  SELECT id, ('0x' || substring(md5(id::VARCHAR), 1, 12))::BIGINT AS h FROM v
+      |), h0 AS (
+      |  SELECT id, h & 511 AS bucket,
+      |         CASE WHEN (h >> 9) = 0 THEN 40::BIGINT
+      |              ELSE bit_count(((h >> 9) & -(h >> 9)) - 1) + 1 END AS reg
+      |  FROM hh
+      |), r0 AS (SELECT id AS v, id AS u FROM v),
+      |x0 AS (SELECT 0::BIGINT AS t, count(*)::BIGINT AS nf_exact FROM r0)
+      """.stripMargin.trim
+      + anfRegRound(1) + anfRegRound(2) + anfLcCte
+      + anfEstRound(0) + anfEstRound(1) + anfEstRound(2)
+      + anfReachRound(1) + anfReachRound(2) + """
+      |, est AS (SELECT * FROM est0 UNION ALL SELECT * FROM est1
+      |          UNION ALL SELECT * FROM est2)
+      |, ex2 AS (SELECT * FROM x0 UNION ALL SELECT * FROM x1
+      |          UNION ALL SELECT * FROM x2)
+      |SELECT e.t, round(e.nf_est, 4) AS nf_est, x.nf_exact,
+      |       round((e.nf_est - x.nf_exact::DOUBLE) / x.nf_exact::DOUBLE, 6)
+      |         AS rel_err,
+      |       CASE WHEN e.nf_est >= 0.9 * (SELECT nf_est FROM est2)
+      |            THEN 1::BIGINT ELSE 0::BIGINT END AS reaches_90pct
+      |FROM est e JOIN ex2 x USING (t)
       |ORDER BY t
       """.stripMargin)))
 
@@ -5738,5 +5848,6 @@ object StatQueries {
       friedman, bartlett, periodDetect, pettitt, powerMde, markovStationary,
       richClub, cohensD, reciprocity, peakHour,
       wilcoxonSigned, pacfDaily, wilsonCi, trimmedMean, katz, pageTrend,
-      randomWalks, walkSkipgrams, bootstrapAccCi, forecastMase, hyperAnf)
+      randomWalks, walkSkipgrams, bootstrapAccCi, forecastMase, hyperAnf,
+      hyperAnfDocs)
 }

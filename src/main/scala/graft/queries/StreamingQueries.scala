@@ -261,6 +261,108 @@ object StreamingQueries {
       NswServeStore.lastDir.flatMap(NswServeStore.cands.get)
         .map(VectorQueries.duckNswBatchSql(_, k = 3))))
 
+  /** One run-to-completion COST-ROUTED serving stream per (sfDir, JVM):
+    * the knn_batch query vectors replay as two MemoryStream
+    * micro-batches (2 then 3 queries) through
+    * [[VectorServing.serveAutoKnn]] — every micro-batch is priced by
+    * the batch-aware four-way byte model over the SAME hybrid/NSW/PQ
+    * stores the batch gates read, and served on the family the model
+    * picks. Decisions + candidate ids are recorded per batch for the
+    * late oracle.
+    */
+  private object AutoServeStore {
+    private val done = scala.collection.concurrent.TrieMap.empty[String, String]
+    val chosen = scala.collection.concurrent.TrieMap.empty[String, Map[String, String]]
+    val cands = scala.collection.concurrent.TrieMap
+      .empty[String, Map[String, Map[Int, Seq[Long]]]]
+    @volatile var lastDir: Option[String] = None
+
+    def legs: Seq[(String, Seq[(Int, Array[Float])])] = Seq(
+      "mb0" -> VectorQueries.batchQueryVecs.take(2),
+      "mb1" -> VectorQueries.batchQueryVecs.drop(2))
+
+    def ensure(s: SparkSession, dir: String): String = {
+      lastDir = Some(dir)
+      done.getOrElseUpdate(dir, {
+        val root = TmpStores.pidScopedPath("graft_stream_autoserve", dir)
+        new scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
+        val out = s"$root/results"
+        val corpus = Tables.embeddings(s, dir)
+        val cents = graft.operators.Ann.seededCentroids(
+          corpus, "embedding", "vec_id", nlist = 8)
+        val planes = graft.operators.Ann.signPlanes(dim = 64, nBits = 8)
+        val (path, clusterRows, bucketRows) =
+          VectorQueries.HybridIndexStore.ensure(s, dir, cents, planes)
+        val idx = VectorServing.AutoServingIndexes(
+          graft.plans.IvfCatalog.IvfIndex(cents, 3, clusterRows),
+          graft.plans.LshCatalog.LshIndex(planes, 2, bucketRows),
+          graft.operators.Ann.readIndexed(s, path),
+          graft.operators.Nsw.readGraph(s, VectorQueries.NswStore.ensure(s, dir)),
+          corpus,
+          VectorQueries.NswRouterStore.ensure(s, dir),
+          VectorQueries.NswRouterStore.nprobe, VectorQueries.NswStore.params,
+          graft.operators.Pq.readEncoded(s, VectorQueries.PqCodeStore.ensure(s, dir)),
+          VectorQueries.PqStore.ensure(s, dir),
+          dim = 64, corpusRows = clusterRows.values.sum,
+          pqM = VectorQueries.PqStore.M, pqShortlist = 16)
+        import s.implicits._
+        val input = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Int, Seq[Float])](s)
+        val qvecs = VectorQueries.batchQueryVecs.map { case (i, v) => (i, v.toSeq) }
+        val q = VectorServing.serveAutoKnn(
+          input.toDF().toDF("query_id", "query_vec"), idx,
+          "embedding", "vec_id", "query_vec", "query_id", k = 3,
+          s"$root/ckpt") { (batchId, ch, cds) =>
+          chosen(dir) = chosen.getOrElse(dir, Map.empty) + (s"mb$batchId" -> ch)
+          cands(dir) = cands.getOrElse(dir, Map.empty) + (s"mb$batchId" -> cds)
+        } { batchOut =>
+          batchOut.write.mode("append").parquet(out)
+        }
+        try {
+          input.addData(qvecs.take(2)); q.processAllAvailable()
+          input.addData(qvecs.drop(2)); q.processAllAvailable()
+        } finally q.stop()
+        out
+      })
+    }
+  }
+
+  private val streamServeAuto = QueryDef(
+    "stream_serve_auto",
+    "COST-ROUTED micro-batch serving run to completion (r18 verdict " +
+      "#1): the knn_batch query vectors stream through " +
+      "VectorServing.serveAutoKnn in two micro-batches (2 then 3 " +
+      "queries); EACH batch is priced by the batch-aware four-way " +
+      "byte model (chooseServingBatch — PQ's shared ADC scan " +
+      "amortizes across the batch, the graph router and probe paths " +
+      "pay per query) and served on the family it picks over the " +
+      "same persisted hybrid/NSW/PQ stores the batch gates read. The " +
+      "per-batch decision and all four byte totals ride every output " +
+      "row; the late oracle replays each micro-batch's decision in " +
+      "SQL (probe sets, closed forms, argmin, ivf-precedence ties) " +
+      "and re-ranks its chosen candidates (probe membership for " +
+      "ivf/lsh, THIS run's recorded shortlist/beam ids for pq/hnsw) " +
+      "— the single duckCostServingBatchSql builder shared with " +
+      "ann_cost_serving_batch, so streamed ≡ priced-batch is " +
+      "structural. At the fixture corpus both batches price pq; at " +
+      "sf0.1+ the 2-query batch flips to the graph router — the " +
+      "dispatch, not the fixture, is what is under test.",
+    (s, dir) => {
+      val out = AutoServeStore.ensure(s, dir)
+      s.read.parquet(out)
+        .select(col("batch_size"), col("query_id"), col("knn_rank"),
+          col("vec_id"), col("chosen_index"), col("est_ivf_b"),
+          col("est_lsh_b"), col("est_hnsw_b"), col("est_pq_b"),
+          col("distance"))
+        .orderBy(col("batch_size"), col("query_id"), col("knn_rank"))
+    },
+    oracle = None,
+    oracleLate = Some(() =>
+      AutoServeStore.lastDir.map { d =>
+        VectorQueries.duckCostServingBatchSql(AutoServeStore.legs,
+          AutoServeStore.cands.getOrElse(d, Map.empty), k = 3)
+      }))
+
   private val streamServe = QueryDef(
     "stream_serve_knn",
     "Micro-batch KNN serving run to completion: the knn_batch query " +
@@ -625,6 +727,170 @@ object StreamingQueries {
       |ORDER BY day
       """.stripMargin.trim))
 
+  /** Two-batch replay through the streaming HDR-histogram aggregation —
+    * the latency-percentile twin of [[HllStreamStore]] (r18 verdict
+    * #2): hdr bucket counts merge by ADDITION, so the streaming form
+    * is a complete-mode count per (event_type, bucket) with state
+    * bounded at |types|·64·k rows regardless of event volume — where a
+    * streaming exact percentile would hold every distinct value.
+    * Values are exact cents via the DECIMAL(12,2) channel, +1 so the
+    * zero-cent events the bigger fixtures contain stay inside
+    * hdrBuckets' POSITIVE domain (HdrHistogram's standard offset for
+    * zero-inclusive data; read-offs shift back).
+    */
+  private object HdrStreamStore {
+    val K = 16
+    def cents: org.apache.spark.sql.Column =
+      (col("value").cast(org.apache.spark.sql.types.DecimalType(12, 2)) * 100)
+        .cast("long") + lit(1L)
+
+    def ensure(s: SparkSession, dir: String): String =
+      TmpStores.memoizedTable("graft_stream_hdr", dir) { root =>
+        val ev = Tables.events(s, dir)
+          .select(col("event_id"), col("event_type"), col("value"))
+        val staging = s"$root/staging"
+        TmpStores.stageFile(ev.filter(pmod(col("event_id"), lit(2)) === 0),
+          staging, "batch1", 120000L)
+        TmpStores.stageFile(ev.filter(pmod(col("event_id"), lit(2)) === 1),
+          staging, "batch2", 60000L)
+        val out = s"$root/buckets"
+        val stream = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(staging)
+          .withColumn("c", cents)
+        val counts = graft.operators.Sketches.hdrBuckets(stream, "c", K)
+          .groupBy(col("event_type"), col("hdr_bucket"), col("hdr_pow"),
+            col("hdr_sub"))
+          .agg(count(lit(1)).as("cnt"))
+        val q = counts.writeStream
+          .outputMode("complete")
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            b.write.mode("overwrite").parquet(out); ()
+          }
+          .option("checkpointLocation", s"$root/ckpt")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        out
+      }
+  }
+
+  private val streamHdrQuantiles = QueryDef(
+    "stream_hdr_quantiles",
+    "Streaming latency-percentile telemetry at BOUNDED state: events " +
+      "replay as two file micro-batches through a complete-mode " +
+      "count per (event_type, hdr bucket) of the log2/linear " +
+      "HdrHistogram sketch (k=16 — state is ≤ |types|·64·16 counts " +
+      "at any event volume, where a streaming exact percentile holds " +
+      "every distinct value; this pairs with stream_hll_daily exactly " +
+      "as sketch_hdr pairs with sketch_hll). Bucket counts merge by " +
+      "addition, so the streamed snapshot must equal the batch bucket " +
+      "table EXACTLY — the registered query walks the FINAL streamed " +
+      "buckets for p50/p90/p99 per event type (targets in exact " +
+      "BIGINT, one double division at the midpoint) with the exact " +
+      "batch percentile beside it as the yardstick, and the oracle " +
+      "recomputes buckets, cumulative walk, targets, midpoints and " +
+      "the exact leg from scratch in SQL: a green hash proves the " +
+      "cross-micro-batch counts composed to the batch answer, bucket " +
+      "for bucket. Values ride the exact DECIMAL cents channel +1 " +
+      "(the zero-inclusive HdrHistogram offset — sf0.1+ fixtures " +
+      "contain 0.00 values; estimates and exact legs shift back on " +
+      "read-off, rel_err reads off the shifted domain to keep the " +
+      "denominator positive).",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val k = HdrStreamStore.K
+      val counts = s.read.parquet(HdrStreamStore.ensure(s, dir))
+      val wCum = Window.partitionBy(col("event_type")).orderBy(col("hdr_bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col("event_type"))
+      val withCum = counts
+        .withColumn("cum", sum(col("cnt")).over(wCum))
+        .withColumn("n", sum(col("cnt")).over(wAll))
+      val qDf = Seq(("p50", 1L, 2L), ("p90", 9L, 10L), ("p99", 99L, 100L))
+        .toDF("q", "qnum", "qden")
+      val est = withCum.crossJoin(broadcast(qDf))
+        .withColumn("target", expr("(n * qnum + qden - 1) div qden"))
+        .filter(col("cum") >= col("target"))
+        .groupBy(col("event_type"), col("q"))
+        .agg(min(struct(col("hdr_bucket"), col("hdr_pow"), col("hdr_sub"),
+          col("n"))).as("m"))
+        .select(col("event_type"), col("q"), col("m.n").as("n"),
+          (col("m.hdr_pow") * (col("m.hdr_sub") * 2 + lit(2 * k + 1)) /
+            lit((2 * k).toDouble)).as("est"))
+      val base = Tables.events(s, dir)
+        .select(col("event_type"), HdrStreamStore.cents.as("c"))
+      val exactVals = base.groupBy(col("event_type"), col("c"))
+        .agg(count(lit(1)).as("vc"))
+        .withColumn("vcum", sum(col("vc")).over(
+          Window.partitionBy(col("event_type")).orderBy(col("c"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("n", sum(col("vc")).over(wAll))
+      val exact = exactVals.crossJoin(broadcast(qDf))
+        .withColumn("target", expr("(n * qnum + qden - 1) div qden"))
+        .filter(col("vcum") >= col("target"))
+        .groupBy(col("event_type"), col("q"))
+        .agg(min(col("c")).as("exact_shift"))
+      est.join(exact, Seq("event_type", "q"))
+        .select(col("event_type"), col("q"), col("n"),
+          round(col("est") - lit(1.0), 4).as("est_cents"),
+          (col("exact_shift") - lit(1L)).as("exact_cents"),
+          round((col("est") - col("exact_shift").cast("double")) /
+            col("exact_shift").cast("double"), 6).as("rel_err"))
+        .orderBy(col("event_type"), col("q"))
+    },
+    Some("""
+      |WITH v AS (
+      |  SELECT event_type, CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) + 1 AS c
+      |  FROM events
+      |), b AS (
+      |  SELECT event_type, c, (length(bin(c)) - 1) AS e,
+      |         (1::BIGINT << (length(bin(c)) - 1)) AS pow
+      |  FROM v
+      |), bk AS (
+      |  SELECT event_type, e::BIGINT * 16 + ((c - pow) * 16) // pow AS bucket,
+      |         pow, ((c - pow) * 16) // pow AS sub, count(*) AS cnt
+      |  FROM b GROUP BY 1, 2, 3, 4
+      |), cum AS (
+      |  SELECT event_type, bucket, pow, sub, cnt,
+      |         sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket
+      |                        ROWS UNBOUNDED PRECEDING) AS cum,
+      |         sum(cnt) OVER (PARTITION BY event_type) AS n
+      |  FROM bk
+      |), qs AS (
+      |  SELECT * FROM (VALUES ('p50', 1::BIGINT, 2::BIGINT),
+      |                        ('p90', 9::BIGINT, 10::BIGINT),
+      |                        ('p99', 99::BIGINT, 100::BIGINT)) t(q, qnum, qden)
+      |), est AS (
+      |  SELECT event_type, q, min(n) AS n,
+      |         min_by(pow * (sub * 2 + 33), bucket) / 32.0 AS est
+      |  FROM cum CROSS JOIN qs
+      |  WHERE cum >= (n * qnum + qden - 1) // qden
+      |  GROUP BY 1, 2
+      |), ex AS (
+      |  SELECT event_type, c, count(*) AS vc FROM v GROUP BY 1, 2
+      |), excum AS (
+      |  SELECT event_type, c,
+      |         sum(vc) OVER (PARTITION BY event_type ORDER BY c
+      |                       ROWS UNBOUNDED PRECEDING) AS vcum,
+      |         sum(vc) OVER (PARTITION BY event_type) AS n
+      |  FROM ex
+      |), exact AS (
+      |  SELECT event_type, q, min(c) AS exact_shift
+      |  FROM excum CROSS JOIN qs
+      |  WHERE vcum >= (n * qnum + qden - 1) // qden
+      |  GROUP BY 1, 2
+      |)
+      |SELECT e.event_type, e.q, e.n::BIGINT AS n,
+      |       round(e.est - 1.0, 4) AS est_cents,
+      |       (x.exact_shift - 1)::BIGINT AS exact_cents,
+      |       round((e.est - x.exact_shift::DOUBLE) / x.exact_shift::DOUBLE, 6)
+      |         AS rel_err
+      |FROM est e JOIN exact x USING (event_type, q)
+      |ORDER BY event_type, q
+      """.stripMargin.trim))
+
   /** Two-batch time-split replay through the CEP matcher — batches cut
     * at day 15 so batch2's events all sit at-or-after batch1's
     * watermark frontier (no late drops; the stream ≡ batch contract
@@ -713,8 +979,102 @@ object StreamingQueries {
       |ORDER BY user_id, b_ts_ms, b_event_id, a_event_id
       """.stripMargin.trim))
 
+  /** Two-batch time-split replay through the CEP NEGATION matcher —
+    * the same day-15 cut as [[CepStore]] (batch 2 never carries rows
+    * behind batch 1's watermark frontier), so alerts pending across
+    * the boundary are suppressed or fired exactly as the batch algebra
+    * says.
+    */
+  private object CepNotStore {
+    val WithinMs: Long = 6L * 3600L * 1000L
+    def ensure(s: SparkSession, dir: String): String =
+      TmpStores.memoizedTable("graft_stream_cepnot", dir) { root =>
+        val ev = Tables.events(s, dir)
+          .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+        val minUs = ev.agg(min(unix_micros(col("ts")))).head().getLong(0)
+        val splitUs = minUs + 15L * 86400L * 1000000L
+        val staging = s"$root/staging"
+        TmpStores.stageFile(ev.filter(unix_micros(col("ts")) < splitUs),
+          staging, "batch1", 120000L)
+        TmpStores.stageFile(ev.filter(unix_micros(col("ts")) >= splitUs),
+          staging, "batch2", 60000L)
+        val out = s"$root/alerts"
+        val stream = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(staging)
+        import s.implicits._
+        val alerts = graft.streaming.PatternMatch.matchAThenNotB(
+          stream.withWatermark("ts", "0 seconds")
+            .as[graft.streaming.PatternMatch.EventIn],
+          aType = "view", bType = "purchase", withinMs = WithinMs)
+        val q = alerts.writeStream
+          .outputMode("append")
+          .format("parquet")
+          .option("path", out)
+          .option("checkpointLocation", s"$root/ckpt")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        out
+      }
+  }
+
+  private val streamPatternTimeout = QueryDef(
+    "stream_pattern_timeout",
+    "Streaming CEP NEGATION run to completion — view-then-NO-purchase " +
+      "within 6 h per user (the churn/abandonment alert; Flink CEP's " +
+      "notFollowedBy closed by a window): the complement of " +
+      "stream_pattern_match, and the first gate to exercise TIMEOUT-" +
+      "EMISSION semantics — state.hasTimedOut EMITS the expired A " +
+      "instead of just bounding state (r18 verdict #3). Two time-split " +
+      "file micro-batches; an in-window purchase SUPPRESSES the alert " +
+      "even when it arrives in a later micro-batch than its view, an " +
+      "in-window newer view supersedes silently (the clock restarts), " +
+      "an out-of-window event proves the negation inline (same row " +
+      "the timeout would emit — batching-invariant), and views whose " +
+      "window the final watermark never passed stay undecided and " +
+      "emit nothing. State is ONE (ts, id) pair per user. The oracle " +
+      "is the one-shot batch ANTI-JOIN over the window (no B in " +
+      "(0, 6h], no superseding A, deadline behind the final " +
+      "watermark): a green hash proves the incremental negation — " +
+      "including cross-batch suppression and the watermark cut — " +
+      "reproduces the batch answer row for row. PatternMatchSpec " +
+      "covers timeout emission, later-micro-batch suppression, " +
+      "supersession, and micro-batch-split invariance.",
+    (s, dir) => {
+      s.read.parquet(CepNotStore.ensure(s, dir))
+        .select(col("user_id"), col("a_event_id"),
+          unix_millis(col("a_ts")).as("a_ts_ms"),
+          unix_millis(col("deadline_ts")).as("deadline_ms"))
+        .orderBy(col("user_id"), col("a_ts_ms"), col("a_event_id"))
+    },
+    Some(s"""
+      |WITH a AS (
+      |  SELECT user_id, epoch_ms(ts::TIMESTAMP) AS a_ms, event_id FROM events
+      |  WHERE event_type = 'view'
+      |), b AS (
+      |  SELECT user_id, epoch_ms(ts::TIMESTAMP) AS b_ms FROM events
+      |  WHERE event_type = 'purchase'
+      |), wmf AS (
+      |  SELECT max(epoch_ms(ts::TIMESTAMP)) AS wm FROM events
+      |)
+      |SELECT a.user_id, a.event_id AS a_event_id, a.a_ms AS a_ts_ms,
+      |       a.a_ms + ${CepNotStore.WithinMs} AS deadline_ms
+      |FROM a CROSS JOIN wmf
+      |WHERE a.a_ms + ${CepNotStore.WithinMs} < wmf.wm
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM b WHERE b.user_id = a.user_id
+      |      AND b.b_ms - a.a_ms BETWEEN 1 AND ${CepNotStore.WithinMs})
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM a a2 WHERE a2.user_id = a.user_id
+      |      AND ((a2.a_ms - a.a_ms BETWEEN 1 AND ${CepNotStore.WithinMs})
+      |           OR (a2.a_ms = a.a_ms AND a2.event_id > a.event_id)))
+      |ORDER BY user_id, a_ts_ms, a_event_id
+      """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
     Seq(streamIngest, streamServe, streamServeNsw, streamServePq,
-      streamCdcApply, streamTrending, streamLateAudit, streamHllDaily,
-      streamPatternMatch)
+      streamServeAuto, streamCdcApply, streamTrending, streamLateAudit,
+      streamHllDaily, streamHdrQuantiles, streamPatternMatch,
+      streamPatternTimeout)
 }

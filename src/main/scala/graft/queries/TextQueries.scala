@@ -404,6 +404,111 @@ object TextQueries {
       |FROM per_doc
       """.stripMargin.trim))
 
+  private val embedQuantSampledQ = QueryDef(
+    "txt_embed_quant_sampled",
+    "SAMPLED calibration + COLUMNAR backfill — the deployment shape of " +
+      "the int8 seam (r18 verdict #4): txt_embed_quantized calibrates " +
+      "on the full corpus and re-encodes every document (corpus-linear " +
+      "× 2 encodes, by design); production calibrates amax on a hash " +
+      "sample (doc_id % 100 == 0 — deterministic, replayable) and " +
+      "backfills the STORED float vectors through one columnar " +
+      "quantize→dequantize projection (quantizeInt8Clamped — no " +
+      "re-encode; saturation is REAL under a sampled scale, so " +
+      "components above the sampled amax clip to ±127 exactly like a " +
+      "deployed int8 model, and the clip count rides the output as " +
+      "calibration-quality telemetry). Error-vs-full-calibration " +
+      "rides beside it: the same backfill at the full-corpus amax, " +
+      "both cosine-error channels DECIMAL-rolled. The oracle " +
+      "recomputes the embeddings bit-for-bit, both calibration " +
+      "maxima, the half-up clamped arithmetic, the clip count and " +
+      "both error rollups in SQL — a green hash pins every backfilled " +
+      "component of both seams.",
+    (s, dir) => {
+      import graft.functions.{Embeddings, Md5PortableEmbedder}
+      import graft.functions.VectorFunctions._
+      val d = Tables.documentsSpread(s, dir).select("doc_id", "text")
+      val emb = Embeddings.embedDataFrame(d, "text", "vec",
+        Md5PortableEmbedder(dim = 64))
+      // calibration: ONE bounded aggregate per scale — a scalar leaves
+      // the cluster, like an index's stats. Sampled = the doc_id % 100
+      // hash sample; full = the whole corpus (the yardstick seam).
+      val cal = emb.agg(
+        max(when(pmod(col("doc_id"), lit(100)) === 0, quantScale(col("vec"))))
+          .as("amax_s"),
+        max(quantScale(col("vec"))).as("amax_f"),
+        sum(when(pmod(col("doc_id"), lit(100)) === 0, 1L).otherwise(0L))
+          .as("n_cal")).head()
+      val (amaxS, amaxF, nCal) =
+        (cal.getDouble(0), cal.getDouble(1), cal.getLong(2))
+      val backfilled = emb
+        .withColumn("deq_s",
+          dequantizeInt8(quantizeInt8Clamped(col("vec"), lit(amaxS)), lit(amaxS)))
+        .withColumn("deq_f",
+          dequantizeInt8(quantizeInt8Clamped(col("vec"), lit(amaxF)), lit(amaxF)))
+        .select(
+          clippedCount(col("vec"), lit(amaxS)).cast("long").as("clip_s"),
+          round(cosineDistance(col("vec"), col("deq_s")), 6).as("cos_err_s"),
+          array_max(zip_with(col("vec"), col("deq_s"),
+            (a, b) => abs(a.cast("double") - b.cast("double")))).as("abs_err_s"),
+          round(cosineDistance(col("vec"), col("deq_f")), 6).as("cos_err_f"))
+      backfilled.agg(
+        count(lit(1)).as("n_docs"),
+        lit(nCal).as("n_cal"),
+        round(lit(amaxS), 6).as("amax_sampled"),
+        round(lit(amaxF), 6).as("amax_full"),
+        sum(col("clip_s")).as("n_clipped"),
+        round(sum(col("cos_err_s").cast("decimal(38,6)")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("mean_cos_err_sampled"),
+        round(max(col("cos_err_s")), 6).as("max_cos_err_sampled"),
+        round(max(col("abs_err_s")), 6).as("max_abs_err_sampled"),
+        round(sum(col("cos_err_f").cast("decimal(38,6)")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("mean_cos_err_full"))
+    },
+    Some(s"""
+      |${Duck.docToks}, ${Duck.md5EmbedVecs(64)},
+      |am_s AS (
+      |  SELECT max(abs(c)) AS amax FROM comp WHERE doc_id % 100 = 0
+      |), am_f AS (
+      |  SELECT max(abs(c)) AS amax FROM comp
+      |), qcomp AS (
+      |  SELECT c.doc_id, c.bucket, c.c,
+      |         CASE WHEN floor(c.c * 127.0 / am_s.amax + 0.5) > 127.0
+      |                OR floor(c.c * 127.0 / am_s.amax + 0.5) < -127.0
+      |              THEN 1 ELSE 0 END AS clipped,
+      |         CAST(CAST(greatest(-127.0, least(127.0,
+      |                floor(c.c * 127.0 / am_s.amax + 0.5)))
+      |              * am_s.amax / 127.0 AS FLOAT) AS DOUBLE) AS qc_s,
+      |         CAST(CAST(greatest(-127.0, least(127.0,
+      |                floor(c.c * 127.0 / am_f.amax + 0.5)))
+      |              * am_f.amax / 127.0 AS FLOAT) AS DOUBLE) AS qc_f
+      |  FROM comp c CROSS JOIN am_s CROSS JOIN am_f
+      |), pairs AS (
+      |  SELECT doc_id, list(c ORDER BY bucket) AS v,
+      |         list(qc_s ORDER BY bucket) AS qv_s,
+      |         list(qc_f ORDER BY bucket) AS qv_f,
+      |         max(abs(c - qc_s)) AS abs_err_s,
+      |         sum(clipped) AS clip_s
+      |  FROM qcomp GROUP BY doc_id
+      |), per_doc AS (
+      |  SELECT doc_id, round(${Duck.cosine("v", "qv_s")}, 6) AS cos_err_s,
+      |         round(${Duck.cosine("v", "qv_f")}, 6) AS cos_err_f,
+      |         abs_err_s, clip_s
+      |  FROM pairs
+      |)
+      |SELECT count(*)::BIGINT AS n_docs,
+      |       (SELECT count(*) FROM documents WHERE doc_id % 100 = 0)::BIGINT AS n_cal,
+      |       (SELECT round(amax, 6) FROM am_s) AS amax_sampled,
+      |       (SELECT round(amax, 6) FROM am_f) AS amax_full,
+      |       sum(clip_s)::BIGINT AS n_clipped,
+      |       round(CAST(sum(CAST(cos_err_s AS DECIMAL(38,6))) AS DOUBLE)
+      |             / count(*)::DOUBLE, 6) AS mean_cos_err_sampled,
+      |       round(max(cos_err_s), 6) AS max_cos_err_sampled,
+      |       round(max(abs_err_s), 6) AS max_abs_err_sampled,
+      |       round(CAST(sum(CAST(cos_err_f AS DECIMAL(38,6))) AS DOUBLE)
+      |             / count(*)::DOUBLE, 6) AS mean_cos_err_full
+      |FROM per_doc
+      """.stripMargin.trim))
+
   /** Driver-side embedding of the e2e query text — the reference's
     * search entry point embeds the user query exactly once on the
     * client (`streamlit_app.py:45-52`); here the same portable model
@@ -2194,7 +2299,7 @@ object TextQueries {
 
   val defs: Seq[QueryDef] =
     Seq(stats, langQ, quality, fp, topTokens, bigramLift, lmQ, simhashQ,
-      embedQ, embedQuantQ, embedKnnQ, bm25Q, hybridRrfQ, crossencQ, maxsimQ, tfidfQ, chunksQ, packQ,
+      embedQ, embedQuantQ, embedQuantSampledQ, embedKnnQ, bm25Q, hybridRrfQ, crossencQ, maxsimQ, tfidfQ, chunksQ, packQ,
       tokenBudgetQ, gopherQ, dupNgramsQ, piiQ, noveltyQ, invIndexQ, bpeTrainQ, bpeEncodeQ, rakeQ,
       readabilityQ, rankingNdcgQ, zipfQ, llrQ, burstinessQ, jsdQ, heapsQ, textrankQ,
       codeDetectQ, langidConfusion, sourceOutliersQ)

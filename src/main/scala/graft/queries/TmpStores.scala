@@ -73,8 +73,13 @@ private[queries] object TmpStores {
     val parts = new java.io.File(scratch).listFiles()
       .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
       .sortBy(_.getName)
-    require(parts.length == nFiles,
-      s"staged ${parts.length} files under $scratch, expected $nFiles")
+    // parquet tasks with ZERO rows emit no part file, so a fixture with
+    // fewer rows than nFiles per staged batch legitimately writes fewer
+    // files (ADVICE r18) — accept any non-empty prefix; the file-source
+    // consumer reads whatever was staged. More than nFiles is still a
+    // bug (repartition(n) can never fan wider).
+    require(parts.nonEmpty && parts.length <= nFiles,
+      s"staged ${parts.length} files under $scratch, expected 1..$nFiles")
     new java.io.File(stagingDir).mkdirs()
     val mtime = System.currentTimeMillis() - ageMs
     parts.zipWithIndex.foreach { case (part, i) =>

@@ -341,7 +341,7 @@ object VectorQueries {
     * cost-based rewrite reads: clusterRows/bucketRows marginalize one
     * bounded (≤ nlist·2^nBits rows collected) groupBy over the store.
     */
-  private object HybridIndexStore {
+  private[queries] object HybridIndexStore {
     private val written =
       scala.collection.concurrent.TrieMap.empty[String, (String, Map[Int, Long], Map[Long, Long])]
     def ensure(s: org.apache.spark.sql.SparkSession, dir: String,
@@ -880,7 +880,7 @@ object VectorQueries {
   /** Flat-NSW shard centroids per (fixture, JVM) — same one-bounded-
     * aggregate contract as [[HnswRouterStore]], over the flat store.
     */
-  private object NswRouterStore {
+  private[queries] object NswRouterStore {
     val nprobe = 2
     private val cents = scala.collection.concurrent.TrieMap
       .empty[String, Array[(Int, Array[Double])]]
@@ -1111,6 +1111,198 @@ object VectorQueries {
         |       round(t.dist, 6) AS distance
         |FROM top t CROSS JOIN est e ORDER BY distance, vec_id
         """.stripMargin.trim
+      }))
+
+  private object CostServingBatchState {
+    val chosen = scala.collection.concurrent.TrieMap
+      .empty[String, Map[String, String]]
+    val cands = scala.collection.concurrent.TrieMap
+      .empty[String, Map[String, Map[Int, Seq[Long]]]]
+    @volatile var lastDir: Option[String] = None
+  }
+
+  /** Per-leg oracle CTEs for [[costServingBatch]]: replay the batch
+    * decision (per-query probe counts × 256, the closed-form hnsw
+    * bound × B, the amortized pq scan + B shortlist rescores), then
+    * per-query top-k over the decision's candidate set — probe-set
+    * membership for ivf/lsh, THIS run's recorded ids for hnsw/pq (the
+    * recorded-candidate contract of ann_nsw_routed_batch /
+    * ann_cost_serving4). Assumes the shared cents/assigned/planes/bk
+    * CTEs are already in scope.
+    */
+  private def duckServingBatchLeg(tag: String, qs: Seq[(Int, Array[Float])],
+                                  cands: Map[Int, Seq[Long]],
+                                  k: Int): (String, String) = {
+    val b = qs.length
+    val qbCtes = qs.map { case (qid, v) =>
+      s"""|qb_${tag}_$qid AS (
+          |  SELECT sum(CASE WHEN list_dot_product(${vecLit(v)}, plane) >= 0
+          |                  THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS qbucket
+          |  FROM planes
+          |)""".stripMargin
+    }
+    val ivfCnt = qs.map { case (_, v) =>
+      s"""(SELECT count(*) FROM assigned WHERE cluster_id IN
+         |      (SELECT cid FROM cents ORDER BY ${duckL2(vecLit(v), "c")}, cid LIMIT 3))"""
+        .stripMargin
+    }.mkString(" + ")
+    val lshCnt = qs.map { case (qid, _) =>
+      s"""(SELECT count(*) FROM bk, qb_${tag}_$qid q
+         |      WHERE len(list_filter(range(8), i ->
+         |        ((bk.lsh_bucket >> i) & 1) <> ((q.qbucket >> i) & 1))) <= 2)"""
+        .stripMargin
+    }.mkString(" + ")
+    val estCte =
+      s"""|est_$tag AS (
+          |  SELECT ($ivfCnt)::BIGINT * 256 AS est_ivf_b,
+          |         ($lshCnt)::BIGINT * 256 AS est_lsh_b,
+          |         ${b}::BIGINT * 16384 AS est_hnsw_b,
+          |         ((SELECT count(*) FROM embeddings)::BIGINT * 8
+          |           + ${b}::BIGINT * 16 * 256) AS est_pq_b
+          |), choice_$tag AS (
+          |  SELECT CASE WHEN est_pq_b < est_ivf_b AND est_pq_b < est_lsh_b
+          |                   AND est_pq_b < est_hnsw_b THEN 'pq'
+          |              WHEN est_hnsw_b < est_ivf_b AND est_hnsw_b < est_lsh_b THEN 'hnsw'
+          |              WHEN est_lsh_b < est_ivf_b THEN 'lsh'
+          |              ELSE 'ivf' END AS chosen
+          |  FROM est_$tag
+          |)""".stripMargin
+    val candCtes = qs.map { case (qid, v) =>
+      val rec = cands.getOrElse(qid, Seq.empty)
+      val recList = if (rec.isEmpty) "[]::BIGINT[]" else rec.mkString("[", ", ", "]")
+      s"""|cand_${tag}_$qid AS (
+          |  SELECT vec_id FROM assigned
+          |  WHERE (SELECT chosen FROM choice_$tag) = 'ivf'
+          |    AND cluster_id IN (SELECT cid FROM cents ORDER BY ${duckL2(vecLit(v), "c")}, cid LIMIT 3)
+          |  UNION ALL
+          |  SELECT bk.vec_id FROM bk, qb_${tag}_$qid q
+          |  WHERE (SELECT chosen FROM choice_$tag) = 'lsh'
+          |    AND len(list_filter(range(8), i ->
+          |      ((bk.lsh_bucket >> i) & 1) <> ((q.qbucket >> i) & 1))) <= 2
+          |  UNION ALL
+          |  SELECT unnest($recList) AS vec_id
+          |  WHERE (SELECT chosen FROM choice_$tag) IN ('hnsw', 'pq')
+          |), top_${tag}_$qid AS (
+          |  SELECT $qid AS query_id, vec_id, dist,
+          |         row_number() OVER (ORDER BY dist, vec_id) AS knn_rank
+          |  FROM (
+          |    SELECT c.vec_id, ${duckCosine("e.embedding", vecLit(v))} AS dist
+          |    FROM cand_${tag}_$qid c JOIN embeddings e ON c.vec_id = e.vec_id
+          |  ) QUALIFY knn_rank <= $k
+          |)""".stripMargin
+    }
+    val ctes = (qbCtes ++ Seq(estCte) ++ candCtes).mkString(",\n", ",\n", "")
+    val select = qs.map { case (qid, _) =>
+      s"""|SELECT ${b}::BIGINT AS batch_size, t.query_id,
+          |       CAST(t.knn_rank AS BIGINT) AS knn_rank, t.vec_id,
+          |       (SELECT chosen FROM choice_$tag) AS chosen_index,
+          |       e.est_ivf_b, e.est_lsh_b, e.est_hnsw_b, e.est_pq_b,
+          |       round(t.dist, 6) AS distance
+          |FROM top_${tag}_$qid t CROSS JOIN est_$tag e""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    (ctes, select)
+  }
+
+  private[queries] def duckCostServingBatchSql(
+      legs: Seq[(String, Seq[(Int, Array[Float])])],
+      cands: Map[String, Map[Int, Seq[Long]]], k: Int): String = {
+    val shared = s"""
+      |WITH cents AS (
+      |  SELECT vec_id AS cid, embedding::DOUBLE[] AS c FROM embeddings WHERE vec_id < 8
+      |), assigned AS (
+      |  SELECT vec_id, cid AS cluster_id FROM (
+      |    SELECT e.vec_id, c.cid,
+      |           row_number() OVER (PARTITION BY e.vec_id
+      |                              ORDER BY ${duckL2("e.embedding::DOUBLE[]", "c.c")}, c.cid) AS rn
+      |    FROM embeddings e CROSS JOIN cents c
+      |  ) WHERE rn = 1
+      |), planes AS (
+      |  SELECT b, list_transform(range(64), j ->
+      |    CASE WHEN ('0x' || substring(md5('lsh:' || b::VARCHAR || ':' || j::VARCHAR), 1, 12))::BIGINT % 2 = 0
+      |         THEN 1.0 ELSE -1.0 END) AS plane
+      |  FROM (SELECT unnest(range(8)) AS b)
+      |), bk AS (
+      |  SELECT e.vec_id,
+      |         sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], p.plane) >= 0
+      |                  THEN (1::BIGINT << p.b) ELSE 0 END)::BIGINT AS lsh_bucket
+      |  FROM embeddings e CROSS JOIN planes p GROUP BY e.vec_id
+      |)""".stripMargin.trim
+    val built = legs.map { case (tag, qs) =>
+      duckServingBatchLeg(tag, qs, cands.getOrElse(tag, Map.empty), k)
+    }
+    shared + built.map(_._1).mkString +
+      "\n" + built.map(_._2).mkString("\nUNION ALL\n") +
+      "\nORDER BY batch_size, query_id, knn_rank"
+  }
+
+  private val costServingBatch = QueryDef(
+    "ann_cost_serving_batch",
+    "BATCH-aware serving cost choice (r18 verdict #1) — " +
+      "chooseServing4's four-way byte model priced for a WHOLE query " +
+      "batch, because the economics invert with batch size: PQ's " +
+      "corpus scan is ONE shared ADC pass however many queries ride " +
+      "it (amortized N·m bytes + B shortlist rescores), while the " +
+      "probe paths and the routed-graph bound pay per query (B× " +
+      "their single-query bytes). The gate prices and EXECUTES two " +
+      "legs over the same store — the 1-query batch and the 5-query " +
+      "knn_batch — through VectorServing.dispatchServingBatch (the " +
+      "same dispatch stream_serve_auto rides; single-builder rule), " +
+      "with all four per-leg byte totals and the per-leg decision on " +
+      "every output row. At sf0.1+ the decision FLIPS on batch size " +
+      "alone (hnsw for the single query, pq for the batch — same " +
+      "corpus, same stats); at the sf0.001/0.01 fixtures the corpus " +
+      "is small enough that one 8-byte-per-row scan undercuts even " +
+      "one routed beam, so both legs honestly choose pq — the oracle " +
+      "replays the decision either way, per leg: both probe sets in " +
+      "SQL, the closed-form hnsw bound, the amortized pq formula " +
+      "(count(*) recomputes N), the strict-dominance argmin with " +
+      "ivf-precedence ties, then per-query exact top-3 over the " +
+      "chosen candidates (probe membership in SQL for ivf/lsh; THIS " +
+      "run's recorded shortlist/beam ids for pq/hnsw). " +
+      "IvfProbeRuleSpec pins the synthetic flip both ways.",
+    (s, dir) => {
+      import graft.streaming.VectorServing
+      val corpus = Tables.embeddings(s, dir)
+      val cents = Ann.seededCentroids(corpus, "embedding", "vec_id", nlist = 8)
+      val planes = Ann.signPlanes(dim = 64, nBits = 8)
+      val (path, clusterRows, bucketRows) =
+        HybridIndexStore.ensure(s, dir, cents, planes)
+      val idx = VectorServing.AutoServingIndexes(
+        graft.plans.IvfCatalog.IvfIndex(cents, 3, clusterRows),
+        graft.plans.LshCatalog.LshIndex(planes, 2, bucketRows),
+        Ann.readIndexed(s, path),
+        Nsw.readGraph(s, NswStore.ensure(s, dir)), corpus,
+        NswRouterStore.ensure(s, dir), NswRouterStore.nprobe,
+        NswStore.params,
+        Pq.readEncoded(s, PqCodeStore.ensure(s, dir)), PqStore.ensure(s, dir),
+        dim = 64, corpusRows = clusterRows.values.sum,
+        pqM = PqStore.M, pqShortlist = 16)
+      val legs = Seq("small" -> batchQueryVecs.take(1),
+        "large" -> batchQueryVecs)
+      val outs = legs.map { case (tag, qs) =>
+        val (res, chosen, (ivfB, lshB, hnswB, pqB), recorded) =
+          VectorServing.dispatchServingBatch(qs, idx, "embedding", "vec_id", k = 3)
+        CostServingBatchState.chosen(dir) =
+          CostServingBatchState.chosen.getOrElse(dir, Map.empty) + (tag -> chosen)
+        CostServingBatchState.cands(dir) =
+          CostServingBatchState.cands.getOrElse(dir, Map.empty) + (tag -> recorded)
+        res.select(lit(qs.length.toLong).as("batch_size"), col("query_id"),
+          col("knn_rank").cast("long").as("knn_rank"), col("vec_id"),
+          lit(chosen).as("chosen_index"),
+          lit(ivfB).as("est_ivf_b"), lit(lshB).as("est_lsh_b"),
+          lit(hnswB).as("est_hnsw_b"), lit(pqB).as("est_pq_b"),
+          round(col("distance_score"), 6).as("distance"))
+      }
+      CostServingBatchState.lastDir = Some(dir)
+      outs.reduce(_ unionByName _)
+        .orderBy(col("batch_size"), col("query_id"), col("knn_rank"))
+    },
+    oracle = None,
+    oracleLate = Some(() =>
+      CostServingBatchState.lastDir.map { d =>
+        duckCostServingBatchSql(
+          Seq("small" -> batchQueryVecs.take(1), "large" -> batchQueryVecs),
+          CostServingBatchState.cands.getOrElse(d, Map.empty), k = 3)
       }))
 
   /** KMeans-built IVF index per (fixture, JVM) — the QUALITY centroid
@@ -2498,8 +2690,8 @@ object VectorQueries {
 
   val defs: Seq[QueryDef] =
     Seq(filtered, l2Search, batch, ragContext, ivf, lshProbe, nswBeam, hnswBeam,
-      hnswRouted, filteredHnsw, costServing, costServing4, nswRoutedBatch,
-      ivfRule,
+      hnswRouted, filteredHnsw, costServing, costServing4, costServingBatch,
+      nswRoutedBatch, ivfRule,
       lshRule, costRule, ivfKmeansRule, filteredIvfRule, mips, quantRescore, sqlApi,
       centroids, quantize, groupTopk, pqAdc, pqRescore, pqBatch, pqStoreAdc,
       matryoshka, ivfPqAdc, pcaKnn, rpKnn, bqHamming, mmrDiversify, recallEval,

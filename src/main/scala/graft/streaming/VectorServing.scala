@@ -194,6 +194,130 @@ object VectorServing {
       }
       .start()
 
+  /** Everything the four-way batch router needs to price AND execute a
+    * serving batch: the probe indexes with their stats, the hybrid
+    * probe-partitioned store, the routed graph, and the PQ codes. All
+    * of it is per-store metadata + DataFrames — nothing per-batch.
+    */
+  final case class AutoServingIndexes(
+      ivf: graft.plans.IvfCatalog.IvfIndex,
+      lsh: graft.plans.LshCatalog.LshIndex,
+      indexed: DataFrame,
+      graph: DataFrame, corpus: DataFrame,
+      routerCents: Array[(Int, Array[Double])], routerNprobe: Int,
+      p: graft.operators.Nsw.Params,
+      encoded: DataFrame, codebooks: Array[Array[Array[Float]]],
+      dim: Int, corpusRows: Long, pqM: Int, pqShortlist: Int)
+
+  /** Price a query batch with `IvfProbeRule.chooseServingBatch`, then
+    * EXECUTE it on the winning index family (r18 verdict #1) — the
+    * shared dispatch under [[serveAutoKnn]] and the batch
+    * `ann_cost_serving_batch` gate (single-builder rule). Returns the
+    * ranked results (query_id, knn_rank, vec_id-named idCol,
+    * distance_score), the decision + its four byte totals, and the
+    * per-query recorded candidate ids the late oracle re-ranks (hnsw:
+    * the routed beam's candidates; pq: the per-query ADC shortlists;
+    * ivf/lsh: empty — their candidate sets are probe-set membership,
+    * which the oracle replays directly in SQL).
+    *
+    * Scale shape: the decision is O(B · nlist·dim) driver arithmetic on
+    * index METADATA; execution is the chosen family's own bounded path
+    * (probe-pruned scan / routed beams / one shared ADC pass). Per-query
+    * legs union ≤ B small plans — query batches are user requests, not
+    * data, by the serving contract.
+    */
+  def dispatchServingBatch(qs: Seq[(Int, Array[Float])],
+                           idx: AutoServingIndexes,
+                           corpusVecCol: String, corpusIdCol: String, k: Int)
+      : (DataFrame, String, (Long, Long, Long, Long), Map[Int, Seq[Long]]) = {
+    import graft.operators.{Ann, Knn, Nsw, Pq}
+    val (chosen, ivfB, lshB, hnswB, pqB) =
+      graft.plans.IvfProbeRule.chooseServingBatch(qs.map(_._2), idx.ivf,
+        idx.lsh, idx.p.nShards, idx.routerNprobe, idx.p.efSearch,
+        idx.dim, idx.corpusRows, idx.pqM, idx.pqShortlist)
+    def rankPerQuery(legs: Seq[DataFrame]): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("distance_score").asc, col(corpusIdCol).asc)
+      legs.reduce(_ unionByName _)
+        .withColumn("knn_rank", row_number().over(w))
+        .filter(col("knn_rank") <= k)
+    }
+    chosen match {
+      case "hnsw" =>
+        val (res, cands, _) = Nsw.routedBatchSearch(idx.graph, idx.corpus,
+          corpusVecCol, corpusIdCol, qs, k, idx.routerCents,
+          idx.routerNprobe, idx.p)
+        (res, chosen, (ivfB, lshB, hnswB, pqB), cands)
+      case "pq" =>
+        // per-query ADC shortlist (collected — pqShortlist ids each),
+        // exact re-rank over shortlist-sized data; recording the
+        // shortlists is what lets the oracle re-rank THIS run's ids
+        val shortlists = qs.map { case (qid, qv) =>
+          qid -> Pq.search(idx.encoded, corpusIdCol, qv, idx.codebooks,
+            k = idx.pqShortlist)
+            .select(corpusIdCol).collect().map(_.getLong(0)).toSeq.sorted
+        }.toMap
+        val legs = qs.map { case (qid, qv) =>
+          Knn.search(idx.corpus.filter(
+              col(corpusIdCol).isin(shortlists(qid): _*)),
+            corpusVecCol, corpusIdCol, qv, k)
+            .withColumn("query_id", lit(qid))
+        }
+        (rankPerQuery(legs), chosen, (ivfB, lshB, hnswB, pqB), shortlists)
+      case "lsh" =>
+        val legs = qs.map { case (qid, qv) =>
+          val probes = Ann.probeBuckets(Ann.queryBucket(qv, idx.lsh.planes),
+            idx.lsh.planes.length, idx.lsh.radius)
+          Knn.search(idx.indexed.filter(col("lsh_bucket").isin(probes: _*)),
+            corpusVecCol, corpusIdCol, qv, k)
+            .withColumn("query_id", lit(qid))
+        }
+        (rankPerQuery(legs), chosen, (ivfB, lshB, hnswB, pqB), Map.empty)
+      case _ =>
+        val legs = qs.map { case (qid, qv) =>
+          val probes = Ann.probeIds(qv, idx.ivf.centroids, idx.ivf.nprobe)
+          Knn.search(idx.indexed.filter(col("cluster_id").isin(probes: _*)),
+            corpusVecCol, corpusIdCol, qv, k)
+            .withColumn("query_id", lit(qid))
+        }
+        (rankPerQuery(legs), chosen, (ivfB, lshB, hnswB, pqB), Map.empty)
+    }
+  }
+
+  /** Micro-batch COST-ROUTED serving: every micro-batch is priced by
+    * the batch-aware four-way cost model and served on the family it
+    * picks — small batches ride the graph router's constant bound,
+    * large batches amortize one shared ADC scan, and the probe paths
+    * win when their stats say so. `record` receives each batch's
+    * (decision, per-query candidate ids) for the late-bound oracle.
+    * Same sink contract as [[serveKnn]].
+    */
+  def serveAutoKnn(queries: DataFrame, idx: AutoServingIndexes,
+                   corpusVecCol: String, corpusIdCol: String,
+                   queryVecCol: String, queryIdCol: String, k: Int,
+                   checkpoint: String)
+                  (record: (Long, String, Map[Int, Seq[Long]]) => Unit)
+                  (sink: DataFrame => Unit): StreamingQuery =
+    queries.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val qs = batch.select(col(queryIdCol), col(queryVecCol)).collect()
+            .map(r => (r.getInt(0), r.getSeq[Float](1).toArray)).toSeq
+          val (res, chosen, (ivfB, lshB, hnswB, pqB), cands) =
+            dispatchServingBatch(qs, idx, corpusVecCol, corpusIdCol, k)
+          record(batchId, chosen, cands)
+          sink(res.select(col(queryIdCol), col("knn_rank").cast("long").as("knn_rank"),
+            col(corpusIdCol), round(col("distance_score"), 6).as("distance"),
+            lit(chosen).as("chosen_index"), lit(qs.length.toLong).as("batch_size"),
+            lit(ivfB).as("est_ivf_b"), lit(lshB).as("est_lsh_b"),
+            lit(hnswB).as("est_hnsw_b"), lit(pqB).as("est_pq_b")))
+        }
+      }
+      .start()
+
   /** Micro-batch PQ serving: each query batch is COLLECTED to the driver
     * (query batches are small by contract — they are user requests, not
     * data) so its per-query ADC tables can be compiled into the one

@@ -324,4 +324,46 @@ class IvfProbeRuleSpec extends SparkSpec {
       dim = 64, pqCorpusRows = 500, pqM = 8, pqShortlist = 16)
     assert(fb4 == "ivf" && a == -1L && b == -1L)
   }
+
+  test("chooseServingBatch: batch size alone flips hnsw (small) → pq (large); totals are per-batch") {
+    import graft.plans.{IvfCatalog, LshCatalog, IvfProbeRule}
+    val planes = Ann.signPlanes(dim = 64, nBits = 8)
+    val cents = Ann.seededCentroids(emb, "embedding", "vec_id", nlist = 8)
+    def batchOf(n: Int): Seq[Array[Float]] = Seq.fill(n)(q)
+    def stats(rowsPerProbe: Long) = (
+      Ann.probeIds(q, cents, nprobe = 3).map(_ -> rowsPerProbe).toMap,
+      Ann.probeBuckets(Ann.queryBucket(q, planes), planes.length, radius = 1)
+        .map(_ -> rowsPerProbe).toMap)
+    def choose(b: Int, corpusRows: Long) = {
+      val (ivfS, lshS) = stats(1000L)
+      IvfProbeRule.chooseServingBatch(batchOf(b),
+        IvfCatalog.IvfIndex(cents, 3, ivfS),
+        LshCatalog.LshIndex(planes, 1, lshS),
+        hnswShards = 4, hnswNprobe = 2, efSearch = 32,
+        dim = 64, pqCorpusRows = corpusRows, pqM = 8, pqShortlist = 16)
+    }
+    // per-query: hnsw bound 16384 B, probe paths ≥ 768 kB. corpus 10⁴:
+    // pq scan = 80 kB shared. B=1: hnsw 16384 < pq 84096 → hnsw.
+    val (c1, i1, l1, h1, p1) = choose(1, 10000L)
+    assert(c1 == "hnsw", s"single query on a big corpus must beam: $c1")
+    // B=32: hnsw 32·16384 = 524288; pq 80000 + 32·4096 = 211072 → pq —
+    // the SAME corpus, the SAME stats, only the batch size moved
+    val (c32, _, _, h32, p32) = choose(32, 10000L)
+    assert(c32 == "pq", s"large batch must amortize the ADC scan: $c32")
+    // totals are per-batch: linear terms scale by B, the pq scan doesn't
+    assert(h32 == 32L * h1 && p32 == p1 + 31L * 16 * 256)
+    assert(i1 == 3L * 1000 * 256 && l1 == 9L * 1000 * 256)
+    // tie discipline: at B·(hnswPerQ − shortlistBytes) == N·m exactly,
+    // pq is NOT strictly cheaper → hnsw keeps the win.
+    // B=2: 2·(16384 − 4096) = 24576 = N·8 → N = 3072
+    assert(choose(2, 3072L)._1 == "hnsw")
+    assert(choose(2, 3071L)._1 == "pq")
+    // missing stats: same sticky-ivf fallback as chooseServing4
+    val (fb, fa, fbb, _, _) = IvfProbeRule.chooseServingBatch(batchOf(4),
+      IvfCatalog.IvfIndex(cents, 3, Map.empty),
+      LshCatalog.LshIndex(planes, 1, stats(1L)._2),
+      hnswShards = 4, hnswNprobe = 2, efSearch = 32,
+      dim = 64, pqCorpusRows = 500, pqM = 8, pqShortlist = 16)
+    assert(fb == "ivf" && fa == -1L && fbb == -1L)
+  }
 }

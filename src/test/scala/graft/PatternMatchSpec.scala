@@ -94,6 +94,45 @@ class PatternMatchSpec extends SparkSpec {
     assert(stateRows == 1L, "A2 still pending (watermark at 10:15 < 10:19 expiry)")
   }
 
+  test("watermark exactly at expiry does NOT evict (inclusive window); state clears one advance later") {
+    // ADVICE r18: eviction at wm >= expiry contradicted the inclusive
+    // match window (a boundary B with gap == within is a legal match
+    // while wm == expiry). Spark's ts <= wm late filter (measured on
+    // 4.1.2 — WmProbe) means such a B can only ride the SAME batch,
+    // where it matches inline — so the observable contract of the fix
+    // is retention: at wm == expiry the pending A must still be in
+    // state (old code evicted it), and it must still evict cleanly
+    // once the watermark moves past.
+    val input = MemoryStream[EventIn](spark)
+    val matches = PatternMatch.matchAThenB(
+      input.toDS().withWatermark("ts", "0 seconds"), "view", "purchase",
+      Within)
+    val name = s"t_cep_bnd_${System.nanoTime()}"
+    val q = matches.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: A at 10:00 (expiry 10:10) + user-2 noise at 10:10 →
+      // the watermark lands EXACTLY on the expiry
+      input.addData(Seq(ev(1, 0, "view", user = 1), ev(2, 10, "click", user = 2)))
+      q.processAllAvailable()
+      // batch 2: a user-1 row invokes the function at wm == expiry —
+      // the pending A must survive (setTimeoutTimestamp goes to wm+1)
+      input.addData(Seq(ev(3, 10, "click", user = 1)))
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators.head.numRowsTotal == 1L,
+        "pending A must be RETAINED at wm == expiry (inclusive window)")
+      // batch 3: watermark moves beyond → timeout fires, state clears,
+      // and the expired partial still emits nothing
+      input.addData(Seq(ev(4, 30, "click", user = 2)))
+      q.processAllAvailable()
+      input.addData(Seq(ev(5, 31, "click", user = 2)))
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators.head.numRowsTotal == 0L,
+        "state must evict once wm > expiry")
+      assert(spark.table(name).isEmpty, "expired partial must emit nothing")
+    } finally q.stop()
+  }
+
   test("batch Dataset replay equals the streaming result (one-shot differential)") {
     val events = Seq(
       ev(1, 0, "view"), ev(2, 3, "view"), ev(3, 5, "purchase"),
@@ -104,5 +143,97 @@ class PatternMatchSpec extends SparkSpec {
       (m.user_id, m.a_event_id, m.b_event_id, m.gap_ms)).toSeq.sorted
     val (streamed, _) = run(events.take(3), events.drop(3))
     assert(batch == streamed)
+  }
+
+  // ---- matchAThenNotB (negation / churn alert; r18 verdict #3) ----
+
+  /** (user_id, a_event_id, a_ts_ms, deadline_ms) alerts + final state rows. */
+  private def runNot(batches: Seq[EventIn]*): (Seq[(Long, Long, Long, Long)], Long) = {
+    val input = MemoryStream[EventIn](spark)
+    val alerts = PatternMatch.matchAThenNotB(
+      input.toDS().withWatermark("ts", "0 seconds"), "view", "purchase",
+      Within)
+    val name = s"t_cepnot_${System.nanoTime()}"
+    val q = alerts.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+      val rows = spark.table(name).collect().map(r =>
+        (r.getAs[Long]("user_id"), r.getAs[Long]("a_event_id"),
+          r.getAs[java.sql.Timestamp]("a_ts").getTime,
+          r.getAs[java.sql.Timestamp]("deadline_ts").getTime)).toSeq.sorted
+      val stateRows = q.lastProgress.stateOperators.head.numRowsTotal
+      (rows, stateRows)
+    } finally q.stop()
+  }
+
+  private def ms(minute: Int, hour: Int = 10): Long =
+    Timestamp.valueOf(f"2024-01-01 $hour%02d:$minute%02d:00").getTime
+
+  test("negation: unanswered A alerts on TIMEOUT once the watermark passes its deadline") {
+    val (rows, stateRows) = runNot(
+      Seq(ev(1, 0, "view", user = 1)),
+      Seq(ev(2, 25, "click", user = 2)), // wm → 10:25 > 10:10 deadline
+      Seq(ev(3, 26, "click", user = 2))) // timeout fires with wm = 10:25
+    assert(rows == Seq((1L, 1L, ms(0), ms(10))),
+      s"expired unanswered A must EMIT (timeout-emission semantics): $rows")
+    assert(stateRows == 0L, s"alerted state must be evicted: $stateRows")
+  }
+
+  test("negation: a B arriving in a LATER micro-batch before the timeout suppresses the alert") {
+    val (rows, stateRows) = runNot(
+      Seq(ev(1, 0, "view", user = 1)),
+      Seq(ev(2, 7, "purchase", user = 1)), // in-window B, cross-batch
+      Seq(ev(3, 30, "click", user = 2))) // wm sails past the deadline
+    assert(rows.isEmpty, s"suppressed A must never alert: $rows")
+    assert(stateRows == 0L, s"suppressed state must clear: $stateRows")
+  }
+
+  test("negation: boundary B at gap == within suppresses; same-ms B does not") {
+    // user 1: B exactly at the deadline (inclusive window) → suppressed.
+    // user 2: B at the same ms as its A (gap 0 — strict precedence) →
+    // that A stays unanswered and alerts.
+    val (rows, _) = runNot(
+      Seq(ev(1, 0, "view", user = 1), ev(2, 10, "purchase", user = 1),
+        ev(3, 0, "view", user = 2), ev(4, 0, "purchase", user = 2)),
+      Seq(ev(5, 30, "click", user = 3)),
+      Seq(ev(6, 31, "click", user = 3)))
+    assert(rows == Seq((2L, 3L, ms(0), ms(10))), s"got $rows")
+  }
+
+  test("negation: an in-window newer A supersedes silently; an out-of-window one proves the alert inline") {
+    // user 1: A1 10:00, A2 10:05 (in window — replaces silently), no B
+    //   → only A2 alerts (deadline 10:15).
+    // user 2: A1 10:00, A2 10:20 (past A1's window — A1 alerts inline
+    //   at A2's processing), then B 10:25 suppresses A2.
+    val (rows, stateRows) = runNot(
+      Seq(ev(1, 0, "view", user = 1), ev(2, 5, "view", user = 1),
+        ev(3, 0, "view", user = 2)),
+      Seq(ev(4, 20, "view", user = 2)),
+      Seq(ev(5, 25, "purchase", user = 2)),
+      Seq(ev(6, 40, "click", user = 3)),
+      Seq(ev(7, 41, "click", user = 3)))
+    assert(rows == Seq(
+      (1L, 2L, ms(5), ms(15)),
+      (2L, 3L, ms(0), ms(10))), s"got $rows")
+    assert(stateRows == 0L, s"all state resolved: $stateRows")
+  }
+
+  test("negation: output is invariant to micro-batch splits") {
+    // ts-ordered so every split point is event-time monotone (a batch
+    // never carries rows older than the previous batch's watermark —
+    // the same discipline the gated file replay uses)
+    val events = Seq(
+      ev(1, 0, "view", user = 1), ev(3, 2, "view", user = 2),
+      ev(2, 7, "purchase", user = 1), ev(4, 20, "click", user = 2),
+      ev(5, 21, "view", user = 3), ev(6, 45, "click", user = 4),
+      ev(7, 50, "click", user = 4))
+    val (a, _) = runNot(events.take(3), events.slice(3, 5), events.drop(5))
+    val (b, _) = runNot(events.take(5), events.drop(5))
+    val (c, _) = runNot(events)
+    assert(a == b && b == c, s"split-dependent alerts: $a vs $b vs $c")
+    // user 2's A (10:02, deadline 10:12) is proven by the 10:20 click /
+    // watermark; user 3's A (10:21, deadline 10:31) by the 10:45 noise
+    assert(a == Seq((2L, 3L, ms(2), ms(12)), (3L, 5L, ms(21), ms(31))))
   }
 }

@@ -137,4 +137,33 @@ class StreamingSpec extends SparkSpec {
       "t_props", OutputMode.Append())(() => input.addData(Seq(ev(1, 0))))
     assert(parsed.select("k").collect()(0).getLong(0) == 1L)
   }
+
+  test("streaming HDR bucket counts are batch-split-insensitive (complete mode)") {
+    // r18 verdict #2: bucket counts merge by addition, so HOW the
+    // stream is micro-batched must not matter — any split's final
+    // complete-mode snapshot equals the one-shot batch bucket table.
+    import org.apache.spark.sql.functions._
+    val events = (1 to 60).map(i =>
+      ev(i.toLong, i % 50, typ = if (i % 3 == 0) "view" else "click",
+        value = 0.01 * ((i * 37) % 900 + 1)))
+    def buckets(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Sketches.hdrBuckets(
+        df.withColumn("c",
+          (col("value").cast(org.apache.spark.sql.types.DecimalType(12, 2)) * 100)
+            .cast("long") + lit(1L)), "c", 16)
+        .groupBy(col("event_type"), col("hdr_bucket"))
+        .agg(count(lit(1)).as("cnt"))
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getString(0), r.getLong(1), r.getLong(2))
+    val expected = buckets(events.toDF()).collect().map(key).toSet
+    assert(expected.nonEmpty)
+    Seq(Seq(events), Seq(events.take(7), events.drop(7)),
+      events.grouped(13).toSeq).zipWithIndex.foreach { case (split, i) =>
+      val input = MemoryStream[Ev](spark)
+      val got = runQuery(buckets(input.toDF()), s"t_hdr_split_$i",
+        OutputMode.Complete())(split.map(b => () => { input.addData(b); () }): _*)
+      assert(got.collect().map(key).toSet == expected,
+        s"split $i diverged from the one-shot bucket table")
+    }
+  }
 }
