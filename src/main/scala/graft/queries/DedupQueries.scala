@@ -44,6 +44,17 @@ object DedupQueries {
     * `Dedup.DefaultMaxShingleDf` — the Σ df² guard; n_sh keeps the FULL
     * set size, the cap only prunes pair generation).
     */
+  /** [[duckCappedIndex]] with the `ex` leg MATERIALIZED — for oracles
+    * that self-join `ex` under further multiply-referenced CTEs (the
+    * corpus-scale HyperANF chain), where DuckDB's per-reference CTE
+    * inlining would recompute the shingle explosion once per round
+    * (>60 GB temp spill at sf10; see ROUND19_NOTES).
+    */
+  private[queries] lazy val duckCappedIndexMaterialized: String =
+    duckCappedIndex
+      .replace("ex0 AS (", "ex0 AS MATERIALIZED (")
+      .replace("), ex AS (", "), ex AS MATERIALIZED (")
+
   private[queries] val duckCappedIndex =
     s"""ex0 AS (
        |  SELECT doc_id, len(shingles)::BIGINT AS n_sh,

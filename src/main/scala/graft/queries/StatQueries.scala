@@ -1556,7 +1556,7 @@ object StatQueries {
     |)""".stripMargin
 
   private def anfRegRound(t: Int): String = s"""
-    |, h$t AS (
+    |, h$t AS MATERIALIZED (
     |  SELECT id, bucket, max(reg) AS reg FROM (
     |    SELECT id, bucket, reg FROM h${t - 1}
     |    UNION ALL
@@ -1580,7 +1580,7 @@ object StatQueries {
     |           * 262144.0::DOUBLE * 1099511627776.0::DOUBLE
     |           / (s_present + (512 - nb) * 1099511627776)::DOUBLE AS raw
     |  FROM agg$t
-    |), est$t AS (
+    |), est$t AS MATERIALIZED (
     |  SELECT $t::BIGINT AS t,
     |         CAST(sum(CAST(round(
     |           CASE WHEN raw <= 1280.0 AND nb < 512
@@ -1596,7 +1596,7 @@ object StatQueries {
       .stripMargin
 
   private def anfReachRound(t: Int): String = s"""
-    |, r$t AS (
+    |, r$t AS MATERIALIZED (
     |  SELECT DISTINCT v, u FROM (
     |    SELECT v, u FROM r${t - 1}
     |    UNION ALL
@@ -1672,12 +1672,12 @@ object StatQueries {
       |), v AS (SELECT n_nationkey::BIGINT AS id FROM nation),
       |hh AS (
       |  SELECT id, ('0x' || substring(md5(id::VARCHAR), 1, 12))::BIGINT AS h FROM v
-      |), h0 AS (
+      |), h0 AS MATERIALIZED (
       |  SELECT id, h & 511 AS bucket,
       |         CASE WHEN (h >> 9) = 0 THEN 40::BIGINT
       |              ELSE bit_count(((h >> 9) & -(h >> 9)) - 1) + 1 END AS reg
       |  FROM hh
-      |), r0 AS (SELECT id AS v, id AS u FROM v),
+      |), r0 AS MATERIALIZED (SELECT id AS v, id AS u FROM v),
       |x0 AS (SELECT 0::BIGINT AS t, count(*)::BIGINT AS nf_exact FROM r0)
       """.stripMargin.trim
       + anfRegRound(1) + anfRegRound(2) + anfRegRound(3) + anfLcCte
@@ -1760,25 +1760,25 @@ object StatQueries {
         .orderBy(col("t"))
     },
     Some((s"""
-      |${DedupQueries.duckShingles}, ${DedupQueries.duckCappedIndex}, jpairs AS (
+      |${DedupQueries.duckShingles}, ${DedupQueries.duckCappedIndexMaterialized}, jpairs AS (
       |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, x.n_sh AS na, y.n_sh AS nb, count(*) AS common
       |  FROM ex x JOIN ex y ON x.s = y.s AND x.doc_id < y.doc_id
       |  GROUP BY 1, 2, 3, 4
       |), edges0 AS (
       |  SELECT id_a, id_b FROM jpairs
       |  WHERE round(common::DOUBLE / (na + nb - common)::DOUBLE, 6) >= 0.3
-      |), edges AS (
+      |), edges AS MATERIALIZED (
       |  SELECT id_a::BIGINT AS src, id_b::BIGINT AS dst FROM edges0
       |  UNION SELECT id_b::BIGINT, id_a::BIGINT FROM edges0
-      |), v AS (SELECT doc_id::BIGINT AS id FROM documents),
+      |), v AS MATERIALIZED (SELECT doc_id::BIGINT AS id FROM documents),
       |hh AS (
       |  SELECT id, ('0x' || substring(md5(id::VARCHAR), 1, 12))::BIGINT AS h FROM v
-      |), h0 AS (
+      |), h0 AS MATERIALIZED (
       |  SELECT id, h & 511 AS bucket,
       |         CASE WHEN (h >> 9) = 0 THEN 40::BIGINT
       |              ELSE bit_count(((h >> 9) & -(h >> 9)) - 1) + 1 END AS reg
       |  FROM hh
-      |), r0 AS (SELECT id AS v, id AS u FROM v),
+      |), r0 AS MATERIALIZED (SELECT id AS v, id AS u FROM v),
       |x0 AS (SELECT 0::BIGINT AS t, count(*)::BIGINT AS nf_exact FROM r0)
       """.stripMargin.trim
       + anfRegRound(1) + anfRegRound(2) + anfLcCte

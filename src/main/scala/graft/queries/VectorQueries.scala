@@ -1128,7 +1128,12 @@ object VectorQueries {
     * membership for ivf/lsh, THIS run's recorded ids for hnsw/pq (the
     * recorded-candidate contract of ann_nsw_routed_batch /
     * ann_cost_serving4). Assumes the shared cents/assigned/planes/bk
-    * CTEs are already in scope.
+    * CTEs are already in scope. est/choice (and the shared CTEs) are
+    * MATERIALIZED: DuckDB inlines a CTE at every reference, and the
+    * per-query cand branches each carry a `(SELECT chosen FROM
+    * choice)` scalar — inlined, that re-expands est's per-query probe
+    * counts → assigned/bk into a combinatorial plan that spilled >60 GB
+    * at sf1; materialized, the whole oracle runs in under a second.
     */
   private def duckServingBatchLeg(tag: String, qs: Seq[(Int, Array[Float])],
                                   cands: Map[Int, Seq[Long]],
@@ -1153,13 +1158,13 @@ object VectorQueries {
         .stripMargin
     }.mkString(" + ")
     val estCte =
-      s"""|est_$tag AS (
+      s"""|est_$tag AS MATERIALIZED (
           |  SELECT ($ivfCnt)::BIGINT * 256 AS est_ivf_b,
           |         ($lshCnt)::BIGINT * 256 AS est_lsh_b,
           |         ${b}::BIGINT * 16384 AS est_hnsw_b,
           |         ((SELECT count(*) FROM embeddings)::BIGINT * 8
           |           + ${b}::BIGINT * 16 * 256) AS est_pq_b
-          |), choice_$tag AS (
+          |), choice_$tag AS MATERIALIZED (
           |  SELECT CASE WHEN est_pq_b < est_ivf_b AND est_pq_b < est_lsh_b
           |                   AND est_pq_b < est_hnsw_b THEN 'pq'
           |              WHEN est_hnsw_b < est_ivf_b AND est_hnsw_b < est_lsh_b THEN 'hnsw'
@@ -1207,21 +1212,21 @@ object VectorQueries {
       legs: Seq[(String, Seq[(Int, Array[Float])])],
       cands: Map[String, Map[Int, Seq[Long]]], k: Int): String = {
     val shared = s"""
-      |WITH cents AS (
+      |WITH cents AS MATERIALIZED (
       |  SELECT vec_id AS cid, embedding::DOUBLE[] AS c FROM embeddings WHERE vec_id < 8
-      |), assigned AS (
+      |), assigned AS MATERIALIZED (
       |  SELECT vec_id, cid AS cluster_id FROM (
       |    SELECT e.vec_id, c.cid,
       |           row_number() OVER (PARTITION BY e.vec_id
       |                              ORDER BY ${duckL2("e.embedding::DOUBLE[]", "c.c")}, c.cid) AS rn
       |    FROM embeddings e CROSS JOIN cents c
       |  ) WHERE rn = 1
-      |), planes AS (
+      |), planes AS MATERIALIZED (
       |  SELECT b, list_transform(range(64), j ->
       |    CASE WHEN ('0x' || substring(md5('lsh:' || b::VARCHAR || ':' || j::VARCHAR), 1, 12))::BIGINT % 2 = 0
       |         THEN 1.0 ELSE -1.0 END) AS plane
       |  FROM (SELECT unnest(range(8)) AS b)
-      |), bk AS (
+      |), bk AS MATERIALIZED (
       |  SELECT e.vec_id,
       |         sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], p.plane) >= 0
       |                  THEN (1::BIGINT << p.b) ELSE 0 END)::BIGINT AS lsh_bucket
