@@ -272,6 +272,65 @@ object IvfProbeRule extends Rule[LogicalPlan] {
     }
   }
 
+  /** SELECTIVITY-aware serving cost choice — [[chooseServing4]] priced
+    * for a HYBRID query (relational predicate + KNN), the composition
+    * every filtered gate runs (r19 candidate #1; knn_filtered_hnsw
+    * documents the efSearch ∝ 1/selectivity deployment rule this model
+    * prices). The predicate reaches every family differently:
+    *   - IVF / LSH: probe partitions are read in FULL and the predicate
+    *     applies inside the scan (the stores are not partitioned by the
+    *     filter column) — bytes UNCHANGED;
+    *   - routed HNSW: the beam is predicate-BLIND (filtering during
+    *     traversal would disconnect the graph), so surfacing k
+    *     survivors needs the beam widened to efSearch/s candidates —
+    *     bytes scale by 1/s;
+    *   - PQ/ADC: the shared code scan is unchanged, but the shortlist
+    *     must widen to shortlist/s for k survivors to reach the exact
+    *     re-rank — only the rescore term scales.
+    * Consequence: a selective predicate punishes the graph path
+    * hardest, leaves the probe paths untouched, and dents PQ only in
+    * its small linear term — so the winner FLIPS on selectivity alone
+    * (`ann_cost_serving_filtered` gates a measured flip; the spec pins
+    * it synthetically). Selectivity travels as the EXACT pair
+    * (matchRows, totalRows) and the widened knobs use integer ceiling
+    * division ((ef·total + match − 1) div match), so the whole decision
+    * is integer arithmetic both engines replay bit-for-bit — no float
+    * selectivity in the gated channel. Tie/fallback discipline is
+    * [[chooseServing4]]'s verbatim. Returns
+    * (chosen, ivfBytes, lshBytes, hnswBytes, pqBytes, efEff, slEff).
+    */
+  def chooseServingFiltered(qv: Array[Float], ivf: IvfCatalog.IvfIndex,
+                            lsh: LshCatalog.LshIndex, hnswShards: Int,
+                            hnswNprobe: Int, efSearch: Int, dim: Int,
+                            pqCorpusRows: Long, pqM: Int, pqShortlist: Int,
+                            matchRows: Long, totalRows: Long)
+      : (String, Long, Long, Long, Long, Int, Int) = {
+    require(matchRows > 0 && matchRows <= totalRows,
+      s"selectivity pair out of range: $matchRows / $totalRows")
+    val vecBytes = dim.toLong * 4
+    def ceilDiv(a: Long, b: Long): Long = (a + b - 1) / b
+    val efEff = ceilDiv(efSearch.toLong * totalRows, matchRows).toInt
+    val slEff = ceilDiv(pqShortlist.toLong * totalRows, matchRows).toInt
+    val hnswBytes =
+      math.min(hnswShards, hnswNprobe).toLong * efEff * vecBytes
+    val pqBytes = pqCorpusRows * pqM + slEff.toLong * vecBytes
+    if (ivf.clusterRows.isEmpty || lsh.bucketRows.isEmpty)
+      ("ivf", -1L, -1L, hnswBytes, pqBytes, efEff, slEff)
+    else {
+      val ivfBytes = Ann.probeIds(qv, ivf.centroids, ivf.nprobe)
+        .map(c => ivf.clusterRows.getOrElse(c, 0L)).sum * vecBytes
+      val lshBytes = Ann.probeBuckets(Ann.queryBucket(qv, lsh.planes),
+          lsh.planes.length, lsh.radius)
+        .map(b => lsh.bucketRows.getOrElse(b, 0L)).sum * vecBytes
+      val chosen =
+        if (pqBytes < ivfBytes && pqBytes < lshBytes && pqBytes < hnswBytes) "pq"
+        else if (hnswBytes < ivfBytes && hnswBytes < lshBytes) "hnsw"
+        else if (lshBytes < ivfBytes) "lsh"
+        else "ivf"
+      (chosen, ivfBytes, lshBytes, hnswBytes, pqBytes, efEff, slEff)
+    }
+  }
+
   /** Extract the float array of a typed array literal (query vector). */
   private def literalVector(e: Expression): Option[Array[Float]] = e match {
     case Literal(data: ArrayData, ArrayType(FloatType, _)) => Some(data.toFloatArray())

@@ -1072,9 +1072,113 @@ object StreamingQueries {
       |ORDER BY user_id, a_ts_ms, a_event_id
       """.stripMargin.trim))
 
+  /** Two-batch time-split replay through the THREE-step CEP matcher —
+    * same day-15 cut as [[CepStore]].
+    */
+  private object Cep3Store {
+    val WithinMs: Long = 6L * 3600L * 1000L
+    def ensure(s: SparkSession, dir: String): String =
+      TmpStores.memoizedTable("graft_stream_cep3", dir) { root =>
+        val ev = Tables.events(s, dir)
+          .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+        val minUs = ev.agg(min(unix_micros(col("ts")))).head().getLong(0)
+        val splitUs = minUs + 15L * 86400L * 1000000L
+        val staging = s"$root/staging"
+        TmpStores.stageFile(ev.filter(unix_micros(col("ts")) < splitUs),
+          staging, "batch1", 120000L)
+        TmpStores.stageFile(ev.filter(unix_micros(col("ts")) >= splitUs),
+          staging, "batch2", 60000L)
+        val out = s"$root/matches"
+        val stream = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(staging)
+        import s.implicits._
+        val matches = graft.streaming.PatternMatch.matchAThenBThenC(
+          stream.withWatermark("ts", "0 seconds")
+            .as[graft.streaming.PatternMatch.EventIn],
+          aType = "view", bType = "click", cType = "purchase",
+          withinMs = WithinMs)
+        val q = matches.writeStream
+          .outputMode("append")
+          .format("parquet")
+          .option("path", out)
+          .option("checkpointLocation", s"$root/ckpt")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        out
+      }
+  }
+
+  private val streamPattern3Step = QueryDef(
+    "stream_pattern_3step",
+    "Streaming THREE-step CEP run to completion: view-then-click-then-" +
+      "purchase, each step within 6 h of the previous, per user — the " +
+      "funnel with an intermediate stage (Flink CEP's followedBy " +
+      "chain), replayed as two time-split file micro-batches. State " +
+      "is ONE flat record per key (latest A + latest VALID (A,B) " +
+      "partial — a B pairs with its latest lex-preceding A and only " +
+      "an in-window pairing arms the partial; an invalid B changes " +
+      "nothing), each piece independently evicted by event-time " +
+      "timeout past ITS OWN expiry with the timeout re-armed at the " +
+      "earliest live expiry; every in-window C emits (nothing is " +
+      "consumed). Semantics are the batch DOUBLE-argmax join — B* = " +
+      "latest valid B lex-before C, A* = latest A lex-before B* — so " +
+      "the oracle is one-shot SQL with two lex-order argmax windows: " +
+      "a green hash proves the incremental two-slot state composes " +
+      "across the batch boundary (an (A,B) armed in batch 1 matching " +
+      "a batch-2 C) to the batch answer row for row. " +
+      "PatternMatchSpec covers validity gating, partial re-arming, " +
+      "per-piece expiry, and the stream ≡ batch differential.",
+    (s, dir) => {
+      s.read.parquet(Cep3Store.ensure(s, dir))
+        .select(col("user_id"), col("a_event_id"),
+          unix_millis(col("a_ts")).as("a_ts_ms"),
+          col("b_event_id"), unix_millis(col("b_ts")).as("b_ts_ms"),
+          col("c_event_id"), unix_millis(col("c_ts")).as("c_ts_ms"),
+          col("gap_ab_ms"), col("gap_bc_ms"))
+        .orderBy(col("user_id"), col("c_ts_ms"), col("c_event_id"),
+          col("b_event_id"), col("a_event_id"))
+    },
+    Some(s"""
+      |WITH a AS (
+      |  SELECT user_id, epoch_ms(ts::TIMESTAMP) AS a_ms, event_id FROM events
+      |  WHERE event_type = 'view'
+      |), b AS (
+      |  SELECT user_id, epoch_ms(ts::TIMESTAMP) AS b_ms, event_id FROM events
+      |  WHERE event_type = 'click'
+      |), c AS (
+      |  SELECT user_id, epoch_ms(ts::TIMESTAMP) AS c_ms, event_id FROM events
+      |  WHERE event_type = 'purchase'
+      |), ab AS (
+      |  SELECT b.user_id, b.b_ms, b.event_id AS b_id,
+      |         a.a_ms, a.event_id AS a_id,
+      |         row_number() OVER (PARTITION BY b.user_id, b.event_id
+      |                            ORDER BY a.a_ms DESC, a.event_id DESC) AS rn
+      |  FROM b JOIN a ON a.user_id = b.user_id
+      |   AND (a.a_ms < b.b_ms OR (a.a_ms = b.b_ms AND a.event_id < b.event_id))
+      |), vb AS (
+      |  SELECT user_id, b_ms, b_id, a_ms, a_id FROM ab
+      |  WHERE rn = 1 AND b_ms - a_ms BETWEEN 1 AND ${Cep3Store.WithinMs}
+      |), m AS (
+      |  SELECT c.user_id, vb.a_id, vb.a_ms, vb.b_id, vb.b_ms,
+      |         c.event_id AS c_id, c.c_ms,
+      |         row_number() OVER (PARTITION BY c.user_id, c.event_id
+      |                            ORDER BY vb.b_ms DESC, vb.b_id DESC) AS rn
+      |  FROM c JOIN vb ON vb.user_id = c.user_id
+      |   AND (vb.b_ms < c.c_ms OR (vb.b_ms = c.c_ms AND vb.b_id < c.event_id))
+      |)
+      |SELECT user_id, a_id AS a_event_id, a_ms AS a_ts_ms,
+      |       b_id AS b_event_id, b_ms AS b_ts_ms,
+      |       c_id AS c_event_id, c_ms AS c_ts_ms,
+      |       b_ms - a_ms AS gap_ab_ms, c_ms - b_ms AS gap_bc_ms
+      |FROM m WHERE rn = 1 AND c_ms - b_ms BETWEEN 1 AND ${Cep3Store.WithinMs}
+      |ORDER BY user_id, c_ts_ms, c_event_id, b_event_id, a_event_id
+      """.stripMargin.trim))
+
   val defs: Seq[QueryDef] =
     Seq(streamIngest, streamServe, streamServeNsw, streamServePq,
       streamServeAuto, streamCdcApply, streamTrending, streamLateAudit,
       streamHllDaily, streamHdrQuantiles, streamPatternMatch,
-      streamPatternTimeout)
+      streamPatternTimeout, streamPattern3Step)
 }

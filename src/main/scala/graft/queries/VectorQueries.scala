@@ -1310,6 +1310,201 @@ object VectorQueries {
           CostServingBatchState.cands.getOrElse(d, Map.empty), k = 3)
       }))
 
+  private object CostServingFilteredState {
+    val cands = scala.collection.concurrent.TrieMap
+      .empty[String, Map[String, Seq[Long]]]
+    @volatile var lastDir: Option[String] = None
+  }
+
+  private val costServingFiltered = QueryDef(
+    "ann_cost_serving_filtered",
+    "SELECTIVITY-aware serving cost choice — the router priced for the " +
+      "HYBRID query (relational predicate + KNN) every knn_filtered_* " +
+      "gate runs: probe partitions are read in full either way (the " +
+      "stores are not partitioned by the filter column — ivf/lsh bytes " +
+      "unchanged), the predicate-blind graph beam must widen to " +
+      "efSearch/s to surface k survivors (knn_filtered_hnsw's " +
+      "documented deployment rule, now priced), and PQ widens only " +
+      "its shortlist rescore term. Two legs over the same stores and " +
+      "the same query vector: unfiltered (s = 1) and label = 3 " +
+      "(s ≈ 0.1) — at the fixture corpus the winner FLIPS pq → lsh on " +
+      "selectivity alone (the widened rescore prices PQ out while the " +
+      "37-bucket hamming probe set stays a few hundred rows), and at " +
+      "sf0.1+ the unfiltered leg flips to the graph router first — " +
+      "all data-derived. Selectivity travels as the EXACT " +
+      "(n_match, n_total) pair and the widened knobs are integer " +
+      "ceiling divisions, so the ENTIRE decision is integer/byte " +
+      "arithmetic the oracle replays bit-for-bit: probe sets, both " +
+      "widened closed forms, the argmin with ivf-precedence ties, " +
+      "then exact top-5 under the predicate over the chosen " +
+      "candidates (probe membership in SQL for ivf/lsh, THIS run's " +
+      "recorded beam/shortlist ids for hnsw/pq). IvfProbeRuleSpec " +
+      "pins the synthetic flips and the ceiling arithmetic.",
+    (s, dir) => {
+      val q = Queries.queryVec64
+      val corpus = Tables.embeddings(s, dir)
+      val cents = Ann.seededCentroids(corpus, "embedding", "vec_id", nlist = 8)
+      val planes = Ann.signPlanes(dim = 64, nBits = 8)
+      val (path, clusterRows, bucketRows) =
+        HybridIndexStore.ensure(s, dir, cents, planes)
+      val nTotal = clusterRows.values.sum
+      val nMatch = corpus.filter(col("label") === 3).count()
+      val p = NswStore.params
+      val graph = Nsw.readGraph(s, NswStore.ensure(s, dir))
+      val routerCents = NswRouterStore.ensure(s, dir)
+      val cb = PqStore.ensure(s, dir)
+      val codes = Pq.readEncoded(s, PqCodeStore.ensure(s, dir))
+      val legs = Seq(("all", nTotal, None: Option[org.apache.spark.sql.Column]),
+        ("sel", nMatch, Some(col("label") === 3)))
+      val outs = legs.map { case (tag, m, pred) =>
+        val (chosen, ivfB, lshB, hnswB, pqB, efEff, slEff) =
+          graft.plans.IvfProbeRule.chooseServingFiltered(q,
+            graft.plans.IvfCatalog.IvfIndex(cents, 3, clusterRows),
+            graft.plans.LshCatalog.LshIndex(planes, 2, bucketRows),
+            p.nShards, NswRouterStore.nprobe, p.efSearch, dim = 64,
+            nTotal, pqM = PqStore.M, pqShortlist = 16,
+            matchRows = m, totalRows = nTotal)
+        def withPred(df: org.apache.spark.sql.DataFrame) =
+          pred.map(df.filter).getOrElse(df)
+        val ranked = chosen match {
+          case "pq" =>
+            val sl = Pq.search(codes, "vec_id", q, cb, k = slEff)
+              .select("vec_id").collect().map(_.getLong(0)).toSeq.sorted
+            CostServingFilteredState.cands(dir) =
+              CostServingFilteredState.cands.getOrElse(dir, Map.empty) + (tag -> sl)
+            Knn.search(withPred(corpus.filter(col("vec_id").isin(sl: _*))),
+              "embedding", "vec_id", q, k = 5)
+          case "hnsw" =>
+            val (_, cands, _) = Nsw.routedBatchSearch(graph, corpus,
+              "embedding", "vec_id", Seq(0 -> q), k = 5, routerCents,
+              NswRouterStore.nprobe, p.copy(efSearch = efEff))
+            val ids = cands.getOrElse(0, Seq.empty)
+            CostServingFilteredState.cands(dir) =
+              CostServingFilteredState.cands.getOrElse(dir, Map.empty) + (tag -> ids)
+            Knn.search(withPred(corpus.filter(col("vec_id").isin(ids: _*))),
+              "embedding", "vec_id", q, k = 5)
+          case "lsh" =>
+            CostServingFilteredState.cands(dir) =
+              CostServingFilteredState.cands.getOrElse(dir, Map.empty) + (tag -> Seq.empty)
+            val probes = Ann.probeBuckets(
+              Ann.queryBucket(q, planes), planes.length, radius = 2)
+            Knn.search(withPred(Ann.readIndexed(s, path)
+                .filter(col("lsh_bucket").isin(probes: _*))),
+              "embedding", "vec_id", q, k = 5)
+          case _ =>
+            CostServingFilteredState.cands(dir) =
+              CostServingFilteredState.cands.getOrElse(dir, Map.empty) + (tag -> Seq.empty)
+            val probes = Ann.probeIds(q, cents, nprobe = 3)
+            Knn.search(withPred(Ann.readIndexed(s, path)
+                .filter(col("cluster_id").isin(probes: _*))),
+              "embedding", "vec_id", q, k = 5)
+        }
+        ranked.select(lit(tag).as("leg"), col("vec_id"), col("label"),
+          lit(chosen).as("chosen_index"),
+          lit(m).as("n_match"), lit(nTotal).as("n_total"),
+          lit(efEff.toLong).as("ef_eff"), lit(slEff.toLong).as("sl_eff"),
+          lit(ivfB).as("est_ivf_b"), lit(lshB).as("est_lsh_b"),
+          lit(hnswB).as("est_hnsw_b"), lit(pqB).as("est_pq_b"),
+          round(col("distance_score"), 6).as("distance"))
+      }
+      CostServingFilteredState.lastDir = Some(dir)
+      outs.reduce(_ unionByName _)
+        .orderBy(col("leg"), col("distance"), col("vec_id"))
+    },
+    oracle = None,
+    oracleLate = Some(() =>
+      CostServingFilteredState.lastDir.map { d =>
+        val rec = CostServingFilteredState.cands.getOrElse(d, Map.empty)
+        val qLit = vecLit(Queries.queryVec64)
+        def legSql(tag: String, predSql: String, matchSql: String) = {
+          val recIds = rec.getOrElse(tag, Seq.empty)
+          val recList =
+            if (recIds.isEmpty) "[]::BIGINT[]" else recIds.mkString("[", ", ", "]")
+          s"""|, m_$tag AS MATERIALIZED (
+              |  SELECT ($matchSql)::BIGINT AS n_match,
+              |         (SELECT count(*) FROM embeddings)::BIGINT AS n_total
+              |), est_$tag AS MATERIALIZED (
+              |  SELECT n_match, n_total,
+              |         (32 * n_total + n_match - 1) // n_match AS ef_eff,
+              |         (16 * n_total + n_match - 1) // n_match AS sl_eff,
+              |         (SELECT count(*) FROM assigned WHERE cluster_id IN
+              |            (SELECT cid FROM cents ORDER BY ${duckL2(qLit, "c")}, cid LIMIT 3))::BIGINT
+              |           * 256 AS est_ivf_b,
+              |         (SELECT count(*) FROM bk, qb
+              |          WHERE len(list_filter(range(8), i ->
+              |            ((bk.lsh_bucket >> i) & 1) <> ((qb.qbucket >> i) & 1))) <= 2)::BIGINT
+              |           * 256 AS est_lsh_b,
+              |         2 * ((32 * n_total + n_match - 1) // n_match) * 256 AS est_hnsw_b,
+              |         n_total * 8 + ((16 * n_total + n_match - 1) // n_match) * 256 AS est_pq_b
+              |  FROM m_$tag
+              |), choice_$tag AS MATERIALIZED (
+              |  SELECT CASE WHEN est_pq_b < est_ivf_b AND est_pq_b < est_lsh_b
+              |                   AND est_pq_b < est_hnsw_b THEN 'pq'
+              |              WHEN est_hnsw_b < est_ivf_b AND est_hnsw_b < est_lsh_b THEN 'hnsw'
+              |              WHEN est_lsh_b < est_ivf_b THEN 'lsh'
+              |              ELSE 'ivf' END AS chosen
+              |  FROM est_$tag
+              |), cand_$tag AS (
+              |  SELECT vec_id FROM assigned
+              |  WHERE (SELECT chosen FROM choice_$tag) = 'ivf'
+              |    AND cluster_id IN (SELECT cid FROM cents ORDER BY ${duckL2(qLit, "c")}, cid LIMIT 3)
+              |  UNION ALL
+              |  SELECT bk.vec_id FROM bk, qb
+              |  WHERE (SELECT chosen FROM choice_$tag) = 'lsh'
+              |    AND len(list_filter(range(8), i ->
+              |      ((bk.lsh_bucket >> i) & 1) <> ((qb.qbucket >> i) & 1))) <= 2
+              |  UNION ALL
+              |  SELECT unnest($recList) AS vec_id
+              |  WHERE (SELECT chosen FROM choice_$tag) IN ('hnsw', 'pq')
+              |), top_$tag AS (
+              |  SELECT vec_id, label, dist,
+              |         row_number() OVER (ORDER BY dist, vec_id) AS rn
+              |  FROM (
+              |    SELECT e.vec_id, e.label, ${duckCosine("e.embedding", qLit)} AS dist
+              |    FROM cand_$tag c JOIN embeddings e ON c.vec_id = e.vec_id
+              |    WHERE $predSql
+              |  ) QUALIFY rn <= 5
+              |)""".stripMargin
+        }
+        val selects = Seq("all", "sel").map { tag =>
+          s"""|SELECT '$tag' AS leg, t.vec_id, t.label,
+              |       (SELECT chosen FROM choice_$tag) AS chosen_index,
+              |       e.n_match, e.n_total, e.ef_eff, e.sl_eff,
+              |       e.est_ivf_b, e.est_lsh_b, e.est_hnsw_b, e.est_pq_b,
+              |       round(t.dist, 6) AS distance
+              |FROM top_$tag t CROSS JOIN est_$tag e""".stripMargin
+        }
+        s"""
+        |WITH cents AS MATERIALIZED (
+        |  SELECT vec_id AS cid, embedding::DOUBLE[] AS c FROM embeddings WHERE vec_id < 8
+        |), assigned AS MATERIALIZED (
+        |  SELECT vec_id, cid AS cluster_id FROM (
+        |    SELECT e.vec_id, c.cid,
+        |           row_number() OVER (PARTITION BY e.vec_id
+        |                              ORDER BY ${duckL2("e.embedding::DOUBLE[]", "c.c")}, c.cid) AS rn
+        |    FROM embeddings e CROSS JOIN cents c
+        |  ) WHERE rn = 1
+        |), planes AS MATERIALIZED (
+        |  SELECT b, list_transform(range(64), j ->
+        |    CASE WHEN ('0x' || substring(md5('lsh:' || b::VARCHAR || ':' || j::VARCHAR), 1, 12))::BIGINT % 2 = 0
+        |         THEN 1.0 ELSE -1.0 END) AS plane
+        |  FROM (SELECT unnest(range(8)) AS b)
+        |), bk AS MATERIALIZED (
+        |  SELECT e.vec_id,
+        |         sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], p.plane) >= 0
+        |                  THEN (1::BIGINT << p.b) ELSE 0 END)::BIGINT AS lsh_bucket
+        |  FROM embeddings e CROSS JOIN planes p GROUP BY e.vec_id
+        |), qb AS MATERIALIZED (
+        |  SELECT sum(CASE WHEN list_dot_product($qLit, plane) >= 0
+        |                  THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS qbucket
+        |  FROM planes
+        |)""".stripMargin.trim +
+          legSql("all", "TRUE", "SELECT count(*) FROM embeddings") +
+          legSql("sel", "e.label = 3", "SELECT count(*) FROM embeddings WHERE label = 3") +
+          "\n" + selects.mkString("\nUNION ALL\n") +
+          "\nORDER BY leg, distance, vec_id"
+      }))
+
   /** KMeans-built IVF index per (fixture, JVM) — the QUALITY centroid
     * path (Spark ML k-means‖, fixed seed) on the same persisted,
     * cluster-partitioned layout as [[IvfIndexStore]]. The fitted
@@ -2696,7 +2891,7 @@ object VectorQueries {
   val defs: Seq[QueryDef] =
     Seq(filtered, l2Search, batch, ragContext, ivf, lshProbe, nswBeam, hnswBeam,
       hnswRouted, filteredHnsw, costServing, costServing4, costServingBatch,
-      nswRoutedBatch, ivfRule,
+      costServingFiltered, nswRoutedBatch, ivfRule,
       lshRule, costRule, ivfKmeansRule, filteredIvfRule, mips, quantRescore, sqlApi,
       centroids, quantize, groupTopk, pqAdc, pqRescore, pqBatch, pqStoreAdc,
       matryoshka, ivfPqAdc, pcaKnn, rpKnn, bqHamming, mmrDiversify, recallEval,

@@ -213,4 +213,98 @@ object PatternMatch {
           }
       }(Encoders.product[PendingA], Encoders.product[AlertOut])
   }
+
+  /** State for [[matchAThenBThenC]]: the latest pending A and the
+    * latest VALID (A,B) partial, flat with presence flags (one fixed
+    * 6-long record per key — no per-event growth).
+    */
+  case class Pending3(hasA: Boolean, aTs: Long, aId: Long,
+                      hasAB: Boolean, abATs: Long, abAId: Long,
+                      abBTs: Long, abBId: Long)
+
+  case class Match3Out(user_id: Long, a_event_id: Long, a_ts: Timestamp,
+                       b_event_id: Long, b_ts: Timestamp,
+                       c_event_id: Long, c_ts: Timestamp,
+                       gap_ab_ms: Long, gap_bc_ms: Long)
+
+  /** THREE-step CEP: A-then-B-then-C with each step within `withinMs`
+    * of the previous (Flink CEP's `A followedBy B followedBy C`, the
+    * funnel with an intermediate stage — r19 widening of
+    * [[matchAThenB]]). Semantics compose the two-step rule twice, and
+    * stay SQL-replayable:
+    *   - a B is VALID iff its latest lex-preceding A (by (ts, id) — the
+    *     processing order) sits within (0, withinMs]; the latest valid
+    *     B becomes the pending (A,B) partial (last-valid-B-wins; an
+    *     INVALID B changes nothing);
+    *   - a C matches the pending partial iff 0 < c.ts − b.ts ≤
+    *     withinMs; neither A nor the partial is consumed (every C in
+    *     window emits), exactly the batch double-argmax join.
+    * State is ONE flat record per key (latest A + latest valid (A,B)),
+    * each piece independently evicted by event-time timeout once the
+    * watermark passes ITS expiry (a.ts + withinMs / b.ts + withinMs —
+    * strict >, the [[matchAThenB]] boundary discipline); expired
+    * partials emit nothing. The registered timeout is the EARLIEST
+    * live expiry, re-armed as pieces die, so state cannot outlive
+    * max(expiries) + one watermark advance.
+    */
+  def matchAThenBThenC(events: Dataset[EventIn], aType: String,
+                       bType: String, cType: String,
+                       withinMs: Long): Dataset[Match3Out] = {
+    require(Set(aType, bType, cType).size == 3,
+      s"pattern steps must be distinct, got ($aType, $bType, $cType)")
+    require(withinMs > 0, s"withinMs=$withinMs must be > 0")
+    val empty = Pending3(hasA = false, 0L, 0L, hasAB = false, 0L, 0L, 0L, 0L)
+    events.groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState[Pending3, Match3Out](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[EventIn], state: GroupState[Pending3]) =>
+          // drop pieces the watermark has strictly passed; None = empty
+          def sweep(p: Pending3, wm: Long): Pending3 = p.copy(
+            hasA = p.hasA && !(wm > p.aTs + withinMs),
+            hasAB = p.hasAB && !(wm > p.abBTs + withinMs))
+          def park(p: Pending3, wm: Long): Unit =
+            if (!p.hasA && !p.hasAB) { if (state.exists) state.remove() }
+            else {
+              state.update(p)
+              if (wm != Long.MinValue) {
+                val exps = Seq(
+                  if (p.hasA) Some(p.aTs + withinMs) else None,
+                  if (p.hasAB) Some(p.abBTs + withinMs) else None).flatten
+                state.setTimeoutTimestamp(math.max(exps.min, wm + 1L))
+              }
+            }
+          val wm = scala.util.Try(state.getCurrentWatermarkMs())
+            .getOrElse(Long.MinValue)
+          if (state.hasTimedOut) {
+            // expired partials emit NOTHING; surviving pieces re-arm
+            park(sweep(state.get, wm), wm)
+            Iterator.empty
+          } else {
+            var p = state.getOption.getOrElse(empty)
+            val out = Seq.newBuilder[Match3Out]
+            rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+              val t = e.ts.getTime
+              if (e.event_type == cType && p.hasAB) {
+                val gap = t - p.abBTs
+                if (gap > 0 && gap <= withinMs)
+                  out += Match3Out(userId, p.abAId, new Timestamp(p.abATs),
+                    p.abBId, new Timestamp(p.abBTs), e.event_id,
+                    new Timestamp(t), p.abBTs - p.abATs, gap)
+              }
+              if (e.event_type == bType && p.hasA) {
+                val gap = t - p.aTs
+                if (gap > 0 && gap <= withinMs)
+                  p = p.copy(hasAB = true, abATs = p.aTs, abAId = p.aId,
+                    abBTs = t, abBId = e.event_id)
+              }
+              if (e.event_type == aType &&
+                  (!p.hasA || t > p.aTs ||
+                    (t == p.aTs && e.event_id > p.aId)))
+                p = p.copy(hasA = true, aTs = t, aId = e.event_id)
+            }
+            park(sweep(p, wm), wm)
+            out.result().iterator
+          }
+      }(Encoders.product[Pending3], Encoders.product[Match3Out])
+  }
 }

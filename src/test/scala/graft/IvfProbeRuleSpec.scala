@@ -366,4 +366,43 @@ class IvfProbeRuleSpec extends SparkSpec {
       dim = 64, pqCorpusRows = 500, pqM = 8, pqShortlist = 16)
     assert(fb == "ivf" && fa == -1L && fbb == -1L)
   }
+
+  test("chooseServingFiltered: selectivity alone flips the winner; widened knobs are exact ceilings") {
+    import graft.plans.{IvfCatalog, LshCatalog, IvfProbeRule}
+    val planes = Ann.signPlanes(dim = 64, nBits = 8)
+    val cents = Ann.seededCentroids(emb, "embedding", "vec_id", nlist = 8)
+    def stats(rowsPerProbe: Long) = (
+      Ann.probeIds(q, cents, nprobe = 3).map(_ -> rowsPerProbe).toMap,
+      Ann.probeBuckets(Ann.queryBucket(q, planes), planes.length, radius = 1)
+        .map(_ -> rowsPerProbe).toMap)
+    def choose(matchRows: Long, totalRows: Long, probeRows: Long = 1000L) = {
+      val (ivfS, lshS) = stats(probeRows)
+      IvfProbeRule.chooseServingFiltered(q,
+        IvfCatalog.IvfIndex(cents, 3, ivfS),
+        LshCatalog.LshIndex(planes, 1, lshS),
+        hnswShards = 4, hnswNprobe = 2, efSearch = 32,
+        dim = 64, pqCorpusRows = totalRows, pqM = 8, pqShortlist = 16,
+        matchRows = matchRows, totalRows = totalRows)
+    }
+    // s = 1 on a big corpus: the graph's constant bound wins (16384 B
+    // vs pq 80 kB scan, probes 768 kB+)
+    val (cAll, _, _, hAll, pAll, efAll, slAll) = choose(10000L, 10000L)
+    assert(cAll == "hnsw" && efAll == 32 && slAll == 16)
+    assert(hAll == 2L * 32 * 256 && pAll == 10000L * 8 + 16L * 256)
+    // s = 1/100: the predicate-blind beam widens 100× (838 kB) while
+    // pq only widens its rescore (80 kB + 410 kB) — SAME stats, same
+    // corpus, only selectivity moved
+    val (cSel, _, _, hSel, pSel, efSel, slSel) = choose(100L, 10000L)
+    assert(cSel == "pq", s"selective predicate must price the beam out: $cSel")
+    assert(efSel == 3200 && slSel == 1600)
+    assert(hSel == 2L * 3200 * 256 && pSel == 10000L * 8 + 1600L * 256)
+    // probe paths are selectivity-INVARIANT: tiny probe stats keep
+    // winning at any selectivity
+    assert(choose(100L, 10000L, probeRows = 1L)._1 == "ivf")
+    // exact ceiling arithmetic (not float division): 32·10/3 = 106.67 → 107
+    assert(choose(3L, 10L)._6 == 107 && choose(3L, 10L)._7 == 54)
+    // domain guard
+    intercept[IllegalArgumentException](choose(0L, 10L))
+    intercept[IllegalArgumentException](choose(11L, 10L))
+  }
 }

@@ -219,6 +219,78 @@ class PatternMatchSpec extends SparkSpec {
     assert(stateRows == 0L, s"all state resolved: $stateRows")
   }
 
+  // ---- matchAThenBThenC (three-step funnel; r19) ----
+
+  /** (user, aId, bId, cId, gapAb, gapBc) matches + final state rows. */
+  private def run3(batches: Seq[EventIn]*): (Seq[(Long, Long, Long, Long, Long, Long)], Long) = {
+    val input = MemoryStream[EventIn](spark)
+    val matches = PatternMatch.matchAThenBThenC(
+      input.toDS().withWatermark("ts", "0 seconds"),
+      "view", "click", "purchase", Within)
+    val name = s"t_cep3_${System.nanoTime()}"
+    val q = matches.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+      val rows = spark.table(name).collect().map(r =>
+        (r.getAs[Long]("user_id"), r.getAs[Long]("a_event_id"),
+          r.getAs[Long]("b_event_id"), r.getAs[Long]("c_event_id"),
+          r.getAs[Long]("gap_ab_ms"), r.getAs[Long]("gap_bc_ms"))).toSeq.sorted
+      (rows, q.lastProgress.stateOperators.head.numRowsTotal)
+    } finally q.stop()
+  }
+
+  test("3-step: chain matches across batches; invalid B arms nothing; nothing is consumed") {
+    val (rows, _) = run3(
+      // A 10:00, B 10:04 (valid, partial armed), noise
+      Seq(ev(1, 0, "view"), ev(2, 4, "click"), ev(3, 5, "error")),
+      // C 10:08 completes the batch-1 partial; second C also emits
+      // (nothing consumed); a LATER valid B re-arms with the same A
+      Seq(ev(4, 8, "purchase"), ev(5, 9, "purchase"), ev(6, 10, "click")),
+      Seq(ev(7, 12, "purchase")))
+    assert(rows == Seq(
+      (1L, 1L, 2L, 4L, 4L * 60000L, 4L * 60000L),
+      (1L, 1L, 2L, 5L, 4L * 60000L, 5L * 60000L),
+      (1L, 1L, 6L, 7L, 10L * 60000L, 2L * 60000L)))
+  }
+
+  test("3-step: a B whose latest preceding A is out of window does NOT arm the partial") {
+    val (rows, _) = run3(
+      Seq(ev(1, 0, "view", hour = 9)), // A at 09:00
+      // B at 10:00 — 60 min after A, outside the 10-min window
+      Seq(ev(2, 0, "click")),
+      Seq(ev(3, 5, "purchase"))) // C finds no partial
+    assert(rows.isEmpty, s"invalid B must not arm the funnel: $rows")
+  }
+
+  test("3-step: pieces expire independently — the (A,B) partial outlives the A slot") {
+    // A 10:00 (A-slot expiry 10:10), B 10:09 (partial expiry 10:19):
+    // at wm 10:12 the A slot is dead but the partial still matches a
+    // C at 10:15; after wm passes 10:19 all state clears.
+    val (rows, stateRows) = run3(
+      Seq(ev(1, 0, "view"), ev(2, 9, "click")),
+      Seq(ev(3, 12, "click", user = 2)), // wm → 10:12 (A slot dies)
+      Seq(ev(4, 15, "purchase")),
+      Seq(ev(5, 40, "click", user = 2)),
+      Seq(ev(6, 41, "click", user = 2)))
+    assert(rows == Seq((1L, 1L, 2L, 4L, 9L * 60000L, 6L * 60000L)))
+    assert(stateRows == 0L, s"all pieces past expiry must evict: $stateRows")
+  }
+
+  test("3-step: batch Dataset replay equals the streaming result") {
+    val events = Seq(
+      ev(1, 0, "view"), ev(2, 3, "click"), ev(3, 5, "view"),
+      ev(4, 7, "click"), ev(5, 9, "purchase"), ev(6, 20, "purchase"),
+      ev(7, 2, "view", user = 2), ev(8, 30, "click", user = 2))
+    val batch = PatternMatch.matchAThenBThenC(events.toDS(),
+      "view", "click", "purchase", Within).collect().map(m =>
+      (m.user_id, m.a_event_id, m.b_event_id, m.c_event_id,
+        m.gap_ab_ms, m.gap_bc_ms)).toSeq.sorted
+    val (streamed, _) = run3(events.sortBy(e => e.ts.getTime).take(5),
+      events.sortBy(e => e.ts.getTime).drop(5))
+    assert(batch == streamed && batch.nonEmpty)
+  }
+
   test("negation: output is invariant to micro-batch splits") {
     // ts-ordered so every split point is event-time monotone (a batch
     // never carries rows older than the previous batch's watermark —
