@@ -966,16 +966,22 @@ object StreamingQueries {
       |  SELECT user_id, epoch_ms(ts::TIMESTAMP) AS b_ms, event_id FROM events
       |  WHERE event_type = 'purchase'
       |), m AS (
+      |  -- LEX-order argmax, window tested AFTER it (stream-exact: the
+      |  -- pending A is the latest (ts, id)-preceding A regardless of
+      |  -- window, and the gap test happens at match time — so a
+      |  -- same-ms A correctly MASKS an older in-window A, where the
+      |  -- previous in-window-first argmax would have emitted it;
+      |  -- r19 tightening, measure-zero on real fixtures)
       |  SELECT b.user_id, a.event_id AS a_event_id, a.a_ms,
       |         b.event_id AS b_event_id, b.b_ms, b.b_ms - a.a_ms AS gap_ms,
       |         row_number() OVER (PARTITION BY b.user_id, b.event_id
       |                            ORDER BY a.a_ms DESC, a.event_id DESC) AS rn
       |  FROM b JOIN a ON a.user_id = b.user_id
-      |   AND b.b_ms - a.a_ms BETWEEN 1 AND ${CepStore.WithinMs}
+      |   AND (a.a_ms < b.b_ms OR (a.a_ms = b.b_ms AND a.event_id < b.event_id))
       |)
       |SELECT user_id, a_event_id, a_ms AS a_ts_ms, b_event_id,
       |       b_ms AS b_ts_ms, gap_ms
-      |FROM m WHERE rn = 1
+      |FROM m WHERE rn = 1 AND gap_ms BETWEEN 1 AND ${CepStore.WithinMs}
       |ORDER BY user_id, b_ts_ms, b_event_id, a_event_id
       """.stripMargin.trim))
 
