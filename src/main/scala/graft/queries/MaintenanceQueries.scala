@@ -271,6 +271,148 @@ object MaintenanceQueries {
       |GROUP BY o_orderpriority ORDER BY o_orderpriority
       """.stripMargin.trim))
 
+  /** One persisted HDR-bucket store per (sfDir, JVM): the histogram of
+    * the HISTORICAL event partition (event_id % 10 < 8), written once —
+    * the stored telemetry table an incremental refresh touches instead
+    * of the raw history.
+    */
+  private object HdrStore {
+    val K = 16
+    def cents: org.apache.spark.sql.Column =
+      (col("value").cast(org.apache.spark.sql.types.DecimalType(12, 2)) * 100)
+        .cast("long") + lit(1L)
+    def buckets(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      graft.operators.Sketches.hdrBuckets(df.withColumn("c", cents), "c", K)
+        .groupBy(col("event_type"), col("hdr_bucket"), col("hdr_pow"),
+          col("hdr_sub"))
+        .agg(count(lit(1)).as("cnt"))
+    def ensure(s: SparkSession, dir: String): String =
+      TmpStores.memoizedTable("graft_hdr_store", dir) { root =>
+        val table = s"$root/buckets"
+        buckets(Tables.events(s, dir)
+            .filter(pmod(col("event_id"), lit(10)) < 8))
+          .write.parquet(table)
+        table
+      }
+  }
+
+  private val hdrRefresh = QueryDef(
+    "maint_hdr_refresh",
+    "Incremental HISTOGRAM maintenance — maint_incremental_rollup's " +
+      "pattern applied to the mergeable HDR quantile sketch: the " +
+      "historical partition's bucket table (≤ |types|·64·16 rows) is " +
+      "PERSISTED once, and a refresh buckets ONLY the increment " +
+      "(event_id % 10 ≥ 8 — 20% of events) and ADDS it to the stored " +
+      "table; the raw history is never re-scanned. That is how " +
+      "latency-percentile telemetry stays current at 100 TB: the " +
+      "refresh cost is |increment| + the bounded bucket table, while " +
+      "the full rebuild the gate carries as its yardstick re-reads " +
+      "everything. The registered query walks the MERGED table for " +
+      "p50/p90/p99 per event type and carries an exact bucket-table " +
+      "equality flag (merged ≡ rebuilt checksums — counts merge by " +
+      "addition, so equality is exact, not approximate). The oracle " +
+      "replays the split, both bucket tables, the merge, the rebuild, " +
+      "the checksums and the quantile walk from scratch in SQL. " +
+      "Values ride the exact DECIMAL cents +1 channel (the " +
+      "stream_hdr_quantiles zero-inclusive offset).",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val k = HdrStore.K
+      val stored = s.read.parquet(HdrStore.ensure(s, dir))
+      val inc = HdrStore.buckets(Tables.events(s, dir)
+        .filter(pmod(col("event_id"), lit(10)) >= 8))
+      val merged = stored.unionByName(inc)
+        .groupBy(col("event_type"), col("hdr_bucket"), col("hdr_pow"), col("hdr_sub"))
+        .agg(sum(col("cnt")).as("cnt"))
+      val rebuilt = HdrStore.buckets(Tables.events(s, dir))
+      def checksum(df: org.apache.spark.sql.DataFrame) = df.groupBy(col("event_type"))
+        .agg(sum(col("hdr_bucket") * col("cnt")).as("wsum"),
+          sum(col("cnt")).as("tsum"))
+      val flags = checksum(merged).as("mc")
+        .join(checksum(rebuilt).as("rc"), Seq("event_type"))
+        .select(col("event_type"),
+          when(col("mc.wsum") === col("rc.wsum") &&
+            col("mc.tsum") === col("rc.tsum"), 1L).otherwise(0L)
+            .as("refresh_matches_rebuild"))
+      val wCum = Window.partitionBy(col("event_type")).orderBy(col("hdr_bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col("event_type"))
+      val withCum = merged
+        .withColumn("cum", sum(col("cnt")).over(wCum))
+        .withColumn("n", sum(col("cnt")).over(wAll))
+      val qDf = Seq(("p50", 1L, 2L), ("p90", 9L, 10L), ("p99", 99L, 100L))
+        .toDF("q", "qnum", "qden")
+      withCum.crossJoin(broadcast(qDf))
+        .withColumn("target", expr("(n * qnum + qden - 1) div qden"))
+        .filter(col("cum") >= col("target"))
+        .groupBy(col("event_type"), col("q"))
+        .agg(min(struct(col("hdr_bucket"), col("hdr_pow"), col("hdr_sub"),
+          col("n"))).as("m"))
+        .select(col("event_type"), col("q"), col("m.n").as("n"),
+          round(col("m.hdr_pow") * (col("m.hdr_sub") * 2 + lit(2 * k + 1)) /
+            lit((2 * k).toDouble) - lit(1.0), 4).as("est_cents"))
+        .join(broadcast(flags), Seq("event_type"))
+        .orderBy(col("event_type"), col("q"))
+    },
+    Some("""
+      |WITH v AS (
+      |  SELECT event_id, event_type,
+      |         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) + 1 AS c
+      |  FROM events
+      |), b AS (
+      |  SELECT event_id, event_type, c, (length(bin(c)) - 1) AS e,
+      |         (1::BIGINT << (length(bin(c)) - 1)) AS pow
+      |  FROM v
+      |), allb AS (
+      |  SELECT event_id, event_type,
+      |         e::BIGINT * 16 + ((c - pow) * 16) // pow AS bucket,
+      |         pow, ((c - pow) * 16) // pow AS sub
+      |  FROM b
+      |), stored AS (
+      |  SELECT event_type, bucket, pow, sub, count(*) AS cnt
+      |  FROM allb WHERE event_id % 10 < 8 GROUP BY 1, 2, 3, 4
+      |), inc AS (
+      |  SELECT event_type, bucket, pow, sub, count(*) AS cnt
+      |  FROM allb WHERE event_id % 10 >= 8 GROUP BY 1, 2, 3, 4
+      |), merged AS (
+      |  SELECT event_type, bucket, pow, sub, sum(cnt) AS cnt FROM (
+      |    SELECT * FROM stored UNION ALL SELECT * FROM inc
+      |  ) GROUP BY 1, 2, 3, 4
+      |), rebuilt AS (
+      |  SELECT event_type, bucket, pow, sub, count(*) AS cnt
+      |  FROM allb GROUP BY 1, 2, 3, 4
+      |), flags AS (
+      |  SELECT m.event_type,
+      |         CASE WHEN m.wsum = r.wsum AND m.tsum = r.tsum
+      |              THEN 1::BIGINT ELSE 0::BIGINT END AS refresh_matches_rebuild
+      |  FROM (SELECT event_type, sum(bucket * cnt) AS wsum, sum(cnt) AS tsum
+      |        FROM merged GROUP BY 1) m
+      |  JOIN (SELECT event_type, sum(bucket * cnt) AS wsum, sum(cnt) AS tsum
+      |        FROM rebuilt GROUP BY 1) r USING (event_type)
+      |), cum AS (
+      |  SELECT event_type, bucket, pow, sub, cnt,
+      |         sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket
+      |                        ROWS UNBOUNDED PRECEDING) AS cum,
+      |         sum(cnt) OVER (PARTITION BY event_type) AS n
+      |  FROM merged
+      |), qs AS (
+      |  SELECT * FROM (VALUES ('p50', 1::BIGINT, 2::BIGINT),
+      |                        ('p90', 9::BIGINT, 10::BIGINT),
+      |                        ('p99', 99::BIGINT, 100::BIGINT)) t(q, qnum, qden)
+      |), est AS (
+      |  SELECT event_type, q, min(n) AS n,
+      |         round(min_by(pow * (sub * 2 + 33), bucket) / 32.0 - 1.0, 4) AS est_cents
+      |  FROM cum CROSS JOIN qs
+      |  WHERE cum >= (n * qnum + qden - 1) // qden
+      |  GROUP BY 1, 2
+      |)
+      |SELECT e.event_type, e.q, e.n::BIGINT AS n, e.est_cents,
+      |       f.refresh_matches_rebuild
+      |FROM est e JOIN flags f USING (event_type)
+      |ORDER BY event_type, q
+      """.stripMargin.trim))
+
   /** One incremental-append build per (sfDir, JVM): the IVF index is
     * built from the corpus MINUS an incoming batch (vec_id ≡ 0 mod 5),
     * then the batch alone is assigned against the SAME frozen centroids
@@ -1052,6 +1194,6 @@ object MaintenanceQueries {
 
   val defs: Seq[QueryDef] =
     Seq(compactRoundtrip, repartitionLayout, snapshotDiffQ, zorderRoundtrip,
-      incrementalRollup, ivfAppend, nswAppend, hnswAppend, nswWindowAppend, scd2Q, vacuumQ,
+      incrementalRollup, hdrRefresh, ivfAppend, nswAppend, hnswAppend, nswWindowAppend, scd2Q, vacuumQ,
       evolveQ, mergeQ, morMerge, timeTravelQ, analyzeStats)
 }
