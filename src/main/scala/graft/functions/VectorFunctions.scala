@@ -110,13 +110,19 @@ object VectorFunctions {
 
   /** Per-vector count of components [[quantizeInt8Clamped]] SATURATES
     * at the given scale — the calibration-quality telemetry (0 under a
-    * dominating full-corpus amax by construction).
+    * dominating full-corpus amax by construction). Mirrors the
+    * quantizer's amax == 0 guard (ADVICE r19): at zero scale the
+    * quantizer outputs 0 (unclipped) while an unguarded division here
+    * yields NaN/Infinity and miscounts positive components as clipped —
+    * the telemetry must agree with the quantizer on the degenerate
+    * calibration.
     */
   def clippedCount(v: Column, amax: Column): Column =
-    size(filter(v, x => {
-      val raw = floor(x.cast("double") * 127.0 / amax + lit(0.5))
-      raw > 127.0 || raw < -127.0
-    }))
+    when(amax === 0.0, lit(0))
+      .otherwise(size(filter(v, x => {
+        val raw = floor(x.cast("double") * 127.0 / amax + lit(0.5))
+        raw > 127.0 || raw < -127.0
+      })))
 
   /** First 15 hex chars of md5 as a non-negative BIGINT — a portable,
     * SQL-reproducible 60-bit hash (DuckDB: `('0x' ||

@@ -166,6 +166,30 @@ object Pq {
                          queries: Seq[(Int, Array[Float])],
                          codebooks: Array[Array[Array[Float]]],
                          k: Int, shortlist: Int): DataFrame = {
+    val cand = batchShortlist(encoded, idCol, queries, codebooks, shortlist)
+    val w2 = Window.partitionBy(col("query_id"))
+      .orderBy(col("distance_score").asc, col(idCol).asc)
+    cand
+      .withColumn("distance_score", cosineDistance(col(vecCol), col("query_vec")))
+      .withColumn("knn_rank", row_number().over(w2))
+      .filter(col("knn_rank") <= k)
+  }
+
+  /** The ADC-shortlist stage of [[batchSearchRescore]] alone — ONE
+    * shared pass over the codes column for the WHOLE batch (the
+    * amortized N·m scan the batch-aware cost model prices; r19 verdict
+    * #1), with every query's driver-computed ADC table compiled into a
+    * single codegen'd CASE chain. Returns the per-query shortlist rows
+    * (all of `encoded`'s columns + query_id, query_vec, adc_dist,
+    * adc_rank ≤ shortlist — B × shortlist rows total), for a caller
+    * that records the ids (the serving oracle contract) and/or
+    * rescores them against a SEPARATE vector store when the codes
+    * relation is the (id, pq_codes)-only serving store.
+    */
+  def batchShortlist(encoded: DataFrame, idCol: String,
+                     queries: Seq[(Int, Array[Float])],
+                     codebooks: Array[Array[Array[Float]]],
+                     shortlist: Int): DataFrame = {
     val spark = encoded.sparkSession
     val qdf = spark.createDataFrame(queries.map { case (i, v) => (i, v.toSeq) })
       .toDF("query_id", "query_vec")
@@ -176,15 +200,9 @@ object Pq {
     }
     val w1 = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_dist").asc, col(idCol).asc)
-    val cand = encoded.crossJoin(broadcast(qdf))
+    encoded.crossJoin(broadcast(qdf))
       .withColumn("adc_dist", adcByQ)
       .withColumn("adc_rank", row_number().over(w1))
       .filter(col("adc_rank") <= shortlist)
-    val w2 = Window.partitionBy(col("query_id"))
-      .orderBy(col("distance_score").asc, col(idCol).asc)
-    cand
-      .withColumn("distance_score", cosineDistance(col(vecCol), col("query_vec")))
-      .withColumn("knn_rank", row_number().over(w2))
-      .filter(col("knn_rank") <= k)
   }
 }

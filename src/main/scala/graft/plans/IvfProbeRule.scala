@@ -295,8 +295,14 @@ object IvfProbeRule extends Rule[LogicalPlan] {
     * (matchRows, totalRows) and the widened knobs use integer ceiling
     * division ((ef·total + match − 1) div match), so the whole decision
     * is integer arithmetic both engines replay bit-for-bit — no float
-    * selectivity in the gated channel. Tie/fallback discipline is
-    * [[chooseServing4]]'s verbatim. Returns
+    * selectivity in the gated channel. The widened knobs stay Long and
+    * SATURATE at totalRows (ADVICE r19: ceilDiv(ef·total, match) at a
+    * 1e9-corpus / 1-match ratio overflows a toInt to a NEGATIVE beam,
+    * making hnsw spuriously win every comparison; a beam or shortlist
+    * wider than the corpus is the natural saturation point — it means
+    * "scan everything", the same bytes the exact path pays — and
+    * `least(n_total, …)` keeps the oracle arithmetic replayable).
+    * Tie/fallback discipline is [[chooseServing4]]'s verbatim. Returns
     * (chosen, ivfBytes, lshBytes, hnswBytes, pqBytes, efEff, slEff).
     */
   def chooseServingFiltered(qv: Array[Float], ivf: IvfCatalog.IvfIndex,
@@ -304,16 +310,16 @@ object IvfProbeRule extends Rule[LogicalPlan] {
                             hnswNprobe: Int, efSearch: Int, dim: Int,
                             pqCorpusRows: Long, pqM: Int, pqShortlist: Int,
                             matchRows: Long, totalRows: Long)
-      : (String, Long, Long, Long, Long, Int, Int) = {
+      : (String, Long, Long, Long, Long, Long, Long) = {
     require(matchRows > 0 && matchRows <= totalRows,
       s"selectivity pair out of range: $matchRows / $totalRows")
     val vecBytes = dim.toLong * 4
     def ceilDiv(a: Long, b: Long): Long = (a + b - 1) / b
-    val efEff = ceilDiv(efSearch.toLong * totalRows, matchRows).toInt
-    val slEff = ceilDiv(pqShortlist.toLong * totalRows, matchRows).toInt
+    val efEff = math.min(totalRows, ceilDiv(efSearch.toLong * totalRows, matchRows))
+    val slEff = math.min(totalRows, ceilDiv(pqShortlist.toLong * totalRows, matchRows))
     val hnswBytes =
       math.min(hnswShards, hnswNprobe).toLong * efEff * vecBytes
-    val pqBytes = pqCorpusRows * pqM + slEff.toLong * vecBytes
+    val pqBytes = pqCorpusRows * pqM + slEff * vecBytes
     if (ivf.clusterRows.isEmpty || lsh.bucketRows.isEmpty)
       ("ivf", -1L, -1L, hnswBytes, pqBytes, efEff, slEff)
     else {

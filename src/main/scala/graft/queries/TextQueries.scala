@@ -438,6 +438,13 @@ object TextQueries {
         max(quantScale(col("vec"))).as("amax_f"),
         sum(when(pmod(col("doc_id"), lit(100)) === 0, 1L).otherwise(0L))
           .as("n_cal")).head()
+      // ADVICE r19: an empty hash sample leaves amax_s NULL and
+      // getDouble would throw a bare NPE — fail with the actual cause
+      // (the corpus' doc_ids never hit the sample predicate) instead
+      require(!cal.isNullAt(0),
+        "sampled int8 calibration is empty: no doc_id % 100 == 0 rows " +
+          "in the corpus — widen the sample predicate or calibrate on " +
+          "the full corpus (txt_embed_quantized's seam)")
       val (amaxS, amaxF, nCal) =
         (cal.getDouble(0), cal.getDouble(1), cal.getLong(2))
       val backfilled = emb

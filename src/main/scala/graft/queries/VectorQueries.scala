@@ -1368,7 +1368,7 @@ object VectorQueries {
           pred.map(df.filter).getOrElse(df)
         val ranked = chosen match {
           case "pq" =>
-            val sl = Pq.search(codes, "vec_id", q, cb, k = slEff)
+            val sl = Pq.search(codes, "vec_id", q, cb, k = slEff.toInt)
               .select("vec_id").collect().map(_.getLong(0)).toSeq.sorted
             CostServingFilteredState.cands(dir) =
               CostServingFilteredState.cands.getOrElse(dir, Map.empty) + (tag -> sl)
@@ -1377,7 +1377,7 @@ object VectorQueries {
           case "hnsw" =>
             val (_, cands, _) = Nsw.routedBatchSearch(graph, corpus,
               "embedding", "vec_id", Seq(0 -> q), k = 5, routerCents,
-              NswRouterStore.nprobe, p.copy(efSearch = efEff))
+              NswRouterStore.nprobe, p.copy(efSearch = efEff.toInt))
             val ids = cands.getOrElse(0, Seq.empty)
             CostServingFilteredState.cands(dir) =
               CostServingFilteredState.cands.getOrElse(dir, Map.empty) + (tag -> ids)
@@ -1402,7 +1402,7 @@ object VectorQueries {
         ranked.select(lit(tag).as("leg"), col("vec_id"), col("label"),
           lit(chosen).as("chosen_index"),
           lit(m).as("n_match"), lit(nTotal).as("n_total"),
-          lit(efEff.toLong).as("ef_eff"), lit(slEff.toLong).as("sl_eff"),
+          lit(efEff).as("ef_eff"), lit(slEff).as("sl_eff"),
           lit(ivfB).as("est_ivf_b"), lit(lshB).as("est_lsh_b"),
           lit(hnswB).as("est_hnsw_b"), lit(pqB).as("est_pq_b"),
           round(col("distance_score"), 6).as("distance"))
@@ -1425,8 +1425,8 @@ object VectorQueries {
               |         (SELECT count(*) FROM embeddings)::BIGINT AS n_total
               |), est_$tag AS MATERIALIZED (
               |  SELECT n_match, n_total,
-              |         (32 * n_total + n_match - 1) // n_match AS ef_eff,
-              |         (16 * n_total + n_match - 1) // n_match AS sl_eff,
+              |         least(n_total, (32 * n_total + n_match - 1) // n_match) AS ef_eff,
+              |         least(n_total, (16 * n_total + n_match - 1) // n_match) AS sl_eff,
               |         (SELECT count(*) FROM assigned WHERE cluster_id IN
               |            (SELECT cid FROM cents ORDER BY ${duckL2(qLit, "c")}, cid LIMIT 3))::BIGINT
               |           * 256 AS est_ivf_b,
@@ -1434,8 +1434,8 @@ object VectorQueries {
               |          WHERE len(list_filter(range(8), i ->
               |            ((bk.lsh_bucket >> i) & 1) <> ((qb.qbucket >> i) & 1))) <= 2)::BIGINT
               |           * 256 AS est_lsh_b,
-              |         2 * ((32 * n_total + n_match - 1) // n_match) * 256 AS est_hnsw_b,
-              |         n_total * 8 + ((16 * n_total + n_match - 1) // n_match) * 256 AS est_pq_b
+              |         2 * least(n_total, (32 * n_total + n_match - 1) // n_match) * 256 AS est_hnsw_b,
+              |         n_total * 8 + least(n_total, (16 * n_total + n_match - 1) // n_match) * 256 AS est_pq_b
               |  FROM m_$tag
               |), choice_$tag AS MATERIALIZED (
               |  SELECT CASE WHEN est_pq_b < est_ivf_b AND est_pq_b < est_lsh_b

@@ -250,21 +250,33 @@ object VectorServing {
           idx.routerNprobe, idx.p)
         (res, chosen, (ivfB, lshB, hnswB, pqB), cands)
       case "pq" =>
-        // per-query ADC shortlist (collected — pqShortlist ids each),
-        // exact re-rank over shortlist-sized data; recording the
-        // shortlists is what lets the oracle re-rank THIS run's ids
-        val shortlists = qs.map { case (qid, qv) =>
-          qid -> Pq.search(idx.encoded, corpusIdCol, qv, idx.codebooks,
-            k = idx.pqShortlist)
-            .select(corpusIdCol).collect().map(_.getLong(0)).toSeq.sorted
+        // the EXECUTED plan is the PRICED plan (r19 verdict #1): ONE
+        // shared ADC pass over the codes store for the whole batch —
+        // every query's table compiled into Pq.batchShortlist's single
+        // codegen'd CASE chain — then ONE distributed exact re-rank
+        // that broadcast-joins the shortlist ids back to the vector
+        // store. Never B code scans, never B corpus scans; the only
+        // collect is the B × pqShortlist (query_id, id) shortlist
+        // rows, which is also what the late oracle re-ranks.
+        val spark = idx.corpus.sparkSession
+        val pairs = Pq.batchShortlist(idx.encoded, corpusIdCol, qs,
+            idx.codebooks, idx.pqShortlist)
+          .select(col("query_id"), col(corpusIdCol)).collect()
+          .map(r => (r.getInt(0), r.getLong(1))).toIndexedSeq
+        val shortlists = qs.map { case (qid, _) =>
+          qid -> pairs.collect { case (q, id) if q == qid => id }.sorted.toSeq
         }.toMap
-        val legs = qs.map { case (qid, qv) =>
-          Knn.search(idx.corpus.filter(
-              col(corpusIdCol).isin(shortlists(qid): _*)),
-            corpusVecCol, corpusIdCol, qv, k)
-            .withColumn("query_id", lit(qid))
-        }
-        (rankPerQuery(legs), chosen, (ivfB, lshB, hnswB, pqB), shortlists)
+        val shortDf = spark.createDataFrame(pairs)
+          .toDF("query_id", corpusIdCol)
+        val qdf = spark.createDataFrame(qs.map { case (i, v) => (i, v.toSeq) })
+          .toDF("query_id", "query_vec")
+        val rescored = idx.corpus
+          .join(broadcast(shortDf), Seq(corpusIdCol))
+          .join(broadcast(qdf), Seq("query_id"))
+          .withColumn("distance_score", graft.functions.VectorFunctions
+            .cosineDistance(col(corpusVecCol), col("query_vec")))
+        (rankPerQuery(Seq(rescored)), chosen, (ivfB, lshB, hnswB, pqB),
+          shortlists)
       case "lsh" =>
         val legs = qs.map { case (qid, qv) =>
           val probes = Ann.probeBuckets(Ann.queryBucket(qv, idx.lsh.planes),

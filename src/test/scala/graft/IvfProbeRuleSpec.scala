@@ -399,8 +399,18 @@ class IvfProbeRuleSpec extends SparkSpec {
     // probe paths are selectivity-INVARIANT: tiny probe stats keep
     // winning at any selectivity
     assert(choose(100L, 10000L, probeRows = 1L)._1 == "ivf")
-    // exact ceiling arithmetic (not float division): 32·10/3 = 106.67 → 107
-    assert(choose(3L, 10L)._6 == 107 && choose(3L, 10L)._7 == 54)
+    // exact ceiling arithmetic (not float division): 32·1000/300 = 106.67 → 107
+    assert(choose(300L, 1000L)._6 == 107L && choose(300L, 1000L)._7 == 54L)
+    // saturation (ADVICE r19): the widened knobs stay Long and clamp at
+    // the corpus size — a beam wider than every row means "scan
+    // everything"; the old toInt at corpus ~2e9 × ef 32 wrapped
+    // NEGATIVE, making hnsw's bytes negative and spuriously winning
+    // every comparison (and running the beam with a negative efSearch)
+    val (cBig, _, _, hBig, pBig, efBig, slBig) = choose(1L, 2_000_000_000L)
+    assert(efBig == 2_000_000_000L && slBig == 2_000_000_000L,
+      s"knobs must saturate at totalRows: ef=$efBig sl=$slBig")
+    assert(hBig > 0L && pBig > 0L && cBig != "hnsw",
+      s"saturated beam must not win via overflow: $cBig ($hBig vs $pBig)")
     // domain guard
     intercept[IllegalArgumentException](choose(0L, 10L))
     intercept[IllegalArgumentException](choose(11L, 10L))

@@ -173,4 +173,96 @@ class VectorServingSpec extends SparkSpec {
       new Directory(new java.io.File(cp)).deleteRecursively()
     }
   }
+
+  test("pq batch dispatch executes the priced plan: ONE codes scan per batch, jobs constant in B (r19 verdict #1)") {
+    import graft.operators.{Nsw, Pq}
+    val corpus = Tables.embeddings(spark, sf("sf0.001"))
+    val n = corpus.count()
+    val cents = Ann.seededCentroids(corpus, "embedding", "vec_id", nlist = 4)
+    val planes = Ann.signPlanes(dim = 64, nBits = 4)
+    val books = Pq.fitCodebooks(corpus, "embedding", 64, 8, 16)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pqdisp").toString
+    try {
+      Pq.writeEncoded(corpus, "embedding", "vec_id", books, s"$tmp/codes")
+      val encoded = Pq.readEncoded(spark, s"$tmp/codes")
+      // synthetic probe stats far above the corpus force the batch
+      // router to pick pq at EVERY batch size (the regime under test)
+      val idx = VectorServing.AutoServingIndexes(
+        graft.plans.IvfCatalog.IvfIndex(cents, 2,
+          cents.indices.map(_ -> 1000000L).toMap),
+        graft.plans.LshCatalog.LshIndex(planes, 1,
+          (0L until 16L).map(_ -> 1000000L).toMap),
+        corpus, corpus, corpus, // probe/graph stores unused on the pq path
+        Array.empty, 2, Nsw.Params(),
+        encoded, books, dim = 64, corpusRows = n, pqM = 8, pqShortlist = 8)
+      def queriesOf(b: Int) = (0 until b).map(i =>
+        i -> graft.functions.HashingEmbedder(dim = 64, seed = 7)
+          .encode(s"pq dispatch probe $i"))
+
+      // plan shape: the whole 5-query batch's shortlist stage is ONE
+      // scan of the codes store (the amortized N·m pass the cost model
+      // priced) — not one scan per query
+      val shortPlan = Pq.batchShortlist(encoded, "vec_id", queriesOf(5),
+        books, 8).queryExecution.executedPlan
+      val exec = shortPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      val codeScans = exec.collectLeaves().collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+            if f.relation.location.rootPaths.exists(_.toString.contains("codes")) => f
+      }
+      assert(codeScans.size == 1,
+        s"batch shortlist must scan the codes store exactly once, got ${codeScans.size}:\n$shortPlan")
+
+      // job-count differential: the executed work must not grow with B
+      // (the old leg ran B Pq.search scans + B per-query rescores)
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(listener)
+      def settle(): Int = {
+        var last = -1; var cur = jobs.get(); var spins = 0
+        while (cur != last && spins < 40) {
+          last = cur; Thread.sleep(100); cur = jobs.get(); spins += 1
+        }
+        cur
+      }
+      def runDispatch(b: Int): (Int, String, Map[Int, Seq[Long]],
+          Array[(Int, Int, Long, Double)]) = {
+        settle(); jobs.set(0)
+        val (res, chosen, _, cands) = VectorServing.dispatchServingBatch(
+          queriesOf(b), idx, "embedding", "vec_id", k = 3)
+        val rows = res.select(col("query_id"), col("knn_rank"),
+            col("vec_id"), round(col("distance_score"), 6)).collect()
+          .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        (settle(), chosen, cands, rows)
+      }
+      try {
+        val (j1, c1, _, _) = runDispatch(1)
+        val (j5, c5, cands5, rows5) = runDispatch(5)
+        assert(c1 == "pq" && c5 == "pq", s"router must pick pq: $c1/$c5")
+        assert(j5 == j1,
+          s"pq dispatch job count must be constant in batch size: B=1 ran $j1 jobs, B=5 ran $j5")
+        // result parity: exact cosine re-rank of THIS run's recorded
+        // shortlists (the late-oracle contract) reproduces the output
+        val expect = queriesOf(5).flatMap { case (qid, qv) =>
+          Knn.search(corpus.filter(col("vec_id").isin(cands5(qid): _*)),
+              "embedding", "vec_id", qv, k = 3)
+            .select(col("vec_id"), round(col("distance_score"), 6))
+            .collect().zipWithIndex
+            .map { case (r, i) => (qid, i + 1, r.getLong(0), r.getDouble(1)) }
+        }.toSet
+        assert(rows5.toSet == expect, s"got ${rows5.toSet}\nexpect $expect")
+        assert(cands5.values.forall(_.size == 8), "B×shortlist recording")
+      } finally spark.sparkContext.removeSparkListener(listener)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(tmp)).deleteRecursively()
+    }
+  }
 }
