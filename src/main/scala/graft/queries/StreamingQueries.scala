@@ -1036,17 +1036,22 @@ object StreamingQueries {
       "file micro-batches; an in-window purchase SUPPRESSES the alert " +
       "even when it arrives in a later micro-batch than its view, an " +
       "in-window newer view supersedes silently (the clock restarts), " +
-      "an out-of-window event proves the negation inline (same row " +
-      "the timeout would emit — batching-invariant), and views whose " +
-      "window the final watermark never passed stay undecided and " +
-      "emit nothing. State is ONE (ts, id) pair per user. The oracle " +
+      "and views whose window the final watermark never passed stay " +
+      "undecided and emit nothing. The ONLY emission proof is the " +
+      "WATERMARK (r19 ADVICE: an observed event's ts never proves the " +
+      "window closed — an above-watermark suppressor can still arrive " +
+      "in a LATER micro-batch), and suppressors persist as merged " +
+      "spans, so the output is invariant to ANY admissible delivery " +
+      "order, not just time-split replays; state is ≤ 2·(lag/window " +
+      "+ 2) flat records per user regardless of event rate. The oracle " +
       "is the one-shot batch ANTI-JOIN over the window (no B in " +
       "(0, 6h], no superseding A, deadline behind the final " +
       "watermark): a green hash proves the incremental negation — " +
       "including cross-batch suppression and the watermark cut — " +
       "reproduces the batch answer row for row. PatternMatchSpec " +
       "covers timeout emission, later-micro-batch suppression, " +
-      "supersession, and micro-batch-split invariance.",
+      "supersession, split invariance, and a randomized out-of-order " +
+      "delivery property vs a batch-anti-join oracle.",
     (s, dir) => {
       s.read.parquet(CepNotStore.ensure(s, dir))
         .select(col("user_id"), col("a_event_id"),

@@ -48,6 +48,21 @@ object PatternMatch {
     * timeout requires the watermark). Works unchanged on a batch
     * Dataset (one "micro-batch", no timeouts) — the spec uses that for
     * the stream ≡ batch differential.
+    *
+    * DELIVERY-ORDER CONTRACT: cross-batch arrival must be event-time
+    * monotone per key (a micro-batch never carries a row older than a
+    * previous batch's maximum for that key — the shape of a time-split
+    * file replay or a per-key-ordered log). The single-pending-A state
+    * is what makes this operator O(1) per key, and it is exactly what
+    * an out-of-order-above-watermark delivery can break: a late
+    * in-window A arriving after a newer A was processed can no longer
+    * be the argmax for a B between them. Exact matching under
+    * arbitrary admissible disorder needs a buffer of every in-horizon
+    * A (state ∝ event rate × watermark lag — the Flink CEP cost); use
+    * the batch join when the source cannot guarantee per-key order.
+    * ([[matchAThenNotB]] does NOT need this contract — negation's
+    * suppressors compress into bounded spans, so it is exact under any
+    * admissible delivery order.)
     */
   def matchAThenB(events: Dataset[EventIn], aType: String, bType: String,
                   withinMs: Long): Dataset[MatchOut] = {
@@ -122,6 +137,26 @@ object PatternMatch {
   case class AlertOut(user_id: Long, a_event_id: Long, a_ts: Timestamp,
                       deadline_ts: Timestamp)
 
+  /** A suppression interval for [[matchAThenNotB]]: every OBSERVED A or
+    * B event at ts covers `[ts − withinMs, ts)` — any pending or future
+    * A whose timestamp falls inside is suppressed (a B in its window,
+    * or a superseding newer A; the oracle's two NOT EXISTS clauses have
+    * the same half-open form). Spans are kept merged and disjoint, and
+    * pruned once the watermark passes them, so the per-key span count
+    * is ≤ watermarkLag/withinMs + 2 — merged spans are ≥ withinMs long.
+    */
+  case class BSpan(from: Long, until: Long)
+
+  /** State for [[matchAThenNotB]]: the undecided As (none suppressed,
+    * none past the watermark) + the merged suppression spans. Both
+    * lists are bounded by watermarkLag/withinMs + 2 REGARDLESS of event
+    * rate: undecided As are pairwise > withinMs apart (a closer pair
+    * means the later one's span suppressed the earlier), and spans are
+    * merged ≥ withinMs-long disjoint intervals — all inside the
+    * (wm − withinMs, maxSeenTs] horizon.
+    */
+  case class NotBState(items: Seq[PendingA], spans: Seq[BSpan])
+
   /** CEP NEGATION: `aType`-then-NO-`bType`-within-`withinMs` per key —
     * the churn/abandonment alert (Flink CEP's `notFollowedBy` closed by
     * a time window), and the complement of [[matchAThenB]]: where the
@@ -141,77 +176,99 @@ object PatternMatch {
     *   - the stream's final watermark passed a.ts + withinMs (an A whose
     *     window is still open at shutdown is undecided — the batch
     *     oracle applies the same cut).
-    * An A superseded by a LATER-than-window A′, or followed only by an
-    * out-of-window B, alerts inline the moment that later event proves
-    * the window closed — same rows as the timeout path, just earlier,
-    * so output is invariant to which micro-batch carries the proof.
     *
-    * Scale shape: identical to [[matchAThenB]] — ONE (ts, id) pair of
-    * state per key, event-time timeout eviction, one key-partitioned
-    * shuffle per micro-batch; alerts emit in append mode.
+    * The ONLY emission proof is the WATERMARK (ADVICE r19): an observed
+    * event's timestamp passing the window proves nothing — with a
+    * non-zero watermark delay, an in-window suppressing B (or
+    * superseding A) that is above the watermark can still arrive in a
+    * LATER micro-batch. So alerts fire exclusively once wm > a.ts +
+    * withinMs (end-of-batch sweep or event-time timeout), suppressors
+    * persist as merged [[BSpan]]s until the watermark passes them, and
+    * the output is INVARIANT to any admissible delivery order — not
+    * just event-time-monotone micro-batches (PatternMatchSpec's
+    * property test replays random out-of-order-above-watermark
+    * schedules against the batch anti-join). A batch Dataset replay has
+    * no watermark and emits NOTHING — batch negation is the anti-join
+    * itself, not this operator.
+    *
+    * Scale shape: state per key is ≤ 2·(watermarkLag/withinMs + 2) flat
+    * records ([[NotBState]]) — constant for a given lag/window ratio,
+    * independent of event volume; with an in-order source and a small
+    * delay it is one pending A + one span. Event-time timeout eviction,
+    * one key-partitioned shuffle per micro-batch, append-mode alerts.
     */
   def matchAThenNotB(events: Dataset[EventIn], aType: String, bType: String,
                      withinMs: Long): Dataset[AlertOut] = {
     require(aType != bType, s"pattern steps must differ, got $aType twice")
     require(withinMs > 0, s"withinMs=$withinMs must be > 0")
     events.groupByKey(_.user_id)(Encoders.scalaLong)
-      .flatMapGroupsWithState[PendingA, AlertOut](
+      .flatMapGroupsWithState[NotBState, AlertOut](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        (userId: Long, rows: Iterator[EventIn], state: GroupState[PendingA]) =>
+        (userId: Long, rows: Iterator[EventIn], state: GroupState[NotBState]) =>
           def alert(p: PendingA) = AlertOut(userId, p.aId,
             new Timestamp(p.aTs), new Timestamp(p.aTs + withinMs))
-          if (state.hasTimedOut) {
-            // the watermark passed a.ts + withinMs with no suppressing
-            // B: the negation FIRED — emit, then evict
-            val p = state.get
-            state.remove()
-            Iterator.single(alert(p))
-          } else {
-            var pending = state.getOption.orNull
-            val out = Seq.newBuilder[AlertOut]
+          // insert [from, until) keeping spans merged and disjoint
+          // (half-open adjacency [a,b)+[b,c) merges exactly to [a,c))
+          def addSpan(spans: List[BSpan], from: Long, until: Long): List[BSpan] = {
+            val (overlap, rest) = spans.partition(s =>
+              s.from <= until && from <= s.until)
+            BSpan((from :: overlap.map(_.from)).min,
+              (until :: overlap.map(_.until)).max) :: rest
+          }
+          val wm = scala.util.Try(state.getCurrentWatermarkMs())
+            .getOrElse(Long.MinValue)
+          var items = state.getOption.map(_.items.toList).getOrElse(Nil)
+          var spans = state.getOption.map(_.spans.toList).getOrElse(Nil)
+          val out = Seq.newBuilder[AlertOut]
+          if (!state.hasTimedOut) {
             rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
               val t = e.ts.getTime
-              // any event past the pending window proves the negation
-              // before the timeout does: emit inline (same row the
-              // timeout would emit — batching-invariant output)
-              if (pending != null && t - pending.aTs > withinMs) {
-                out += alert(pending)
-                pending = null
+              if (e.event_type == bType || e.event_type == aType) {
+                // every observed A or B suppresses As in [t−W, t) —
+                // pending ones now, out-of-order future ones via the
+                // span (suppressors count even when themselves
+                // suppressed, exactly like the oracle's EXISTS)
+                items = items.filterNot(p =>
+                  t - p.aTs > 0 && t - p.aTs <= withinMs)
+                spans = addSpan(spans, t - withinMs, t)
               }
-              if (e.event_type == bType && pending != null) {
-                val gap = t - pending.aTs
-                if (gap > 0 && gap <= withinMs) pending = null // suppressed
-              }
-              if (e.event_type == aType &&
-                  (pending == null || t > pending.aTs ||
-                    (t == pending.aTs && e.event_id > pending.aId)))
-                pending = PendingA(t, e.event_id)
-            }
-            val wm = scala.util.Try(state.getCurrentWatermarkMs())
-              .getOrElse(Long.MinValue)
-            if (pending == null) {
-              // satisfied or superseded-and-emitted: clear any stored
-              // pending or it would time out later and double-emit
-              if (state.exists) state.remove()
-            } else {
-              val expiry = pending.aTs + withinMs
-              if (wm > expiry) {
-                // watermark already proves the negation (every accepted
-                // future B has ts ≥ wm > expiry): emit now, don't park
-                // state for a timeout that setTimeoutTimestamp would
-                // reject. Strict >: at wm == expiry a boundary B with
-                // ts == expiry is still admissible and would suppress.
-                out += alert(pending)
-                if (state.exists) state.remove()
-              } else {
-                state.update(pending)
-                if (wm != Long.MinValue)
-                  state.setTimeoutTimestamp(math.max(expiry, wm + 1L))
+              if (e.event_type == aType) {
+                // same-ms tie: the higher event_id supersedes (spans
+                // are ms-granular and half-open, so the tie is handled
+                // on the live items; a REMOVED same-ms suppressor's own
+                // remover always covers this ms — closure by induction)
+                items = items.filterNot(p =>
+                  p.aTs == t && e.event_id > p.aId)
+                val dead = spans.exists(s => s.from <= t && t < s.until) ||
+                  items.exists(p => p.aTs == t && p.aId > e.event_id)
+                if (!dead) items ::= PendingA(t, e.event_id)
               }
             }
-            out.result().iterator
           }
-      }(Encoders.product[PendingA], Encoders.product[AlertOut])
+          // watermark sweep — the only proof that fires an alert:
+          // every admissible future suppressor has ts > wm, so an A
+          // with wm > a.ts + withinMs can no longer be suppressed.
+          // Strict >: at wm == expiry a boundary B (ts == expiry) is
+          // still admissible and would suppress.
+          val (dead, live) = items.partition(p => wm > p.aTs + withinMs)
+          dead.sortBy(p => (p.aTs, p.aId)).foreach(p => out += alert(p))
+          // a span is useful while it covers some admissible ts > wm
+          val liveSpans = spans.filter(_.until > wm + 1)
+          if (live.isEmpty && liveSpans.isEmpty) {
+            if (state.exists) state.remove()
+          } else {
+            state.update(NotBState(live.sortBy(p => (p.aTs, p.aId)),
+              liveSpans.sortBy(_.from)))
+            if (wm != Long.MinValue) {
+              // wake at the earliest decision point: an item's expiry
+              // (alert) or a span's end (prune) — re-armed every sweep
+              val wake = (live.map(_.aTs + withinMs) ++
+                liveSpans.map(_.until)).min
+              state.setTimeoutTimestamp(math.max(wake, wm + 1L))
+            }
+          }
+          out.result().iterator
+      }(Encoders.product[NotBState], Encoders.product[AlertOut])
   }
 
   /** State for [[matchAThenBThenC]]: the latest pending A and the
@@ -246,6 +303,12 @@ object PatternMatch {
     * partials emit nothing. The registered timeout is the EARLIEST
     * live expiry, re-armed as pieces die, so state cannot outlive
     * max(expiries) + one watermark advance.
+    *
+    * Same DELIVERY-ORDER CONTRACT as [[matchAThenB]] (documented
+    * there): cross-batch arrival must be event-time monotone per key —
+    * a late in-window B arriving after its C was processed misses the
+    * match under the one-partial state this operator's O(1)-per-key
+    * bound buys.
     */
   def matchAThenBThenC(events: Dataset[EventIn], aType: String,
                        bType: String, cType: String,

@@ -201,11 +201,14 @@ class PatternMatchSpec extends SparkSpec {
     assert(rows == Seq((2L, 3L, ms(0), ms(10))), s"got $rows")
   }
 
-  test("negation: an in-window newer A supersedes silently; an out-of-window one proves the alert inline") {
+  test("negation: an in-window newer A supersedes silently; an out-of-window one leaves the old A to the watermark proof") {
     // user 1: A1 10:00, A2 10:05 (in window — replaces silently), no B
     //   → only A2 alerts (deadline 10:15).
-    // user 2: A1 10:00, A2 10:20 (past A1's window — A1 alerts inline
-    //   at A2's processing), then B 10:25 suppresses A2.
+    // user 2: A1 10:00, A2 10:20 (past A1's window — A1 stays UNDECIDED
+    //   until the watermark passes 10:10: a suppressing B above the
+    //   watermark could still arrive; ADVICE r19), then B 10:25
+    //   suppresses A2. Both As alert/suppress identically to the batch
+    //   anti-join, just on the watermark's clock.
     val (rows, stateRows) = runNot(
       Seq(ev(1, 0, "view", user = 1), ev(2, 5, "view", user = 1),
         ev(3, 0, "view", user = 2)),
