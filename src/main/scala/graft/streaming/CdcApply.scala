@@ -32,25 +32,73 @@ object CdcApply {
     def current: String = currentPath.get()
   }
 
+  /** Snapshot versions under `workRoot` whose parquet write COMMITTED
+    * (`_SUCCESS` present), as (batchId, path) ascending. Listing goes
+    * through the path's Hadoop FileSystem — the work root lives on
+    * hdfs://, s3a://, … in production.
+    */
+  def committedVersions(spark: org.apache.spark.sql.SparkSession,
+                        workRoot: String): Seq[(Long, String)] = {
+    val root = new org.apache.hadoop.fs.Path(workRoot)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.matches("v\\d+") &&
+        fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+      .map(st => (st.getPath.getName.drop(1).toLong, st.getPath.toString))
+      .sortBy(_._1)
+  }
+
+  /** The snapshot a reader (or a restarted stream) should see: the
+    * committed version with the highest batch id, else the initial
+    * target. This is the RECOVERY rule — the in-memory pointer dies
+    * with the driver, the version directories do not.
+    */
+  def latestSnapshot(spark: org.apache.spark.sql.SparkSession,
+                     workRoot: String, initialTarget: String): String =
+    committedVersions(spark, workRoot).lastOption.map(_._2)
+      .getOrElse(initialTarget)
+
   /** Start the apply stream. `changes` must carry the target's columns
     * plus `deleteCol` (boolean: true = WHEN MATCHED DELETE).
+    *
+    * RESTART / EXACTLY-ONCE contract (r19 verdict #3): snapshots are
+    * versioned by the micro-batch's own `batchId`, and each batch
+    * merges FROM the newest snapshot committed with a STRICTLY SMALLER
+    * batch id (not "the newest") — so a batch replayed after a crash
+    * re-reads exactly the source its first attempt read and REWRITES
+    * its own snapshot to identical content, instead of double-applying
+    * its changes to a snapshot that already contains them. Combined
+    * with the checkpoint's offset log (Spark never re-runs a batch
+    * whose commit log entry exists) the final table after any
+    * kill/restart sequence equals the uninterrupted run's
+    * (CdcRestartSpec pins a mid-stream kill differential). Empty
+    * batches are skipped — the strictly-smaller rule bridges the batch
+    * id gaps they leave. Recovery cost per batch is one directory
+    * listing of workRoot.
     */
   def applyStream(changes: DataFrame, initialTarget: String, workRoot: String,
                   keys: Seq[String], updateCols: Seq[String], deleteCol: String,
                   checkpoint: String,
                   trigger: Trigger = Trigger.AvailableNow()): Applied = {
-    val current = new java.util.concurrent.atomic.AtomicReference[String](initialTarget)
-    val version = new java.util.concurrent.atomic.AtomicInteger(0)
+    // a restarted stream resumes the pointer from the committed
+    // versions, not from initialTarget — resolved BEFORE start() so a
+    // fast first batch cannot be overwritten by stale recovery
+    val current = new java.util.concurrent.atomic.AtomicReference[String](
+      latestSnapshot(changes.sparkSession, workRoot, initialTarget))
     val q = changes.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val s = batch.sparkSession
-          val target = s.read.parquet(current.get())
+          val prev = committedVersions(s, workRoot)
+            .takeWhile(_._1 < batchId).lastOption
+            .map(_._2).getOrElse(initialTarget)
+          val target = s.read.parquet(prev)
           val merged = Merge(target, batch, keys, updateCols,
             deleteCondition = Some(col(deleteCol)))
-          val next = s"$workRoot/v${version.incrementAndGet()}"
+          val next = s"$workRoot/v$batchId"
           merged.write.mode("overwrite").parquet(next)
           current.set(next)
         }
