@@ -337,6 +337,71 @@ object IvfProbeRule extends Rule[LogicalPlan] {
     }
   }
 
+  /** COMBINED batch × selectivity serving cost choice — the two r19
+    * refinements composed (r19 verdict #5), because a production
+    * serving tier faces both at once: a BATCH of hybrid
+    * (predicate + KNN) queries. The two models compose orthogonally —
+    * each family's batch rule applies to its selectivity-widened form:
+    *   - IVF / LSH: Σ over the batch's per-query probe sets × dim·4 —
+    *     selectivity-INVARIANT (probe partitions are read in full
+    *     either way), batch-LINEAR;
+    *   - routed HNSW: B × min(nShards, nprobe) × efEff × dim·4 with
+    *     efEff = min(totalRows, ⌈ef·total/match⌉) — the
+    *     predicate-blind beam widens by 1/s AND pays per query;
+    *   - PQ/ADC: corpusRows × m + B × slEff × dim·4 with
+    *     slEff = min(totalRows, ⌈sl·total/match⌉) — ONE shared code
+    *     scan however large the batch, only the per-query rescore
+    *     widens.
+    * Consequence: the decision flips on (B, s) JOINTLY — a selective
+    * predicate prices the graph out and can hand a SMALL batch to a
+    * probe path, while growing the batch re-amortizes PQ's shared scan
+    * below the widened rescores' rivals (`ann_cost_serving_batch_
+    * filtered` gates the measured grid; IvfProbeRuleSpec pins the
+    * synthetic joint flips). Knob saturation, the exact-integer
+    * (matchRows, totalRows) channel, and [[chooseServing4]]'s
+    * tie/fallback discipline are inherited verbatim from
+    * [[chooseServingFiltered]] / [[chooseServingBatch]]. Returns
+    * (chosen, ivfBytes, lshBytes, hnswBytes, pqBytes, efEff, slEff).
+    */
+  def chooseServingBatchFiltered(qvs: Seq[Array[Float]],
+                                 ivf: IvfCatalog.IvfIndex,
+                                 lsh: LshCatalog.LshIndex, hnswShards: Int,
+                                 hnswNprobe: Int, efSearch: Int, dim: Int,
+                                 pqCorpusRows: Long, pqM: Int, pqShortlist: Int,
+                                 matchRows: Long, totalRows: Long)
+      : (String, Long, Long, Long, Long, Long, Long) = {
+    require(qvs.nonEmpty, "chooseServingBatchFiltered needs at least one query")
+    require(matchRows > 0 && matchRows <= totalRows,
+      s"selectivity pair out of range: $matchRows / $totalRows")
+    val vecBytes = dim.toLong * 4
+    val b = qvs.length.toLong
+    def ceilDiv(a: Long, d: Long): Long = (a + d - 1) / d
+    val efEff = math.min(totalRows, ceilDiv(efSearch.toLong * totalRows, matchRows))
+    val slEff = math.min(totalRows, ceilDiv(pqShortlist.toLong * totalRows, matchRows))
+    val hnswBytes =
+      b * math.min(hnswShards, hnswNprobe).toLong * efEff * vecBytes
+    val pqBytes = pqCorpusRows * pqM + b * slEff * vecBytes
+    if (ivf.clusterRows.isEmpty || lsh.bucketRows.isEmpty)
+      ("ivf", -1L, -1L, hnswBytes, pqBytes, efEff, slEff)
+    else {
+      val ivfBytes = qvs.map { qv =>
+        Ann.probeIds(qv, ivf.centroids, ivf.nprobe)
+          .map(c => ivf.clusterRows.getOrElse(c, 0L)).sum
+      }.sum * vecBytes
+      val lshBytes = qvs.map { qv =>
+        Ann.probeBuckets(Ann.queryBucket(qv, lsh.planes),
+            lsh.planes.length, lsh.radius)
+          .map(bk => lsh.bucketRows.getOrElse(bk, 0L)).sum
+      }.sum * vecBytes
+      val chosen =
+        if (pqBytes < ivfBytes && pqBytes < lshBytes && pqBytes < hnswBytes) "pq"
+        else if (hnswBytes < ivfBytes && hnswBytes < lshBytes) "hnsw"
+        else if (lshBytes < ivfBytes) "lsh"
+        else "ivf"
+      (chosen, ivfBytes, lshBytes, hnswBytes, pqBytes, efEff, slEff)
+    }
+  }
+
   /** Extract the float array of a typed array literal (query vector). */
   private def literalVector(e: Expression): Option[Array[Float]] = e match {
     case Literal(data: ArrayData, ArrayType(FloatType, _)) => Some(data.toFloatArray())

@@ -1505,6 +1505,281 @@ object VectorQueries {
           "\nORDER BY leg, distance, vec_id"
       }))
 
+  private object CostServingBatchFilteredState {
+    val cands = scala.collection.concurrent.TrieMap
+      .empty[String, Map[String, Map[Int, Seq[Long]]]]
+    @volatile var lastDir: Option[String] = None
+  }
+
+  /** Per-leg oracle CTEs for [[costServingBatchFiltered]] — the
+    * [[duckServingBatchLeg]] algebra with the selectivity widening
+    * composed in: the exact (n_match, n_total) pair, the
+    * least(n_total, ⌈·⌉)-saturated ef_eff/sl_eff knobs, per-query probe
+    * sums × 256 (selectivity-invariant), B·2·ef_eff·256 for the routed
+    * beam, n_total·8 + B·sl_eff·256 for the amortized scan, then
+    * per-query top-k UNDER THE PREDICATE over the decision's candidate
+    * set (probe membership in SQL; recorded ids for hnsw/pq). Same
+    * MATERIALIZED discipline — every multi-referenced CTE is pinned.
+    */
+  private def duckServingBatchFilteredLeg(tag: String,
+                                          qs: Seq[(Int, Array[Float])],
+                                          cands: Map[Int, Seq[Long]], k: Int,
+                                          predSql: String, matchSql: String)
+      : (String, String) = {
+    val b = qs.length
+    val qbCtes = qs.map { case (qid, v) =>
+      s"""|qb_${tag}_$qid AS (
+          |  SELECT sum(CASE WHEN list_dot_product(${vecLit(v)}, plane) >= 0
+          |                  THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS qbucket
+          |  FROM planes
+          |)""".stripMargin
+    }
+    val ivfCnt = qs.map { case (_, v) =>
+      s"""(SELECT count(*) FROM assigned WHERE cluster_id IN
+         |      (SELECT cid FROM cents ORDER BY ${duckL2(vecLit(v), "c")}, cid LIMIT 3))"""
+        .stripMargin
+    }.mkString(" + ")
+    val lshCnt = qs.map { case (qid, _) =>
+      s"""(SELECT count(*) FROM bk, qb_${tag}_$qid q
+         |      WHERE len(list_filter(range(8), i ->
+         |        ((bk.lsh_bucket >> i) & 1) <> ((q.qbucket >> i) & 1))) <= 2)"""
+        .stripMargin
+    }.mkString(" + ")
+    val efSql = "least(n_total, (32 * n_total + n_match - 1) // n_match)"
+    val slSql = "least(n_total, (16 * n_total + n_match - 1) // n_match)"
+    val estCte =
+      s"""|m_$tag AS MATERIALIZED (
+          |  SELECT ($matchSql)::BIGINT AS n_match,
+          |         (SELECT count(*) FROM embeddings)::BIGINT AS n_total
+          |), est_$tag AS MATERIALIZED (
+          |  SELECT n_match, n_total, $efSql AS ef_eff, $slSql AS sl_eff,
+          |         ($ivfCnt)::BIGINT * 256 AS est_ivf_b,
+          |         ($lshCnt)::BIGINT * 256 AS est_lsh_b,
+          |         ${b}::BIGINT * 2 * $efSql * 256 AS est_hnsw_b,
+          |         n_total * 8 + ${b}::BIGINT * $slSql * 256 AS est_pq_b
+          |  FROM m_$tag
+          |), choice_$tag AS MATERIALIZED (
+          |  SELECT CASE WHEN est_pq_b < est_ivf_b AND est_pq_b < est_lsh_b
+          |                   AND est_pq_b < est_hnsw_b THEN 'pq'
+          |              WHEN est_hnsw_b < est_ivf_b AND est_hnsw_b < est_lsh_b THEN 'hnsw'
+          |              WHEN est_lsh_b < est_ivf_b THEN 'lsh'
+          |              ELSE 'ivf' END AS chosen
+          |  FROM est_$tag
+          |)""".stripMargin
+    val candCtes = qs.map { case (qid, v) =>
+      val rec = cands.getOrElse(qid, Seq.empty)
+      val recList = if (rec.isEmpty) "[]::BIGINT[]" else rec.mkString("[", ", ", "]")
+      s"""|cand_${tag}_$qid AS (
+          |  SELECT vec_id FROM assigned
+          |  WHERE (SELECT chosen FROM choice_$tag) = 'ivf'
+          |    AND cluster_id IN (SELECT cid FROM cents ORDER BY ${duckL2(vecLit(v), "c")}, cid LIMIT 3)
+          |  UNION ALL
+          |  SELECT bk.vec_id FROM bk, qb_${tag}_$qid q
+          |  WHERE (SELECT chosen FROM choice_$tag) = 'lsh'
+          |    AND len(list_filter(range(8), i ->
+          |      ((bk.lsh_bucket >> i) & 1) <> ((q.qbucket >> i) & 1))) <= 2
+          |  UNION ALL
+          |  SELECT unnest($recList) AS vec_id
+          |  WHERE (SELECT chosen FROM choice_$tag) IN ('hnsw', 'pq')
+          |), top_${tag}_$qid AS (
+          |  SELECT $qid AS query_id, vec_id, dist,
+          |         row_number() OVER (ORDER BY dist, vec_id) AS knn_rank
+          |  FROM (
+          |    SELECT c.vec_id, ${duckCosine("e.embedding", vecLit(v))} AS dist
+          |    FROM cand_${tag}_$qid c JOIN embeddings e ON c.vec_id = e.vec_id
+          |    WHERE $predSql
+          |  ) QUALIFY knn_rank <= $k
+          |)""".stripMargin
+    }
+    val ctes = (qbCtes ++ Seq(estCte) ++ candCtes).mkString(",\n", ",\n", "")
+    val select = qs.map { case (qid, _) =>
+      s"""|SELECT '$tag' AS leg, ${b}::BIGINT AS batch_size, t.query_id,
+          |       CAST(t.knn_rank AS BIGINT) AS knn_rank, t.vec_id,
+          |       (SELECT chosen FROM choice_$tag) AS chosen_index,
+          |       e.n_match, e.n_total, e.ef_eff, e.sl_eff,
+          |       e.est_ivf_b, e.est_lsh_b, e.est_hnsw_b, e.est_pq_b,
+          |       round(t.dist, 6) AS distance
+          |FROM top_${tag}_$qid t CROSS JOIN est_$tag e""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    (ctes, select)
+  }
+
+  private val costServingBatchFiltered = QueryDef(
+    "ann_cost_serving_batch_filtered",
+    "COMBINED batch × selectivity serving cost choice (r19 verdict #5) " +
+      "— a production serving tier faces both at once: a BATCH of " +
+      "hybrid predicate+KNN queries. chooseServingBatchFiltered " +
+      "composes the two r19 models orthogonally: probe paths sum " +
+      "per-query probe bytes (selectivity-invariant, batch-linear), " +
+      "the predicate-blind beam pays B × its 1/s-widened bound, and " +
+      "PQ amortizes ONE shared code scan against B selectivity-widened " +
+      "shortlist rescores — so the decision flips on (B, s) JOINTLY " +
+      "(IvfProbeRuleSpec pins hnsw→ivf on selectivity alone at B=1 " +
+      "and ivf→pq on batch size alone at fixed s, plus exact equality " +
+      "with both parent models on the degenerate corners). Measured: " +
+      "at the 500-row fixtures selectivity alone flips pq→lsh at " +
+      "either batch size; at sf1 (20k vectors) the flip is STRICTLY " +
+      "JOINT — hnsw on three legs, pq only where the 5-query batch " +
+      "meets the 12%-selective predicate (neither dimension alone " +
+      "moves it); at sf10 the 1.6 MB code scan prices pq out of all " +
+      "four legs. The gate " +
+      "prices and EXECUTES the four-leg (B ∈ {1,5}) × (s ∈ {1, " +
+      "label=3}) grid over the same stores; every leg's decision, the " +
+      "exact (n_match, n_total) channel, the saturated integer knobs, " +
+      "and all four byte totals ride the output, and the oracle " +
+      "replays the whole decision per leg before re-ranking the " +
+      "chosen candidates (probe membership in SQL; THIS run's " +
+      "recorded beam/shortlist ids for hnsw/pq) under the predicate.",
+    (s, dir) => {
+      val corpus = Tables.embeddings(s, dir)
+      val cents = Ann.seededCentroids(corpus, "embedding", "vec_id", nlist = 8)
+      val planes = Ann.signPlanes(dim = 64, nBits = 8)
+      val (path, clusterRows, bucketRows) =
+        HybridIndexStore.ensure(s, dir, cents, planes)
+      val nTotal = clusterRows.values.sum
+      val nMatch = corpus.filter(col("label") === 3).count()
+      val p = NswStore.params
+      val graph = Nsw.readGraph(s, NswStore.ensure(s, dir))
+      val routerCents = NswRouterStore.ensure(s, dir)
+      val cb = PqStore.ensure(s, dir)
+      val codes = Pq.readEncoded(s, PqCodeStore.ensure(s, dir))
+      val indexed = Ann.readIndexed(s, path)
+      val legs = Seq(
+        ("b1_all", batchQueryVecs.take(1), nTotal, None: Option[org.apache.spark.sql.Column]),
+        ("b5_all", batchQueryVecs, nTotal, None),
+        ("b1_sel", batchQueryVecs.take(1), nMatch, Some(col("label") === 3)),
+        ("b5_sel", batchQueryVecs, nMatch, Some(col("label") === 3)))
+      val outs = legs.map { case (tag, qs, m, pred) =>
+        val (chosen, ivfB, lshB, hnswB, pqB, efEff, slEff) =
+          graft.plans.IvfProbeRule.chooseServingBatchFiltered(qs.map(_._2),
+            graft.plans.IvfCatalog.IvfIndex(cents, 3, clusterRows),
+            graft.plans.LshCatalog.LshIndex(planes, 2, bucketRows),
+            p.nShards, NswRouterStore.nprobe, p.efSearch, dim = 64,
+            nTotal, pqM = PqStore.M, pqShortlist = 16,
+            matchRows = m, totalRows = nTotal)
+        def withPred(df: org.apache.spark.sql.DataFrame) =
+          pred.map(df.filter).getOrElse(df)
+        def rank(legsDf: Seq[org.apache.spark.sql.DataFrame]) = {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("query_id"))
+            .orderBy(col("distance_score").asc, col("vec_id").asc)
+          legsDf.reduce(_ unionByName _)
+            .withColumn("knn_rank", row_number().over(w))
+            .filter(col("knn_rank") <= 3)
+        }
+        val (ranked, rec) = chosen match {
+          case "pq" =>
+            // one shared ADC pass (the amortized term the model
+            // priced), per-query predicate rescore over sl_eff rows
+            val pairs = Pq.batchShortlist(codes, "vec_id", qs, cb,
+                slEff.toInt)
+              .select(col("query_id"), col("vec_id")).collect()
+              .map(r => (r.getInt(0), r.getLong(1)))
+            val sl = qs.map { case (qid, _) =>
+              qid -> pairs.collect { case (q2, id) if q2 == qid => id }
+                .toSeq.sorted
+            }.toMap
+            val legsDf = qs.map { case (qid, qv) =>
+              Knn.search(withPred(corpus.filter(
+                  col("vec_id").isin(sl(qid): _*))),
+                "embedding", "vec_id", qv, k = 3)
+                .withColumn("query_id", lit(qid))
+            }
+            (rank(legsDf), sl)
+          case "hnsw" =>
+            val (_, cands, _) = Nsw.routedBatchSearch(graph, corpus,
+              "embedding", "vec_id", qs, k = 3, routerCents,
+              NswRouterStore.nprobe, p.copy(efSearch = efEff.toInt))
+            val rec0 = qs.map { case (qid, _) =>
+              qid -> cands.getOrElse(qid, Seq.empty).sorted
+            }.toMap
+            val legsDf = qs.map { case (qid, qv) =>
+              Knn.search(withPred(corpus.filter(
+                  col("vec_id").isin(rec0(qid): _*))),
+                "embedding", "vec_id", qv, k = 3)
+                .withColumn("query_id", lit(qid))
+            }
+            (rank(legsDf), rec0)
+          case "lsh" =>
+            val legsDf = qs.map { case (qid, qv) =>
+              val probes = Ann.probeBuckets(Ann.queryBucket(qv, planes),
+                planes.length, radius = 2)
+              Knn.search(withPred(indexed.filter(
+                  col("lsh_bucket").isin(probes: _*))),
+                "embedding", "vec_id", qv, k = 3)
+                .withColumn("query_id", lit(qid))
+            }
+            (rank(legsDf), Map.empty[Int, Seq[Long]])
+          case _ =>
+            val legsDf = qs.map { case (qid, qv) =>
+              val probes = Ann.probeIds(qv, cents, nprobe = 3)
+              Knn.search(withPred(indexed.filter(
+                  col("cluster_id").isin(probes: _*))),
+                "embedding", "vec_id", qv, k = 3)
+                .withColumn("query_id", lit(qid))
+            }
+            (rank(legsDf), Map.empty[Int, Seq[Long]])
+        }
+        CostServingBatchFilteredState.cands(dir) =
+          CostServingBatchFilteredState.cands.getOrElse(dir, Map.empty) +
+            (tag -> rec)
+        ranked.select(lit(tag).as("leg"),
+          lit(qs.length.toLong).as("batch_size"), col("query_id"),
+          col("knn_rank").cast("long").as("knn_rank"), col("vec_id"),
+          lit(chosen).as("chosen_index"),
+          lit(m).as("n_match"), lit(nTotal).as("n_total"),
+          lit(efEff).as("ef_eff"), lit(slEff).as("sl_eff"),
+          lit(ivfB).as("est_ivf_b"), lit(lshB).as("est_lsh_b"),
+          lit(hnswB).as("est_hnsw_b"), lit(pqB).as("est_pq_b"),
+          round(col("distance_score"), 6).as("distance"))
+      }
+      CostServingBatchFilteredState.lastDir = Some(dir)
+      outs.reduce(_ unionByName _)
+        .orderBy(col("leg"), col("query_id"), col("knn_rank"))
+    },
+    oracle = None,
+    oracleLate = Some(() =>
+      CostServingBatchFilteredState.lastDir.map { d =>
+        val rec = CostServingBatchFilteredState.cands.getOrElse(d, Map.empty)
+        val legs = Seq(
+          ("b1_all", batchQueryVecs.take(1), "TRUE",
+            "SELECT count(*) FROM embeddings"),
+          ("b5_all", batchQueryVecs, "TRUE",
+            "SELECT count(*) FROM embeddings"),
+          ("b1_sel", batchQueryVecs.take(1), "e.label = 3",
+            "SELECT count(*) FROM embeddings WHERE label = 3"),
+          ("b5_sel", batchQueryVecs, "e.label = 3",
+            "SELECT count(*) FROM embeddings WHERE label = 3"))
+        val built = legs.map { case (tag, qs, predSql, matchSql) =>
+          duckServingBatchFilteredLeg(tag, qs,
+            rec.getOrElse(tag, Map.empty), k = 3, predSql, matchSql)
+        }
+        s"""
+        |WITH cents AS MATERIALIZED (
+        |  SELECT vec_id AS cid, embedding::DOUBLE[] AS c FROM embeddings WHERE vec_id < 8
+        |), assigned AS MATERIALIZED (
+        |  SELECT vec_id, cid AS cluster_id FROM (
+        |    SELECT e.vec_id, c.cid,
+        |           row_number() OVER (PARTITION BY e.vec_id
+        |                              ORDER BY ${duckL2("e.embedding::DOUBLE[]", "c.c")}, c.cid) AS rn
+        |    FROM embeddings e CROSS JOIN cents c
+        |  ) WHERE rn = 1
+        |), planes AS MATERIALIZED (
+        |  SELECT b, list_transform(range(64), j ->
+        |    CASE WHEN ('0x' || substring(md5('lsh:' || b::VARCHAR || ':' || j::VARCHAR), 1, 12))::BIGINT % 2 = 0
+        |         THEN 1.0 ELSE -1.0 END) AS plane
+        |  FROM (SELECT unnest(range(8)) AS b)
+        |), bk AS MATERIALIZED (
+        |  SELECT e.vec_id,
+        |         sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], p.plane) >= 0
+        |                  THEN (1::BIGINT << p.b) ELSE 0 END)::BIGINT AS lsh_bucket
+        |  FROM embeddings e CROSS JOIN planes p GROUP BY e.vec_id
+        |)""".stripMargin.trim +
+          built.map(_._1).mkString +
+          "\n" + built.map(_._2).mkString("\nUNION ALL\n") +
+          "\nORDER BY leg, query_id, knn_rank"
+      }))
+
   /** KMeans-built IVF index per (fixture, JVM) — the QUALITY centroid
     * path (Spark ML k-means‖, fixed seed) on the same persisted,
     * cluster-partitioned layout as [[IvfIndexStore]]. The fitted
@@ -2891,7 +3166,7 @@ object VectorQueries {
   val defs: Seq[QueryDef] =
     Seq(filtered, l2Search, batch, ragContext, ivf, lshProbe, nswBeam, hnswBeam,
       hnswRouted, filteredHnsw, costServing, costServing4, costServingBatch,
-      costServingFiltered, nswRoutedBatch, ivfRule,
+      costServingFiltered, costServingBatchFiltered, nswRoutedBatch, ivfRule,
       lshRule, costRule, ivfKmeansRule, filteredIvfRule, mips, quantRescore, sqlApi,
       centroids, quantize, groupTopk, pqAdc, pqRescore, pqBatch, pqStoreAdc,
       matryoshka, ivfPqAdc, pcaKnn, rpKnn, bqHamming, mmrDiversify, recallEval,

@@ -415,4 +415,76 @@ class IvfProbeRuleSpec extends SparkSpec {
     intercept[IllegalArgumentException](choose(0L, 10L))
     intercept[IllegalArgumentException](choose(11L, 10L))
   }
+
+  test("chooseServingBatchFiltered: the decision flips on (B, s) JOINTLY; degenerate corners equal the parent models") {
+    import graft.plans.{IvfCatalog, LshCatalog, IvfProbeRule}
+    val planes = Ann.signPlanes(dim = 64, nBits = 8)
+    val cents = Ann.seededCentroids(emb, "embedding", "vec_id", nlist = 8)
+    val batchOf = (n: Int) => Seq.fill(n)(q)
+    def stats(rowsPerProbe: Long) = (
+      Ann.probeIds(q, cents, nprobe = 3).map(_ -> rowsPerProbe).toMap,
+      Ann.probeBuckets(Ann.queryBucket(q, planes), planes.length, radius = 1)
+        .map(_ -> rowsPerProbe).toMap)
+    def choose(b: Int, matchRows: Long, totalRows: Long,
+               probeRows: Long = 100L) = {
+      val (ivfS, lshS) = stats(probeRows)
+      IvfProbeRule.chooseServingBatchFiltered(batchOf(b),
+        IvfCatalog.IvfIndex(cents, 3, ivfS),
+        LshCatalog.LshIndex(planes, 1, lshS),
+        hnswShards = 4, hnswNprobe = 2, efSearch = 32,
+        dim = 64, pqCorpusRows = totalRows, pqM = 8, pqShortlist = 16,
+        matchRows = matchRows, totalRows = totalRows)
+    }
+    // the joint grid (probe stats 100 rows/probe, corpus 10⁴):
+    // B=1, s=1   → hnsw: one 16 kB beam beats 76.8 kB probes, 84 kB scan
+    val (c11, _, _, _, _, ef11, sl11) = choose(1, 10000L, 10000L)
+    assert(c11 == "hnsw" && ef11 == 32L && sl11 == 16L)
+    // B=1, s=0.1 → ivf: the beam widens 10× (164 kB) and pq's rescore
+    // widens to 121 kB — the selectivity-INVARIANT probe path wins.
+    // SELECTIVITY ALONE flipped hnsw → ivf.
+    val (c1s, i1s, _, h1s, p1s, ef1s, sl1s) = choose(1, 1000L, 10000L)
+    assert(c1s == "ivf", s"selective small batch must probe: $c1s")
+    assert(ef1s == 320L && sl1s == 160L && i1s == 76800L &&
+      h1s == 163840L && p1s == 80000L + 40960L)
+    // B=4, s=0.1 → pq: FOUR widened rescores (244 kB total) amortize
+    // the one 80 kB scan below 4 probe scans (307 kB). BATCH SIZE
+    // ALONE flipped ivf → pq at fixed selectivity.
+    val (c4s, i4s, _, _, p4s, _, _) = choose(4, 1000L, 10000L)
+    assert(c4s == "pq", s"batched selective queries must amortize: $c4s")
+    assert(p4s == 80000L + 4L * 40960L && i4s == 4L * 76800L)
+    // degenerate corners reproduce the parent models exactly:
+    // B=1 ≡ chooseServingFiltered; s=1 (match = total) ≡ chooseServingBatch
+    val (ivfS, lshS) = stats(100L)
+    Seq(10000L -> 10000L, 1000L -> 10000L, 3L -> 10L).foreach {
+      case (m, n) =>
+        val full = choose(1, m, n)
+        val parent = IvfProbeRule.chooseServingFiltered(q,
+          IvfCatalog.IvfIndex(cents, 3, ivfS),
+          LshCatalog.LshIndex(planes, 1, lshS),
+          hnswShards = 4, hnswNprobe = 2, efSearch = 32, dim = 64,
+          pqCorpusRows = n, pqM = 8, pqShortlist = 16,
+          matchRows = m, totalRows = n)
+        assert(full == parent, s"B=1 corner diverged at ($m,$n): $full vs $parent")
+    }
+    Seq(1, 4, 32).foreach { b =>
+      val full = choose(b, 10000L, 10000L)
+      val parent = IvfProbeRule.chooseServingBatch(batchOf(b),
+        IvfCatalog.IvfIndex(cents, 3, ivfS),
+        LshCatalog.LshIndex(planes, 1, lshS),
+        hnswShards = 4, hnswNprobe = 2, efSearch = 32, dim = 64,
+        pqCorpusRows = 10000L, pqM = 8, pqShortlist = 16)
+      assert((full._1, full._2, full._3, full._4, full._5) == parent,
+        s"s=1 corner diverged at B=$b: $full vs $parent")
+    }
+    // saturation + missing-stats discipline inherited
+    val (cBig, _, _, hBig, pBig, efBig, _) = choose(2, 1L, 2_000_000_000L)
+    assert(efBig == 2_000_000_000L && hBig > 0L && pBig > 0L && cBig != "hnsw")
+    val fb = IvfProbeRule.chooseServingBatchFiltered(batchOf(2),
+      IvfCatalog.IvfIndex(cents, 3, Map.empty),
+      LshCatalog.LshIndex(planes, 1, stats(100L)._2),
+      hnswShards = 4, hnswNprobe = 2, efSearch = 32, dim = 64,
+      pqCorpusRows = 500, pqM = 8, pqShortlist = 16,
+      matchRows = 50, totalRows = 500)
+    assert(fb._1 == "ivf" && fb._2 == -1L && fb._3 == -1L)
+  }
 }
