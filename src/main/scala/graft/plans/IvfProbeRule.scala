@@ -337,6 +337,61 @@ object IvfProbeRule extends Rule[LogicalPlan] {
     }
   }
 
+  /** Measured per-family serving cost weights in NANOSECONDS PER KiB
+    * READ — the latency calibration [[chooseServingCalibrated]]
+    * multiplies into the byte model. Derived by the
+    * `graft.queries.CalibrateServing` probe (median of warm single-query
+    * runs over the gate stores, divided by the priced bytes); treated
+    * as DATA like an index's centroids — re-derive on new hardware,
+    * record in RECALL.md.
+    */
+  final case class ServingWeights(ivfNsPerKib: Long, lshNsPerKib: Long,
+                                  hnswNsPerKib: Long, pqNsPerKib: Long)
+
+  /** LATENCY-CALIBRATED serving cost choice (r19 verdict #6) —
+    * [[chooseServing4]]'s byte totals weighted by measured per-family
+    * ns/KiB, run BESIDE the pure-bytes decision. Bytes-read is a
+    * portable unit but not a clock: the routed graph beam pays
+    * per-candidate random access and per-shard dispatch (measured
+    * ~15.6 μs/KiB at sf0.1) while the probe paths stream columnar
+    * partitions (~1.1–1.9 μs/KiB), so the byte-argmin and the
+    * time-argmin genuinely disagree — at sf0.1 bytes pick the 16 KiB
+    * beam (255 ms measured) while the calibration picks the 66 KiB
+    * LSH probe scan (125 ms measured; RECALL.md "Serving latency
+    * calibration"). Costs are exact integers the oracle replays:
+    * ceil(bytes/1024) × nsPerKib, KiB granularity keeping the product
+    * inside BIGINT headroom out to petabyte scans. Tie/fallback
+    * discipline is [[chooseServing4]]'s verbatim on the weighted
+    * costs; missing probe stats → sticky ivf with -1 estimates on BOTH
+    * channels. Returns (byteChosen, calChosen, ivfBytes, lshBytes,
+    * hnswBytes, pqBytes, ivfNs, lshNs, hnswNs, pqNs).
+    */
+  def chooseServingCalibrated(qv: Array[Float], ivf: IvfCatalog.IvfIndex,
+                              lsh: LshCatalog.LshIndex, hnswShards: Int,
+                              hnswNprobe: Int, efSearch: Int, dim: Int,
+                              pqCorpusRows: Long, pqM: Int, pqShortlist: Int,
+                              w: ServingWeights)
+      : (String, String, Long, Long, Long, Long, Long, Long, Long, Long) = {
+    val (byteChosen, ivfB, lshB, hnswB, pqB) = chooseServing4(qv, ivf, lsh,
+      hnswShards, hnswNprobe, efSearch, dim, pqCorpusRows, pqM, pqShortlist)
+    def cost(bytes: Long, nsPerKib: Long): Long =
+      ((bytes + 1023L) / 1024L) * nsPerKib
+    val hnswNs = cost(hnswB, w.hnswNsPerKib)
+    val pqNs = cost(pqB, w.pqNsPerKib)
+    if (ivfB < 0)
+      (byteChosen, "ivf", ivfB, lshB, hnswB, pqB, -1L, -1L, hnswNs, pqNs)
+    else {
+      val ivfNs = cost(ivfB, w.ivfNsPerKib)
+      val lshNs = cost(lshB, w.lshNsPerKib)
+      val calChosen =
+        if (pqNs < ivfNs && pqNs < lshNs && pqNs < hnswNs) "pq"
+        else if (hnswNs < ivfNs && hnswNs < lshNs) "hnsw"
+        else if (lshNs < ivfNs) "lsh"
+        else "ivf"
+      (byteChosen, calChosen, ivfB, lshB, hnswB, pqB, ivfNs, lshNs, hnswNs, pqNs)
+    }
+  }
+
   /** COMBINED batch × selectivity serving cost choice — the two r19
     * refinements composed (r19 verdict #5), because a production
     * serving tier faces both at once: a BATCH of hybrid

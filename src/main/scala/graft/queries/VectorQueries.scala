@@ -1505,6 +1505,193 @@ object VectorQueries {
           "\nORDER BY leg, distance, vec_id"
       }))
 
+  private object CostServingCalState {
+    val chosen = scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+    val recorded = scala.collection.concurrent.TrieMap.empty[String, Seq[Long]]
+    @volatile var lastDir: Option[String] = None
+  }
+
+  /** Per-family serving weights in ns/KiB, measured 2026-08-16 on this
+    * round's near-quiet box by
+    * `tools/run_main.sh graft.queries.CalibrateServing /root/testdata/sf0.1`
+    * (median of 9 warm single-query runs over the gate stores ÷ the
+    * priced KiB; raw probe JSON in RECALL.md "Serving latency
+    * calibration"). Calibration constants are DATA like an index's
+    * centroids — re-derive on new hardware with the same probe.
+    */
+  private[queries] val servingWeights =
+    graft.plans.IvfProbeRule.ServingWeights(
+      ivfNsPerKib = 1153585L, lshNsPerKib = 1887563L,
+      hnswNsPerKib = 15938730L, pqNsPerKib = 6728523L)
+
+  private val costServingCalibrated = QueryDef(
+    "ann_cost_serving_calibrated",
+    "LATENCY-CALIBRATED serving choice (r19 verdict #6) — the four-way " +
+      "byte model run BESIDE its time-calibrated form: the same four " +
+      "byte totals, each weighted by the family's MEASURED ns/KiB " +
+      "(CalibrateServing probe at sf0.1, recorded in RECALL.md — the " +
+      "routed beam pays ~15.6 μs/KiB of per-candidate random access " +
+      "and per-shard dispatch while the probe paths stream columnar " +
+      "partitions at ~1.1–1.9 μs/KiB), because bytes-read is a " +
+      "portable unit but not a clock. The two decisions genuinely " +
+      "DIFFER: at sf0.1 bytes pick the 16 KiB hnsw beam (255 ms " +
+      "measured) while the calibration picks the 66 KiB lsh probe " +
+      "scan (125 ms measured — 2.05× faster on the leg the models " +
+      "disagree about); at the 500-row fixtures bytes pick pq while " +
+      "the calibration still picks lsh. The gate EXECUTES the " +
+      "calibrated winner, rides both decisions, all four byte totals " +
+      "and all four integer ns costs (ceil(bytes/1024) × nsPerKib — " +
+      "BIGINT-safe to petabyte scans) on every row, and the oracle " +
+      "replays both argmins from scratch before re-ranking the " +
+      "calibrated choice's candidates (probe membership in SQL; THIS " +
+      "run's recorded ids for hnsw/pq).",
+    (s, dir) => {
+      val q = Queries.queryVec64
+      val corpus = Tables.embeddings(s, dir)
+      val cents = Ann.seededCentroids(corpus, "embedding", "vec_id", nlist = 8)
+      val planes = Ann.signPlanes(dim = 64, nBits = 8)
+      val (path, clusterRows, bucketRows) =
+        HybridIndexStore.ensure(s, dir, cents, planes)
+      val p = NswStore.params
+      val (byteChosen, calChosen, ivfB, lshB, hnswB, pqB,
+           ivfNs, lshNs, hnswNs, pqNs) =
+        graft.plans.IvfProbeRule.chooseServingCalibrated(q,
+          graft.plans.IvfCatalog.IvfIndex(cents, 3, clusterRows),
+          graft.plans.LshCatalog.LshIndex(planes, 2, bucketRows),
+          p.nShards, NswRouterStore.nprobe, p.efSearch, dim = 64,
+          clusterRows.values.sum, pqM = PqStore.M, pqShortlist = 16,
+          servingWeights)
+      CostServingCalState.chosen(dir) = (byteChosen, calChosen)
+      CostServingCalState.lastDir = Some(dir)
+      val ranked = calChosen match {
+        case "pq" =>
+          val cb = PqStore.ensure(s, dir)
+          val codes = Pq.readEncoded(s, PqCodeStore.ensure(s, dir))
+          val sl = Pq.search(codes, "vec_id", q, cb, k = 16)
+            .select("vec_id").collect().map(_.getLong(0)).toSeq.sorted
+          CostServingCalState.recorded(dir) = sl
+          Knn.search(corpus.filter(col("vec_id").isin(sl: _*)),
+            "embedding", "vec_id", q, k = 10)
+        case "hnsw" =>
+          val graph = Nsw.readGraph(s, NswStore.ensure(s, dir))
+          val (res, cands, _) = Nsw.routedBatchSearch(graph, corpus,
+            "embedding", "vec_id", Seq(0 -> q), k = 10,
+            NswRouterStore.ensure(s, dir), NswRouterStore.nprobe, p)
+          CostServingCalState.recorded(dir) =
+            cands.getOrElse(0, Seq.empty).sorted
+          res
+        case "lsh" =>
+          CostServingCalState.recorded(dir) = Seq.empty
+          val probes = Ann.probeBuckets(
+            Ann.queryBucket(q, planes), planes.length, radius = 2)
+          Knn.search(Ann.readIndexed(s, path)
+              .filter(col("lsh_bucket").isin(probes: _*)),
+            "embedding", "vec_id", q, k = 10)
+        case _ =>
+          CostServingCalState.recorded(dir) = Seq.empty
+          val probes = Ann.probeIds(q, cents, nprobe = 3)
+          Knn.search(Ann.readIndexed(s, path)
+              .filter(col("cluster_id").isin(probes: _*)),
+            "embedding", "vec_id", q, k = 10)
+      }
+      ranked.select(col("vec_id"), lit(byteChosen).as("byte_chosen"),
+          lit(calChosen).as("cal_chosen"),
+          lit(ivfB).as("est_ivf_b"), lit(lshB).as("est_lsh_b"),
+          lit(hnswB).as("est_hnsw_b"), lit(pqB).as("est_pq_b"),
+          lit(ivfNs).as("cost_ivf_ns"), lit(lshNs).as("cost_lsh_ns"),
+          lit(hnswNs).as("cost_hnsw_ns"), lit(pqNs).as("cost_pq_ns"),
+          round(col("distance_score"), 6).as("distance"))
+        .orderBy(col("distance"), col("vec_id"))
+    },
+    oracle = None,
+    oracleLate = Some(() =>
+      CostServingCalState.lastDir.map { d =>
+        val recIds = CostServingCalState.recorded.getOrElse(d, Seq.empty)
+        val recList =
+          if (recIds.isEmpty) "[]::BIGINT[]" else recIds.mkString("[", ", ", "]")
+        val w = servingWeights
+        val qLit = vecLit(Queries.queryVec64)
+        s"""
+        |WITH cents AS MATERIALIZED (
+        |  SELECT vec_id AS cid, embedding::DOUBLE[] AS c FROM embeddings WHERE vec_id < 8
+        |), assigned AS MATERIALIZED (
+        |  SELECT vec_id, cid AS cluster_id FROM (
+        |    SELECT e.vec_id, c.cid,
+        |           row_number() OVER (PARTITION BY e.vec_id
+        |                              ORDER BY ${duckL2("e.embedding::DOUBLE[]", "c.c")}, c.cid) AS rn
+        |    FROM embeddings e CROSS JOIN cents c
+        |  ) WHERE rn = 1
+        |), planes AS MATERIALIZED (
+        |  SELECT b, list_transform(range(64), j ->
+        |    CASE WHEN ('0x' || substring(md5('lsh:' || b::VARCHAR || ':' || j::VARCHAR), 1, 12))::BIGINT % 2 = 0
+        |         THEN 1.0 ELSE -1.0 END) AS plane
+        |  FROM (SELECT unnest(range(8)) AS b)
+        |), bk AS MATERIALIZED (
+        |  SELECT e.vec_id,
+        |         sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], p.plane) >= 0
+        |                  THEN (1::BIGINT << p.b) ELSE 0 END)::BIGINT AS lsh_bucket
+        |  FROM embeddings e CROSS JOIN planes p GROUP BY e.vec_id
+        |), qb AS MATERIALIZED (
+        |  SELECT sum(CASE WHEN list_dot_product($qLit, plane) >= 0
+        |                  THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS qbucket
+        |  FROM planes
+        |), est AS MATERIALIZED (
+        |  SELECT (SELECT count(*) FROM assigned WHERE cluster_id IN
+        |            (SELECT cid FROM cents ORDER BY ${duckL2(qLit, "c")}, cid LIMIT 3))::BIGINT
+        |           * 256 AS est_ivf_b,
+        |         (SELECT count(*) FROM bk, qb
+        |          WHERE len(list_filter(range(8), i ->
+        |            ((bk.lsh_bucket >> i) & 1) <> ((qb.qbucket >> i) & 1))) <= 2)::BIGINT
+        |           * 256 AS est_lsh_b,
+        |         16384::BIGINT AS est_hnsw_b,
+        |         ((SELECT count(*) FROM embeddings)::BIGINT * 8 + 16 * 256) AS est_pq_b
+        |), cost AS MATERIALIZED (
+        |  SELECT est_ivf_b, est_lsh_b, est_hnsw_b, est_pq_b,
+        |         ((est_ivf_b + 1023) // 1024) * ${w.ivfNsPerKib} AS cost_ivf_ns,
+        |         ((est_lsh_b + 1023) // 1024) * ${w.lshNsPerKib} AS cost_lsh_ns,
+        |         ((est_hnsw_b + 1023) // 1024) * ${w.hnswNsPerKib} AS cost_hnsw_ns,
+        |         ((est_pq_b + 1023) // 1024) * ${w.pqNsPerKib} AS cost_pq_ns
+        |  FROM est
+        |), bchoice AS MATERIALIZED (
+        |  SELECT CASE WHEN est_pq_b < est_ivf_b AND est_pq_b < est_lsh_b
+        |                   AND est_pq_b < est_hnsw_b THEN 'pq'
+        |              WHEN est_hnsw_b < est_ivf_b AND est_hnsw_b < est_lsh_b THEN 'hnsw'
+        |              WHEN est_lsh_b < est_ivf_b THEN 'lsh'
+        |              ELSE 'ivf' END AS byte_chosen
+        |  FROM est
+        |), cchoice AS MATERIALIZED (
+        |  SELECT CASE WHEN cost_pq_ns < cost_ivf_ns AND cost_pq_ns < cost_lsh_ns
+        |                   AND cost_pq_ns < cost_hnsw_ns THEN 'pq'
+        |              WHEN cost_hnsw_ns < cost_ivf_ns AND cost_hnsw_ns < cost_lsh_ns THEN 'hnsw'
+        |              WHEN cost_lsh_ns < cost_ivf_ns THEN 'lsh'
+        |              ELSE 'ivf' END AS cal_chosen
+        |  FROM cost
+        |), cand AS (
+        |  SELECT vec_id FROM assigned
+        |  WHERE (SELECT cal_chosen FROM cchoice) = 'ivf'
+        |    AND cluster_id IN (SELECT cid FROM cents ORDER BY ${duckL2(qLit, "c")}, cid LIMIT 3)
+        |  UNION ALL
+        |  SELECT bk.vec_id FROM bk, qb
+        |  WHERE (SELECT cal_chosen FROM cchoice) = 'lsh'
+        |    AND len(list_filter(range(8), i ->
+        |      ((bk.lsh_bucket >> i) & 1) <> ((qb.qbucket >> i) & 1))) <= 2
+        |  UNION ALL
+        |  SELECT unnest($recList) AS vec_id
+        |  WHERE (SELECT cal_chosen FROM cchoice) IN ('hnsw', 'pq')
+        |), top AS (
+        |  SELECT c.vec_id, ${duckCosine("e.embedding", qLit)} AS dist
+        |  FROM cand c JOIN embeddings e ON c.vec_id = e.vec_id
+        |  ORDER BY dist, c.vec_id LIMIT 10
+        |)
+        |SELECT t.vec_id, (SELECT byte_chosen FROM bchoice) AS byte_chosen,
+        |       (SELECT cal_chosen FROM cchoice) AS cal_chosen,
+        |       c.est_ivf_b, c.est_lsh_b, c.est_hnsw_b, c.est_pq_b,
+        |       c.cost_ivf_ns, c.cost_lsh_ns, c.cost_hnsw_ns, c.cost_pq_ns,
+        |       round(t.dist, 6) AS distance
+        |FROM top t CROSS JOIN cost c ORDER BY distance, vec_id
+        """.stripMargin.trim
+      }))
+
   private object CostServingBatchFilteredState {
     val cands = scala.collection.concurrent.TrieMap
       .empty[String, Map[String, Map[Int, Seq[Long]]]]
@@ -3166,7 +3353,8 @@ object VectorQueries {
   val defs: Seq[QueryDef] =
     Seq(filtered, l2Search, batch, ragContext, ivf, lshProbe, nswBeam, hnswBeam,
       hnswRouted, filteredHnsw, costServing, costServing4, costServingBatch,
-      costServingFiltered, costServingBatchFiltered, nswRoutedBatch, ivfRule,
+      costServingFiltered, costServingBatchFiltered, costServingCalibrated,
+      nswRoutedBatch, ivfRule,
       lshRule, costRule, ivfKmeansRule, filteredIvfRule, mips, quantRescore, sqlApi,
       centroids, quantize, groupTopk, pqAdc, pqRescore, pqBatch, pqStoreAdc,
       matryoshka, ivfPqAdc, pcaKnn, rpKnn, bqHamming, mmrDiversify, recallEval,

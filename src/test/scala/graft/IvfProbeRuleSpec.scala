@@ -416,6 +416,46 @@ class IvfProbeRuleSpec extends SparkSpec {
     intercept[IllegalArgumentException](choose(11L, 10L))
   }
 
+  test("chooseServingCalibrated: measured ns/KiB weights overturn the byte argmin; fallback stays sticky-ivf") {
+    import graft.plans.{IvfCatalog, LshCatalog, IvfProbeRule}
+    val planes = Ann.signPlanes(dim = 64, nBits = 8)
+    val cents = Ann.seededCentroids(emb, "embedding", "vec_id", nlist = 8)
+    // the r20 measured weights (RECALL.md "Serving latency calibration")
+    val w = IvfProbeRule.ServingWeights(1153585L, 1887563L, 15938730L, 6728523L)
+    def stats(ivfRows: Long, lshRows: Long) = (
+      Ann.probeIds(q, cents, nprobe = 3).map(_ -> ivfRows).toMap,
+      Ann.probeBuckets(Ann.queryBucket(q, planes), planes.length, radius = 1)
+        .map(_ -> lshRows).toMap)
+    def choose(ivfRows: Long, lshRows: Long, n: Long) = {
+      val (ivfS, lshS) = stats(ivfRows, lshRows)
+      IvfProbeRule.chooseServingCalibrated(q,
+        IvfCatalog.IvfIndex(cents, 3, ivfS),
+        LshCatalog.LshIndex(planes, 1, lshS),
+        hnswShards = 4, hnswNprobe = 2, efSearch = 32,
+        dim = 64, pqCorpusRows = n, pqM = 8, pqShortlist = 16, w)
+    }
+    // the sf0.1-shaped regime: bytes pick the 16 KiB beam, the measured
+    // ~15.6 μs/KiB beam cost hands the decision to the 65 KiB lsh scan
+    val (bc, cc, _, lshB, hnswB, _, _, lshNs, hnswNs, pqNs) =
+      choose(254L, 29L, 2000L)
+    assert(bc == "hnsw" && cc == "lsh",
+      s"models must disagree in the sf0.1 regime: byte=$bc cal=$cc")
+    // exact integer cost arithmetic: ceil(bytes/1024) × nsPerKib
+    assert(lshNs == ((lshB + 1023L) / 1024L) * w.lshNsPerKib)
+    assert(hnswNs == ((hnswB + 1023L) / 1024L) * w.hnswNsPerKib)
+    assert(lshNs < pqNs && pqNs < hnswNs)
+    // big-corpus regime: the beam's constant cost wins BOTH channels
+    val big = choose(125000L, 12500L, 1000000L)
+    assert(big._1 == "hnsw" && big._2 == "hnsw")
+    // missing probe stats: sticky ivf on both channels, -1 sentinels
+    val fb = IvfProbeRule.chooseServingCalibrated(q,
+      IvfCatalog.IvfIndex(cents, 3, Map.empty),
+      LshCatalog.LshIndex(planes, 1, stats(10L, 10L)._2),
+      hnswShards = 4, hnswNprobe = 2, efSearch = 32,
+      dim = 64, pqCorpusRows = 500, pqM = 8, pqShortlist = 16, w)
+    assert(fb._1 == "ivf" && fb._2 == "ivf" && fb._3 == -1L && fb._7 == -1L)
+  }
+
   test("chooseServingBatchFiltered: the decision flips on (B, s) JOINTLY; degenerate corners equal the parent models") {
     import graft.plans.{IvfCatalog, LshCatalog, IvfProbeRule}
     val planes = Ann.signPlanes(dim = 64, nBits = 8)
