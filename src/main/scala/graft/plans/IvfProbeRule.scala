@@ -513,13 +513,23 @@ object IvfProbeRule extends Rule[LogicalPlan] {
 
   /** True if a probe filter on the index column already guards a
     * registered relation anywhere below (idempotence across optimizer
-    * re-runs) — cluster_id for IVF tables, lsh_bucket for LSH tables.
+    * re-runs, AND the guard that keeps the rule's hands off a scan the
+    * caller probed MANUALLY) — cluster_id for IVF tables, lsh_bucket
+    * for LSH tables. Matches BOTH literal-set forms: `In`, and the
+    * `InSet` that OptimizeIn rewrites it to above
+    * spark.sql.optimizer.inSetConversionThreshold (default 10) — a
+    * radius-2 multi-probe is 37 buckets, so without the InSet case the
+    * rule re-fired on manually-probed scans and silently intersected
+    * them with its own probe set (caught round 20 by
+    * ann_cost_serving_calibrated's 9-vs-10-row hash mismatch in the
+    * full suite, where ann_cost_rewrite had registered the store).
     */
   private def alreadyProbed(plan: LogicalPlan): Boolean = plan.exists {
     case Filter(cond, rel: LogicalRelation)
         if indexOf(rel).isDefined || lshIndexOf(rel).isDefined =>
       cond.exists {
         case In(a: Attribute, _) => a.name == "cluster_id" || a.name == "lsh_bucket"
+        case InSet(a: Attribute, _) => a.name == "cluster_id" || a.name == "lsh_bucket"
         case _                   => false
       }
     case _ => false

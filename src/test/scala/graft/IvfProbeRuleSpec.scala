@@ -416,6 +416,45 @@ class IvfProbeRuleSpec extends SparkSpec {
     intercept[IllegalArgumentException](choose(11L, 10L))
   }
 
+  test("a manually-probed scan is NOT double-filtered — the idempotence guard matches InSet, not just In (r20)") {
+    import graft.plans.{IvfCatalog, LshCatalog}
+    val planes = Ann.signPlanes(dim = 64, nBits = 8)
+    val cents = Ann.seededCentroids(emb, "embedding", "vec_id", nlist = 8)
+    val path = java.nio.file.Files.createTempDirectory("graft_inset").toString + "/idx"
+    Ann.writeHybridIndexed(emb, "embedding", cents, planes, path)
+    try {
+      IvfCatalog.register(path, cents, nprobe = 3,
+        cents.indices.map(_ -> 1L).toMap)
+      LshCatalog.register(path, planes, radius = 1, Map(0L -> 1L))
+      // 37 probe values — OptimizeIn rewrites the In to InSet (threshold
+      // 10), which the pre-r20 guard didn't recognize: the rule re-fired
+      // and silently INTERSECTED the caller's radius-2 probe set with
+      // its own cluster filter (caught by ann_cost_serving_calibrated's
+      // full-suite row-count mismatch)
+      val probes = Ann.probeBuckets(Ann.queryBucket(q, planes),
+        planes.length, radius = 2)
+      assert(probes.length > 10, "premise: above the InSet threshold")
+      val df = Knn.search(Ann.readIndexed(spark, path)
+          .filter(org.apache.spark.sql.functions.col("lsh_bucket").isin(probes: _*)),
+        "embedding", "vec_id", q, k = 10)
+      val optimized = df.queryExecution.optimizedPlan.toString
+      assert(!optimized.contains("cluster_id") ||
+        !optimized.matches("(?s).*Filter.*cluster_id.*IN.*"),
+        s"rule must not inject a second probe filter over a manually-probed scan:\n$optimized")
+      // and the result is the full radius-2 top-10, not an intersection
+      val manual = emb.collect().map { r =>
+        (r.getLong(0), r.getSeq[Float](1).toArray)
+      }.filter { case (_, v) =>
+        probes.contains(Ann.queryBucket(v, planes))
+      }
+      assert(df.count() == math.min(10L, manual.length.toLong))
+    } finally {
+      IvfCatalog.unregister(path); LshCatalog.unregister(path)
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(path).getParentFile).deleteRecursively()
+    }
+  }
+
   test("chooseServingCalibrated: measured ns/KiB weights overturn the byte argmin; fallback stays sticky-ivf") {
     import graft.plans.{IvfCatalog, LshCatalog, IvfProbeRule}
     val planes = Ann.signPlanes(dim = 64, nBits = 8)
