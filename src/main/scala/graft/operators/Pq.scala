@@ -167,9 +167,14 @@ object Pq {
                          codebooks: Array[Array[Array[Float]]],
                          k: Int, shortlist: Int): DataFrame = {
     val cand = batchShortlist(encoded, idCol, queries, codebooks, shortlist)
+    // vector fetch AFTER the shortlist: one column-pruned (id, vec) pass
+    // joined against the broadcast B×shortlist candidate set — the wide
+    // vector column never rides the rank's sort/exchange (see
+    // batchShortlist's narrowing note)
     val w2 = Window.partitionBy(col("query_id"))
       .orderBy(col("distance_score").asc, col(idCol).asc)
-    cand
+    encoded.select(col(idCol), col(vecCol))
+      .join(broadcast(cand), Seq(idCol))
       .withColumn("distance_score", cosineDistance(col(vecCol), col("query_vec")))
       .withColumn("knn_rank", row_number().over(w2))
       .filter(col("knn_rank") <= k)
@@ -180,19 +185,30 @@ object Pq {
     * amortized N·m scan the batch-aware cost model prices; r19 verdict
     * #1), with every query's driver-computed ADC table compiled into a
     * single codegen'd CASE chain. Returns the per-query shortlist rows
-    * (all of `encoded`'s columns + query_id, query_vec, adc_dist,
-    * adc_rank ≤ shortlist — B × shortlist rows total), for a caller
-    * that records the ids (the serving oracle contract) and/or
-    * rescores them against a SEPARATE vector store when the codes
-    * relation is the (id, pq_codes)-only serving store.
+    * (query_id, idCol, adc_dist, adc_rank ≤ shortlist, query_vec —
+    * B × shortlist rows total), for a caller that records the ids (the
+    * serving oracle contract) and/or rescores them against the vector
+    * store.
+    *
+    * The rank's sort/exchange carries the NARROW (query_id, id, adc)
+    * projection ONLY — the codes array and the dim-float query vectors
+    * must not ride a B×N-row sort (measured 2× wall-clock at 2M rows ×
+    * 32 queries, unboundedly worse at 100 TB where the sort payload
+    * would be B×N×(m + dim·4) bytes); query_vec is re-attached by a
+    * broadcast join on the shortlist-sized survivor set. The ADC CASE
+    * chain keys on query_id alone (the tables are driver-computed
+    * literals), so the broadcast side of the scan join is one INT per
+    * query.
     */
   def batchShortlist(encoded: DataFrame, idCol: String,
                      queries: Seq[(Int, Array[Float])],
                      codebooks: Array[Array[Array[Float]]],
                      shortlist: Int): DataFrame = {
     val spark = encoded.sparkSession
+    import spark.implicits._
     val qdf = spark.createDataFrame(queries.map { case (i, v) => (i, v.toSeq) })
       .toDF("query_id", "query_vec")
+    val qids = queries.map(_._1).toDF("query_id")
     val adcByQ = queries.map { case (qid, v) =>
       qid -> adcScore(col("pq_codes"), adcTable(v, codebooks))
     }.foldLeft(lit(Double.NaN)) { case (acc, (qid, sc)) =>
@@ -200,9 +216,11 @@ object Pq {
     }
     val w1 = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_dist").asc, col(idCol).asc)
-    encoded.crossJoin(broadcast(qdf))
-      .withColumn("adc_dist", adcByQ)
+    encoded.select(col(idCol), col("pq_codes"))
+      .crossJoin(broadcast(qids))
+      .select(col("query_id"), col(idCol), adcByQ.as("adc_dist"))
       .withColumn("adc_rank", row_number().over(w1))
       .filter(col("adc_rank") <= shortlist)
+      .join(broadcast(qdf), Seq("query_id"))
   }
 }

@@ -270,7 +270,13 @@ object VectorServing {
           .toDF("query_id", corpusIdCol)
         val qdf = spark.createDataFrame(qs.map { case (i, v) => (i, v.toSeq) })
           .toDF("query_id", "query_vec")
+        // the isin literal (≤ B × pqShortlist ids) pushes to the parquet
+        // scan (PushedFilters: In → row-group pruning), so the rescore
+        // approaches the shortlist × dim·4 point-lookup bytes the cost
+        // model prices instead of a full vector-column pass
+        val allIds = pairs.map(_._2).distinct.sorted
         val rescored = idx.corpus
+          .filter(col(corpusIdCol).isin(allIds: _*))
           .join(broadcast(shortDf), Seq(corpusIdCol))
           .join(broadcast(qdf), Seq("query_id"))
           .withColumn("distance_score", graft.functions.VectorFunctions
