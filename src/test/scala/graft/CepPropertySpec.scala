@@ -156,7 +156,9 @@ class CepPropertySpec extends SparkSpec {
   // ---- stream runners ----
 
   private def streamNotB(batches: Seq[Seq[EventIn]],
-                         delay: String): Set[(Long, Long)] = {
+                         delay: String,
+                         maxStatePerUser: Int = Int.MaxValue,
+                         nUsers: Int = 0): Set[(Long, Long)] = {
     val input = MemoryStream[EventIn](spark)
     val alerts = PatternMatch.matchAThenNotB(
       input.toDS().withWatermark("ts", delay), "view", "purchase", W)
@@ -164,7 +166,16 @@ class CepPropertySpec extends SparkSpec {
     val q = alerts.writeStream.format("memory").queryName(name)
       .outputMode(OutputMode.Append()).start()
     try {
-      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+      batches.foreach { b =>
+        input.addData(b); q.processAllAvailable()
+        // the scale contract: state is keys × one flat NotBState record
+        // — never event-rate-proportional (numRowsTotal counts keys)
+        if (nUsers > 0) {
+          val rows = q.lastProgress.stateOperators.head.numRowsTotal
+          assert(rows <= nUsers.toLong * maxStatePerUser,
+            s"negation state exploded: $rows rows for $nUsers users")
+        }
+      }
       spark.table(name).collect()
         .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("a_event_id"))).toSet
     } finally q.stop()
@@ -211,7 +222,8 @@ class CepPropertySpec extends SparkSpec {
       val events = soup(rnd, nEvents = 24, nUsers = 3)
       val batches = admissibleSchedule(rnd, events, delayMs)
       val finalWm = events.map(_.ts.getTime).max - delayMs
-      val got = streamNotB(batches, "5 minutes")
+      val got = streamNotB(batches, "5 minutes", maxStatePerUser = 1,
+        nUsers = 3)
       val want = oracleNotB(events, finalWm)
       assert(got == want,
         s"round $round diverged\nschedule=${batches.map(_.map(e =>
