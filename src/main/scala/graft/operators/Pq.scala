@@ -180,6 +180,32 @@ object Pq {
       .filter(col("knn_rank") <= k)
   }
 
+  /** The PER-QUERY execution shape of batch PQ serving: B independent
+    * TakeOrderedAndProject scans of the codes relation (zero shuffle,
+    * zero sort — each is [[searchRescore]]'s plan), unioned and
+    * re-ranked. Reads B× the codes bytes of [[batchSearchRescore]] but
+    * skips its map-side rank sort entirely — the faster shape whenever
+    * the codes store is CACHE-RESIDENT (measured ~2.4× at 2M codes ×
+    * 32 queries), and the losing one when it is not;
+    * [[graft.plans.IvfProbeRule.choosePqBatchShape]] makes that call
+    * from one replayable integer comparison. Identical output to
+    * [[batchSearchRescore]] by the ADC determinism contract.
+    */
+  def batchSearchRescorePerQuery(encoded: DataFrame, vecCol: String,
+                                 idCol: String,
+                                 queries: Seq[(Int, Array[Float])],
+                                 codebooks: Array[Array[Array[Float]]],
+                                 k: Int, shortlist: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("distance_score").asc, col(idCol).asc)
+    queries.map { case (qid, v) =>
+      searchRescore(encoded, vecCol, idCol, v, codebooks, k, shortlist)
+        .withColumn("query_id", lit(qid))
+    }.reduce(_ unionByName _)
+      .withColumn("knn_rank", row_number().over(w))
+      .filter(col("knn_rank") <= k)
+  }
+
   /** The ADC-shortlist stage of [[batchSearchRescore]] alone — ONE
     * shared pass over the codes column for the WHOLE batch (the
     * amortized N·m scan the batch-aware cost model prices; r19 verdict

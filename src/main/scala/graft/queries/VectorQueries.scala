@@ -2285,6 +2285,100 @@ object VectorQueries {
     """.stripMargin.trim
   }
 
+  private val pqShapeAdaptive = QueryDef(
+    "ann_pq_shape_adaptive",
+    "Cache-regime-adaptive batch-PQ execution shape (r20 sf100 probe " +
+      "finding): the amortized single-pass shortlist and B per-query " +
+      "TakeOrdered scans do the SAME ADC arithmetic but their " +
+      "wall-clock inverts with the cache regime — B zero-shuffle " +
+      "scans ran ~2.4× faster at a cache-resident 2M-code store " +
+      "(the shared pass pays a map-side rank sort), while beyond " +
+      "cache the shared pass wins by the full B× on disk bytes. " +
+      "IvfProbeRule.choosePqBatchShape makes the call from ONE " +
+      "replayable integer comparison (codesBytes = N·m vs the " +
+      "deployment's cache budget — hardware data, like the calibrated " +
+      "router's weights; B = 1 is always per-query). The gate runs " +
+      "BOTH shapes through two synthetic budgets (1 KiB → shared, " +
+      "1 GiB → perquery at every fixture) and the two legs must " +
+      "produce IDENTICAL rankings — a shape-differential: the oracle " +
+      "replays the decision arithmetic per leg and ONE ADC+rescore " +
+      "ranking for both (the ADC determinism contract is exactly " +
+      "what makes the shape a pure execution choice). " +
+      "IvfProbeRuleSpec pins the flip on budget and the B=1 rule.",
+    (s, dir) => {
+      val cb = PqStore.ensure(s, dir)
+      val corpus = Tables.embeddings(s, dir)
+      val enc = Pq.encode(corpus, "embedding", cb)
+      val n = corpus.count()
+      val legs = Seq(("tight", 1024L), ("roomy", 1073741824L))
+      val outs = legs.map { case (tag, budget) =>
+        val (shape, codesBytes) = graft.plans.IvfProbeRule
+          .choosePqBatchShape(n, PqStore.M, batchQueryVecs.length, budget)
+        val ranked = shape match {
+          case "shared" => Pq.batchSearchRescore(enc, "embedding", "vec_id",
+            batchQueryVecs, cb, k = 3, shortlist = 20)
+          case _ => Pq.batchSearchRescorePerQuery(enc, "embedding", "vec_id",
+            batchQueryVecs, cb, k = 3, shortlist = 20)
+        }
+        ranked.select(lit(tag).as("leg"), lit(shape).as("shape_chosen"),
+          lit(codesBytes).as("codes_bytes"), lit(budget).as("cache_budget"),
+          col("query_id"), col("knn_rank").cast("long").as("knn_rank"),
+          col("vec_id"), round(col("distance_score"), 6).as("distance"))
+      }
+      outs.reduce(_ unionByName _)
+        .orderBy(col("leg"), col("query_id"), col("knn_rank"))
+    },
+    oracle = None,
+    oracleLate = Some(() =>
+      PqStore.lastDir.flatMap(PqStore.books.get).map { cb =>
+        val adcCols = batchQueryVecs.map { case (i, v) =>
+          s"${duckAdcChain(cb, v)} AS adc_$i"
+        }.mkString(",\n         ")
+        val branches = batchQueryVecs.map { case (i, v) =>
+          val qLit = vecLit(v)
+          s"""|cand_$i AS (
+              |  SELECT vec_id FROM adc ORDER BY adc_$i, vec_id LIMIT 20
+              |), d_$i AS (
+              |  SELECT $i AS query_id, e.vec_id, ${duckCosine("e.embedding", qLit)} AS dist
+              |  FROM embeddings e WHERE e.vec_id IN (SELECT vec_id FROM cand_$i)
+              |)""".stripMargin
+        }.mkString(", ")
+        val union = batchQueryVecs.map { case (i, _) => s"SELECT * FROM d_$i" }
+          .mkString("\n  UNION ALL ")
+        val decs = Seq(("tight", 1024L), ("roomy", 1073741824L)).map {
+          case (tag, budget) =>
+            s"""|dec_$tag AS MATERIALIZED (
+                |  SELECT (SELECT count(*) FROM embeddings)::BIGINT * 8 AS codes_bytes,
+                |         ${budget}::BIGINT AS cache_budget,
+                |         CASE WHEN ${batchQueryVecs.length} > 1
+                |                AND (SELECT count(*) FROM embeddings)::BIGINT * 8 > $budget
+                |              THEN 'shared' ELSE 'perquery' END AS shape_chosen
+                |)""".stripMargin
+        }.mkString(", ")
+        val selects = Seq("tight", "roomy").map { tag =>
+          s"""|SELECT '$tag' AS leg, d.shape_chosen, d.codes_bytes,
+              |       d.cache_budget, r.query_id, r.knn_rank, r.vec_id,
+              |       round(r.dist, 6) AS distance
+              |FROM r CROSS JOIN dec_$tag d WHERE r.knn_rank <= 3""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""
+        |${duckPqCodes(cb)}, adc AS MATERIALIZED (
+        |  SELECT vec_id,
+        |         $adcCols
+        |  FROM codes
+        |), $branches, u AS (
+        |  $union
+        |), r AS MATERIALIZED (
+        |  SELECT query_id, vec_id, dist,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY dist, vec_id) AS knn_rank
+        |  FROM u
+        |), $decs
+        |$selects
+        |ORDER BY leg, query_id, knn_rank
+        """.stripMargin.trim
+      }))
+
   private val ivfRule = QueryDef(
     "ann_ivf_rule_rewrite",
     "Transparent KNN→IVF rewrite on the persisted-index read path: the " +
@@ -3357,6 +3451,6 @@ object VectorQueries {
       nswRoutedBatch, ivfRule,
       lshRule, costRule, ivfKmeansRule, filteredIvfRule, mips, quantRescore, sqlApi,
       centroids, quantize, groupTopk, pqAdc, pqRescore, pqBatch, pqStoreAdc,
-      matryoshka, ivfPqAdc, pcaKnn, rpKnn, bqHamming, mmrDiversify, recallEval,
+      matryoshka, ivfPqAdc, pqShapeAdaptive, pcaKnn, rpKnn, bqHamming, mmrDiversify, recallEval,
       ivfRecallEvalQ, quantError, dimStatsQ)
 }

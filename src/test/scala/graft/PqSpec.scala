@@ -96,6 +96,27 @@ class PqSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"), s"query table must broadcast:\n$p")
   }
 
+  test("the two batch execution shapes are result-identical (shape is a pure execution choice)") {
+    import graft.queries.VectorQueries
+    val enc = Pq.encode(emb, "embedding", cb)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "knn_rank", "vec_id").collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+    val shared = rows(Pq.batchSearchRescore(enc, "embedding", "vec_id",
+      VectorQueries.batchQueryVecs, cb, k = 3, shortlist = 20))
+    val perQuery = rows(Pq.batchSearchRescorePerQuery(enc, "embedding",
+      "vec_id", VectorQueries.batchQueryVecs, cb, k = 3, shortlist = 20))
+    assert(shared == perQuery && shared.size == 15,
+      s"shapes diverged:\nshared=$shared\nperquery=$perQuery")
+    // and the per-query shape really is the zero-exchange TakeOrdered
+    // plan, B times (each union branch scans + heaps, no rank sort of
+    // the codes relation)
+    val p = Pq.batchSearchRescorePerQuery(enc, "embedding", "vec_id",
+      VectorQueries.batchQueryVecs, cb, k = 3, shortlist = 20)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), s"expected per-query heaps:\n$p")
+  }
+
   test("ADC search plan: TakeOrderedAndProject over the scan, zero exchanges") {
     val enc = Pq.encode(emb, "embedding", cb)
     val p = Pq.search(enc, "vec_id", q, cb, k = 10)
