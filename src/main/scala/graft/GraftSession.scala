@@ -25,6 +25,23 @@ object GraftSession {
     // raw int64 nanos and convert explicitly (see Tables.events).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    // Scan-parallelism floor (optimization guide §6, r21): FilePartition
+    // sizing is maxSplitBytes = min(maxPartitionBytes, max(openCostInBytes,
+    // totalBytes/minPartitionNum)) — with the 4 MB openCost default a
+    // single ~10 MB fixture file scans as ~3 tasks no matter how many
+    // cores the session has, and every expression-heavy pass over it runs
+    // at 3/32 parallelism (measured: ml_logreg_gd's 9 GD iterations on 3
+    // partitions, 1.5 s each; 0.2 s at full width). Lowering the
+    // open-cost floor lets bytesPerCore = totalBytes/defaultParallelism
+    // set the split instead. Scale posture: on a real many-file 100 TB
+    // table splits are governed by maxPartitionBytes (128 MB) long before
+    // either floor, so this only affects the small-single-file case (the
+    // same guard Tables.documentsSpread applies query-side); open-cost
+    // also only UNDER-weights per-file open overhead when packing many
+    // small files — it never increases task counts. Env-overridable for
+    // deployments that want the conservative object-store default back.
+    spark.conf.set("spark.sql.files.openCostInBytes",
+      sys.env.getOrElse("SPARK_GRAFT_OPEN_COST", (128 * 1024).toString))
     functions.VectorFunctions.registerAll(spark)
     // KNN→IVF-probe rewrite for IvfCatalog-registered tables (no-op on
     // everything else); extraOptimizations covers driver-provided

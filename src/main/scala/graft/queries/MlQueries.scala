@@ -552,11 +552,25 @@ object MlQueries {
       (when(col("l_returnflag") === "R", 10000L).otherwise(0L) +
         round(col("l_discount") * lit(100.0)).cast("long") * lit(100L) +
         col("l_quantity").cast("long")).as("p"))
+      // SUFFICIENT STATISTICS (r21, guide §8 "decide with small rows"):
+      // the feature space has ≤ 2·11·50 = 1100 distinct packed values,
+      // and every per-row GD term depends only on (y, x1, x2) — so ONE
+      // corpus pass counts the distinct triples and each of the 9
+      // iterations aggregates the 1100-row (triple, cnt) relation
+      // instead of re-scanning the corpus: Σ_rows dec(term) =
+      // Σ_groups cnt·dec(term) EXACTLY (decimal × integer is exact
+      // repeated addition — no float reassociation anywhere). The
+      // iteration cost is now O(|distinct triples|) at ANY corpus
+      // scale; the one corpus-sized pass is this map-side-combining
+      // count, which replaces the old 600k-row checkpoint (the packed
+      // BIGINT keeps that pass's shuffle rows at 16 bytes as before).
+      .groupBy(col("p")).agg(count(lit(1)).as("cnt"))
       .localCheckpoint()
       .select(
         expr("CAST(p div 10000 AS DOUBLE)").as("y"),
         (expr("CAST((p div 100) % 100 AS DOUBLE)") / lit(100.0)).as("x1"),
-        (expr("CAST(p % 100 AS DOUBLE)") / lit(50.0)).as("x2"))
+        (expr("CAST(p % 100 AS DOUBLE)") / lit(50.0)).as("x2"),
+        col("cnt"))
 
   /** One full-batch GD iteration for [[logregGd]] — factored so
     * PlanShapeSpec asserts the production per-iteration plan: a single
@@ -564,16 +578,39 @@ object MlQueries {
     * 3-column projection, the only exchange the final SinglePartition
     * gather of 4 decimal sums (no hashpartitioning exchange anywhere).
     */
+  /** Narrow exact-sum channel for the GD terms: every per-row term is
+    * round(x, 6) with |x| < 4 (err ∈ (−1,1), |x1| ≤ 0.1, x2 ≤ 1, err²
+    * < 1), so DECIMAL(8,6) holds each value exactly and Spark's sum
+    * buffer widens to (18,6) — still ≤ 18 digits, i.e. COMPACT-LONG
+    * decimals end to end (UnsafeRow stores ≤18-digit decimals as a
+    * long; 38-digit decimals are BigDecimal-backed). Same fixed-point
+    * sum, same value at any SF below ~10¹² rows (Σ unscaled ≤ n·4·10⁶
+    * < 10¹⁸), measured 2.2× on the whole query (r21: 16.4 s → 7.4 s
+    * solo; guide §2.3 "narrower types" applied to the aggregation
+    * buffer). The oracle's DECIMAL(38,6) sums the identical rounded
+    * values — width is representation, not value.
+    */
+  private val gdTerm = DecimalType(8, 6)
+
   private[graft] def logregIterAgg(base: org.apache.spark.sql.DataFrame,
                                    w: (Double, Double, Double)): org.apache.spark.sql.DataFrame = {
     val z = (lit(w._1) + (lit(w._2) * col("x1"))) + (lit(w._3) * col("x2"))
     val sgm = lit(0.5) + (lit(0.5) * z) / (lit(1.0) + abs(z))
     val err = sgm - col("y")
+    // cast(x as decimal(8,6)) ≡ cast(round(x,6) as decimal(8,6)) here,
+    // in ONE BigDecimal chain instead of two: both paths HALF_UP-round
+    // BigDecimal.valueOf(x) at scale 6, and round()'s intermediate
+    // .doubleValue() round-trip is exact because a ≤7-significant-digit
+    // decimal always round-trips through double. Verified per ROW over
+    // the full 9-iteration weight trajectory at sf0.1 (0 mismatches;
+    // r21 probe) — round() itself was ~60% of each iteration's CPU.
+    // The cnt weighting keeps the sum EXACT (decimal(8,6) × bigint is
+    // exact integer arithmetic on the unscaled value; ≤ 29 digits).
     base.select(
-      round(err, 6).cast(dec6).as("t0"),
-      round(err * col("x1"), 6).cast(dec6).as("t1"),
-      round(err * col("x2"), 6).cast(dec6).as("t2"),
-      round(err * err, 6).cast(dec6).as("tb"))
+      (err.cast(gdTerm) * col("cnt")).as("t0"),
+      ((err * col("x1")).cast(gdTerm) * col("cnt")).as("t1"),
+      ((err * col("x2")).cast(gdTerm) * col("cnt")).as("t2"),
+      ((err * err).cast(gdTerm) * col("cnt")).as("tb"))
       .agg(sum(col("t0")), sum(col("t1")), sum(col("t2")), sum(col("tb")))
   }
 
@@ -600,7 +637,8 @@ object MlQueries {
     (s, dir) => {
       import s.implicits._
       val base = logregBase(s, dir)
-      val n = base.count().toDouble
+      // n = corpus rows = Σ cnt over the sufficient-statistics relation
+      val n = base.agg(sum(col("cnt"))).head().getLong(0).toDouble
       var w = (0.0, 0.0, 0.0)
       val hist =
         scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Double, Double, Double)]

@@ -441,10 +441,15 @@ object RelationalQueries {
       import graft.operators.Skew
       // the salt driver must be row-unique-ish, NOT the join key itself
       // (salting on the key gives every row of a hot key the same salt —
-      // zero spreading); (orderkey, linenumber) is the lineitem PK
+      // zero spreading); (orderkey, linenumber) is the lineitem PK,
+      // packed NUMERICALLY (linenumber ∈ 1..7 < 8) — the previous
+      // concat_ws built a fresh string per fact row just to feed
+      // xxhash64, pure allocation overhead on the 100 TB side
+      // (guide §2.3: narrower types). Salt values change with the
+      // driver, but the salt is result-invisible by construction.
       val li = Tables.lineitem(s, dir)
         .withColumn("l_row_key",
-          concat_ws(":", col("l_orderkey"), col("l_linenumber")))
+          col("l_orderkey").cast("long") * lit(8L) + col("l_linenumber").cast("long"))
       val j = Skew.saltedJoin(
         li,
         Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderpriority")),

@@ -1629,9 +1629,14 @@ object StatQueries {
       val edges = nationTradeSelective(s, dir)
         .select(col("src").cast("long").as("src"),
           col("dst").cast("long").as("dst"))
+      // per-round localCheckpoint (r21): without the barrier, round t's
+      // plan embeds rounds 0..t−1 and the nfEst/nfExact unions consume
+      // every prefix — the trade-store read and each round's
+      // join+groupBy re-executed O(T²) times (194 KB formatted plan;
+      // plans/r21/). Same fix as every other iterative loop here.
       val regRounds = (1 to T).scanLeft(
-        graft.operators.HyperAnf.initRegisters(nation, "id")) { (r, _) =>
-        graft.operators.HyperAnf.advance(r, edges)
+        graft.operators.HyperAnf.initRegisters(nation, "id").localCheckpoint()) { (r, _) =>
+        graft.operators.HyperAnf.advance(r, edges).localCheckpoint()
       }
       val nfEst = regRounds.zipWithIndex.map { case (r, t) =>
         graft.operators.Sketches.hllEstimateCorrected(r, "id")
@@ -1643,9 +1648,9 @@ object StatQueries {
       // unqualified names (u/src unique across the two sides) — df("col")
       // refs trip the ambiguous-self-join check on iterated reuse of the
       // same edges plan
-      val reachRounds = (1 to T).scanLeft(pairs0) { (pr, _) =>
+      val reachRounds = (1 to T).scanLeft(pairs0.localCheckpoint()) { (pr, _) =>
         pr.unionByName(pr.join(edges, col("u") === col("src"))
-          .select(col("v"), col("dst").as("u"))).distinct()
+          .select(col("v"), col("dst").as("u"))).distinct().localCheckpoint()
       }
       val nfExact = reachRounds.zipWithIndex.map { case (r, t) =>
         r.agg(count(lit(1)).as("nf_exact"))
@@ -1722,16 +1727,24 @@ object StatQueries {
       val T = 2
       val d = Tables.documentsSpread(s, dir)
       val nodes = d.select(col("doc_id").cast("long").as("id"))
-      val pairs = graft.operators.Dedup.ngramJaccardPairs(d, "text",
-        "doc_id", shingleK = 3, threshold = 0.3,
-        maxShingleDf = Some(graft.operators.Dedup.DefaultMaxShingleDf))
-      val edges = pairs
+      // the Jaccard-0.3 pair graph comes from the shared memoized store
+      // (DedupQueries.jaccardPairs03 — the coPurchaseEdges pattern):
+      // before r21 this query re-derived the shingle→inverted-index→join
+      // pipeline from documents, and because BOTH round families below
+      // consume `edges` at every round without a materialization
+      // barrier, the pair build executed SIX times inside one query
+      // (plan-audited: 424 KB formatted plan; see plans/r21/). Rounds
+      // are now localCheckpointed — the standard iterative-graph
+      // barrier every other loop in this file already uses — so each
+      // round's state is computed exactly once (guide §1.2/§2.4).
+      val edges = DedupQueries.jaccardPairs03(s, dir)
         .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
-        .unionByName(pairs
+        .unionByName(DedupQueries.jaccardPairs03(s, dir)
           .select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
+        .localCheckpoint()
       val regRounds = (1 to T).scanLeft(
-        graft.operators.HyperAnf.initRegisters(nodes, "id")) { (r, _) =>
-        graft.operators.HyperAnf.advance(r, edges)
+        graft.operators.HyperAnf.initRegisters(nodes, "id").localCheckpoint()) { (r, _) =>
+        graft.operators.HyperAnf.advance(r, edges).localCheckpoint()
       }
       val nfEst = regRounds.zipWithIndex.map { case (r, t) =>
         graft.operators.Sketches.hllEstimateCorrected(r, "id")
@@ -1740,9 +1753,9 @@ object StatQueries {
           .select(lit(t.toLong).as("t"), col("nf_est"))
       }.reduce(_ unionByName _)
       val pairs0 = nodes.select(col("id").as("v"), col("id").as("u"))
-      val reachRounds = (1 to T).scanLeft(pairs0) { (pr, _) =>
+      val reachRounds = (1 to T).scanLeft(pairs0.localCheckpoint()) { (pr, _) =>
         pr.unionByName(pr.join(edges, col("u") === col("src"))
-          .select(col("v"), col("dst").as("u"))).distinct()
+          .select(col("v"), col("dst").as("u"))).distinct().localCheckpoint()
       }
       val nfExact = reachRounds.zipWithIndex.map { case (r, t) =>
         r.agg(count(lit(1)).as("nf_exact"))
@@ -2903,11 +2916,19 @@ object StatQueries {
         .agg(sum(col("l_quantity").cast(DecimalType(12, 0))).cast("long").as("x"),
           (sum(col("l_extendedprice").cast(Queries.Money.price)).cast(dec2) * 100)
             .cast("long").as("y"))
+        // consumed by BOTH self-join sides — one lineitem aggregation,
+        // not two (guide §1.2); days-sized, bounded by the calendar
+        .localCheckpoint()
       val a = daily.select(col("l_returnflag"), col("day").as("da"),
         col("x").as("xa"), col("y").as("ya"))
       val b = daily.select(col("l_returnflag"), col("day").as("db"),
         col("x").as("xb"), col("y").as("yb"))
-      val pairs = a.join(b, Seq("l_returnflag")).filter(col("da") < col("db"))
+      // broadcast(b): the join key has 3 distinct values, so the
+      // shuffled plan landed the whole O(days²) pair expansion on ≤3 of
+      // the shuffle partitions (guide §2.5 — key-cardinality skew); the
+      // broadcast join expands pairs at the a-side's parallelism, and
+      // the build side is days-sized at any corpus scale
+      val pairs = a.join(broadcast(b), Seq("l_returnflag")).filter(col("da") < col("db"))
         .select(col("l_returnflag"),
           (col("xb") - col("xa")).as("dx"), (col("yb") - col("ya")).as("dy"))
       pairs.groupBy(col("l_returnflag"))

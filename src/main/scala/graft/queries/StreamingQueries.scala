@@ -891,6 +891,36 @@ object StreamingQueries {
       |ORDER BY event_type, q
       """.stripMargin.trim))
 
+  /** The two-batch day-15 time-split staging of `events` shared by all
+    * three CEP replays (match / negation / 3-step): the staged content
+    * is IDENTICAL across the three stores — same projection, same
+    * split, same batch ages — so it is built once per (fixture, JVM)
+    * instead of three times (guide §1.2: before r21 each CEP query's
+    * timed region re-paid an events scan, a min(ts) action and two
+    * staged parquet writes for bytes the sibling had already staged).
+    * Each matcher still runs its OWN streaming replay over this
+    * staging; only the staged input is shared.
+    */
+  private object CepStagingStore {
+    def schema(s: SparkSession, dir: String): org.apache.spark.sql.types.StructType =
+      Tables.events(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+        .schema
+    def ensure(s: SparkSession, dir: String): String =
+      TmpStores.memoizedTable("graft_cep_staging", dir) { root =>
+        val ev = Tables.events(s, dir)
+          .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+        val minUs = ev.agg(min(unix_micros(col("ts")))).head().getLong(0)
+        val splitUs = minUs + 15L * 86400L * 1000000L
+        val staging = s"$root/staging"
+        TmpStores.stageFile(ev.filter(unix_micros(col("ts")) < splitUs),
+          staging, "batch1", 120000L)
+        TmpStores.stageFile(ev.filter(unix_micros(col("ts")) >= splitUs),
+          staging, "batch2", 60000L)
+        staging
+      }
+  }
+
   /** Two-batch time-split replay through the CEP matcher — batches cut
     * at day 15 so batch2's events all sit at-or-after batch1's
     * watermark frontier (no late drops; the stream ≡ batch contract
@@ -901,17 +931,9 @@ object StreamingQueries {
     val WithinMs: Long = 6L * 3600L * 1000L
     def ensure(s: SparkSession, dir: String): String =
       TmpStores.memoizedTable("graft_stream_cep", dir) { root =>
-        val ev = Tables.events(s, dir)
-          .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
-        val minUs = ev.agg(min(unix_micros(col("ts")))).head().getLong(0)
-        val splitUs = minUs + 15L * 86400L * 1000000L
-        val staging = s"$root/staging"
-        TmpStores.stageFile(ev.filter(unix_micros(col("ts")) < splitUs),
-          staging, "batch1", 120000L)
-        TmpStores.stageFile(ev.filter(unix_micros(col("ts")) >= splitUs),
-          staging, "batch2", 60000L)
+        val staging = CepStagingStore.ensure(s, dir)
         val out = s"$root/matches"
-        val stream = s.readStream.schema(ev.schema)
+        val stream = s.readStream.schema(CepStagingStore.schema(s, dir))
           .option("maxFilesPerTrigger", 1)
           .parquet(staging)
         import s.implicits._
@@ -995,17 +1017,9 @@ object StreamingQueries {
     val WithinMs: Long = 6L * 3600L * 1000L
     def ensure(s: SparkSession, dir: String): String =
       TmpStores.memoizedTable("graft_stream_cepnot", dir) { root =>
-        val ev = Tables.events(s, dir)
-          .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
-        val minUs = ev.agg(min(unix_micros(col("ts")))).head().getLong(0)
-        val splitUs = minUs + 15L * 86400L * 1000000L
-        val staging = s"$root/staging"
-        TmpStores.stageFile(ev.filter(unix_micros(col("ts")) < splitUs),
-          staging, "batch1", 120000L)
-        TmpStores.stageFile(ev.filter(unix_micros(col("ts")) >= splitUs),
-          staging, "batch2", 60000L)
+        val staging = CepStagingStore.ensure(s, dir)
         val out = s"$root/alerts"
-        val stream = s.readStream.schema(ev.schema)
+        val stream = s.readStream.schema(CepStagingStore.schema(s, dir))
           .option("maxFilesPerTrigger", 1)
           .parquet(staging)
         import s.implicits._
@@ -1090,17 +1104,9 @@ object StreamingQueries {
     val WithinMs: Long = 6L * 3600L * 1000L
     def ensure(s: SparkSession, dir: String): String =
       TmpStores.memoizedTable("graft_stream_cep3", dir) { root =>
-        val ev = Tables.events(s, dir)
-          .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
-        val minUs = ev.agg(min(unix_micros(col("ts")))).head().getLong(0)
-        val splitUs = minUs + 15L * 86400L * 1000000L
-        val staging = s"$root/staging"
-        TmpStores.stageFile(ev.filter(unix_micros(col("ts")) < splitUs),
-          staging, "batch1", 120000L)
-        TmpStores.stageFile(ev.filter(unix_micros(col("ts")) >= splitUs),
-          staging, "batch2", 60000L)
+        val staging = CepStagingStore.ensure(s, dir)
         val out = s"$root/matches"
-        val stream = s.readStream.schema(ev.schema)
+        val stream = s.readStream.schema(CepStagingStore.schema(s, dir))
           .option("maxFilesPerTrigger", 1)
           .parquet(staging)
         import s.implicits._

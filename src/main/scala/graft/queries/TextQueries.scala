@@ -2173,12 +2173,19 @@ object TextQueries {
       "scores high — it is 1/n of its own centroid).",
     (s, dir) => {
       import graft.operators.TextAnalysis
+      // tf is consumed THREE times below (src, dn, dot) and src twice
+      // (sn, dot); without a barrier each consumer re-ran the whole
+      // tokenize + explode + md5-bucket pipeline over the corpus
+      // (guide §1.2 — the 3× recompute measured 10.0 s in the r21
+      // control). One localCheckpoint bounds tf at |docs|·256 rows.
       val tf = docToks(s, dir)
         .select(col("doc_id"), col("source"), explode(col("toks")).as("tok"))
         .withColumn("b", TextAnalysis.md5Long48(col("tok")) % 256)
         .groupBy(col("doc_id"), col("source"), col("b"))
         .agg(count(lit(1)).as("tf"))
+        .localCheckpoint()
       val src = tf.groupBy(col("source"), col("b")).agg(sum(col("tf")).as("cnt"))
+        .localCheckpoint()
       val dn = tf.groupBy(col("doc_id"))
         .agg(sum(col("tf") * col("tf")).as("d2"), sum(col("tf")).as("n_toks"))
       val sn = src.groupBy(col("source")).agg(sum(col("cnt") * col("cnt")).as("s2"))

@@ -41,11 +41,16 @@ object CdcApply {
                         workRoot: String): Seq[(Long, String)] = {
     val root = new org.apache.hadoop.fs.Path(workRoot)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) Seq.empty
-    else fs.listStatus(root).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.matches("v\\d+") &&
-        fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
-      .map(st => (st.getPath.getName.drop(1).toLong, st.getPath.toString))
+    // ONE glob listing for every version's commit marker instead of a
+    // per-directory fs.exists round-trip (ADVICE r20: N versions cost N
+    // RPCs per micro-batch on an object store; the glob is a single
+    // LIST). Returns exactly the dirs the old exists-loop accepted.
+    Option(fs.globStatus(new org.apache.hadoop.fs.Path(root, "v*/_SUCCESS")))
+      .getOrElse(Array.empty)
+      .toSeq
+      .map(_.getPath.getParent)
+      .filter(_.getName.matches("v\\d+"))
+      .map(p => (p.getName.drop(1).toLong, p.toString))
       .sortBy(_._1)
   }
 

@@ -86,14 +86,35 @@ class PqSpec extends SparkSpec {
     enc.unpersist()
   }
 
-  test("batch PQ plan: rank under WindowGroupLimit, corpus vectors never shuffle") {
+  test("batch PQ plan: shortlist ranks under WindowGroupLimit over the broadcast query table; " +
+    "rescore scan is In-pruned (PushedFilters), vectors never full-scan") {
     import graft.queries.VectorQueries
     val enc = Pq.encode(emb, "embedding", cb)
-    val df = Pq.batchSearchRescore(enc, "embedding", "vec_id",
+    // the shortlist stage keeps the r19 shape: ONE codes pass × the
+    // broadcast query-id table, rank under WindowGroupLimit
+    val sl = Pq.batchShortlist(enc, "vec_id",
+      VectorQueries.batchQueryVecs, cb, shortlist = 20)
+    val ps = sl.queryExecution.executedPlan.toString
+    assert(ps.contains("WindowGroupLimit"), s"shortlist rank must group-limit:\n$ps")
+    assert(ps.contains("BroadcastNestedLoopJoin"), s"query table must broadcast:\n$ps")
+    // r21 (closes r20's perf weak): the lazy batchSearchRescore now
+    // collects the bounded shortlist and pushes its ids INTO the vector
+    // scan — on a parquet-backed corpus the In filter reaches
+    // PushedFilters (row-group pruning), and the rescore join is a
+    // broadcast of the shortlist, never a shuffle of the vector column
+    // sf0.01, not the suite-cached sf0.001: CacheManager substitutes the
+    // cached InMemoryRelation for a logically-equal fresh read, and the
+    // point here is the PARQUET scan's PushedFilters
+    val encP = Pq.encode(Tables.embeddings(spark, sf("sf0.01")), "embedding", cb)
+    val df = Pq.batchSearchRescore(encP, "embedding", "vec_id",
       VectorQueries.batchQueryVecs, cb, k = 3, shortlist = 20)
     val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("WindowGroupLimit"), s"shortlist rank must group-limit:\n$p")
-    assert(p.contains("BroadcastNestedLoopJoin"), s"query table must broadcast:\n$p")
+    assert(p.contains("WindowGroupLimit"), s"final rank must group-limit:\n$p")
+    assert(p.contains("PushedFilters: [In(vec_id"),
+      s"shortlist ids must push into the rescore parquet scan:\n$p")
+    assert(p.contains("BroadcastExchange"), s"shortlist must broadcast:\n$p")
+    assert(!p.contains("Exchange hashpartitioning(vec_id"),
+      s"the vector column must never ride a hash shuffle:\n$p")
   }
 
   test("the two batch execution shapes are result-identical (shape is a pure execution choice)") {
