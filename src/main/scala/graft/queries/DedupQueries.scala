@@ -232,7 +232,10 @@ object DedupQueries {
     (s, dir) => {
       val d = Tables.documentsSpread(s, dir)
       val sh = Dedup.shingleRelation(d, "text", "doc_id", shingleK = 3).cache()
-      val sigs = Dedup.minhashSignatures(sh, numHashes = 12)
+      // consumed twice (sig_a and sig_b join legs) — without a barrier
+      // the 12-hash HOF signature pass ran once per leg (r21, guide
+      // §1.2). |docs| × 12 ints, bounded.
+      val sigs = Dedup.minhashSignatures(sh, numHashes = 12).localCheckpoint()
       val cands = Dedup.minhashCandidatePairsFromShingles(sh, numHashes = 12, numBands = 4)
         .cache()
       val exact = Dedup.jaccardOnPairsFromShingles(sh, cands)

@@ -623,14 +623,18 @@ object MlQueries {
       "IEEE +,×,÷,|·| only, so every per-row activation is " +
       "bit-identical cross-engine with no libm exp() in the loop, " +
       "where a 1-ulp divergence would compound through the weight " +
-      "trajectory. Each iteration is ONE map-side-combining corpus " +
-      "aggregate: per-row gradient/Brier terms round at 6 and sum in " +
-      "DECIMAL(38,6) (exact, order-independent — the scaled sum stays " +
-      "under 2⁵³ fixed-point units through sf100), then the mean " +
-      "rounds at 8 and the weight update replays in identical rounded " +
-      "double arithmetic on both engines; the driver holds only the " +
-      "3-vector of weights (the KMeans contract — bounded model state, " +
-      "data never collected). The oracle unrolls the same " +
+      "trajectory. ONE map-side-combining corpus pass counts the " +
+      "≤2·11·50 distinct (y, discount, qty) feature triples (sufficient " +
+      "statistics — r21); each iteration is then one aggregate over " +
+      "that bounded relation: per-triple gradient/Brier terms HALF_UP-" +
+      "round at 6 into DECIMAL(8,6) and sum count-weighted (exact, " +
+      "order-independent — decimal × integer is exact repeated " +
+      "addition, ≡ the per-row DECIMAL(38,6) sum value for value " +
+      "through ~10¹² rows), then the mean rounds at 8 and the weight " +
+      "update replays in identical rounded double arithmetic on both " +
+      "engines; the driver holds only the 3-vector of weights (the " +
+      "KMeans contract — bounded model state, data never collected). " +
+      "The oracle unrolls the same " +
       s"$LogregIters aggregate+update steps as CTEs. Output: the " +
       "(iter, w, entering-Brier) trajectory — Brier 0.25 → 0.2226 on " +
       "the gate fixture, monotone (spec-locked).",

@@ -19,7 +19,7 @@ import org.apache.spark.sql.functions._
 object TextQueries {
 
   /** (doc_id, lang, …, norm, toks) over the spread documents read. */
-  private[queries] def docToks(s: SparkSession, dir: String): DataFrame =
+  private[graft] def docToks(s: SparkSession, dir: String): DataFrame =
     Tables.documentsSpread(s, dir)
       .withColumn("norm", normalize(col("text")))
       .withColumn("toks", tokensFromNorm(col("norm")))
@@ -1940,6 +1940,25 @@ object TextQueries {
     */
   private val TextRankVocab = 50
 
+  /** The TextRank bigram leg, factored so PlanShapeSpec can assert its
+    * plan directly (the registered query now localCheckpoints this
+    * relation, so the bigram joins no longer appear in the FINAL plan):
+    * adjacent-token pairs restricted to the capped vocab on BOTH ends —
+    * the ≤vocab-row build sides must broadcast so the corpus-sized
+    * bigram stream never shuffles — then the (w1, w2) count rollup.
+    */
+  private[graft] def textrankBigrams(tk: org.apache.spark.sql.DataFrame,
+                                     vocab: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    tk.select(explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("pr"))
+      .select(col("pr.w1").as("w1"), col("pr.w2").as("w2"))
+      .filter(col("w1") =!= col("w2"))
+      .join(broadcast(vocab.select(col("token").as("w1"))), Seq("w1"))
+      .join(broadcast(vocab.select(col("token").as("w2"))), Seq("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cw"))
+
   /** One weighted-PageRank power iteration over the token graph as a
     * DuckDB CTE — StatQueries.prIter with the teleport share derived
     * from the DATA-DEPENDENT vocab size (integer division, matching
@@ -1985,15 +2004,11 @@ object TextQueries {
         .groupBy(col("token")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("token")).limit(TextRankVocab)
         .select(col("token")).localCheckpoint()
-      val bi = tk.select(explode(zip_with(
-          slice(col("toks"), lit(1), size(col("toks")) - 1),
-          slice(col("toks"), lit(2), size(col("toks")) - 1),
-          (a, b) => struct(a.as("w1"), b.as("w2")))).as("pr"))
-        .select(col("pr.w1").as("w1"), col("pr.w2").as("w2"))
-        .filter(col("w1") =!= col("w2"))
-        .join(vocab.select(col("token").as("w1")), Seq("w1"))
-        .join(vocab.select(col("token").as("w2")), Seq("w2"))
-        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cw"))
+      val bi = textrankBigrams(tk, vocab)
+        // consumed TWICE by the symmetrization union below — without a
+        // barrier the corpus-sized bigram explode+rollup ran once per
+        // direction (r21; guide §1.2). ≤ vocab² rows by construction.
+        .localCheckpoint()
       // symmetric: TextRank's graph is undirected, PageRank.weighted
       // walks directed edges — emit both directions and SUM (a pair
       // seen both ways merges)

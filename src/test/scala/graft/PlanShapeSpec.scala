@@ -786,9 +786,22 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("textrank: 50-row vocab broadcasts into both bigram legs; top-25 heaps") {
+    // the registered query localCheckpoints the bigram rollup (r21 — it
+    // is consumed by both symmetrization directions), so the bigram
+    // joins no longer appear in the FINAL plan; assert the broadcast
+    // discipline on the factored leg directly (the logregIterAgg
+    // pattern) and the bounded heap on the registered query.
+    GraftSession.prepare(spark)
+    val tk = graft.queries.TextQueries.docToks(spark, sf("sf0.001"))
+    val vocab = tk.select(explode(col("toks")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(50)
+      .select(col("token")).localCheckpoint()
+    val pb = graft.queries.TextQueries.textrankBigrams(tk, vocab)
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(pb).length >= 2,
+      s"the capped vocab must broadcast into both bigram filters:\n$pb")
     val p = planOf("txt_textrank_keywords")
-    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
-      s"the capped vocab must broadcast into both bigram filters:\n$p")
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("TakeOrderedAndProject"),
       s"keyword top-25 must be a bounded heap:\n$p")
